@@ -1,0 +1,123 @@
+"""PaFFT segment alignment of a spectrum against a reference spectrum.
+
+Numerical semantics per reference ``components/spectrum/alignment.py:7-147``
+(algorithm credit: Jason W. H. Wong, modified by Michal Marczyk): the channel
+axis is walked in m/z-proportional segments; each segment's boundary is cut at
+the first index that is among the 5% smallest values of BOTH the segment and
+the reference; the segment is cross-correlated with the reference via FFT
+(conjugate product, power-of-two padding up to 2^20 else n+1e6), the best
+shift within an m/z-proportional limit is applied (zero if correlation peak
+< 0.1), shifted edges are filled with the edge value, and the shifted segment
+is cast to float32.
+
+Golden-tested against the reference's
+``test/components/spectrum/test_alignment.py`` vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_PAD_BITS_LIMIT = 20
+_BIG_PADDING = 1_000_000
+_PEAK_FLOOR = 0.1
+
+
+def _cut_point(segment: np.ndarray, reference: np.ndarray) -> int:
+    """First index (in ascending-value order of the segment) that is among the
+    5% smallest values of both signals; +1 offset. Falls back to the segment's
+    own minimum position."""
+    take = int(segment.size / 20.0 + 0.5)
+    seg_order = np.argsort(segment)
+    ref_smallest = set(np.argsort(reference)[:take].tolist())
+    for idx in seg_order[:take]:
+        if int(idx) in ref_smallest:
+            return int(idx) + 1
+    return int(seg_order[0]) + 1
+
+
+def _padded_size(n: int) -> int:
+    bits = int(np.log2(n) + 1)
+    return 2 ** bits if bits <= _PAD_BITS_LIMIT else _BIG_PADDING + n
+
+
+def _fft_cross_correlate(segment: np.ndarray, reference: np.ndarray,
+                         size: int) -> np.ndarray:
+    """Real part of ifft(fft(ref) * conj(fft(segment)) / size)."""
+    spectrum = np.fft.fft(reference, n=size) * np.conj(np.fft.fft(segment, n=size))
+    return np.real(np.fft.ifft(spectrum / size))
+
+
+def _best_shift(correlation: np.ndarray, limit: int) -> int:
+    if limit < 1:
+        return 0
+    forward = correlation[:limit]
+    backward = correlation[-limit:]
+    peak_fwd, peak_bwd = np.max(forward), np.max(backward)
+    if max(peak_fwd, peak_bwd) < _PEAK_FLOOR:
+        return 0
+    if peak_fwd > peak_bwd:
+        return int(np.argmax(forward))
+    return int(np.argmax(backward)) - backward.size
+
+
+def _apply_shift(segment: np.ndarray, shift: int) -> np.ndarray:
+    if shift == 0 or abs(shift) >= segment.size:
+        return segment
+    if shift > 0:
+        pad = np.full(shift, segment[0], dtype=float)
+        return np.hstack((pad, segment[: segment.size - shift]))
+    pad = np.full(-shift, segment[-1], dtype=float)
+    return np.hstack((segment[-shift:], pad))
+
+
+def _next_chunk(counts: np.ndarray, reference: np.ndarray, start: int,
+                nominal_size: int):
+    """Slice the next alignment chunk; the right boundary is refined by the
+    co-minimum cut-point search inside the look-ahead window."""
+    probe_end = start + max(nominal_size * 2, 1)
+    if probe_end >= counts.size:
+        return counts[start:], reference[start:]
+    probe = counts[start + nominal_size:probe_end]
+    probe_ref = reference[start + nominal_size:probe_end]
+    end = start + _cut_point(probe, probe_ref) + nominal_size + 1
+    return counts[start:end], reference[start:end]
+
+
+def pafft(counts: np.ndarray, reference_counts: np.ndarray, mzs: np.ndarray,
+          minimum_segment: float = 0.7, shift_limit: float = 0.1) -> np.ndarray:
+    """Align ``counts`` to ``reference_counts`` over the shared ``mzs`` axis.
+
+    ``minimum_segment`` and ``shift_limit`` are percentages of the local m/z
+    value. Output dtype float32 (chunk-level cast, reference
+    ``alignment.py:142``).
+    """
+    counts = np.ravel(np.asarray(counts, dtype=float))
+    reference_counts = np.ravel(np.asarray(reference_counts, dtype=float))
+    mzs = np.ravel(np.asarray(mzs, dtype=float))
+    assert counts.size == reference_counts.size == mzs.size
+    seg_pct = minimum_segment * 0.01
+    shift_pct = shift_limit * 0.01
+
+    aligned_chunks = []
+    start = 0
+    while start < counts.size:
+        if start == counts.size - 1:
+            local_tick = mzs[start] - mzs[start - 1]
+        else:
+            local_tick = mzs[start + 1] - mzs[start]
+        nominal_size = int(0.5 + (seg_pct / local_tick) * mzs[start])
+        segment, ref_segment = _next_chunk(counts, reference_counts, start,
+                                           nominal_size)
+        # shift limit in channels, evaluated at the segment midpoint m/z
+        tail_mzs = mzs[start:]
+        mid = min(int(0.5 + segment.size / 2.0), tail_mzs.size - 1)
+        limit = int(0.5 + (shift_pct / local_tick) * tail_mzs[mid])
+        padded = _padded_size(segment.size)
+        correlation = _fft_cross_correlate(segment, ref_segment, padded)
+        shift = _best_shift(correlation, min(limit, padded))
+        aligned_chunks.append(_apply_shift(segment, shift).astype(np.float32))
+        start += segment.size
+    aligned = np.hstack(aligned_chunks)
+    assert aligned.size == counts.size
+    return aligned
