@@ -1,0 +1,81 @@
+"""Window operators over (entity, ts): lag/lead, sessionize, rolling stats.
+
+All are thin declarative shapes over ``Window.partitionBy(entity)
+.orderBy(ts)`` — one shuffle on the entity key, whole-stage-codegen'd, no
+Python in the path (SURVEY.md §2.5 graft additions).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_list(x) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def with_lag(df: DataFrame, col: str, partition_by, order_by: str = "ts",
+             offset: int = 1, out_col: str | None = None) -> DataFrame:
+    w = Window.partitionBy(*_as_list(partition_by)).orderBy(order_by)
+    return df.withColumn(out_col or f"{col}_lag{offset}",
+                         F.lag(col, offset).over(w))
+
+
+def with_lead(df: DataFrame, col: str, partition_by, order_by: str = "ts",
+              offset: int = 1, out_col: str | None = None) -> DataFrame:
+    w = Window.partitionBy(*_as_list(partition_by)).orderBy(order_by)
+    return df.withColumn(out_col or f"{col}_lead{offset}",
+                         F.lead(col, offset).over(w))
+
+
+def sessionize(df: DataFrame, partition_by, ts_col: str = "ts",
+               gap_seconds: float = 1800.0,
+               session_col: str = "session_id") -> DataFrame:
+    """Assign a session index per entity: a new session starts when the gap
+    to the previous event exceeds ``gap_seconds``.
+
+    Classic lag + running-sum shape (single shuffle); sessions are numbered
+    from 1 within each entity.
+    """
+    keys = _as_list(partition_by)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    is_new = F.when(gap.isNull() | (gap > F.lit(float(gap_seconds))), 1).otherwise(0)
+    return (df.withColumn("__is_new", is_new)
+              .withColumn(session_col, F.sum("__is_new").over(cum))
+              .drop("__is_new"))
+
+
+def session_stats(df: DataFrame, partition_by, ts_col: str = "ts",
+                  gap_seconds: float = 1800.0,
+                  agg_exprs: Sequence | None = None) -> DataFrame:
+    """Sessionize then aggregate one row per (entity, session):
+    event count, start/end ts, duration in seconds, plus any extra aggs."""
+    keys = _as_list(partition_by)
+    sess = sessionize(df, keys, ts_col, gap_seconds)
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(F.col(ts_col).cast("double"))
+         - F.min(F.col(ts_col).cast("double"))).alias("duration_s"),
+    ]
+    if agg_exprs:
+        aggs.extend(agg_exprs)
+    return sess.groupBy(*keys, "session_id").agg(*aggs)
+
+
+def rolling(df: DataFrame, col: str, partition_by, order_by: str = "ts",
+            window_rows: int = 10, fns=("avg",)) -> DataFrame:
+    """Rolling row-frame statistics (trailing ``window_rows`` rows)."""
+    w = (Window.partitionBy(*_as_list(partition_by)).orderBy(order_by)
+         .rowsBetween(-(window_rows - 1), Window.currentRow))
+    out = df
+    for fn in fns:
+        out = out.withColumn(f"{col}_{fn}_{window_rows}",
+                             getattr(F, fn)(F.col(col)).over(w))
+    return out

@@ -1,0 +1,182 @@
+"""As-of join / backfill / window / exact-quantile operator tests.
+
+Correctness oracles: ``pd.merge_asof`` for the as-of join, numpy for the
+quantiles, hand-computed sessions for sessionize. The salted variant must be
+result-identical to the unsalted one (skew handling must never change
+semantics).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from msi_preprocessing_pipeline_spark.operators import asof, quantiles, windows
+from msi_preprocessing_pipeline_spark.kernels.stats import mquantile
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rng = np.random.RandomState(11)
+    n = 600
+    pdf = pd.DataFrame({
+        "entity": rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1]),
+        "ts": rng.randint(0, 10_000, n).astype("int64"),
+        "x": rng.rand(n),
+    })
+    pdf["row_id"] = np.arange(n)
+    return spark.createDataFrame(pdf), pdf
+
+
+@pytest.fixture(scope="module")
+def artifacts(spark):
+    pdf = pd.DataFrame({
+        "entity": ["a"] * 4 + ["b"] * 3 + ["c"] * 2,
+        "valid_from": [0, 2_000, 5_000, 9_000, 100, 4_000, 8_000, 50, 7_500],
+        "version": [1, 2, 3, 4, 1, 2, 3, 1, 2],
+        "payload": [10.0, 20.0, 30.0, 40.0, 1.0, 2.0, 3.0, 7.0, 8.0],
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+def _expected_asof(left_pdf, right_pdf, direction="backward", tolerance=None):
+    out = pd.merge_asof(
+        left_pdf.sort_values("ts", kind="mergesort"),
+        right_pdf.sort_values("valid_from", kind="mergesort")[
+            ["entity", "valid_from", "version", "payload"]],
+        left_on="ts", right_on="valid_from", by="entity",
+        direction=direction, tolerance=tolerance)
+    return out.sort_values("row_id").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_union_window_matches_pandas(events, artifacts, direction):
+    left, left_pdf = events
+    right, right_pdf = artifacts
+    got = (asof.asof_join(left, right, on="entity", left_ts="ts",
+                          right_ts="valid_from",
+                          value_cols=["version", "payload"],
+                          direction=direction)
+           .toPandas().sort_values("row_id").reset_index(drop=True))
+    exp = _expected_asof(left_pdf, right_pdf, direction)
+    pd.testing.assert_series_equal(got["version"].astype("float64"),
+                                   exp["version"].astype("float64"),
+                                   check_names=False)
+    pd.testing.assert_series_equal(got["payload"], exp["payload"],
+                                   check_names=False)
+
+
+def test_asof_salted_identical(events, artifacts):
+    left, _ = events
+    right, _ = artifacts
+    plain = (asof.asof_join(left, right, on="entity", left_ts="ts",
+                            right_ts="valid_from",
+                            value_cols=["version", "payload"])
+             .toPandas().sort_values("row_id").reset_index(drop=True))
+    salted = (asof.asof_join(left, right, on="entity", left_ts="ts",
+                             right_ts="valid_from",
+                             value_cols=["version", "payload"],
+                             salt_buckets=8)
+              .toPandas().sort_values("row_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_asof_tolerance(events, artifacts):
+    left, left_pdf = events
+    right, right_pdf = artifacts
+    got = (asof.asof_join(left, right, on="entity", left_ts="ts",
+                          right_ts="valid_from",
+                          value_cols=["version", "payload"], tolerance=1000)
+           .toPandas().sort_values("row_id").reset_index(drop=True))
+    exp = _expected_asof(left_pdf, right_pdf, "backward", tolerance=1000)
+    pd.testing.assert_series_equal(got["payload"], exp["payload"],
+                                   check_names=False)
+
+
+def test_asof_merge_variant_matches_pandas(events, artifacts):
+    left, left_pdf = events
+    right, right_pdf = artifacts
+    got = (asof.asof_join_merge(left, right, on="entity", left_ts="ts",
+                                right_ts="valid_from",
+                                value_cols=["version", "payload"])
+           .toPandas().sort_values("row_id").reset_index(drop=True))
+    exp = _expected_asof(left_pdf, right_pdf)
+    pd.testing.assert_series_equal(got["payload"], exp["payload"],
+                                   check_names=False)
+
+
+def test_asof_no_leakage(events, artifacts):
+    # a left row must never see an artifact with valid_from > its ts
+    left, _ = events
+    right, _ = artifacts
+    got = asof.asof_join(left, right, on="entity", left_ts="ts",
+                         right_ts="valid_from", value_cols=["payload"],
+                         matched_ts_col="artifact_ts").toPandas()
+    matched = got.dropna(subset=["artifact_ts"])
+    assert (matched["artifact_ts"] <= matched["ts"]).all()
+
+
+def test_backfill_forward(spark):
+    pdf = pd.DataFrame({
+        "entity": ["e"] * 6,
+        "ts": [1, 2, 3, 4, 5, 6],
+        "v": [None, 1.0, None, None, 4.0, None],
+    })
+    got = (asof.backfill(spark.createDataFrame(pdf), "v", "entity", "ts")
+           .toPandas().sort_values("ts"))
+    pd.testing.assert_series_equal(
+        got["v"].reset_index(drop=True),
+        pd.Series([np.nan, 1.0, 1.0, 1.0, 4.0, 4.0]), check_names=False)
+    got_b = (asof.backfill(spark.createDataFrame(pdf), "v", "entity", "ts",
+                           direction="backward")
+             .toPandas().sort_values("ts"))
+    pd.testing.assert_series_equal(
+        got_b["v"].reset_index(drop=True),
+        pd.Series([1.0, 1.0, 4.0, 4.0, 4.0, np.nan]), check_names=False)
+
+
+def test_lag_lead(spark):
+    pdf = pd.DataFrame({"entity": ["e"] * 4, "ts": [1, 2, 3, 4],
+                        "v": [10.0, 20.0, 30.0, 40.0]})
+    df = spark.createDataFrame(pdf)
+    got = windows.with_lead(windows.with_lag(df, "v", "entity"), "v", "entity") \
+        .toPandas().sort_values("ts")
+    npt_lag = got["v_lag1"].tolist()
+    npt_lead = got["v_lead1"].tolist()
+    assert np.isnan(npt_lag[0]) and npt_lag[1:] == [10.0, 20.0, 30.0]
+    assert npt_lead[:3] == [20.0, 30.0, 40.0] and np.isnan(npt_lead[3])
+
+
+def test_sessionize(spark):
+    pdf = pd.DataFrame({
+        "entity": ["u1"] * 5 + ["u2"] * 3,
+        "ts": [0, 100, 5000, 5100, 20_000, 0, 10_000, 10_050],
+        "v": range(8),
+    })
+    got = windows.sessionize(spark.createDataFrame(pdf), "entity", "ts",
+                             gap_seconds=1800).toPandas()
+    got = got.sort_values(["entity", "ts"])
+    assert got[got.entity == "u1"]["session_id"].tolist() == [1, 1, 2, 2, 3]
+    assert got[got.entity == "u2"]["session_id"].tolist() == [1, 2, 2]
+    stats = windows.session_stats(spark.createDataFrame(pdf), "entity", "ts",
+                                  gap_seconds=1800).toPandas()
+    u1s2 = stats[(stats.entity == "u1") & (stats.session_id == 2)].iloc[0]
+    assert u1s2["n_events"] == 2 and u1s2["duration_s"] == 100
+
+
+def test_exact_quantiles_match_numpy(spark):
+    rng = np.random.RandomState(21)
+    vals = rng.lognormal(3, 1, 5000)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = quantiles.exact_quantiles(df, "v", qs)
+    np.testing.assert_allclose(got, np.percentile(vals, [q * 100 for q in qs]),
+                               rtol=1e-12)
+
+
+def test_matlab_quantiles_match_kernel(spark):
+    rng = np.random.RandomState(22)
+    vals = rng.rand(1234)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got = quantiles.matlab_quantiles(df, "v", [0.25, 0.5, 0.75])
+    np.testing.assert_allclose(got, mquantile(vals, [0.25, 0.5, 0.75]),
+                               rtol=1e-12)
