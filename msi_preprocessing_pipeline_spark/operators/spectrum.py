@@ -1,0 +1,360 @@
+"""Spectrum feature-stage operators — vectorized Arrow UDFs over broadcast
+artifacts.
+
+Each operator is the Spark expression of one reference pipeline stage
+(SURVEY.md §2.6/§2.9). The shape is always the same: small artifacts
+(axis / reference vector / GMM model) are broadcast; rows stream through
+``mapInPandas`` in Arrow batches; the numerical kernel is the SAME module the
+numpy oracle uses (``..kernels``), so parity is arithmetic-identical modulo
+float64 aggregation order.
+
+No per-row Python at the DataFrame level: the per-row loops live inside the
+UDF over numpy arrays (the reference's ``Pool.map(chunksize=800)`` analog is
+``spark.sql.execution.arrow.maxRecordsPerBatch=800``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..kernels import alignment, axis as axis_k, baseline as baseline_k
+from ..kernels import convolve as convolve_k, merge as merge_k
+from ..kernels import outlier as outlier_k
+from ..oracle import PipelineConfig
+from .quantiles import matlab_quantiles
+
+
+@dataclass
+class ArtifactSet:
+    """Everything the serving path needs, one version. Broadcast-able."""
+
+    version: int
+    valid_from_ts: int
+    mz_axis: np.ndarray
+    b1: float
+    b2: float
+    pafft_reference: np.ndarray
+    tic_reference_tic: float
+    gmm_mu: np.ndarray
+    gmm_sig: np.ndarray
+    gmm_w: np.ndarray
+    merge_starts: np.ndarray
+    merge_lengths: np.ndarray
+
+    def to_row(self) -> dict:
+        return {
+            "version": self.version,
+            "valid_from_ts": self.valid_from_ts,
+            "mz_axis": self.mz_axis.tolist(),
+            "b1": self.b1, "b2": self.b2,
+            "pafft_reference": self.pafft_reference.tolist(),
+            "tic_reference_tic": self.tic_reference_tic,
+            "gmm_mu": self.gmm_mu.tolist(),
+            "gmm_sig": self.gmm_sig.tolist(),
+            "gmm_w": self.gmm_w.tolist(),
+            "merge_starts": [int(x) for x in self.merge_starts],
+            "merge_lengths": [int(x) for x in self.merge_lengths],
+        }
+
+    @staticmethod
+    def from_row(row: dict) -> "ArtifactSet":
+        return ArtifactSet(
+            version=int(row["version"]),
+            valid_from_ts=int(row["valid_from_ts"]),
+            mz_axis=np.asarray(row["mz_axis"], dtype=float),
+            b1=float(row["b1"]), b2=float(row["b2"]),
+            pafft_reference=np.asarray(row["pafft_reference"], dtype=float),
+            tic_reference_tic=float(row["tic_reference_tic"]),
+            gmm_mu=np.asarray(row["gmm_mu"], dtype=float),
+            gmm_sig=np.asarray(row["gmm_sig"], dtype=float),
+            gmm_w=np.asarray(row["gmm_w"], dtype=float),
+            merge_starts=np.asarray(row["merge_starts"], dtype=np.int64),
+            merge_lengths=np.asarray(row["merge_lengths"], dtype=np.int64),
+        )
+
+ARTIFACT_SCHEMA = (
+    "version int, valid_from_ts long, mz_axis array<double>, b1 double, "
+    "b2 double, pafft_reference array<double>, tic_reference_tic double, "
+    "gmm_mu array<double>, gmm_sig array<double>, gmm_w array<double>, "
+    "merge_starts array<long>, merge_lengths array<long>"
+)
+
+
+def with_ts(df: DataFrame, config: PipelineConfig | None = None) -> DataFrame:
+    """Derive event time: rank of ``doc_id`` within ``source`` on the fixed
+    epoch grid (FIXTURES.md F1). One shuffle on source."""
+    config = config or PipelineConfig()
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return df.withColumn(
+        "ts",
+        (F.lit(config.epoch_base)
+         + (F.row_number().over(w) - 1) * F.lit(config.epoch_step)).cast("long"))
+
+
+def resample_baseline_stage(df: DataFrame, source_axes: dict[str, np.ndarray],
+                            new_axis: np.ndarray,
+                            config: PipelineConfig) -> DataFrame:
+    """Stages 2+3 fused: per-row resample onto the common axis + adaptive
+    baseline removal; emits the float32 spectrum and its TIC.
+
+    The TIC is the float32 row sum (reference ``pipeline/outlier.py:42``
+    sums the float32 matrix) — computed in numpy, not JVM, to stay
+    bit-identical with the oracle.
+    """
+    spark = df.sparkSession
+    axes_bc = spark.sparkContext.broadcast(
+        {s: np.asarray(a, dtype=float) for s, a in source_axes.items()})
+    new_axis_bc = spark.sparkContext.broadcast(np.asarray(new_axis, dtype=float))
+    bw, bmin, binc = (config.baseline_max_width, config.baseline_min_width,
+                      config.baseline_increment)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        axes = axes_bc.value
+        new_ax = new_axis_bc.value
+        for pdf in batches:
+            out_spec, out_tic = [], []
+            for toks, src in zip(pdf["tokens"], pdf["source"]):
+                x = axis_k.resample_row(new_ax, axes[src],
+                                        np.asarray(toks, dtype=float))
+                x = baseline_k.remove_baseline(new_ax, x, bw, bmin, binc)
+                out_spec.append(x)
+                out_tic.append(float(x.sum()))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "source": pdf["source"],
+                "ts": pdf["ts"], "spectrum": out_spec, "tic": out_tic,
+            })
+
+    return df.mapInPandas(
+        run, schema="doc_id string, source string, ts long, "
+                    "spectrum array<float>, tic double")
+
+
+def tic_outlier_thresholds(df: DataFrame, tic_col: str = "tic",
+                           seed: int = 0) -> outlier_k.TicThresholds:
+    """Distributed two-phase outlier thresholding (SURVEY.md §2 A9).
+
+    Phase 1 is three distributed exact-quantile/extrema passes over scalar
+    columns (never the spectra); phase 2 is the seeded driver Monte Carlo.
+    """
+    q25, q50, q75 = matlab_quantiles(df, tic_col, [0.25, 0.5, 0.75])
+    tic_iqr = q75 - q25
+    mn, mx = df.agg(F.min(tic_col), F.max(tic_col)).first()
+    min_norm = (float(mn) - q50) / tic_iqr
+    max_norm = (float(mx) - q50) / tic_iqr
+    min_r = 0.1
+    max_r = (max_norm - min_norm) + 0.1
+
+    med_b, iqr_b, minn_b = float(q50), float(tic_iqr), float(min_norm)
+
+    max_r_b = float(max_r)
+
+    @F.pandas_udf("double")
+    def w_col(t: pd.Series) -> pd.Series:
+        w = outlier_k.w_transform(t.to_numpy(dtype=float), med_b, iqr_b,
+                                  minn_b, 0.1, max_r_b)
+        return pd.Series(np.asarray(w, dtype=float))
+
+    with_w = df.select(F.col(tic_col)).withColumn("w", w_col(F.col(tic_col)))
+    wq = matlab_quantiles(with_w, "w", [0.1, 0.25, 0.5, 0.75, 0.9])
+    n = df.count()
+    stats = outlier_k.TicStats(
+        tic_median=float(q50), tic_iqr=float(tic_iqr),
+        min_normalized=float(min_norm), min_r=min_r, max_r=float(max_r),
+        w_q10=float(wq[0]), w_q25=float(wq[1]), w_median=float(wq[2]),
+        w_q75=float(wq[3]), w_q90=float(wq[4]), n=int(n))
+    return outlier_k.thresholds_from_stats(stats, seed=seed)
+
+
+def with_inlier_mask(df: DataFrame, thr: outlier_k.TicThresholds,
+                     tic_col: str = "tic") -> DataFrame:
+    """Inlier predicate as a JVM column (reference keeps rows with
+    ``not (tic <= B1 or tic >= B2)``)."""
+    return df.withColumn(
+        "is_inlier",
+        ~((F.col(tic_col) <= F.lit(thr.b1)) | (F.col(tic_col) >= F.lit(thr.b2))))
+
+
+def masked_mean_reference(df: DataFrame, vec_col: str,
+                          mask_col: str = "is_inlier") -> np.ndarray:
+    """Reference-spectrum aggregation (``pipeline/_base.py:77-90``):
+    per-source inlier mean, count-weighted average across sources.
+
+    Scalable shape: per-partition float64 partial sums (tiny: one vector per
+    (partition × source)) → driver combine. No applyInPandas group
+    materialization, no skew sensitivity.
+    """
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[str, tuple[np.ndarray, int]] = {}
+        for pdf in batches:
+            pdf = pdf[pdf[mask_col]]
+            for src, grp in pdf.groupby("source"):
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
+                s, c = acc.get(src, (0.0, 0))
+                acc[src] = (s + mat.sum(axis=0), c + len(grp))
+        if acc:
+            yield pd.DataFrame({
+                "source": list(acc),
+                "vec_sum": [v[0] for v in acc.values()],
+                "n": [v[1] for v in acc.values()],
+            })
+
+    rows = (df.select("source", vec_col, mask_col)
+            .mapInPandas(partials,
+                         schema="source string, vec_sum array<double>, n long")
+            .collect())
+    by_src: dict[str, tuple[np.ndarray, int]] = {}
+    for r in sorted(rows, key=lambda r: r["source"]):
+        s, c = by_src.get(r["source"], (0.0, 0))
+        by_src[r["source"]] = (s + np.asarray(r["vec_sum"]), c + r["n"])
+    refs = [v[0] / v[1] for _, v in sorted(by_src.items())]
+    counts = [v[1] for _, v in sorted(by_src.items())]
+    return np.average(np.asarray(refs), axis=0, weights=np.asarray(counts))
+
+
+def pafft_stage(df: DataFrame, reference: np.ndarray, mz_axis: np.ndarray,
+                config: PipelineConfig,
+                vec_col: str = "spectrum") -> DataFrame:
+    """Stage 5: PaFFT alignment against the broadcast reference."""
+    spark = df.sparkSession
+    ref_bc = spark.sparkContext.broadcast(np.asarray(reference, dtype=float))
+    ax_bc = spark.sparkContext.broadcast(np.asarray(mz_axis, dtype=float))
+    seg, lim = config.pafft_minimum_segment, config.pafft_shift_limit
+    passthrough = [c for c in df.columns if c != vec_col]
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+         if f.name != vec_col] + ["aligned array<float>"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ref, ax = ref_bc.value, ax_bc.value
+        for pdf in batches:
+            aligned = [
+                alignment.pafft(np.asarray(v, dtype=float), ref, ax, seg, lim)
+                for v in pdf[vec_col]
+            ]
+            out = pdf[passthrough].copy()
+            out["aligned"] = aligned
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def tic_normalize_stage(df: DataFrame, reference_tic: float,
+                        vec_col: str = "aligned") -> DataFrame:
+    """Stage 6: rescale each row to the reference TIC. The row TIC is the
+    float32 sum of the aligned row (oracle parity), hence numpy-side."""
+    passthrough = [c for c in df.columns if c != vec_col]
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+         if f.name != vec_col] + ["normalized array<double>"])
+    ref_tic = float(reference_tic)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            normed = [
+                np.asarray(v, dtype=np.float32)
+                * (ref_tic / float(np.asarray(v, dtype=np.float32).sum()))
+                for v in pdf[vec_col]
+            ]
+            out = pdf[passthrough].copy()
+            out["normalized"] = normed
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def featurize_stage(df: DataFrame, artifacts: ArtifactSet,
+                    vec_col: str = "normalized") -> DataFrame:
+    """Stages 9+10 fused: banded GMM convolution + column merge, one batch
+    matmul per Arrow batch (the hot kernel, reference
+    ``components/convolve.py:14-27``)."""
+    spark = df.sparkSession
+    art_bc = spark.sparkContext.broadcast(artifacts)
+    passthrough = [c for c in df.columns if c != vec_col]
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+         if f.name != vec_col] + ["features array<float>"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        art: ArtifactSet = art_bc.value
+        bands = convolve_k.build_bands(art.mz_axis, art.gmm_mu, art.gmm_sig,
+                                       art.gmm_w)
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            feats = convolve_k.featurize_batch(mat, bands)
+            merged = merge_k.apply_merging(feats, art.merge_starts,
+                                           art.merge_lengths)
+            out = pdf[passthrough].copy()
+            out["features"] = list(merged)
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def serve_features(df: DataFrame, artifact_versions: dict[int, ArtifactSet],
+                   source_axes: dict[str, np.ndarray],
+                   config: PipelineConfig,
+                   version_col: str = "artifact_version") -> DataFrame:
+    """THE hot path: fused serving UDF. Rows arrive already as-of-joined to an
+    artifact version; one ``mapInPandas`` pass runs resample → baseline →
+    PaFFT → TIC-normalize → convolve → merge per row against the broadcast
+    artifact set of its version. Rows with no artifact version (ts before the
+    first checkpoint) get null features — never a leaked artifact.
+    """
+    spark = df.sparkSession
+    arts_bc = spark.sparkContext.broadcast(artifact_versions)
+    axes_bc = spark.sparkContext.broadcast(
+        {s: np.asarray(a, dtype=float) for s, a in source_axes.items()})
+    bw, bmin, binc = (config.baseline_max_width, config.baseline_min_width,
+                      config.baseline_increment)
+    seg, lim = config.pafft_minimum_segment, config.pafft_shift_limit
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        arts = arts_bc.value
+        axes = axes_bc.value
+        bands_cache: dict[int, convolve_k.ComponentBands] = {}
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            features: list = [None] * len(pdf)
+            for ver, grp in pdf.groupby(version_col, dropna=True):
+                ver = int(ver)
+                art = arts.get(ver)
+                if art is None:
+                    continue
+                if ver not in bands_cache:
+                    bands_cache[ver] = convolve_k.build_bands(
+                        art.mz_axis, art.gmm_mu, art.gmm_sig, art.gmm_w)
+                rows = []
+                for toks, src in zip(grp["tokens"], grp["source"]):
+                    x = axis_k.resample_row(art.mz_axis, axes[src],
+                                            np.asarray(toks, dtype=float))
+                    x = baseline_k.remove_baseline(art.mz_axis, x, bw, bmin,
+                                                   binc)
+                    x = alignment.pafft(x, art.pafft_reference, art.mz_axis,
+                                        seg, lim)
+                    rows.append(x.astype(np.float32)
+                                * (art.tic_reference_tic
+                                   / float(x.astype(np.float32).sum())))
+                feats = convolve_k.featurize_batch(np.stack(rows),
+                                                   bands_cache[ver])
+                merged = merge_k.apply_merging(feats, art.merge_starts,
+                                               art.merge_lengths)
+                for pos, vec in zip(grp.index, merged):
+                    features[pos] = vec
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "source": pdf["source"],
+                "ts": pdf["ts"],
+                version_col: pdf[version_col].astype("Float64").astype("Int64"),
+                "features": features,
+            })
+
+    return df.mapInPandas(
+        run, schema=f"doc_id string, source string, ts long, "
+                    f"{version_col} long, features array<float>")

@@ -112,7 +112,11 @@ def _masked_weighted_mean(vectors_by_source: dict[str, np.ndarray],
     refs, counts = [], []
     for src in sorted(vectors_by_source):
         mask = inlier_by_source[src]
-        refs.append(vectors_by_source[src][mask].mean(axis=0))
+        # float64 accumulation → order-independent up to 1e-16, so the Spark
+        # partial-sum aggregation is allclose-identical (the reference
+        # accumulated in float32; documented deviation)
+        refs.append(vectors_by_source[src][mask].mean(axis=0,
+                                                      dtype=np.float64))
         counts.append(int(mask.sum()))
     return np.average(np.asarray(refs), axis=0, weights=np.asarray(counts))
 

@@ -1,0 +1,143 @@
+"""The staged feature pipeline over Spark.
+
+``fit`` runs the reference's artifact-building stages (the Luigi DAG's
+aggregate spine, SURVEY.md §3.1) as DataFrame jobs; ``transform`` is the hot
+serving path: a point-in-time **as-of join** of rows against the versioned
+artifact spine followed by ONE fused vectorized UDF pass
+(``operators.spectrum.serve_features``).
+
+Point-in-time mode (``fit_pit``) fits one artifact version per checkpoint
+from the rows at-or-before it; the backward as-of join guarantees zero
+temporal leakage (a row only ever sees an artifact version with
+``valid_from_ts <= ts``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernels import axis as axis_k, gmm as gmm_k, merge as merge_k
+from ..oracle import PipelineConfig, filter_components
+from ..operators import spectrum as sp
+from ..operators.asof import asof_join
+
+
+class FeaturePipeline:
+    def __init__(self, spark: SparkSession,
+                 source_axes: dict[str, np.ndarray],
+                 config: PipelineConfig | None = None):
+        self.spark = spark
+        self.source_axes = {s: np.asarray(a, dtype=float)
+                            for s, a in source_axes.items()}
+        self.config = config or PipelineConfig()
+
+    # ---------------------------------------------------------------- fit
+
+    def common_axis(self) -> np.ndarray:
+        """Stage 1 (driver-side: axes are tiny per-source artifacts)."""
+        axes = self.source_axes
+        lo = max(float(np.min(a)) for a in axes.values())
+        hi = min(float(np.max(a)) for a in axes.values())
+        n_ticks = min(int(np.sum((a >= lo) & (a <= hi)))
+                      for a in axes.values())
+        first = sorted(axes)[0]
+        return axis_k.estimate_new_axis(axes[first], n_ticks,
+                                        np.array([lo, hi]))
+
+    def fit(self, df: DataFrame, version: int = 1,
+            valid_from_ts: int | None = None,
+            max_ts: int | None = None) -> sp.ArtifactSet:
+        """Fit all artifacts from ``df`` (optionally truncated at ``max_ts``
+        for point-in-time fitting). ``df`` must carry ``ts``."""
+        cfg = self.config
+        if max_ts is not None:
+            df = df.where(F.col("ts") <= F.lit(int(max_ts)))
+        mz_axis = self.common_axis()
+
+        stage_a = sp.resample_baseline_stage(df, self.source_axes, mz_axis,
+                                             cfg).persist()
+        try:
+            thr = sp.tic_outlier_thresholds(stage_a, seed=cfg.outlier_seed)
+            masked = sp.with_inlier_mask(stage_a, thr)
+            pafft_ref = sp.masked_mean_reference(masked, "spectrum")
+
+            stage_b = sp.pafft_stage(masked, pafft_ref, mz_axis, cfg).persist()
+            try:
+                tic_ref = sp.masked_mean_reference(stage_b, "aligned")
+                ref_tic = float(np.sum(tic_ref))
+
+                stage_c = sp.tic_normalize_stage(stage_b, ref_tic)
+                gmm_ref = sp.masked_mean_reference(stage_c, "normalized")
+            finally:
+                stage_b.unpersist()
+        finally:
+            stage_a.unpersist()
+
+        # driver-side model fitting on the single reference vector
+        n_dense = int(cfg.gmm_axis_factor * mz_axis.size)
+        dense_axis = axis_k.estimate_new_axis(
+            mz_axis, n_dense,
+            np.array([float(np.min(mz_axis)), float(np.max(mz_axis))]))
+        dense_ref = np.interp(dense_axis, mz_axis, gmm_ref)
+        model = gmm_k.estimate_spectrum_gmm(
+            dense_axis, dense_ref,
+            max_components_per_segment=cfg.gmm_max_components_per_segment,
+            rel_threshold=cfg.gmm_rel_threshold)
+        keep = filter_components(model, cfg)
+        mu, sig, w = model.mu[keep], model.sig[keep], model.w[keep]
+        merged = merge_k.merge_components(mu, sig, w)
+
+        return sp.ArtifactSet(
+            version=version,
+            valid_from_ts=int(valid_from_ts if valid_from_ts is not None
+                              else cfg.epoch_base),
+            mz_axis=mz_axis, b1=thr.b1, b2=thr.b2,
+            pafft_reference=np.asarray(pafft_ref),
+            tic_reference_tic=ref_tic,
+            gmm_mu=mu, gmm_sig=sig, gmm_w=w,
+            merge_starts=merged.starts, merge_lengths=merged.lengths)
+
+    def fit_pit(self, df: DataFrame, checkpoint_ts: list[int]) \
+            -> list[sp.ArtifactSet]:
+        """One artifact version per checkpoint, each fitted ONLY from rows
+        with ``ts <= checkpoint`` (zero-leakage training passes)."""
+        return [
+            self.fit(df, version=k + 1, valid_from_ts=ts_k, max_ts=ts_k)
+            for k, ts_k in enumerate(sorted(checkpoint_ts))
+        ]
+
+    # ---------------------------------------------------------- transform
+
+    def artifact_spine(self, artifacts: list[sp.ArtifactSet]) -> DataFrame:
+        """Entity-keyed artifact timeline for the as-of join: one row per
+        (source, version). Tiny — broadcast side of the join."""
+        rows = [
+            {"source": s, "valid_from_ts": a.valid_from_ts,
+             "artifact_version": a.version}
+            for a in artifacts for s in sorted(self.source_axes)
+        ]
+        return self.spark.createDataFrame(
+            rows, schema="source string, valid_from_ts long, "
+                         "artifact_version long")
+
+    def transform(self, df: DataFrame, artifacts: list[sp.ArtifactSet],
+                  salt_buckets: int | None = None) -> DataFrame:
+        """Serving: as-of join rows to their artifact version, then the fused
+        featurization UDF. Rows before the first version yield null features."""
+        spine = self.artifact_spine(artifacts)
+        joined = asof_join(df, spine, on="source", left_ts="ts",
+                           right_ts="valid_from_ts",
+                           value_cols=["artifact_version"],
+                           direction="backward", salt_buckets=salt_buckets)
+        versions = {a.version: a for a in artifacts}
+        return sp.serve_features(joined, versions, self.source_axes,
+                                 self.config)
+
+    def fit_transform(self, df: DataFrame,
+                      salt_buckets: int | None = None) -> DataFrame:
+        """The reference's batch semantics: fit on everything, apply to
+        everything (single artifact version)."""
+        art = self.fit(df)
+        return self.transform(df, [art], salt_buckets=salt_buckets)
