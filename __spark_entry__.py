@@ -1,38 +1,485 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time featurization (as-of join +
+GMM featurization over the synthesized tokenized-sequence table — the
+``BASELINE.json`` input shape, synthesized deterministically; no external
+data). ``queries()``/``oracle_sql()`` cover the operator inventory from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity,
+text analysis); SQL-expressible ones carry a DuckDB oracle, the pipeline/
+sketch operators are rows-only by nature.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# helpers
+
+_EN = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"]
+_DE = ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu"]
+_FR = ["le", "la", "et", "les", "des", "est", "un", "une", "dans"]
+_ES = ["el", "la", "de", "que", "y", "los", "es", "un", "una", "por"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ms(col: str):
+    """Epoch millis from a parquet TIMESTAMP_NTZ column (session TZ is UTC,
+    so the NTZ→TZ cast matches DuckDB's naive epoch_ms)."""
+    return F.unix_millis(F.col(col).cast("timestamp"))
+
+
+def _synth_table(spark: SparkSession, n_sources=3, rows=16, channels=512):
+    from msi_preprocessing_pipeline_spark.operators import spectrum as sp
+    from msi_preprocessing_pipeline_spark.sources import synthetic
+
+    sources = synthetic.source_plan(n_sources, rows, skew_factor=2)
+    df = synthetic.sequences_df(spark, sources, base_channels=channels)
+    axes = synthetic.source_axes_for(sources, channels)
+    return sp.with_ts(df), axes
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PIT as-of join + GMM featurization (smoke scale)."""
+    from msi_preprocessing_pipeline_spark.plans.pipeline import FeaturePipeline
+    from msi_preprocessing_pipeline_spark.oracle import PipelineConfig
+
+    cfg = PipelineConfig()
+    df, axes = _synth_table(spark, n_sources=3, rows=12, channels=512)
+    pipe = FeaturePipeline(spark, axes, cfg)
+    t_mid = cfg.epoch_base + 6 * cfg.epoch_step
+    arts = pipe.fit_pit(df, [cfg.epoch_base, t_mid])
+    return pipe.transform(df, arts)
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+def _q_agg_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("double").alias("sum_base"),
+                 F.sum(dec("l_extendedprice")
+                       * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+                 .cast("double").alias("sum_disc"),
+                 F.count("*").alias("n_rows")))
+
+
+def _q_minmax_brand(spark, sf_dir):
+    return (_t(spark, sf_dir, "part").groupBy("p_brand")
+            .agg(F.min("p_retailprice").cast("double").alias("min_price"),
+                 F.max("p_retailprice").cast("double").alias("max_price"),
+                 F.count("*").alias("n")))
+
+
+def _q_weighted_mean_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    dec = F.col("c_acctbal").cast("decimal(18,4)")
+    return (cust.join(F.broadcast(nation),
+                      cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum(dec).cast("double").alias("sum_bal"),
+                 F.count("*").alias("n_cust"))
+            .withColumn("avg_bal",
+                        F.round(F.col("sum_bal") / F.col("n_cust"), 6)))
+
+
+def _q_asof_click_purchase(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id",
+                      _ms("ts").alias("click_ms")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", _ms("ts").alias("p_ms"),
+                         F.col("value").alias("purchase_value")))
+    return asof_join(clicks, purchases, on="user_id", left_ts="click_ms",
+                     right_ts="p_ms", value_cols=["purchase_value"],
+                     direction="backward", matched_ts_col="purchase_ms")
+
+
+def _q_lag_lead(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"))
+
+
+def _q_sessionize(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.windows import session_stats
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_id", _ms("ts").alias("ms")))
+    out = session_stats(ev, "user_id", ts_col="ms",
+                        gap_seconds=1_800_000.0, tiebreak=["event_id"])
+    return out.select("user_id", "session_id",
+                      F.col("n_events"),
+                      F.col("session_start").alias("start_ms"),
+                      F.col("session_end").alias("end_ms"))
+
+
+def _q_backfill(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.asof import backfill
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") == "click", F.col("value"))
+        .alias("click_value"))
+    out = backfill(ev, "click_value", "user_id", order_by=["ts", "event_id"])
+    return out.select("event_id", "user_id",
+                      F.col("click_value").alias("filled_click_value"))
+
+
+def _q_rolling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, Window.currentRow))
+    return ev.select("event_id", "user_id",
+                     F.round(F.avg("value").over(w), 6).alias("value_avg_5"))
+
+
+def _q_exact_quantiles(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.quantiles import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.9]
+    vals = exact_quantiles(li, "l_extendedprice", qs)
+    return spark.createDataFrame(
+        [(float(q), float(round(v, 6))) for q, v in zip(qs, vals)],
+        schema="q double, value double")
+
+
+def _q_dedup_prefix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    key = F.substring(F.lower(F.col("text")), 1, 16).alias("prefix_key")
+    return (docs.groupBy(key)
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("group_size")))
+
+
+def _q_text_stats(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.quality_metrics(docs)
+    return out.select("doc_id", "n_words", "n_nospace", "punct_ratio",
+                      "mean_word_len",
+                      tx.fingerprint().alias("fingerprint"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.lang_id().alias("lang_pred"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=5, threshold=0.2)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=10)
+
+
+# ---- rows-only (non-SQL-expressible: sketches, seeded MC, PIT pipeline) ----
+
+def _q_pit_features(spark, sf_dir):
+    return entry(spark)
+
+
+def _q_batch_features(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.plans.pipeline import FeaturePipeline
+    from msi_preprocessing_pipeline_spark.oracle import PipelineConfig
+
+    df, axes = _synth_table(spark, n_sources=2, rows=10, channels=512)
+    return FeaturePipeline(spark, axes, PipelineConfig()).fit_transform(df)
+
+
+def _q_tic_outliers(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.oracle import PipelineConfig
+    from msi_preprocessing_pipeline_spark.operators import spectrum as sp
+    from msi_preprocessing_pipeline_spark.plans.pipeline import FeaturePipeline
+
+    cfg = PipelineConfig()
+    df, axes = _synth_table(spark, n_sources=2, rows=12, channels=512)
+    pipe = FeaturePipeline(spark, axes, cfg)
+    stage_a = sp.resample_baseline_stage(df, axes, pipe.common_axis(), cfg)
+    thr = sp.tic_outlier_thresholds(stage_a, seed=cfg.outlier_seed)
+    return (sp.with_inlier_mask(stage_a, thr)
+            .select("doc_id", "source", "ts", F.round("tic", 4).alias("tic"),
+                    "is_inlier"))
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=64, shingle_words=3)
+    return dedup.minhash_lsh_pairs(sigs, bands=16, threshold=0.3)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(dedup.simhash64(docs), max_hamming=6)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup(emb, threshold=0.8, lsh_bits=6)
+
+
+def _q_lsh_topk(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10, lsh_bits=6)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "agg_pricing_summary": _q_agg_pricing,
+        "minmax_by_brand": _q_minmax_brand,
+        "weighted_mean_nation": _q_weighted_mean_nation,
+        "asof_click_purchase": _q_asof_click_purchase,
+        "lag_lead_value": _q_lag_lead,
+        "sessionize_stats": _q_sessionize,
+        "backfill_click_value": _q_backfill,
+        "rolling_avg_value": _q_rolling,
+        "exact_quantiles_price": _q_exact_quantiles,
+        "dedup_prefix_docs": _q_dedup_prefix,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "cosine_topk": _q_cosine_topk,
+        # rows-only checks
+        "pit_features": _q_pit_features,
+        "batch_features": _q_batch_features,
+        "tic_outlier_mask": _q_tic_outliers,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "lsh_topk": _q_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; same column names as the Spark queries)
+
+def _sql_lang_scores() -> str:
+    def hits(vocab):
+        inlist = ", ".join(f"'{w}'" for w in vocab)
+        return ("length(list_filter(string_split_regex(trim(lower(text)), "
+                f"'\\s+'), x -> x in ({inlist})))")
+    return (f"select doc_id, {hits(_EN)} as s_en, {hits(_DE)} as s_de, "
+            f"{hits(_FR)} as s_fr, {hits(_ES)} as s_es from documents")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n_words = ("case when length(trim(text)) = 0 then 0 else "
+               "length(string_split_regex(trim(text), '\\s+')) end")
+    n_nospace = "length(regexp_replace(text, '\\s+', '', 'g'))"
+    return {
+        "agg_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   cast(sum(cast(l_quantity as decimal(18,4))) as double) as sum_qty,
+                   cast(sum(cast(l_extendedprice as decimal(18,4))) as double) as sum_base,
+                   cast(sum(cast(l_extendedprice as decimal(18,4))
+                            * cast((1 - l_discount) as decimal(18,4))) as double) as sum_disc,
+                   count(*) as n_rows
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02'
+            group by 1, 2
+        """,
+        "minmax_by_brand": """
+            select p_brand,
+                   cast(min(p_retailprice) as double) as min_price,
+                   cast(max(p_retailprice) as double) as max_price,
+                   count(*) as n
+            from part group by 1
+        """,
+        "weighted_mean_nation": """
+            select n_name,
+                   cast(sum(cast(c_acctbal as decimal(18,4))) as double) as sum_bal,
+                   count(*) as n_cust,
+                   round(cast(sum(cast(c_acctbal as decimal(18,4))) as double)
+                         / count(*), 6) as avg_bal
+            from customer join nation on c_nationkey = n_nationkey
+            group by 1
+        """,
+        "asof_click_purchase": """
+            select l.event_id, l.user_id, epoch_ms(l.ts) as click_ms,
+                   r.value as purchase_value, epoch_ms(r.ts) as purchase_ms
+            from (select * from events where event_type = 'click') l
+            asof left join
+                 (select user_id, ts, value from events
+                  where event_type = 'purchase') r
+            on l.user_id = r.user_id and l.ts >= r.ts
+        """,
+        "lag_lead_value": """
+            select event_id, user_id, value,
+                   lag(value) over w as prev_value,
+                   lead(value) over w as next_value
+            from events
+            window w as (partition by user_id order by ts, event_id)
+        """,
+        "sessionize_stats": """
+            with base as (
+                select user_id, event_id, epoch_ms(ts) as ms from events
+            ), flags as (
+                select user_id, event_id, ms,
+                       case when lag(ms) over w is null
+                                 or ms - (lag(ms) over w) > 1800000
+                            then 1 else 0 end as is_new
+                from base
+                window w as (partition by user_id order by ms, event_id)
+            ), sess as (
+                select user_id, ms,
+                       sum(is_new) over (partition by user_id
+                                         order by ms, event_id
+                                         rows between unbounded preceding
+                                         and current row) as session_id
+                from flags
+            )
+            select user_id, session_id, count(*) as n_events,
+                   min(ms) as start_ms, max(ms) as end_ms
+            from sess group by 1, 2
+        """,
+        "backfill_click_value": """
+            select event_id, user_id,
+                   coalesce(
+                     case when event_type = 'click' then value end,
+                     last_value(case when event_type = 'click' then value end
+                                ignore nulls)
+                       over (partition by user_id order by ts, event_id
+                             rows between unbounded preceding and current row)
+                   ) as filled_click_value
+            from events
+        """,
+        "rolling_avg_value": """
+            select event_id, user_id,
+                   round(avg(value) over (partition by user_id
+                                          order by ts, event_id
+                                          rows between 4 preceding
+                                          and current row), 6) as value_avg_5
+            from events
+        """,
+        "exact_quantiles_price": """
+            select q, round(val, 6) as value from (
+                select 0.25 as q, quantile_cont(l_extendedprice, 0.25) as val from lineitem
+                union all
+                select 0.5, quantile_cont(l_extendedprice, 0.5) from lineitem
+                union all
+                select 0.75, quantile_cont(l_extendedprice, 0.75) from lineitem
+                union all
+                select 0.9, quantile_cont(l_extendedprice, 0.9) from lineitem
+            )
+        """,
+        "dedup_prefix_docs": """
+            select substr(lower(text), 1, 16) as prefix_key,
+                   min(doc_id) as keep_doc_id, count(*) as group_size
+            from documents group by 1
+        """,
+        "text_stats": f"""
+            select doc_id,
+                   {n_words} as n_words,
+                   {n_nospace} as n_nospace,
+                   round((length(text) - length(regexp_replace(text,
+                          '[.,!?;:]', '', 'g'))) * 1.0
+                         / greatest(length(text), 1), 6) as punct_ratio,
+                   round({n_nospace} * 1.0
+                         / greatest({n_words}, 1), 6) as mean_word_len,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                       as fingerprint
+            from documents
+        """,
+        "lang_id": f"""
+            with scores as ({_sql_lang_scores()})
+            select doc_id,
+                   case when s_en >= s_de and s_en >= s_fr and s_en >= s_es
+                            then 'en'
+                        when s_de >= s_fr and s_de >= s_es then 'de'
+                        when s_fr >= s_es then 'fr'
+                        else 'es' end as lang_pred
+            from scores
+        """,
+        "ngram_jaccard_pairs": """
+            with w as (
+                select doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') as words
+                from documents
+            ), sh as (
+                select distinct doc_id,
+                       array_to_string(words[i : i + 4], ' ') as shingle
+                from w, unnest(generate_series(
+                    1, greatest(length(words) - 4, 1))) as t(i)
+            ), sizes as (
+                select doc_id, count(*) as n_sh from sh group by 1
+            ), common as (
+                select a.doc_id as doc_a, b.doc_id as doc_b,
+                       count(*) as n_common
+                from sh a join sh b
+                  on a.shingle = b.shingle and a.doc_id < b.doc_id
+                group by 1, 2
+            )
+            select doc_a, doc_b,
+                   round(n_common * 1.0
+                         / (sa.n_sh + sb.n_sh - n_common), 6) as jaccard
+            from common
+            join sizes sa on sa.doc_id = doc_a
+            join sizes sb on sb.doc_id = doc_b
+            where n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        "cosine_topk": """
+            with q as (
+                select vec_id as query_id, embedding as qv
+                from embeddings where vec_id < 5
+            ), scored as (
+                select q.query_id, e.vec_id as neighbor_id,
+                       round(
+                         list_sum(list_transform(list_zip(e.embedding, q.qv),
+                            p -> cast(p[1] as double) * cast(p[2] as double)))
+                         / (sqrt(list_sum(list_transform(e.embedding,
+                              x -> cast(x as double) * cast(x as double))))
+                            * sqrt(list_sum(list_transform(q.qv,
+                              x -> cast(x as double) * cast(x as double))))),
+                         6) as cosine
+                from embeddings e, q
+                where e.vec_id <> q.query_id
+            ), ranked as (
+                select *, row_number() over (partition by query_id
+                                             order by cosine desc,
+                                                      neighbor_id) as rank
+                from scored
+            )
+            select query_id, neighbor_id, cosine, rank
+            from ranked where rank <= 10
+        """,
+    }

@@ -183,7 +183,8 @@ def asof_join_merge(left: DataFrame, right: DataFrame,
 
 
 def backfill(df: DataFrame, cols: Sequence[str] | str,
-             partition_by: Sequence[str] | str, order_by: str = "ts",
+             partition_by: Sequence[str] | str,
+             order_by: Sequence[str] | str = "ts",
              direction: str = "forward") -> DataFrame:
     """Fill nulls from the previous non-null value per entity
     (``direction='forward'``, i.e. LOCF) or the next one (``'backward'``).
@@ -193,11 +194,14 @@ def backfill(df: DataFrame, cols: Sequence[str] | str,
     """
     cols = _as_list(cols)
     partition_by = _as_list(partition_by)
+    order_cols = _as_list(order_by)
     if direction == "forward":
-        w = (Window.partitionBy(*partition_by).orderBy(F.col(order_by).asc())
+        w = (Window.partitionBy(*partition_by)
+             .orderBy(*[F.col(c).asc() for c in order_cols])
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     elif direction == "backward":
-        w = (Window.partitionBy(*partition_by).orderBy(F.col(order_by).desc())
+        w = (Window.partitionBy(*partition_by)
+             .orderBy(*[F.col(c).desc() for c in order_cols])
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     else:
         raise ValueError(f"direction must be forward|backward, got {direction}")

@@ -1,0 +1,251 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for scale:
+* exact dedup — hash-groupBy (one shuffle on the fingerprint), keep the
+  smallest tiebreaker per group;
+* MinHash — signatures via a vectorized pandas UDF (per-doc word shingles →
+  k-permutation min-hash), then BAND bucketing: explode (band, band_hash),
+  groupBy bucket, emit within-bucket candidate pairs, estimate Jaccard by
+  signature agreement. The bucket join is the only shuffle over pair space;
+  candidate pairs, not all pairs;
+* SimHash — 64-bit weighted bit votes per doc, candidates share one of four
+  16-bit chunks, verified by Hamming distance (JVM ``bit_count(xor)``);
+* n-gram Jaccard — word k-shingles exploded → equi-self-join on shingle →
+  common counts vs union (pure DataFrame ops, SQL-oracle-able);
+* embedding near-dup — sign-LSH bucketing (seeded hyperplanes broadcast),
+  exact cosine within buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def dedup_exact(df: DataFrame, key: Column | str, tiebreak: str,
+                keep_col: str = "is_kept") -> DataFrame:
+    """Mark one row per duplicate group (smallest ``tiebreak`` wins).
+
+    One shuffle on the duplicate key; downstream keep = filter(is_kept).
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(key_col).orderBy(F.col(tiebreak).asc())
+    return df.withColumn(keep_col, F.row_number().over(w) == 1)
+
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+def _hash_params(n_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 64,
+                       shingle_words: int = 3, seed: int = 7) -> DataFrame:
+    """Per-doc MinHash signature over word ``shingle_words``-grams."""
+    a, b = _hash_params(n_hashes, seed)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                words = str(text).lower().split()
+                if len(words) >= shingle_words:
+                    grams = {" ".join(words[i:i + shingle_words])
+                             for i in range(len(words) - shingle_words + 1)}
+                else:
+                    grams = {" ".join(words)} if words else {""}
+                h = np.array([_stable_hash64(g) for g in grams],
+                             dtype=np.uint64).astype(np.int64) % _MERSENNE
+                # (a*h + b) mod p for all hash fns at once: [k, n_grams]
+                vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+                out.append(vals.min(axis=1))
+            res = pdf[[id_col]].copy()
+            res["signature"] = out
+            yield res
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        sig, schema=f"{id_col} {id_type}, signature array<long>")
+
+
+def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                      bands: int = 16, threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs from banded LSH buckets, scored by signature-agreement
+    Jaccard estimate; keeps pairs ≥ threshold."""
+    n_hashes = bands  # rows per band derived below from actual length
+    sig_len = F.size("signature")
+    rows_per_band = (sig_len / F.lit(bands)).cast("int")
+    banded = signatures.select(
+        id_col, "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+    banded = banded.withColumn(
+        "band_key",
+        F.xxhash64(F.col("band"),
+                   F.slice("signature", F.col("band") * rows_per_band + 1,
+                           rows_per_band).cast("string")))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (left.join(right, (F.col("l.band_key") == F.col("r.band_key"))
+                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("doc_a"),
+                     F.col(f"r.{id_col}").alias("doc_b"),
+                     F.col("l.signature").alias("sig_a"),
+                     F.col("r.signature").alias("sig_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        lambda m: m))
+    est = (agree.cast("double") / F.size("sig_a").cast("double"))
+    _ = n_hashes
+    return (pairs.withColumn("est_jaccard", F.round(est, 6))
+            .where(F.col("est_jaccard") >= F.lit(threshold))
+            .select("doc_a", "doc_b", "est_jaccard"))
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              seed: int = 11) -> DataFrame:
+    """64-bit SimHash over words (unweighted bit votes)."""
+    _ = seed
+
+    def sh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                votes = np.zeros(64, dtype=np.int64)
+                shifts = np.arange(64, dtype=np.uint64)
+                for wrd in str(text).lower().split():
+                    h = np.uint64(_stable_hash64(wrd))
+                    bits = (h >> shifts) & np.uint64(1)
+                    votes += np.where(bits == np.uint64(1), 1, -1)
+                bits = (votes > 0).astype(np.uint64)
+                val = 0
+                for i in range(64):
+                    val |= int(bits[i]) << i
+                # store as signed 64-bit
+                out.append(val - (1 << 64) if val >= (1 << 63) else val)
+            res = pdf[[id_col]].copy()
+            res["simhash"] = pd.array(out, dtype="int64")
+            yield res
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        sh, schema=f"{id_col} {id_type}, simhash long")
+
+
+def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance via 4×16-bit chunk bucketing (any pair
+    with distance ≤ 3 shares at least one exact chunk — pigeonhole)."""
+    chunks = hashes.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.shiftrightunsigned("simhash", 16 * i)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for i in range(4)
+        ])).alias("c"))
+    chunks = chunks.select(id_col, "simhash", "c.chunk", "c.key")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (l.join(r, (F.col("l.chunk") == F.col("r.chunk"))
+                   & (F.col("l.key") == F.col("r.key"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("doc_a"),
+                    F.col(f"r.{id_col}").alias("doc_b"),
+                    F.col("l.simhash").alias("h_a"),
+                    F.col("r.simhash").alias("h_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cand.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= F.lit(max_hamming))
+            .select("doc_a", "doc_b", "hamming"))
+
+
+def word_shingles(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Distinct word k-gram shingles per doc — pure JVM expressions."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return df.select(F.col(id_col),
+                     F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        threshold: float = 0.2) -> DataFrame:
+    """Exact word-k-gram Jaccard for every pair sharing ≥1 shingle."""
+    sh = word_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (l.join(r, (F.col("l.shingle") == F.col("r.shingle"))
+                     & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+              .groupBy(F.col(f"l.{id_col}").alias("doc_a"),
+                       F.col(f"r.{id_col}").alias("doc_b"))
+              .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / \
+        (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+    return (common.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+            .withColumn("jaccard", F.round(jac, 6))
+            .where(F.col("jaccard") >= F.lit(threshold))
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
+                       id_col: str = "vec_id", threshold: float = 0.95,
+                       lsh_bits: int = 12, seed: int = 13) -> DataFrame:
+    """Cosine near-duplicate pairs: sign-LSH bucket (seeded hyperplanes,
+    broadcast) then exact cosine within buckets."""
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes_bc = spark.sparkContext.broadcast(rng.randn(lsh_bits, dim))
+
+    def bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = planes_bc.value
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            signs = (mat @ planes.T) > 0
+            keys = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["bucket"] = keys.astype(np.int64)
+            yield out
+
+    schema = f"{id_col} long, {vec_col} array<float>, bucket long"
+    bucketed = df.select(id_col, vec_col).mapInPandas(bucket, schema=schema)
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    pairs = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.col(f"l.{vec_col}").alias("v_a"),
+                     F.col(f"r.{vec_col}").alias("v_b")))
+    dot = F.aggregate(F.zip_with("v_a", "v_b",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (norm(F.col("v_a")) * norm(F.col("v_b")))
+    return (pairs.withColumn("cosine", F.round(cos, 6))
+            .where(F.col("cosine") >= F.lit(threshold))
+            .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns.
+
+* :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set, compute cosine via JVM array expressions (``zip_with``/``aggregate``
+  — whole-stage codegen, no Python), rank with a window. The baseline.
+* :func:`lsh_topk` — the scale path: sign-LSH bucket candidates (multi-probe
+  over the query's own bucket), exact re-rank inside buckets. Recall < 1 by
+  construction; the bench compares it against brute force.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbors per query by cosine (excluding self-matches).
+
+    Plan shape: broadcast-nested-loop join against the broadcast query set
+    (no shuffle for the scoring pass), then one shuffle for the per-query
+    top-k window. Deterministic tie-break by neighbor id.
+    """
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qvec"))
+    scored = (corpus.crossJoin(F.broadcast(q))
+              .where(F.col(id_col) != F.col(query_id_col))
+              .withColumn("cosine",
+                          F.round(_dot(F.col(vec_col), F.col("__qvec"))
+                                  / (_norm(F.col(vec_col))
+                                     * _norm(F.col("__qvec"))), 6)))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.lit(k))
+            .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                    "cosine", "rank"))
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", lsh_bits: int = 8,
+             seed: int = 17) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows sharing the query's
+    sign-LSH bucket (plus all 1-bit-flip probe buckets), exact cosine re-rank.
+    """
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes_bc = spark.sparkContext.broadcast(rng.randn(lsh_bits, dim))
+
+    def bucket_of(pdf_vecs) -> np.ndarray:
+        planes = planes_bc.value
+        mat = np.stack([np.asarray(v, dtype=float) for v in pdf_vecs])
+        signs = (mat @ planes.T) > 0
+        return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1) \
+            .astype(np.int64)
+
+    def corpus_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[[id_col, vec_col]].copy()
+            out["bucket"] = bucket_of(pdf[vec_col])
+            yield out
+
+    def query_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            base = bucket_of(pdf[vec_col])
+            rows = {query_id_col: [], vec_col: [], "bucket": []}
+            for qid, vec, b in zip(pdf[id_col], pdf[vec_col], base):
+                probes = [int(b)] + [int(b) ^ (1 << i) for i in range(lsh_bits)]
+                for p in probes:
+                    rows[query_id_col].append(qid)
+                    rows[vec_col].append(vec)
+                    rows["bucket"].append(p)
+            yield pd.DataFrame(rows)
+
+    c = corpus.select(id_col, vec_col).mapInPandas(
+        corpus_buckets, schema=f"{id_col} long, {vec_col} array<float>, bucket long")
+    q = queries.select(id_col, vec_col).mapInPandas(
+        query_probes,
+        schema=f"{query_id_col} long, {vec_col} array<float>, bucket long")
+    cand = (c.join(F.broadcast(q.withColumnRenamed(vec_col, "__qvec")),
+                   "bucket")
+            .where(F.col(id_col) != F.col(query_id_col))
+            .dropDuplicates([query_id_col, id_col]))
+    scored = cand.withColumn(
+        "cosine", F.round(_dot(F.col(vec_col), F.col("__qvec"))
+                          / (_norm(F.col(vec_col)) * _norm(F.col("__qvec"))),
+                          6))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.lit(k))
+            .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                    "cosine", "rank"))

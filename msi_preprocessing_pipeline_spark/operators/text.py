@@ -1,0 +1,92 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is JVM-side column expressions (regex, split, filter
+lambdas) — no Python UDFs — so Catalyst codegens the whole stage and the same
+logic is expressible 1:1 in the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small per-language stopword lists for the n-gram-free language heuristic;
+# occurrence counts (not set intersection) so Spark and SQL agree exactly
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "un", "una", "por"],
+}
+LANG_PRIORITY = ["en", "de", "fr", "es"]
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def words_col(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (the whitespace tokenizer baseline)."""
+    return F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """A BPE-ish proxy: count word pieces + digit runs + punctuation marks
+    (regex segmentation, JVM-side)."""
+    pieces = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    return F.size(pieces)
+
+
+def stopword_hits(lang: str, text_col: str = "text") -> Column:
+    """Occurrence count of the language's stopwords among the words."""
+    vocab = STOPWORDS[lang]
+    return F.size(F.filter(words_col(text_col),
+                           lambda w: w.isin(*vocab)))
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """argmax of stopword occurrence counts, fixed priority on ties."""
+    scores = {lang: stopword_hits(lang, text_col) for lang in LANG_PRIORITY}
+    expr = None
+    for lang in reversed(LANG_PRIORITY):
+        cond = None
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other] if LANG_PRIORITY.index(lang) < \
+                LANG_PRIORITY.index(other) else scores[lang] > scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None \
+            else F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring signals: word count, non-space length, punctuation
+    ratio, mean word length, uppercase ratio."""
+    nospace = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    n_words = token_count(text_col)
+    n_punct = (F.length(F.col(text_col))
+               - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")))
+    return df.withColumns({
+        "n_words": n_words,
+        "n_nospace": nospace,
+        "punct_ratio": F.round(n_punct.cast("double")
+                               / F.greatest(F.length(F.col(text_col)), F.lit(1)),
+                               6),
+        "mean_word_len": F.round(nospace.cast("double")
+                                 / F.greatest(n_words, F.lit(1)).cast("double"),
+                                 6),
+    })
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Deterministic document fingerprint: md5 of the lowercase,
+    whitespace-collapsed text (md5 exists in both Spark and DuckDB)."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))),
+                                  r"\s+", " ")
+    return F.md5(normalized.cast("binary"))

@@ -33,15 +33,17 @@ def with_lead(df: DataFrame, col: str, partition_by, order_by: str = "ts",
 
 def sessionize(df: DataFrame, partition_by, ts_col: str = "ts",
                gap_seconds: float = 1800.0,
-               session_col: str = "session_id") -> DataFrame:
+               session_col: str = "session_id",
+               tiebreak: Sequence[str] | None = None) -> DataFrame:
     """Assign a session index per entity: a new session starts when the gap
     to the previous event exceeds ``gap_seconds``.
 
     Classic lag + running-sum shape (single shuffle); sessions are numbered
-    from 1 within each entity.
+    from 1 within each entity. ``tiebreak`` columns make the order total when
+    timestamps can collide.
     """
     keys = _as_list(partition_by)
-    w = Window.partitionBy(*keys).orderBy(ts_col)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *(tiebreak or []))
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
     is_new = F.when(gap.isNull() | (gap > F.lit(float(gap_seconds))), 1).otherwise(0)
@@ -52,11 +54,12 @@ def sessionize(df: DataFrame, partition_by, ts_col: str = "ts",
 
 def session_stats(df: DataFrame, partition_by, ts_col: str = "ts",
                   gap_seconds: float = 1800.0,
-                  agg_exprs: Sequence | None = None) -> DataFrame:
+                  agg_exprs: Sequence | None = None,
+                  tiebreak: Sequence[str] | None = None) -> DataFrame:
     """Sessionize then aggregate one row per (entity, session):
     event count, start/end ts, duration in seconds, plus any extra aggs."""
     keys = _as_list(partition_by)
-    sess = sessionize(df, keys, ts_col, gap_seconds)
+    sess = sessionize(df, keys, ts_col, gap_seconds, tiebreak=tiebreak)
     aggs = [
         F.count("*").alias("n_events"),
         F.min(ts_col).alias("session_start"),

@@ -1,0 +1,60 @@
+"""Driver-contract conformance: every ``queries()`` entry runs; every
+``oracle_sql()`` entry matches the Spark result exactly (row count, schema
+shape, order-insensitive values) — the same comparison the round driver does,
+at sf0.001 for speed (the driver uses sf0.01)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as select * from "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            continue
+        if np.issubdtype(pdf[c].dtype, np.floating):
+            pdf[c] = pdf[c].astype("float64")
+        elif np.issubdtype(pdf[c].dtype, np.integer):
+            pdf[c] = pdf[c].astype("float64")  # unify int widths for compare
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"doc_id", "source", "ts", "features"}
+
+
+def test_all_queries_run(spark):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    got = _normalize(q(spark, SF_DIR).toPandas())
+    exp = _normalize(duck.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns), name
+    assert len(got) == len(exp), name
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True, obj=name)
