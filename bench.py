@@ -1,0 +1,167 @@
+"""Benchmark harness — prints ONE JSON line for the round driver.
+
+Headline metric (BASELINE.json): as-of-join + GMM featurization throughput
+(sequences/sec) over the synthesized tokenized-sequence table, plus the
+two-parallelism-level scaling-efficiency evidence (local[N/4] vs local[N] on
+the same input — the sandbox stand-in for N vs 4N executors).
+
+Also times the headline SQL operator queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CACHE_DIR = os.path.join(REPO, ".cache", "bench")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _bench_table_path(sf: float, channels: int) -> str:
+    return os.path.join(CACHE_DIR, f"sequences_sf{sf}_c{channels}.parquet")
+
+
+def _ensure_bench_table(spark, sf: float, channels: int):
+    """Write the deterministic sequence table once; reuse across phases so
+    both parallelism levels read the identical parquet input."""
+    from msi_preprocessing_pipeline_spark.operators import spectrum as sp
+    from msi_preprocessing_pipeline_spark.sources import synthetic
+
+    total_rows = max(int(160_000 * sf), 240)
+    path = os.path.join(CACHE_DIR,
+                        f"sequences_sf{sf}_c{channels}_r{total_rows}.parquet")
+    plan = synthetic.source_plan(4, max(total_rows // 6, 40), skew_factor=3)
+    if not os.path.exists(path):
+        df = synthetic.sequences_df(spark, plan, base_channels=channels)
+        sp.with_ts(df).write.mode("overwrite").parquet(path)
+    axes = synthetic.source_axes_for(plan, channels)
+    return path, axes
+
+
+def _hw_probe_work(_i):
+    import numpy as np
+    x = np.random.rand(2048)
+    for _ in range(4000):
+        x = np.sqrt(x * 1.000001 + 0.5)
+    return 1
+
+
+def _hardware_scaling_ceiling(low: int, full: int) -> float:
+    """This box's raw 4× thread-scaling ceiling for numpy work (vCPU/memory
+    contention, no Spark involved) — context for the efficiency number."""
+    import multiprocessing as mp
+
+    work = _hw_probe_work
+    times = {}
+    for n in (low, full):
+        with mp.Pool(n) as p:
+            p.map(work, range(n))
+            t0 = time.time()
+            p.map(work, range(4 * full))
+            times[n] = time.time() - t0
+    return (times[low] / times[full]) / (full / low)
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    low_cpus = max(cpus // 4, 1)
+    sf = _sf_from_dir(sf_dir)
+    channels = 2048
+
+    import __spark_entry__ as entrymod
+    from msi_preprocessing_pipeline_spark.oracle import PipelineConfig
+    from msi_preprocessing_pipeline_spark.plans.pipeline import FeaturePipeline
+    from msi_preprocessing_pipeline_spark.session import build_session
+
+    cfg = PipelineConfig()
+    queries: dict[str, float] = {}
+
+    # ---- phase 1: full parallelism — fit + serve + SQL headline queries
+    spark = build_session("bench-full", parallelism=cpus,
+                          shuffle_partitions=cpus)
+    table_path, axes = _ensure_bench_table(spark, sf, channels)
+    seq = spark.read.parquet(table_path)
+    n_rows = seq.count()
+    pipe = FeaturePipeline(spark, axes, cfg)
+
+    t_fit, artifacts = _timed(lambda: pipe.fit(seq))
+    queries["pipeline_fit"] = round(t_fit, 3)
+
+    def serve():
+        return pipe.transform(seq, [artifacts]).count()
+
+    serve()  # warm the python workers + page cache once
+    t_serve_full = min(_timed(serve)[0] for _ in range(2))
+    queries["flagship_serve"] = round(t_serve_full, 3)
+
+    for name in ["asof_click_purchase", "sessionize_stats",
+                 "agg_pricing_summary", "exact_quantiles_price",
+                 "cosine_topk", "ngram_jaccard_pairs", "minhash_pairs",
+                 "backfill_click_value", "lang_id", "text_stats"]:
+        fn = entrymod.queries()[name]
+        t, _ = _timed(lambda: fn(spark, sf_dir).count())
+        queries[name] = round(t, 3)
+    spark.stop()
+
+    # ---- phase 2: quarter parallelism on the SAME input (scaling evidence)
+    spark_low = build_session("bench-low", parallelism=low_cpus,
+                              shuffle_partitions=low_cpus)
+    seq_low = spark_low.read.parquet(table_path)
+    pipe_low = FeaturePipeline(spark_low, axes, cfg)
+
+    def serve_low():
+        return pipe_low.transform(seq_low, [artifacts]).count()
+
+    serve_low()  # warm
+    t_serve_low = min(_timed(serve_low)[0] for _ in range(2))
+    queries[f"flagship_serve_local{low_cpus}"] = round(t_serve_low, 3)
+    spark_low.stop()
+
+    thr_full = n_rows / t_serve_full
+    thr_low = n_rows / t_serve_low
+    efficiency = (thr_full / thr_low) / (cpus / low_cpus)
+    hw_ceiling = _hardware_scaling_ceiling(low_cpus, cpus)
+
+    print(json.dumps({
+        "metric": "asof_join_gmm_featurize_wall",
+        "value": round(t_serve_full, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "flagship_rows": n_rows,
+        "throughput_rows_per_s": round(thr_full, 1),
+        "scaling": {
+            "low_parallelism": low_cpus,
+            "full_parallelism": cpus,
+            "throughput_low": round(thr_low, 1),
+            "throughput_full": round(thr_full, 1),
+            "efficiency": round(efficiency, 3),
+            "hardware_ceiling_efficiency": round(hw_ceiling, 3),
+            "efficiency_vs_ceiling": round(efficiency / hw_ceiling, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

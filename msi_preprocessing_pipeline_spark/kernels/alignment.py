@@ -28,6 +28,9 @@ def _cut_point(segment: np.ndarray, reference: np.ndarray) -> int:
     5% smallest values of both signals; +1 offset. Falls back to the segment's
     own minimum position."""
     take = int(segment.size / 20.0 + 0.5)
+    if take <= 1:
+        # single-candidate case: both outcomes reduce to the segment minimum
+        return int(np.argmin(segment)) + 1
     seg_order = np.argsort(segment)
     ref_smallest = set(np.argsort(reference)[:take].tolist())
     for idx in seg_order[:take]:
@@ -48,17 +51,42 @@ def _fft_cross_correlate(segment: np.ndarray, reference: np.ndarray,
     return np.real(np.fft.ifft(spectrum / size))
 
 
-def _best_shift(correlation: np.ndarray, limit: int) -> int:
-    if limit < 1:
-        return 0
-    forward = correlation[:limit]
-    backward = correlation[-limit:]
-    peak_fwd, peak_bwd = np.max(forward), np.max(backward)
+_DIRECT_LAG_LIMIT = 48
+
+
+def _correlation_slices(segment: np.ndarray, reference: np.ndarray,
+                        padded: int, limit: int):
+    """The only correlation values the shift search reads: lags [0, limit)
+    (forward) and [-limit, -1] (backward).
+
+    Fast path: when the shift limit is small (the common case — it is
+    proportional to a 0.1% m/z window), compute those lags directly as sliding
+    dot products instead of three padded FFTs. The circular correlation with
+    ``padded ≥ 2·n`` never wraps, so the direct linear correlation computes
+    the same quantity (without FFT round-off).
+    """
+    n = segment.size
+    if limit <= _DIRECT_LAG_LIMIT:
+        forward = [
+            float(np.dot(reference[k:], segment[:n - k])) if k < n else 0.0
+            for k in range(limit)
+        ]
+        backward = [
+            float(np.dot(reference[:n - j], segment[j:])) if j < n else 0.0
+            for j in range(limit, 0, -1)
+        ]
+        return forward, backward
+    conv = _fft_cross_correlate(segment, reference, padded)
+    return conv[:limit].tolist(), conv[-limit:].tolist()
+
+
+def _best_shift_from_slices(forward: list, backward: list) -> int:
+    peak_fwd, peak_bwd = max(forward), max(backward)
     if max(peak_fwd, peak_bwd) < _PEAK_FLOOR:
         return 0
     if peak_fwd > peak_bwd:
-        return int(np.argmax(forward))
-    return int(np.argmax(backward)) - backward.size
+        return forward.index(peak_fwd)
+    return backward.index(peak_bwd) - len(backward)
 
 
 def _apply_shift(segment: np.ndarray, shift: int) -> np.ndarray:
@@ -114,8 +142,12 @@ def pafft(counts: np.ndarray, reference_counts: np.ndarray, mzs: np.ndarray,
         mid = min(int(0.5 + segment.size / 2.0), tail_mzs.size - 1)
         limit = int(0.5 + (shift_pct / local_tick) * tail_mzs[mid])
         padded = _padded_size(segment.size)
-        correlation = _fft_cross_correlate(segment, ref_segment, padded)
-        shift = _best_shift(correlation, min(limit, padded))
+        limit = min(limit, padded)
+        if limit < 1:
+            shift = 0
+        else:
+            fwd, bwd = _correlation_slices(segment, ref_segment, padded, limit)
+            shift = _best_shift_from_slices(fwd, bwd)
         aligned_chunks.append(_apply_shift(segment, shift).astype(np.float32))
         start += segment.size
     aligned = np.hstack(aligned_chunks)

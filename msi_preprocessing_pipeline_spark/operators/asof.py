@@ -139,6 +139,57 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
     return out
 
 
+def asof_join_broadcast(left: DataFrame, right: DataFrame,
+                        on: Sequence[str] | str, left_ts: str = "ts",
+                        right_ts: str | None = None,
+                        value_cols: Sequence[str] | None = None,
+                        direction: str = "backward",
+                        tolerance: float | None = None) -> DataFrame:
+    """As-of join for a SMALL right side: collapse the right side into one
+    sorted timeline array per key, broadcast-hash-join it onto the left, and
+    binary-search-equivalent pick the as-of element with JVM array functions.
+
+    ZERO shuffle on the left side (the broadcast join is map-side) — the
+    correct plan when the right side is an artifact/dimension timeline; skew
+    on the left is irrelevant because nothing repartitions. Falls back to
+    :func:`asof_join` for large right sides.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    on = _as_list(on)
+    right_ts = right_ts or left_ts
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in on and c != right_ts]
+    value_cols = _as_list(value_cols)
+
+    timeline = (right
+                .groupBy(*on)
+                .agg(F.array_sort(F.collect_list(F.struct(
+                    F.col(right_ts).alias("__vf"),
+                    *[F.col(c).alias(c) for c in value_cols],
+                ))).alias("__timeline")))
+
+    joined = left.join(F.broadcast(timeline), on=on, how="left")
+    if direction == "backward":
+        matches = F.filter(F.col("__timeline"),
+                           lambda x: x["__vf"] <= F.col(left_ts))
+        pick = F.try_element_at(matches, F.lit(-1))
+    else:
+        matches = F.filter(F.col("__timeline"),
+                           lambda x: x["__vf"] >= F.col(left_ts))
+        pick = F.try_element_at(matches, F.lit(1))
+    if tolerance is not None:
+        gap = (F.col(left_ts).cast("double") - pick["__vf"].cast("double")) \
+            if direction == "backward" else \
+            (pick["__vf"].cast("double") - F.col(left_ts).cast("double"))
+        pick = F.when(gap <= F.lit(tolerance), pick)
+    out = joined.select(
+        *[F.col(c) for c in left.columns],
+        *[pick[c].alias(c) for c in value_cols],
+    )
+    return out
+
+
 def asof_join_merge(left: DataFrame, right: DataFrame,
                     on: Sequence[str] | str, left_ts: str = "ts",
                     right_ts: str | None = None,

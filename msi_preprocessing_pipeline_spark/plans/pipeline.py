@@ -21,17 +21,25 @@ from pyspark.sql import functions as F
 from ..kernels import axis as axis_k, gmm as gmm_k, merge as merge_k
 from ..oracle import PipelineConfig, filter_components
 from ..operators import spectrum as sp
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join, asof_join_broadcast
 
 
 class FeaturePipeline:
     def __init__(self, spark: SparkSession,
                  source_axes: dict[str, np.ndarray],
-                 config: PipelineConfig | None = None):
+                 config: PipelineConfig | None = None,
+                 target_partitions: int | None = None):
         self.spark = spark
         self.source_axes = {s: np.asarray(a, dtype=float)
                             for s, a in source_axes.items()}
         self.config = config or PipelineConfig()
+        # The UDF stages are CPU-bound (~3 ms/row — baseline + PaFFT), so
+        # partitioning must track cores, not bytes: byte-based AQE coalescing
+        # or a small parquet file would serialize the stage. 4× cores
+        # measured best (wave balancing) while keeping tasks >100 ms.
+        self.target_partitions = (
+            target_partitions
+            or 4 * spark.sparkContext.defaultParallelism)
 
     # ---------------------------------------------------------------- fit
 
@@ -56,8 +64,9 @@ class FeaturePipeline:
             df = df.where(F.col("ts") <= F.lit(int(max_ts)))
         mz_axis = self.common_axis()
 
-        stage_a = sp.resample_baseline_stage(df, self.source_axes, mz_axis,
-                                             cfg).persist()
+        stage_a = sp.resample_baseline_stage(
+            df.repartition(self.target_partitions),
+            self.source_axes, mz_axis, cfg).persist()
         try:
             thr = sp.tic_outlier_thresholds(stage_a, seed=cfg.outlier_seed)
             masked = sp.with_inlier_mask(stage_a, thr)
@@ -123,15 +132,34 @@ class FeaturePipeline:
                          "artifact_version long")
 
     def transform(self, df: DataFrame, artifacts: list[sp.ArtifactSet],
-                  salt_buckets: int | None = None) -> DataFrame:
+                  salt_buckets: int | None = None,
+                  asof_strategy: str = "broadcast") -> DataFrame:
         """Serving: as-of join rows to their artifact version, then the fused
-        featurization UDF. Rows before the first version yield null features."""
+        featurization UDF. Rows before the first version yield null features.
+
+        ``asof_strategy='broadcast'`` (default): the artifact spine is a tiny
+        per-entity timeline → broadcast join + array pick, ZERO shuffle on the
+        row side and inherently skew-immune. ``'window'``: the general
+        union+window sort-merge as-of (use when the right side is large);
+        ``salt_buckets`` applies to that path.
+        """
         spine = self.artifact_spine(artifacts)
-        joined = asof_join(df, spine, on="source", left_ts="ts",
-                           right_ts="valid_from_ts",
-                           value_cols=["artifact_version"],
-                           direction="backward", salt_buckets=salt_buckets)
+        if asof_strategy == "broadcast":
+            joined = asof_join_broadcast(df, spine, on="source",
+                                         left_ts="ts",
+                                         right_ts="valid_from_ts",
+                                         value_cols=["artifact_version"])
+        else:
+            joined = asof_join(df, spine, on="source", left_ts="ts",
+                               right_ts="valid_from_ts",
+                               value_cols=["artifact_version"],
+                               direction="backward",
+                               salt_buckets=salt_buckets)
         versions = {a.version: a for a in artifacts}
+        # round-robin rebalance: the serve UDF is CPU-bound per row; parquet
+        # splits (byte-based) or the window's entity partitioning would
+        # under-parallelize it
+        joined = joined.repartition(self.target_partitions)
         return sp.serve_features(joined, versions, self.source_axes,
                                  self.config)
 
