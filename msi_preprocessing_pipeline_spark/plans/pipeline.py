@@ -108,6 +108,74 @@ class FeaturePipeline:
             gmm_mu=mu, gmm_sig=sig, gmm_w=w,
             merge_starts=merged.starts, merge_lengths=merged.lengths)
 
+    def fit_checkpointed(self, df: DataFrame, runner, version: int = 1,
+                         valid_from_ts: int | None = None,
+                         max_ts: int | None = None) -> sp.ArtifactSet:
+        """Checkpoint-resumable fit: every stage materializes through the
+        :class:`..plans.runner.StageRunner`; a rerun (after a crash or kill)
+        skips committed stages and produces byte-identical artifacts (the
+        Luigi target-existence-skip analog, FIXTURES.md F5)."""
+        cfg = self.config
+        if max_ts is not None:
+            df = df.where(F.col("ts") <= F.lit(int(max_ts)))
+        mz_axis = np.asarray(runner.run_artifact(
+            "mz_axis", lambda: self.common_axis().tolist()))
+
+        stage_a = runner.run_stage(
+            "resample_baseline",
+            lambda: sp.resample_baseline_stage(
+                df.repartition(self.target_partitions), self.source_axes,
+                mz_axis, cfg))
+        thr_vals = runner.run_artifact(
+            "tic_thresholds",
+            lambda: list(sp.tic_outlier_thresholds(stage_a,
+                                                   seed=cfg.outlier_seed)))
+        from ..kernels.outlier import TicThresholds
+        thr = TicThresholds(*thr_vals)
+        masked = sp.with_inlier_mask(stage_a, thr)
+        pafft_ref = np.asarray(runner.run_artifact(
+            "pafft_reference",
+            lambda: sp.masked_mean_reference(masked, "spectrum").tolist()))
+
+        stage_b = runner.run_stage(
+            "pafft", lambda: sp.pafft_stage(masked, pafft_ref, mz_axis, cfg))
+        ref_tic = float(runner.run_artifact(
+            "tic_reference_tic",
+            lambda: float(np.sum(sp.masked_mean_reference(stage_b,
+                                                          "aligned")))))
+
+        stage_c = runner.run_stage(
+            "normalized", lambda: sp.tic_normalize_stage(stage_b, ref_tic))
+        gmm_ref = np.asarray(runner.run_artifact(
+            "gmm_reference",
+            lambda: sp.masked_mean_reference(stage_c, "normalized").tolist()))
+
+        def build_model() -> dict:
+            n_dense = int(cfg.gmm_axis_factor * mz_axis.size)
+            dense_axis = axis_k.estimate_new_axis(
+                mz_axis, n_dense,
+                np.array([float(np.min(mz_axis)), float(np.max(mz_axis))]))
+            dense_ref = np.interp(dense_axis, mz_axis, gmm_ref)
+            model = gmm_k.estimate_spectrum_gmm(
+                dense_axis, dense_ref,
+                max_components_per_segment=cfg.gmm_max_components_per_segment,
+                rel_threshold=cfg.gmm_rel_threshold)
+            keep = filter_components(model, cfg)
+            mu, sig, w = model.mu[keep], model.sig[keep], model.w[keep]
+            merged = merge_k.merge_components(mu, sig, w)
+            return sp.ArtifactSet(
+                version=version,
+                valid_from_ts=int(valid_from_ts if valid_from_ts is not None
+                                  else cfg.epoch_base),
+                mz_axis=mz_axis, b1=thr.b1, b2=thr.b2,
+                pafft_reference=pafft_ref, tic_reference_tic=ref_tic,
+                gmm_mu=mu, gmm_sig=sig, gmm_w=w,
+                merge_starts=merged.starts,
+                merge_lengths=merged.lengths).to_row()
+
+        return sp.ArtifactSet.from_row(
+            runner.run_artifact("artifact_set", build_model))
+
     def fit_pit(self, df: DataFrame, checkpoint_ts: list[int]) \
             -> list[sp.ArtifactSet]:
         """One artifact version per checkpoint, each fitted ONLY from rows
