@@ -20,18 +20,31 @@ from pyspark.sql import DataFrame
 from ..kernels.stats import interp_quantile_from_sorted, matlab_positions
 
 
-def exact_quantiles(df: DataFrame, col: str, qs) -> np.ndarray:
+COLLECT_THRESHOLD = 10_000_000  # scalars; ~80 MB on the driver
+
+
+def exact_quantiles(df: DataFrame, col: str, qs,
+                    collect_threshold: int = COLLECT_THRESHOLD) -> np.ndarray:
     """numpy ``percentile(..., method='linear')``-identical quantiles of a
-    column, computed distributed. ``qs`` in [0, 1]."""
+    column. ``qs`` in [0, 1].
+
+    Scale-adaptive physical plan: below ``collect_threshold`` non-null values
+    the single projected column is collected and numpy computes the
+    percentile directly (one job); above it, the distributed global-sort +
+    rank-fetch path runs (arithmetically identical — both use the same
+    linear-interpolation formula)."""
     qs = np.atleast_1d(np.asarray(qs, dtype=float))
     values = df.select(col).where(f"{col} is not null")
+    n = values.count()
+    if n == 0:
+        return np.full(qs.shape, np.nan)
+    if n <= collect_threshold:
+        vals = np.asarray([r[0] for r in values.collect()], dtype=float)
+        return np.percentile(vals, 100.0 * qs)
     ordered = values.sort(col).rdd.map(lambda r: r[0])
     with_rank = ordered.zipWithIndex()  # global rank after range-partitioned sort
     with_rank = with_rank.cache()
     try:
-        n = with_rank.count()
-        if n == 0:
-            return np.full(qs.shape, np.nan)
         wanted: set[int] = set()
         plans = []
         for q in qs:

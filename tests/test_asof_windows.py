@@ -168,9 +168,13 @@ def test_exact_quantiles_match_numpy(spark):
     vals = rng.lognormal(3, 1, 5000)
     df = spark.createDataFrame(pd.DataFrame({"v": vals}))
     qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    expected = np.percentile(vals, [q * 100 for q in qs])
+    # collect path (n below threshold)
     got = quantiles.exact_quantiles(df, "v", qs)
-    np.testing.assert_allclose(got, np.percentile(vals, [q * 100 for q in qs]),
-                               rtol=1e-12)
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
+    # distributed sort+rank path (force it)
+    got_dist = quantiles.exact_quantiles(df, "v", qs, collect_threshold=0)
+    np.testing.assert_allclose(got_dist, expected, rtol=1e-12)
 
 
 def test_matlab_quantiles_match_kernel(spark):
