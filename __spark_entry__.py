@@ -205,7 +205,104 @@ def _q_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=10)
 
 
+def _q_topk_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (orders.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.col("o_totalprice").cast("double").alias("price"),
+                    "rank"))
+
+
+def _q_rollup_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                 .cast("double").alias("total")))
+
+
+def _q_pivot_event_values(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def s(t):
+        return F.round(F.sum(F.when(F.col("event_type") == t,
+                                    F.col("value")).otherwise(F.lit(0.0))), 6)
+
+    return ev.groupBy("user_id").agg(
+        s("click").alias("click_sum"), s("purchase").alias("purchase_sum"),
+        s("view").alias("view_sum"), s("signup").alias("signup_sum"),
+        s("error").alias("error_sum"))
+
+
+def _q_asof_forward(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", _ms("ts").alias("click_ms")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", _ms("ts").alias("p_ms"),
+                         F.col("value").alias("next_purchase_value")))
+    return asof_join(clicks, purchases, on="user_id", left_ts="click_ms",
+                     right_ts="p_ms", value_cols=["next_purchase_value"],
+                     direction="forward", matched_ts_col="next_purchase_ms")
+
+
+def _q_token_counts(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       tx.token_count().alias("ws_tokens"),
+                       tx.bpe_ish_token_count().alias("bpe_ish_tokens"))
+
+
+def _q_near_dup_exact(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.functions import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = (emb.where(F.col("vec_id") % 7 == 0)
+            .select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("v_a")))
+    right = emb.select(F.col("vec_id").alias("id_b"),
+                       F.col("embedding").alias("v_b"))
+    pairs = (right.crossJoin(F.broadcast(left))
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine",
+                         F.round(cosine_expr("v_a", "v_b"), 6))
+             .where(F.col("cosine") >= 0.3)
+             .select("id_a", "id_b", "cosine"))
+    return pairs
+
+
+def _q_range_count(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.sum(F.when(F.col("l_quantity").between(10, 30), 1)
+                       .otherwise(0)).alias("n_in_range"),
+                 F.count("*").alias("n_total")))
+
+
 # ---- rows-only (non-SQL-expressible: sketches, seeded MC, PIT pipeline) ----
+
+
+def _q_smooth_and_peaks(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.oracle import PipelineConfig
+    from msi_preprocessing_pipeline_spark.operators import spectrum as sp
+    from msi_preprocessing_pipeline_spark.plans.pipeline import FeaturePipeline
+
+    cfg = PipelineConfig()
+    df, axes = _synth_table(spark, n_sources=2, rows=8, channels=512)
+    pipe = FeaturePipeline(spark, axes, cfg)
+    mz = pipe.common_axis()
+    stage_a = sp.resample_baseline_stage(df, axes, mz, cfg)
+    smoothed = sp.smooth_stage(stage_a, "spectrum", window=7, order=2)
+    peaks = sp.detect_peaks_stage(smoothed, mz, vec_col="smoothed")
+    return peaks.select("doc_id", "source", "ts",
+                        F.size("peak_indices").alias("n_peaks"))
 
 def _q_pit_features(spark, sf_dir):
     return entry(spark)
@@ -279,7 +376,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
+        "topk_orders_per_customer": _q_topk_orders,
+        "rollup_orders": _q_rollup_orders,
+        "pivot_event_values": _q_pivot_event_values,
+        "asof_forward_next_purchase": _q_asof_forward,
+        "token_counts": _q_token_counts,
+        "near_dup_exact": _q_near_dup_exact,
+        "range_predicate_count": _q_range_count,
         # rows-only checks
+        "smooth_and_peaks": _q_smooth_and_peaks,
         "pit_features": _q_pit_features,
         "batch_features": _q_batch_features,
         "tic_outlier_mask": _q_tic_outliers,
@@ -456,6 +561,79 @@ def oracle_sql() -> dict[str, str]:
             join sizes sa on sa.doc_id = doc_a
             join sizes sb on sb.doc_id = doc_b
             where n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        "topk_orders_per_customer": """
+            select o_custkey, o_orderkey, price, rank from (
+                select o_custkey, o_orderkey,
+                       cast(o_totalprice as double) as price,
+                       row_number() over (partition by o_custkey
+                                          order by o_totalprice desc,
+                                                   o_orderkey asc) as rank
+                from orders
+            ) where rank <= 3
+        """,
+        "rollup_orders": """
+            select o_orderstatus, o_orderpriority, count(*) as n,
+                   cast(sum(cast(o_totalprice as decimal(18,4))) as double)
+                       as total
+            from orders
+            group by rollup(o_orderstatus, o_orderpriority)
+        """,
+        "pivot_event_values": """
+            select user_id,
+                   round(coalesce(sum(value) filter (where event_type = 'click'), 0), 6) as click_sum,
+                   round(coalesce(sum(value) filter (where event_type = 'purchase'), 0), 6) as purchase_sum,
+                   round(coalesce(sum(value) filter (where event_type = 'view'), 0), 6) as view_sum,
+                   round(coalesce(sum(value) filter (where event_type = 'signup'), 0), 6) as signup_sum,
+                   round(coalesce(sum(value) filter (where event_type = 'error'), 0), 6) as error_sum
+            from events group by 1
+        """,
+        "asof_forward_next_purchase": """
+            select l.event_id, l.user_id, epoch_ms(l.ts) as click_ms,
+                   r.value as next_purchase_value,
+                   epoch_ms(r.ts) as next_purchase_ms
+            from (select * from events where event_type = 'click') l
+            asof left join
+                 (select user_id, ts, value from events
+                  where event_type = 'purchase') r
+            on l.user_id = r.user_id and l.ts <= r.ts
+        """,
+        "token_counts": """
+            select doc_id,
+                   case when length(trim(text)) = 0 then 0 else
+                        length(string_split_regex(trim(text), '\\s+')) end
+                       as ws_tokens,
+                   length(regexp_extract_all(lower(text),
+                          '[a-z]+|[0-9]+|[^a-z0-9\\s]')) as bpe_ish_tokens
+            from documents
+        """,
+        "near_dup_exact": """
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> cast(p[1] as double) * cast(p[2] as double)))
+                     / (sqrt(list_sum(list_transform(a.embedding,
+                          x -> cast(x as double) * cast(x as double))))
+                        * sqrt(list_sum(list_transform(b.embedding,
+                          x -> cast(x as double) * cast(x as double))))),
+                     6) as cosine
+            from embeddings a, embeddings b
+            where a.vec_id % 7 = 0 and a.vec_id < b.vec_id
+              and round(
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> cast(p[1] as double) * cast(p[2] as double)))
+                     / (sqrt(list_sum(list_transform(a.embedding,
+                          x -> cast(x as double) * cast(x as double))))
+                        * sqrt(list_sum(list_transform(b.embedding,
+                          x -> cast(x as double) * cast(x as double))))),
+                     6) >= 0.3
+        """,
+        "range_predicate_count": """
+            select l_returnflag,
+                   sum(case when l_quantity between 10 and 30
+                            then 1 else 0 end) as n_in_range,
+                   count(*) as n_total
+            from lineitem group by 1
         """,
         "cosine_topk": """
             with q as (

@@ -298,6 +298,82 @@ def featurize_stage(df: DataFrame, artifacts: ArtifactSet,
     return df.mapInPandas(run, schema=schema)
 
 
+def smooth_stage(df: DataFrame, vec_col: str = "spectrum", window: int = 5,
+                 order: int = 2, out_col: str = "smoothed") -> DataFrame:
+    """Optional Savitzky–Golay smoothing stage (reference dead-code operator
+    W3, ``components/spectrum/smoothing.py``)."""
+    from ..kernels import smoothing as smoothing_k
+
+    passthrough = [c for c in df.columns if c != vec_col]
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+         if f.name != vec_col] + [f"{out_col} array<double>"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[passthrough].copy()
+            out[out_col] = [
+                smoothing_k.savgol_smooth(np.asarray(v, dtype=float),
+                                          window, order)
+                for v in pdf[vec_col]
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def detect_peaks_stage(df: DataFrame, mz_axis: np.ndarray,
+                       vec_col: str = "spectrum") -> DataFrame:
+    """Optional gradient peak detection (reference dead-code operator W4,
+    ``components/spectrum/peak.py``): per row → arrays of peak indices /
+    m/z / intensities."""
+    from ..kernels import smoothing as smoothing_k
+
+    spark = df.sparkSession
+    ax_bc = spark.sparkContext.broadcast(np.asarray(mz_axis, dtype=float))
+    passthrough = [c for c in df.columns if c != vec_col]
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+         if f.name != vec_col]
+        + ["peak_indices array<long>", "peak_mz array<double>",
+           "peak_counts array<double>"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ax = ax_bc.value
+        for pdf in batches:
+            idxs, pmz, pct = [], [], []
+            for v in pdf[vec_col]:
+                i, m, c = smoothing_k.detect_peaks(ax,
+                                                   np.asarray(v, dtype=float))
+                idxs.append(i)
+                pmz.append(m)
+                pct.append(c)
+            out = pdf[passthrough].copy()
+            out["peak_indices"] = idxs
+            out["peak_mz"] = pmz
+            out["peak_counts"] = pct
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def export_csv(df: DataFrame, vec_col: str, path: str,
+               fmt: str = "%.18e") -> None:
+    """CSV matrix exporter (reference ``pipeline/export.py:10-34``): one line
+    per row, values formatted with ``fmt``, comma-delimited. Distributed —
+    each task formats its partition; output is a directory of CSV shards."""
+
+    def fmt_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "value": [",".join(fmt % x for x in np.asarray(v))
+                          for v in pdf[vec_col]]
+            })
+
+    (df.select(vec_col).mapInPandas(fmt_rows, schema="value string")
+     .write.mode("overwrite").text(path))
+
+
 def serve_features(df: DataFrame, artifact_versions: dict[int, ArtifactSet],
                    source_axes: dict[str, np.ndarray],
                    config: PipelineConfig,

@@ -1,0 +1,97 @@
+"""Physical plan shape assertions — the scale contract, checked in CI.
+
+These guard the properties that matter at 100 TB: filters/projections reach
+the parquet scan, small sides broadcast, the serving as-of path is
+shuffle-free, and aggregations are partial+final.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushdown(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = (li.where(F.col("l_shipdate") <= F.lit("1995-01-01").cast("timestamp"))
+         .select("l_orderkey", "l_quantity"))
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
+        in plan
+    # column pruning: the scan must read only the 3 referenced columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_broadcast_asof_join_is_shuffle_free(spark):
+    from msi_preprocessing_pipeline_spark.operators.asof import (
+        asof_join_broadcast)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("event_id", "user_id", F.unix_millis(
+            F.col("ts").cast("timestamp")).alias("ms"))
+    right = ev.groupBy("user_id").agg(F.min("ms").alias("vf")) \
+        .withColumn("payload", F.lit(1.0))
+    joined = asof_join_broadcast(ev, right, on="user_id", left_ts="ms",
+                                 right_ts="vf", value_cols=["payload"])
+    plan = plan_of(joined, "simple")
+    assert "BroadcastHashJoin" in plan
+    # the LEFT (row) side must not shuffle: the only exchanges allowed are
+    # the broadcast itself and the tiny right-side aggregation
+    left_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+        and "vf" not in ln
+    ]
+    # right-side agg shuffles on user_id (tiny); verify the join input scan
+    # path has no exchange between the parquet scan and the join
+    join_idx = plan.index("BroadcastHashJoin")
+    scan_section = plan[join_idx:]
+    assert "Exchange hashpartitioning" not in scan_section.split(
+        "BroadcastExchange")[0]
+    _ = left_shuffles
+
+
+def test_small_dim_join_broadcasts(spark):
+    import __spark_entry__ as em
+    plan = plan_of(em.queries()["weighted_mean_nation"](spark, SF_DIR),
+                   "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cosine_topk_uses_broadcast(spark):
+    import __spark_entry__ as em
+    plan = plan_of(em.queries()["cosine_topk"](spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_agg_is_partial_then_final(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = plan_of(q)
+    # map-side combine: two HashAggregate nodes (partial + final)
+    assert plan.count("HashAggregate") >= 2
+    # codegen visible once the adaptive plan is final
+    q.collect()
+    plan_final = plan_of(q, "simple")
+    assert "*(" in plan_final or "WholeStageCodegen" in plan_final
+
+
+def test_text_ops_are_jvm_side(spark):
+    import __spark_entry__ as em
+    plan = plan_of(em.queries()["text_stats"](spark, SF_DIR), "simple")
+    # no python UDF in the text pipeline
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan
