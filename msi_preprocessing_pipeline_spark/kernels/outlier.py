@@ -35,6 +35,10 @@ _W1_CONST = 1.3426
 _G1_CONST = 1.0 / 1.29
 _H1_CONST = 1.29 ** 2
 
+# below this population size the g-and-h quantile machinery is degenerate
+# (the reference never runs on such inputs); the engine keeps every row
+MIN_POPULATION = 8
+
 
 class TicStats(NamedTuple):
     """Sufficient statistics of the TIC column for thresholding.
@@ -90,6 +94,8 @@ def tic_stats_numpy(tics: np.ndarray) -> TicStats:
 
 def thresholds_from_stats(stats: TicStats, seed: int = 0) -> TicThresholds:
     """Phase 2 (driver-side): seeded Monte Carlo + map back to TIC scale."""
+    if stats.n < MIN_POPULATION or stats.tic_iqr == 0.0:
+        return TicThresholds(b1=-np.inf, b2=np.inf)  # keep everything
     w_iqr = stats.w_q75 - stats.w_q25
     w1_scale = w_iqr / _W1_CONST
     # .1/.9 quantiles of w1 = (w - median)/scale — affine, commutes with the

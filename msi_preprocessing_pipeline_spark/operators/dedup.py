@@ -148,15 +148,24 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id",
                        max_hamming: int = 3) -> DataFrame:
-    """Pairs within Hamming distance via 4×16-bit chunk bucketing (any pair
-    with distance ≤ 3 shares at least one exact chunk — pigeonhole)."""
+    """ALL pairs within Hamming distance ``max_hamming``: the 64 bits are cut
+    into ``max_hamming + 1`` chunks, so by pigeonhole any qualifying pair
+    shares at least one exact chunk → chunk-bucket join generates a complete
+    candidate set, then ``bit_count(xor)`` verifies exactly."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    specs = []
+    for i in range(n_chunks):
+        start = i * width
+        w = 64 - start if i == n_chunks - 1 else width
+        specs.append((i, start, (1 << w) - 1))
     chunks = hashes.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk"),
-                     F.shiftrightunsigned("simhash", 16 * i)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for i in range(4)
+                     F.shiftrightunsigned("simhash", start)
+                     .bitwiseAND(F.lit(mask)).alias("key"))
+            for i, start, mask in specs
         ])).alias("c"))
     chunks = chunks.select(id_col, "simhash", "c.chunk", "c.key")
     l, r = chunks.alias("l"), chunks.alias("r")

@@ -142,8 +142,13 @@ def tic_outlier_thresholds(df: DataFrame, tic_col: str = "tic",
     Phase 1 is three distributed exact-quantile/extrema passes over scalar
     columns (never the spectra); phase 2 is the seeded driver Monte Carlo.
     """
+    n = df.count()
+    if n < outlier_k.MIN_POPULATION:
+        return outlier_k.TicThresholds(b1=float("-inf"), b2=float("inf"))
     q25, q50, q75 = matlab_quantiles(df, tic_col, [0.25, 0.5, 0.75])
     tic_iqr = q75 - q25
+    if tic_iqr == 0.0:
+        return outlier_k.TicThresholds(b1=float("-inf"), b2=float("inf"))
     mn, mx = df.agg(F.min(tic_col), F.max(tic_col)).first()
     min_norm = (float(mn) - q50) / tic_iqr
     max_norm = (float(mx) - q50) / tic_iqr
@@ -162,7 +167,6 @@ def tic_outlier_thresholds(df: DataFrame, tic_col: str = "tic",
 
     with_w = df.select(F.col(tic_col)).withColumn("w", w_col(F.col(tic_col)))
     wq = matlab_quantiles(with_w, "w", [0.1, 0.25, 0.5, 0.75, 0.9])
-    n = df.count()
     stats = outlier_k.TicStats(
         tic_median=float(q50), tic_iqr=float(tic_iqr),
         min_normalized=float(min_norm), min_r=min_r, max_r=float(max_r),

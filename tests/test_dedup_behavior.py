@@ -1,0 +1,131 @@
+"""Dedup sketch behavior on a corpus with planted near-duplicates, and
+LSH top-k recall against exact brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from msi_preprocessing_pipeline_spark.operators import dedup, similarity
+
+BASE = ("the quick brown fox jumps over the lazy dog while the merge join "
+        "scans the sorted partition and the window frame slides over rows "
+        "of the columnar table with vectorized batch execution and late "
+        "materialization in the scan operator pipeline")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.RandomState(33)
+    words = BASE.split()
+    rows = []
+    # 10 clusters: one original + 2 near-dups (small edits); 30 random docs
+    for c in range(10):
+        shuffled = list(words)
+        rng.shuffle(shuffled)
+        original = " ".join(shuffled)
+        rows.append((f"c{c}-orig", original))
+        for v in range(2):
+            edited = shuffled.copy()
+            for _ in range(2):  # two word substitutions ≈ 95% shingle overlap
+                edited[rng.randint(len(edited))] = f"tok{rng.randint(999)}"
+            rows.append((f"c{c}-dup{v}", " ".join(edited)))
+    vocab = list({*words, *(f"w{i}" for i in range(200))})
+    for i in range(30):
+        rows.append((f"rand-{i:02d}",
+                     " ".join(rng.choice(vocab, size=40))))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return spark.createDataFrame(pdf)
+
+
+def _cluster(a: str) -> str:
+    return a.split("-")[0]
+
+
+def test_minhash_lsh_finds_planted_dups(corpus):
+    sigs = dedup.minhash_signatures(corpus, n_hashes=128, shingle_words=3)
+    pairs = dedup.minhash_lsh_pairs(sigs, bands=32, threshold=0.5).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    # every orig↔dup pair (true Jaccard ≈ .75-.85) must surface; dup↔dup
+    # pairs sit near the .5 threshold so most but not necessarily all appear
+    for c in range(10):
+        for v in range(2):
+            pair = tuple(sorted((f"c{c}-orig", f"c{c}-dup{v}")))
+            assert pair in found, pair
+    for a, b in found:
+        assert _cluster(a) == _cluster(b), f"false positive {a}~{b}"
+    assert len(found) >= 26  # 20 orig-dup + most of the 10 dup-dup
+
+
+def test_simhash_finds_planted_dups(corpus):
+    # SimHash is a bag-of-words sketch: permutations of the SAME words hash
+    # identically, so planted dups (2-word edits) sit at tiny Hamming
+    # distance; docs sharing vocabulary also land close — assert recall of
+    # the planted pairs and that planted pairs are closer than average
+    hashes = dedup.simhash64(corpus)
+    pairs = dedup.simhash_near_pairs(hashes, max_hamming=6).toPandas()
+    found = {tuple(sorted((a, b))): h
+             for a, b, h in zip(pairs.doc_a, pairs.doc_b, pairs.hamming)}
+    for c in range(10):
+        for v in range(2):
+            pair = tuple(sorted((f"c{c}-orig", f"c{c}-dup{v}")))
+            assert pair in found and found[pair] <= 6, pair
+
+
+def test_ngram_jaccard_exact_pairs(corpus):
+    pairs = dedup.ngram_jaccard_pairs(corpus, k=3, threshold=0.5).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert all(_cluster(a) == _cluster(b) for a, b in found)
+    assert len(found) >= 25
+
+
+def test_dedup_exact_keeps_one_per_group(spark):
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["same text", "same text", "other", "same text"],
+    })
+    df = spark.createDataFrame(pdf)
+    out = dedup.dedup_exact(df, F.md5(F.col("text").cast("binary")),
+                            tiebreak="doc_id").toPandas()
+    kept = set(out[out.is_kept]["doc_id"])
+    assert kept == {"a", "c"}
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    # random 64-dim embeddings are near-worst-case for sign-LSH (neighbors
+    # are barely above ambient similarity); with 4-bit buckets + 1-bit
+    # multiprobe the candidate set is ~31% of the corpus, so recall must
+    # comfortably beat that baseline while scanning a fraction of pairs
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=10).toPandas()
+    approx = similarity.lsh_topk(emb, queries, k=10, lsh_bits=4).toPandas()
+    recalls = []
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.45, recalls
+    # approximate ranks must be internally consistent (exact cosine re-rank)
+    assert (approx.groupby("query_id")["rank"].max() <= 10).all()
+
+
+def test_embedding_near_dup_lsh_vs_exact_subset(spark):
+    # LSH near-dup pairs must be a SUBSET of exact pairs (no false positives
+    # because cosine is verified exactly inside buckets)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh_pairs = dedup.embedding_near_dup(emb, threshold=0.3,
+                                         lsh_bits=4).toPandas()
+    from msi_preprocessing_pipeline_spark.functions import cosine_expr
+    left = emb.select(F.col("vec_id").alias("id_a"),
+                      F.col("embedding").alias("v_a"))
+    right = emb.select(F.col("vec_id").alias("id_b"),
+                       F.col("embedding").alias("v_b"))
+    exact = (left.crossJoin(right).where(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", F.round(cosine_expr("v_a", "v_b"), 6))
+             .where(F.col("cosine") >= 0.3)
+             .select("id_a", "id_b").toPandas())
+    exact_set = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
+    lsh_set = {(a, b) for a, b in zip(lsh_pairs.id_a, lsh_pairs.id_b)}
+    assert lsh_set <= exact_set
+    assert len(lsh_set) > 0
