@@ -353,6 +353,14 @@ def _q_embedding_near_dup(spark, sf_dir):
     return dedup.embedding_near_dup(emb, threshold=0.8, lsh_bits=6)
 
 
+def _q_winnowing_pairs(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = dedup.winnowing_fingerprints(docs, k=8, window=6)
+    return dedup.fingerprint_overlap_pairs(fps, min_common=3)
+
+
 def _q_lsh_topk(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.similarity import lsh_topk
 
@@ -392,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "lsh_topk": _q_lsh_topk,
+        "winnowing_pairs": _q_winnowing_pairs,
     }
 
 

@@ -219,6 +219,71 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 5,
+                           window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): a
+    polynomial ROLLING hash over character k-grams, then the minimum hash of
+    every ``window`` consecutive k-grams (ties → rightmost) — the classic
+    plagiarism/near-dup fingerprint set. Vectorized per doc in numpy.
+
+    Output: one row per (doc, selected fingerprint).
+    """
+    base = np.uint64(257)
+    mod_mask = np.uint64((1 << 61) - 1)
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                s = np.frombuffer(str(text).lower().encode("utf-8", "ignore"),
+                                  dtype=np.uint8).astype(np.uint64)
+                if s.size < k:
+                    continue
+                # rolling polynomial hash of all k-grams
+                pw = base ** np.uint64(k - 1)
+                h = np.uint64(0)
+                out = np.empty(s.size - k + 1, dtype=np.uint64)
+                for i in range(k):
+                    h = (h * base + s[i]) & mod_mask
+                out[0] = h
+                for i in range(1, out.size):
+                    h = ((h - s[i - 1] * pw) * base + s[i + k - 1]) & mod_mask
+                    out[i] = h
+                if out.size <= window:
+                    selected = {int(out.min())}
+                else:
+                    view = np.lib.stride_tricks.sliding_window_view(out,
+                                                                    window)
+                    # rightmost minimum per window (winnowing tie rule)
+                    rev_arg = window - 1 - np.argmin(view[:, ::-1], axis=1)
+                    selected = set(
+                        int(view[i, j]) for i, j in enumerate(rev_arg))
+                for val in selected:
+                    ids.append(doc)
+                    hashes.append(val - (1 << 64) if val >= (1 << 63) else val)
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="object"),
+                "fingerprint": pd.array(hashes, dtype="int64"),
+            })
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        fp, schema=f"{id_col} {id_type}, fingerprint long")
+
+
+def fingerprint_overlap_pairs(fps: DataFrame, id_col: str = "doc_id",
+                              min_common: int = 3) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints."""
+    l, r = fps.alias("l"), fps.alias("r")
+    return (l.join(r, (F.col("l.fingerprint") == F.col("r.fingerprint"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .groupBy(F.col(f"l.{id_col}").alias("doc_a"),
+                     F.col(f"r.{id_col}").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+            .where(F.col("n_common") >= F.lit(min_common)))
+
+
 def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
                        id_col: str = "vec_id", threshold: float = 0.95,
                        lsh_bits: int = 12, seed: int = 13) -> DataFrame:

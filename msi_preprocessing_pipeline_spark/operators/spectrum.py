@@ -27,7 +27,7 @@ from ..kernels import alignment, axis as axis_k, baseline as baseline_k
 from ..kernels import convolve as convolve_k, merge as merge_k
 from ..kernels import outlier as outlier_k
 from ..oracle import PipelineConfig
-from .quantiles import matlab_quantiles
+from .quantiles import COLLECT_THRESHOLD, matlab_quantiles
 
 
 @dataclass
@@ -145,6 +145,18 @@ def tic_outlier_thresholds(df: DataFrame, tic_col: str = "tic",
     n = df.count()
     if n < outlier_k.MIN_POPULATION:
         return outlier_k.TicThresholds(b1=float("-inf"), b2=float("inf"))
+    if n <= COLLECT_THRESHOLD:
+        # the TIC column is one scalar per row — below the driver-safe bound,
+        # one collect replaces ~6 quantile/extrema jobs and runs the exact
+        # numpy phase-1 directly (identical arithmetic to the distributed
+        # path by construction)
+        tics = np.asarray([r[0] for r in df.select(tic_col).collect()],
+                          dtype=float)
+        from ..kernels.stats import median_and_iqr
+        if median_and_iqr(tics)[1] == 0.0:
+            return outlier_k.TicThresholds(b1=float("-inf"), b2=float("inf"))
+        return outlier_k.thresholds_from_stats(
+            outlier_k.tic_stats_numpy(tics), seed=seed)
     q25, q50, q75 = matlab_quantiles(df, tic_col, [0.25, 0.5, 0.75])
     tic_iqr = q75 - q25
     if tic_iqr == 0.0:

@@ -110,6 +110,22 @@ def test_lsh_topk_recall_vs_exact(spark):
     assert (approx.groupby("query_id")["rank"].max() <= 10).all()
 
 
+def test_winnowing_fingerprints(corpus):
+    fps = dedup.winnowing_fingerprints(corpus, k=5, window=4)
+    pairs = dedup.fingerprint_overlap_pairs(fps, min_common=5).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    # planted dup pairs share most fingerprints
+    for c in range(10):
+        for v in range(2):
+            assert tuple(sorted((f"c{c}-orig", f"c{c}-dup{v}"))) in found
+    # winnowing guarantee: identical docs share ALL fingerprints —
+    # determinism check
+    fps2 = dedup.winnowing_fingerprints(corpus, k=5, window=4)
+    a = fps.toPandas().groupby("doc_id")["fingerprint"].apply(frozenset)
+    b = fps2.toPandas().groupby("doc_id")["fingerprint"].apply(frozenset)
+    assert (a == b).all()
+
+
 def test_embedding_near_dup_lsh_vs_exact_subset(spark):
     # LSH near-dup pairs must be a SUBSET of exact pairs (no false positives
     # because cosine is verified exactly inside buckets)

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the numerically sensitive kernels
+and the as-of join."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from msi_preprocessing_pipeline_spark.kernels import merge, stats
+from msi_preprocessing_pipeline_spark.kernels.special import (
+    CubicSpline1D, norm_cdf, norm_ppf)
+
+finite_floats = st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False)
+
+
+@given(st.lists(finite_floats, min_size=2, max_size=200),
+       st.lists(st.floats(min_value=0.0, max_value=1.0), min_size=1,
+                max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_mquantile_bounds_and_monotonicity(values, qs):
+    v = np.asarray(values)
+    q = np.sort(np.asarray(qs))
+    out = stats.mquantile(v, q)
+    assert np.all(out >= v.min() - 1e-9) and np.all(out <= v.max() + 1e-9)
+    assert np.all(np.diff(out) >= -1e-12)  # monotone in q
+
+
+@given(st.lists(st.floats(min_value=1e-6, max_value=1 - 1e-6),
+                min_size=1, max_size=50))
+@settings(max_examples=40, deadline=None)
+def test_norm_ppf_cdf_roundtrip(ps):
+    p = np.asarray(ps)
+    np.testing.assert_allclose(norm_cdf(norm_ppf(p)), p, rtol=1e-8,
+                               atol=1e-12)
+
+
+@given(st.integers(min_value=4, max_value=30), st.randoms())
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_cubic_spline_interpolates(n, rnd):
+    rng = np.random.RandomState(rnd.randint(0, 2 ** 31))
+    x = np.sort(rng.rand(n) * 100)
+    # ensure strictly increasing knots
+    x = x + np.arange(n) * 1e-6
+    y = rng.rand(n) * 10
+    sp = CubicSpline1D(x, y)
+    np.testing.assert_allclose(sp(x), y, atol=1e-6)
+
+
+@given(st.integers(min_value=1, max_value=40), st.randoms())
+@settings(max_examples=30, deadline=None)
+def test_merge_partitions_components(k, rnd):
+    rng = np.random.RandomState(rnd.randint(0, 2 ** 31))
+    mu = np.sort(rng.rand(k) * 100)
+    sig = rng.rand(k) * 2 + 0.01
+    w = rng.rand(k) + 0.01
+    m = merge.merge_components(mu, sig, w)
+    # groups tile [0, k) contiguously and weights are conserved
+    assert m.starts[0] == 0
+    assert np.array_equal(m.starts[1:], (m.starts + m.lengths)[:-1])
+    assert m.starts[-1] + m.lengths[-1] == k
+    np.testing.assert_allclose(m.w.sum(), w.sum(), rtol=1e-12)
+    # apply_merging conserves row sums (float32)
+    data = rng.rand(3, k).astype(np.float32)
+    merged = merge.apply_merging(data, m.starts, m.lengths)
+    np.testing.assert_allclose(merged.sum(axis=1), data.sum(axis=1),
+                               rtol=1e-5)
+
+
+def test_asof_property_random_tables(spark):
+    # randomized as-of conformance vs pd.merge_asof across many shapes
+    from msi_preprocessing_pipeline_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(77)
+    for trial in range(5):
+        n_l = rng.randint(1, 120)
+        n_r = rng.randint(0, 40)
+        left = pd.DataFrame({
+            "k": rng.choice(["a", "b"], n_l),
+            "ts": rng.randint(0, 1000, n_l).astype("int64"),
+            "rid": np.arange(n_l),
+        })
+        right = pd.DataFrame({
+            "k": rng.choice(["a", "b"], max(n_r, 1))[:n_r],
+            "vf": np.sort(rng.choice(np.arange(0, 1000, 7), max(n_r, 1),
+                                     replace=False))[:n_r].astype("int64"),
+            "val": rng.rand(max(n_r, 1))[:n_r],
+        })
+        if n_r == 0:
+            right = pd.DataFrame({"k": pd.Series(dtype="object"),
+                                  "vf": pd.Series(dtype="int64"),
+                                  "val": pd.Series(dtype="float64")})
+        got = (asof_join(spark.createDataFrame(left),
+                         spark.createDataFrame(right,
+                                               schema="k string, vf long, "
+                                                      "val double"),
+                         on="k", left_ts="ts", right_ts="vf",
+                         value_cols=["val"])
+               .toPandas().sort_values("rid").reset_index(drop=True))
+        exp = pd.merge_asof(
+            left.sort_values("ts", kind="mergesort"),
+            right.sort_values("vf", kind="mergesort"),
+            left_on="ts", right_on="vf", by="k", direction="backward",
+        ).sort_values("rid").reset_index(drop=True)
+        pd.testing.assert_series_equal(got["val"], exp["val"],
+                                       check_names=False)
