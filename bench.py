@@ -129,21 +129,27 @@ def main() -> None:
         queries[name] = round(t, 3)
     spark.stop()
 
-    # ---- phase 2: N vs 4N cores on the SAME input (scaling evidence)
-    level_times = {}
-    for level in (mid_cpus, low_cpus):
-        spark_l = build_session(f"bench-{level}", parallelism=level,
-                                shuffle_partitions=level)
-        seq_l = spark_l.read.parquet(table_path)
-        pipe_l = FeaturePipeline(spark_l, axes, cfg)
+    # ---- phase 2: N vs 4N cores on the SAME input (scaling evidence).
+    # Interleaved A/B/A/B so a noisy-neighbor burst on this shared host
+    # cannot poison one level only; per-level minimum = least-contended run.
+    level_times = {mid_cpus: float("inf"), low_cpus: float("inf")}
+    for _rep in range(2):
+        for level in (mid_cpus, low_cpus):
+            spark_l = build_session(f"bench-{level}-{_rep}",
+                                    parallelism=level,
+                                    shuffle_partitions=level)
+            seq_l = spark_l.read.parquet(table_path)
+            pipe_l = FeaturePipeline(spark_l, axes, cfg)
 
-        def serve_l():
-            return pipe_l.transform(seq_l, [artifacts]).count()
+            def serve_l():
+                return pipe_l.transform(seq_l, [artifacts]).count()
 
-        serve_l()  # warm
-        level_times[level] = min(_timed(serve_l)[0] for _ in range(3))
-        queries[f"flagship_serve_local{level}"] = round(level_times[level], 3)
-        spark_l.stop()
+            serve_l()  # warm
+            best = min(_timed(serve_l)[0] for _ in range(2))
+            level_times[level] = min(level_times[level], best)
+            spark_l.stop()
+    for level, t in level_times.items():
+        queries[f"flagship_serve_local{level}"] = round(t, 3)
 
     thr_full = n_rows / t_serve_full
     thr_mid = n_rows / level_times[mid_cpus]
