@@ -350,15 +350,15 @@ def _q_embedding_near_dup(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators import dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup(emb, threshold=0.8, lsh_bits=6)
+    return dedup.embedding_near_dup(emb, threshold=0.3, lsh_bits=6)
 
 
 def _q_winnowing_pairs(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    fps = dedup.winnowing_fingerprints(docs, k=8, window=6)
-    return dedup.fingerprint_overlap_pairs(fps, min_common=3)
+    fps = dedup.winnowing_fingerprints(docs, k=12, window=8)
+    return dedup.fingerprint_overlap_pairs(fps, min_common=12)
 
 
 def _q_lsh_topk(spark, sf_dir):

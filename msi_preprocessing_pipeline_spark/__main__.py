@@ -96,8 +96,13 @@ def main(argv=None) -> int:
     elif args.command == "transform":
         with open(args.artifacts) as f:
             art = sp.ArtifactSet.from_row(json.load(f))
-        feats = pipe.transform(df, [art])
-        feats.write.mode("overwrite").parquet(args.output)
+        if args.work_dir:
+            runner = StageRunner(spark, args.work_dir)
+            runner.run_stage("features", lambda: pipe.transform(df, [art])) \
+                .write.mode("overwrite").parquet(args.output)
+        else:
+            pipe.transform(df, [art]).write.mode("overwrite") \
+                .parquet(args.output)
         print(json.dumps({"command": "transform", "output": args.output,
                           "rows": spark.read.parquet(args.output).count()}))
     elif args.command == "pit":
