@@ -353,6 +353,16 @@ def _q_embedding_near_dup(spark, sf_dir):
     return dedup.embedding_near_dup(emb, threshold=0.3, lsh_bits=6)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        ivf_fit_centroids, ivf_topk)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_fit_centroids(emb, n_centroids=16, iters=8)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), cents, k=10,
+                    n_probe=4)
+
+
 def _q_winnowing_pairs(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators import dedup
 
@@ -400,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "winnowing_pairs": _q_winnowing_pairs,
     }
 

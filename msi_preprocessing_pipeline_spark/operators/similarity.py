@@ -55,6 +55,88 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     "cosine", "rank"))
 
 
+def ivf_fit_centroids(corpus: DataFrame, n_centroids: int = 16,
+                      vec_col: str = "embedding", iters: int = 10,
+                      sample_rows: int = 100_000, seed: int = 19) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means on a bounded seeded sample
+    (collected — the sample, not the corpus), k-means++-free quantile-spread
+    init. Returns the [k, dim] centroid matrix (broadcastable)."""
+    frac_df = corpus.select(vec_col)
+    n = frac_df.count()
+    if n > sample_rows:
+        frac_df = frac_df.sample(fraction=sample_rows / n, seed=seed)
+    mat = np.stack([np.asarray(r[0], dtype=float)
+                    for r in frac_df.collect()])
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(mat.shape[0],
+                               size=min(n_centroids, mat.shape[0]),
+                               replace=False)]
+    for _ in range(iters):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(centroids.shape[0]):
+            members = mat[assign == c]
+            if members.size:
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             centroids: np.ndarray, k: int = 10, n_probe: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their nearest
+    centroid (inverted lists); each query scans only its ``n_probe`` nearest
+    lists, exact cosine re-rank inside. The scale path when LSH buckets are
+    too coarse: list sizes are balanced by construction of k-means."""
+    spark = corpus.sparkSession
+    cent_bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=float))
+
+    def assign_corpus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = cent_bc.value
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            out = pdf[[id_col, vec_col]].copy()
+            out["list_id"] = d.argmin(axis=1).astype(np.int64)
+            yield out
+
+    def assign_queries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = cent_bc.value
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            probes = np.argsort(d, axis=1)[:, :n_probe]
+            rows = {query_id_col: [], vec_col: [], "list_id": []}
+            for qid, vec, ps in zip(pdf[id_col], pdf[vec_col], probes):
+                for p in ps:
+                    rows[query_id_col].append(qid)
+                    rows[vec_col].append(vec)
+                    rows["list_id"].append(int(p))
+            yield pd.DataFrame(rows)
+
+    c = corpus.select(id_col, vec_col).mapInPandas(
+        assign_corpus,
+        schema=f"{id_col} long, {vec_col} array<float>, list_id long")
+    q = queries.select(id_col, vec_col).mapInPandas(
+        assign_queries,
+        schema=f"{query_id_col} long, {vec_col} array<float>, list_id long")
+    cand = (c.join(F.broadcast(q.withColumnRenamed(vec_col, "__qvec")),
+                   "list_id")
+            .where(F.col(id_col) != F.col(query_id_col))
+            .dropDuplicates([query_id_col, id_col]))
+    scored = cand.withColumn(
+        "cosine", F.round(_dot(F.col(vec_col), F.col("__qvec"))
+                          / (_norm(F.col(vec_col)) * _norm(F.col("__qvec"))),
+                          6))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.lit(k))
+            .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                    "cosine", "rank"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", lsh_bits: int = 8,

@@ -120,8 +120,15 @@ def resample_baseline_stage(df: DataFrame, source_axes: dict[str, np.ndarray],
         for pdf in batches:
             out_spec, out_tic = [], []
             for toks, src in zip(pdf["tokens"], pdf["source"]):
-                x = axis_k.resample_row(new_ax, axes[src],
-                                        np.asarray(toks, dtype=float))
+                toks = np.asarray(toks, dtype=float)
+                if src not in axes:
+                    raise ValueError(f"no m/z axis artifact for source "
+                                     f"{src!r}")
+                if toks.size != axes[src].size:
+                    raise ValueError(
+                        f"row token length {toks.size} != source axis length "
+                        f"{axes[src].size} for source {src!r}")
+                x = axis_k.resample_row(new_ax, axes[src], toks)
                 x = baseline_k.remove_baseline(new_ax, x, bw, bmin, binc)
                 out_spec.append(x)
                 out_tic.append(float(x.sum()))

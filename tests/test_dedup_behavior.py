@@ -110,6 +110,24 @@ def test_lsh_topk_recall_vs_exact(spark):
     assert (approx.groupby("query_id")["rank"].max() <= 10).all()
 
 
+def test_ivf_topk_recall_and_determinism(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    cents = similarity.ivf_fit_centroids(emb, n_centroids=8, iters=8)
+    cents2 = similarity.ivf_fit_centroids(emb, n_centroids=8, iters=8)
+    np.testing.assert_array_equal(cents, cents2)  # seeded determinism
+    exact = similarity.cosine_topk(emb, queries, k=10).toPandas()
+    approx = similarity.ivf_topk(emb, queries, cents, k=10,
+                                 n_probe=3).toPandas()
+    recalls = []
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    # 3 of 8 lists probed → ~37% of corpus scanned; recall must beat that
+    assert np.mean(recalls) >= 0.45, recalls
+
+
 def test_winnowing_fingerprints(corpus):
     fps = dedup.winnowing_fingerprints(corpus, k=5, window=4)
     pairs = dedup.fingerprint_overlap_pairs(fps, min_common=5).toPandas()
