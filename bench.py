@@ -41,7 +41,7 @@ def _ensure_bench_table(spark, sf: float, channels: int):
     from msi_preprocessing_pipeline_spark.operators import spectrum as sp
     from msi_preprocessing_pipeline_spark.sources import synthetic
 
-    total_rows = max(int(160_000 * sf), 240)
+    total_rows = max(int(320_000 * sf), 240)
     path = os.path.join(CACHE_DIR,
                         f"sequences_sf{sf}_c{channels}_r{total_rows}.parquet")
     plan = synthetic.source_plan(4, max(total_rows // 6, 40), skew_factor=3)
@@ -145,8 +145,8 @@ def main() -> None:
                 return pipe_l.transform(seq_l, [artifacts]).count()
 
             serve_l()  # warm
-            best = min(_timed(serve_l)[0] for _ in range(2))
-            level_times[level] = min(level_times[level], best)
+            level_times[level] = min(level_times[level],
+                                     _timed(serve_l)[0])
             spark_l.stop()
     for level, t in level_times.items():
         queries[f"flagship_serve_local{level}"] = round(t, 3)
