@@ -123,14 +123,17 @@ def pafft(counts: np.ndarray, reference_counts: np.ndarray, mzs: np.ndarray,
     counts = np.ravel(np.asarray(counts, dtype=float))
     reference_counts = np.ravel(np.asarray(reference_counts, dtype=float))
     mzs = np.ravel(np.asarray(mzs, dtype=float))
-    assert counts.size == reference_counts.size == mzs.size
+    n = counts.size
+    assert n == reference_counts.size == mzs.size
     seg_pct = minimum_segment * 0.01
     shift_pct = shift_limit * 0.01
 
-    aligned_chunks = []
+    # shifted segments are written straight into the output buffer — the
+    # per-segment allocations (pad arrays, hstack) dominated this kernel
+    aligned = np.empty(n, dtype=np.float32)
     start = 0
-    while start < counts.size:
-        if start == counts.size - 1:
+    while start < n:
+        if start == n - 1:
             local_tick = mzs[start] - mzs[start - 1]
         else:
             local_tick = mzs[start + 1] - mzs[start]
@@ -138,9 +141,8 @@ def pafft(counts: np.ndarray, reference_counts: np.ndarray, mzs: np.ndarray,
         segment, ref_segment = _next_chunk(counts, reference_counts, start,
                                            nominal_size)
         # shift limit in channels, evaluated at the segment midpoint m/z
-        tail_mzs = mzs[start:]
-        mid = min(int(0.5 + segment.size / 2.0), tail_mzs.size - 1)
-        limit = int(0.5 + (shift_pct / local_tick) * tail_mzs[mid])
+        mid = min(int(0.5 + segment.size / 2.0), n - 1 - start)
+        limit = int(0.5 + (shift_pct / local_tick) * mzs[start + mid])
         padded = _padded_size(segment.size)
         limit = min(limit, padded)
         if limit < 1:
@@ -148,8 +150,15 @@ def pafft(counts: np.ndarray, reference_counts: np.ndarray, mzs: np.ndarray,
         else:
             fwd, bwd = _correlation_slices(segment, ref_segment, padded, limit)
             shift = _best_shift_from_slices(fwd, bwd)
-        aligned_chunks.append(_apply_shift(segment, shift).astype(np.float32))
-        start += segment.size
-    aligned = np.hstack(aligned_chunks)
-    assert aligned.size == counts.size
+        size = segment.size
+        end = start + size
+        if shift == 0 or abs(shift) >= size:
+            aligned[start:end] = segment
+        elif shift > 0:
+            aligned[start:start + shift] = segment[0]
+            aligned[start + shift:end] = segment[:size - shift]
+        else:
+            aligned[start:end + shift] = segment[-shift:]
+            aligned[end + shift:end] = segment[-1]
+        start = end
     return aligned
