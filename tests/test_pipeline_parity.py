@@ -118,6 +118,30 @@ def test_zero_temporal_leakage(table, axes):
     assert (late["artifact_version"] == 2).all()
 
 
+def test_wide_channel_parity_4096(spark):
+    """FIXTURES.md F1: one test at token length 4,096 — full fit+transform
+    parity at the wide-channel shape (smaller row count to bound runtime)."""
+    sources = {"src-000": 6, "src-001": 6}
+    channels = 4096
+    df = sp.with_ts(synthetic.sequences_df(spark, sources,
+                                           base_channels=channels), CFG)
+    axes = synthetic.source_axes_for(sources, channels)
+    rows = synth.make_table(sources, base_channels=channels)
+
+    art_o, feats_o = oracle.run_pipeline(rows, axes, CFG)
+    pipe = FeaturePipeline(spark, axes, CFG)
+    art_s = pipe.fit(df)
+    np.testing.assert_allclose(art_s.pafft_reference, art_o.pafft_reference,
+                               rtol=1e-7)
+    np.testing.assert_allclose(art_s.gmm_mu, art_o.gmm_mu, rtol=1e-5)
+    got = pipe.transform(df, [art_s]).toPandas()
+    by_doc = {r.doc_id: np.asarray(r.features, dtype=np.float32)
+              for r in got.itertuples()}
+    for (doc_id, *_), expected in zip(rows, feats_o):
+        np.testing.assert_allclose(by_doc[doc_id], expected, rtol=2e-4,
+                                   atol=1e-3, err_msg=doc_id)
+
+
 def test_rows_before_first_checkpoint_get_null_features(table, axes):
     pipe = FeaturePipeline(table.sparkSession, axes, CFG)
     ts_values = sorted(r.ts for r in table.select("ts").distinct().collect())
