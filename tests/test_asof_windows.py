@@ -92,6 +92,36 @@ def test_asof_tolerance(events, artifacts):
                                    check_names=False)
 
 
+def test_asof_forward_tolerance(events, artifacts):
+    left, left_pdf = events
+    right, right_pdf = artifacts
+    got = (asof.asof_join(left, right, on="entity", left_ts="ts",
+                          right_ts="valid_from",
+                          value_cols=["payload"], direction="forward",
+                          tolerance=500)
+           .toPandas().sort_values("row_id").reset_index(drop=True))
+    exp = _expected_asof(left_pdf, right_pdf, "forward", tolerance=500)
+    pd.testing.assert_series_equal(got["payload"], exp["payload"],
+                                   check_names=False)
+
+
+def test_asof_broadcast_matches_window_variant(events, artifacts):
+    left, _ = events
+    right, _ = artifacts
+    for direction in ("backward", "forward"):
+        a = (asof.asof_join(left, right, on="entity", left_ts="ts",
+                            right_ts="valid_from",
+                            value_cols=["version", "payload"],
+                            direction=direction)
+             .toPandas().sort_values("row_id").reset_index(drop=True))
+        b = (asof.asof_join_broadcast(left, right, on="entity", left_ts="ts",
+                                      right_ts="valid_from",
+                                      value_cols=["version", "payload"],
+                                      direction=direction)
+             .toPandas().sort_values("row_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_asof_merge_variant_matches_pandas(events, artifacts):
     left, left_pdf = events
     right, right_pdf = artifacts
