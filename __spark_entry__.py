@@ -286,6 +286,47 @@ def _q_range_count(spark, sf_dir):
                  F.count("*").alias("n_total")))
 
 
+def _q_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count("*").alias("n_events")))
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 300000)
+    return (cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def _q_user_key_overlap(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"))
+    inter = ev.intersect(cust).withColumn("setop", F.lit("intersect"))
+    exc = ev.subtract(cust).withColumn("setop", F.lit("except"))
+    return inter.unionByName(exc)
+
+
+def _q_median_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.percentile("value", F.lit(0.5)), 6)
+                 .alias("median_value"),
+                 F.round(F.percentile("value", F.lit(0.9)), 6)
+                 .alias("p90_value")))
+
+
+def _q_json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"))
+
+
 # ---- rows-only (non-SQL-expressible: sketches, seeded MC, PIT pipeline) ----
 
 
@@ -401,6 +442,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "near_dup_exact": _q_near_dup_exact,
         "range_predicate_count": _q_range_count,
+        "distinct_users_per_type": _q_distinct_users,
+        "customers_without_orders": _q_customers_without_orders,
+        "user_key_overlap": _q_user_key_overlap,
+        "median_by_type": _q_median_by_type,
+        "json_props": _q_json_props,
         # rows-only checks
         "smooth_and_peaks": _q_smooth_and_peaks,
         "pit_features": _q_pit_features,
@@ -654,6 +700,41 @@ def oracle_sql() -> dict[str, str]:
                             then 1 else 0 end) as n_in_range,
                    count(*) as n_total
             from lineitem group by 1
+        """,
+        "distinct_users_per_type": """
+            select event_type, count(distinct user_id) as n_users,
+                   count(*) as n_events
+            from events group by 1
+        """,
+        "customers_without_orders": """
+            select c_custkey, c_name from customer
+            where not exists (select 1 from orders
+                              where o_custkey = c_custkey
+                                and o_totalprice > 300000)
+        """,
+        "user_key_overlap": """
+            select k, 'intersect' as setop from (
+                select user_id as k from events
+                intersect
+                select c_custkey as k from customer
+            )
+            union all
+            select k, 'except' as setop from (
+                select distinct user_id as k from events
+                except
+                select c_custkey as k from customer
+            )
+        """,
+        "median_by_type": """
+            select event_type,
+                   round(quantile_cont(value, 0.5), 6) as median_value,
+                   round(quantile_cont(value, 0.9), 6) as p90_value
+            from events group by 1
+        """,
+        "json_props": """
+            select event_id,
+                   cast(json_extract_string(props, '$.k') as int) as prop_k
+            from events
         """,
         "cosine_topk": """
             with q as (
