@@ -233,8 +233,14 @@ def masked_mean_reference(df: DataFrame, vec_col: str,
             .mapInPandas(partials,
                          schema="source string, vec_sum array<double>, n long")
             .collect())
+    # total deterministic order: collect() returns partials in task-completion
+    # order, and float64 addition is not associative — sort by content so
+    # repeated runs produce bit-identical references
+    def _key(r):
+        return (r["source"], r["n"], bytes(np.asarray(r["vec_sum"])))
+
     by_src: dict[str, tuple[np.ndarray, int]] = {}
-    for r in sorted(rows, key=lambda r: r["source"]):
+    for r in sorted(rows, key=_key):
         s, c = by_src.get(r["source"], (0.0, 0))
         by_src[r["source"]] = (s + np.asarray(r["vec_sum"]), c + r["n"])
     refs = [v[0] / v[1] for _, v in sorted(by_src.items())]
