@@ -88,6 +88,33 @@ def test_agg_is_partial_then_final(spark):
     assert "*(" in plan_final or "WholeStageCodegen" in plan_final
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from msi_preprocessing_pipeline_spark.sources.bucketed import (
+        read_table, write_bucketed)
+
+    # default warehouse dir (repo-local spark-warehouse/, gitignored)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("event_id", "user_id", "value")
+    agg = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
+    write_bucketed(ev, "ev_bucketed", "user_id", n_buckets=8)
+    write_bucketed(agg, "agg_bucketed", "user_id", n_buckets=8)
+
+    joined = read_table(spark, "ev_bucketed").join(
+        read_table(spark, "agg_bucketed").hint("merge"), "user_id")
+    plan = plan_of(joined, "simple")
+    try:
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: bucket layout reused
+        # and the join is actually correct
+        n = joined.count()
+        assert n == ev.count()
+    finally:
+        spark.sql("drop table if exists ev_bucketed")
+        spark.sql("drop table if exists agg_bucketed")
+
+
 def test_text_ops_are_jvm_side(spark):
     import __spark_entry__ as em
     plan = plan_of(em.queries()["text_stats"](spark, SF_DIR), "simple")
