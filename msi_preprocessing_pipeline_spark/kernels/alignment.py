@@ -66,7 +66,9 @@ def _correlation_slices(segment: np.ndarray, reference: np.ndarray,
     the same quantity (without FFT round-off).
     """
     n = segment.size
-    if limit <= _DIRECT_LAG_LIMIT:
+    # the direct path computes LINEAR correlation lags; it equals the FFT's
+    # circular correlation only while no lag wraps (|lag| ≤ padded - n)
+    if limit <= _DIRECT_LAG_LIMIT and limit <= padded - n:
         forward = [
             float(np.dot(reference[k:], segment[:n - k])) if k < n else 0.0
             for k in range(limit)
