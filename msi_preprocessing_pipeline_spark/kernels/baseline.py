@@ -69,8 +69,12 @@ class _TrendScanner:
 
 
 def _segment_anchors(mzs: np.ndarray, counts: np.ndarray, max_width: int,
-                     min_width: int, increment: int):
-    """Close adaptive segments; return (10th-pct estimates, widths)."""
+                     min_width: int, increment: int, estimator=None):
+    """Close adaptive segments; return (10th-pct estimates, widths).
+
+    ``estimator`` overrides the per-segment baseline estimate (the reference
+    tests inject the original MATLAB quantiles this way)."""
+    estimate = estimator or (lambda seg: _percentile10(seg))
     n = mzs.size
     scanner = _TrendScanner(mzs, counts)
     estimates: list[float] = []
@@ -79,13 +83,13 @@ def _segment_anchors(mzs: np.ndarray, counts: np.ndarray, max_width: int,
     while end <= n:
         size = end - start
         if scanner.has_trend(start, end) or size >= max_width:
-            estimates.append(_percentile10(counts[start:end]))
+            estimates.append(estimate(counts[start:end]))
             widths.append(size)
             start, end = end, end + min_width
         else:
             end = min(end + increment, n + 1)
     if start < n:
-        estimates.append(_percentile10(counts[start:]))
+        estimates.append(estimate(counts[start:]))
         widths.append(n - start)
     return np.asarray(estimates), np.asarray(widths)
 
@@ -119,7 +123,7 @@ def _anchor_mzs(widths: np.ndarray, mzs: np.ndarray) -> np.ndarray:
 
 def remove_baseline(mzs: np.ndarray, counts: np.ndarray,
                     max_width: int = 1500, min_width: int = 500,
-                    increment: int = 100) -> np.ndarray:
+                    increment: int = 100, estimator=None) -> np.ndarray:
     """Estimate and subtract the adaptive baseline from one spectrum.
 
     Returns a float32 array, clipped at zero (reference
@@ -128,7 +132,7 @@ def remove_baseline(mzs: np.ndarray, counts: np.ndarray,
     mzs = np.ravel(np.asarray(mzs, dtype=float))
     counts = np.ravel(np.asarray(counts, dtype=float))
     estimates, widths = _segment_anchors(mzs, counts, max_width, min_width,
-                                         increment)
+                                         increment, estimator=estimator)
     anchors = _anchor_mzs(widths, mzs)
     model = interp1d_cubic_or_linear(anchors, estimates)
     cleaned = np.clip(counts - model(mzs), a_min=0.0, a_max=None)
