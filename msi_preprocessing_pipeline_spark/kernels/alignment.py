@@ -66,17 +66,28 @@ def _correlation_slices(segment: np.ndarray, reference: np.ndarray,
     the same quantity (without FFT round-off).
     """
     n = segment.size
-    # the direct path computes LINEAR correlation lags; it equals the FFT's
-    # circular correlation only while no lag wraps (|lag| ≤ padded - n)
-    if limit <= _DIRECT_LAG_LIMIT and limit <= padded - n:
-        forward = [
-            float(np.dot(reference[k:], segment[:n - k])) if k < n else 0.0
-            for k in range(limit)
-        ]
-        backward = [
-            float(np.dot(reference[:n - j], segment[j:])) if j < n else 0.0
-            for j in range(limit, 0, -1)
-        ]
+    if limit <= _DIRECT_LAG_LIMIT:
+        # circular correlation lag k = linear part + wrap part (nonzero only
+        # when the lag reaches past the zero padding, i.e. k > padded - n);
+        # the reference scales the correlation by 1/padded (ifft's 1/N plus
+        # an explicit /N, ``alignment.py:50-51``) and the 0.1 peak floor
+        # applies to the SCALED values — reproduce that scale exactly
+        scale = 1.0 / padded
+        wrap_from = padded - n
+        forward = []
+        for k in range(limit):
+            v = float(np.dot(reference[k:], segment[:n - k])) if k < n else 0.0
+            if k > wrap_from:
+                v += float(np.dot(reference[:n - (padded - k)],
+                                  segment[padded - k:]))
+            forward.append(v * scale)
+        backward = []
+        for j in range(limit, 0, -1):
+            v = float(np.dot(reference[:n - j], segment[j:])) if j < n else 0.0
+            if j > wrap_from:
+                v += float(np.dot(reference[padded - j:],
+                                  segment[:n - (padded - j)]))
+            backward.append(v * scale)
         return forward, backward
     conv = _fft_cross_correlate(segment, reference, padded)
     return conv[:limit].tolist(), conv[-limit:].tolist()
