@@ -194,7 +194,7 @@ def _q_ngram_jaccard(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, k=5, threshold=0.2)
+    return ngram_jaccard_pairs(docs, k=5, threshold=0.2, max_df=100)
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -345,8 +345,21 @@ def _q_smooth_and_peaks(spark, sf_dir):
     return peaks.select("doc_id", "source", "ts",
                         F.size("peak_indices").alias("n_peaks"))
 
+def _feature_scalars(df: DataFrame) -> DataFrame:
+    """Project the feature vector to sortable scalars so the driver's
+    canonicalizer (pandas sort over all columns) can hash it: keys +
+    ``size(features)`` + an md5 digest of the values at 4 significant
+    digits (robust to partitioning-order float noise in the fit)."""
+    digest = F.md5(F.concat_ws(",", F.transform(
+        "features", lambda x: F.format_string("%.3e", x.cast("double")))))
+    return df.select(
+        "doc_id", "source", "ts", "artifact_version",
+        F.size("features").alias("n_features"),
+        digest.alias("feat_digest"))
+
+
 def _q_pit_features(spark, sf_dir):
-    return entry(spark)
+    return _feature_scalars(entry(spark))
 
 
 def _q_batch_features(spark, sf_dir):
@@ -354,7 +367,8 @@ def _q_batch_features(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.oracle import PipelineConfig
 
     df, axes = _synth_table(spark, n_sources=2, rows=10, channels=512)
-    return FeaturePipeline(spark, axes, PipelineConfig()).fit_transform(df)
+    out = FeaturePipeline(spark, axes, PipelineConfig()).fit_transform(df)
+    return _feature_scalars(out)
 
 
 def _q_tic_outliers(spark, sf_dir):
@@ -409,7 +423,7 @@ def _q_winnowing_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     fps = dedup.winnowing_fingerprints(docs, k=12, window=8)
-    return dedup.fingerprint_overlap_pairs(fps, min_common=12)
+    return dedup.fingerprint_overlap_pairs(fps, min_common=12, max_df=100)
 
 
 def _q_lsh_topk(spark, sf_dir):
@@ -533,10 +547,11 @@ def oracle_sql() -> dict[str, str]:
                 window w as (partition by user_id order by ms, event_id)
             ), sess as (
                 select user_id, ms,
-                       sum(is_new) over (partition by user_id
-                                         order by ms, event_id
-                                         rows between unbounded preceding
-                                         and current row) as session_id
+                       cast(sum(is_new) over (partition by user_id
+                                              order by ms, event_id
+                                              rows between unbounded preceding
+                                              and current row) as bigint)
+                           as session_id
                 from flags
             )
             select user_id, session_id, count(*) as n_events,
@@ -606,11 +621,15 @@ def oracle_sql() -> dict[str, str]:
                 select doc_id,
                        string_split_regex(trim(lower(text)), '\\s+') as words
                 from documents
-            ), sh as (
+            ), sh0 as (
                 select distinct doc_id,
                        array_to_string(words[i : i + 4], ' ') as shingle
                 from w, unnest(generate_series(
                     1, greatest(length(words) - 4, 1))) as t(i)
+            ), sh as (
+                select * from sh0 where shingle in (
+                    select shingle from sh0
+                    group by shingle having count(distinct doc_id) <= 100)
             ), sizes as (
                 select doc_id, count(*) as n_sh from sh group by 1
             ), common as (
@@ -696,8 +715,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "range_predicate_count": """
             select l_returnflag,
-                   sum(case when l_quantity between 10 and 30
-                            then 1 else 0 end) as n_in_range,
+                   cast(sum(case when l_quantity between 10 and 30
+                                 then 1 else 0 end) as bigint) as n_in_range,
                    count(*) as n_total
             from lineitem group by 1
         """,

@@ -30,9 +30,9 @@ def _cut_point(segment: np.ndarray, reference: np.ndarray) -> int:
     take = int(segment.size / 20.0 + 0.5)
     if take <= 1:
         # single-candidate case: both outcomes reduce to the segment minimum
-        return int(np.argmin(segment)) + 1
-    seg_order = np.argsort(segment)
-    ref_smallest = set(np.argsort(reference)[:take].tolist())
+        return int(segment.argmin()) + 1
+    seg_order = segment.argsort()
+    ref_smallest = set(reference.argsort()[:take].tolist())
     for idx in seg_order[:take]:
         if int(idx) in ref_smallest:
             return int(idx) + 1
@@ -40,7 +40,8 @@ def _cut_point(segment: np.ndarray, reference: np.ndarray) -> int:
 
 
 def _padded_size(n: int) -> int:
-    bits = int(np.log2(n) + 1)
+    # n.bit_length() == int(log2(n)) + 1 exactly, without the float round trip
+    bits = n.bit_length()
     return 2 ** bits if bits <= _PAD_BITS_LIMIT else _BIG_PADDING + n
 
 
@@ -74,19 +75,40 @@ def _correlation_slices(segment: np.ndarray, reference: np.ndarray,
         # applies to the SCALED values — reproduce that scale exactly
         scale = 1.0 / padded
         wrap_from = padded - n
+        if n <= 128:
+            # small-segment fast path (the common case: segments are
+            # ~0.7%-of-m/z wide): ONE np.correlate supplies every linear
+            # lag — c[n-1+k] = Σ reference[i+k]·segment[i] — including the
+            # wrap contributions, replacing ~2·limit np.dot calls
+            cl = np.correlate(reference, segment, "full").tolist()
+            mid = n - 1
+            forward = []
+            for k in range(limit):
+                v = cl[mid + k] if k < n else 0.0
+                if k > wrap_from:
+                    v += cl[mid - padded + k]
+                forward.append(v * scale)
+            backward = []
+            for j in range(limit, 0, -1):
+                v = cl[mid - j] if j < n else 0.0
+                if j > wrap_from:
+                    v += cl[mid + padded - j]
+                backward.append(v * scale)
+            return forward, backward
+        dot = np.dot
         forward = []
         for k in range(limit):
-            v = float(np.dot(reference[k:], segment[:n - k])) if k < n else 0.0
+            v = float(dot(reference[k:], segment[:n - k])) if k < n else 0.0
             if k > wrap_from:
-                v += float(np.dot(reference[:n - (padded - k)],
-                                  segment[padded - k:]))
+                v += float(dot(reference[:n - (padded - k)],
+                               segment[padded - k:]))
             forward.append(v * scale)
         backward = []
         for j in range(limit, 0, -1):
-            v = float(np.dot(reference[:n - j], segment[j:])) if j < n else 0.0
+            v = float(dot(reference[:n - j], segment[j:])) if j < n else 0.0
             if j > wrap_from:
-                v += float(np.dot(reference[padded - j:],
-                                  segment[:n - (padded - j)]))
+                v += float(dot(reference[padded - j:],
+                               segment[:n - (padded - j)]))
             backward.append(v * scale)
         return forward, backward
     conv = _fft_cross_correlate(segment, reference, padded)
@@ -141,21 +163,28 @@ def pafft(counts: np.ndarray, reference_counts: np.ndarray, mzs: np.ndarray,
     seg_pct = minimum_segment * 0.01
     shift_pct = shift_limit * 0.01
 
+    # hoist the per-segment scalar math out of the loop: local ticks, nominal
+    # segment sizes and shift factors are functions of the (fixed) m/z axis
+    # only — compute them vectorized once per row, index as python floats
+    # (the loop runs ~n/14 times; numpy-scalar arithmetic dominated it)
+    ticks = np.empty(n, dtype=float)
+    ticks[:-1] = mzs[1:] - mzs[:-1]
+    ticks[-1] = mzs[-1] - mzs[-2] if n > 1 else 1.0
+    nominal_sizes = (0.5 + (seg_pct / ticks) * mzs).astype(np.int64).tolist()
+    shift_facs = (shift_pct / ticks).tolist()
+    mz_list = mzs.tolist()
+
     # shifted segments are written straight into the output buffer — the
     # per-segment allocations (pad arrays, hstack) dominated this kernel
     aligned = np.empty(n, dtype=np.float32)
     start = 0
     while start < n:
-        if start == n - 1:
-            local_tick = mzs[start] - mzs[start - 1]
-        else:
-            local_tick = mzs[start + 1] - mzs[start]
-        nominal_size = int(0.5 + (seg_pct / local_tick) * mzs[start])
+        nominal_size = nominal_sizes[start]
         segment, ref_segment = _next_chunk(counts, reference_counts, start,
                                            nominal_size)
         # shift limit in channels, evaluated at the segment midpoint m/z
         mid = min(int(0.5 + segment.size / 2.0), n - 1 - start)
-        limit = int(0.5 + (shift_pct / local_tick) * mzs[start + mid])
+        limit = int(0.5 + shift_facs[start] * mz_list[start + mid])
         padded = _padded_size(segment.size)
         limit = min(limit, padded)
         if limit < 1:

@@ -25,25 +25,72 @@ def _has_trend(x: np.ndarray, y: np.ndarray, significance: float = 0.05) -> bool
     return bool(p < significance)
 
 
+_R2_CRIT_CACHE: dict[tuple[int, float], float] = {}
+
+
+def _r2_crit(df: int, significance: float) -> float:
+    """Critical r² for the two-sided Pearson trend test.
+
+    ``p < significance`` ⟺ ``t > t_crit(df)`` ⟺ ``r² > t²/(df + t²)`` —
+    the t statistic is monotone in |r|, so the per-probe incomplete-beta
+    evaluation collapses to one cached float comparison per window size.
+    ``t_crit`` is found by bisection on the exact same
+    :func:`..special.student_t_sf` the direct test uses, so the inversion
+    introduces no semantic drift (boundary error ~1e-12 on t).
+    """
+    key = (df, significance)
+    v = _R2_CRIT_CACHE.get(key)
+    if v is None:
+        from .special import student_t_sf
+        lo, hi = 0.0, 1e6
+        while hi - lo > 1e-12 * max(1.0, lo):
+            mid = 0.5 * (lo + hi)
+            if 2.0 * student_t_sf(mid, df) < significance:
+                hi = mid
+            else:
+                lo = mid
+        t = 0.5 * (lo + hi)
+        v = t * t / (df + t * t)
+        _R2_CRIT_CACHE[key] = v
+    return v
+
+
 class _TrendScanner:
     """O(1)-per-window Pearson trend probe via prefix sums.
 
     The adaptive segmentation probes hundreds of overlapping windows per row;
     recomputing the correlation from scratch each time is the dominant cost.
     Prefix sums over globally-centered x/y (centering bounds the cancellation
-    error) give every window's r in O(1); the p-value is the same two-sided
-    Student-t transform :func:`..special.pearsonr_p` applies.
+    error) give every window's r² in O(1); the significance test compares it
+    against the cached critical r² (:func:`_r2_crit`) — equivalent to the
+    two-sided Student-t p-value test of :func:`..special.pearsonr_p`.
+    Prefix sums are stored as python-float lists: the probe loop is scalar
+    arithmetic, where numpy scalars cost ~10× python floats.
     """
 
+    # the x side is the (fixed) m/z axis — its centered values and prefix
+    # sums are identical for every row, so cache them by content hash
+    # (one axis is shared by thousands of rows per worker)
+    _X_CACHE: dict[tuple[int, int], tuple] = {}
+
     def __init__(self, x: np.ndarray, y: np.ndarray):
-        xc = x - x.mean()
+        key = (hash(x.tobytes()), x.size)
+        cached = self._X_CACHE.get(key)
+        if cached is None:
+            xc = x - x.mean()
+            z = np.zeros(1)
+            cx = np.concatenate((z, np.cumsum(xc))).tolist()
+            cxx = np.concatenate((z, np.cumsum(xc * xc))).tolist()
+            cached = (xc, cx, cxx)
+            if len(self._X_CACHE) > 8:
+                self._X_CACHE.clear()
+            self._X_CACHE[key] = cached
+        xc, self.cx, self.cxx = cached
         yc = y - y.mean()
         z = np.zeros(1)
-        self.cx = np.concatenate((z, np.cumsum(xc)))
-        self.cy = np.concatenate((z, np.cumsum(yc)))
-        self.cxx = np.concatenate((z, np.cumsum(xc * xc)))
-        self.cyy = np.concatenate((z, np.cumsum(yc * yc)))
-        self.cxy = np.concatenate((z, np.cumsum(xc * yc)))
+        self.cy = np.concatenate((z, np.cumsum(yc))).tolist()
+        self.cyy = np.concatenate((z, np.cumsum(yc * yc))).tolist()
+        self.cxy = np.concatenate((z, np.cumsum(xc * yc))).tolist()
 
     def has_trend(self, start: int, end: int,
                   significance: float = 0.05) -> bool:
@@ -59,13 +106,9 @@ class _TrendScanner:
         den = (m * sxx - sx * sx) * (m * syy - sy * sy)
         if den <= 0.0:
             return False  # constant window → undefined r → no trend
-        r = max(-1.0, min(1.0, num / np.sqrt(den)))
-        if abs(r) == 1.0:
-            return True
-        df = m - 2
-        t = abs(r) * np.sqrt(df / (1.0 - r * r))
-        from .special import student_t_sf
-        return 2.0 * student_t_sf(float(t), df) < significance
+        # |r| ≥ 1 (float round-off) is always significant; otherwise the
+        # cached critical-r² comparison is exactly the p < significance test
+        return num * num > _r2_crit(m - 2, significance) * den
 
 
 def _segment_anchors(mzs: np.ndarray, counts: np.ndarray, max_width: int,

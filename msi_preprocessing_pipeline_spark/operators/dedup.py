@@ -4,30 +4,29 @@ embedding-cosine near-dup.
 Design for scale:
 * exact dedup — hash-groupBy (one shuffle on the fingerprint), keep the
   smallest tiebreaker per group;
-* MinHash — signatures via a vectorized pandas UDF (per-doc word shingles →
-  k-permutation min-hash), then BAND bucketing: explode (band, band_hash),
-  groupBy bucket, emit within-bucket candidate pairs, estimate Jaccard by
-  signature agreement. The bucket join is the only shuffle over pair space;
-  candidate pairs, not all pairs;
-* SimHash — 64-bit weighted bit votes per doc, candidates share one of four
-  16-bit chunks, verified by Hamming distance (JVM ``bit_count(xor)``);
-* n-gram Jaccard — word k-shingles exploded → equi-self-join on shingle →
-  common counts vs union (pure DataFrame ops, SQL-oracle-able);
+* MinHash — shingles exploded once, signatures fully JVM-side (seeded
+  ``xxhash64`` min-aggregates, map-side combine), then BAND bucketing:
+  explode (band, band_hash), bucket join, estimate Jaccard by signature
+  agreement. The bucket join is the only shuffle over pair space; candidate
+  pairs, not all pairs;
+* SimHash — 64-bit bit votes per doc, fully JVM-side; candidates via
+  pigeonhole chunk (≤3 bit radius) or chunk-pair (4–7) bucketing, verified
+  by Hamming distance (JVM ``bit_count(xor)``);
+* n-gram Jaccard — word k-shingles exploded → df-capped (skew guard) →
+  equi-self-join on shingle → common counts vs union (pure DataFrame ops,
+  SQL-oracle-able);
 * embedding near-dup — sign-LSH bucketing (seeded hyperplanes broadcast),
   exact cosine within buckets.
 """
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-_MERSENNE = (1 << 61) - 1
 
 
 def dedup_exact(df: DataFrame, key: Column | str, tiebreak: str,
@@ -41,45 +40,30 @@ def dedup_exact(df: DataFrame, key: Column | str, tiebreak: str,
     return df.withColumn(keep_col, F.row_number().over(w) == 1)
 
 
-def _stable_hash64(s: str) -> int:
-    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
-
-
-def _hash_params(n_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
-    return a, b
-
-
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 64,
                        shingle_words: int = 3, seed: int = 7) -> DataFrame:
-    """Per-doc MinHash signature over word ``shingle_words``-grams."""
-    a, b = _hash_params(n_hashes, seed)
+    """Per-doc MinHash signature over word ``shingle_words``-grams.
 
-    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for text in pdf[text_col]:
-                words = str(text).lower().split()
-                if len(words) >= shingle_words:
-                    grams = {" ".join(words[i:i + shingle_words])
-                             for i in range(len(words) - shingle_words + 1)}
-                else:
-                    grams = {" ".join(words)} if words else {""}
-                h = np.array([_stable_hash64(g) for g in grams],
-                             dtype=np.uint64).astype(np.int64) % _MERSENNE
-                # (a*h + b) mod p for all hash fns at once: [k, n_grams]
-                vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
-                out.append(vals.min(axis=1))
-            res = pdf[[id_col]].copy()
-            res["signature"] = out
-            yield res
-
-    id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
-        sig, schema=f"{id_col} {id_type}, signature array<long>")
+    Scale shape: shingles are exploded once (Arrow-batched string gen), then
+    EVERYTHING is JVM-side — hash function ``i`` is the independently-seeded
+    ``xxhash64(seed·n + i, shingle)`` (a min-wise family: each seed induces
+    an independent pseudo-permutation of the shingle universe — unlike an
+    affine transform of ONE base hash, whose min degenerates to the same
+    shingle for every function), min-aggregated with map-side partial
+    aggregation. One shuffle of ``n_hashes`` longs per doc; zero per-token
+    Python hashing.
+    """
+    sh = word_shingles(df, text_col, id_col, k=shingle_words)
+    mins = [
+        F.min(F.xxhash64(F.lit(seed * n_hashes + i), F.col("shingle")))
+        .alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*mins)
+    return sigs.select(
+        id_col,
+        F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("signature"))
 
 
 def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
@@ -118,65 +102,118 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               seed: int = 11) -> DataFrame:
-    """64-bit SimHash over words (unweighted bit votes)."""
+    """64-bit SimHash over words (unweighted bit votes, duplicates counted).
+
+    Fully JVM-side: explode words, ``xxhash64`` per word, 64 bit-vote sums
+    with map-side partial aggregation, bits reassembled with shift/OR.
+    Bit ``i`` is set iff ``Σ_words (2·bit_i(h) − 1) > 0`` ⟺
+    ``2·Σ bit_i(h) > n_words`` — identical to the per-word ±1 vote rule.
+    """
     _ = seed
+    words = F.explode(
+        F.split(F.lower(F.col(text_col).cast("string")), r"\s+")).alias("w")
+    exploded = (df.select(id_col, words)
+                .where(F.col("w") != F.lit("")))
+    h = F.xxhash64(F.col("w"))
+    bit_sums = [
+        F.sum(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))).alias(f"_s{i}")
+        for i in range(64)
+    ]
+    agg = exploded.groupBy(id_col).agg(F.count("*").alias("_n"), *bit_sums)
+    # empty-vocabulary docs (whitespace-only text) vote all-negative → 0,
+    # matching the Python semantics; restore them via left join on the input
+    bits = [
+        (F.lit(2) * F.col(f"_s{i}") > F.col("_n")).cast("long").alias(f"_b{i}")
+        for i in range(64)
+    ]
+    with_bits = agg.select(id_col, *bits)
+    val: Column = F.lit(0).cast("long")
+    for i in range(64):
+        val = val.bitwiseOR(F.shiftleft(F.col(f"_b{i}"), i))
+    hashed = with_bits.select(id_col, val.alias("simhash"))
+    all_ids = df.select(id_col).distinct()
+    return (all_ids.join(hashed, id_col, "left")
+            .select(id_col, F.coalesce("simhash", F.lit(0)).alias("simhash")))
 
-    def sh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for text in pdf[text_col]:
-                votes = np.zeros(64, dtype=np.int64)
-                shifts = np.arange(64, dtype=np.uint64)
-                for wrd in str(text).lower().split():
-                    h = np.uint64(_stable_hash64(wrd))
-                    bits = (h >> shifts) & np.uint64(1)
-                    votes += np.where(bits == np.uint64(1), 1, -1)
-                bits = (votes > 0).astype(np.uint64)
-                val = 0
-                for i in range(64):
-                    val |= int(bits[i]) << i
-                # store as signed 64-bit
-                out.append(val - (1 << 64) if val >= (1 << 63) else val)
-            res = pdf[[id_col]].copy()
-            res["simhash"] = pd.array(out, dtype="int64")
-            yield res
 
-    id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
-        sh, schema=f"{id_col} {id_type}, simhash long")
-
-
-def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
-    """ALL pairs within Hamming distance ``max_hamming``: the 64 bits are cut
-    into ``max_hamming + 1`` chunks, so by pigeonhole any qualifying pair
-    shares at least one exact chunk → chunk-bucket join generates a complete
-    candidate set, then ``bit_count(xor)`` verifies exactly."""
-    n_chunks = max_hamming + 1
+def _simhash_chunks(n_chunks: int) -> list[tuple[int, int, int]]:
+    """(chunk_id, start_bit, mask) cutting 64 bits into ``n_chunks`` pieces."""
     width = 64 // n_chunks
     specs = []
     for i in range(n_chunks):
         start = i * width
         w = 64 - start if i == n_chunks - 1 else width
         specs.append((i, start, (1 << w) - 1))
-    chunks = hashes.select(
-        id_col, "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("chunk"),
-                     F.shiftrightunsigned("simhash", start)
-                     .bitwiseAND(F.lit(mask)).alias("key"))
-            for i, start, mask in specs
-        ])).alias("c"))
-    chunks = chunks.select(id_col, "simhash", "c.chunk", "c.key")
-    l, r = chunks.alias("l"), chunks.alias("r")
-    cand = (l.join(r, (F.col("l.chunk") == F.col("r.chunk"))
-                   & (F.col("l.key") == F.col("r.key"))
-                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .select(F.col(f"l.{id_col}").alias("doc_a"),
-                    F.col(f"r.{id_col}").alias("doc_b"),
-                    F.col("l.simhash").alias("h_a"),
-                    F.col("r.simhash").alias("h_b"))
-            .dropDuplicates(["doc_a", "doc_b"]))
+    return specs
+
+
+def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """ALL pairs within Hamming distance ``max_hamming``, exactly.
+
+    * ``max_hamming ≤ 3`` — single-round pigeonhole: ``h+1`` chunks of ≥16
+      bits; any qualifying pair shares ≥1 exact chunk. Random-pair collision
+      probability per chunk ≤ 2⁻¹⁶ → candidate volume ~(h+1)·N²/2¹⁶ — safe.
+    * ``4 ≤ max_hamming ≤ 7`` — two-chunk pigeonhole: ``h+2`` chunks (≥8
+      bits); ``h`` bit errors leave ≥2 intact chunks, so bucketing on every
+      chunk PAIR (C(h+2,2) keys of ≥16 bits) is complete. Candidate volume
+      ~C(h+2,2)·N²/2¹⁶ — vs ~N²·(h+1)/2⁹ for the naive 9-bit single-chunk
+      cut, a ~40× reduction at h=6.
+
+    Exact ``bit_count(xor)`` verification after bucketing in both paths.
+    """
+    if max_hamming <= 3:
+        specs = _simhash_chunks(max_hamming + 1)
+        chunks = hashes.select(
+            id_col, "simhash",
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("chunk"),
+                         F.shiftrightunsigned("simhash", start)
+                         .bitwiseAND(F.lit(mask)).alias("key"))
+                for i, start, mask in specs
+            ])).alias("c"))
+        chunks = chunks.select(id_col, "simhash", "c.chunk", "c.key")
+        l, r = chunks.alias("l"), chunks.alias("r")
+        cand = (l.join(r, (F.col("l.chunk") == F.col("r.chunk"))
+                       & (F.col("l.key") == F.col("r.key"))
+                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+                .select(F.col(f"l.{id_col}").alias("doc_a"),
+                        F.col(f"r.{id_col}").alias("doc_b"),
+                        F.col("l.simhash").alias("h_a"),
+                        F.col("r.simhash").alias("h_b"))
+                .dropDuplicates(["doc_a", "doc_b"]))
+    elif max_hamming <= 7:
+        specs = _simhash_chunks(max_hamming + 2)
+        pair_structs = []
+        for ai in range(len(specs)):
+            for bi in range(ai + 1, len(specs)):
+                _, sa, ma = specs[ai]
+                _, sb, mb = specs[bi]
+                pair_structs.append(F.struct(
+                    F.lit(ai * len(specs) + bi).alias("chunk"),
+                    F.shiftrightunsigned("simhash", sa)
+                    .bitwiseAND(F.lit(ma)).alias("key"),
+                    F.shiftrightunsigned("simhash", sb)
+                    .bitwiseAND(F.lit(mb)).alias("key2")))
+        chunks = (hashes.select(
+            id_col, "simhash",
+            F.explode(F.array(*pair_structs)).alias("c"))
+            .select(id_col, "simhash", "c.chunk", "c.key", "c.key2"))
+        l, r = chunks.alias("l"), chunks.alias("r")
+        cand = (l.join(r, (F.col("l.chunk") == F.col("r.chunk"))
+                       & (F.col("l.key") == F.col("r.key"))
+                       & (F.col("l.key2") == F.col("r.key2"))
+                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+                .select(F.col(f"l.{id_col}").alias("doc_a"),
+                        F.col(f"r.{id_col}").alias("doc_b"),
+                        F.col("l.simhash").alias("h_a"),
+                        F.col("r.simhash").alias("h_b"))
+                .dropDuplicates(["doc_a", "doc_b"]))
+    else:
+        raise ValueError(
+            f"max_hamming={max_hamming} unsupported: chunks would drop below "
+            f"8 bits and the candidate set degenerates toward all-pairs; "
+            f"use a larger sketch or multi-round bucketing")
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (cand.withColumn("hamming", hamming)
             .where(F.col("hamming") <= F.lit(max_hamming))
@@ -227,16 +264,44 @@ def word_shingles(df: DataFrame, text_col: str = "text",
         gen, schema=f"{id_col} {id_type}, shingle string")
 
 
+def drop_hot_keys(rel: DataFrame, key_col: str, max_df: int | None,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Skew guard for key self-joins: drop keys present in more than
+    ``max_df`` documents.
+
+    One ubiquitous key (boilerplate shingle, license header fingerprint)
+    otherwise creates an O(N²) bucket in the downstream equi-self-join at
+    scale. The hot-key list is small by construction (≤ total_rows/max_df
+    keys) → broadcast anti-join, no extra shuffle on ``rel``. Dropping
+    ubiquitous shingles also improves pair precision (they carry no
+    discriminative signal).
+    """
+    if max_df is None:
+        return rel
+    hot = (rel.groupBy(key_col)
+           .agg(F.countDistinct(id_col).alias("_df"))
+           .where(F.col("_df") > F.lit(int(max_df)))
+           .select(key_col))
+    return rel.join(F.broadcast(hot), key_col, "left_anti")
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
-                        threshold: float = 0.2) -> DataFrame:
+                        threshold: float = 0.2,
+                        max_df: int | None = None) -> DataFrame:
     """Exact word-k-gram Jaccard for every pair sharing ≥1 shingle.
 
     The shingle relation feeds three plan branches (self-join ×2 + sizes);
     it is persisted so the string-generation subtree runs once — without
     this Catalyst recomputes it per branch (measured 27 s → 2 s at 5k docs).
+
+    ``max_df`` (recommended at scale): drop shingles appearing in more than
+    ``max_df`` docs BEFORE the self-join (:func:`drop_hot_keys`); doc sizes
+    are computed on the capped relation, so the Jaccard is consistently "over
+    non-ubiquitous shingles".
     """
-    sh = word_shingles(df, text_col, id_col, k).persist()
+    sh = word_shingles(df, text_col, id_col, k)
+    sh = drop_hot_keys(sh, "shingle", max_df, id_col=id_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")
     common = (l.join(r, (F.col("l.shingle") == F.col("r.shingle"))
@@ -270,6 +335,9 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     mod_mask = np.uint64((1 << 61) - 1)
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # uint64 wraparound is the hash semantics (mod 2^64 then & mask) —
+        # silence numpy's overflow warning for this scope only
+        np.seterr(over="ignore")
         for pdf in batches:
             ids, hashes = [], []
             for doc, text in zip(pdf[id_col], pdf[text_col]):
@@ -310,8 +378,13 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
 
 
 def fingerprint_overlap_pairs(fps: DataFrame, id_col: str = "doc_id",
-                              min_common: int = 3) -> DataFrame:
-    """Candidate near-dup pairs by shared winnowing fingerprints."""
+                              min_common: int = 3,
+                              max_df: int | None = None) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints.
+
+    ``max_df`` drops fingerprints shared by more than ``max_df`` docs before
+    the self-join (skew guard, :func:`drop_hot_keys`)."""
+    fps = drop_hot_keys(fps, "fingerprint", max_df, id_col=id_col)
     l, r = fps.alias("l"), fps.alias("r")
     return (l.join(r, (F.col("l.fingerprint") == F.col("r.fingerprint"))
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))

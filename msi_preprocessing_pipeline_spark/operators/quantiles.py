@@ -39,7 +39,9 @@ def exact_quantiles(df: DataFrame, col: str, qs,
     if n == 0:
         return np.full(qs.shape, np.nan)
     if n <= collect_threshold:
-        vals = np.asarray([r[0] for r in values.collect()], dtype=float)
+        # Arrow-batched transfer: row-based collect() deserializes one Row
+        # object per value (~10× wall on 10^6 scalars)
+        vals = values.toPandas()[values.columns[0]].to_numpy(dtype=float)
         return np.percentile(vals, 100.0 * qs)
     ordered = values.sort(col).rdd.map(lambda r: r[0])
     with_rank = ordered.zipWithIndex()  # global rank after range-partitioned sort

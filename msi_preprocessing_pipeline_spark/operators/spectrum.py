@@ -78,6 +78,27 @@ class ArtifactSet:
             merge_lengths=np.asarray(row["merge_lengths"], dtype=np.int64),
         )
 
+_BANDS_CACHE: dict[tuple, "convolve_k.ComponentBands"] = {}
+
+
+def _bands_for(art: "ArtifactSet") -> "convolve_k.ComponentBands":
+    """Per-worker-process cache of the banded Gaussian design.
+
+    ``build_bands`` runs per (axis, model); without this cache every TASK
+    paid it (reused Python workers run many tasks), a fixed cost that grows
+    with task count and erodes scaling efficiency at high parallelism."""
+    key = (art.version, art.valid_from_ts, art.gmm_mu.size,
+           hash(art.gmm_mu.tobytes()), hash(art.mz_axis.tobytes()))
+    bands = _BANDS_CACHE.get(key)
+    if bands is None:
+        bands = convolve_k.build_bands(art.mz_axis, art.gmm_mu, art.gmm_sig,
+                                       art.gmm_w)
+        if len(_BANDS_CACHE) > 16:
+            _BANDS_CACHE.clear()
+        _BANDS_CACHE[key] = bands
+    return bands
+
+
 ARTIFACT_SCHEMA = (
     "version int, valid_from_ts long, mz_axis array<double>, b1 double, "
     "b2 double, pafft_reference array<double>, tic_reference_tic double, "
@@ -157,8 +178,8 @@ def tic_outlier_thresholds(df: DataFrame, tic_col: str = "tic",
         # one collect replaces ~6 quantile/extrema jobs and runs the exact
         # numpy phase-1 directly (identical arithmetic to the distributed
         # path by construction)
-        tics = np.asarray([r[0] for r in df.select(tic_col).collect()],
-                          dtype=float)
+        tics = (df.select(tic_col).toPandas()[tic_col]
+                .to_numpy(dtype=float))
         from ..kernels.stats import median_and_iqr
         if median_and_iqr(tics)[1] == 0.0:
             return outlier_k.TicThresholds(b1=float("-inf"), b2=float("inf"))
@@ -313,8 +334,7 @@ def featurize_stage(df: DataFrame, artifacts: ArtifactSet,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         art: ArtifactSet = art_bc.value
-        bands = convolve_k.build_bands(art.mz_axis, art.gmm_mu, art.gmm_sig,
-                                       art.gmm_w)
+        bands = _bands_for(art)
         for pdf in batches:
             mat = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
             feats = convolve_k.featurize_batch(mat, bands)
@@ -424,7 +444,6 @@ def serve_features(df: DataFrame, artifact_versions: dict[int, ArtifactSet],
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         arts = arts_bc.value
         axes = axes_bc.value
-        bands_cache: dict[int, convolve_k.ComponentBands] = {}
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
             features: list = [None] * len(pdf)
@@ -433,9 +452,7 @@ def serve_features(df: DataFrame, artifact_versions: dict[int, ArtifactSet],
                 art = arts.get(ver)
                 if art is None:
                     continue
-                if ver not in bands_cache:
-                    bands_cache[ver] = convolve_k.build_bands(
-                        art.mz_axis, art.gmm_mu, art.gmm_sig, art.gmm_w)
+                bands = _bands_for(art)
                 rows = []
                 for toks, src in zip(grp["tokens"], grp["source"]):
                     x = axis_k.resample_row(art.mz_axis, axes[src],
@@ -447,8 +464,7 @@ def serve_features(df: DataFrame, artifact_versions: dict[int, ArtifactSet],
                     rows.append(x.astype(np.float32)
                                 * (art.tic_reference_tic
                                    / float(x.astype(np.float32).sum())))
-                feats = convolve_k.featurize_batch(np.stack(rows),
-                                                   bands_cache[ver])
+                feats = convolve_k.featurize_batch(np.stack(rows), bands)
                 merged = merge_k.apply_merging(feats, art.merge_starts,
                                                art.merge_lengths)
                 for pos, vec in zip(grp.index, merged):

@@ -163,3 +163,63 @@ def test_embedding_near_dup_lsh_vs_exact_subset(spark):
     lsh_set = {(a, b) for a, b in zip(lsh_pairs.id_a, lsh_pairs.id_b)}
     assert lsh_set <= exact_set
     assert len(lsh_set) > 0
+
+
+def test_simhash_chunk_pair_bucketing_is_complete(corpus):
+    # the hd 4-7 path buckets on chunk PAIRS (h+2 chunks); completeness:
+    # every pair within the radius must surface — verify against brute force
+    hashes = dedup.simhash64(corpus).toPandas()
+    vals = dict(zip(hashes.doc_id, hashes.simhash))
+    expected = set()
+    ids = sorted(vals)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hd = bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+            if hd <= 6:
+                expected.add((min(a, b), max(a, b)))
+    got_df = dedup.simhash_near_pairs(
+        corpus.sparkSession.createDataFrame(hashes), max_hamming=6).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(got_df.doc_a, got_df.doc_b)}
+    assert got == expected
+
+
+def test_simhash_single_chunk_path_complete(corpus):
+    hashes = dedup.simhash64(corpus).toPandas()
+    vals = dict(zip(hashes.doc_id, hashes.simhash))
+    expected = set()
+    ids = sorted(vals)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hd = bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+            if hd <= 3:
+                expected.add((min(a, b), max(a, b)))
+    got_df = dedup.simhash_near_pairs(
+        corpus.sparkSession.createDataFrame(hashes), max_hamming=3).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(got_df.doc_a, got_df.doc_b)}
+    assert got == expected
+
+
+def test_hot_key_guard_drops_ubiquitous_shingles(spark):
+    # plant one boilerplate sentence in EVERY doc: without the df cap it
+    # creates a quadratic candidate bucket; with the cap the shingle relation
+    # loses exactly the ubiquitous keys and unrelated docs stop pairing up
+    import numpy as np
+    rng = np.random.RandomState(7)
+    boiler = "this content is licensed under the same terms for all users"
+    rows = [(f"d{i:03d}",
+             " ".join(rng.choice([f"u{i}w{j}" for j in range(30)], size=25))
+             + " " + boiler)
+            for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sh_all = dedup.word_shingles(df, k=5)
+    capped = dedup.drop_hot_keys(sh_all, "shingle", max_df=10)
+    hot_remaining = (capped.groupBy("shingle").count()
+                     .where(F.col("count") > 10).count())
+    assert hot_remaining == 0
+    assert capped.count() < sh_all.count()
+    # uncapped: every doc pairs with every other through the boilerplate
+    uncapped_pairs = dedup.ngram_jaccard_pairs(df, k=5, threshold=0.0)
+    capped_pairs = dedup.ngram_jaccard_pairs(df, k=5, threshold=0.0,
+                                             max_df=10)
+    assert uncapped_pairs.count() == 40 * 39 // 2
+    assert capped_pairs.count() == 0
