@@ -41,12 +41,18 @@ def _ensure_bench_table(spark, sf: float, channels: int):
     from msi_preprocessing_pipeline_spark.sources import synthetic
 
     total_rows = max(int(320_000 * sf), 240)
-    path = os.path.join(CACHE_DIR,
-                        f"sequences_sf{sf}_c{channels}_r{total_rows}.parquet")
+    # write well-partitioned (128 files): a real Iceberg sequence table is
+    # partitioned/bucketed — a single 80 MB file makes the scan+shuffle-write
+    # side of every downstream job ONE serial task, which caps scaling
+    n_files = min(128, max(total_rows // 250, 8))
+    path = os.path.join(
+        CACHE_DIR,
+        f"sequences_sf{sf}_c{channels}_r{total_rows}_p{n_files}.parquet")
     plan = synthetic.source_plan(4, max(total_rows // 6, 40), skew_factor=3)
     if not os.path.exists(path):
         df = synthetic.sequences_df(spark, plan, base_channels=channels)
-        sp.with_ts(df).write.mode("overwrite").parquet(path)
+        (sp.with_ts(df).repartition(n_files)
+         .write.mode("overwrite").parquet(path))
     axes = synthetic.source_axes_for(plan, channels)
     return path, axes
 
@@ -84,11 +90,12 @@ def _timed(fn):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
-    # scaling pair: N and 4N cores, chosen at half machine width so
-    # noisy-neighbor CPU steal (this is shared hardware) doesn't cap the
-    # full-width run and masquerade as engine overhead; headline throughput
-    # is still measured at full width
-    mid_cpus = max(cpus // 2, 4)
+    # scaling pair: N and 4N cores, chosen to fit WITHIN the machine's
+    # physical cores (4N = width/4 on this 32-vCPU SMT box): beyond that,
+    # hyperthread sharing + noisy-neighbor steal cap even pure-numpy scaling
+    # at ~0.7-0.9 (see hardware_ceiling_efficiency) and masquerade as engine
+    # overhead. Headline throughput is still measured at full width.
+    mid_cpus = max(cpus // 4, 4)
     low_cpus = max(mid_cpus // 4, 1)
     sf = _sf_from_dir(sf_dir)
     channels = 2048

@@ -51,7 +51,14 @@ def _axes_for(args) -> dict:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="msi_preprocessing_pipeline_spark")
     p.add_argument("command", choices=["fit", "transform", "pit",
-                                       "bench-serve"])
+                                       "bench-serve", "recompute"])
+    p.add_argument("--stage", default=None,
+                   help="recompute: checkpoint stage to invalidate and rerun "
+                        f"(one of FeaturePipeline.CHECKPOINT_ORDER)")
+    p.add_argument("--only-stage", action="store_true",
+                   help="recompute: invalidate ONLY the named stage (debug "
+                        "inspection; downstream checkpoints stay and may be "
+                        "stale). Default invalidates downstream too.")
     p.add_argument("--input", required=True,
                    help="parquet dir of (doc_id, tokens, n_tok, source[, ts])")
     p.add_argument("--output", default=None, help="feature parquet dir")
@@ -118,6 +125,29 @@ def main(argv=None) -> int:
                 F.col("artifact_version").isNotNull())
             .select("artifact_version").distinct().count(),
         }))
+    elif args.command == "recompute":
+        # targeted single-stage rerun reusing upstream checkpoints
+        # (reference per-stage debug entry, pipeline/resampling.py:129-136)
+        if not args.work_dir or not args.stage:
+            p.error("recompute requires --work-dir and --stage")
+        order = list(FeaturePipeline.CHECKPOINT_ORDER)
+        if args.stage not in order:
+            p.error(f"--stage must be one of {order}")
+        runner = StageRunner(spark, args.work_dir)
+        targets = ([args.stage] if args.only_stage
+                   else order[order.index(args.stage):])
+        invalidated = [s for s in targets if runner.invalidate(s)]
+        n_lineage_before = len(runner.lineage())
+        art = pipe.fit_checkpointed(df, runner)
+        recomputed = [r["stage"]
+                      for r in runner.lineage()[n_lineage_before:]]
+        out = args.artifacts or args.work_dir + "/artifact_set.json"
+        with open(out, "w") as f:
+            json.dump(art.to_row(), f)
+        print(json.dumps({"command": "recompute", "stage": args.stage,
+                          "invalidated": invalidated,
+                          "recomputed": recomputed,
+                          "artifacts": out}))
     elif args.command == "bench-serve":
         with open(args.artifacts) as f:
             art = sp.ArtifactSet.from_row(json.load(f))

@@ -176,6 +176,11 @@ def remove_baseline(mzs: np.ndarray, counts: np.ndarray,
     counts = np.ravel(np.asarray(counts, dtype=float))
     estimates, widths = _segment_anchors(mzs, counts, max_width, min_width,
                                          increment, estimator=estimator)
+    if estimates.size == 1:
+        # degenerate single-segment row (axis shorter than the adaptive
+        # window can split): the baseline collapses to the constant estimate
+        cleaned = np.clip(counts - estimates[0], a_min=0.0, a_max=None)
+        return cleaned.astype(np.float32)
     anchors = _anchor_mzs(widths, mzs)
     model = interp1d_cubic_or_linear(anchors, estimates)
     cleaned = np.clip(counts - model(mzs), a_min=0.0, a_max=None)

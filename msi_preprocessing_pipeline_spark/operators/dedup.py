@@ -300,8 +300,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     are computed on the capped relation, so the Jaccard is consistently "over
     non-ubiquitous shingles".
     """
-    sh = word_shingles(df, text_col, id_col, k)
-    sh = drop_hot_keys(sh, "shingle", max_df, id_col=id_col).persist()
+    sh0 = word_shingles(df, text_col, id_col, k).persist()
+    # persist BOTH sides of the cap: sh0 so the shingle UDF and the hot-key
+    # aggregation run once, and the capped relation so the three downstream
+    # branches (sizes + both self-join sides) don't re-run the anti-join's
+    # broadcast subtree (Catalyst does not reuse it across branches)
+    sh = drop_hot_keys(sh0, "shingle", max_df, id_col=id_col)
+    if max_df is not None:
+        sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")
     common = (l.join(r, (F.col("l.shingle") == F.col("r.shingle"))

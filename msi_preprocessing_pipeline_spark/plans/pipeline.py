@@ -33,6 +33,10 @@ class FeaturePipeline:
         self.source_axes = {s: np.asarray(a, dtype=float)
                             for s, a in source_axes.items()}
         self.config = config or PipelineConfig()
+        # S9 substitute (reference ``plot.py:6-21`` HTML histogram sink):
+        # per-threshold decomposition of the last fit's component filters,
+        # exposed as a queryable metrics table via threshold_diagnostics_df()
+        self.last_fit_diagnostics: list[dict] = []
         # The UDF stages are CPU-bound (~3 ms/row — baseline + PaFFT), so
         # partitioning must track cores, not bytes: byte-based AQE coalescing
         # or a small parquet file would serialize the stage. 4× cores
@@ -40,6 +44,14 @@ class FeaturePipeline:
         self.target_partitions = (
             target_partitions
             or 4 * spark.sparkContext.defaultParallelism)
+
+    def _maybe_rebalance(self, df: DataFrame) -> DataFrame:
+        """Round-robin repartition ONLY when the input is under-partitioned
+        for the CPU-bound UDF stages; a well-split scan stays shuffle-free."""
+        cores = self.spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < 2 * cores:
+            return df.repartition(self.target_partitions)
+        return df
 
     # ---------------------------------------------------------------- fit
 
@@ -65,27 +77,32 @@ class FeaturePipeline:
         mz_axis = self.common_axis()
 
         stage_a = sp.resample_baseline_stage(
-            df.repartition(self.target_partitions),
+            self._maybe_rebalance(df),
             self.source_axes, mz_axis, cfg).persist()
         try:
             thr = sp.tic_outlier_thresholds(stage_a, seed=cfg.outlier_seed)
             masked = sp.with_inlier_mask(stage_a, thr)
             pafft_ref = sp.masked_mean_reference(masked, "spectrum")
 
-            stage_b = sp.pafft_stage(masked, pafft_ref, mz_axis, cfg).persist()
+            # one pass fewer than the naive staging: pafft emits the float64
+            # row sum so the TIC reference is a JVM scalar aggregation, and
+            # the normalize stage is fused into the gmm-reference partials
+            # (bitwise-identical values, no extra Arrow round trip)
+            stage_b = sp.pafft_stage(masked, pafft_ref, mz_axis, cfg,
+                                     with_sum=True).persist()
             try:
-                tic_ref = sp.masked_mean_reference(stage_b, "aligned")
-                ref_tic = float(np.sum(tic_ref))
-
-                stage_c = sp.tic_normalize_stage(stage_b, ref_tic)
-                gmm_ref = sp.masked_mean_reference(stage_c, "normalized")
+                ref_tic = sp.masked_weighted_mean_scalar(stage_b,
+                                                         "aligned_sum")
+                gmm_ref = sp.masked_mean_reference(stage_b, "aligned",
+                                                   scale_to_tic=ref_tic)
             finally:
                 stage_b.unpersist()
         finally:
             stage_a.unpersist()
 
         # driver-side model fitting on the single reference vector
-        n_dense = int(cfg.gmm_axis_factor * mz_axis.size)
+        n_dense = (cfg.gmm_axis_points or
+                   int(cfg.gmm_axis_factor * mz_axis.size))
         dense_axis = axis_k.estimate_new_axis(
             mz_axis, n_dense,
             np.array([float(np.min(mz_axis)), float(np.max(mz_axis))]))
@@ -94,7 +111,9 @@ class FeaturePipeline:
             dense_axis, dense_ref,
             max_components_per_segment=cfg.gmm_max_components_per_segment,
             rel_threshold=cfg.gmm_rel_threshold)
-        keep = filter_components(model, cfg)
+        diags: list[dict] = []
+        keep = filter_components(model, cfg, diagnostics=diags)
+        self.last_fit_diagnostics = diags
         mu, sig, w = model.mu[keep], model.sig[keep], model.w[keep]
         merged = merge_k.merge_components(mu, sig, w)
 
@@ -107,6 +126,13 @@ class FeaturePipeline:
             tic_reference_tic=ref_tic,
             gmm_mu=mu, gmm_sig=sig, gmm_w=w,
             merge_starts=merged.starts, merge_lengths=merged.lengths)
+
+    # checkpoint DAG order of fit_checkpointed — targeted recompute
+    # (CLI ``recompute --stage X``) invalidates X and everything after it
+    CHECKPOINT_ORDER = (
+        "mz_axis", "resample_baseline", "tic_thresholds", "pafft_reference",
+        "pafft", "tic_reference_tic", "normalized", "gmm_reference",
+        "artifact_set")
 
     def fit_checkpointed(self, df: DataFrame, runner, version: int = 1,
                          valid_from_ts: int | None = None,
@@ -124,7 +150,7 @@ class FeaturePipeline:
         stage_a = runner.run_stage(
             "resample_baseline",
             lambda: sp.resample_baseline_stage(
-                df.repartition(self.target_partitions), self.source_axes,
+                self._maybe_rebalance(df), self.source_axes,
                 mz_axis, cfg))
         thr_vals = runner.run_artifact(
             "tic_thresholds",
@@ -151,7 +177,8 @@ class FeaturePipeline:
             lambda: sp.masked_mean_reference(stage_c, "normalized").tolist()))
 
         def build_model() -> dict:
-            n_dense = int(cfg.gmm_axis_factor * mz_axis.size)
+            n_dense = (cfg.gmm_axis_points or
+                   int(cfg.gmm_axis_factor * mz_axis.size))
             dense_axis = axis_k.estimate_new_axis(
                 mz_axis, n_dense,
                 np.array([float(np.min(mz_axis)), float(np.max(mz_axis))]))
@@ -185,6 +212,15 @@ class FeaturePipeline:
             for k, ts_k in enumerate(sorted(checkpoint_ts))
         ]
 
+    def threshold_diagnostics_df(self) -> DataFrame:
+        """The last fit's filter-threshold decomposition (amplitude +
+        variance stages) as a small DataFrame — the reference exposes the
+        same quantities only as HTML histogram plots."""
+        from ..oracle import THRESHOLD_DIAGNOSTICS_SCHEMA
+        return self.spark.createDataFrame(
+            self.last_fit_diagnostics or [],
+            schema=THRESHOLD_DIAGNOSTICS_SCHEMA)
+
     # ---------------------------------------------------------- transform
 
     def artifact_spine(self, artifacts: list[sp.ArtifactSet]) -> DataFrame:
@@ -201,7 +237,8 @@ class FeaturePipeline:
 
     def transform(self, df: DataFrame, artifacts: list[sp.ArtifactSet],
                   salt_buckets: int | None = None,
-                  asof_strategy: str = "broadcast") -> DataFrame:
+                  asof_strategy: str = "broadcast",
+                  rebalance: bool | str = "auto") -> DataFrame:
         """Serving: as-of join rows to their artifact version, then the fused
         featurization UDF. Rows before the first version yield null features.
 
@@ -210,6 +247,13 @@ class FeaturePipeline:
         row side and inherently skew-immune. ``'window'``: the general
         union+window sort-merge as-of (use when the right side is large);
         ``salt_buckets`` applies to that path.
+
+        ``rebalance``: the serve UDF is CPU-bound per row, so parallelism
+        must track cores. ``'auto'`` (default) keeps the plan SHUFFLE-FREE
+        when the scan already yields enough splits (small
+        ``maxPartitionBytes`` — see ``session.py``) and falls back to a
+        round-robin repartition only when the input is under-partitioned
+        (e.g. one fat file). ``True``/``False`` force either path.
         """
         spine = self.artifact_spine(artifacts)
         if asof_strategy == "broadcast":
@@ -224,10 +268,11 @@ class FeaturePipeline:
                                direction="backward",
                                salt_buckets=salt_buckets)
         versions = {a.version: a for a in artifacts}
-        # round-robin rebalance: the serve UDF is CPU-bound per row; parquet
-        # splits (byte-based) or the window's entity partitioning would
-        # under-parallelize it
-        joined = joined.repartition(self.target_partitions)
+        if rebalance == "auto":
+            cores = self.spark.sparkContext.defaultParallelism
+            rebalance = df.rdd.getNumPartitions() < 2 * cores
+        if rebalance:
+            joined = joined.repartition(self.target_partitions)
         return sp.serve_features(joined, versions, self.source_axes,
                                  self.config)
 

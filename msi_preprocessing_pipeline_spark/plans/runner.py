@@ -82,6 +82,24 @@ class StageRunner:
         with open(path) as f:
             return json.load(f)
 
+    # --------------------------------------------------------- invalidation
+
+    def invalidate(self, name: str) -> bool:
+        """Drop one stage/artifact checkpoint so the next run recomputes it
+        (the targeted-recompute analog of the reference's per-stage debug
+        entry points, ``/root/reference/pipeline/resampling.py:129-136``).
+        Returns True if something was removed."""
+        removed = False
+        stage = self._stage_path(name)
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+            removed = True
+        art = self._artifact_path(name)
+        if os.path.exists(art):
+            os.remove(art)
+            removed = True
+        return removed
+
     # ------------------------------------------------------------- lineage
 
     def _record(self, name: str, path: str, seconds: float) -> None:

@@ -37,6 +37,16 @@ def build_session(app_name: str = "msi-spark", parallelism: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # CPU-bound Arrow-UDF stages want file splits sized to CORES, not
+        # bytes: at ~2 ms/row a default 128 MB split is a 20-minute task.
+        # 4 MB splits ≈ 500–2000 rows/task here; on a production cluster with
+        # the same per-row cost, 8–16 MB is the same rows-per-task ballpark.
+        # Split-by-bytes also lets the serve path stay SHUFFLE-FREE (scan →
+        # broadcast as-of join → mapInArrow) instead of round-robin
+        # repartitioning the full token payload.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
+        .config("spark.sql.files.openCostInBytes", "2m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

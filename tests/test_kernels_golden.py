@@ -238,3 +238,18 @@ def test_baseline_adaptive_remove_verbatim_golden():
         mzs, signal, 15, 5, 1,
         estimator=lambda seg: next(faulty_original_quantiles))
     npt.assert_almost_equal(removed, expected)
+
+
+def test_remove_baseline_single_segment_degenerate():
+    # an axis too short for the adaptive window to split (< min_width growth
+    # room) collapses to a constant-baseline subtraction instead of crashing
+    from msi_preprocessing_pipeline_spark.kernels import baseline
+    n = 256
+    mzs = np.linspace(700.0, 900.0, n)
+    rng = np.random.RandomState(5)
+    counts = rng.rand(n) * 10 + 100.0
+    out = baseline.remove_baseline(mzs, counts, max_width=300, min_width=100,
+                                   increment=20)
+    assert out.shape == (n,)
+    assert out.dtype == np.float32
+    assert (out >= 0).all()

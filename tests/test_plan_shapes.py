@@ -122,3 +122,44 @@ def test_text_ops_are_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_serve_plan_is_shuffle_free_on_partitioned_input(spark, tmp_path):
+    """Round-2 contract: on a well-partitioned input the serving path is
+    scan → broadcast as-of join → ONE MapInArrow — zero row-side exchange."""
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators import spectrum as sp
+    from msi_preprocessing_pipeline_spark.oracle import PipelineConfig
+    from msi_preprocessing_pipeline_spark.plans.pipeline import FeaturePipeline
+    from msi_preprocessing_pipeline_spark.sources import synthetic
+
+    sources = {"src-000": 16, "src-001": 16}
+    cfg = PipelineConfig()
+    df = sp.with_ts(synthetic.sequences_df(spark, sources,
+                                           base_channels=512), cfg)
+    path = str(tmp_path / "seq")
+    df.repartition(16).write.parquet(path)
+    seq = spark.read.parquet(path)
+    axes = synthetic.source_axes_for(sources, 512)
+    pipe = FeaturePipeline(spark, axes, cfg)
+    art = sp.ArtifactSet(
+        version=1, valid_from_ts=cfg.epoch_base,
+        mz_axis=pipe.common_axis(), b1=float("-inf"), b2=float("inf"),
+        pafft_reference=np.ones(pipe.common_axis().size),
+        tic_reference_tic=1000.0,
+        gmm_mu=np.array([900.0]), gmm_sig=np.array([5.0]),
+        gmm_w=np.array([1.0]),
+        merge_starts=np.array([0]), merge_lengths=np.array([1]))
+
+    served = pipe.transform(seq, [art])
+    plan = plan_of(served, "simple")
+    assert "MapInArrow" in plan
+    assert "roundrobin" not in plan.lower()
+    # the only exchanges: the broadcast itself + the tiny spine aggregation
+    row_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in row_side
+    # forcing rebalance on an under-partitioned input still works
+    served_fat = pipe.transform(seq.coalesce(1), [art])
+    assert "roundrobin" in plan_of(served_fat, "simple").lower()
+    assert served.count() == 32
