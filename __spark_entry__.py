@@ -491,6 +491,19 @@ def oracle_sql() -> dict[str, str]:
     n_words = ("case when length(trim(text)) = 0 then 0 else "
                "length(string_split_regex(trim(text), '\\s+')) end")
     n_nospace = "length(regexp_replace(text, '\\s+', '', 'g'))"
+    out = _relational_oracles(n_words, n_nospace)
+    # non-SQL-expressible but seeded-deterministic operators (PIT pipeline,
+    # sketch dedup) are hash-checked against pinned golden outputs
+    # (regenerate with .cache/gen_goldens.py after changing them)
+    try:
+        from _golden_oracles import GOLDEN_ORACLES
+        out.update(GOLDEN_ORACLES)
+    except ImportError:
+        pass
+    return out
+
+
+def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
     return {
         "agg_pricing_summary": """
             select l_returnflag, l_linestatus,
