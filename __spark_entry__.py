@@ -327,6 +327,32 @@ def _q_json_props(spark, sf_dir):
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"))
 
 
+def _q_hash_sample(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", fraction=0.2, seed=7) \
+        .select("doc_id", "lang")
+
+
+def _q_stable_split(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.sampling import stable_split
+
+    ev = _t(spark, sf_dir, "events")
+    out = stable_split(ev, "user_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    return out.select("event_id", "user_id", "split")
+
+
+def _q_decontaminate(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 41 == 0)
+    train = docs.where(~(F.col("doc_id") % 41 == 0))
+    return decontaminate(train, bench, k=5, min_common=3)
+
+
 # ---- rows-only (non-SQL-expressible: sketches, seeded MC, PIT pipeline) ----
 
 
@@ -461,6 +487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_key_overlap": _q_user_key_overlap,
         "median_by_type": _q_median_by_type,
         "json_props": _q_json_props,
+        "hash_sample_docs": _q_hash_sample,
+        "stable_split_events": _q_stable_split,
+        "decontaminate_docs": _q_decontaminate,
         # rows-only checks
         "smooth_and_peaks": _q_smooth_and_peaks,
         "pit_features": _q_pit_features,
@@ -767,6 +796,48 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             select event_id,
                    cast(json_extract_string(props, '$.k') as int) as prop_k
             from events
+        """,
+        "hash_sample_docs": """
+            select doc_id, lang from documents
+            where substr(md5(concat(cast(doc_id as varchar), ':', '7')),
+                         1, 8) < '33333333'
+        """,
+        "stable_split_events": """
+            select event_id, user_id,
+                   case when substr(md5(concat(cast(user_id as varchar),
+                                               ':', '42')), 1, 8)
+                             < 'cccccccc' then 'train'
+                        when substr(md5(concat(cast(user_id as varchar),
+                                               ':', '42')), 1, 8)
+                             < 'e6666666' then 'val'
+                        else 'test' end as split
+            from events
+        """,
+        "decontaminate_docs": """
+            with w as (
+                select doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') as words
+                from documents
+            ), sh as (
+                select distinct doc_id,
+                       array_to_string(words[i : i + 4], ' ') as shingle
+                from w, unnest(generate_series(
+                    1, greatest(length(words) - 4, 1))) as t(i)
+            ), bench as (
+                select doc_id as bench_id, shingle from sh
+                where doc_id % 41 = 0
+            ), ov as (
+                select s.doc_id, b.bench_id, count(*) as n_common
+                from sh s join bench b using (shingle)
+                where s.doc_id % 41 <> 0
+                group by 1, 2
+                having count(*) >= 3
+            )
+            select doc_id,
+                   cast(count(distinct bench_id) as bigint)
+                       as n_matched_benchmarks,
+                   cast(max(n_common) as bigint) as max_overlap
+            from ov group by 1
         """,
         "cosine_topk": """
             with q as (

@@ -124,6 +124,36 @@ def _best_shift_from_slices(forward: list, backward: list) -> int:
     return backward.index(peak_bwd) - len(backward)
 
 
+def _best_shift_small(segment: np.ndarray, reference: np.ndarray,
+                      padded: int, limit: int) -> int:
+    """Fused fast path for small segments: one np.correlate supplies every
+    lag; the argmax over the forward/backward windows happens inline without
+    building the slice lists (identical decision rule to
+    ``_best_shift_from_slices(*_correlation_slices(...))``)."""
+    n = segment.size
+    scale = 1.0 / padded
+    wrap_from = padded - n
+    cl = np.correlate(reference, segment, "full").tolist()
+    mid = n - 1
+    peak_fwd, fwd_at = -np.inf, 0
+    for k in range(limit):
+        v = cl[mid + k] if k < n else 0.0
+        if k > wrap_from:
+            v += cl[mid - padded + k]
+        if v > peak_fwd:
+            peak_fwd, fwd_at = v, k
+    peak_bwd, bwd_at = -np.inf, -limit
+    for i, j in enumerate(range(limit, 0, -1)):
+        v = cl[mid - j] if j < n else 0.0
+        if j > wrap_from:
+            v += cl[mid + padded - j]
+        if v > peak_bwd:
+            peak_bwd, bwd_at = v, i - limit
+    if max(peak_fwd, peak_bwd) * scale < _PEAK_FLOOR:
+        return 0
+    return fwd_at if peak_fwd * scale > peak_bwd * scale else bwd_at
+
+
 def _apply_shift(segment: np.ndarray, shift: int) -> np.ndarray:
     if shift == 0 or abs(shift) >= segment.size:
         return segment
@@ -189,6 +219,8 @@ def pafft(counts: np.ndarray, reference_counts: np.ndarray, mzs: np.ndarray,
         limit = min(limit, padded)
         if limit < 1:
             shift = 0
+        elif segment.size <= 128 and limit <= _DIRECT_LAG_LIMIT:
+            shift = _best_shift_small(segment, ref_segment, padded, limit)
         else:
             fwd, bwd = _correlation_slices(segment, ref_segment, padded, limit)
             shift = _best_shift_from_slices(fwd, bwd)

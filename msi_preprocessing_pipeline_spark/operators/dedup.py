@@ -327,6 +327,36 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 8, min_common: int = 2,
+                  max_df: int | None = None) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥ ``min_common``
+    word ``k``-gram shingles with ANY benchmark/eval document — the standard
+    n-gram-overlap contamination test for LLM training corpora.
+
+    Scale shape: both sides explode to distinct shingles (Arrow-batched
+    string gen, then pure JVM); the benchmark shingle relation is small
+    (eval sets are) → BROADCAST equi-join on shingle, one groupBy on the
+    training doc id. ``max_df`` drops boilerplate shingles first
+    (:func:`drop_hot_keys`). Output: one row per CONTAMINATED training doc
+    with the matched benchmark count and worst overlap.
+    """
+    doc_sh = drop_hot_keys(word_shingles(docs, text_col, id_col, k),
+                           "shingle", max_df, id_col=id_col)
+    bench_sh = word_shingles(
+        benchmark.select(F.col(id_col).alias("bench_id"),
+                         F.col(text_col)),
+        text_col, "bench_id", k)
+    overlap = (doc_sh.join(F.broadcast(bench_sh), "shingle")
+               .groupBy(id_col, "bench_id")
+               .agg(F.count("*").alias("n_common"))
+               .where(F.col("n_common") >= F.lit(min_common)))
+    return (overlap.groupBy(id_col)
+            .agg(F.countDistinct("bench_id").alias("n_matched_benchmarks"),
+                 F.max("n_common").alias("max_overlap")))
+
+
 def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 5,
                            window: int = 4) -> DataFrame:

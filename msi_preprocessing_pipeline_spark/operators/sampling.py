@@ -1,0 +1,77 @@
+"""Deterministic, engine-portable sampling and dataset splitting.
+
+Training-data pipelines need samples and train/test splits that are
+(a) reproducible run-to-run, (b) stable under repartitioning/backfill, and
+(c) GROUP-stable (every row of an entity lands in the same split — the
+row-level Bernoulli of ``df.sample`` leaks entities across splits). The
+standard trick: hash a key with a seed and threshold the hash. We use the
+first 8 hex chars of md5 — uniform over [0, 16^8) and bit-identical across
+engines (Spark, DuckDB, Python), so every sample/split is SQL-oracle-able
+and auditable.
+
+Scale shape: pure JVM expressions (md5 + substring + string compare), no
+shuffle, fully pushdown-friendly — a filter on 10^12 rows stays a map-only
+scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16 ** 8
+
+
+def _bucket_hex(key: Column, seed: int) -> Column:
+    """First 8 hex chars of md5(key ':' seed) — a uniform draw in
+    [0, 16^8) encoded as fixed-width lowercase hex (string order ==
+    numeric order)."""
+    return F.substring(
+        F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(seed)))), 1, 8)
+
+
+def _hex_threshold(fraction: float) -> str:
+    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def hash_sample(df: DataFrame, key, fraction: float,
+                seed: int = 0) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on ``key``.
+
+    Rows with the same key are kept or dropped together (dedup-safe), and
+    the selection is identical regardless of partitioning, ordering, or
+    engine — unlike ``DataFrame.sample`` whose outcome depends on the
+    partition layout."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    return df.where(_bucket_hex(key_col, seed) < F.lit(
+        _hex_threshold(fraction)))
+
+
+def stable_split(df: DataFrame, key, weights: dict[str, float],
+                 seed: int = 0, split_col: str = "split") -> DataFrame:
+    """Group-stable dataset split: every row whose ``key`` hashes into a
+    weight band gets that split label; all rows of an entity share a label.
+
+    ``weights`` are normalized; band boundaries are cumulative fractions of
+    the hex hash space (e.g. ``{"train": .8, "val": .1, "test": .1}``)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    total = float(sum(weights.values()))
+    bucket = _bucket_hex(key_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < F.lit(_hex_threshold(acc))
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def sampling_oracle_sql(key_sql: str, fraction: float, seed: int = 0) -> str:
+    """The DuckDB predicate equivalent of :func:`hash_sample`'s filter."""
+    thr = _hex_threshold(fraction)
+    return (f"substr(md5(concat(cast({key_sql} as varchar), ':', "
+            f"'{seed}')), 1, 8) < '{thr}'")

@@ -1,0 +1,80 @@
+"""Deterministic sampling / group-stable splits / benchmark decontamination."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from msi_preprocessing_pipeline_spark.operators import dedup
+from msi_preprocessing_pipeline_spark.operators.sampling import (
+    hash_sample, stable_split)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = set(hash_sample(docs, "doc_id", 0.3, seed=3)
+            .select("doc_id").toPandas().doc_id)
+    b = set(hash_sample(docs.repartition(13), "doc_id", 0.3, seed=3)
+            .select("doc_id").toPandas().doc_id)
+    assert a == b and len(a) > 0
+    # roughly the requested fraction (md5 uniformity)
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n
+    # a different seed draws a different sample
+    c = set(hash_sample(docs, "doc_id", 0.3, seed=4)
+            .select("doc_id").toPandas().doc_id)
+    assert a != c
+
+
+def test_stable_split_is_group_stable_and_exhaustive(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = stable_split(ev, "user_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1},
+                       seed=42).select("user_id", "split").toPandas()
+    per_user = out.groupby("user_id")["split"].nunique()
+    assert (per_user == 1).all()  # every entity lands in exactly one split
+    counts = out.drop_duplicates().split.value_counts()
+    assert set(counts.index) <= {"train", "val", "test"}
+    assert counts.get("train", 0) > counts.get("val", 0)
+    assert counts.get("train", 0) > counts.get("test", 0)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench_text = ("the seven wonders of the ancient world include the great "
+                  "pyramid of giza and the hanging gardens of babylon")
+    rows = [
+        ("t-clean-1", "completely unrelated text about distributed query "
+                      "engines and columnar storage formats for analytics"),
+        ("t-contam-1", "as we know " + bench_text + " according to legend"),
+        ("t-contam-2", bench_text),
+        ("t-clean-2", "another unrelated document mentioning the great "
+                      "pyramid once but nothing else overlapping here ok"),
+    ]
+    train = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]))
+    bench = spark.createDataFrame(
+        pd.DataFrame([("b-1", bench_text)], columns=["doc_id", "text"]))
+    out = dedup.decontaminate(train, bench, k=5, min_common=3).toPandas()
+    flagged = set(out.doc_id)
+    assert flagged == {"t-contam-1", "t-contam-2"}
+    exact = out[out.doc_id == "t-contam-2"]
+    # the verbatim copy shares every benchmark shingle
+    assert int(exact.max_overlap.iloc[0]) >= 10
+    assert (out.n_matched_benchmarks == 1).all()
+
+
+def test_decontaminate_respects_df_cap(spark):
+    # a boilerplate phrase in every training doc must not cause flags once
+    # capped away
+    boiler = "shared boilerplate sentence appearing in every single document"
+    train = spark.createDataFrame(pd.DataFrame(
+        [(f"t-{i}", f"unique words {i} alpha beta gamma delta " + boiler)
+         for i in range(20)], columns=["doc_id", "text"]))
+    bench = spark.createDataFrame(pd.DataFrame(
+        [("b-1", "totally different benchmark text " + boiler)],
+        columns=["doc_id", "text"]))
+    uncapped = dedup.decontaminate(train, bench, k=5, min_common=2).count()
+    capped = dedup.decontaminate(train, bench, k=5, min_common=2,
+                                 max_df=5).count()
+    assert uncapped == 20 and capped == 0
