@@ -344,6 +344,13 @@ def _q_stable_split(spark, sf_dir):
     return out.select("event_id", "user_id", "split")
 
 
+def _q_repetition_stats(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx.repetition_metrics(docs, n=2)
+
+
 def _q_decontaminate(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.dedup import decontaminate
 
@@ -487,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_key_overlap": _q_user_key_overlap,
         "median_by_type": _q_median_by_type,
         "json_props": _q_json_props,
+        "repetition_stats": _q_repetition_stats,
         "hash_sample_docs": _q_hash_sample,
         "stable_split_events": _q_stable_split,
         "decontaminate_docs": _q_decontaminate,
@@ -796,6 +804,26 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             select event_id,
                    cast(json_extract_string(props, '$.k') as int) as prop_k
             from events
+        """,
+        "repetition_stats": """
+            with g as (
+                select doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') as words
+                from documents
+            ), grams as (
+                select doc_id,
+                       array_to_string(words[i : i + 1], ' ') as ngram
+                from g, unnest(generate_series(
+                    1, greatest(length(words) - 1, 1))) as t(i)
+            ), counts as (
+                select doc_id, ngram, count(*) as c
+                from grams group by 1, 2
+            )
+            select doc_id,
+                   round(max(c) * 1.0 / sum(c), 6) as top_ngram_frac,
+                   round(sum(case when c > 1 then c else 0 end) * 1.0
+                         / sum(c), 6) as dup_ngram_frac
+            from counts group by 1
         """,
         "hash_sample_docs": """
             select doc_id, lang from documents

@@ -80,12 +80,15 @@ def main(argv=None) -> int:
     from msi_preprocessing_pipeline_spark.plans.runner import StageRunner
     from pyspark.sql import functions as F
 
+    from msi_preprocessing_pipeline_spark.sources.tables import read_sequences
+
     spark = _existing_or_new_session(args)
     cfg = PipelineConfig()
     axes = _axes_for(args)
     pipe = FeaturePipeline(spark, axes, cfg)
 
-    df = spark.read.parquet(args.input)
+    # path → parquet dir; catalog identifier → spark.read.table (Iceberg/V2)
+    df = read_sequences(spark, args.input)
     if "ts" not in df.columns:
         df = sp.with_ts(df, cfg)
 

@@ -90,3 +90,39 @@ def fingerprint(text_col: str = "text") -> Column:
     normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))),
                                   r"\s+", " ")
     return F.md5(normalized.cast("binary"))
+
+
+def word_ngrams(df: DataFrame, n: int, text_col: str = "text",
+                id_col: str = "doc_id",
+                out_col: str = "ngram") -> DataFrame:
+    """Non-distinct word n-grams per doc, pure JVM (split + slice +
+    concat_ws over a sequence) — the multiset the repetition filters need
+    (unlike ``dedup.word_shingles``, which deduplicates)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), count),
+                        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return df.select(F.col(id_col), F.explode(grams).alias(out_col))
+
+
+def repetition_metrics(df: DataFrame, n: int = 2, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction of
+    all word ``n``-grams taken by the single most frequent one
+    (``top_ngram_frac``) and the fraction occurring more than once
+    (``dup_ngram_frac``). High values flag boilerplate/spam for corpus
+    filtering.
+
+    Scale shape: explode n-grams (JVM) → two-level count aggregation with
+    map-side combine → per-doc ratios. One shuffle on (doc, gram), one on
+    doc."""
+    grams = word_ngrams(df, n, text_col, id_col)
+    counts = grams.groupBy(id_col, "ngram").agg(F.count("*").alias("c"))
+    return (counts.groupBy(id_col)
+            .agg(F.round(F.max("c").cast("double")
+                         / F.sum("c").cast("double"), 6)
+                 .alias("top_ngram_frac"),
+                 F.round(F.sum(F.when(F.col("c") > 1, F.col("c"))
+                               .otherwise(F.lit(0))).cast("double")
+                         / F.sum("c").cast("double"), 6)
+                 .alias("dup_ngram_frac")))

@@ -97,3 +97,24 @@ def test_threshold_diagnostics_table(spark):
         kept_by_amp = int(amp[amp.chosen].n_kept.iloc[0])
         assert int(var.n_candidates.iloc[0]) == kept_by_amp
     assert art.gmm_mu.size > 0
+
+
+def test_read_sequences_catalog_and_path(spark, tmp_path):
+    from msi_preprocessing_pipeline_spark.sources.tables import (
+        read_sequences, write_sequences)
+
+    df = synthetic.sequences_df(spark, {"src-000": 5}, base_channels=128)
+    path = str(tmp_path / "seqs")
+    write_sequences(df, path)
+    assert read_sequences(spark, path).count() == 5
+
+    # catalog identifier route (exercises spark.read.table — the same code
+    # path an Iceberg catalog table takes)
+    write_sequences(df, "seq_catalog_test")
+    try:
+        assert read_sequences(spark, "seq_catalog_test").count() == 5
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            read_sequences(spark, path, snapshot_id=1)
+    finally:
+        spark.sql("drop table if exists seq_catalog_test")

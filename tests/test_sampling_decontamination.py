@@ -78,3 +78,19 @@ def test_decontaminate_respects_df_cap(spark):
     capped = dedup.decontaminate(train, bench, k=5, min_common=2,
                                  max_df=5).count()
     assert uncapped == 20 and capped == 0
+
+
+def test_repetition_metrics_flags_boilerplate(spark):
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+
+    rows = [
+        ("varied", "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ("spam", "buy now buy now buy now buy now buy now buy now"),
+        ("single", "word"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = tx.repetition_metrics(df, n=2).toPandas().set_index("doc_id")
+    assert out.loc["spam", "top_ngram_frac"] > 0.4
+    assert out.loc["spam", "dup_ngram_frac"] > 0.9
+    assert out.loc["varied", "dup_ngram_frac"] == 0.0
+    assert out.loc["single", "top_ngram_frac"] == 1.0
