@@ -7,9 +7,12 @@
   interpolation; never ``percentile_approx`` on the compat path).
 * :mod:`spectrum`   — the staged spectrum feature operators (vectorized
   Arrow UDFs over broadcast artifacts).
-* :mod:`dedup`      — exact/MinHash-LSH/SimHash/n-gram-Jaccard dedup.
-* :mod:`similarity` — brute-force + LSH-bucketed cosine top-k.
+* :mod:`dedup`      — exact/MinHash-LSH/SimHash/n-gram-Jaccard dedup,
+  winnowing fingerprints, benchmark decontamination, hot-key guards.
+* :mod:`similarity` — brute-force + LSH/IVF-bucketed cosine top-k.
 * :mod:`text`       — language-ID, quality scoring, token counts,
-  fingerprints.
+  fingerprints, repetition (Gopher-style) metrics.
+* :mod:`sampling`   — deterministic md5-band sampling and group-stable
+  train/val/test splits (engine-portable, partition-invariant).
 * :mod:`multimodal` — binary-payload plumbing (decode steps stubbed).
 """

@@ -569,7 +569,11 @@ def serve_features(df: DataFrame, artifact_versions: dict[int, ArtifactSet],
                                 dtype=np.float32)
                 for j, i in enumerate(idxs):
                     toks = flat[offs[i]:offs[i + 1]].astype(float)
-                    x = axis_k.resample_row(art.mz_axis, axes[srcs[i]], toks)
+                    ax = axes.get(srcs[i])
+                    if ax is None:
+                        raise ValueError(
+                            f"no m/z axis artifact for source {srcs[i]!r}")
+                    x = axis_k.resample_row(art.mz_axis, ax, toks)
                     x = baseline_k.remove_baseline(art.mz_axis, x, bw, bmin,
                                                    binc)
                     x = alignment.pafft(x, art.pafft_reference, art.mz_axis,

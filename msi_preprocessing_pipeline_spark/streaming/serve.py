@@ -3,7 +3,7 @@
 The serving hot path (as-of version attach + fused featurization UDF) is
 stateless given a fitted artifact set, so it runs unchanged as a Structured
 Streaming transformation: ``readStream`` over the sequence table directory →
-broadcast as-of attach → ``mapInPandas`` → ``writeStream``. Late/replayed
+broadcast as-of attach → ``mapInArrow`` → ``writeStream``. Late/replayed
 rows are handled by the same zero-leakage as-of semantics (a row only ever
 sees artifact versions at-or-before its ts).
 """
