@@ -351,6 +351,16 @@ def _q_repetition_stats(spark, sf_dir):
     return tx.repetition_metrics(docs, n=2)
 
 
+def _q_pack_assignments(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+    from msi_preprocessing_pipeline_spark.operators.packing import (
+        pack_assignments)
+
+    docs = _t(spark, sf_dir, "documents")
+    with_len = docs.select("doc_id", tx.token_count().alias("n_tok"))
+    return pack_assignments(with_len, budget=256)
+
+
 def _q_decontaminate(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.dedup import decontaminate
 
@@ -495,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_by_type": _q_median_by_type,
         "json_props": _q_json_props,
         "repetition_stats": _q_repetition_stats,
+        "pack_assignments_docs": _q_pack_assignments,
         "hash_sample_docs": _q_hash_sample,
         "stable_split_events": _q_stable_split,
         "decontaminate_docs": _q_decontaminate,
@@ -804,6 +815,30 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             select event_id,
                    cast(json_extract_string(props, '$.k') as int) as prop_k
             from events
+        """,
+        "pack_assignments_docs": """
+            with d as (
+                select doc_id,
+                       substr(md5(cast(doc_id as varchar)), 1, 2) as bucket,
+                       cast(case when length(trim(text)) = 0 then 0 else
+                            length(string_split_regex(trim(text), '\\s+'))
+                            end as bigint) as n_tok
+                from documents
+            ), a as (
+                select doc_id, bucket, n_tok,
+                       cast(sum(n_tok) over (partition by bucket
+                                             order by doc_id
+                                             rows between unbounded preceding
+                                             and current row) - n_tok
+                            as bigint) as start_offset
+                from d
+            )
+            select doc_id, bucket, n_tok, start_offset,
+                   cast(floor(start_offset / 256) as bigint) as first_seq,
+                   cast(floor((start_offset + greatest(n_tok, 1) - 1) / 256)
+                        as bigint) as last_seq,
+                   cast(start_offset % 256 as bigint) as offset_in_seq
+            from a
         """,
         "repetition_stats": """
             with g as (

@@ -1,0 +1,83 @@
+"""Training-sequence packing: concat documents and chunk into fixed-size
+token windows (the standard "concat-and-chunk" LLM pretraining layout).
+
+Semantics: documents are laid out in a deterministic global order —
+(bucket, doc_id), where ``bucket`` is an md5-band of the doc id — and the
+concatenated token stream is cut every ``budget`` tokens. A document may
+straddle a window boundary (that IS concat-and-chunk; packing without
+splitting is a different policy). The layout is a pure function of the
+data: invariant to partitioning, ordering, cluster size, and engine.
+
+Scale shape: the assignment table is one window cumsum per bucket (shuffle
+on bucket; 256 md5 bands bound the window state and parallelize the
+sort), and materialization explodes each doc into its per-window fragments
+(JVM ``slice``) and reassembles windows with an order-keyed flatten — no
+driver involvement, no skew beyond the bounded bucket fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket(id_col) -> "F.Column":
+    # 256 deterministic layout lanes; md5 so DuckDB/python reproduce exactly
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+
+
+def pack_assignments(df: DataFrame, budget: int, id_col: str = "doc_id",
+                     len_col: str = "n_tok") -> DataFrame:
+    """Where each document lands: its bucket, global start offset within the
+    bucket's token stream, and the first/last window indices it touches."""
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    start = (F.sum(len_col).over(w) - F.col(len_col)).cast("long")
+    return (df.withColumn("bucket", _bucket(id_col))
+            .select(
+                F.col(id_col), "bucket",
+                F.col(len_col).cast("long").alias("n_tok"),
+                start.alias("start_offset"),
+                (start / budget).cast("long").alias("first_seq"),
+                # empty docs (len 0) occupy their start window; greatest()
+                # also keeps the floor-division cast non-negative-safe
+                ((start + F.greatest(F.col(len_col), F.lit(1)) - 1) / budget)
+                .cast("long").alias("last_seq"),
+                F.pmod(start, F.lit(budget)).cast("long")
+                .alias("offset_in_seq")))
+
+
+def pack_token_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
+                         tokens_col: str = "tokens",
+                         len_col: str = "n_tok") -> DataFrame:
+    """Materialized training windows: one row per (bucket, seq_no) with the
+    packed ``budget``-token array (the bucket's tail window may be short).
+
+    Plan: assignment → explode each doc into its per-window fragments
+    (``slice`` on the token array, pure JVM) → groupBy window →
+    order-keyed reassembly (``array_sort`` on (offset, fragment) structs →
+    ``flatten``)."""
+    asg = pack_assignments(df, budget, id_col, len_col)
+    docs = df.select(id_col, tokens_col)
+    joined = asg.join(docs, id_col)
+    seqs = F.sequence(F.col("first_seq"), F.col("last_seq"))
+    frag = joined.select(
+        "bucket", F.col(id_col), "start_offset", "n_tok", tokens_col,
+        F.explode(seqs).alias("seq_no"))
+    # fragment of this doc inside window seq_no:
+    #   window span  [seq_no*budget, (seq_no+1)*budget)
+    #   doc span     [start_offset, start_offset + n_tok)
+    frag_start = F.greatest(F.col("seq_no") * budget, F.col("start_offset"))
+    frag_end = F.least((F.col("seq_no") + 1) * F.lit(budget),
+                       F.col("start_offset") + F.col("n_tok"))
+    frag = frag.select(
+        "bucket", "seq_no",
+        frag_start.alias("pos"),
+        F.slice(tokens_col,
+                (frag_start - F.col("start_offset") + 1).cast("int"),
+                (frag_end - frag_start).cast("int")).alias("frag"))
+    reassembled = (frag.groupBy("bucket", "seq_no")
+                   .agg(F.flatten(F.array_sort(F.collect_list(
+                       F.struct(F.col("pos"), F.col("frag"))))
+                       .getField("frag")).alias("tokens")))
+    return reassembled.select("bucket", "seq_no", "tokens",
+                              F.size("tokens").alias("n_tok"))
