@@ -542,7 +542,7 @@ def oracle_sql() -> dict[str, str]:
     out = _relational_oracles(n_words, n_nospace)
     # non-SQL-expressible but seeded-deterministic operators (PIT pipeline,
     # sketch dedup) are hash-checked against pinned golden outputs
-    # (regenerate with .cache/gen_goldens.py after changing them)
+    # (regenerate with tools/gen_goldens.py after changing them)
     try:
         from _golden_oracles import GOLDEN_ORACLES
         out.update(GOLDEN_ORACLES)

@@ -1,0 +1,85 @@
+"""Generate pinned VALUES oracles for the deterministic rows-only queries.
+
+Runs each query (driver-like session: 32 cores) and emits DuckDB SQL that
+reproduces the exact output — literals carry full float precision (repr).
+Writes _golden_oracles.py at the repo root. Lives in tools/ (committed).
+"""
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# queries to pin: (name, sf_dependent)
+PIN = [
+    ("pit_features", False),
+    ("batch_features", False),
+    ("smooth_and_peaks", False),
+    ("tic_outlier_mask", False),
+    ("minhash_pairs", True),
+    ("simhash_pairs", True),
+    ("winnowing_pairs", True),
+]
+
+DUCK_TYPES = {
+    "object": "varchar", "int64": "bigint", "int32": "int",
+    "float64": "double", "float32": "double", "bool": "boolean",
+}
+
+
+def lit(v):
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "null"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    return str(int(v))
+
+
+def main():
+    import __spark_entry__ as em
+    from msi_preprocessing_pipeline_spark.session import build_session
+    spark = build_session("goldens", parallelism=32, shuffle_partitions=32)
+    out = {}
+    for name, sf_dep in PIN:
+        pdf = em.queries()[name](spark, SF_DIR).toPandas()
+        cols = list(pdf.columns)
+        types = [DUCK_TYPES[str(pdf[c].dtype)] for c in cols]
+        rows = []
+        for t in pdf.itertuples(index=False):
+            rows.append("(" + ", ".join(lit(v) for v in t) + ")")
+        casts = ", ".join(
+            f"cast(c{i} as {ty}) as {c}"
+            for i, (c, ty) in enumerate(zip(cols, types)))
+        colnames = ", ".join(f"c{i}" for i in range(len(cols)))
+        sql = (f"select {casts} from (values\n  "
+               + ",\n  ".join(rows)
+               + f"\n) as t({colnames})")
+        tag = ("pinned at sf0.01 documents/embeddings input"
+               if sf_dep else "input synthesized in-process (sf-independent)")
+        out[name] = (sql, tag, len(pdf))
+        print(f"{name}: {len(pdf)} rows pinned ({tag})", flush=True)
+    spark.stop()
+
+    with open("/root/repo/_golden_oracles.py", "w") as f:
+        f.write('"""Generated golden oracles (regenerate with '
+                'tools/gen_goldens.py).\n\nEach entry pins the exact, '
+                'seeded-deterministic output of a non-SQL-expressible\n'
+                'operator (PIT pipeline, sketch dedup) as a DuckDB VALUES '
+                'relation so the\ndriver can hash-check it like any '
+                'relational query.\n"""\n\n')
+        f.write("GOLDEN_ORACLES = {\n")
+        for name, (sql, tag, n) in out.items():
+            f.write(f"    # {n} rows; {tag}\n")
+            f.write(f"    {name!r}: '''\n{sql}\n''',\n")
+        f.write("}\n")
+    print("written _golden_oracles.py")
+
+
+if __name__ == "__main__":
+    main()
