@@ -26,24 +26,35 @@ def _bucket(id_col) -> "F.Column":
     return F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
 
 
+def _with_assignments(df: DataFrame, budget: int, id_col: str,
+                      len_col: str) -> DataFrame:
+    """Append the layout columns (bucket, start_offset, first/last window,
+    in-window offset) — one window cumsum per bucket, all other columns
+    carried through (so the materializer needs NO second join/shuffle)."""
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    start_raw = F.sum(len_col).over(w) - F.col(len_col)
+    return (df.withColumn("bucket", _bucket(id_col))
+            .withColumn("start_offset", start_raw.cast("long"))
+            .withColumn("first_seq",
+                        (F.col("start_offset") / budget).cast("long"))
+            # empty docs (len 0) occupy their start window; greatest() also
+            # keeps the floor-division cast non-negative-safe
+            .withColumn("last_seq",
+                        ((F.col("start_offset")
+                          + F.greatest(F.col(len_col), F.lit(1)) - 1)
+                         / budget).cast("long"))
+            .withColumn("offset_in_seq",
+                        F.pmod(F.col("start_offset"),
+                               F.lit(budget)).cast("long")))
+
+
 def pack_assignments(df: DataFrame, budget: int, id_col: str = "doc_id",
                      len_col: str = "n_tok") -> DataFrame:
     """Where each document lands: its bucket, global start offset within the
     bucket's token stream, and the first/last window indices it touches."""
-    w = Window.partitionBy("bucket").orderBy(id_col)
-    start = (F.sum(len_col).over(w) - F.col(len_col)).cast("long")
-    return (df.withColumn("bucket", _bucket(id_col))
-            .select(
-                F.col(id_col), "bucket",
-                F.col(len_col).cast("long").alias("n_tok"),
-                start.alias("start_offset"),
-                (start / budget).cast("long").alias("first_seq"),
-                # empty docs (len 0) occupy their start window; greatest()
-                # also keeps the floor-division cast non-negative-safe
-                ((start + F.greatest(F.col(len_col), F.lit(1)) - 1) / budget)
-                .cast("long").alias("last_seq"),
-                F.pmod(start, F.lit(budget)).cast("long")
-                .alias("offset_in_seq")))
+    return _with_assignments(df, budget, id_col, len_col).select(
+        F.col(id_col), "bucket", F.col(len_col).cast("long").alias("n_tok"),
+        "start_offset", "first_seq", "last_seq", "offset_in_seq")
 
 
 def pack_token_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
@@ -52,15 +63,14 @@ def pack_token_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
     """Materialized training windows: one row per (bucket, seq_no) with the
     packed ``budget``-token array (the bucket's tail window may be short).
 
-    Plan: assignment → explode each doc into its per-window fragments
-    (``slice`` on the token array, pure JVM) → groupBy window →
-    order-keyed reassembly (``array_sort`` on (offset, fragment) structs →
-    ``flatten``)."""
-    asg = pack_assignments(df, budget, id_col, len_col)
-    docs = df.select(id_col, tokens_col)
-    joined = asg.join(docs, id_col)
+    Plan: assignment columns computed inline (ONE shuffle, on bucket) →
+    explode each doc into its per-window fragments (``slice`` on the token
+    array, pure JVM) → groupBy window → order-keyed reassembly
+    (``array_sort`` on (offset, fragment) structs → ``flatten``)."""
+    asg = _with_assignments(df, budget, id_col, len_col) \
+        .withColumn("n_tok", F.col(len_col).cast("long"))
     seqs = F.sequence(F.col("first_seq"), F.col("last_seq"))
-    frag = joined.select(
+    frag = asg.select(
         "bucket", F.col(id_col), "start_offset", "n_tok", tokens_col,
         F.explode(seqs).alias("seq_no"))
     # fragment of this doc inside window seq_no:
