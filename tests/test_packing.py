@@ -61,3 +61,26 @@ def test_pack_assignments_partition_invariant(spark):
                 == np.concatenate(([0], grp.n_tok.values[:-1].cumsum()))).all()
         assert (grp.offset_in_seq == grp.start_offset % 500).all()
     _ = sp
+
+
+def test_packing_with_empty_and_tiny_docs(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", [1, 2, 3], 3),
+        ("b", [], 0),           # empty doc: occupies no tokens
+        ("c", [4] * 10, 10),
+        ("d", [5], 1),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok"])
+    df = spark.createDataFrame(pdf, schema="doc_id string, "
+                                           "tokens array<int>, n_tok int")
+    asg = pack_assignments(df, budget=4).toPandas().set_index("doc_id")
+    # empty doc still gets a well-defined window (its start window)
+    assert asg.loc["b", "first_seq"] == asg.loc["b", "last_seq"]
+    seqs = pack_token_sequences(df, budget=4).toPandas()
+    # total tokens conserved; every non-tail window exactly 4
+    assert int(seqs.n_tok.sum()) == 14
+    tail = seqs.groupby("bucket")["seq_no"].transform("max") == seqs["seq_no"]
+    assert (seqs.loc[~tail, "n_tok"] == 4).all()

@@ -94,3 +94,16 @@ def test_repetition_metrics_flags_boilerplate(spark):
     assert out.loc["spam", "dup_ngram_frac"] > 0.9
     assert out.loc["varied", "dup_ngram_frac"] == 0.0
     assert out.loc["single", "top_ngram_frac"] == 1.0
+
+
+def test_hash_sample_fractions_are_nested(spark):
+    # md5-band sampling is monotone in the threshold: sample(0.1) must be a
+    # strict subset of sample(0.3) at the same seed — the property that makes
+    # progressive corpus scaling reproducible (a 10% pilot is contained in
+    # the later 30% run)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s10 = set(hash_sample(docs, "doc_id", 0.1, seed=9)
+              .select("doc_id").toPandas().doc_id)
+    s30 = set(hash_sample(docs, "doc_id", 0.3, seed=9)
+              .select("doc_id").toPandas().doc_id)
+    assert s10 < s30
