@@ -163,3 +163,20 @@ def test_serve_plan_is_shuffle_free_on_partitioned_input(spark, tmp_path):
     served_fat = pipe.transform(seq.coalesce(1), [art])
     assert "roundrobin" in plan_of(served_fat, "simple").lower()
     assert served.count() == 32
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    import __spark_entry__ as em
+    plan = plan_of(em.queries()["decontaminate_docs"](spark, SF_DIR),
+                   "simple")
+    assert "BroadcastHashJoin" in plan  # eval-set shingles broadcast
+    assert "SortMergeJoin" not in plan  # no corpus-sized shuffle join
+
+
+def test_packing_single_layout_shuffle(spark):
+    import __spark_entry__ as em
+    plan = plan_of(em.queries()["pack_assignments_docs"](spark, SF_DIR),
+                   "simple")
+    # exactly one exchange: the bucket-window layout shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "bucket" in plan
