@@ -437,6 +437,16 @@ def _q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(sigs, bands=16, threshold=0.3)
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=64, shingle_words=3)
+    pairs = dedup.minhash_lsh_pairs(sigs, bands=16, threshold=0.3,
+                                    star_over=64)
+    return dedup.connected_components(pairs)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators import dedup
 
@@ -515,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_features": _q_batch_features,
         "tic_outlier_mask": _q_tic_outliers,
         "minhash_pairs": _q_minhash_pairs,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "lsh_topk": _q_lsh_topk,

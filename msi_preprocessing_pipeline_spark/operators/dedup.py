@@ -67,10 +67,19 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                      bands: int = 16, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 16, threshold: float = 0.5,
+                      star_over: int | None = None) -> DataFrame:
     """Candidate pairs from banded LSH buckets, scored by signature-agreement
-    Jaccard estimate; keeps pairs ≥ threshold."""
-    n_hashes = bands  # rows per band derived below from actual length
+    Jaccard estimate; keeps pairs ≥ threshold.
+
+    ``star_over``: the giant-duplicate-cluster guard. A bucket of B docs
+    emits B(B−1)/2 candidates — one 10⁶-copy boilerplate cluster is 5·10¹¹
+    pairs. Buckets larger than ``star_over`` emit STAR edges instead (every
+    member paired with the bucket's min id): O(B) candidates, and the union
+    of stars connects exactly the same components the full clique would —
+    lossless for dedup CLUSTERING (:func:`connected_components`), a
+    connectivity-preserving subset for raw pair output.
+    """
     sig_len = F.size("signature")
     rows_per_band = (sig_len / F.lit(bands)).cast("int")
     banded = signatures.select(
@@ -81,7 +90,16 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
         F.xxhash64(F.col("band"),
                    F.slice("signature", F.col("band") * rows_per_band + 1,
                            rows_per_band).cast("string")))
-    left = banded.alias("l")
+    if star_over is not None:
+        w = Window.partitionBy("band_key")
+        banded = (banded
+                  .withColumn("__bucket_n", F.count("*").over(w))
+                  .withColumn("__bucket_min", F.min(id_col).over(w)))
+        big = F.col("__bucket_n") > F.lit(int(star_over))
+        left = banded.where(~big | (F.col(id_col) == F.col("__bucket_min"))) \
+            .alias("l")
+    else:
+        left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, (F.col("l.band_key") == F.col("r.band_key"))
                        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
@@ -94,10 +112,53 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
         F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
         lambda m: m))
     est = (agree.cast("double") / F.size("sig_a").cast("double"))
-    _ = n_hashes
     return (pairs.withColumn("est_jaccard", F.round(est, 6))
             .where(F.col("est_jaccard") >= F.lit(threshold))
             .select("doc_a", "doc_b", "est_jaccard"))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "doc_a",
+                         id_b: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Duplicate-CLUSTER assignment from a pair relation: distributed
+    min-label propagation (each node repeatedly adopts the smallest label in
+    its neighborhood) until fixpoint. Output: (doc_id, cluster_id) for every
+    node appearing in ``pairs``; cluster_id is the component's min doc id.
+
+    Converges in O(component diameter) rounds — LSH-bucket edges form stars,
+    so real dedup graphs settle in 2–4 rounds. Each round is one groupBy
+    (map-side combined) over the symmetric edge list; labels persist between
+    rounds and the loop exits on a zero-changes fixpoint check.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))).persist()
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels,
+                                   edges.dst == labels.node)
+                        .groupBy("src")
+                        .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.src, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nbr_label"),
+                                                 F.col("label")))
+                              .alias("label"))).persist()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

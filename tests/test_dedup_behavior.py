@@ -223,3 +223,46 @@ def test_hot_key_guard_drops_ubiquitous_shingles(spark):
                                              max_df=10)
     assert uncapped_pairs.count() == 40 * 39 // 2
     assert capped_pairs.count() == 0
+
+
+def test_connected_components_recovers_planted_clusters(corpus):
+    sigs = dedup.minhash_signatures(corpus, n_hashes=128, shingle_words=3)
+    pairs = dedup.minhash_lsh_pairs(sigs, bands=32, threshold=0.5)
+    clusters = dedup.connected_components(pairs).toPandas()
+    by_cluster = clusters.groupby("cluster_id")["doc_id"].apply(set)
+    planted = {f"c{c}": {f"c{c}-orig", f"c{c}-dup0", f"c{c}-dup1"}
+               for c in range(10)}
+    for c, members in planted.items():
+        found = [m for m in by_cluster if set(m) if c in str(m)]
+        # the cluster containing this group's min id must hold all 3 docs
+        rep = min(members)
+        assert rep in by_cluster.index, c
+        assert by_cluster[rep] == members, (c, by_cluster[rep])
+    # cluster_id is always the component minimum
+    assert (clusters.groupby("cluster_id")["doc_id"].min()
+            == clusters.cluster_id.drop_duplicates().sort_values().values).all()
+
+
+def test_star_cap_bounds_giant_cluster_candidates(spark):
+    import pandas as pd
+    text = ("exactly identical boilerplate document repeated many times "
+            "across the corpus with the same words in the same order")
+    rows = [(f"dup-{i:03d}", text) for i in range(50)]
+    rows += [(f"uniq-{i}", f"unique document number {i} with words "
+              f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+             for i in range(10)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = dedup.minhash_signatures(df, n_hashes=64, shingle_words=3)
+    full = dedup.minhash_lsh_pairs(sigs, bands=16, threshold=0.5)
+    starred = dedup.minhash_lsh_pairs(sigs, bands=16, threshold=0.5,
+                                      star_over=5)
+    n_full, n_star = full.count(), starred.count()
+    assert n_full == 50 * 49 // 2      # the quadratic blow-up
+    assert n_star == 49                # star edges only
+    # connectivity (the dedup outcome) is identical
+    c_full = dedup.connected_components(full).toPandas()
+    c_star = dedup.connected_components(starred).toPandas()
+    assert (c_full.sort_values("doc_id").cluster_id.values
+            == c_star.sort_values("doc_id").cluster_id.values).all()
+    assert set(c_star[c_star.cluster_id == "dup-000"].doc_id) \
+        == {f"dup-{i:03d}" for i in range(50)}

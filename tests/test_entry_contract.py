@@ -50,12 +50,7 @@ def test_all_queries_run(spark):
 
 
 try:
-    from _golden_oracles import GOLDEN_ORACLES
-    _SF001_PINNED = {  # goldens pinned to the DRIVER's sf0.01 input
-        n for n in GOLDEN_ORACLES
-        if "sf0.01" in GOLDEN_ORACLES[n] or n in (
-            "minhash_pairs", "simhash_pairs", "winnowing_pairs")
-    }
+    from _golden_oracles import SF001_PINNED as _SF001_PINNED
 except ImportError:
     _SF001_PINNED = set()
 

@@ -19,6 +19,7 @@ PIN = [
     ("smooth_and_peaks", False),
     ("tic_outlier_mask", False),
     ("minhash_pairs", True),
+    ("near_dup_clusters", True),
     ("simhash_pairs", True),
     ("winnowing_pairs", True),
 ]
@@ -77,7 +78,11 @@ def main():
         for name, (sql, tag, n) in out.items():
             f.write(f"    # {n} rows; {tag}\n")
             f.write(f"    {name!r}: '''\n{sql}\n''',\n")
-        f.write("}\n")
+        f.write("}\n\n")
+        f.write("# goldens whose pinned values depend on the sf0.01 input "
+                "tables\n")
+        sf_dep = sorted(name for name, dep in PIN if dep)
+        f.write(f"SF001_PINNED = {set(sf_dep)!r}\n")
     print("written _golden_oracles.py")
 
 
