@@ -90,16 +90,8 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
         F.xxhash64(F.col("band"),
                    F.slice("signature", F.col("band") * rows_per_band + 1,
                            rows_per_band).cast("string")))
-    if star_over is not None:
-        w = Window.partitionBy("band_key")
-        banded = (banded
-                  .withColumn("__bucket_n", F.count("*").over(w))
-                  .withColumn("__bucket_min", F.min(id_col).over(w)))
-        big = F.col("__bucket_n") > F.lit(int(star_over))
-        left = banded.where(~big | (F.col(id_col) == F.col("__bucket_min"))) \
-            .alias("l")
-    else:
-        left = banded.alias("l")
+    left = _star_left_side(banded, ["band_key"], id_col,
+                           star_over).alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, (F.col("l.band_key") == F.col("r.band_key"))
                        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
@@ -197,6 +189,26 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .select(id_col, F.coalesce("simhash", F.lit(0)).alias("simhash")))
 
 
+def _star_left_side(bucketed: DataFrame, bucket_cols: list[str],
+                    id_col: str, star_over: int | None) -> DataFrame:
+    """Giant-cluster guard shared by every bucketed candidate generator:
+    restrict the LEFT join side of buckets larger than ``star_over`` to the
+    bucket's min id, so such buckets emit O(B) star edges instead of
+    O(B²) pairs. The union of stars connects exactly the same components a
+    full clique would — lossless for clustering, a connectivity-preserving
+    subset for raw pair output. ``None`` → left side unchanged (all pairs).
+    """
+    if star_over is None:
+        return bucketed
+    w = Window.partitionBy(*bucket_cols)
+    guarded = (bucketed
+               .withColumn("__bucket_n", F.count("*").over(w))
+               .withColumn("__bucket_min", F.min(id_col).over(w)))
+    big = F.col("__bucket_n") > F.lit(int(star_over))
+    return (guarded.where(~big | (F.col(id_col) == F.col("__bucket_min")))
+            .drop("__bucket_n", "__bucket_min"))
+
+
 def _simhash_chunks(n_chunks: int) -> list[tuple[int, int, int]]:
     """(chunk_id, start_bit, mask) cutting 64 bits into ``n_chunks`` pieces."""
     width = 64 // n_chunks
@@ -209,7 +221,8 @@ def _simhash_chunks(n_chunks: int) -> list[tuple[int, int, int]]:
 
 
 def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       star_over: int | None = None) -> DataFrame:
     """ALL pairs within Hamming distance ``max_hamming``, exactly.
 
     * ``max_hamming ≤ 3`` — single-round pigeonhole: ``h+1`` chunks of ≥16
@@ -234,7 +247,9 @@ def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id",
                 for i, start, mask in specs
             ])).alias("c"))
         chunks = chunks.select(id_col, "simhash", "c.chunk", "c.key")
-        l, r = chunks.alias("l"), chunks.alias("r")
+        l = _star_left_side(chunks, ["chunk", "key"], id_col,
+                            star_over).alias("l")
+        r = chunks.alias("r")
         cand = (l.join(r, (F.col("l.chunk") == F.col("r.chunk"))
                        & (F.col("l.key") == F.col("r.key"))
                        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
@@ -260,7 +275,9 @@ def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id",
             id_col, "simhash",
             F.explode(F.array(*pair_structs)).alias("c"))
             .select(id_col, "simhash", "c.chunk", "c.key", "c.key2"))
-        l, r = chunks.alias("l"), chunks.alias("r")
+        l = _star_left_side(chunks, ["chunk", "key", "key2"], id_col,
+                            star_over).alias("l")
+        r = chunks.alias("r")
         cand = (l.join(r, (F.col("l.chunk") == F.col("r.chunk"))
                        & (F.col("l.key") == F.col("r.key"))
                        & (F.col("l.key2") == F.col("r.key2"))
@@ -493,7 +510,8 @@ def fingerprint_overlap_pairs(fps: DataFrame, id_col: str = "doc_id",
 
 def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
                        id_col: str = "vec_id", threshold: float = 0.95,
-                       lsh_bits: int = 12, seed: int = 13) -> DataFrame:
+                       lsh_bits: int = 12, seed: int = 13,
+                       star_over: int | None = None) -> DataFrame:
     """Cosine near-duplicate pairs: sign-LSH bucket (seeded hyperplanes,
     broadcast) then exact cosine within buckets."""
     spark = df.sparkSession
@@ -513,7 +531,8 @@ def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
 
     schema = f"{id_col} long, {vec_col} array<float>, bucket long"
     bucketed = df.select(id_col, vec_col).mapInPandas(bucket, schema=schema)
-    l, r = bucketed.alias("l"), bucketed.alias("r")
+    l = _star_left_side(bucketed, ["bucket"], id_col, star_over).alias("l")
+    r = bucketed.alias("r")
     pairs = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
                     & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
              .select(F.col(f"l.{id_col}").alias("id_a"),
