@@ -129,10 +129,16 @@ def main() -> None:
     for name in ["asof_click_purchase", "sessionize_stats",
                  "agg_pricing_summary", "exact_quantiles_price",
                  "cosine_topk", "ngram_jaccard_pairs", "minhash_pairs",
-                 "backfill_click_value", "lang_id", "text_stats"]:
+                 "backfill_click_value", "lang_id", "text_stats",
+                 "decontaminate_docs", "repetition_stats",
+                 "pack_assignments_docs", "stable_split_events",
+                 "hash_sample_docs", "near_dup_clusters"]:
         fn = entrymod.queries()[name]
-        t, _ = _timed(lambda: fn(spark, sf_dir).count())
-        queries[name] = round(t, 3)
+        try:
+            t, _ = _timed(lambda: fn(spark, sf_dir).count())
+            queries[name] = round(t, 3)
+        except Exception as e:  # one bad query must not kill the record
+            queries[name] = f"ERR {type(e).__name__}"
     spark.stop()
 
     # ---- phase 2: N vs 4N cores on the SAME input (scaling evidence).

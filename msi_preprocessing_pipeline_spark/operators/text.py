@@ -95,14 +95,35 @@ def fingerprint(text_col: str = "text") -> Column:
 def word_ngrams(df: DataFrame, n: int, text_col: str = "text",
                 id_col: str = "doc_id",
                 out_col: str = "ngram") -> DataFrame:
-    """Non-distinct word n-grams per doc, pure JVM (split + slice +
-    concat_ws over a sequence) — the multiset the repetition filters need
-    (unlike ``dedup.word_shingles``, which deduplicates)."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
-    grams = F.transform(F.sequence(F.lit(1), count),
-                        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    return df.select(F.col(id_col), F.explode(grams).alias(out_col))
+    """Non-distinct word n-grams per doc — the multiset the repetition
+    filters need (unlike ``dedup.word_shingles``, which deduplicates).
+
+    Arrow-batched string generation: the pure-expression alternative
+    (``transform(sequence, slice, concat_ws)``) runs INTERPRETED per
+    element inside Catalyst and measured ~20× slower at corpus scale — the
+    same trap ``dedup.word_shingles`` documents."""
+    import re
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, grams = [], []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                words = ws.split(str(text).strip().lower())
+                for i in range(max(len(words) - n + 1, 1)):
+                    ids.append(doc)
+                    grams.append(" ".join(words[i:i + n]))
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="object"),
+                                out_col: pd.Series(grams, dtype="object")})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, {out_col} string")
 
 
 def repetition_metrics(df: DataFrame, n: int = 2, text_col: str = "text",
