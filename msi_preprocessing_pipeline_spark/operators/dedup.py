@@ -110,18 +110,50 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, id_a: str = "doc_a",
-                         id_b: str = "doc_b",
-                         max_iter: int = 25) -> DataFrame:
-    """Duplicate-CLUSTER assignment from a pair relation: distributed
-    min-label propagation (each node repeatedly adopts the smallest label in
-    its neighborhood) until fixpoint. Output: (doc_id, cluster_id) for every
+                         id_b: str = "doc_b", max_iter: int = 25,
+                         collect_threshold: int = 1_000_000) -> DataFrame:
+    """Duplicate-CLUSTER assignment from a pair relation: min-label
+    propagation (each node repeatedly adopts the smallest label in its
+    neighborhood) until fixpoint. Output: (doc_id, cluster_id) for every
     node appearing in ``pairs``; cluster_id is the component's min doc id.
 
-    Converges in O(component diameter) rounds — LSH-bucket edges form stars,
-    so real dedup graphs settle in 2–4 rounds. Each round is one groupBy
-    (map-side combined) over the symmetric edge list; labels persist between
-    rounds and the loop exits on a zero-changes fixpoint check.
+    Scale-adaptive physical plan (same pattern as ``exact_quantiles``):
+    below ``collect_threshold`` edges, ONE collect + driver union-find
+    (near-dup pair sets are usually tiny relative to the corpus — a handful
+    of Spark jobs per propagation round would dominate); above it, the
+    distributed loop: each round is one groupBy (map-side combined) over
+    the symmetric edge list, labels persist between rounds, and the loop
+    exits on a zero-changes fixpoint check. Converges in O(component
+    diameter) rounds — LSH-bucket edges form stars, so real dedup graphs
+    settle in 2–4. Identical output by construction (both assign the
+    component minimum).
     """
+    n_pairs = pairs.count()
+    if n_pairs <= collect_threshold:
+        rows = pairs.select(id_a, id_b).collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so the representative is the component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(node, find(node)) for node in sorted(parent)]
+        return pairs.sparkSession.createDataFrame(
+            out, schema=f"doc_id {pairs.schema[id_a].dataType.simpleString()},"
+                        f" cluster_id "
+                        f"{pairs.schema[id_a].dataType.simpleString()}")
+
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst")))

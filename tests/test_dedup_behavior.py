@@ -266,3 +266,16 @@ def test_star_cap_bounds_giant_cluster_candidates(spark):
             == c_star.sort_values("doc_id").cluster_id.values).all()
     assert set(c_star[c_star.cluster_id == "dup-000"].doc_id) \
         == {f"dup-{i:03d}" for i in range(50)}
+
+
+def test_connected_components_paths_identical(corpus):
+    # the scale-adaptive driver union-find and the distributed min-label
+    # loop must produce identical assignments
+    sigs = dedup.minhash_signatures(corpus, n_hashes=64, shingle_words=3)
+    pairs = dedup.minhash_lsh_pairs(sigs, bands=16, threshold=0.5).persist()
+    fast = dedup.connected_components(pairs).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = dedup.connected_components(pairs, collect_threshold=0).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(dist)
+    assert len(fast) > 0
