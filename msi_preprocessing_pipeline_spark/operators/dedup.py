@@ -128,9 +128,11 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
     settle in 2–4. Identical output by construction (both assign the
     component minimum).
     """
-    n_pairs = pairs.count()
-    if n_pairs <= collect_threshold:
-        rows = pairs.select(id_a, id_b).collect()
+    # one evaluation decides the path AND feeds the fast path: limit()
+    # short-circuits, so the probe costs ≤ threshold+1 rows, not a count
+    # plus a second full evaluation of the (possibly expensive) pair plan
+    rows = pairs.select(id_a, id_b).limit(collect_threshold + 1).collect()
+    if len(rows) <= collect_threshold:
         parent: dict = {}
 
         def find(x):
