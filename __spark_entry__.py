@@ -4,9 +4,12 @@
 GMM featurization over the synthesized tokenized-sequence table — the
 ``BASELINE.json`` input shape, synthesized deterministically; no external
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
-SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity,
-text analysis); SQL-expressible ones carry a DuckDB oracle, the pipeline/
-sketch operators are rows-only by nature.
+SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
+similarity, text analysis, decontamination, sampling/splits, packing):
+42 queries, 39 with exact DuckDB oracles — relational SQL where expressible,
+pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
+pipeline/sketch operators; only the 3 ANN queries are rows-only (recall
+asserted in pytest against exact cosine top-k).
 """
 
 from __future__ import annotations
