@@ -52,3 +52,56 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, tmp_path):
                      "n_events"]].itertuples(index=False)}
     assert got_set == exp_set
     assert len(got_set) > 50  # meaningful coverage
+
+
+def test_watermarked_tumbling_window_drops_late_data(spark, tmp_path):
+    """Append-mode watermark contract: a row arriving after the watermark
+    passed its window is DROPPED — the bounded-state guarantee."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from msi_preprocessing_pipeline_spark.streaming.windows import (
+        streaming_windowed_agg)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema=schema).coalesce(1) \
+            .write.parquet(f"{in_dir}/{name}")
+        _time.sleep(1.1)  # separate modification times → batch order
+
+    # batch 1: on-time rows in the 10:00 window plus a row at 11:00 that
+    # advances the watermark (30 min) past 10:10
+    write_batch("b1", [
+        (1, "2024-01-01 10:01:00", 1.0),
+        (1, "2024-01-01 10:05:00", 2.0),
+        (1, "2024-01-01 11:00:00", 5.0),
+    ])
+
+    stream = (spark.readStream.schema(schema)
+              .option("latestFirst", "false")
+              .parquet(in_dir + "/*"))
+    out = streaming_windowed_agg(stream, window="10 minutes",
+                                 watermark="30 minutes")
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("winagg").start())
+    try:
+        q.processAllAvailable()  # batch 1 → watermark advances to 10:30
+        # batch 2, strictly after: a LATE row for the closed 10:00 window
+        write_batch("b2", [(1, "2024-01-01 10:02:00", 100.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from winagg").toPandas()
+    ten = got[got.window_start.astype(str).str.contains("10:00")]
+    assert len(ten) == 1
+    # the late 100.0 must NOT be in the emitted window
+    assert int(ten.n_events.iloc[0]) == 2
+    assert float(ten.value_sum.iloc[0]) == 3.0
