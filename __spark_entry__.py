@@ -347,6 +347,19 @@ def _q_stable_split(spark, sf_dir):
     return out.select("event_id", "user_id", "split")
 
 
+def _q_range_join(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.joins import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("price"))
+    bands = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") * 30).cast("double").alias("lo"),
+        (F.col("p_retailprice") * 30 + 500).cast("double").alias("hi"))
+    joined = range_join(li, bands, "price", "lo", "hi", bucket_width=500.0)
+    return joined.groupBy("p_partkey").agg(F.count("*").alias("n_in_band"))
+
+
 def _q_repetition_stats(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators import text as tx
 
@@ -518,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_by_type": _q_median_by_type,
         "json_props": _q_json_props,
         "repetition_stats": _q_repetition_stats,
+        "range_join_price_bands": _q_range_join,
         "pack_assignments_docs": _q_pack_assignments,
         "hash_sample_docs": _q_hash_sample,
         "stable_split_events": _q_stable_split,
@@ -829,6 +843,14 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             select event_id,
                    cast(json_extract_string(props, '$.k') as int) as prop_k
             from events
+        """,
+        "range_join_price_bands": """
+            select p_partkey, count(*) as n_in_band
+            from part join lineitem
+              on cast(l_extendedprice as double)
+                 between cast(p_retailprice * 30 as double)
+                     and cast(p_retailprice * 30 + 500 as double)
+            group by 1
         """,
         "pack_assignments_docs": """
             with d as (
