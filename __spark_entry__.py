@@ -6,9 +6,9 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-42 queries, 39 with exact DuckDB oracles — relational SQL where expressible,
+43 queries, 43 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
-pipeline/sketch operators; only the 3 ANN queries are rows-only (recall
+pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
 """
 
@@ -473,8 +473,12 @@ def _q_simhash_pairs(spark, sf_dir):
 def _q_embedding_near_dup(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators import dedup
 
+    # scale-shaped parameters: the operator default 12 LSH bits (4096
+    # buckets — bits grow with N to keep in-bucket candidate sets small)
+    # plus the star_over giant-bucket guard
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup(emb, threshold=0.3, lsh_bits=6)
+    return dedup.embedding_near_dup(emb, threshold=0.3, lsh_bits=12,
+                                    star_over=64)
 
 
 def _q_ivf_topk(spark, sf_dir):

@@ -9,6 +9,15 @@ re-verify the exact predicate. Candidate volume is
 ``points + Σ interval_width/w`` join rows instead of the cross product;
 ``bucket_width`` trades replication of wide intervals against bucket
 collision rates (pick ≈ the median interval width).
+
+Wide-interval guard: one interval spanning ≫ ``bucket_width`` (an
+open-ended band, or a caller picking w far below the median width) would
+explode to a multi-million-element array in a single row — executor OOM.
+Intervals covering more than ``wide_buckets`` buckets are therefore routed
+through a BROADCAST theta-join branch instead (wide intervals are few in
+real workloads — that's why they're wide); if more than ``max_wide`` of
+them exist the join fails fast with an actionable error rather than
+OOM-ing the driver broadcast.
 """
 
 from __future__ import annotations
@@ -21,27 +30,64 @@ _B = "__range_bucket"
 
 def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
                lo_col: str, hi_col: str, bucket_width: float,
-               how: str = "inner") -> DataFrame:
+               how: str = "inner", wide_buckets: int = 4096,
+               max_wide: int = 1_000_000) -> DataFrame:
     """Join every point row to every interval row with
     ``lo <= point <= hi``. Column names must be disjoint across the two
     inputs (rename beforehand). ``how``: ``inner`` or ``left`` (unmatched
-    points keep null interval columns)."""
+    points keep null interval columns).
+
+    Physical plan: intervals spanning ≤ ``wide_buckets`` buckets take the
+    bucketized equi-join; wider ones take a broadcast theta-join (≤
+    ``max_wide`` of them, else ``ValueError``). Both branches re-verify the
+    exact predicate, so the union is the exact range-join result.
+    """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how}")
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
     w = float(bucket_width)
-    p = points.withColumn(_B, F.floor(F.col(point_col) / w).cast("long"))
-    i = intervals.withColumn(
-        _B, F.explode(F.sequence(
-            F.floor(F.col(lo_col) / w).cast("long"),
-            F.floor(F.col(hi_col) / w).cast("long"))))
+    lo_b = F.floor(F.col(lo_col) / w).cast("long")
+    hi_b = F.floor(F.col(hi_col) / w).cast("long")
+    span = hi_b - lo_b + F.lit(1)
+    narrow = intervals.where(span <= F.lit(int(wide_buckets)))
+    wide = intervals.where(span > F.lit(int(wide_buckets)))
+    # limit-probe, not count(): costs ≤ max_wide+1 rows even when the
+    # intervals plan is expensive; empty in the common case
+    n_wide = wide.limit(int(max_wide) + 1).count()
+    if n_wide > max_wide:
+        raise ValueError(
+            f"range_join: more than {max_wide} intervals span more than "
+            f"{wide_buckets} buckets of width {w} — the broadcast branch "
+            f"would not fit. Increase bucket_width toward the median "
+            f"interval width (or raise wide_buckets/max_wide).")
+
     cond = F.col(point_col).between(F.col(lo_col), F.col(hi_col))
+    p = points.withColumn(_B, F.floor(F.col(point_col) / w).cast("long"))
+    i = narrow.withColumn(_B, F.explode(F.sequence(lo_b, hi_b)))
+
+    inner_narrow = p.join(i, _B).where(cond).drop(_B)
     if how == "inner":
-        return (p.join(i, _B).where(cond)
-                .drop(_B))
-    # left: keep unmatched points — verify inside the join condition so the
-    # outer join's null-extension remains correct
-    joined = p.join(i, on=[p[_B] == i[_B], cond], how="left")
-    return joined.drop(_B)
+        if n_wide == 0:
+            return inner_narrow
+        return inner_narrow.unionByName(
+            points.join(F.broadcast(wide), cond, "inner"))
+
+    # left: each point row appears exactly once on the bucketized left side
+    # (only intervals are exploded, and an interval covers the point's
+    # bucket at most once), so the outer join's null-extension is per
+    # original point row.
+    left_narrow = p.join(i, on=[p[_B] == i[_B], cond], how="left").drop(_B)
+    if n_wide == 0:
+        return left_narrow
+    # bag-correct composition with the wide branch:
+    #   matches   = inner(narrow) ∪ inner(wide)   (disjoint interval sets)
+    #   null rows = point rows unmatched in narrow AND unmatched in wide
+    unmatched_narrow = (left_narrow
+                        .where(F.col(lo_col).isNull())
+                        .select(*points.columns))
+    wide_tail = unmatched_narrow.join(F.broadcast(wide), cond, "left")
+    return (inner_narrow
+            .unionByName(points.join(F.broadcast(wide), cond, "inner"))
+            .unionByName(wide_tail.where(F.col(lo_col).isNull())))

@@ -2,12 +2,14 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched UDFs
-over ``mapInPandas``. The container has no media libraries, so the DECODE
-step is stubbed (``decoder='fake'`` produces a deterministic hash-seeded
-pixel array with the declared shape; ``decoder='real'`` raises
-``NotImplementedError`` until Pillow/ffmpeg are provisioned) — the Spark-side
-plumbing (schema, batch shape, partitioning, UDF signatures) is real and
-tested.
+over ``mapInPandas``. ``decoder='fake'`` produces a deterministic
+hash-seeded pixel array with the declared shape; ``decoder='real'``
+decodes UNCOMPRESSED formats in pure numpy (BMP 8/24-bit BI_RGB, PNM
+P5/P6 — zero new dependencies, round-trip tested) and raises
+``NotImplementedError`` for compressed formats (JPEG/PNG/video), which
+need Pillow/ffmpeg that this container does not ship. The Spark-side
+plumbing (schema, batch shape, partitioning, UDF signatures) is identical
+for both decoders.
 """
 
 from __future__ import annotations
@@ -32,6 +34,78 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.randint(0, 256, size=(height, width), dtype=np.uint8)
 
 
+_LUMA = (0.299, 0.587, 0.114)  # ITU-R BT.601
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed (BI_RGB) 8-bit-gray / 24-bit BMP → uint8 grayscale."""
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"BMP decode supports uncompressed 8/24-bit only "
+            f"(got bpp={bpp}, compression={comp})")
+    bottom_up, h = h > 0, abs(h)
+    n_ch = bpp // 8
+    stride = (w * n_ch + 3) & ~3  # rows padded to 4 bytes
+    data = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+    rows = data.reshape(h, stride)[:, :w * n_ch]
+    if n_ch == 1:
+        img = rows.copy()
+    else:
+        bgr = rows.reshape(h, w, 3).astype(np.float64)
+        img = np.clip(np.round(_LUMA[2] * bgr[..., 0]
+                               + _LUMA[1] * bgr[..., 1]
+                               + _LUMA[0] * bgr[..., 2]), 0, 255) \
+            .astype(np.uint8)
+    return img[::-1].copy() if bottom_up else img
+
+
+def _decode_pnm(b: bytes) -> np.ndarray:
+    """Binary PNM (P5 grayscale / P6 RGB, maxval ≤ 255) → uint8 grayscale."""
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < 4:
+        while i < len(b) and b[i:i + 1].isspace():
+            i += 1
+        if b[i:i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j:j + 1].isspace():
+            j += 1
+        toks.append(b[i:j])
+        i = j
+    i += 1  # exactly one whitespace byte separates header from raster
+    magic, w, h, maxval = toks[0], int(toks[1]), int(toks[2]), int(toks[3])
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM unsupported")
+    n_ch = 1 if magic == b"P5" else 3
+    data = np.frombuffer(b, dtype=np.uint8, count=w * h * n_ch, offset=i)
+    if n_ch == 1:
+        return data.reshape(h, w).copy()
+    rgb = data.reshape(h, w, 3).astype(np.float64)
+    return np.clip(np.round(_LUMA[0] * rgb[..., 0]
+                            + _LUMA[1] * rgb[..., 1]
+                            + _LUMA[2] * rgb[..., 2]), 0, 255) \
+        .astype(np.uint8)
+
+
+def _real_decode(payload: bytes) -> np.ndarray:
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    raise NotImplementedError(
+        "real decode handles uncompressed BMP/PNM in pure numpy; "
+        "compressed formats (JPEG/PNG/video) need Pillow/ffmpeg — not in "
+        "this container")
+
+
 def decode_and_featurize(df: DataFrame, decoder: str = "fake",
                          patch: int = 8) -> DataFrame:
     """binary payload → decode → downsample to ``patch×patch`` mean-pooled
@@ -48,11 +122,9 @@ def decode_and_featurize(df: DataFrame, decoder: str = "fake",
             for payload, w, h in zip(pdf["payload"], pdf["width"],
                                      pdf["height"]):
                 if decoder == "real":
-                    raise NotImplementedError(
-                        "real media decoding needs Pillow/ffmpeg — not in "
-                        "this container; plumbing validated with the fake "
-                        "decoder")
-                img = _fake_decode(bytes(payload), int(w), int(h))
+                    img = _real_decode(bytes(payload))
+                else:
+                    img = _fake_decode(bytes(payload), int(w), int(h))
                 # mean-pool to patch×patch
                 ph = max(img.shape[0] // patch, 1)
                 pw = max(img.shape[1] // patch, 1)

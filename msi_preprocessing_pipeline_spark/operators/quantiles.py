@@ -15,7 +15,8 @@ bread and butter); the alternative (collect to numpy) does not.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 from ..kernels.stats import interp_quantile_from_sorted, matlab_positions
 
@@ -43,9 +44,15 @@ def exact_quantiles(df: DataFrame, col: str, qs,
         # object per value (~10× wall on 10^6 scalars)
         vals = values.toPandas()[values.columns[0]].to_numpy(dtype=float)
         return np.percentile(vals, 100.0 * qs)
-    ordered = values.sort(col).rdd.map(lambda r: r[0])
-    with_rank = ordered.zipWithIndex()  # global rank after range-partitioned sort
-    with_rank = with_rank.cache()
+    # Catalyst-native global ranks (no RDD scan, AQE stays on): range-sort,
+    # then rank = per-partition offset + row_number within the sorted
+    # partition. The offsets job is a map-side-combined count per partition
+    # id (tiny); the window's hash exchange on the partition id moves each
+    # range-partition as one balanced group.
+    sorted_vals = (values.sort(col)
+                   .select(F.col(col).alias("__v"),
+                           F.spark_partition_id().alias("__pid"))
+                   .persist())
     try:
         wanted: set[int] = set()
         plans = []
@@ -54,17 +61,31 @@ def exact_quantiles(df: DataFrame, col: str, qs,
             plans.append((lo, hi, frac))
             wanted.add(lo)
             wanted.add(hi)
-        fetched = dict(
-            (rank, float(v))
-            for v, rank in with_rank.filter(lambda vr: vr[1] in wanted).collect()
-        )
-        out = np.array([
+        counts = sorted_vals.groupBy("__pid").count().collect()
+        offsets = {}
+        acc = 0
+        for row in sorted(counts, key=lambda r: r["__pid"]):
+            offsets[row["__pid"]] = acc
+            acc += row["count"]
+        spark = df.sparkSession
+        off_df = F.broadcast(spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            schema="__pid int, __off long"))
+        w = Window.partitionBy("__pid").orderBy("__v")
+        ranked = (sorted_vals.join(off_df, "__pid")
+                  .withColumn("__gr",
+                              F.col("__off") + F.row_number().over(w) - 1))
+        fetched = {
+            int(r["__gr"]): float(r["__v"])
+            for r in ranked.where(
+                F.col("__gr").isin(*[int(x) for x in wanted])).collect()
+        }
+        return np.array([
             fetched[lo] + frac * (fetched[hi] - fetched[lo])
             for lo, hi, frac in plans
         ])
-        return out
     finally:
-        with_rank.unpersist()
+        sorted_vals.unpersist()
 
 
 def matlab_quantiles(df: DataFrame, col: str, qs) -> np.ndarray:

@@ -57,16 +57,28 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def ivf_fit_centroids(corpus: DataFrame, n_centroids: int = 16,
                       vec_col: str = "embedding", iters: int = 10,
-                      sample_rows: int = 100_000, seed: int = 19) -> np.ndarray:
+                      sample_rows: int = 100_000, seed: int = 19,
+                      id_col: str = "vec_id") -> np.ndarray:
     """Deterministic IVF coarse quantizer: k-means on a bounded seeded sample
-    (collected — the sample, not the corpus), k-means++-free quantile-spread
-    init. Returns the [k, dim] centroid matrix (broadcastable)."""
-    frac_df = corpus.select(vec_col)
-    n = frac_df.count()
+    (collected — the sample, not the corpus). Returns the [k, dim] centroid
+    matrix (broadcastable).
+
+    Deterministic REGARDLESS of partitioning: the sample is a seeded
+    hash-band filter on ``id_col`` (partition-invariant, unlike ``sample()``
+    whose Bernoulli stream is seeded per partition index) and the collected
+    rows are sorted by id before k-means (``collect()`` order follows split
+    scheduling order, which varies with ``maxPartitionBytes``/parallelism).
+    This is what lets the ``ivf_topk`` query be pinned by a VALUES golden.
+    """
+    sel = corpus.select(id_col, vec_col)
+    n = sel.count()
     if n > sample_rows:
-        frac_df = frac_df.sample(fraction=sample_rows / n, seed=seed)
-    mat = np.stack([np.asarray(r[0], dtype=float)
-                    for r in frac_df.collect()])
+        band = int((sample_rows / n) * (1 << 32))
+        sel = sel.where(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(int(seed))),
+                   F.lit(1 << 32)) < F.lit(band))
+    rows = sorted(sel.collect(), key=lambda r: r[0])
+    mat = np.stack([np.asarray(r[1], dtype=float) for r in rows])
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(mat.shape[0],
                                size=min(n_centroids, mat.shape[0]),

@@ -92,38 +92,43 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(normalized.cast("binary"))
 
 
+def word_grams(df: DataFrame, n: int, text_col: str = "text",
+               id_col: str = "doc_id", out_col: str = "ngram",
+               distinct: bool = False) -> DataFrame:
+    """Word n-gram relation (one row per gram occurrence, or per distinct
+    gram with ``distinct=True``) — the shared generator behind
+    :func:`word_ngrams` and ``dedup.word_shingles``.
+
+    Fully JVM-side: ``split`` (codegen) feeds Spark ML's ``NGram``
+    transformer (a Scala sliding-window UDF — no Python workers, no Arrow
+    transfer, no GIL). A doc shorter than ``n`` words emits ONE gram of all
+    its words (matching ``greatest(len - n + 1, 1)`` in the SQL oracles);
+    plain ``NGram`` would emit nothing for it. The earlier Arrow-batched
+    Python generator measured equal at 5k docs and loses at scale (per-row
+    interpreter cost + executor→Python round-trip); the pure-Catalyst
+    higher-order expression (``transform(sequence, slice, concat_ws)``)
+    measured 10–20× slower (interpreted per element).
+    """
+    from pyspark.ml.feature import NGram
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), words.alias("__words"))
+    grammed = NGram(n=n, inputCol="__words", outputCol="__grams") \
+        .transform(base)
+    grams = F.when(F.size("__words") < n,
+                   F.array(F.concat_ws(" ", "__words"))) \
+        .otherwise(F.col("__grams"))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return grammed.select(F.col(id_col), F.explode(grams).alias(out_col))
+
+
 def word_ngrams(df: DataFrame, n: int, text_col: str = "text",
                 id_col: str = "doc_id",
                 out_col: str = "ngram") -> DataFrame:
     """Non-distinct word n-grams per doc — the multiset the repetition
-    filters need (unlike ``dedup.word_shingles``, which deduplicates).
-
-    Arrow-batched string generation: the pure-expression alternative
-    (``transform(sequence, slice, concat_ws)``) runs INTERPRETED per
-    element inside Catalyst and measured ~20× slower at corpus scale — the
-    same trap ``dedup.word_shingles`` documents."""
-    import re
-
-    from typing import Iterator
-
-    import pandas as pd
-
-    ws = re.compile(r"\s+")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, grams = [], []
-            for doc, text in zip(pdf[id_col], pdf[text_col]):
-                words = ws.split(str(text).strip().lower())
-                for i in range(max(len(words) - n + 1, 1)):
-                    ids.append(doc)
-                    grams.append(" ".join(words[i:i + n]))
-            yield pd.DataFrame({id_col: pd.Series(ids, dtype="object"),
-                                out_col: pd.Series(grams, dtype="object")})
-
-    id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
-        gen, schema=f"{id_col} {id_type}, {out_col} string")
+    filters need (unlike ``dedup.word_shingles``, which deduplicates)."""
+    return word_grams(df, n, text_col, id_col, out_col, distinct=False)
 
 
 def repetition_metrics(df: DataFrame, n: int = 2, text_col: str = "text",

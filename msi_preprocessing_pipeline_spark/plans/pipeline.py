@@ -163,12 +163,18 @@ class FeaturePipeline:
             "pafft_reference",
             lambda: sp.masked_mean_reference(masked, "spectrum").tolist()))
 
+        # same fused staging as fit(): the TIC reference is a JVM scalar
+        # aggregation over per-row float64 sums, so fit() and
+        # fit_checkpointed() yield IDENTICAL artifacts for the same input.
+        # (Relative to the oracle's np.sum over the mean vector this is a
+        # reordered-sum equivalence — allclose, not bitwise; only the
+        # TIC-normalize fusion itself is bitwise-identical.)
         stage_b = runner.run_stage(
-            "pafft", lambda: sp.pafft_stage(masked, pafft_ref, mz_axis, cfg))
+            "pafft", lambda: sp.pafft_stage(masked, pafft_ref, mz_axis, cfg,
+                                            with_sum=True))
         ref_tic = float(runner.run_artifact(
             "tic_reference_tic",
-            lambda: float(np.sum(sp.masked_mean_reference(stage_b,
-                                                          "aligned")))))
+            lambda: sp.masked_weighted_mean_scalar(stage_b, "aligned_sum")))
 
         stage_c = runner.run_stage(
             "normalized", lambda: sp.tic_normalize_stage(stage_b, ref_tic))

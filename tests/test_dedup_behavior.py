@@ -279,3 +279,25 @@ def test_connected_components_paths_identical(corpus):
         .sort_values("doc_id").reset_index(drop=True)
     assert fast.equals(dist)
     assert len(fast) > 0
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 600-node path (diameter ≫ 25) through the DISTRIBUTED branch:
+    pointer jumping must converge within the default max_iter (O(log D)
+    rounds), where plain min-label propagation would need 600."""
+    from msi_preprocessing_pipeline_spark.operators import dedup
+    n = 600
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], schema="doc_a long, doc_b long")
+    got = (dedup.connected_components(pairs, collect_threshold=0)
+           .toPandas())
+    assert len(got) == n
+    assert set(got.cluster_id) == {0}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from msi_preprocessing_pipeline_spark.operators import dedup
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], schema="doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="max_iter"):
+        dedup.connected_components(pairs, collect_threshold=0, max_iter=2)

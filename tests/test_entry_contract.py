@@ -67,3 +67,17 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(got) == len(exp), name
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                   check_exact=True, obj=name)
+
+
+def test_query_counts_match_docs():
+    """The docstring counts in __spark_entry__ and README must track
+    len(queries())/len(oracle_sql()) — they drifted once (r2 verdict #4)."""
+    n_q = len(entrymod.queries())
+    n_o = len(entrymod.oracle_sql())
+    doc = entrymod.__doc__
+    assert f"{n_q} queries" in doc, (n_q, "not in entry docstring")
+    assert f"{n_o} with exact DuckDB oracles" in doc, (n_o, doc)
+    readme = open("/root/repo/README.md").read()
+    assert f"{n_q} queries" in readme
+    # every query has an oracle entry (rows-only queries would show up here)
+    assert sorted(entrymod.oracle_sql()) == sorted(entrymod.queries())

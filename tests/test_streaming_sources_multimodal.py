@@ -117,6 +117,75 @@ def test_multimodal_plumbing(spark):
         multimodal.decode_and_featurize(media, decoder="real").collect()
 
 
+def _encode_bmp24(img_rgb: np.ndarray) -> bytes:
+    """Minimal uncompressed bottom-up 24-bit BMP writer (test-side)."""
+    h, w, _ = img_rgb.shape
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    bgr = img_rgb[:, :, ::-1]
+    raster[:, :w * 3] = bgr.reshape(h, w * 3)
+    raster = raster[::-1]  # bottom-up row order
+    off, size = 54, 54 + raster.size
+    header = (b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
+              + off.to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little")
+              + raster.size.to_bytes(4, "little")
+              + b"\0" * 16)
+    return header + raster.tobytes()
+
+
+def _pool(img: np.ndarray, patch: int) -> np.ndarray:
+    ph, pw = img.shape[0] // patch, img.shape[1] // patch
+    return img[:ph * patch, :pw * patch] \
+        .reshape(patch, ph, patch, pw).mean(axis=(1, 3)) \
+        .astype(np.float32).ravel()
+
+
+def test_real_decode_roundtrip(spark):
+    """Pure-numpy real decoders: encode BMP/PGM/PPM with numpy, run through
+    the Spark operator, compare features to the locally pooled image."""
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(24, 33), dtype=np.uint8)  # odd width
+    rgb = rng.randint(0, 256, size=(17, 22, 3), dtype=np.uint8)
+
+    pgm = b"P5\n# comment\n33 24\n255\n" + gray.tobytes()
+    ppm = (f"P6 {rgb.shape[1]} {rgb.shape[0]} 255\n".encode()
+           + rgb.tobytes())
+    bmp = _encode_bmp24(rgb)
+
+    luma = np.clip(np.round(0.299 * rgb[..., 0].astype(float)
+                            + 0.587 * rgb[..., 1]
+                            + 0.114 * rgb[..., 2]), 0, 255).astype(np.uint8)
+    expected = {
+        0: _pool(gray, 4), 1: _pool(luma, 4), 2: _pool(luma, 4),
+    }
+
+    rows = [(0, bytearray(pgm), "image/x-portable-graymap",
+             33, 24, 1),
+            (1, bytearray(ppm), "image/x-portable-pixmap",
+             22, 17, 1),
+            (2, bytearray(bmp), "image/bmp", 22, 17, 1)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    got = (multimodal.decode_and_featurize(media, decoder="real", patch=4)
+           .toPandas().set_index("media_id"))
+    for mid, exp in expected.items():
+        np.testing.assert_allclose(
+            np.asarray(got.loc[mid, "features"], dtype=np.float32), exp,
+            rtol=0, atol=1e-6)
+
+
+def test_real_decode_compressed_raises(spark):
+    rows = [(0, bytearray(b"\x89PNG\r\n\x1a\n" + b"\0" * 64),
+             "image/png", 8, 8, 1)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+        multimodal.decode_and_featurize(media, decoder="real").collect()
+
+
 def test_array_function_exprs(spark):
     pdf = pd.DataFrame({
         "a": [[1.0, 2.0, 3.0]], "b": [[0.0, 1.0, 1.0]],

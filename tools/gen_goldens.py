@@ -22,6 +22,12 @@ PIN = [
     ("near_dup_clusters", True),
     ("simhash_pairs", True),
     ("winnowing_pairs", True),
+    # ANN queries: seeded-deterministic end to end (hyperplanes/centroids
+    # from seeded RNGs; ivf_fit_centroids is partition-invariant by
+    # hash-band sampling + id-sorted collect; ties broken by neighbor id)
+    ("lsh_topk", True),
+    ("ivf_topk", True),
+    ("embedding_near_dup", True),
 ]
 
 DUCK_TYPES = {
