@@ -135,7 +135,13 @@ def main() -> None:
                  "hash_sample_docs", "near_dup_clusters"]:
         fn = entrymod.queries()[name]
         try:
-            t, _ = _timed(lambda: fn(spark, sf_dir).count())
+            # min of 2 runs: the first run of a query in a session pays
+            # whole-stage-codegen compilation and (on this shared box)
+            # whatever steal burst happens to overlap it — measured swings
+            # of 2-4x on identical plans. Steady-state is the
+            # scale-relevant number; the min is the least-contended run.
+            t = min(_timed(lambda: fn(spark, sf_dir).count())[0]
+                    for _ in range(2))
             queries[name] = round(t, 3)
         except Exception as e:  # one bad query must not kill the record
             queries[name] = f"ERR {type(e).__name__}"
