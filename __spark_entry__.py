@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-43 queries, 43 with exact DuckDB oracles — relational SQL where expressible,
+44 queries, 44 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -377,6 +377,34 @@ def _q_pack_assignments(spark, sf_dir):
     return pack_assignments(with_len, budget=256)
 
 
+def _q_pii_scan(spark, sf_dir):
+    """PII scan + redaction over documents with deterministically injected
+    PII (the synthetic corpus contains none) — the pre-training scrub pass:
+    per-kind counts and the redacted length, all JVM regexp codegen."""
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("@example.com"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" from 10.0.0.1"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" ssn 123-45-6789"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" call 555-867-5309"))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    return (tx.pii_metrics(injected)
+            .withColumn("redacted_len",
+                        F.length(tx.redact_pii()).cast("long"))
+            .select("doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+                    "pii_total", "redacted_len"))
+
+
 def _q_decontaminate(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.dedup import decontaminate
 
@@ -535,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_by_type": _q_median_by_type,
         "json_props": _q_json_props,
         "repetition_stats": _q_repetition_stats,
+        "pii_scan": _q_pii_scan,
         "range_join_price_bands": _q_range_join,
         "pack_assignments_docs": _q_pack_assignments,
         "hash_sample_docs": _q_hash_sample,
@@ -879,6 +908,51 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         as bigint) as last_seq,
                    cast(start_offset % 256 as bigint) as offset_in_seq
             from a
+        """,
+        "pii_scan": r"""
+            with d as (
+                select doc_id,
+                       text || ' contact user' || cast(doc_id % 50 as varchar)
+                            || '@example.com'
+                            || case when doc_id % 7 = 0
+                                    then ' from 10.0.0.1' else '' end
+                            || case when doc_id % 11 = 0
+                                    then ' ssn 123-45-6789' else '' end
+                            || case when doc_id % 13 = 0
+                                    then ' call 555-867-5309' else '' end
+                           as text
+                from documents
+            )
+            select doc_id,
+                   cast(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                        as bigint) as n_email,
+                   cast(len(regexp_extract_all(text,
+                        '\b\d{3}-\d{2}-\d{4}\b')) as bigint) as n_ssn,
+                   cast(len(regexp_extract_all(text,
+                        '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) as bigint) as n_phone,
+                   cast(len(regexp_extract_all(text,
+                        '\b(\d{1,3}\.){3}\d{1,3}\b')) as bigint) as n_ipv4,
+                   cast(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                      + len(regexp_extract_all(text,
+                        '\b\d{3}-\d{2}-\d{4}\b'))
+                      + len(regexp_extract_all(text,
+                        '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+                      + len(regexp_extract_all(text,
+                        '\b(\d{1,3}\.){3}\d{1,3}\b')) as bigint) as pii_total,
+                   cast(length(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text,
+                             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                             '<EMAIL>', 'g'),
+                           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'))
+                        as bigint) as redacted_len
+            from d
         """,
         "repetition_stats": """
             with g as (

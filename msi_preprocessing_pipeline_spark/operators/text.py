@@ -92,6 +92,47 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(normalized.cast("binary"))
 
 
+# PII scan/redaction — the standard pre-training scrub pass. Patterns are
+# deliberately lookaround-free so the SAME regex runs on Spark (java.util
+# .regex) and the DuckDB oracle (RE2) with identical semantics.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+}
+# redaction applies in this fixed order (email first: an email can contain
+# digit runs that would otherwise half-match the numeric patterns)
+PII_ORDER = ("email", "ssn", "phone", "ipv4")
+
+
+def pii_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII occurrence counts (one ``n_<kind>`` column per
+    pattern) plus ``pii_total``. Pure JVM ``regexp_extract_all`` — codegen,
+    no Python workers, shuffle-free."""
+    counts = {
+        f"n_{kind}": F.size(F.regexp_extract_all(
+            F.col(text_col), F.lit(PII_PATTERNS[kind]), F.lit(0)))
+        .cast("long")
+        for kind in PII_ORDER
+    }
+    out = df.withColumns(counts)
+    total = None
+    for kind in PII_ORDER:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total)
+
+
+def redact_pii(text_col: str = "text") -> Column:
+    """Text with every PII match replaced by its ``<KIND>`` token, applied
+    in the fixed :data:`PII_ORDER` (JVM ``regexp_replace`` chain)."""
+    out = F.col(text_col)
+    for kind in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
 def word_grams(df: DataFrame, n: int, text_col: str = "text",
                id_col: str = "doc_id", out_col: str = "ngram",
                distinct: bool = False) -> DataFrame:

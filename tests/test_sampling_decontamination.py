@@ -107,3 +107,25 @@ def test_hash_sample_fractions_are_nested(spark):
     s30 = set(hash_sample(docs, "doc_id", 0.3, seed=9)
               .select("doc_id").toPandas().doc_id)
     assert s10 < s30
+
+
+def test_pii_metrics_and_redaction(spark):
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+    rows = [
+        (0, "mail me at a.b-c_1@ex-ample.co.uk or x@y.io now"),
+        (1, "ssn 123-45-6789 phone 555.867.5309 ip 10.0.0.255"),
+        (2, "no pii here, just 1234 and 12-34"),
+        (3, "v4 999.999.999.999 is matched lexically (scrub, not validate)"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (tx.pii_metrics(df)
+           .withColumn("red", tx.redact_pii())
+           .toPandas().set_index("doc_id").sort_index())
+    assert got.loc[0, "n_email"] == 2 and got.loc[0, "pii_total"] == 2
+    assert (got.loc[1, ["n_ssn", "n_phone", "n_ipv4"]] == 1).all()
+    assert got.loc[1, "n_email"] == 0 and got.loc[1, "pii_total"] == 3
+    assert got.loc[2, "pii_total"] == 0
+    assert got.loc[3, "n_ipv4"] == 1
+    assert got.loc[0, "red"] == "mail me at <EMAIL> or <EMAIL> now"
+    assert got.loc[1, "red"] == "ssn <SSN> phone <PHONE> ip <IPV4>"
+    assert got.loc[2, "red"] == rows[2][1]
