@@ -267,16 +267,25 @@ def _star_left_side(bucketed: DataFrame, bucket_cols: list[str],
     star can lose edges a verified clique would keep: exact for
     homogeneous giant buckets (all-copies boilerplate — the target case),
     recall-lossy for heterogeneous ones. See ``minhash_lsh_pairs``.
+
+    Physical shape: the giant-bucket list is a map-side-combined
+    aggregation (tiny by construction: ≤ N/star_over buckets qualify)
+    broadcast back onto the relation — NOT a window over the full
+    relation, which would shuffle every row by bucket just to discover
+    that almost no bucket is giant. At extreme N raise ``star_over``
+    so the giant-bucket list stays broadcastable.
     """
     if star_over is None:
         return bucketed
-    w = Window.partitionBy(*bucket_cols)
-    guarded = (bucketed
-               .withColumn("__bucket_n", F.count("*").over(w))
-               .withColumn("__bucket_min", F.min(id_col).over(w)))
-    big = F.col("__bucket_n") > F.lit(int(star_over))
-    return (guarded.where(~big | (F.col(id_col) == F.col("__bucket_min")))
-            .drop("__bucket_n", "__bucket_min"))
+    big = (bucketed.groupBy(*bucket_cols)
+           .agg(F.count("*").alias("__bucket_n"),
+                F.min(id_col).alias("__bucket_min"))
+           .where(F.col("__bucket_n") > F.lit(int(star_over)))
+           .drop("__bucket_n"))
+    return (bucketed.join(F.broadcast(big), bucket_cols, "left")
+            .where(F.col("__bucket_min").isNull()
+                   | (F.col(id_col) == F.col("__bucket_min")))
+            .drop("__bucket_min"))
 
 
 def _simhash_chunks(n_chunks: int) -> list[tuple[int, int, int]]:

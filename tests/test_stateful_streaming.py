@@ -105,3 +105,45 @@ def test_watermarked_tumbling_window_drops_late_data(spark, tmp_path):
     # the late 100.0 must NOT be in the emitted window
     assert int(ten.n_events.iloc[0]) == 2
     assert float(ten.value_sum.iloc[0]) == 3.0
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Streaming ingest dedup: one survivor per content fingerprint; matches
+    the batch exact-dedup group structure on the same input."""
+    import pandas as pd
+
+    from msi_preprocessing_pipeline_spark.streaming.dedup import (
+        streaming_dedup_exact)
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    pdf = pd.DataFrame({
+        "doc_id": range(12),
+        # 4 distinct contents; '  Hello  World ' normalizes to 'hello world'
+        "text": (["hello world", "  Hello  World ", "spark engine",
+                  "spark   ENGINE", "unique one", "unique two"] * 2),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            range(12), unit="min"),
+    })
+    batch = spark.createDataFrame(pdf)
+    batch.write.parquet(docs_dir, mode="overwrite")
+    raw = spark.read.parquet(docs_dir)
+
+    stream = spark.readStream.schema(raw.schema).parquet(docs_dir)
+    out = streaming_dedup_exact(stream, watermark="10 minutes")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_stream").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select * from dedup_stream").toPandas()
+
+    # 4 distinct normalized contents → 4 survivors, distinct fingerprints
+    assert len(got) == 4
+    assert got["fingerprint"].nunique() == 4
+    # 'hello world' variants share a fingerprint; so do 'spark engine' ones
+    norm = (pdf.text.str.strip().str.lower()
+            .str.replace(r"\s+", " ", regex=True))
+    assert norm.nunique() == 4
+    # every surviving doc's normalized text is one of the 4
+    surv = norm[got["doc_id"]].nunique()
+    assert surv == 4
