@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-44 queries, 44 with exact DuckDB oracles — relational SQL where expressible,
+45 queries, 45 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -405,6 +405,13 @@ def _q_pii_scan(spark, sf_dir):
                     "pii_total", "redacted_len"))
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(docs, k_terms=5)
+
+
 def _q_decontaminate(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.dedup import decontaminate
 
@@ -564,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         "repetition_stats": _q_repetition_stats,
         "pii_scan": _q_pii_scan,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "range_join_price_bands": _q_range_join,
         "pack_assignments_docs": _q_pack_assignments,
         "hash_sample_docs": _q_hash_sample,
@@ -908,6 +916,34 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         as bigint) as last_seq,
                    cast(start_offset % 256 as bigint) as offset_in_seq
             from a
+        """,
+        "tfidf_top_terms": r"""
+            with w as (
+                select doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\s+'))
+                           as word
+                from documents
+            ), tf as (
+                select doc_id, word, count(*) as tf
+                from w where word <> '' group by 1, 2
+            ), dfreq as (
+                select word, count(*) as df from tf group by 1
+            ), nd as (
+                select count(distinct doc_id) as n from documents
+            ), scored as (
+                select t.doc_id, t.word, t.tf,
+                       round(cast(t.tf as double)
+                             * (ln((nd.n + 1.0) / (d.df + 1.0)) + 1.0), 6)
+                           as score
+                from tf t join dfreq d using (word) cross join nd
+            ), ranked as (
+                select *, row_number() over (partition by doc_id
+                                             order by score desc, word asc)
+                           as rank
+                from scored
+            )
+            select doc_id, word, tf, score, cast(rank as bigint) as rank
+            from ranked where rank <= 5
         """,
         "pii_scan": r"""
             with d as (

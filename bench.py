@@ -132,7 +132,8 @@ def main() -> None:
                  "backfill_click_value", "lang_id", "text_stats",
                  "decontaminate_docs", "repetition_stats",
                  "pack_assignments_docs", "stable_split_events",
-                 "hash_sample_docs", "near_dup_clusters", "pii_scan"]:
+                 "hash_sample_docs", "near_dup_clusters", "pii_scan",
+                 "tfidf_top_terms"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -172,6 +172,38 @@ def word_ngrams(df: DataFrame, n: int, text_col: str = "text",
     return word_grams(df, n, text_col, id_col, out_col, distinct=False)
 
 
+def tfidf_top_terms(df: DataFrame, k_terms: int = 5,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-``k_terms`` TF-IDF terms per document (smoothed idf:
+    ``ln((N+1)/(df+1)) + 1``), the standard keyword-extraction pass.
+
+    Plan shape: JVM word explode → (doc, word) tf aggregation → word df
+    aggregation (vocabulary-sized) → hash join back → per-doc top-k window.
+    Ranking uses the ROUNDED score (6 dp) with a word tie-break so the
+    ordering is reproducible across engines (a last-ulp ``ln`` difference
+    cannot flip ranks). Two map-side-combined shuffles + the top-k window.
+    """
+    from pyspark.sql import Window as W
+
+    words = (df.select(F.col(id_col),
+                       F.explode(words_col(text_col)).alias("word"))
+             .where(F.col("word") != ""))
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(float(n_docs + 1))
+                / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0)
+    scored = (tf.join(dfreq, "word")
+              .withColumn("score",
+                          F.round(F.col("tf").cast("double") * idf, 6)))
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                      F.col("word").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= F.lit(int(k_terms)))
+            .select(id_col, "word", "tf", "score", "rank"))
+
+
 def repetition_metrics(df: DataFrame, n: int = 2, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition quality signals per document: the fraction of
