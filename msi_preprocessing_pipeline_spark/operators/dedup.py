@@ -577,24 +577,38 @@ def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
                        lsh_bits: int = 12, seed: int = 13,
                        star_over: int | None = None) -> DataFrame:
     """Cosine near-duplicate pairs: sign-LSH bucket (seeded hyperplanes,
-    broadcast) then exact cosine within buckets."""
+    broadcast) then exact cosine within buckets.
+
+    The bucketing UDF is Arrow-native (``mapInArrow``): the embedding
+    column is consumed as one [n, dim] matrix per batch — no per-row
+    list→ndarray conversion — and the vectors pass through untouched.
+    """
+    import pyarrow as pa
+
+    from msi_preprocessing_pipeline_spark.functions.arrowutil import (
+        col_of, list_col_matrix)
+
     spark = df.sparkSession
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
     planes_bc = spark.sparkContext.broadcast(rng.randn(lsh_bits, dim))
 
-    def bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def bucket(batches: Iterator["pa.RecordBatch"]) \
+            -> Iterator["pa.RecordBatch"]:
         planes = planes_bc.value
-        for pdf in batches:
-            mat = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            mat = list_col_matrix(rb, vec_col)  # float64: matches goldens
             signs = (mat @ planes.T) > 0
             keys = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
-            out = pdf[[id_col, vec_col]].copy()
-            out["bucket"] = keys.astype(np.int64)
-            yield out
+            yield pa.RecordBatch.from_arrays(
+                [col_of(rb, id_col), col_of(rb, vec_col),
+                 pa.array(keys.astype(np.int64), type=pa.int64())],
+                names=[id_col, vec_col, "bucket"])
 
     schema = f"{id_col} long, {vec_col} array<float>, bucket long"
-    bucketed = df.select(id_col, vec_col).mapInPandas(bucket, schema=schema)
+    bucketed = df.select(id_col, vec_col).mapInArrow(bucket, schema=schema)
     l = _star_left_side(bucketed, ["bucket"], id_col, star_over).alias("l")
     r = bucketed.alias("r")
     pairs = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))

@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -101,36 +100,54 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     centroid (inverted lists); each query scans only its ``n_probe`` nearest
     lists, exact cosine re-rank inside. The scale path when LSH buckets are
     too coarse: list sizes are balanced by construction of k-means."""
+    import pyarrow as pa
+
+    from msi_preprocessing_pipeline_spark.functions.arrowutil import (
+        col_of, list_col_matrix)
+
     spark = corpus.sparkSession
     cent_bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=float))
 
-    def assign_corpus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def assign_corpus(batches: Iterator["pa.RecordBatch"]) \
+            -> Iterator["pa.RecordBatch"]:
         cents = cent_bc.value
-        for pdf in batches:
-            mat = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            mat = list_col_matrix(rb, vec_col)
+            # keep the naive (x-c)^2 form: argmin must match the driver
+            # k-means assignment bit-for-bit (pinned ANN goldens); batches
+            # are Arrow-sized so the [n, k, dim] temporary stays small
             d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            out = pdf[[id_col, vec_col]].copy()
-            out["list_id"] = d.argmin(axis=1).astype(np.int64)
-            yield out
+            yield pa.RecordBatch.from_arrays(
+                [col_of(rb, id_col), col_of(rb, vec_col),
+                 pa.array(d.argmin(axis=1).astype(np.int64),
+                          type=pa.int64())],
+                names=[id_col, vec_col, "list_id"])
 
-    def assign_queries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def assign_queries(batches: Iterator["pa.RecordBatch"]) \
+            -> Iterator["pa.RecordBatch"]:
         cents = cent_bc.value
-        for pdf in batches:
-            mat = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            mat = list_col_matrix(rb, vec_col)
             d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             probes = np.argsort(d, axis=1)[:, :n_probe]
-            rows = {query_id_col: [], vec_col: [], "list_id": []}
-            for qid, vec, ps in zip(pdf[id_col], pdf[vec_col], probes):
-                for p in ps:
-                    rows[query_id_col].append(qid)
-                    rows[vec_col].append(vec)
-                    rows["list_id"].append(int(p))
-            yield pd.DataFrame(rows)
+            n = rb.num_rows
+            take = pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                      probes.shape[1]))
+            yield pa.RecordBatch.from_arrays(
+                [col_of(rb, id_col).take(take),
+                 col_of(rb, vec_col).take(take),
+                 pa.array(probes.ravel().astype(np.int64),
+                          type=pa.int64())],
+                names=[query_id_col, vec_col, "list_id"])
 
-    c = corpus.select(id_col, vec_col).mapInPandas(
+    c = corpus.select(id_col, vec_col).mapInArrow(
         assign_corpus,
         schema=f"{id_col} long, {vec_col} array<float>, list_id long")
-    q = queries.select(id_col, vec_col).mapInPandas(
+    q = queries.select(id_col, vec_col).mapInArrow(
         assign_queries,
         schema=f"{query_id_col} long, {vec_col} array<float>, list_id long")
     cand = (c.join(F.broadcast(q.withColumnRenamed(vec_col, "__qvec")),
@@ -156,39 +173,56 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """Approximate top-k: candidates = corpus rows sharing the query's
     sign-LSH bucket (plus all 1-bit-flip probe buckets), exact cosine re-rank.
     """
+    import pyarrow as pa
+
+    from msi_preprocessing_pipeline_spark.functions.arrowutil import (
+        col_of, list_col_matrix)
+
     spark = corpus.sparkSession
     dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
     planes_bc = spark.sparkContext.broadcast(rng.randn(lsh_bits, dim))
 
-    def bucket_of(pdf_vecs) -> np.ndarray:
+    def bucket_of(mat: np.ndarray) -> np.ndarray:
         planes = planes_bc.value
-        mat = np.stack([np.asarray(v, dtype=float) for v in pdf_vecs])
         signs = (mat @ planes.T) > 0
         return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1) \
             .astype(np.int64)
 
-    def corpus_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf[[id_col, vec_col]].copy()
-            out["bucket"] = bucket_of(pdf[vec_col])
-            yield out
+    def corpus_buckets(batches: Iterator["pa.RecordBatch"]) \
+            -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [col_of(rb, id_col), col_of(rb, vec_col),
+                 pa.array(bucket_of(list_col_matrix(rb, vec_col)),
+                          type=pa.int64())],
+                names=[id_col, vec_col, "bucket"])
 
-    def query_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            base = bucket_of(pdf[vec_col])
-            rows = {query_id_col: [], vec_col: [], "bucket": []}
-            for qid, vec, b in zip(pdf[id_col], pdf[vec_col], base):
-                probes = [int(b)] + [int(b) ^ (1 << i) for i in range(lsh_bits)]
-                for p in probes:
-                    rows[query_id_col].append(qid)
-                    rows[vec_col].append(vec)
-                    rows["bucket"].append(p)
-            yield pd.DataFrame(rows)
+    def query_probes(batches: Iterator["pa.RecordBatch"]) \
+            -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            base = bucket_of(list_col_matrix(rb, vec_col))  # [n]
+            # each query probes its own bucket + every 1-bit flip
+            flips = np.int64(1) << np.arange(lsh_bits, dtype=np.int64)
+            probes = np.concatenate(
+                [base[:, None], base[:, None] ^ flips[None, :]], axis=1)
+            n = rb.num_rows
+            take = pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                      lsh_bits + 1))
+            yield pa.RecordBatch.from_arrays(
+                [col_of(rb, id_col).take(take),
+                 col_of(rb, vec_col).take(take),
+                 pa.array(probes.ravel(), type=pa.int64())],
+                names=[query_id_col, vec_col, "bucket"])
 
-    c = corpus.select(id_col, vec_col).mapInPandas(
-        corpus_buckets, schema=f"{id_col} long, {vec_col} array<float>, bucket long")
-    q = queries.select(id_col, vec_col).mapInPandas(
+    c = corpus.select(id_col, vec_col).mapInArrow(
+        corpus_buckets,
+        schema=f"{id_col} long, {vec_col} array<float>, bucket long")
+    q = queries.select(id_col, vec_col).mapInArrow(
         query_probes,
         schema=f"{query_id_col} long, {vec_col} array<float>, bucket long")
     cand = (c.join(F.broadcast(q.withColumnRenamed(vec_col, "__qvec")),
