@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-45 queries, 45 with exact DuckDB oracles — relational SQL where expressible,
+46 queries, 46 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -405,6 +405,30 @@ def _q_pii_scan(spark, sf_dir):
                     "pii_total", "redacted_len"))
 
 
+def _q_quality_filter(spark, sf_dir):
+    """Composite Gopher-style corpus curation decision: length bounds,
+    word-shape bounds, punctuation ratio, and n-gram repetition caps
+    combined into one keep/drop relation — the filter pass a training-data
+    pipeline runs before tokenization."""
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    q = (tx.quality_metrics(docs)
+         .select("doc_id", F.col("n_words").cast("long").alias("n_words"),
+                 "mean_word_len", "punct_ratio"))
+    r = tx.repetition_metrics(docs, n=2)
+    keep = ((F.col("n_words") >= 10) & (F.col("n_words") <= 5000)
+            & (F.col("mean_word_len") >= 2.0)
+            & (F.col("mean_word_len") <= 12.0)
+            & (F.col("punct_ratio") <= 0.2)
+            & (F.col("top_ngram_frac") <= 0.3)
+            & (F.col("dup_ngram_frac") <= 0.6))
+    return (q.join(r, "doc_id")
+            .withColumn("keep", keep)
+            .select("doc_id", "n_words", "mean_word_len", "punct_ratio",
+                    "top_ngram_frac", "dup_ngram_frac", "keep"))
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators import text as tx
 
@@ -572,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "pii_scan": _q_pii_scan,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "quality_filter_docs": _q_quality_filter,
         "range_join_price_bands": _q_range_join,
         "pack_assignments_docs": _q_pack_assignments,
         "hash_sample_docs": _q_hash_sample,
@@ -916,6 +941,44 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         as bigint) as last_seq,
                    cast(start_offset % 256 as bigint) as offset_in_seq
             from a
+        """,
+        "quality_filter_docs": f"""
+            with q as (
+                select doc_id,
+                       cast({n_words} as bigint) as n_words,
+                       round({n_nospace} * 1.0 / greatest({n_words}, 1), 6)
+                           as mean_word_len,
+                       round((length(text) - length(regexp_replace(text,
+                              '[.,!?;:]', '', 'g'))) * 1.0
+                             / greatest(length(text), 1), 6) as punct_ratio
+                from documents
+            ), g as (
+                select doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') as words
+                from documents
+            ), grams as (
+                select doc_id,
+                       array_to_string(words[i : i + 1], ' ') as ngram
+                from g, unnest(generate_series(
+                    1, greatest(length(words) - 1, 1))) as t(i)
+            ), counts as (
+                select doc_id, ngram, count(*) as c
+                from grams group by 1, 2
+            ), r as (
+                select doc_id,
+                       round(max(c) * 1.0 / sum(c), 6) as top_ngram_frac,
+                       round(sum(case when c > 1 then c else 0 end) * 1.0
+                             / sum(c), 6) as dup_ngram_frac
+                from counts group by 1
+            )
+            select q.doc_id, q.n_words, q.mean_word_len, q.punct_ratio,
+                   r.top_ngram_frac, r.dup_ngram_frac,
+                   (q.n_words >= 10 and q.n_words <= 5000
+                    and q.mean_word_len >= 2.0 and q.mean_word_len <= 12.0
+                    and q.punct_ratio <= 0.2
+                    and r.top_ngram_frac <= 0.3
+                    and r.dup_ngram_frac <= 0.6) as keep
+            from q join r using (doc_id)
         """,
         "tfidf_top_terms": r"""
             with w as (

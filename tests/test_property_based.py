@@ -105,3 +105,42 @@ def test_asof_property_random_tables(spark):
         ).sort_values("rid").reset_index(drop=True)
         pd.testing.assert_series_equal(got["val"], exp["val"],
                                        check_names=False)
+
+
+@given(st.text(min_size=0, max_size=400),
+       st.integers(min_value=2, max_value=16))
+@settings(max_examples=100, deadline=None)
+def test_winnowing_vectorized_hash_equals_rolling(text, k):
+    """The k-term vectorized polynomial hash is value-identical to the
+    sequential rolling recurrence (mod 2^61 divides 2^64, so every wrapped
+    uint64 intermediate stays congruent) — the invariant the winnowing
+    goldens rely on."""
+    base = np.uint64(257)
+    mask = np.uint64((1 << 61) - 1)
+    s = np.frombuffer(text.lower().encode("utf-8", "ignore"),
+                      dtype=np.uint8).astype(np.uint64)
+    if s.size < k:
+        return
+    with np.errstate(over="ignore"):
+        np.seterr(over="ignore")
+        # reference: sequential rolling recurrence (pre-round-3 kernel)
+        pw = base ** np.uint64(k - 1)
+        h = np.uint64(0)
+        ref = np.empty(s.size - k + 1, dtype=np.uint64)
+        for i in range(k):
+            h = (h * base + s[i]) & mask
+        ref[0] = h
+        for i in range(1, ref.size):
+            h = ((h - s[i - 1] * pw) * base + s[i + k - 1]) & mask
+            ref[i] = h
+        # vectorized k-term polynomial (the shipped kernel's formulation)
+        powers = np.empty(k, dtype=np.uint64)
+        powers[k - 1] = np.uint64(1)
+        for j in range(k - 2, -1, -1):
+            powers[j] = (powers[j + 1] * base) & mask
+        n_out = s.size - k + 1
+        out = np.zeros(n_out, dtype=np.uint64)
+        for j in range(k):
+            out += s[j:j + n_out] * powers[j]
+        out &= mask
+    np.testing.assert_array_equal(out, ref)
