@@ -82,9 +82,18 @@ def ivf_fit_centroids(corpus: DataFrame, n_centroids: int = 16,
     centroids = mat[rng.choice(mat.shape[0],
                                size=min(n_centroids, mat.shape[0]),
                                replace=False)]
+
+    def nearest(block: np.ndarray) -> np.ndarray:
+        # same naive (x-c)^2 formula as the executor-side assignment (the
+        # pinned goldens rely on bit-equal argmins)
+        return ((block[:, None, :] - centroids[None, :, :]) ** 2) \
+            .sum(axis=2).argmin(axis=1)
+
+    chunk = 8192  # bounds the [chunk, k, dim] temp (~8k·16·64·8 B ≈ 64 MB)
     for _ in range(iters):
-        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = np.concatenate([
+            nearest(mat[i:i + chunk]) for i in range(0, mat.shape[0], chunk)
+        ])
         for c in range(centroids.shape[0]):
             members = mat[assign == c]
             if members.size:

@@ -180,3 +180,50 @@ def test_packing_single_layout_shuffle(spark):
     # exactly one exchange: the bucket-window layout shuffle
     assert plan.count("Exchange hashpartitioning") == 1
     assert "bucket" in plan
+
+
+def test_pii_scan_is_pure_codegen(spark):
+    import __spark_entry__ as em
+    plan = plan_of(em.queries()["pii_scan"](spark, SF_DIR), "simple")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "MapInArrow"):
+        assert node not in plan  # JVM regexp codegen end to end
+
+
+def test_star_guard_uses_broadcast_not_window(spark):
+    """Round-3 contract: the giant-bucket guard is a broadcast aggregate
+    join, not a full-relation window (which would shuffle every candidate
+    row by bucket)."""
+    from msi_preprocessing_pipeline_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, n_hashes=16, shingle_words=3)
+    pairs = dedup.minhash_lsh_pairs(sigs, bands=4, threshold=0.3,
+                                    star_over=8)
+    plan = plan_of(pairs, "simple")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gram_generation_has_no_python_workers(spark):
+    """Round-3 contract: shingle/n-gram generation is JVM-side (Spark ML
+    NGram) — no Python eval nodes anywhere in the n-gram Jaccard plan."""
+    import __spark_entry__ as em
+    plan = plan_of(em.queries()["ngram_jaccard_pairs"](spark, SF_DIR),
+                   "simple")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "MapInArrow"):
+        assert node not in plan
+
+
+def test_range_join_wide_branch_is_broadcast(spark):
+    import pandas as pd
+
+    from msi_preprocessing_pipeline_spark.operators.joins import range_join
+    pts = spark.createDataFrame(pd.DataFrame({"pid": [1, 2], "x": [1.0, 9.0]}))
+    ivs = spark.createDataFrame(pd.DataFrame(
+        {"iid": [1, 2], "lo": [0.0, -1e7], "hi": [2.0, 1e7]}))
+    out = range_join(pts, ivs, "x", "lo", "hi", bucket_width=1.0,
+                     wide_buckets=64)
+    plan = plan_of(out, "simple")
+    assert "BroadcastNestedLoopJoin" in plan  # wide branch
+    assert "CartesianProduct" not in plan
