@@ -153,7 +153,10 @@ def word_grams(df: DataFrame, n: int, text_col: str = "text",
     from pyspark.ml.feature import NGram
 
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col), words.alias("__words"))
+    # null text → no grams (the SQL-oracle semantics; NGram's Scala UDF
+    # NPEs on a null array, and the old Python path stringified None)
+    base = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), words.alias("__words")))
     grammed = NGram(n=n, inputCol="__words", outputCol="__grams") \
         .transform(base)
     grams = F.when(F.size("__words") < n,

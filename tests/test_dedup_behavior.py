@@ -301,3 +301,14 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(63)], schema="doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="max_iter"):
         dedup.connected_components(pairs, collect_threshold=0, max_iter=2)
+
+
+def test_word_shingles_null_and_empty_text(spark):
+    """Null text emits no grams (SQL-oracle semantics; NGram's Scala UDF
+    would NPE on a null array without the guard); empty text emits one
+    empty gram like the SQL split semantics."""
+    df = spark.createDataFrame([(0, "a b c d e f"), (1, None), (2, "")],
+                               "doc_id long, text string")
+    got = sorted((r[0], r[1])
+                 for r in dedup.word_shingles(df, k=5).collect())
+    assert got == [(0, "a b c d e"), (0, "b c d e f"), (2, "")]
