@@ -181,8 +181,10 @@ def _q_text_stats(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     out = tx.quality_metrics(docs)
-    return out.select("doc_id", "n_words", "n_nospace", "punct_ratio",
-                      "mean_word_len",
+    return out.select("doc_id",
+                      F.col("n_words").cast("long").alias("n_words"),
+                      F.col("n_nospace").cast("long").alias("n_nospace"),
+                      "punct_ratio", "mean_word_len",
                       tx.fingerprint().alias("fingerprint"))
 
 
@@ -212,7 +214,7 @@ def _q_topk_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (orders.withColumn("rank", F.row_number().over(w))
+    return (orders.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= 3)
             .select("o_custkey", "o_orderkey",
                     F.col("o_totalprice").cast("double").alias("price"),
@@ -258,9 +260,10 @@ def _q_token_counts(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators import text as tx
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id",
-                       tx.token_count().alias("ws_tokens"),
-                       tx.bpe_ish_token_count().alias("bpe_ish_tokens"))
+    return docs.select(
+        "doc_id",
+        tx.token_count().cast("long").alias("ws_tokens"),
+        tx.bpe_ish_token_count().cast("long").alias("bpe_ish_tokens"))
 
 
 def _q_near_dup_exact(spark, sf_dir):

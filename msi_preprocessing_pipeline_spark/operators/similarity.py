@@ -48,7 +48,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                                      * _norm(F.col("__qvec"))), 6)))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= F.lit(k))
             .select(query_id_col, F.col(id_col).alias("neighbor_id"),
                     "cosine", "rank"))
