@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-46 queries, 46 with exact DuckDB oracles — relational SQL where expressible,
+47 queries, 47 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -408,6 +408,19 @@ def _q_pii_scan(spark, sf_dir):
                     "pii_total", "redacted_len"))
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Per-language sampling rates (downsample dominant en, keep rare fr) —
+    the corpus-mixing primitive; partition-invariant hash bands."""
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        stratified_sample)
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang",
+        rates={"en": 0.3, "de": 0.6, "fr": 1.0}, seed=5,
+        default_rate=0.15).select("doc_id", "lang")
+
+
 def _q_quality_filter(spark, sf_dir):
     """Composite Gopher-style corpus curation decision: length bounds,
     word-shape bounds, punctuation ratio, and n-gram repetition caps
@@ -600,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_filter_docs": _q_quality_filter,
+        "stratified_sample_docs": _q_stratified_sample,
         "range_join_price_bands": _q_range_join,
         "pack_assignments_docs": _q_pack_assignments,
         "hash_sample_docs": _q_hash_sample,
@@ -944,6 +958,15 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         as bigint) as last_seq,
                    cast(start_offset % 256 as bigint) as offset_in_seq
             from a
+        """,
+        "stratified_sample_docs": """
+            select doc_id, lang from documents
+            where substr(md5(concat(cast(doc_id as varchar), ':', '5')),
+                         1, 8)
+                  < case lang when 'en' then '4ccccccc'
+                              when 'de' then '99999999'
+                              when 'fr' then 'ffffffff'
+                              else '26666666' end
         """,
         "quality_filter_docs": f"""
             with q as (

@@ -70,6 +70,29 @@ def stable_split(df: DataFrame, key, weights: dict[str, float],
     return df.withColumn(split_col, expr)
 
 
+def stratified_sample(df: DataFrame, key, group_col: str,
+                      rates: dict[str, float], seed: int = 0,
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-group sampling rates (e.g. downsample dominant
+    languages, keep all of a rare one) — the corpus-mixing primitive.
+
+    Same hash-band mechanics as :func:`hash_sample` (partition-invariant,
+    key-stable, engine-portable); the group's rate picks the band width.
+    Groups absent from ``rates`` get ``default_rate``. Pure JVM
+    expressions, shuffle-free, pushdown-friendly.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    bucket = _bucket_hex(key_col, seed)
+    thr = None
+    for g, rate in rates.items():
+        cond = F.col(group_col) == F.lit(g)
+        lit = F.lit(_hex_threshold(float(rate)))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = (F.lit(_hex_threshold(default_rate)) if thr is None
+           else thr.otherwise(F.lit(_hex_threshold(default_rate))))
+    return df.where(bucket < thr)
+
+
 def sampling_oracle_sql(key_sql: str, fraction: float, seed: int = 0) -> str:
     """The DuckDB predicate equivalent of :func:`hash_sample`'s filter."""
     thr = _hex_threshold(fraction)
