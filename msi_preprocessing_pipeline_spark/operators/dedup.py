@@ -550,8 +550,10 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                 "fingerprint": pd.array(hashes, dtype="int64"),
             })
 
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        rebalance_for_cpu)
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
+    return rebalance_for_cpu(df).select(id_col, text_col).mapInPandas(
         fp, schema=f"{id_col} {id_type}, fingerprint long")
 
 

@@ -92,6 +92,26 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(normalized.cast("binary"))
 
 
+def rebalance_for_cpu(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than cores. The CPU-heavy explode/aggregate stages downstream (gram
+    generation, hash votes, fingerprinting) run their map-side partial
+    aggregation inside the scan stage — a small single-file input would
+    serialize them onto one task (same pattern and rationale as
+    ``FeaturePipeline._maybe_rebalance``). On a well-partitioned table
+    this is a no-op, so the serve-scale plans stay shuffle-free.
+
+    Applied by default only where per-row CPU is heavy enough to dominate
+    the repartition cost (the Python winnowing kernel, whose per-doc cost
+    scales with doc length); the cheap JVM explode/aggregate paths measured
+    a small net LOSS from the extra exchange at smoke scale, so they leave
+    the input partitioning alone."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(2 * sc.defaultParallelism)
+    return df
+
+
 # PII scan/redaction — the standard pre-training scrub pass. Patterns are
 # deliberately lookaround-free so the SAME regex runs on Spark (java.util
 # .regex) and the DuckDB oracle (RE2) with identical semantics.
