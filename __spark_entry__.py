@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-47 queries, 47 with exact DuckDB oracles — relational SQL where expressible,
+50 queries, 50 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -155,6 +155,50 @@ def _q_rolling(spark, sf_dir):
          .rowsBetween(-4, Window.currentRow))
     return ev.select("event_id", "user_id",
                      F.round(F.avg("value").over(w), 6).alias("value_avg_5"))
+
+
+def _q_rolling_time(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.windows import rolling_range
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", _ms("ts").alias("ms"), "value"))
+    out = rolling_range(ev, "value", "user_id", order_col="ms",
+                        preceding=3_600_000, fns=("count", "sum", "avg"),
+                        suffix="_1h")
+    return out.select(
+        "event_id", "user_id",
+        F.col("value_count_1h").alias("n_1h"),
+        F.round("value_sum_1h", 6).alias("sum_1h"),
+        F.round("value_avg_1h", 6).alias("avg_1h"))
+
+
+def _q_training_set(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        FeatureSpec, build_training_set)
+
+    ev = _t(spark, sf_dir, "events")
+    spine = (ev.where(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", _ms("ts").alias("purchase_ms"),
+                     F.col("value").alias("label_value")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", _ms("ts").alias("ms"), "value"))
+    views = (ev.where(F.col("event_type") == "view")
+             .select("user_id", _ms("ts").alias("ms"), "value"))
+    return build_training_set(
+        spine, on="user_id", spine_ts="purchase_ms",
+        features=[
+            FeatureSpec(clicks, ts_col="ms", value_cols=["value"],
+                        prefix="click_"),
+            FeatureSpec(views, ts_col="ms", value_cols=["value"],
+                        prefix="view_"),
+        ])
+
+
+def _q_dup_spans(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, n=8)
 
 
 def _q_exact_quantiles(spark, sf_dir):
@@ -591,6 +635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_stats": _q_sessionize,
         "backfill_click_value": _q_backfill,
         "rolling_avg_value": _q_rolling,
+        "rolling_time_features": _q_rolling_time,
+        "training_set_pit": _q_training_set,
+        "dup_spans_docs": _q_dup_spans,
         "exact_quantiles_price": _q_exact_quantiles,
         "dedup_prefix_docs": _q_dedup_prefix,
         "text_stats": _q_text_stats,
@@ -748,6 +795,77 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                                           rows between 4 preceding
                                           and current row), 6) as value_avg_5
             from events
+        """,
+        "rolling_time_features": """
+            with base as (
+                select event_id, user_id, epoch_ms(ts) as ms, value
+                from events
+            )
+            select event_id, user_id,
+                   count(*) over w as n_1h,
+                   round(sum(value) over w, 6) as sum_1h,
+                   round(avg(value) over w, 6) as avg_1h
+            from base
+            window w as (partition by user_id order by ms
+                         range between 3600000 preceding and current row)
+        """,
+        "training_set_pit": """
+            with spine as (
+                select event_id, user_id, ts, epoch_ms(ts) as purchase_ms,
+                       value as label_value
+                from events where event_type = 'purchase'
+            ), clicks as (
+                select user_id, ts, value from events
+                where event_type = 'click'
+            ), views as (
+                select user_id, ts, value from events
+                where event_type = 'view'
+            )
+            select s.event_id, s.user_id, s.purchase_ms, s.label_value,
+                   c.value as click_value, epoch_ms(c.ts) as click_ts,
+                   v.value as view_value, epoch_ms(v.ts) as view_ts
+            from spine s
+            asof left join clicks c
+              on s.user_id = c.user_id and s.ts >= c.ts
+            asof left join views v
+              on s.user_id = v.user_id and s.ts >= v.ts
+        """,
+        "dup_spans_docs": """
+            with w as (
+                select doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') as words
+                from documents where text is not null
+            ), g as (
+                select doc_id, cast(i - 1 as bigint) as pos,
+                       cast(least(i + 6, length(words) - 1) as bigint)
+                           as end_pos,
+                       array_to_string(words[i : i + 7], ' ') as gram
+                from w, unnest(generate_series(
+                    1, greatest(length(words) - 7, 1))) as t(i)
+            ), dup as (
+                select gram from g
+                group by gram having count(distinct doc_id) >= 2
+            ), hits as (
+                select doc_id, pos, end_pos from g
+                where gram in (select gram from dup)
+            ), m as (
+                select doc_id, pos, end_pos,
+                       max(end_pos) over (partition by doc_id order by pos
+                                          rows between unbounded preceding
+                                          and 1 preceding) as pmax
+                from hits
+            ), grp as (
+                select doc_id, pos, end_pos,
+                       sum(case when pmax is null or pos > pmax + 1
+                                then 1 else 0 end)
+                         over (partition by doc_id order by pos
+                               rows between unbounded preceding
+                               and current row) as grp_id
+                from m
+            )
+            select doc_id, min(pos) as span_start, max(end_pos) as span_end,
+                   max(end_pos) - min(pos) + 1 as span_words
+            from grp group by doc_id, grp_id
         """,
         "exact_quantiles_price": """
             select q, round(val, 6) as value from (

@@ -629,3 +629,87 @@ def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
     return (pairs.withColumn("cosine", F.round(cos, 6))
             .where(F.col("cosine") >= F.lit(threshold))
             .select("id_a", "id_b", "cosine"))
+
+
+def positional_word_grams(df: DataFrame, n: int, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Word n-grams WITH their start position: one row per
+    ``(doc, word_index)`` as ``(id, pos, end_pos, gram)``.
+
+    Same tokenization and short-doc semantics as ``text.word_grams`` (a doc
+    shorter than ``n`` words emits one whole-doc gram at pos 0), but keeps
+    the gram's word-coordinate span so substring-level dedup can map gram
+    hits back into the document. Fully JVM: ``split`` + Spark ML ``NGram``
+    + ``posexplode`` — no Python workers.
+    """
+    from pyspark.ml.feature import NGram
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), words.alias("__words")))
+    grammed = NGram(n=n, inputCol="__words", outputCol="__grams") \
+        .transform(base)
+    grams = F.when(F.size("__words") < n,
+                   F.array(F.concat_ws(" ", "__words"))) \
+        .otherwise(F.col("__grams"))
+    return grammed.select(
+        F.col(id_col), F.size("__words").alias("__n_words"),
+        F.posexplode(grams).alias("pos", "gram")
+    ).select(
+        F.col(id_col), F.col("pos").cast("long").alias("pos"),
+        F.least(F.col("pos") + F.lit(n - 1),
+                F.col("__n_words") - F.lit(1)).cast("long").alias("end_pos"),
+        "gram")
+
+
+def duplicate_spans(df: DataFrame, n: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id", min_docs: int = 2,
+                    max_df: int | None = None) -> DataFrame:
+    """Substring-level duplicate detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    re-expressed relationally): per document, the maximal word-coordinate
+    spans covered by n-grams that occur in >= ``min_docs`` distinct docs.
+
+    Document-level dedup keeps a doc that shares one long boilerplate
+    passage with thousands of others; this finds the PASSAGE, so callers
+    can cut the span (or weight it down) instead of dropping the doc.
+
+    Plan shape (all JVM, scale-linear):
+      1. positional grams (map-only scan),
+      2. gram -> distinct-doc-frequency aggregation (map-side combined),
+      3. LEFT SEMI join grams against the duplicated-gram set (hash join;
+         multiplicity 1 on the build side, so no bucket blow-up even for a
+         gram shared by millions of docs — the skew guard ``max_df`` is
+         still available to also IGNORE near-ubiquitous grams, the
+         "stop-passage" analogue of :func:`drop_hot_keys`),
+      4. per-doc interval merge of overlapping-or-adjacent gram spans: one
+         window over ``(doc, pos)`` (running max of span ends) + one
+         aggregation — the classic cummax interval-union, no Python.
+
+    Returns ``(doc_id, span_start, span_end, span_words)`` — word
+    coordinates, inclusive.
+    """
+    grams = positional_word_grams(df, n, text_col, id_col)
+    freq = grams.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("_df"))
+    dup = freq.where(F.col("_df") >= F.lit(int(min_docs)))
+    if max_df is not None:
+        dup = dup.where(F.col("_df") <= F.lit(int(max_df)))
+    hits = grams.join(dup.select("gram"), "gram", "left_semi")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end_pos").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(prev_max_end.isNull()
+                    | (F.col("pos") > prev_max_end + F.lit(1)), 1).otherwise(0)
+    grouped = (hits
+               .withColumn("_new", is_new)
+               .withColumn("_grp", F.sum("_new").over(
+                   w.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow))))
+    return (grouped.groupBy(id_col, "_grp")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("end_pos").alias("span_end"))
+            .select(id_col, "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + F.lit(1))
+                    .alias("span_words")))

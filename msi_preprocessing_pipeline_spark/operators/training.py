@@ -1,0 +1,77 @@
+"""Point-in-time training-set assembly: a spine of labeled observations
+enriched with N feature tables, each attached via a leakage-free as-of join.
+
+This is the feature-store composition the north rule describes — the staged
+reference pipeline (resample -> baseline -> normalize -> model) re-expressed
+as "label spine joined, as of each observation timestamp, against every
+feature source" (reference workflow: pipeline/_preprocessing.py:24-77, where
+every stage consumes the artifacts fitted strictly before it).
+
+Scale shape: each feature attach is one :func:`operators.asof.asof_join`
+(union + window over the entity key — a single shuffle per feature table,
+skew-saltable; broadcast strategy available for small feature tables). No
+Python in the path; composition is purely lazy, so Catalyst sees the whole
+multi-join program and can reorder scans/prune columns across stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+from .asof import asof_join
+
+
+@dataclass
+class FeatureSpec:
+    """One feature source to attach to the spine.
+
+    ``df`` must carry the entity key(s) ``on``, an event-time column
+    ``ts_col`` and the ``value_cols`` to expose. ``prefix`` namespaces the
+    output columns (``<prefix><value_col>``); ``matched_ts`` additionally
+    exposes the matched feature timestamp as ``<prefix>ts`` so staleness is
+    auditable (and temporal leakage testable: matched ts <= spine ts).
+    """
+
+    df: DataFrame
+    ts_col: str
+    value_cols: Sequence[str]
+    prefix: str
+    on: Sequence[str] | str | None = None  # default: the spine's keys
+    direction: str = "backward"
+    tolerance: float | int | None = None
+    salt_buckets: int | None = None
+    matched_ts: bool = True
+    extra: dict = field(default_factory=dict)
+
+
+def build_training_set(spine: DataFrame, on: Sequence[str] | str,
+                       spine_ts: str,
+                       features: Sequence[FeatureSpec]) -> DataFrame:
+    """Attach every :class:`FeatureSpec` to ``spine`` as of ``spine_ts``.
+
+    Each feature's columns come out as ``<prefix><col>`` (plus
+    ``<prefix>ts`` when ``matched_ts``), so independently-built feature
+    tables cannot collide. Point-in-time correctness per feature is the
+    as-of contract: for ``direction='backward'`` only feature rows with
+    ``feature.ts <= spine.ts`` are visible — zero temporal leakage.
+    """
+    out = spine
+    for spec in features:
+        cols = list(spec.value_cols)
+        renamed = spec.df
+        for c in cols:
+            renamed = renamed.withColumnRenamed(c, f"{spec.prefix}{c}")
+        out = asof_join(
+            out, renamed,
+            on=spec.on if spec.on is not None else on,
+            left_ts=spine_ts, right_ts=spec.ts_col,
+            value_cols=[f"{spec.prefix}{c}" for c in cols],
+            direction=spec.direction,
+            tolerance=spec.tolerance,
+            salt_buckets=spec.salt_buckets,
+            matched_ts_col=f"{spec.prefix}ts" if spec.matched_ts else None,
+            **spec.extra)
+    return out

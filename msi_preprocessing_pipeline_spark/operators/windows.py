@@ -82,3 +82,35 @@ def rolling(df: DataFrame, col: str, partition_by, order_by: str = "ts",
         out = out.withColumn(f"{col}_{fn}_{window_rows}",
                              getattr(F, fn)(F.col(col)).over(w))
     return out
+
+
+def rolling_range(df: DataFrame, col: str, partition_by,
+                  order_col: str = "ts_ms", preceding: int = 3_600_000,
+                  fns=("count", "sum", "avg"),
+                  suffix: str | None = None) -> DataFrame:
+    """Rolling EVENT-TIME-range statistics: the trailing ``preceding`` units
+    of ``order_col`` (inclusive of the current row's instant), e.g. "events
+    and value sum/avg in the last hour per user".
+
+    Unlike :func:`rolling` (row frame), a RANGE frame is tie-insensitive:
+    all rows sharing the current timestamp are peers and always included,
+    so the result is deterministic without a tiebreak column. ``order_col``
+    must be numeric (epoch ms/seconds); one shuffle on the entity key, the
+    frame scan is whole-stage-codegen'd JVM — no Python.
+
+    At 10^12 rows this is the right PIT-feature shape: the shuffle is the
+    same entity-hash exchange every window op shares, and the frame bound
+    is O(events-in-window) per row with Spark's sliding frame evaluator.
+    """
+    w = (Window.partitionBy(*_as_list(partition_by))
+         .orderBy(F.col(order_col).cast("long"))
+         .rangeBetween(-int(preceding), Window.currentRow))
+    sfx = suffix if suffix is not None else f"_{preceding}"
+    out = df
+    for fn in fns:
+        if fn == "count":
+            expr = F.count(F.lit(1)).over(w)
+        else:
+            expr = getattr(F, fn)(F.col(col)).over(w)
+        out = out.withColumn(f"{col}_{fn}{sfx}", expr)
+    return out

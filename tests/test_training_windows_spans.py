@@ -1,0 +1,163 @@
+"""Tests for the round-3 PIT additions: multi-feature training-set assembly
+(operators/training.py), event-time-range rolling features
+(windows.rolling_range) and substring-level duplicate spans
+(dedup.duplicate_spans)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from msi_preprocessing_pipeline_spark.operators.dedup import (
+    duplicate_spans, positional_word_grams)
+from msi_preprocessing_pipeline_spark.operators.training import (
+    FeatureSpec, build_training_set)
+from msi_preprocessing_pipeline_spark.operators.windows import rolling_range
+
+
+# ---------------------------------------------------------------------------
+# training-set assembly
+
+@pytest.fixture(scope="module")
+def pit_frames(spark):
+    spine = spark.createDataFrame(
+        [(1, 100, 1000.0, 9.0), (2, 100, 2000.0, 8.0), (3, 200, 1500.0, 7.0)],
+        "obs_id long, user_id long, ts double, label double")
+    clicks = spark.createDataFrame(
+        [(100, 900.0, 1.0), (100, 1500.0, 2.0), (200, 1600.0, 3.0)],
+        "user_id long, ms double, value double")
+    views = spark.createDataFrame(
+        [(100, 999.0, 10.0), (200, 1400.0, 30.0)],
+        "user_id long, ms double, value double")
+    return spine, clicks, views
+
+
+def test_training_set_pit_values(pit_frames):
+    spine, clicks, views = pit_frames
+    out = build_training_set(
+        spine, on="user_id", spine_ts="ts",
+        features=[
+            FeatureSpec(clicks, ts_col="ms", value_cols=["value"],
+                        prefix="click_"),
+            FeatureSpec(views, ts_col="ms", value_cols=["value"],
+                        prefix="view_"),
+        ])
+    rows = {r["obs_id"]: r for r in out.collect()}
+    assert len(rows) == spine.count()  # one row per spine observation
+    # obs 1 (user 100 @1000): click@900 visible, click@1500 is the FUTURE
+    assert rows[1]["click_value"] == 1.0 and rows[1]["click_ts"] == 900.0
+    assert rows[1]["view_value"] == 10.0
+    # obs 2 (user 100 @2000): latest click is @1500
+    assert rows[2]["click_value"] == 2.0 and rows[2]["click_ts"] == 1500.0
+    # obs 3 (user 200 @1500): no click yet -> null, view@1400 visible
+    assert rows[3]["click_value"] is None and rows[3]["click_ts"] is None
+    assert rows[3]["view_value"] == 30.0 and rows[3]["view_ts"] == 1400.0
+    # labels travel through untouched
+    assert rows[1]["label"] == 9.0
+
+
+def test_training_set_zero_temporal_leakage(pit_frames):
+    spine, clicks, views = pit_frames
+    out = build_training_set(
+        spine, on="user_id", spine_ts="ts",
+        features=[FeatureSpec(clicks, ts_col="ms", value_cols=["value"],
+                              prefix="click_"),
+                  FeatureSpec(views, ts_col="ms", value_cols=["value"],
+                              prefix="view_")])
+    leaks = out.where((F.col("click_ts") > F.col("ts"))
+                      | (F.col("view_ts") > F.col("ts"))).count()
+    assert leaks == 0
+
+
+# ---------------------------------------------------------------------------
+# rolling_range
+
+def test_rolling_range_matches_pandas(spark):
+    pdf = pd.DataFrame({
+        "user_id": [1] * 6 + [2] * 3,
+        "ms": [0, 50, 100, 100, 160, 400, 0, 10, 500],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0],
+    })
+    df = spark.createDataFrame(pdf)
+    out = (rolling_range(df, "value", "user_id", order_col="ms",
+                         preceding=100, fns=("count", "sum"))
+           .toPandas().sort_values(["user_id", "ms", "value"])
+           .reset_index(drop=True))
+    # trailing [ms-100, ms] inclusive; RANGE frame -> ties are peers
+    for _, r in out.iterrows():
+        lo, hi = r["ms"] - 100, r["ms"]
+        mask = ((pdf["user_id"] == r["user_id"]) & (pdf["ms"] >= lo)
+                & (pdf["ms"] <= hi))
+        assert r["value_count_100"] == mask.sum()
+        assert r["value_sum_100"] == pytest.approx(pdf.loc[mask, "value"].sum())
+
+
+def test_rolling_range_tie_rows_are_peers(spark):
+    # two rows at the same instant must see each other regardless of order
+    df = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 100, 2.0)], "user_id long, ms long, value double")
+    out = rolling_range(df, "value", "user_id", order_col="ms",
+                        preceding=10, fns=("sum",)).collect()
+    assert all(r["value_sum_10"] == 3.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans
+
+_PASSAGE = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    return spark.createDataFrame(
+        [
+            # docs 1 & 2 share the 8-word passage at different offsets
+            (1, f"unique one two three {_PASSAGE} tail1 tail2"),
+            (2, f"{_PASSAGE} something else entirely here now"),
+            # doc 3 shares nothing 8 words long with anyone
+            (3, "completely different text with no shared passage at all "
+                "padding padding2 padding3"),
+        ],
+        "doc_id long, text string")
+
+
+def test_duplicate_spans_finds_planted_passage(span_docs):
+    out = {r["doc_id"]: r for r in duplicate_spans(span_docs, n=8).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: passage starts at word index 4 (after 4 lead words)
+    assert (out[1]["span_start"], out[1]["span_end"]) == (4, 11)
+    assert out[1]["span_words"] == 8
+    # doc 2: passage is the prefix
+    assert (out[2]["span_start"], out[2]["span_end"]) == (0, 7)
+
+
+def test_duplicate_spans_merges_overlapping_grams(spark):
+    # a 10-word shared passage yields three overlapping 8-gram hits that
+    # must merge into ONE maximal span
+    passage = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [(1, f"{passage} xxa xxb"), (2, f"yya yyb {passage}")],
+        "doc_id long, text string")
+    out = duplicate_spans(docs, n=8).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert len(out) == 2  # one merged span per doc
+    assert (by_doc[1]["span_start"], by_doc[1]["span_end"]) == (0, 9)
+    assert (by_doc[2]["span_start"], by_doc[2]["span_end"]) == (2, 11)
+    assert by_doc[1]["span_words"] == 10
+
+
+def test_duplicate_spans_max_df_drops_stop_passages(spark):
+    passage = " ".join(f"p{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(i, f"{passage} filler{i} end{i}") for i in range(10)],
+        "doc_id long, text string")
+    assert duplicate_spans(docs, n=8).count() == 10
+    assert duplicate_spans(docs, n=8, max_df=5).count() == 0
+
+
+def test_positional_grams_short_doc_whole_span(spark):
+    docs = spark.createDataFrame([(1, "only three words")],
+                                 "doc_id long, text string")
+    rows = positional_word_grams(docs, 8).collect()
+    assert len(rows) == 1
+    assert (rows[0]["pos"], rows[0]["end_pos"]) == (0, 2)
+    assert rows[0]["gram"] == "only three words"
