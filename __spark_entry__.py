@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-50 queries, 50 with exact DuckDB oracles — relational SQL where expressible,
+52 queries, 52 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -199,6 +199,26 @@ def _q_dup_spans(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return duplicate_spans(docs, n=8)
+
+
+def _q_mixture_sample(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(docs, "doc_id", "source",
+                         {"src0": 0.5, "src1": 0.3, "src2": 0.2}, seed=7)
+    return out.select("doc_id", "source")
+
+
+def _q_approx_distinct(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.sketches import approx_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    hll = approx_distinct(ev, "user_id", "event_type", lg_k=12,
+                          out_col="n_hll")
+    return exact.join(hll, "event_type")
 
 
 def _q_exact_quantiles(spark, sf_dir):
@@ -638,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_time_features": _q_rolling_time,
         "training_set_pit": _q_training_set,
         "dup_spans_docs": _q_dup_spans,
+        "mixture_sample_docs": _q_mixture_sample,
         "exact_quantiles_price": _q_exact_quantiles,
         "dedup_prefix_docs": _q_dedup_prefix,
         "text_stats": _q_text_stats,
@@ -678,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "winnowing_pairs": _q_winnowing_pairs,
+        "approx_distinct_users": _q_approx_distinct,
     }
 
 
@@ -829,6 +851,34 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
               on s.user_id = c.user_id and s.ts >= c.ts
             asof left join views v
               on s.user_id = v.user_id and s.ts >= v.ts
+        """,
+        "mixture_sample_docs": """
+            with counts as (
+                select source, cast(count(*) as double) as c
+                from documents
+                where source in ('src0', 'src1', 'src2')
+                group by 1
+            ), w(source, wt) as (
+                values ('src0', cast(0.5 as double)),
+                       ('src1', cast(0.3 as double)),
+                       ('src2', cast(0.2 as double))
+            ), r as (
+                select w.source, c, wt, c / wt as ratio
+                from counts join w using (source)
+            ), tmin as (
+                select min(ratio) as t from r
+            ), thr as (
+                select source,
+                       printf('%08x',
+                              least(cast(floor(((t * wt) / c) * 4294967296.0)
+                                         as bigint),
+                                    4294967295)) as h
+                from r, tmin
+            )
+            select d.doc_id, d.source
+            from documents d join thr on d.source = thr.source
+            where substr(md5(concat(cast(d.doc_id as varchar), ':', '7')),
+                         1, 8) < thr.h
         """,
         "dup_spans_docs": """
             with w as (

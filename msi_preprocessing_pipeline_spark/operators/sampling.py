@@ -98,3 +98,38 @@ def sampling_oracle_sql(key_sql: str, fraction: float, seed: int = 0) -> str:
     thr = _hex_threshold(fraction)
     return (f"substr(md5(concat(cast({key_sql} as varchar), ':', "
             f"'{seed}')), 1, 8) < '{thr}'")
+
+
+def mixture_sample(df: DataFrame, key, group_col: str,
+                   target_weights: dict[str, float],
+                   seed: int = 0) -> DataFrame:
+    """Rebalance a corpus to a TARGET mixture: the largest deterministic
+    sample whose per-group share matches ``target_weights`` (groups not
+    listed are dropped). The standard LLM domain-mixing move — "make the
+    training set 50% web / 30% wiki / 20% code" — as one hash-band filter.
+
+    The binding group (smallest ``count/weight`` ratio) is kept whole and
+    every other group is downsampled to proportion. Group counts come from
+    one aggregation whose result is GROUP-cardinality-sized (collected to
+    the driver — bounded, like the IVF centroid sample), after which the
+    filter itself is the same shuffle-free JVM md5-band predicate as
+    :func:`stratified_sample`.
+
+    The rate arithmetic is pinned to double ops in a fixed order
+    (``ratio = c / w``; ``t = min(ratio)``; ``rate = (t * w) / c``) so a
+    SQL oracle reproduces the thresholds bit-for-bit.
+    """
+    counts = {
+        r[0]: int(r[1])
+        for r in (df.where(F.col(group_col)
+                           .isin([str(g) for g in target_weights]))
+                  .groupBy(group_col).agg(F.count("*")).collect())
+    }
+    present = [g for g in target_weights if g in counts and counts[g] > 0]
+    if not present:
+        return df.where(F.lit(False))
+    t = min(float(counts[g]) / float(target_weights[g]) for g in present)
+    rates = {g: (t * float(target_weights[g])) / float(counts[g])
+             for g in present}
+    return stratified_sample(df, key, group_col, rates, seed=seed,
+                             default_rate=0.0)

@@ -1,0 +1,96 @@
+"""Tests for HLL distinct sketches (operators/sketches.py) and target-mixture
+rebalancing (sampling.mixture_sample)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from msi_preprocessing_pipeline_spark.operators.sampling import mixture_sample
+from msi_preprocessing_pipeline_spark.operators.sketches import (
+    approx_distinct, distinct_sketches, merge_sketches)
+
+
+@pytest.fixture(scope="module")
+def users(spark):
+    # 3 groups x overlapping user ranges; ~5k distinct per group
+    return spark.range(0, 30_000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 5_000 + (F.col("id") % 3) * 100_000).alias("user_id"),
+        (F.col("id") % 7).alias("day"))
+
+
+def test_approx_distinct_within_hll_error(users):
+    est = {r["grp"]: r["n_distinct"]
+           for r in approx_distinct(users, "user_id", "grp", lg_k=12).collect()}
+    exact = {r["grp"]: r["n"]
+             for r in users.groupBy("grp")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for g in exact:
+        # lg_k=12 -> ~1.6% relative standard error; allow 5%
+        assert abs(est[g] - exact[g]) / exact[g] < 0.05
+
+
+def test_sketch_table_union_matches_direct(users):
+    # per-(grp, day) sketch table, then rolled up over days == direct
+    slices = distinct_sketches(users, "user_id", ["grp", "day"])
+    rolled = {r["grp"]: r["n_distinct"]
+              for r in merge_sketches(slices, "grp").collect()}
+    direct = {r["grp"]: r["n_distinct"]
+              for r in approx_distinct(users, "user_id", "grp").collect()}
+    assert rolled == direct  # register-max merge is exact under union
+
+
+def test_sketch_estimate_partition_invariant(users):
+    a = approx_distinct(users, "user_id", "grp").collect()
+    b = approx_distinct(users.repartition(13, "user_id"),
+                        "user_id", "grp").collect()
+    assert {r["grp"]: r["n_distinct"] for r in a} == \
+           {r["grp"]: r["n_distinct"] for r in b}
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # skewed corpus: 6000 web, 2000 wiki, 400 code, 1000 junk
+    return spark.range(0, 9_400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 6_000, "web")
+        .when(F.col("id") < 8_000, "wiki")
+        .when(F.col("id") < 8_400, "code")
+        .otherwise("junk").alias("source"))
+
+
+def test_mixture_sample_hits_target_proportions(corpus):
+    out = mixture_sample(corpus, "doc_id", "source",
+                         {"web": 0.5, "wiki": 0.3, "code": 0.2}, seed=1)
+    counts = {r["source"]: r["n"]
+              for r in out.groupBy("source").agg(F.count("*").alias("n"))
+              .collect()}
+    assert "junk" not in counts  # unlisted groups dropped
+    # binding group: code (400 / 0.2 = 2000 total) -> kept whole
+    assert counts["code"] == 400
+    total = sum(counts.values())
+    for g, w in (("web", 0.5), ("wiki", 0.3), ("code", 0.2)):
+        # hash-band sampling has binomial noise; 2000-doc target -> ~3 sigma
+        assert counts[g] / total == pytest.approx(w, abs=0.04)
+
+
+def test_mixture_sample_partition_invariant(corpus):
+    w = {"web": 0.5, "wiki": 0.3, "code": 0.2}
+    a = sorted(r["doc_id"] for r in
+               mixture_sample(corpus, "doc_id", "source", w, seed=1).collect())
+    b = sorted(r["doc_id"] for r in
+               mixture_sample(corpus.repartition(17), "doc_id", "source", w,
+                              seed=1).collect())
+    assert a == b
+
+
+def test_mixture_sample_missing_group_ignored(corpus):
+    # a target group absent from the data must not poison the binding ratio
+    out = mixture_sample(corpus, "doc_id", "source",
+                         {"web": 0.9, "nonexistent": 0.1}, seed=1)
+    counts = {r["source"]: r["n"]
+              for r in out.groupBy("source").agg(F.count("*").alias("n"))
+              .collect()}
+    assert set(counts) == {"web"} and counts["web"] == 6_000

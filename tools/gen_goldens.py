@@ -28,6 +28,9 @@ PIN = [
     ("lsh_topk", True),
     ("ivf_topk", True),
     ("embedding_near_dup", True),
+    # HLL estimates: DataSketches register-max merge is commutative and
+    # associative, so the estimate is partition/merge-order invariant
+    ("approx_distinct_users", True),
 ]
 
 DUCK_TYPES = {
