@@ -21,7 +21,9 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 
-from .asof import asof_join
+from pyspark.sql import functions as F
+
+from .asof import asof_join, asof_join_broadcast
 
 
 @dataclass
@@ -33,6 +35,13 @@ class FeatureSpec:
     output columns (``<prefix><value_col>``); ``matched_ts`` additionally
     exposes the matched feature timestamp as ``<prefix>ts`` so staleness is
     auditable (and temporal leakage testable: matched ts <= spine ts).
+
+    ``strategy`` picks the physical as-of plan per feature table:
+    ``'shuffle'`` (union + window — one exchange of spine+feature on the
+    entity key, skew-saltable via ``salt_buckets``) or ``'broadcast'``
+    (per-key timeline arrays broadcast onto the spine — ZERO shuffle on the
+    spine; the right plan when the feature table is dimension-sized, e.g.
+    model/artifact timelines, and what keeps a 10^12-row spine map-only).
     """
 
     df: DataFrame
@@ -44,6 +53,7 @@ class FeatureSpec:
     tolerance: float | int | None = None
     salt_buckets: int | None = None
     matched_ts: bool = True
+    strategy: str = "shuffle"
     extra: dict = field(default_factory=dict)
 
 
@@ -64,14 +74,30 @@ def build_training_set(spine: DataFrame, on: Sequence[str] | str,
         renamed = spec.df
         for c in cols:
             renamed = renamed.withColumnRenamed(c, f"{spec.prefix}{c}")
-        out = asof_join(
-            out, renamed,
-            on=spec.on if spec.on is not None else on,
-            left_ts=spine_ts, right_ts=spec.ts_col,
-            value_cols=[f"{spec.prefix}{c}" for c in cols],
-            direction=spec.direction,
-            tolerance=spec.tolerance,
-            salt_buckets=spec.salt_buckets,
-            matched_ts_col=f"{spec.prefix}ts" if spec.matched_ts else None,
-            **spec.extra)
+        keys = spec.on if spec.on is not None else on
+        out_cols = [f"{spec.prefix}{c}" for c in cols]
+        if spec.strategy == "broadcast":
+            # the broadcast strategy carries the matched timestamp as a
+            # regular value column duplicated from the feature's ts
+            if spec.matched_ts:
+                renamed = renamed.withColumn(f"{spec.prefix}ts",
+                                             F.col(spec.ts_col))
+                out_cols = out_cols + [f"{spec.prefix}ts"]
+            out = asof_join_broadcast(
+                out, renamed, on=keys, left_ts=spine_ts,
+                right_ts=spec.ts_col, value_cols=out_cols,
+                direction=spec.direction, tolerance=spec.tolerance,
+                **spec.extra)
+        elif spec.strategy == "shuffle":
+            out = asof_join(
+                out, renamed, on=keys, left_ts=spine_ts,
+                right_ts=spec.ts_col, value_cols=out_cols,
+                direction=spec.direction, tolerance=spec.tolerance,
+                salt_buckets=spec.salt_buckets,
+                matched_ts_col=(f"{spec.prefix}ts" if spec.matched_ts
+                                else None),
+                **spec.extra)
+        else:
+            raise ValueError(
+                f"strategy must be shuffle|broadcast, got {spec.strategy!r}")
     return out

@@ -102,15 +102,18 @@ def rolling_range(df: DataFrame, col: str, partition_by,
     same entity-hash exchange every window op shares, and the frame bound
     is O(events-in-window) per row with Spark's sliding frame evaluator.
     """
-    w = (Window.partitionBy(*_as_list(partition_by))
-         .orderBy(F.col(order_col).cast("long"))
+    # materialize the numeric order key ONCE so every aggregate shares the
+    # same window spec and Catalyst collapses them into a single Window
+    # node (distinct cast aliases would otherwise yield one Window per fn)
+    ord_key = "__rr_ord"
+    w = (Window.partitionBy(*_as_list(partition_by)).orderBy(ord_key)
          .rangeBetween(-int(preceding), Window.currentRow))
     sfx = suffix if suffix is not None else f"_{preceding}"
-    out = df
+    out = df.withColumn(ord_key, F.col(order_col).cast("long"))
     for fn in fns:
         if fn == "count":
             expr = F.count(F.lit(1)).over(w)
         else:
             expr = getattr(F, fn)(F.col(col)).over(w)
         out = out.withColumn(f"{col}_{fn}{sfx}", expr)
-    return out
+    return out.drop(ord_key)

@@ -227,3 +227,54 @@ def test_range_join_wide_branch_is_broadcast(spark):
     plan = plan_of(out, "simple")
     assert "BroadcastNestedLoopJoin" in plan  # wide branch
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_range_single_window_single_exchange(spark):
+    """Round-3 contract: all rolling_range aggregates share one window spec
+    (one Window node, one entity-hash exchange) — distinct cast aliases
+    would otherwise produce one Window per aggregate."""
+    import __spark_entry__ as em
+    plan = plan_of(em.queries()["rolling_time_features"](spark, SF_DIR),
+                   "simple")
+    assert plan.count("+- Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_training_set_broadcast_spine_no_exchange(spark):
+    """Broadcast-strategy training set: the spine side must see no hash
+    exchange, no sort-merge join and no window — map-only at any scale."""
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        FeatureSpec, build_training_set)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spine = ev.select("event_id", "user_id", "ts", "value")
+    feat = ev.select("user_id", F.col("ts").alias("fts"),
+                     F.col("value").alias("fv"))
+    out = build_training_set(
+        spine, on="user_id", spine_ts="ts",
+        features=[FeatureSpec(feat, ts_col="fts", value_cols=["fv"],
+                              prefix="f_", strategy="broadcast")])
+    plan = plan_of(out, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_mixture_sample_is_map_only(spark):
+    """The mixture filter itself must be a shuffle-free JVM predicate."""
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        mixture_sample)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = mixture_sample(docs, "doc_id", "source",
+                         {"src0": 0.5, "src1": 0.5}, seed=3)
+    plan = plan_of(out, "simple")
+    assert "Exchange" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
+
+
+def test_hll_agg_is_partial_then_final(spark):
+    """Sketch aggregation must map-side combine (partial_hll_sketch_agg)."""
+    from msi_preprocessing_pipeline_spark.operators.sketches import (
+        approx_distinct)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = plan_of(approx_distinct(ev, "user_id", "event_type"), "simple")
+    assert "partial_hll_sketch_agg" in plan

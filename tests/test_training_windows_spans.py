@@ -161,3 +161,32 @@ def test_positional_grams_short_doc_whole_span(spark):
     assert len(rows) == 1
     assert (rows[0]["pos"], rows[0]["end_pos"]) == (0, 2)
     assert rows[0]["gram"] == "only three words"
+
+
+def test_training_set_broadcast_strategy_matches_shuffle(pit_frames):
+    spine, clicks, views = pit_frames
+    specs = lambda strat: [  # noqa: E731
+        FeatureSpec(clicks, ts_col="ms", value_cols=["value"],
+                    prefix="click_", strategy=strat),
+        FeatureSpec(views, ts_col="ms", value_cols=["value"],
+                    prefix="view_", strategy=strat)]
+    a = build_training_set(spine, on="user_id", spine_ts="ts",
+                           features=specs("shuffle"))
+    b = build_training_set(spine, on="user_id", spine_ts="ts",
+                           features=specs("broadcast"))
+    key = lambda r: r["obs_id"]  # noqa: E731
+    ra = sorted(a.select(sorted(a.columns)).collect(), key=key)
+    rb = sorted(b.select(sorted(b.columns)).collect(), key=key)
+    assert ra == rb
+
+
+def test_training_set_broadcast_plan_is_map_only_on_spine(pit_frames):
+    spine, clicks, views = pit_frames
+    out = build_training_set(
+        spine, on="user_id", spine_ts="ts",
+        features=[FeatureSpec(clicks, ts_col="ms", value_cols=["value"],
+                              prefix="click_", strategy="broadcast")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join and no window sort over the spine side
+    assert "SortMergeJoin" not in plan and "Window" not in plan
