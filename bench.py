@@ -133,7 +133,9 @@ def main() -> None:
                  "decontaminate_docs", "repetition_stats",
                  "pack_assignments_docs", "stable_split_events",
                  "hash_sample_docs", "near_dup_clusters", "pii_scan",
-                 "tfidf_top_terms"]:
+                 "tfidf_top_terms", "training_set_pit", "dup_spans_docs",
+                 "rolling_time_features", "mixture_sample_docs",
+                 "approx_distinct_users"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays
