@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-52 queries, 52 with exact DuckDB oracles — relational SQL where expressible,
+53 queries, 53 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -199,6 +199,14 @@ def _q_dup_spans(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return duplicate_spans(docs, n=8)
+
+
+def _q_cut_dup_spans(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.dedup import (
+        cut_spans, duplicate_spans)
+
+    docs = _t(spark, sf_dir, "documents")
+    return cut_spans(docs, duplicate_spans(docs, n=8))
 
 
 def _q_mixture_sample(spark, sf_dir):
@@ -658,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_time_features": _q_rolling_time,
         "training_set_pit": _q_training_set,
         "dup_spans_docs": _q_dup_spans,
+        "cut_dup_spans_docs": _q_cut_dup_spans,
         "mixture_sample_docs": _q_mixture_sample,
         "exact_quantiles_price": _q_exact_quantiles,
         "dedup_prefix_docs": _q_dedup_prefix,
@@ -851,6 +860,61 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
               on s.user_id = c.user_id and s.ts >= c.ts
             asof left join views v
               on s.user_id = v.user_id and s.ts >= v.ts
+        """,
+        "cut_dup_spans_docs": """
+            with w as (
+                select doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') as words
+                from documents where text is not null
+            ), g as (
+                select doc_id, cast(i - 1 as bigint) as pos,
+                       cast(least(i + 6, length(words) - 1) as bigint)
+                           as end_pos,
+                       array_to_string(words[i : i + 7], ' ') as gram
+                from w, unnest(generate_series(
+                    1, greatest(length(words) - 7, 1))) as t(i)
+            ), dup as (
+                select gram from g
+                group by gram having count(distinct doc_id) >= 2
+            ), hits as (
+                select doc_id, pos, end_pos from g
+                where gram in (select gram from dup)
+            ), m as (
+                select doc_id, pos, end_pos,
+                       max(end_pos) over (partition by doc_id order by pos
+                                          rows between unbounded preceding
+                                          and 1 preceding) as pmax
+                from hits
+            ), grp2 as (
+                select doc_id, pos, end_pos,
+                       sum(case when pmax is null or pos > pmax + 1
+                                then 1 else 0 end)
+                         over (partition by doc_id order by pos
+                               rows between unbounded preceding
+                               and current row) as grp_id
+                from m
+            ), spans as (
+                select doc_id, min(pos) as s, max(end_pos) as e
+                from grp2 group by doc_id, grp_id
+            ), tok as (
+                select doc_id, words[i] as word,
+                       cast(i - 1 as bigint) as idx
+                from w, unnest(generate_series(1, length(words))) as t(i)
+            ), kept as (
+                select t.doc_id, t.word, t.idx from tok t
+                where not exists (
+                    select 1 from spans s
+                    where s.doc_id = t.doc_id
+                      and t.idx between s.s and s.e)
+            ), totals as (
+                select doc_id, cast(length(words) as bigint) as n from w
+            )
+            select k.doc_id,
+                   string_agg(k.word, ' ' order by k.idx) as text_cut,
+                   any_value(tot.n) - count(*) as n_words_cut,
+                   count(*) as n_words_kept
+            from kept k join totals tot using (doc_id)
+            group by k.doc_id
         """,
         "mixture_sample_docs": """
             with counts as (

@@ -713,3 +713,41 @@ def duplicate_spans(df: DataFrame, n: int = 8, text_col: str = "text",
             .select(id_col, "span_start", "span_end",
                     (F.col("span_end") - F.col("span_start") + F.lit(1))
                     .alias("span_words")))
+
+
+def cut_spans(docs: DataFrame, spans: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", out_col: str = "text_cut") -> DataFrame:
+    """Remove word-coordinate ``spans`` (as produced by
+    :func:`duplicate_spans`) from each document — the "cut the duplicated
+    passage, keep the doc" half of substring-level dedup.
+
+    Tokenization matches the span coordinates (lower + trim + split on
+    whitespace), so the output text is the NORMALIZED reconstruction of the
+    surviving words. Docs with every word cut are dropped (nothing left).
+
+    Plan shape: one aggregation of ``spans`` to per-doc span arrays (tiny:
+    spans-per-doc rows), one equi-join onto ``docs``, then pure JVM
+    higher-order expressions — ``filter(words, (w, i) -> !exists(spans,
+    s -> start <= i <= end))`` is O(words x spans-per-doc) per row with no
+    Python workers and no further shuffle.
+    """
+    sp = (spans.groupBy(id_col)
+          .agg(F.collect_list(F.struct("span_start", "span_end"))
+               .alias("__spans")))
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    joined = (docs.where(F.col(text_col).isNotNull())
+              .join(sp, id_col, "left")
+              .select(F.col(id_col), words.alias("__words"),
+                      F.coalesce(F.col("__spans"), F.array()).alias("__spans")))
+    kept = F.filter(
+        "__words",
+        lambda w, i: ~F.exists(
+            "__spans",
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"])))
+    return (joined
+            .select(F.col(id_col),
+                    F.concat_ws(" ", kept).alias(out_col),
+                    (F.size("__words") - F.size(kept)).cast("long")
+                    .alias("n_words_cut"),
+                    F.size(kept).cast("long").alias("n_words_kept"))
+            .where(F.col("n_words_kept") > 0))

@@ -190,3 +190,41 @@ def test_training_set_broadcast_plan_is_map_only_on_spine(pit_frames):
     assert "BroadcastHashJoin" in plan
     # no sort-merge join and no window sort over the spine side
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_cut_spans_removes_planted_passage(spark):
+    from msi_preprocessing_pipeline_spark.operators.dedup import cut_spans
+
+    docs = spark.createDataFrame(
+        [(1, f"KEEP1 keep2 {_PASSAGE} keep3"),
+         (2, f"{_PASSAGE} other words here too now yes"),
+         (3, "independent text without any shared passage inside it at all")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in cut_spans(docs, duplicate_spans(docs, n=8)).collect()}
+    assert out[1]["text_cut"] == "keep1 keep2 keep3"  # normalized (lower)
+    assert out[1]["n_words_cut"] == 8 and out[1]["n_words_kept"] == 3
+    assert out[2]["text_cut"] == "other words here too now yes"
+    # untouched doc survives whole (normalized reconstruction)
+    assert out[3]["n_words_cut"] == 0
+    assert out[3]["text_cut"].startswith("independent text")
+
+
+def test_cut_spans_drops_fully_duplicated_docs(spark):
+    from msi_preprocessing_pipeline_spark.operators.dedup import cut_spans
+
+    docs = spark.createDataFrame(
+        [(1, _PASSAGE), (2, _PASSAGE)], "doc_id long, text string")
+    out = cut_spans(docs, duplicate_spans(docs, n=8))
+    assert out.count() == 0  # nothing left of either doc
+
+
+def test_cut_spans_no_spans_is_identity_normalized(spark):
+    from msi_preprocessing_pipeline_spark.operators.dedup import cut_spans
+
+    docs = spark.createDataFrame([(1, "  Hello   World  ")],
+                                 "doc_id long, text string")
+    empty_spans = duplicate_spans(docs, n=8)  # single doc -> no duplicates
+    row = cut_spans(docs, empty_spans).collect()[0]
+    assert row["text_cut"] == "hello world"
+    assert row["n_words_cut"] == 0 and row["n_words_kept"] == 2
