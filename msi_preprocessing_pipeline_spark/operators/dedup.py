@@ -664,7 +664,8 @@ def positional_word_grams(df: DataFrame, n: int, text_col: str = "text",
 
 def duplicate_spans(df: DataFrame, n: int = 8, text_col: str = "text",
                     id_col: str = "doc_id", min_docs: int = 2,
-                    max_df: int | None = None) -> DataFrame:
+                    max_df: int | None = None,
+                    hash_grams: bool = True) -> DataFrame:
     """Substring-level duplicate detection (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" shape,
     re-expressed relationally): per document, the maximal word-coordinate
@@ -688,8 +689,18 @@ def duplicate_spans(df: DataFrame, n: int = 8, text_col: str = "text",
 
     Returns ``(doc_id, span_start, span_end, span_words)`` — word
     coordinates, inclusive.
+
+    ``hash_grams`` (default on) replaces the gram STRING with its
+    ``xxhash64`` before anything shuffles: the doc-frequency aggregation
+    and the semi-join move 8 bytes per gram instead of ~n words of text —
+    the difference between shuffling the corpus twice and shuffling a
+    fixed-width key column at 100 TB. A collision (2^-64 per gram pair)
+    could at worst mark one extra span as duplicated; output is identical
+    in practice and pinned so by the oracle.
     """
     grams = positional_word_grams(df, n, text_col, id_col)
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
     freq = grams.groupBy("gram").agg(
         F.countDistinct(id_col).alias("_df"))
     dup = freq.where(F.col("_df") >= F.lit(int(min_docs)))
