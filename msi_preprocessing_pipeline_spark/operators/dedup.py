@@ -762,3 +762,25 @@ def cut_spans(docs: DataFrame, spans: DataFrame, text_col: str = "text",
                     .alias("n_words_cut"),
                     F.size(kept).cast("long").alias("n_words_kept"))
             .where(F.col("n_words_kept") > 0))
+
+
+def duplicate_token_spans(df: DataFrame, n: int = 16,
+                          tokens_col: str = "tokens",
+                          id_col: str = "doc_id", min_docs: int = 2,
+                          max_df: int | None = None) -> DataFrame:
+    """:func:`duplicate_spans` over PRE-TOKENIZED sequences (the
+    ``tokens: array<int32>`` input shape) — span coordinates are token
+    indices.
+
+    The token array is rendered to a space-joined string with ONE codegen'd
+    ``concat_ws`` per row (linear, no per-gram work), after which the
+    whitespace tokenizer recovers exactly the original token boundaries, so
+    the whole hashed-gram span machinery applies unchanged. Token ids never
+    contain whitespace, making the rendering bijective.
+    """
+    rendered = df.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col(tokens_col).cast("array<string>"))
+        .alias("__tok_text"))
+    return duplicate_spans(rendered, n=n, text_col="__tok_text",
+                           id_col=id_col, min_docs=min_docs, max_df=max_df)

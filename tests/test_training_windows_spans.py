@@ -228,3 +228,21 @@ def test_cut_spans_no_spans_is_identity_normalized(spark):
     row = cut_spans(docs, empty_spans).collect()[0]
     assert row["text_cut"] == "hello world"
     assert row["n_words_cut"] == 0 and row["n_words_kept"] == 2
+
+
+def test_duplicate_token_spans_on_int_sequences(spark):
+    from msi_preprocessing_pipeline_spark.operators.dedup import (
+        duplicate_token_spans)
+
+    shared = list(range(100, 116))  # 16 shared token ids
+    docs = spark.createDataFrame(
+        [(1, [1, 2, 3] + shared + [4, 5]),
+         (2, shared + [7, 8, 9]),
+         (3, list(range(200, 230)))],
+        "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r
+           for r in duplicate_token_spans(docs, n=16).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["span_start"], out[1]["span_end"]) == (3, 18)
+    assert (out[2]["span_start"], out[2]["span_end"]) == (0, 15)
+    assert out[1]["span_words"] == 16
