@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-53 queries, 53 with exact DuckDB oracles — relational SQL where expressible,
+54 queries, 54 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -199,6 +199,26 @@ def _q_dup_spans(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return duplicate_spans(docs, n=8)
+
+
+def _q_pit_agg_features(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        pit_window_agg)
+
+    ev = _t(spark, sf_dir, "events")
+    spine = (ev.where(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", _ms("ts").alias("purchase_ms")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", _ms("ts").alias("cms"), "value"))
+    out = pit_window_agg(spine, clicks, on="user_id",
+                         spine_ts="purchase_ms", event_ts="cms",
+                         value_col="value", window=3_600_000,
+                         fns=("count", "sum"), prefix="clk_")
+    return out.select(
+        "event_id", "user_id", "purchase_ms",
+        F.col("clk_count_3600000").alias("n_clicks_1h"),
+        F.round(F.coalesce(F.col("clk_sum_3600000"), F.lit(0.0)), 6)
+        .alias("sum_clicks_1h"))
 
 
 def _q_cut_dup_spans(spark, sf_dir):
@@ -667,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set_pit": _q_training_set,
         "dup_spans_docs": _q_dup_spans,
         "cut_dup_spans_docs": _q_cut_dup_spans,
+        "pit_agg_features": _q_pit_agg_features,
         "mixture_sample_docs": _q_mixture_sample,
         "exact_quantiles_price": _q_exact_quantiles,
         "dedup_prefix_docs": _q_dedup_prefix,
@@ -860,6 +881,24 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
               on s.user_id = c.user_id and s.ts >= c.ts
             asof left join views v
               on s.user_id = v.user_id and s.ts >= v.ts
+        """,
+        "pit_agg_features": """
+            with u as (
+                select event_id, user_id, epoch_ms(ts) as ts_n,
+                       cast(null as double) as val, 1 as side
+                from events where event_type = 'purchase'
+                union all
+                select cast(null as bigint), user_id, epoch_ms(ts),
+                       value, 0
+                from events where event_type = 'click'
+            )
+            select event_id, user_id, ts_n as purchase_ms,
+                   count(val) over w as n_clicks_1h,
+                   round(coalesce(sum(val) over w, 0), 6) as sum_clicks_1h
+            from u
+            window w as (partition by user_id order by ts_n
+                         range between 3600000 preceding and 1 preceding)
+            qualify side = 1
         """,
         "cut_dup_spans_docs": """
             with w as (

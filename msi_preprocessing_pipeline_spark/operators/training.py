@@ -19,8 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Sequence
 
-from pyspark.sql import DataFrame
-
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .asof import asof_join, asof_join_broadcast
@@ -101,3 +100,56 @@ def build_training_set(spine: DataFrame, on: Sequence[str] | str,
             raise ValueError(
                 f"strategy must be shuffle|broadcast, got {spec.strategy!r}")
     return out
+
+
+def pit_window_agg(spine: DataFrame, events: DataFrame,
+                   on: Sequence[str] | str, spine_ts: str,
+                   event_ts: str, value_col: str,
+                   window: int, fns: Sequence[str] = ("count", "sum"),
+                   prefix: str = "f_",
+                   include_current_instant: bool = False) -> DataFrame:
+    """Trailing-window aggregate features evaluated AT each spine row's
+    timestamp: "count/sum/avg of the entity's events in the ``window``
+    units before the observation" — the aggregate-at-label-time primitive.
+
+    Physical shape — the union trick: spine rows (tagged, value = null) and
+    event rows are unioned and sorted once per entity; every aggregate is a
+    trailing RANGE frame over the union, which sees exactly the events in
+    ``[ts - window, ts)`` (nulls on spine rows keep them out of the
+    aggregates); spine rows are then filtered back out. ONE shuffle on the
+    entity key and ONE Window node total, regardless of how many aggregates
+    are requested — vs a range join's candidate blow-up or one pass per
+    feature.
+
+    Leakage contract: the frame ends at ``ts - 1`` (strictly before the
+    observation) unless ``include_current_instant=True``; with it, events
+    at exactly the observation instant are peers and included.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    ev_val = events.select(F.col(value_col)).schema[0].dataType
+    ev2 = events.select(
+        *[F.col(k) for k in keys],
+        F.col(event_ts).cast("long").alias("__ts"),
+        F.col(value_col).alias("__val"))
+    for c in spine.columns:
+        if c not in keys:
+            ev2 = ev2.withColumn(c, F.lit(None).cast(spine.schema[c].dataType))
+    ev2 = ev2.withColumn("__side", F.lit(0))
+    sp2 = (spine
+           .withColumn("__ts", F.col(spine_ts).cast("long"))
+           .withColumn("__val", F.lit(None).cast(ev_val))
+           .withColumn("__side", F.lit(1)))
+    u = sp2.unionByName(ev2.select(*sp2.columns))
+
+    upper = 0 if include_current_instant else -1
+    w = (Window.partitionBy(*keys).orderBy("__ts")
+         .rangeBetween(-int(window), upper))
+    out = u
+    for fn in fns:
+        name = f"{prefix}{fn}_{window}"
+        if fn == "count":
+            out = out.withColumn(name, F.count("__val").over(w))
+        else:
+            out = out.withColumn(name, getattr(F, fn)(F.col("__val")).over(w))
+    return (out.where(F.col("__side") == 1)
+            .drop("__ts", "__val", "__side"))

@@ -246,3 +246,63 @@ def test_duplicate_token_spans_on_int_sequences(spark):
     assert (out[1]["span_start"], out[1]["span_end"]) == (3, 18)
     assert (out[2]["span_start"], out[2]["span_end"]) == (0, 15)
     assert out[1]["span_words"] == 16
+
+
+# ---------------------------------------------------------------------------
+# pit_window_agg
+
+def test_pit_window_agg_matches_bruteforce(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        pit_window_agg)
+
+    spine_pdf = pd.DataFrame({
+        "obs_id": [1, 2, 3, 4],
+        "user_id": [1, 1, 1, 2],
+        "ts": [100, 150, 400, 100]})
+    ev_pdf = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "ets": [50, 100, 149, 390, 95],
+        "v": [1.0, 2.0, 4.0, 8.0, 16.0]})
+    out = pit_window_agg(
+        spark.createDataFrame(spine_pdf), spark.createDataFrame(ev_pdf),
+        on="user_id", spine_ts="ts", event_ts="ets", value_col="v",
+        window=100, fns=("count", "sum")).toPandas()
+    got = {r["obs_id"]: (r["f_count_100"], r["f_sum_100"])
+           for _, r in out.iterrows()}
+    for _, s in spine_pdf.iterrows():
+        m = ev_pdf[(ev_pdf.user_id == s.user_id)
+                   & (ev_pdf.ets >= s.ts - 100) & (ev_pdf.ets < s.ts)]
+        assert got[s.obs_id][0] == len(m)
+        if len(m):
+            assert got[s.obs_id][1] == pytest.approx(m.v.sum())
+    # strictly-before: the event AT ts=100 is excluded for obs 1
+    assert got[1] == (1, 1.0)
+
+
+def test_pit_window_agg_include_current_instant(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        pit_window_agg)
+
+    spine = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+    ev = spark.createDataFrame([(1, 100, 5.0), (1, 99, 1.0)],
+                               "user_id long, ets long, v double")
+    strict = pit_window_agg(spine, ev, "user_id", "ts", "ets", "v",
+                            window=10).collect()[0]
+    peer = pit_window_agg(spine, ev, "user_id", "ts", "ets", "v",
+                          window=10,
+                          include_current_instant=True).collect()[0]
+    assert (strict["f_count_10"], strict["f_sum_10"]) == (1, 1.0)
+    assert (peer["f_count_10"], peer["f_sum_10"]) == (2, 6.0)
+
+
+def test_pit_window_agg_single_window_node(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        pit_window_agg)
+
+    spine = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+    ev = spark.createDataFrame([(1, 99, 1.0)],
+                               "user_id long, ets long, v double")
+    out = pit_window_agg(spine, ev, "user_id", "ts", "ets", "v",
+                         window=10, fns=("count", "sum", "avg", "max"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("+- Window") == 1
