@@ -105,7 +105,8 @@ def build_training_set(spine: DataFrame, on: Sequence[str] | str,
 def pit_window_agg(spine: DataFrame, events: DataFrame,
                    on: Sequence[str] | str, spine_ts: str,
                    event_ts: str, value_col: str,
-                   window: int, fns: Sequence[str] = ("count", "sum"),
+                   window: int | Sequence[int],
+                   fns: Sequence[str] = ("count", "sum"),
                    prefix: str = "f_",
                    include_current_instant: bool = False) -> DataFrame:
     """Trailing-window aggregate features evaluated AT each spine row's
@@ -124,6 +125,11 @@ def pit_window_agg(spine: DataFrame, events: DataFrame,
     Leakage contract: the frame ends at ``ts - 1`` (strictly before the
     observation) unless ``include_current_instant=True``; with it, events
     at exactly the observation instant are peers and included.
+
+    ``window`` may be a list of horizons (e.g. 1h/24h/7d): every
+    (window, fn) feature comes out of the SAME exchange and sort — one
+    Window node per horizon, zero extra shuffles, since all frames share
+    the partitioning and ordering.
     """
     keys = [on] if isinstance(on, str) else list(on)
     ev_val = events.select(F.col(value_col)).schema[0].dataType
@@ -142,14 +148,17 @@ def pit_window_agg(spine: DataFrame, events: DataFrame,
     u = sp2.unionByName(ev2.select(*sp2.columns))
 
     upper = 0 if include_current_instant else -1
-    w = (Window.partitionBy(*keys).orderBy("__ts")
-         .rangeBetween(-int(window), upper))
+    windows = [window] if isinstance(window, int) else list(window)
     out = u
-    for fn in fns:
-        name = f"{prefix}{fn}_{window}"
-        if fn == "count":
-            out = out.withColumn(name, F.count("__val").over(w))
-        else:
-            out = out.withColumn(name, getattr(F, fn)(F.col("__val")).over(w))
+    for win in windows:
+        w = (Window.partitionBy(*keys).orderBy("__ts")
+             .rangeBetween(-int(win), upper))
+        for fn in fns:
+            name = f"{prefix}{fn}_{win}"
+            if fn == "count":
+                out = out.withColumn(name, F.count("__val").over(w))
+            else:
+                out = out.withColumn(name,
+                                     getattr(F, fn)(F.col("__val")).over(w))
     return (out.where(F.col("__side") == 1)
             .drop("__ts", "__val", "__side"))

@@ -306,3 +306,27 @@ def test_pit_window_agg_single_window_node(spark):
                          window=10, fns=("count", "sum", "avg", "max"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("+- Window") == 1
+
+
+def test_pit_window_agg_multi_horizon_one_shuffle(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        pit_window_agg)
+
+    spine = spark.createDataFrame([(1, 1000), (1, 2000)],
+                                  "user_id long, ts long")
+    ev = spark.createDataFrame(
+        [(1, 500, 1.0), (1, 950, 2.0), (1, 1500, 4.0)],
+        "user_id long, ets long, v double")
+    out = pit_window_agg(spine, ev, "user_id", "ts", "ets", "v",
+                         window=[100, 1000], fns=("count", "sum"))
+    rows = {r["ts"]: r for r in out.collect()}
+    assert rows[1000]["f_count_100"] == 1 and rows[1000]["f_count_1000"] == 2
+    assert rows[2000]["f_count_100"] == 0 and rows[2000]["f_sum_1000"] == 4.0
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])  # AQE: final section only
+    # multi-horizon: one exchange, one sort, and Spark fuses BOTH
+    # horizons into a single Window node (same partition/order key;
+    # frames differ per expression)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count(" Sort [") == 1
+    assert plan.count("Window") == 1
