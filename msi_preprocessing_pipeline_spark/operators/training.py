@@ -108,7 +108,8 @@ def pit_window_agg(spine: DataFrame, events: DataFrame,
                    window: int | Sequence[int],
                    fns: Sequence[str] = ("count", "sum"),
                    prefix: str = "f_",
-                   include_current_instant: bool = False) -> DataFrame:
+                   include_current_instant: bool = False,
+                   bucket_width: int | None = None) -> DataFrame:
     """Trailing-window aggregate features evaluated AT each spine row's
     timestamp: "count/sum/avg of the entity's events in the ``window``
     units before the observation" — the aggregate-at-label-time primitive.
@@ -130,6 +131,15 @@ def pit_window_agg(spine: DataFrame, events: DataFrame,
     (window, fn) feature comes out of the SAME exchange and sort — one
     Window node per horizon, zero extra shuffles, since all frames share
     the partitioning and ordering.
+
+    Skew: a window partitioned only by entity serializes a hot entity's
+    whole history onto one task. ``bucket_width`` (in ``ts`` units, must be
+    >= max(window)) splits each entity's timeline into buckets and
+    partitions by ``(entity, bucket)``; event rows within max(window) of a
+    bucket's end are DUPLICATED into the next bucket so every trailing
+    frame still sees its full horizon — result-identical (tested), with
+    per-task work bounded by the bucket span instead of the entity's
+    lifetime.
     """
     keys = [on] if isinstance(on, str) else list(on)
     ev_val = events.select(F.col(value_col)).schema[0].dataType
@@ -149,9 +159,29 @@ def pit_window_agg(spine: DataFrame, events: DataFrame,
 
     upper = 0 if include_current_instant else -1
     windows = [window] if isinstance(window, int) else list(window)
+    part_keys = list(keys)
+    drop_cols = ["__ts", "__val", "__side"]
+    if bucket_width is not None:
+        max_win = max(int(w) for w in windows)
+        bw = int(bucket_width)
+        if bw < max_win:
+            raise ValueError(
+                f"bucket_width {bw} < max window {max_win}: a trailing "
+                "frame would span more than two buckets")
+        bucket = F.floor(F.col("__ts") / F.lit(bw))
+        own = u.withColumn("__bucket", bucket)
+        # event rows near a bucket's end also serve the NEXT bucket's
+        # early frames; spine rows live only in their own bucket
+        carry = (u.where((F.col("__side") == 0)
+                         & (F.col("__ts") >= (bucket + 1) * F.lit(bw)
+                            - F.lit(max_win)))
+                 .withColumn("__bucket", bucket + F.lit(1)))
+        u = own.unionByName(carry)
+        part_keys = part_keys + ["__bucket"]
+        drop_cols.append("__bucket")
     out = u
     for win in windows:
-        w = (Window.partitionBy(*keys).orderBy("__ts")
+        w = (Window.partitionBy(*part_keys).orderBy("__ts")
              .rangeBetween(-int(win), upper))
         for fn in fns:
             name = f"{prefix}{fn}_{win}"
@@ -161,4 +191,4 @@ def pit_window_agg(spine: DataFrame, events: DataFrame,
                 out = out.withColumn(name,
                                      getattr(F, fn)(F.col("__val")).over(w))
     return (out.where(F.col("__side") == 1)
-            .drop("__ts", "__val", "__side"))
+            .drop(*drop_cols))

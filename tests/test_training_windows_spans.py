@@ -330,3 +330,44 @@ def test_pit_window_agg_multi_horizon_one_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count(" Sort [") == 1
     assert plan.count("Window") == 1
+
+
+def test_pit_window_agg_bucketed_matches_unbucketed(spark):
+    """Skew buster: time-bucketed partitioning with boundary carry must be
+    result-identical to the plain entity-partitioned window."""
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        pit_window_agg)
+
+    rng = np.random.RandomState(11)
+    n_ev, n_sp = 400, 120
+    ev = pd.DataFrame({
+        "user_id": rng.randint(0, 3, n_ev),
+        "ets": rng.randint(0, 10_000, n_ev),
+        "v": rng.rand(n_ev).round(3)})
+    spine = pd.DataFrame({
+        "obs_id": np.arange(n_sp),
+        "user_id": rng.randint(0, 3, n_sp),
+        "ts": rng.randint(0, 10_000, n_sp)})
+    sdf, edf = spark.createDataFrame(spine), spark.createDataFrame(ev)
+    kw = dict(on="user_id", spine_ts="ts", event_ts="ets", value_col="v",
+              window=[150, 700], fns=("count", "sum"))
+    plain = pit_window_agg(sdf, edf, **kw).toPandas()
+    bucketed = pit_window_agg(sdf, edf, bucket_width=700, **kw).toPandas()
+    cols = sorted(plain.columns)
+    canon = lambda p: (p[cols].sort_values(cols)  # noqa: E731
+                       .reset_index(drop=True).round(9))
+    pd.testing.assert_frame_equal(canon(plain), canon(bucketed))
+
+
+def test_pit_window_agg_bucket_width_too_small_raises(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        pit_window_agg)
+
+    spine = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+    ev = spark.createDataFrame([(1, 99, 1.0)],
+                               "user_id long, ets long, v double")
+    with pytest.raises(ValueError, match="bucket_width"):
+        pit_window_agg(spine, ev, "user_id", "ts", "ets", "v",
+                       window=100, bucket_width=50)
