@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-54 queries, 54 with exact DuckDB oracles — relational SQL where expressible,
+55 queries, 55 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -500,6 +500,26 @@ def _q_pii_scan(spark, sf_dir):
                     "pii_total", "redacted_len"))
 
 
+def _q_quality_topk(spark, sf_dir):
+    """Per-source quota curation: keep the top-5 docs of every source by a
+    quality score (length x cleanliness) — the 'best N per domain' pass."""
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    q = tx.quality_metrics(docs).select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio")
+    joined = docs.select("doc_id", "source").join(q, "doc_id")
+    score = F.round(F.col("n_words").cast("double")
+                    * (F.lit(1.0) - F.col("punct_ratio")), 6)
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(),
+                                             F.col("doc_id").asc())
+    return (joined.withColumn("score", score)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 5)
+            .select("source", "doc_id", "score", "rank"))
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-language sampling rates (downsample dominant en, keep rare fr) —
     the corpus-mixing primitive; partition-invariant hash bands."""
@@ -711,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_filter_docs": _q_quality_filter,
+        "quality_topk_docs": _q_quality_topk,
         "stratified_sample_docs": _q_stratified_sample,
         "range_join_price_bands": _q_range_join,
         "pack_assignments_docs": _q_pack_assignments,
@@ -1276,6 +1297,25 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                     and r.top_ngram_frac <= 0.3
                     and r.dup_ngram_frac <= 0.6) as keep
             from q join r using (doc_id)
+        """,
+        "quality_topk_docs": f"""
+            with q as (
+                select d.doc_id, d.source,
+                       round(cast({n_words} as bigint)
+                             * (1 - round((length(text)
+                                - length(regexp_replace(text, '[.,!?;:]',
+                                                        '', 'g'))) * 1.0
+                                / greatest(length(text), 1), 6)), 6)
+                           as score
+                from documents d
+            ), ranked as (
+                select source, doc_id, score,
+                       row_number() over (partition by source
+                                          order by score desc, doc_id)
+                           as rank
+                from q
+            )
+            select source, doc_id, score, rank from ranked where rank <= 5
         """,
         "tfidf_top_terms": r"""
             with w as (

@@ -371,3 +371,16 @@ def test_pit_window_agg_bucket_width_too_small_raises(spark):
     with pytest.raises(ValueError, match="bucket_width"):
         pit_window_agg(spine, ev, "user_id", "ts", "ets", "v",
                        window=100, bucket_width=50)
+
+
+def test_training_set_tolerance_caps_staleness(pit_frames):
+    spine, clicks, _ = pit_frames
+    out = build_training_set(
+        spine, on="user_id", spine_ts="ts",
+        features=[FeatureSpec(clicks, ts_col="ms", value_cols=["value"],
+                              prefix="click_", tolerance=150.0)])
+    rows = {r["obs_id"]: r for r in out.collect()}
+    # obs 1 (ts=1000): click@900 is 100 old -> within tolerance
+    assert rows[1]["click_value"] == 1.0
+    # obs 2 (ts=2000): click@1500 is 500 old -> too stale, nulled
+    assert rows[2]["click_value"] is None
