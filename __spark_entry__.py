@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-55 queries, 55 with exact DuckDB oracles — relational SQL where expressible,
+57 queries, 57 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -500,6 +500,26 @@ def _q_pii_scan(spark, sf_dir):
                     "pii_total", "redacted_len"))
 
 
+def _q_cube_doc_stats(spark, sf_dir):
+    """CUBE aggregation (all grouping-set combinations of source x lang) —
+    the corpus-report shape: totals, per-source, per-lang, per-cell."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.cube("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+def _q_value_quartiles(spark, sf_dir):
+    """ntile + percent_rank window ranks (total order via event_id
+    tiebreak, so both are engine-reproducible)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"))
+
+
 def _q_quality_topk(spark, sf_dir):
     """Per-source quota curation: keep the top-5 docs of every source by a
     quality score (length x cleanliness) — the 'best N per domain' pass."""
@@ -732,6 +752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_filter_docs": _q_quality_filter,
         "quality_topk_docs": _q_quality_topk,
+        "cube_doc_stats": _q_cube_doc_stats,
+        "value_quartiles_by_type": _q_value_quartiles,
         "stratified_sample_docs": _q_stratified_sample,
         "range_join_price_bands": _q_range_join,
         "pack_assignments_docs": _q_pack_assignments,
@@ -1297,6 +1319,19 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                     and r.top_ngram_frac <= 0.3
                     and r.dup_ngram_frac <= 0.6) as keep
             from q join r using (doc_id)
+        """,
+        "cube_doc_stats": """
+            select source, lang, count(*) as n_docs,
+                   cast(sum(n_chars) as bigint) as total_chars
+            from documents
+            group by cube (source, lang)
+        """,
+        "value_quartiles_by_type": """
+            select event_id, event_type,
+                   cast(ntile(4) over w as bigint) as quartile,
+                   round(percent_rank() over w, 6) as pct_rank
+            from events
+            window w as (partition by event_type order by value, event_id)
         """,
         "quality_topk_docs": f"""
             with q as (
