@@ -144,3 +144,42 @@ def test_winnowing_vectorized_hash_equals_rolling(text, k):
             out += s[j:j + n_out] * powers[j]
         out &= mask
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pit_window_agg_random_conformance(spark):
+    """Randomized pit_window_agg (incl. bucketed skew path) vs a pandas
+    brute force, across shapes, tie patterns and horizons."""
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        pit_window_agg)
+
+    rng = np.random.RandomState(123)
+    for trial in range(4):
+        n_s, n_e = rng.randint(1, 80), rng.randint(0, 200)
+        win = int(rng.choice([10, 50, 250]))
+        spine = pd.DataFrame({
+            "k": rng.randint(0, 3, n_s),
+            "ts": rng.randint(0, 500, n_s).astype("int64"),
+            "rid": np.arange(n_s)})
+        ev = pd.DataFrame({
+            "k": rng.randint(0, 3, max(n_e, 1))[:n_e],
+            "ets": rng.randint(0, 500, max(n_e, 1))[:n_e].astype("int64"),
+            "v": rng.rand(max(n_e, 1))[:n_e]})
+        if n_e == 0:
+            ev = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                               "ets": pd.Series(dtype="int64"),
+                               "v": pd.Series(dtype="float64")})
+        sdf = spark.createDataFrame(spine)
+        edf = spark.createDataFrame(ev, schema="k long, ets long, v double")
+        for bw in (None, max(win, 100)):
+            got = (pit_window_agg(sdf, edf, on="k", spine_ts="ts",
+                                  event_ts="ets", value_col="v",
+                                  window=win, fns=("count", "sum"),
+                                  bucket_width=bw)
+                   .toPandas().sort_values("rid").reset_index(drop=True))
+            for _, s in spine.sort_values("rid").iterrows():
+                m = ev[(ev.k == s.k) & (ev.ets >= s.ts - win)
+                       & (ev.ets < s.ts)]
+                r = got[got.rid == s.rid].iloc[0]
+                assert r[f"f_count_{win}"] == len(m), (trial, bw, s.rid)
+                if len(m):
+                    assert abs(r[f"f_sum_{win}"] - m.v.sum()) < 1e-9
