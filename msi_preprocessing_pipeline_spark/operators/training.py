@@ -22,7 +22,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .asof import asof_join, asof_join_broadcast
+from .asof import asof_join, asof_join_broadcast, asof_join_merge
 
 
 @dataclass
@@ -37,10 +37,13 @@ class FeatureSpec:
 
     ``strategy`` picks the physical as-of plan per feature table:
     ``'shuffle'`` (union + window — one exchange of spine+feature on the
-    entity key, skew-saltable via ``salt_buckets``) or ``'broadcast'``
+    entity key, skew-saltable via ``salt_buckets``), ``'broadcast'``
     (per-key timeline arrays broadcast onto the spine — ZERO shuffle on the
     spine; the right plan when the feature table is dimension-sized, e.g.
-    model/artifact timelines, and what keeps a 10^12-row spine map-only).
+    model/artifact timelines, and what keeps a 10^12-row spine map-only),
+    or ``'merge'`` (cogrouped ``pd.merge_asof`` per entity — prefer when
+    the feature table is very wide, since pandas merges columns without a
+    union schema). All three are result-identical (tested).
     """
 
     df: DataFrame
@@ -75,14 +78,16 @@ def build_training_set(spine: DataFrame, on: Sequence[str] | str,
             renamed = renamed.withColumnRenamed(c, f"{spec.prefix}{c}")
         keys = spec.on if spec.on is not None else on
         out_cols = [f"{spec.prefix}{c}" for c in cols]
-        if spec.strategy == "broadcast":
-            # the broadcast strategy carries the matched timestamp as a
-            # regular value column duplicated from the feature's ts
+        if spec.strategy in ("broadcast", "merge"):
+            # these strategies carry the matched timestamp as a regular
+            # value column duplicated from the feature's ts
             if spec.matched_ts:
                 renamed = renamed.withColumn(f"{spec.prefix}ts",
                                              F.col(spec.ts_col))
                 out_cols = out_cols + [f"{spec.prefix}ts"]
-            out = asof_join_broadcast(
+            join_fn = (asof_join_broadcast if spec.strategy == "broadcast"
+                       else asof_join_merge)
+            out = join_fn(
                 out, renamed, on=keys, left_ts=spine_ts,
                 right_ts=spec.ts_col, value_cols=out_cols,
                 direction=spec.direction, tolerance=spec.tolerance,

@@ -163,21 +163,22 @@ def test_positional_grams_short_doc_whole_span(spark):
     assert rows[0]["gram"] == "only three words"
 
 
-def test_training_set_broadcast_strategy_matches_shuffle(pit_frames):
+def test_training_set_all_strategies_identical(pit_frames):
     spine, clicks, views = pit_frames
     specs = lambda strat: [  # noqa: E731
         FeatureSpec(clicks, ts_col="ms", value_cols=["value"],
                     prefix="click_", strategy=strat),
         FeatureSpec(views, ts_col="ms", value_cols=["value"],
                     prefix="view_", strategy=strat)]
-    a = build_training_set(spine, on="user_id", spine_ts="ts",
-                           features=specs("shuffle"))
-    b = build_training_set(spine, on="user_id", spine_ts="ts",
-                           features=specs("broadcast"))
-    key = lambda r: r["obs_id"]  # noqa: E731
-    ra = sorted(a.select(sorted(a.columns)).collect(), key=key)
-    rb = sorted(b.select(sorted(b.columns)).collect(), key=key)
-    assert ra == rb
+
+    def rows(strat):
+        df = build_training_set(spine, on="user_id", spine_ts="ts",
+                                features=specs(strat))
+        return sorted(df.select(sorted(df.columns)).collect(),
+                      key=lambda r: r["obs_id"])
+
+    ra, rb, rc = rows("shuffle"), rows("broadcast"), rows("merge")
+    assert ra == rb == rc
 
 
 def test_training_set_broadcast_plan_is_map_only_on_spine(pit_frames):
