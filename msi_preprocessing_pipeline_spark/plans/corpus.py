@@ -4,6 +4,7 @@ operators.
 
     quality filter  →  benchmark decontamination  →  exact dedup
                     →  MinHash near-dup clustering (keep cluster min)
+                    →  optional duplicated-passage cutting (substring dedup)
 
 Every stage is a lazy DataFrame transformation — one program, one Catalyst
 plan per output, no driver materialization of the corpus. ``with_report``
@@ -45,6 +46,9 @@ class CurationConfig:
     near_dup_threshold: float = 0.7
     star_over: int | None = 64
     max_df: int | None = 1000
+    # substring-level pass: None disables; an int n cuts passages of >= n
+    # words shared across surviving docs (Lee et al. 2022)
+    cut_span_words: int | None = None
     report: dict = field(default_factory=dict)
 
 
@@ -109,4 +113,19 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame | None,
     clusters = dedup.connected_components(pairs)
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")) \
         .select(F.col("doc_id").alias(id_col))
-    return note("near_dedup", kept.join(drop, id_col, "left_anti"))
+    kept = note("near_dedup", kept.join(drop, id_col, "left_anti"))
+
+    if cfg.cut_span_words is not None:
+        # substring pass runs AFTER doc-level dedup: the passages that
+        # remain shared across distinct surviving docs are boilerplate,
+        # cut in place (docs left with no words drop out)
+        spans = dedup.duplicate_spans(kept, n=cfg.cut_span_words,
+                                      text_col=text_col, id_col=id_col,
+                                      max_df=cfg.max_df)
+        cut = dedup.cut_spans(kept, spans, text_col=text_col,
+                              id_col=id_col, out_col=text_col)
+        keep_cols = [c for c in kept.columns if c != text_col]
+        kept = note("span_cut",
+                    kept.select(*keep_cols)
+                    .join(cut.select(id_col, text_col), id_col))
+    return kept

@@ -59,3 +59,26 @@ def test_curate_corpus_no_benchmark(spark):
         .select("doc_id", "text")
     kept = curate_corpus(docs, None).count()
     assert 0 < kept <= docs.count()
+
+
+def test_curation_span_cut_stage(spark):
+    """With cut_span_words set, boilerplate passages shared by surviving
+    docs are removed in place and the report gains a span_cut stage."""
+    from msi_preprocessing_pipeline_spark.plans.corpus import (
+        CurationConfig, curate_corpus)
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    mk = lambda i, body: (i, f"{body} {boiler}")  # noqa: E731
+    docs = spark.createDataFrame(
+        [mk(i, " ".join(f"w{i}x{j}" for j in range(20)))
+         for i in range(6)],
+        "doc_id long, text string")
+    cfg = CurationConfig(cut_span_words=8)
+    out = curate_corpus(docs, benchmark=None, cfg=cfg, with_report=True)
+    rows = out.collect()
+    assert len(rows) == 6  # distinct bodies -> all docs survive dedup
+    for r in rows:
+        assert "b0" not in r["text"]  # boilerplate passage cut
+        assert f"w{r['doc_id']}x0" in r["text"]  # body intact (normalized)
+    assert cfg.report["span_cut"] == 6
+    assert set(out.columns) == {"doc_id", "text"}
