@@ -135,7 +135,9 @@ def main() -> None:
                  "hash_sample_docs", "near_dup_clusters", "pii_scan",
                  "tfidf_top_terms", "training_set_pit", "dup_spans_docs",
                  "rolling_time_features", "mixture_sample_docs",
-                 "approx_distinct_users"]:
+                 "approx_distinct_users", "pit_agg_features",
+                 "cut_dup_spans_docs", "quality_topk_docs",
+                 "cube_doc_stats"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays
