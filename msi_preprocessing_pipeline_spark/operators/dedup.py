@@ -778,7 +778,7 @@ def duplicate_token_spans(df: DataFrame, n: int = 16,
     the whole hashed-gram span machinery applies unchanged. Token ids never
     contain whitespace, making the rendering bijective.
     """
-    rendered = df.select(
+    rendered = df.where(F.col(tokens_col).isNotNull()).select(
         F.col(id_col),
         F.concat_ws(" ", F.col(tokens_col).cast("array<string>"))
         .alias("__tok_text"))

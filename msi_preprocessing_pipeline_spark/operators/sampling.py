@@ -121,8 +121,7 @@ def mixture_sample(df: DataFrame, key, group_col: str,
     """
     counts = {
         r[0]: int(r[1])
-        for r in (df.where(F.col(group_col)
-                           .isin([str(g) for g in target_weights]))
+        for r in (df.where(F.col(group_col).isin(list(target_weights)))
                   .groupBy(group_col).agg(F.count("*")).collect())
     }
     present = [g for g in target_weights if g in counts and counts[g] > 0]

@@ -94,3 +94,14 @@ def test_mixture_sample_missing_group_ignored(corpus):
               for r in out.groupBy("source").agg(F.count("*").alias("n"))
               .collect()}
     assert set(counts) == {"web"} and counts["web"] == 6_000
+
+
+def test_mixture_sample_integer_group_keys(spark):
+    # group keys need not be strings — the count filter must not stringify
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).alias("grp"))
+    out = mixture_sample(docs, "doc_id", "grp", {0: 0.5, 1: 0.5}, seed=2)
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {0, 1}
+    assert counts[0] == 500 or counts[1] == 500  # binding group kept whole

@@ -385,3 +385,13 @@ def test_training_set_tolerance_caps_staleness(pit_frames):
     assert rows[1]["click_value"] == 1.0
     # obs 2 (ts=2000): click@1500 is 500 old -> too stale, nulled
     assert rows[2]["click_value"] is None
+
+
+def test_duplicate_token_spans_null_arrays_ignored(spark):
+    from msi_preprocessing_pipeline_spark.operators.dedup import (
+        duplicate_token_spans)
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, list(range(30)))],
+        "doc_id long, tokens array<int>")
+    assert duplicate_token_spans(docs, n=16).count() == 0
