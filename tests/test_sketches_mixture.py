@@ -105,3 +105,16 @@ def test_mixture_sample_integer_group_keys(spark):
               out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert set(counts) == {0, 1}
     assert counts[0] == 500 or counts[1] == 500  # binding group kept whole
+
+
+def test_sketch_table_parquet_roundtrip(spark, tmp_path, users):
+    """The per-slice sketch table is a persistable intermediate: write to
+    parquet, read back, union-rollup — estimates identical to direct."""
+    path = str(tmp_path / "sketches")
+    distinct_sketches(users, "user_id", ["grp", "day"]).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    rolled = {r["grp"]: r["n_distinct"]
+              for r in merge_sketches(reloaded, "grp").collect()}
+    direct = {r["grp"]: r["n_distinct"]
+              for r in approx_distinct(users, "user_id", "grp").collect()}
+    assert rolled == direct
