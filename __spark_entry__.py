@@ -173,8 +173,11 @@ def _q_rolling_time(spark, sf_dir):
 
 
 def _q_training_set(spark, sf_dir):
+    """Multi-feature PIT assembly via the FUSED plan (all features in one
+    union + one window — 1 shuffle total; pinned result-identical to the
+    sequential per-feature as-of composition)."""
     from msi_preprocessing_pipeline_spark.operators.training import (
-        FeatureSpec, build_training_set)
+        FeatureSpec, build_training_set_fused as build_training_set)
 
     ev = _t(spark, sf_dir, "events")
     spine = (ev.where(F.col("event_type") == "purchase")

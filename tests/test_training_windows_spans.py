@@ -395,3 +395,62 @@ def test_duplicate_token_spans_null_arrays_ignored(spark):
         [(1, None), (2, None), (3, list(range(30)))],
         "doc_id long, tokens array<int>")
     assert duplicate_token_spans(docs, n=16).count() == 0
+
+
+def test_fused_training_set_matches_sequential(spark):
+    """build_training_set_fused (one shuffle for all features) must be
+    result-identical to the sequential per-feature composition, including
+    tolerance nulling and matched-ts audit columns."""
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        FeatureSpec, build_training_set, build_training_set_fused)
+
+    rng = np.random.RandomState(9)
+    spine = pd.DataFrame({
+        "obs_id": np.arange(80),
+        "user_id": rng.randint(0, 5, 80),
+        "ts": rng.randint(0, 1000, 80).astype("int64")})
+    fa = pd.DataFrame({
+        "user_id": rng.randint(0, 5, 120),
+        "ats": rng.randint(0, 1000, 120).astype("int64"),
+        "a": rng.rand(120).round(3)})
+    fb = pd.DataFrame({
+        "user_id": rng.randint(0, 5, 60),
+        "bts": rng.randint(0, 1000, 60).astype("int64"),
+        "b": rng.rand(60).round(3),
+        "b2": rng.randint(0, 9, 60).astype("int64")})
+    sdf = spark.createDataFrame(spine)
+    specs = [
+        FeatureSpec(spark.createDataFrame(fa), ts_col="ats",
+                    value_cols=["a"], prefix="fa_"),
+        FeatureSpec(spark.createDataFrame(fb), ts_col="bts",
+                    value_cols=["b", "b2"], prefix="fb_", tolerance=50),
+    ]
+    seq = build_training_set(sdf, on="user_id", spine_ts="ts",
+                             features=specs)
+    fused = build_training_set_fused(sdf, on="user_id", spine_ts="ts",
+                                     features=specs)
+    assert sorted(seq.columns) == sorted(fused.columns)
+    cols = sorted(seq.columns)
+    canon = lambda df: (df.toPandas()[cols]  # noqa: E731
+                        .sort_values("obs_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(canon(seq), canon(fused))
+
+
+def test_fused_training_set_single_exchange(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        FeatureSpec, build_training_set_fused)
+
+    spine = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+    f1 = spark.createDataFrame([(1, 90, 1.0)],
+                               "user_id long, fts long, v double")
+    f2 = spark.createDataFrame([(1, 80, 2.0)],
+                               "user_id long, gts long, w double")
+    out = build_training_set_fused(
+        spine, on="user_id", spine_ts="ts",
+        features=[FeatureSpec(f1, "fts", ["v"], "f1_"),
+                  FeatureSpec(f2, "gts", ["w"], "f2_")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1  # all picks fused into one node
