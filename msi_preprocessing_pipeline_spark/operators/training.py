@@ -185,18 +185,19 @@ def pit_window_agg(spine: DataFrame, events: DataFrame,
         u = own.unionByName(carry)
         part_keys = part_keys + ["__bucket"]
         drop_cols.append("__bucket")
-    out = u
+    # all window columns in ONE select so Catalyst emits one fused Window
+    # node (chained withColumn blocks CollapseWindow across frames)
+    exprs = []
     for win in windows:
         w = (Window.partitionBy(*part_keys).orderBy("__ts")
              .rangeBetween(-int(win), upper))
         for fn in fns:
             name = f"{prefix}{fn}_{win}"
-            if fn == "count":
-                out = out.withColumn(name, F.count("__val").over(w))
-            else:
-                out = out.withColumn(name,
-                                     getattr(F, fn)(F.col("__val")).over(w))
-    return (out.where(F.col("__side") == 1)
+            agg = (F.count("__val") if fn == "count"
+                   else getattr(F, fn)(F.col("__val")))
+            exprs.append(agg.over(w).alias(name))
+    return (u.select("*", *exprs)
+            .where(F.col("__side") == 1)
             .drop(*drop_cols))
 
 
@@ -288,3 +289,80 @@ def build_training_set_fused(spine: DataFrame, on: Sequence[str] | str,
         if spec.matched_ts:
             out_exprs.append(matched.alias(f"{spec.prefix}ts"))
     return filled.select(*out_exprs)
+
+
+@dataclass
+class EventSource:
+    """One event stream feeding :func:`pit_window_agg_multi`. ``value_col``
+    is cast to double for aggregation (sources may differ in type)."""
+
+    df: DataFrame
+    ts_col: str
+    value_col: str
+    prefix: str
+
+
+def pit_window_agg_multi(spine: DataFrame, on: Sequence[str] | str,
+                         spine_ts: str, sources: Sequence[EventSource],
+                         window: int | Sequence[int],
+                         fns: Sequence[str] = ("count", "sum"),
+                         include_current_instant: bool = False,
+                         bucket_width: int | None = None) -> DataFrame:
+    """:func:`pit_window_agg` over SEVERAL event streams at once: every
+    (source, horizon, fn) feature — e.g. click/view/error counts and sums
+    for 1h and 24h — out of ONE union, one shuffle, one fused Window node.
+    Aggregates select their stream via ``fn(when(src == i, val))`` inside
+    the shared trailing RANGE frame. Same leakage contract and
+    ``bucket_width`` skew handling as the single-source operator.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    sp2 = (spine
+           .withColumn("__ts", F.col(spine_ts).cast("long"))
+           .withColumn("__val", F.lit(None).cast("double"))
+           .withColumn("__src", F.lit(0)))
+    unioned = sp2
+    for i, src in enumerate(sources, start=1):
+        ev = src.df.select(
+            *[F.col(k) for k in keys],
+            F.col(src.ts_col).cast("long").alias("__ts"),
+            F.col(src.value_col).cast("double").alias("__val"))
+        for c in spine.columns:
+            if c not in keys:
+                ev = ev.withColumn(c,
+                                   F.lit(None).cast(spine.schema[c].dataType))
+        unioned = unioned.unionByName(ev.withColumn("__src", F.lit(i)))
+
+    upper = 0 if include_current_instant else -1
+    windows = [window] if isinstance(window, int) else list(window)
+    part_keys = list(keys)
+    drop_cols = ["__ts", "__val", "__src"]
+    if bucket_width is not None:
+        max_win = max(int(w) for w in windows)
+        bw = int(bucket_width)
+        if bw < max_win:
+            raise ValueError(
+                f"bucket_width {bw} < max window {max_win}")
+        bucket = F.floor(F.col("__ts") / F.lit(bw))
+        own = unioned.withColumn("__bucket", bucket)
+        carry = (unioned.where((F.col("__src") > 0)
+                               & (F.col("__ts") >= (bucket + 1) * F.lit(bw)
+                                  - F.lit(max_win)))
+                 .withColumn("__bucket", bucket + F.lit(1)))
+        unioned = own.unionByName(carry)
+        part_keys.append("__bucket")
+        drop_cols.append("__bucket")
+
+    exprs = []
+    for win in windows:
+        w = (Window.partitionBy(*part_keys).orderBy("__ts")
+             .rangeBetween(-int(win), upper))
+        for i, src in enumerate(sources, start=1):
+            mine = F.when(F.col("__src") == i, F.col("__val"))
+            for fn in fns:
+                name = f"{src.prefix}{fn}_{win}"
+                expr = (F.count(mine) if fn == "count"
+                        else getattr(F, fn)(mine))
+                exprs.append(expr.over(w).alias(name))
+    return (unioned.select("*", *exprs)
+            .where(F.col("__src") == 0)
+            .drop(*drop_cols))

@@ -454,3 +454,48 @@ def test_fused_training_set_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1  # all picks fused into one node
+
+
+def test_pit_window_agg_multi_source_matches_separate(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        EventSource, pit_window_agg, pit_window_agg_multi)
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    spine = pd.DataFrame({"obs_id": np.arange(50),
+                          "k": rng.randint(0, 3, 50),
+                          "ts": rng.randint(0, 400, 50).astype("int64")})
+    mk = lambda n: pd.DataFrame({  # noqa: E731
+        "k": rng.randint(0, 3, n),
+        "ets": rng.randint(0, 400, n).astype("int64"),
+        "v": rng.rand(n)})
+    a_pdf, b_pdf = mk(90), mk(40)
+    sdf = spark.createDataFrame(spine)
+    adf, bdf = spark.createDataFrame(a_pdf), spark.createDataFrame(b_pdf)
+    multi = pit_window_agg_multi(
+        sdf, on="k", spine_ts="ts",
+        sources=[EventSource(adf, "ets", "v", "a_"),
+                 EventSource(bdf, "ets", "v", "b_")],
+        window=[50, 200], fns=("count", "sum")).toPandas()
+    for pre, edf in (("a_", adf), ("b_", bdf)):
+        for win in (50, 200):
+            single = pit_window_agg(
+                sdf, edf, on="k", spine_ts="ts", event_ts="ets",
+                value_col="v", window=win, fns=("count", "sum"),
+                prefix=pre).toPandas()
+            m = multi.sort_values("obs_id").reset_index(drop=True)
+            s = single.sort_values("obs_id").reset_index(drop=True)
+            pd.testing.assert_series_equal(
+                m[f"{pre}count_{win}"], s[f"{pre}count_{win}"])
+            pd.testing.assert_series_equal(
+                m[f"{pre}sum_{win}"], s[f"{pre}sum_{win}"])
+    # one fused Window node, one exchange for 2 sources x 2 horizons x 2 fns
+    out = pit_window_agg_multi(
+        sdf, on="k", spine_ts="ts",
+        sources=[EventSource(adf, "ets", "v", "a_"),
+                 EventSource(bdf, "ets", "v", "b_")],
+        window=[50, 200])
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
