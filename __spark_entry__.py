@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-57 queries, 57 with exact DuckDB oracles — relational SQL where expressible,
+58 queries, 58 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -222,6 +222,30 @@ def _q_pit_agg_features(spark, sf_dir):
         F.col("clk_count_3600000").alias("n_clicks_1h"),
         F.round(F.coalesce(F.col("clk_sum_3600000"), F.lit(0.0)), 6)
         .alias("sum_clicks_1h"))
+
+
+def _q_multi_source_agg(spark, sf_dir):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        EventSource, pit_window_agg_multi)
+
+    ev = _t(spark, sf_dir, "events")
+    spine = (ev.where(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", _ms("ts").alias("purchase_ms")))
+    src = lambda t: ev.where(F.col("event_type") == t).select(  # noqa: E731
+        "user_id", _ms("ts").alias("ems"), "value")
+    out = pit_window_agg_multi(
+        spine, on="user_id", spine_ts="purchase_ms",
+        sources=[EventSource(src("click"), "ems", "value", "clk_"),
+                 EventSource(src("view"), "ems", "value", "vw_")],
+        window=3_600_000, fns=("count", "sum"))
+    return out.select(
+        "event_id", "user_id", "purchase_ms",
+        F.col("clk_count_3600000").alias("n_clicks_1h"),
+        F.round(F.coalesce(F.col("clk_sum_3600000"), F.lit(0.0)), 6)
+        .alias("sum_clicks_1h"),
+        F.col("vw_count_3600000").alias("n_views_1h"),
+        F.round(F.coalesce(F.col("vw_sum_3600000"), F.lit(0.0)), 6)
+        .alias("sum_views_1h"))
 
 
 def _q_cut_dup_spans(spark, sf_dir):
@@ -731,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_docs": _q_dup_spans,
         "cut_dup_spans_docs": _q_cut_dup_spans,
         "pit_agg_features": _q_pit_agg_features,
+        "multi_source_agg_features": _q_multi_source_agg,
         "mixture_sample_docs": _q_mixture_sample,
         "exact_quantiles_price": _q_exact_quantiles,
         "dedup_prefix_docs": _q_dedup_prefix,
@@ -945,6 +970,34 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             window w as (partition by user_id order by ts_n
                          range between 3600000 preceding and 1 preceding)
             qualify side = 1
+        """,
+        "multi_source_agg_features": """
+            with u as (
+                select event_id, user_id, epoch_ms(ts) as ts_n,
+                       cast(null as double) as val, 0 as src
+                from events where event_type = 'purchase'
+                union all
+                select cast(null as bigint), user_id, epoch_ms(ts),
+                       value, 1
+                from events where event_type = 'click'
+                union all
+                select cast(null as bigint), user_id, epoch_ms(ts),
+                       value, 2
+                from events where event_type = 'view'
+            )
+            select event_id, user_id, ts_n as purchase_ms,
+                   count(case when src = 1 then val end) over w
+                       as n_clicks_1h,
+                   round(coalesce(sum(case when src = 1 then val end)
+                                  over w, 0), 6) as sum_clicks_1h,
+                   count(case when src = 2 then val end) over w
+                       as n_views_1h,
+                   round(coalesce(sum(case when src = 2 then val end)
+                                  over w, 0), 6) as sum_views_1h
+            from u
+            window w as (partition by user_id order by ts_n
+                         range between 3600000 preceding and 1 preceding)
+            qualify src = 0
         """,
         "cut_dup_spans_docs": """
             with w as (
