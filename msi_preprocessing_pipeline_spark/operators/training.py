@@ -115,7 +115,8 @@ def pit_window_agg(spine: DataFrame, events: DataFrame,
                    fns: Sequence[str] = ("count", "sum"),
                    prefix: str = "f_",
                    include_current_instant: bool = False,
-                   bucket_width: int | None = None) -> DataFrame:
+                   bucket_width: int | None = None,
+                   frame: str = "trailing") -> DataFrame:
     """Trailing-window aggregate features evaluated AT each spine row's
     timestamp: "count/sum/avg of the entity's events in the ``window``
     units before the observation" — the aggregate-at-label-time primitive.
@@ -146,7 +147,16 @@ def pit_window_agg(spine: DataFrame, events: DataFrame,
     frame still sees its full horizon — result-identical (tested), with
     per-task work bounded by the bucket span instead of the entity's
     lifetime.
+
+    ``frame='leading'`` flips to the LABEL side: events in the window
+    strictly AFTER the observation (``(ts, ts + window]``; with
+    ``include_current_instant`` the instant itself joins the frame) —
+    "did/how-much the entity convert within the horizon" targets, with the
+    same zero-peeking-backward symmetry and the bucket carry mirrored into
+    the PREVIOUS bucket.
     """
+    if frame not in ("trailing", "leading"):
+        raise ValueError(f"frame must be trailing|leading, got {frame!r}")
     keys = [on] if isinstance(on, str) else list(on)
     ev_val = events.select(F.col(value_col)).schema[0].dataType
     ev2 = events.select(
@@ -163,7 +173,6 @@ def pit_window_agg(spine: DataFrame, events: DataFrame,
            .withColumn("__side", F.lit(1)))
     u = sp2.unionByName(ev2.select(*sp2.columns))
 
-    upper = 0 if include_current_instant else -1
     windows = [window] if isinstance(window, int) else list(window)
     part_keys = list(keys)
     drop_cols = ["__ts", "__val", "__side"]
@@ -172,16 +181,22 @@ def pit_window_agg(spine: DataFrame, events: DataFrame,
         bw = int(bucket_width)
         if bw < max_win:
             raise ValueError(
-                f"bucket_width {bw} < max window {max_win}: a trailing "
+                f"bucket_width {bw} < max window {max_win}: a "
                 "frame would span more than two buckets")
         bucket = F.floor(F.col("__ts") / F.lit(bw))
         own = u.withColumn("__bucket", bucket)
-        # event rows near a bucket's end also serve the NEXT bucket's
-        # early frames; spine rows live only in their own bucket
-        carry = (u.where((F.col("__side") == 0)
-                         & (F.col("__ts") >= (bucket + 1) * F.lit(bw)
-                            - F.lit(max_win)))
-                 .withColumn("__bucket", bucket + F.lit(1)))
+        # event rows near a bucket boundary also serve the adjacent
+        # bucket's frames; spine rows live only in their own bucket
+        if frame == "trailing":
+            carry = (u.where((F.col("__side") == 0)
+                             & (F.col("__ts") >= (bucket + 1) * F.lit(bw)
+                                - F.lit(max_win)))
+                     .withColumn("__bucket", bucket + F.lit(1)))
+        else:
+            carry = (u.where((F.col("__side") == 0)
+                             & (F.col("__ts") < bucket * F.lit(bw)
+                                + F.lit(max_win)))
+                     .withColumn("__bucket", bucket - F.lit(1)))
         u = own.unionByName(carry)
         part_keys = part_keys + ["__bucket"]
         drop_cols.append("__bucket")
@@ -189,8 +204,12 @@ def pit_window_agg(spine: DataFrame, events: DataFrame,
     # node (chained withColumn blocks CollapseWindow across frames)
     exprs = []
     for win in windows:
+        if frame == "trailing":
+            lo, hi = -int(win), (0 if include_current_instant else -1)
+        else:
+            lo, hi = (0 if include_current_instant else 1), int(win)
         w = (Window.partitionBy(*part_keys).orderBy("__ts")
-             .rangeBetween(-int(win), upper))
+             .rangeBetween(lo, hi))
         for fn in fns:
             name = f"{prefix}{fn}_{win}"
             agg = (F.count("__val") if fn == "count"

@@ -499,3 +499,54 @@ def test_pit_window_agg_multi_source_matches_separate(spark):
             .split("== Initial Plan ==")[0])
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_pit_window_agg_leading_frame_labels(spark):
+    """frame='leading': events strictly AFTER the observation, the label
+    side of the training set."""
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        pit_window_agg)
+
+    spine = spark.createDataFrame([(1, 100), (2, 300)],
+                                  "user_id long, ts long")
+    spine = spine.withColumn("obs_id", F.col("user_id"))
+    ev = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 150, 2.0), (1, 201, 4.0), (2, 290, 8.0)],
+        "user_id long, ets long, v double")
+    out = {r["user_id"]: r
+           for r in pit_window_agg(spine, ev, "user_id", "ts", "ets", "v",
+                                   window=100, frame="leading").collect()}
+    # user 1 @100: future (100, 200] -> only the 150 event (100 is the
+    # instant, excluded; 201 is beyond)
+    assert (out[1]["f_count_100"], out[1]["f_sum_100"]) == (1, 2.0)
+    # user 2 @300: no event after
+    assert out[2]["f_count_100"] == 0
+
+
+def test_pit_window_agg_leading_bucketed_matches_plain(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        pit_window_agg)
+
+    rng = np.random.RandomState(21)
+    spine = pd.DataFrame({"obs_id": np.arange(100),
+                          "k": rng.randint(0, 3, 100),
+                          "ts": rng.randint(0, 2000, 100).astype("int64")})
+    ev = pd.DataFrame({"k": rng.randint(0, 3, 300),
+                       "ets": rng.randint(0, 2000, 300).astype("int64"),
+                       "v": rng.rand(300)})
+    sdf, edf = spark.createDataFrame(spine), spark.createDataFrame(ev)
+    kw = dict(on="k", spine_ts="ts", event_ts="ets", value_col="v",
+              window=250, frame="leading", fns=("count", "sum"))
+    plain = pit_window_agg(sdf, edf, **kw).toPandas()
+    bucketed = pit_window_agg(sdf, edf, bucket_width=400, **kw).toPandas()
+    cols = sorted(plain.columns)
+    canon = lambda p: (p[cols].sort_values("obs_id")  # noqa: E731
+                       .reset_index(drop=True).round(9))
+    pd.testing.assert_frame_equal(canon(plain), canon(bucketed))
+    # and vs brute force
+    for _, s in spine.iterrows():
+        m = ev[(ev.k == s.k) & (ev.ets > s.ts) & (ev.ets <= s.ts + 250)]
+        r = plain[plain.obs_id == s.obs_id].iloc[0]
+        assert r["f_count_250"] == len(m)
