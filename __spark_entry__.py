@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-58 queries, 58 with exact DuckDB oracles — relational SQL where expressible,
+59 queries, 59 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -222,6 +222,29 @@ def _q_pit_agg_features(spark, sf_dir):
         F.col("clk_count_3600000").alias("n_clicks_1h"),
         F.round(F.coalesce(F.col("clk_sum_3600000"), F.lit(0.0)), 6)
         .alias("sum_clicks_1h"))
+
+
+def _q_label_window(spark, sf_dir):
+    """Label generation: purchases within 24h AFTER each click (leading
+    frame — the forward-looking half of the PIT training set)."""
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        pit_window_agg)
+
+    ev = _t(spark, sf_dir, "events")
+    spine = (ev.where(F.col("event_type") == "click")
+             .select("event_id", "user_id", _ms("ts").alias("click_ms")))
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id", _ms("ts").alias("pms"), "value"))
+    out = pit_window_agg(spine, purch, on="user_id", spine_ts="click_ms",
+                         event_ts="pms", value_col="value",
+                         window=86_400_000, frame="leading",
+                         fns=("count", "sum"), prefix="buy_")
+    return out.select(
+        "event_id", "user_id", "click_ms",
+        F.col("buy_count_86400000").alias("n_purchases_24h"),
+        F.round(F.coalesce(F.col("buy_sum_86400000"), F.lit(0.0)), 6)
+        .alias("sum_purchases_24h"),
+        (F.col("buy_count_86400000") > 0).alias("converted_24h"))
 
 
 def _q_multi_source_agg(spark, sf_dir):
@@ -756,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_dup_spans_docs": _q_cut_dup_spans,
         "pit_agg_features": _q_pit_agg_features,
         "multi_source_agg_features": _q_multi_source_agg,
+        "label_window_conversions": _q_label_window,
         "mixture_sample_docs": _q_mixture_sample,
         "exact_quantiles_price": _q_exact_quantiles,
         "dedup_prefix_docs": _q_dedup_prefix,
@@ -969,6 +993,27 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             from u
             window w as (partition by user_id order by ts_n
                          range between 3600000 preceding and 1 preceding)
+            qualify side = 1
+        """,
+        "label_window_conversions": """
+            with u as (
+                select event_id, user_id, epoch_ms(ts) as ts_n,
+                       cast(null as double) as val, 1 as side
+                from events where event_type = 'click'
+                union all
+                select cast(null as bigint), user_id, epoch_ms(ts),
+                       value, 0
+                from events where event_type = 'purchase'
+            )
+            select event_id, user_id, ts_n as click_ms,
+                   count(val) over w as n_purchases_24h,
+                   round(coalesce(sum(val) over w, 0), 6)
+                       as sum_purchases_24h,
+                   (count(val) over w) > 0 as converted_24h
+            from u
+            window w as (partition by user_id order by ts_n
+                         range between 1 following
+                         and 86400000 following)
             qualify side = 1
         """,
         "multi_source_agg_features": """
