@@ -7,11 +7,18 @@ as "label spine joined, as of each observation timestamp, against every
 feature source" (reference workflow: pipeline/_preprocessing.py:24-77, where
 every stage consumes the artifacts fitted strictly before it).
 
-Scale shape: each feature attach is one :func:`operators.asof.asof_join`
-(union + window over the entity key — a single shuffle per feature table,
-skew-saltable; broadcast strategy available for small feature tables). No
-Python in the path; composition is purely lazy, so Catalyst sees the whole
-multi-join program and can reorder scans/prune columns across stages.
+Scale shapes, pick per workload:
+* :func:`build_training_set` — one as-of join per feature (strategy
+  ``shuffle`` / ``broadcast`` / ``merge``, all result-identical);
+* :func:`build_training_set_fused` — every backward feature in ONE
+  union + one fused window (1 shuffle total vs F);
+* :func:`pit_window_agg` / :func:`pit_window_agg_multi` — trailing
+  (feature) or leading (label) interval aggregates at each observation,
+  any number of horizons/sources/aggregates in one Window node, hot
+  entities split by time bucket with boundary carry.
+No Python on any hot path except the opt-in ``merge`` strategy;
+composition is purely lazy, so Catalyst sees the whole multi-join program
+and can reorder scans/prune columns across stages.
 """
 
 from __future__ import annotations
