@@ -2,17 +2,27 @@
 
 * :mod:`asof`       — as-of joins (union+window and sort-merge variants,
   skew salting), backfill.
-* :mod:`windows`    — lag/lead/sessionize over (entity, ts).
+* :mod:`windows`    — lag/lead/sessionize/rolling (row + event-time
+  RANGE frames) over (entity, ts).
+* :mod:`training`   — PIT training-set assembly: multi-feature as-of
+  composition (shuffle/broadcast/merge strategies + fused one-shuffle
+  variant) and trailing/leading interval aggregates at observation time
+  (multi-horizon, multi-source, time-bucketed skew handling).
+* :mod:`sketches`   — DataSketches HLL distinct counting (per-slice
+  sketch tables + union rollup).
 * :mod:`quantiles`  — distributed EXACT quantiles (sort + rank + linear
   interpolation; never ``percentile_approx`` on the compat path).
 * :mod:`spectrum`   — the staged spectrum feature operators (vectorized
   Arrow UDFs over broadcast artifacts).
 * :mod:`dedup`      — exact/MinHash-LSH/SimHash/n-gram-Jaccard dedup,
-  winnowing fingerprints, benchmark decontamination, hot-key guards.
+  winnowing fingerprints, benchmark decontamination, hot-key guards,
+  substring-level duplicate spans (words or token arrays) + passage
+  cutting.
 * :mod:`similarity` — brute-force + LSH/IVF-bucketed cosine top-k.
 * :mod:`text`       — language-ID, quality scoring, token counts,
   fingerprints, repetition (Gopher-style) metrics.
-* :mod:`sampling`   — deterministic md5-band sampling and group-stable
-  train/val/test splits (engine-portable, partition-invariant).
+* :mod:`sampling`   — deterministic md5-band sampling, group-stable
+  train/val/test splits, stratified rates and target-mixture rebalance
+  (engine-portable, partition-invariant).
 * :mod:`multimodal` — binary-payload plumbing (decode steps stubbed).
 """
