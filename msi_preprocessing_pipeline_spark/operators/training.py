@@ -333,14 +333,18 @@ def pit_window_agg_multi(spine: DataFrame, on: Sequence[str] | str,
                          window: int | Sequence[int],
                          fns: Sequence[str] = ("count", "sum"),
                          include_current_instant: bool = False,
-                         bucket_width: int | None = None) -> DataFrame:
+                         bucket_width: int | None = None,
+                         frame: str = "trailing") -> DataFrame:
     """:func:`pit_window_agg` over SEVERAL event streams at once: every
     (source, horizon, fn) feature — e.g. click/view/error counts and sums
     for 1h and 24h — out of ONE union, one shuffle, one fused Window node.
     Aggregates select their stream via ``fn(when(src == i, val))`` inside
-    the shared trailing RANGE frame. Same leakage contract and
-    ``bucket_width`` skew handling as the single-source operator.
+    the shared RANGE frame (``frame='trailing'`` for features,
+    ``'leading'`` for labels). Same leakage contract and ``bucket_width``
+    skew handling as the single-source operator.
     """
+    if frame not in ("trailing", "leading"):
+        raise ValueError(f"frame must be trailing|leading, got {frame!r}")
     keys = [on] if isinstance(on, str) else list(on)
     sp2 = (spine
            .withColumn("__ts", F.col(spine_ts).cast("long"))
@@ -358,7 +362,6 @@ def pit_window_agg_multi(spine: DataFrame, on: Sequence[str] | str,
                                    F.lit(None).cast(spine.schema[c].dataType))
         unioned = unioned.unionByName(ev.withColumn("__src", F.lit(i)))
 
-    upper = 0 if include_current_instant else -1
     windows = [window] if isinstance(window, int) else list(window)
     part_keys = list(keys)
     drop_cols = ["__ts", "__val", "__src"]
@@ -370,18 +373,28 @@ def pit_window_agg_multi(spine: DataFrame, on: Sequence[str] | str,
                 f"bucket_width {bw} < max window {max_win}")
         bucket = F.floor(F.col("__ts") / F.lit(bw))
         own = unioned.withColumn("__bucket", bucket)
-        carry = (unioned.where((F.col("__src") > 0)
-                               & (F.col("__ts") >= (bucket + 1) * F.lit(bw)
-                                  - F.lit(max_win)))
-                 .withColumn("__bucket", bucket + F.lit(1)))
+        if frame == "trailing":
+            carry = (unioned.where((F.col("__src") > 0)
+                                   & (F.col("__ts") >= (bucket + 1)
+                                      * F.lit(bw) - F.lit(max_win)))
+                     .withColumn("__bucket", bucket + F.lit(1)))
+        else:
+            carry = (unioned.where((F.col("__src") > 0)
+                                   & (F.col("__ts") < bucket * F.lit(bw)
+                                      + F.lit(max_win)))
+                     .withColumn("__bucket", bucket - F.lit(1)))
         unioned = own.unionByName(carry)
         part_keys.append("__bucket")
         drop_cols.append("__bucket")
 
     exprs = []
     for win in windows:
+        if frame == "trailing":
+            lo, hi = -int(win), (0 if include_current_instant else -1)
+        else:
+            lo, hi = (0 if include_current_instant else 1), int(win)
         w = (Window.partitionBy(*part_keys).orderBy("__ts")
-             .rangeBetween(-int(win), upper))
+             .rangeBetween(lo, hi))
         for i, src in enumerate(sources, start=1):
             mine = F.when(F.col("__src") == i, F.col("__val"))
             for fn in fns:

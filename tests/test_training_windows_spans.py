@@ -550,3 +550,29 @@ def test_pit_window_agg_leading_bucketed_matches_plain(spark):
         m = ev[(ev.k == s.k) & (ev.ets > s.ts) & (ev.ets <= s.ts + 250)]
         r = plain[plain.obs_id == s.obs_id].iloc[0]
         assert r["f_count_250"] == len(m)
+
+
+def test_pit_window_agg_multi_leading_matches_single(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        EventSource, pit_window_agg, pit_window_agg_multi)
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    spine = pd.DataFrame({"obs_id": np.arange(40),
+                          "k": rng.randint(0, 2, 40),
+                          "ts": rng.randint(0, 300, 40).astype("int64")})
+    ev = pd.DataFrame({"k": rng.randint(0, 2, 80),
+                       "ets": rng.randint(0, 300, 80).astype("int64"),
+                       "v": rng.rand(80)})
+    sdf, edf = spark.createDataFrame(spine), spark.createDataFrame(ev)
+    multi = pit_window_agg_multi(
+        sdf, on="k", spine_ts="ts",
+        sources=[EventSource(edf, "ets", "v", "x_")],
+        window=100, frame="leading", bucket_width=150).toPandas()
+    single = pit_window_agg(sdf, edf, on="k", spine_ts="ts",
+                            event_ts="ets", value_col="v", window=100,
+                            frame="leading", prefix="x_").toPandas()
+    cols = ["obs_id", "x_count_100", "x_sum_100"]
+    canon = lambda p: (p[cols].sort_values("obs_id")  # noqa: E731
+                       .reset_index(drop=True).round(9))
+    pd.testing.assert_frame_equal(canon(multi), canon(single))
