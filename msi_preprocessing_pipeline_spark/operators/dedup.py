@@ -734,7 +734,9 @@ def cut_spans(docs: DataFrame, spans: DataFrame, text_col: str = "text",
 
     Tokenization matches the span coordinates (lower + trim + split on
     whitespace), so the output text is the NORMALIZED reconstruction of the
-    surviving words. Docs with every word cut are dropped (nothing left).
+    surviving words. Docs with every word cut are dropped (nothing left),
+    as are null-text docs (they carry no spans and no words — same
+    filtering as :func:`duplicate_spans` and the SQL oracle).
 
     Plan shape: one aggregation of ``spans`` to per-doc span arrays (tiny:
     spans-per-doc rows), one equi-join onto ``docs``, then pure JVM

@@ -266,6 +266,14 @@ def build_training_set_fused(spine: DataFrame, on: Sequence[str] | str,
         for c in spec.value_cols:
             plan.append((f"{spec.prefix}{c}",
                          spec.df.select(F.col(c)).schema[0].dataType, i))
+    names = [n for n, _t, _i in plan] + [f"{s.prefix}ts" for s in features
+                                         if s.matched_ts]
+    dupes = {n for n in names if names.count(n) > 1} | \
+        (set(names) & set(spine_cols))
+    if dupes:
+        raise ValueError(
+            f"feature output columns collide: {sorted(dupes)} — give each "
+            "FeatureSpec a distinct prefix")
 
     val_null = [(n, t) for (n, t, _i) in plan]
     sp2 = spine.select(

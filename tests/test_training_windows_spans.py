@@ -576,3 +576,17 @@ def test_pit_window_agg_multi_leading_matches_single(spark):
     canon = lambda p: (p[cols].sort_values("obs_id")  # noqa: E731
                        .reset_index(drop=True).round(9))
     pd.testing.assert_frame_equal(canon(multi), canon(single))
+
+
+def test_fused_training_set_duplicate_prefix_raises(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        FeatureSpec, build_training_set_fused)
+
+    spine = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+    f = spark.createDataFrame([(1, 90, 1.0)],
+                              "user_id long, fts long, v double")
+    with pytest.raises(ValueError, match="collide"):
+        build_training_set_fused(
+            spine, on="user_id", spine_ts="ts",
+            features=[FeatureSpec(f, "fts", ["v"], "x_"),
+                      FeatureSpec(f, "fts", ["v"], "x_")])
