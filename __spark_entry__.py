@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-59 queries, 59 with exact DuckDB oracles — relational SQL where expressible,
+60 queries, 60 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -286,6 +286,27 @@ def _q_mixture_sample(spark, sf_dir):
     out = mixture_sample(docs, "doc_id", "source",
                          {"src0": 0.5, "src1": 0.3, "src2": 0.2}, seed=7)
     return out.select("doc_id", "source")
+
+
+def _q_cms_counts(spark, sf_dir):
+    """Count-Min sketch point queries: estimated vs exact event counts for
+    ten users. The sketch is merge-order invariant (elementwise add), so
+    the whole row set is deterministic and golden-pinned."""
+    from msi_preprocessing_pipeline_spark.operators.sketches import (
+        CountMinSketch, count_min)
+
+    ev = _t(spark, sf_dir, "events")
+    sketch_row = count_min(ev, "user_id", eps=1e-3, confidence=0.99,
+                           seed=42).first()
+    cms = CountMinSketch.from_bytes(bytes(sketch_row["cms"]))
+    users = list(range(10))
+    ests = cms.estimate(users)
+    exact = {r["user_id"]: r["n"] for r in
+             ev.where(F.col("user_id") < 10).groupBy("user_id")
+             .agg(F.count("*").alias("n")).collect()}
+    return spark.createDataFrame(
+        [(u, int(e), int(exact.get(u, 0))) for u, e in zip(users, ests)],
+        schema="user_id long, est_count long, exact_count long")
 
 
 def _q_approx_distinct(spark, sf_dir):
@@ -825,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "winnowing_pairs": _q_winnowing_pairs,
         "approx_distinct_users": _q_approx_distinct,
+        "cms_user_event_counts": _q_cms_counts,
     }
 
 

@@ -56,3 +56,73 @@ def approx_distinct(df: DataFrame, key: str, group_by,
     return (df.groupBy(*_as_list(group_by))
             .agg(F.hll_sketch_estimate(
                 F.hll_sketch_agg(F.col(key), F.lit(lg_k))).alias(out_col)))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable approximate frequencies (heavy hitters)
+
+class CountMinSketch:
+    """Driver-side decoder for Spark's ``count_min_sketch`` binary
+    (``org.apache.spark.util.sketch.CountMinSketchImpl`` v1 layout:
+    ``int version, long total, int depth, int width, long hashA[depth],
+    long table[depth][width]``, big-endian). The hash is stream-lib's
+    ``h = (a*x + ((a*x) >> 32)) & (2^31-1) mod width`` — reproduced here
+    with wrapping int64 numpy ops and verified exact against Spark for
+    integral keys.
+    """
+
+    _PRIME = (1 << 31) - 1
+
+    def __init__(self, total: int, hash_a, table):
+        import numpy as np
+        self.total = int(total)
+        self.hash_a = np.asarray(hash_a, dtype=np.int64)
+        self.table = np.asarray(table, dtype=np.int64)
+        self.depth, self.width = self.table.shape
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMinSketch":
+        import struct
+
+        import numpy as np
+        version, = struct.unpack(">i", b[:4])
+        if version != 1:
+            raise ValueError(f"unsupported CountMinSketch version {version}")
+        total, = struct.unpack(">q", b[4:12])
+        depth, width = struct.unpack(">ii", b[12:20])
+        off = 20
+        hash_a = np.frombuffer(b[off:off + 8 * depth], dtype=">i8")
+        off += 8 * depth
+        table = np.frombuffer(b[off:off + 8 * depth * width],
+                              dtype=">i8").reshape(depth, width)
+        return cls(total, hash_a, table)
+
+    def estimate(self, items) -> "list[int]":
+        """Upper-bound frequency estimates for integral ``items``
+        (exact ≤ estimate; error ≤ eps·total with prob ≥ confidence)."""
+        import numpy as np
+        out = []
+        w = np.int64(self.width)
+        rows = np.arange(self.depth)
+        for item in items:
+            h = self.hash_a * np.int64(int(item))  # wrapping, like Java
+            h = h + (h >> np.int64(32))
+            h = h & np.int64(self._PRIME)
+            out.append(int(self.table[rows, (h % w).astype(int)].min()))
+        return out
+
+
+def count_min(df: DataFrame, key: str, group_by=None,
+              eps: float = 1e-3, confidence: float = 0.99,
+              seed: int = 42, sketch_col: str = "cms") -> DataFrame:
+    """Count-Min sketch aggregate over an integral ``key`` — the mergeable
+    heavy-hitter structure: KB–MB of state per group regardless of key
+    cardinality, elementwise-add merge (commutative/associative, so the
+    sketch bytes are partitioning-invariant and golden-pinnable). Answer
+    point queries with :meth:`CountMinSketch.estimate`.
+    """
+    agg = F.count_min_sketch(F.col(key), F.lit(float(eps)),
+                             F.lit(float(confidence)),
+                             F.lit(int(seed))).alias(sketch_col)
+    keys = [] if group_by is None else _as_list(group_by)
+    return df.groupBy(*keys).agg(agg) if keys else df.groupBy().agg(agg)

@@ -118,3 +118,50 @@ def test_sketch_table_parquet_roundtrip(spark, tmp_path, users):
     direct = {r["grp"]: r["n_distinct"]
               for r in approx_distinct(users, "user_id", "grp").collect()}
     assert rolled == direct
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+
+def test_cms_estimates_are_upper_bounds_and_tight(spark):
+    from msi_preprocessing_pipeline_spark.operators.sketches import (
+        CountMinSketch, count_min)
+
+    # 20 keys with known skewed counts: key k appears (k+1)*10 times
+    df = spark.range(0, 2100).selectExpr(
+        "cast(floor((sqrt(8*(id/10.0)+1)-1)/2) as long) as k")
+    exact = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    row = count_min(df, "k", eps=1e-3, confidence=0.99, seed=11).first()
+    cms = CountMinSketch.from_bytes(bytes(row["cms"]))
+    keys = sorted(exact)
+    ests = cms.estimate(keys)
+    for k, e in zip(keys, ests):
+        assert e >= exact[k]                    # CMS never undercounts
+        assert e <= exact[k] + 0.01 * cms.total  # eps * total bound
+
+
+def test_cms_partition_invariant(spark):
+    from msi_preprocessing_pipeline_spark.operators.sketches import (
+        count_min)
+
+    df = spark.range(0, 5000).select((F.col("id") % 37).alias("k"))
+    a = bytes(count_min(df, "k", seed=3).first()["cms"])
+    b = bytes(count_min(df.repartition(13), "k", seed=3).first()["cms"])
+    assert a == b  # elementwise-add merge is order-invariant
+
+
+def test_cms_grouped(spark):
+    from msi_preprocessing_pipeline_spark.operators.sketches import (
+        CountMinSketch, count_min)
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 10).alias("k"))
+    rows = {r["g"]: r for r in count_min(df, "k", group_by="g").collect()}
+    for g in (0, 1):
+        cms = CountMinSketch.from_bytes(bytes(rows[g]["cms"]))
+        assert cms.total == 500
+        # within group g, keys of parity g appear 100x, others 0
+        ests = cms.estimate(list(range(10)))
+        for k, e in enumerate(ests):
+            assert e == (100 if k % 2 == g else 0)

@@ -31,6 +31,8 @@ PIN = [
     # HLL estimates: DataSketches register-max merge is commutative and
     # associative, so the estimate is partition/merge-order invariant
     ("approx_distinct_users", True),
+    # CMS: elementwise-add merge, same invariance
+    ("cms_user_event_counts", True),
 ]
 
 DUCK_TYPES = {
