@@ -126,3 +126,38 @@ def count_min(df: DataFrame, key: str, group_by=None,
                              F.lit(int(seed))).alias(sketch_col)
     keys = [] if group_by is None else _as_list(group_by)
     return df.groupBy(*keys).agg(agg) if keys else df.groupBy().agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch: mergeable approximate quantiles
+
+def quantile_sketches(df: DataFrame, col: str, group_by=None, k: int = 200,
+                      sketch_col: str = "kll") -> DataFrame:
+    """DataSketches KLL quantile sketch per group over a double column —
+    the mergeable complement to :mod:`operators.quantiles` (exact): O(k)
+    state per group, rank error ~1.65/k at 99% confidence, union-mergeable
+    with ``kll_merge_agg_double`` for slice-table rollups.
+
+    Unlike the HLL/CMS sketches, KLL compaction is RANDOMIZED (coin-flip
+    compactors), so sketch bytes and estimates are NOT partition-invariant
+    — accuracy is asserted by rank-error tests against the exact-quantile
+    operator instead of a pinned golden; use exact quantiles when
+    reproducibility matters more than state size.
+    """
+    agg = F.kll_sketch_agg_double(F.col(col).cast("double"),
+                                  F.lit(int(k))).alias(sketch_col)
+    keys = [] if group_by is None else _as_list(group_by)
+    return df.groupBy(*keys).agg(agg) if keys else df.groupBy().agg(agg)
+
+
+def sketch_quantiles(sketches: DataFrame, qs: Sequence[float],
+                     sketch_col: str = "kll") -> DataFrame:
+    """Evaluate quantiles from a KLL sketch table — one output column per
+    requested quantile, computed JVM-side from the binary sketch."""
+    exprs = [
+        F.kll_sketch_get_quantile_double(F.col(sketch_col),
+                                         F.lit(float(q))).alias(f"q{q}")
+        for q in qs
+    ]
+    others = [c for c in sketches.columns if c != sketch_col]
+    return sketches.select(*others, *exprs)

@@ -165,3 +165,41 @@ def test_cms_grouped(spark):
         ests = cms.estimate(list(range(10)))
         for k, e in enumerate(ests):
             assert e == (100 if k % 2 == g else 0)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch
+
+def test_kll_quantiles_within_rank_error(spark):
+    from msi_preprocessing_pipeline_spark.operators.quantiles import (
+        exact_quantiles)
+    from msi_preprocessing_pipeline_spark.operators.sketches import (
+        quantile_sketches, sketch_quantiles)
+
+    df = spark.range(0, 20_000).select(
+        ((F.col("id") * 37 % 20_000).cast("double")).alias("x"))
+    qs = [0.1, 0.5, 0.9]
+    sk = quantile_sketches(df, "x", k=200)
+    got = sketch_quantiles(sk, qs).first()
+    exact = exact_quantiles(df, "x", qs)
+    n = 20_000
+    for q, e in zip(qs, exact):
+        # rank error ~1.65/k -> value error ~ rank_err * n on this uniform
+        # grid; allow 3x slack for the randomized compaction
+        assert abs(got[f"q{q}"] - e) <= 3 * (1.65 / 200) * n
+
+
+def test_kll_sketch_table_rollup(spark):
+    from msi_preprocessing_pipeline_spark.operators.sketches import (
+        quantile_sketches)
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").cast("double").alias("x"))
+    slices = quantile_sketches(df, "x", group_by="g")
+    merged = slices.agg(
+        F.kll_merge_agg_double(F.col("kll")).alias("kll"))
+    med = merged.select(
+        F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("m"),
+        F.kll_sketch_get_n_double("kll").alias("n")).first()
+    assert med["n"] == 10_000
+    assert abs(med["m"] - 5_000) < 500  # rough median of the union
