@@ -8,8 +8,9 @@
   composition (shuffle/broadcast/merge strategies + fused one-shuffle
   variant) and trailing/leading interval aggregates at observation time
   (multi-horizon, multi-source, time-bucketed skew handling).
-* :mod:`sketches`   — DataSketches HLL distinct counting (per-slice
-  sketch tables + union rollup).
+* :mod:`sketches`   — mergeable sketches: HLL distinct counting, Count-
+  Min frequencies (bit-exact numpy decoder), KLL approximate quantiles
+  (per-slice sketch tables + union rollups).
 * :mod:`quantiles`  — distributed EXACT quantiles (sort + rank + linear
   interpolation; never ``percentile_approx`` on the compat path).
 * :mod:`spectrum`   — the staged spectrum feature operators (vectorized
