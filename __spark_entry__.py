@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-60 queries, 60 with exact DuckDB oracles — relational SQL where expressible,
+61 queries, 61 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -286,6 +286,18 @@ def _q_mixture_sample(spark, sf_dir):
     out = mixture_sample(docs, "doc_id", "source",
                          {"src0": 0.5, "src1": 0.3, "src2": 0.2}, seed=7)
     return out.select("doc_id", "source")
+
+
+def _q_theta_overlap(spark, sf_dir):
+    """Audience overlap from theta sketches (exact below the 4096-entry
+    nominal, so the relational oracle's true counts match exactly)."""
+    from msi_preprocessing_pipeline_spark.operators.sketches import (
+        theta_overlap)
+
+    ev = _t(spark, sf_dir, "events")
+    out = theta_overlap(ev, "user_id", "event_type", "click", "purchase")
+    return out.select(*[F.col(c).cast("long").alias(c)
+                        for c in out.columns])
 
 
 def _q_cms_counts(spark, sf_dir):
@@ -847,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_pairs": _q_winnowing_pairs,
         "approx_distinct_users": _q_approx_distinct,
         "cms_user_event_counts": _q_cms_counts,
+        "theta_user_overlap": _q_theta_overlap,
     }
 
 
@@ -1455,6 +1468,21 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    round(percent_rank() over w, 6) as pct_rank
             from events
             window w as (partition by event_type order by value, event_id)
+        """,
+        "theta_user_overlap": """
+            with a as (select distinct user_id from events
+                       where event_type = 'click'),
+                 b as (select distinct user_id from events
+                       where event_type = 'purchase')
+            select (select count(*) from a) as n_a,
+                   (select count(*) from b) as n_b,
+                   (select count(*) from (select * from a union
+                                          select * from b)) as n_union,
+                   (select count(*) from (select * from a intersect
+                                          select * from b))
+                       as n_intersection,
+                   (select count(*) from (select * from a except
+                                          select * from b)) as n_only_a
         """,
         "quality_topk_docs": f"""
             with q as (

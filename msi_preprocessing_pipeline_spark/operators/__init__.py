@@ -9,7 +9,8 @@
   variant) and trailing/leading interval aggregates at observation time
   (multi-horizon, multi-source, time-bucketed skew handling).
 * :mod:`sketches`   — mergeable sketches: HLL distinct counting, Count-
-  Min frequencies (bit-exact numpy decoder), KLL approximate quantiles
+  Min frequencies (bit-exact numpy decoder), KLL approximate quantiles,
+  Theta distinct sets with union/intersection/difference algebra
   (per-slice sketch tables + union rollups).
 * :mod:`quantiles`  — distributed EXACT quantiles (sort + rank + linear
   interpolation; never ``percentile_approx`` on the compat path).

@@ -161,3 +161,42 @@ def sketch_quantiles(sketches: DataFrame, qs: Sequence[float],
     ]
     others = [c for c in sketches.columns if c != sketch_col]
     return sketches.select(*others, *exprs)
+
+
+# ---------------------------------------------------------------------------
+# Theta sketch: mergeable distinct sets WITH set algebra
+
+def theta_sketches(df: DataFrame, key: str, group_by,
+                   sketch_col: str = "theta") -> DataFrame:
+    """DataSketches Theta sketch per group — like HLL a KB-sized distinct
+    counter, but supporting UNION / INTERSECTION / DIFFERENCE estimates
+    across groups (``theta_union``/``theta_intersection``/
+    ``theta_difference``). The retained set is the k smallest key hashes,
+    so the sketch is order/partition-invariant, and EXACT below k (default
+    nominal 4096) distinct keys.
+    """
+    return (df.groupBy(*_as_list(group_by))
+            .agg(F.expr(f"theta_sketch_agg({key})").alias(sketch_col)))
+
+
+def theta_overlap(df: DataFrame, key: str, group_col: str,
+                  a: str, b: str) -> DataFrame:
+    """Distinct-key overlap between two groups via theta set algebra:
+    one row ``(n_a, n_b, n_union, n_intersection, n_only_a)`` of
+    estimates. The classic audience-overlap question answered from two
+    KB-sized sketches instead of a distinct-join over raw data.
+    """
+    sk = theta_sketches(
+        df.where(F.col(group_col).isin([a, b])), key, group_col)
+    one = (sk.groupBy()
+           .pivot(group_col, [a, b])
+           .agg(F.first("theta")))
+    return one.select(
+        F.expr(f"theta_sketch_estimate(`{a}`)").alias("n_a"),
+        F.expr(f"theta_sketch_estimate(`{b}`)").alias("n_b"),
+        F.expr(f"theta_sketch_estimate(theta_union(`{a}`, `{b}`))")
+        .alias("n_union"),
+        F.expr(f"theta_sketch_estimate(theta_intersection(`{a}`, `{b}`))")
+        .alias("n_intersection"),
+        F.expr(f"theta_sketch_estimate(theta_difference(`{a}`, `{b}`))")
+        .alias("n_only_a"))

@@ -203,3 +203,35 @@ def test_kll_sketch_table_rollup(spark):
         F.kll_sketch_get_n_double("kll").alias("n")).first()
     assert med["n"] == 10_000
     assert abs(med["m"] - 5_000) < 500  # rough median of the union
+
+
+# ---------------------------------------------------------------------------
+# Theta sketch set algebra
+
+def test_theta_overlap_exact_mode(spark):
+    from msi_preprocessing_pipeline_spark.operators.sketches import (
+        theta_overlap)
+
+    # groups A: keys 0..599, B: keys 400..999 -> overlap 200
+    df = spark.range(0, 1600).select(
+        F.when(F.col("id") < 600, "A").otherwise("B").alias("g"),
+        F.when(F.col("id") < 600, F.col("id"))
+        .otherwise(F.col("id") - 200).alias("k"))
+    row = theta_overlap(df, "k", "g", "A", "B").first()
+    assert (row["n_a"], row["n_b"]) == (600, 1000)
+    assert row["n_union"] == 1400
+    assert row["n_intersection"] == 200
+    assert row["n_only_a"] == 400
+
+
+def test_theta_sketch_partition_invariant(spark):
+    from msi_preprocessing_pipeline_spark.operators.sketches import (
+        theta_sketches)
+
+    df = spark.range(0, 3000).select(
+        F.lit("g").alias("g"), (F.col("id") % 700).alias("k"))
+    est = lambda d: d.selectExpr(  # noqa: E731
+        "theta_sketch_estimate(theta) as n").first()["n"]
+    a = est(theta_sketches(df, "k", "g"))
+    b = est(theta_sketches(df.repartition(11), "k", "g"))
+    assert a == b == 700
