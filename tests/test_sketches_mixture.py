@@ -235,3 +235,16 @@ def test_theta_sketch_partition_invariant(spark):
     a = est(theta_sketches(df, "k", "g"))
     b = est(theta_sketches(df.repartition(11), "k", "g"))
     assert a == b == 700
+
+
+def test_theta_slice_rollup(spark):
+    from msi_preprocessing_pipeline_spark.operators.sketches import (
+        theta_sketches)
+
+    # per-day slices of one group union to the overall distinct count
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 5).alias("day"), (F.col("id") % 800).alias("k"))
+    slices = theta_sketches(df, "k", ["day"])
+    n = (slices.agg(F.expr("theta_union_agg(theta)").alias("u"))
+         .selectExpr("theta_sketch_estimate(u) as n").first()["n"])
+    assert n == 800
