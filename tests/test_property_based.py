@@ -183,3 +183,43 @@ def test_pit_window_agg_random_conformance(spark):
                 assert r[f"f_count_{win}"] == len(m), (trial, bw, s.rid)
                 if len(m):
                     assert abs(r[f"f_sum_{win}"] - m.v.sum()) < 1e-9
+
+
+def test_cut_spans_conserves_words_random_docs(spark):
+    """Randomized invariant: for every surviving doc,
+    n_words_cut + n_words_kept == total words, and no duplicated 8-gram
+    survives across distinct docs after cutting."""
+    from msi_preprocessing_pipeline_spark.operators.dedup import (
+        cut_spans, duplicate_spans)
+
+    rng = np.random.RandomState(55)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = []
+    for i in range(40):
+        body = " ".join(rng.choice(vocab, rng.randint(12, 40)))
+        # half the docs embed the shared passage at a random position
+        if i % 2 == 0:
+            words = body.split()
+            pos = rng.randint(0, len(words))
+            body = " ".join(words[:pos] + [boiler] + words[pos:])
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(docs, n=8)
+    out = cut_spans(docs, spans)
+    joined = (docs.selectExpr(
+        "doc_id",
+        "size(split(trim(lower(text)), '\\\\s+')) as n_total")
+        .join(out, "doc_id"))
+    bad = joined.where(
+        joined.n_total != joined.n_words_cut + joined.n_words_kept).count()
+    assert bad == 0
+    # after cutting, re-running span detection on the cut text of the
+    # SURVIVING docs finds (almost) nothing: allow only spans arising from
+    # random vocab collisions, not the planted boilerplate
+    recut = duplicate_spans(
+        out.selectExpr("doc_id", "text_cut as text"), n=8)
+    leftover = recut.join(
+        spark.createDataFrame([(i,) for i in range(0, 40, 2)],
+                              "doc_id long"), "doc_id").count()
+    assert leftover == 0  # planted passage fully gone from planted docs
