@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-61 queries, 61 with exact DuckDB oracles — relational SQL where expressible,
+63 queries, 63 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -286,6 +286,33 @@ def _q_mixture_sample(spark, sf_dir):
     out = mixture_sample(docs, "doc_id", "source",
                          {"src0": 0.5, "src1": 0.3, "src2": 0.2}, seed=7)
     return out.select("doc_id", "source")
+
+
+def _q_validate_docs(spark, sf_dir):
+    """Data-quality expectations over documents: one aggregation pass
+    evaluating null/uniqueness/range/set rules -> (rule, violations)."""
+    from msi_preprocessing_pipeline_spark.operators import validate as V
+
+    docs = _t(spark, sf_dir, "documents")
+    return V.validate(docs, [
+        V.not_null("text"),
+        V.unique("doc_id"),
+        V.in_range("n_chars", 1, 100_000),
+        V.one_of("lang", ["en", "de", "fr", "es"]),
+        V.matches("source", r"^src\d+$"),
+    ])
+
+
+def _q_latest_snapshot(spark, sf_dir):
+    """SCD latest-per-key snapshot: each user's most recent event per
+    type (row_number desc with event_id tiebreak)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id",
+                    _ms("ts").alias("latest_ms"), "value"))
 
 
 def _q_theta_overlap(spark, sf_dir):
@@ -860,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _q_approx_distinct,
         "cms_user_event_counts": _q_cms_counts,
         "theta_user_overlap": _q_theta_overlap,
+        "validate_docs": _q_validate_docs,
+        "latest_snapshot_events": _q_latest_snapshot,
     }
 
 
@@ -1468,6 +1497,42 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    round(percent_rank() over w, 6) as pct_rank
             from events
             window w as (partition by event_type order by value, event_id)
+        """,
+        "validate_docs": """
+            with agg as (
+                select
+                    cast(sum(case when text is null then 1 else 0 end)
+                         as bigint) as v_null,
+                    cast(count(doc_id) - count(distinct doc_id) as bigint)
+                        as v_uniq,
+                    cast(sum(case when n_chars is null or n_chars < 1
+                                  or n_chars > 100000 then 1 else 0 end)
+                         as bigint) as v_range,
+                    cast(sum(case when lang is null or lang not in
+                                  ('en','de','fr','es') then 1 else 0 end)
+                         as bigint) as v_lang,
+                    cast(sum(case when source is null or
+                                  not regexp_matches(source, '^src\\d+$')
+                                  then 1 else 0 end) as bigint) as v_src
+                from documents
+            )
+            select rule, n_violations, n_violations = 0 as passed
+            from agg, lateral (values
+                ('not_null(text)', v_null),
+                ('unique(doc_id)', v_uniq),
+                ('in_range(n_chars,1,100000)', v_range),
+                ('one_of(lang)', v_lang),
+                ('matches(source)', v_src)) as t(rule, n_violations)
+        """,
+        "latest_snapshot_events": """
+            select user_id, event_type, event_id,
+                   epoch_ms(ts) as latest_ms, value
+            from (
+                select *, row_number() over (
+                    partition by user_id, event_type
+                    order by ts desc, event_id desc) as rn
+                from events
+            ) where rn = 1
         """,
         "theta_user_overlap": """
             with a as (select distinct user_id from events

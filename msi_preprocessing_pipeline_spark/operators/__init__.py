@@ -26,5 +26,7 @@
 * :mod:`sampling`   — deterministic md5-band sampling, group-stable
   train/val/test splits, stratified rates and target-mixture rebalance
   (engine-portable, partition-invariant).
+* :mod:`validate`   — declarative data-quality expectations fused into
+  one aggregation scan (null / unique / range / regex / set rules).
 * :mod:`multimodal` — binary-payload plumbing (decode steps stubbed).
 """

@@ -1,0 +1,69 @@
+"""Declarative data-quality expectations — the validation gate a training
+pipeline runs before (and after) every materialization.
+
+Rules compile to ONE aggregation pass over the relation (each rule is a
+``sum(case when violated then 1 end)`` column), so a 10^12-row validation
+costs a single map-side-combined scan; the uniqueness rule is the only one
+needing a shuffle (count vs count distinct on the key). Output is a tidy
+``(rule, n_violations, passed)`` relation, SQL-oracle-able and joinable
+into lineage records.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(col: str) -> tuple[str, Column]:
+    return f"not_null({col})", F.col(col).isNull()
+
+
+def unique(col: str) -> tuple[str, Column]:
+    # sentinel handled specially in validate() — needs an aggregate, not a
+    # per-row predicate
+    return f"unique({col})", None
+
+
+def in_range(col: str, lo, hi) -> tuple[str, Column]:
+    c = F.col(col)
+    return (f"in_range({col},{lo},{hi})",
+            c.isNull() | (c < F.lit(lo)) | (c > F.lit(hi)))
+
+
+def matches(col: str, regex: str) -> tuple[str, Column]:
+    c = F.col(col)
+    return (f"matches({col})", c.isNull() | ~c.rlike(regex))
+
+
+def one_of(col: str, values) -> tuple[str, Column]:
+    c = F.col(col)
+    return (f"one_of({col})", c.isNull() | ~c.isin(list(values)))
+
+
+def validate(df: DataFrame, rules) -> DataFrame:
+    """Evaluate every rule; returns ``(rule, n_violations, passed)``.
+
+    Per-row rules fuse into ONE aggregation (a single scan regardless of
+    rule count); each ``unique`` rule adds one distinct-count aggregate
+    over its key. All JVM expressions — no Python in the pass.
+    """
+    row_rules = [(n, cond) for n, cond in rules if cond is not None]
+    uniq_rules = [n for n, cond in rules if cond is None]
+
+    aggs = [F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+            for name, cond in row_rules]
+    for name in uniq_rules:
+        col = name[len("unique("):-1]
+        aggs.append((F.count(col) - F.countDistinct(col))
+                    .cast("long").alias(name))
+    wide = df.agg(*aggs)
+
+    names = [n for n, _ in row_rules] + uniq_rules
+    stacked = wide.selectExpr(
+        "stack({n}, {pairs}) as (rule, n_violations)".format(
+            n=len(names),
+            pairs=", ".join(f"'{n}', `{n}`" for n in names)))
+    return stacked.select(
+        "rule", "n_violations",
+        (F.col("n_violations") == 0).alias("passed"))

@@ -1,0 +1,35 @@
+"""Data-quality expectations (operators/validate.py)."""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from msi_preprocessing_pipeline_spark.operators import validate as V
+
+
+def test_validate_counts_planted_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "ok", 10, "en"),
+         (1, None, -5, "en"),     # dup id, null text, range violation
+         (2, "ok", 20, "xx"),     # bad lang
+         (3, "ok", 999999, "de")],  # range violation
+        "doc_id long, text string, n_chars long, lang string")
+    out = {r["rule"]: (r["n_violations"], r["passed"])
+           for r in V.validate(df, [
+               V.not_null("text"),
+               V.unique("doc_id"),
+               V.in_range("n_chars", 1, 1000),
+               V.one_of("lang", ["en", "de"]),
+           ]).collect()}
+    assert out["not_null(text)"] == (1, False)
+    assert out["unique(doc_id)"] == (1, False)
+    assert out["in_range(n_chars,1,1000)"] == (2, False)
+    assert out["one_of(lang)"] == (1, False)
+
+
+def test_validate_all_pass_single_scan(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("x").alias("s"))
+    res = V.validate(df, [V.not_null("s"), V.unique("k"),
+                          V.in_range("k", 0, 99)])
+    assert all(r["passed"] for r in res.collect())
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
