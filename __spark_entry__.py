@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-63 queries, 63 with exact DuckDB oracles — relational SQL where expressible,
+64 queries, 64 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -286,6 +286,28 @@ def _q_mixture_sample(spark, sf_dir):
     out = mixture_sample(docs, "doc_id", "source",
                          {"src0": 0.5, "src1": 0.3, "src2": 0.2}, seed=7)
     return out.select("doc_id", "source")
+
+
+def _q_apply_changelog(spark, sf_dir):
+    """CDC apply: base snapshot (latest view per user) folded with click
+    upserts and error deletes — one union + one window, no join."""
+    from msi_preprocessing_pipeline_spark.operators.changelog import (
+        apply_changelog)
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    base = (ev.where(F.col("event_type") == "view")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", _ms("ts").alias("ms"), "value", "event_id"))
+    changes = (ev.where(F.col("event_type").isin("click", "error"))
+               .select("user_id", _ms("ts").alias("ms"), "value",
+                       "event_id",
+                       F.when(F.col("event_type") == "click", "u")
+                       .otherwise("d").alias("op")))
+    return apply_changelog(base, changes, key="user_id", ts_col="ms",
+                           tiebreak=["event_id"])
 
 
 def _q_validate_docs(spark, sf_dir):
@@ -889,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_user_overlap": _q_theta_overlap,
         "validate_docs": _q_validate_docs,
         "latest_snapshot_events": _q_latest_snapshot,
+        "apply_changelog_users": _q_apply_changelog,
     }
 
 
@@ -1497,6 +1520,32 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    round(percent_rank() over w, 6) as pct_rank
             from events
             window w as (partition by event_type order by value, event_id)
+        """,
+        "apply_changelog_users": """
+            with base as (
+                select user_id, epoch_ms(ts) as ms, value, event_id,
+                       'u' as op, 0 as src
+                from (
+                    select *, row_number() over (
+                        partition by user_id
+                        order by ts desc, event_id desc) as rn
+                    from events where event_type = 'view'
+                ) where rn = 1
+            ), ch as (
+                select user_id, epoch_ms(ts) as ms, value, event_id,
+                       case when event_type = 'click' then 'u'
+                            else 'd' end as op, 1 as src
+                from events where event_type in ('click', 'error')
+            ), u as (
+                select * from base union all select * from ch
+            ), r as (
+                select *, row_number() over (
+                    partition by user_id
+                    order by ms desc, src desc, event_id desc) as rn
+                from u
+            )
+            select user_id, ms, value, event_id
+            from r where rn = 1 and op = 'u'
         """,
         "validate_docs": """
             with agg as (

@@ -26,6 +26,8 @@
 * :mod:`sampling`   — deterministic md5-band sampling, group-stable
   train/val/test splits, stratified rates and target-mixture rebalance
   (engine-portable, partition-invariant).
+* :mod:`changelog`  — CDC apply: fold keyed upserts/deletes into a
+  snapshot with one union + one window (no join).
 * :mod:`validate`   — declarative data-quality expectations fused into
   one aggregation scan (null / unique / range / regex / set rules).
 * :mod:`multimodal` — binary-payload plumbing (decode steps stubbed).
