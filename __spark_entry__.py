@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-64 queries, 64 with exact DuckDB oracles — relational SQL where expressible,
+65 queries, 65 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -323,6 +323,23 @@ def _q_validate_docs(spark, sf_dir):
         V.one_of("lang", ["en", "de", "fr", "es"]),
         V.matches("source", r"^src\d+$"),
     ])
+
+
+def _q_fk_checks(spark, sf_dir):
+    """Referential-integrity report across the star schema (anti-join
+    orphan counts, one row per FK)."""
+    from msi_preprocessing_pipeline_spark.operators.validate import (
+        check_reference)
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (check_reference(orders, "o_custkey", cust, "c_custkey")
+            .unionByName(check_reference(li, "l_partkey", part,
+                                         "p_partkey"))
+            .unionByName(check_reference(li, "l_orderkey", orders,
+                                         "o_orderkey")))
 
 
 def _q_latest_snapshot(spark, sf_dir):
@@ -912,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_docs": _q_validate_docs,
         "latest_snapshot_events": _q_latest_snapshot,
         "apply_changelog_users": _q_apply_changelog,
+        "fk_orphan_report": _q_fk_checks,
     }
 
 
@@ -1520,6 +1538,32 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    round(percent_rank() over w, 6) as pct_rank
             from events
             window w as (partition by event_type order by value, event_id)
+        """,
+        "fk_orphan_report": """
+            select 'reference(o_custkey)' as rule,
+                   cast((select count(*) from orders o where not exists
+                         (select 1 from customer c
+                          where c.c_custkey = o.o_custkey)) as bigint)
+                       as n_violations,
+                   (select count(*) from orders o where not exists
+                    (select 1 from customer c
+                     where c.c_custkey = o.o_custkey)) = 0 as passed
+            union all
+            select 'reference(l_partkey)',
+                   cast((select count(*) from lineitem l where not exists
+                         (select 1 from part p
+                          where p.p_partkey = l.l_partkey)) as bigint),
+                   (select count(*) from lineitem l where not exists
+                    (select 1 from part p
+                     where p.p_partkey = l.l_partkey)) = 0
+            union all
+            select 'reference(l_orderkey)',
+                   cast((select count(*) from lineitem l where not exists
+                         (select 1 from orders o
+                          where o.o_orderkey = l.l_orderkey)) as bigint),
+                   (select count(*) from lineitem l where not exists
+                    (select 1 from orders o
+                     where o.o_orderkey = l.l_orderkey)) = 0
         """,
         "apply_changelog_users": """
             with base as (

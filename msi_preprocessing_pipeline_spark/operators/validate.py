@@ -67,3 +67,24 @@ def validate(df: DataFrame, rules) -> DataFrame:
     return stacked.select(
         "rule", "n_violations",
         (F.col("n_violations") == 0).alias("passed"))
+
+
+def check_reference(df: DataFrame, col: str, dim: DataFrame,
+                    dim_col: str) -> DataFrame:
+    """Referential-integrity expectation: rows of ``df`` whose ``col``
+    has no match in ``dim.dim_col`` (nulls are orphans too). Same tidy
+    ``(rule, n_violations, passed)`` schema as :func:`validate`, so the
+    outputs union into one report.
+
+    Plan shape: LEFT ANTI join against the distinct key projection of the
+    dimension — broadcastable when the dimension is small, shuffle-hash
+    otherwise; either way a single join, no row explosion.
+    """
+    orphans = (df.select(F.col(col))
+               .join(dim.select(F.col(dim_col).alias(col)).distinct(),
+                     on=col, how="left_anti"))
+    n = orphans.agg(F.count(F.lit(1)).cast("long").alias("n")).first()["n"]
+    name = f"reference({col})"
+    return orphans.sparkSession.createDataFrame(
+        [(name, int(n), n == 0)],
+        schema="rule string, n_violations long, passed boolean")

@@ -33,3 +33,20 @@ def test_validate_all_pass_single_scan(spark):
     assert all(r["passed"] for r in res.collect())
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_check_reference_counts_orphans(spark):
+    facts = spark.createDataFrame([(1,), (2,), (9,), (9,), (None,)],
+                                  "fk long")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = V.check_reference(facts, "fk", dim, "pk").first()
+    # two orphan 9s + one null = 3 (nulls never match a left-anti join)
+    assert row["rule"] == "reference(fk)"
+    assert row["n_violations"] == 3 and not row["passed"]
+
+
+def test_check_reference_clean(spark):
+    facts = spark.createDataFrame([(1,), (2,)], "fk long")
+    dim = spark.createDataFrame([(1,), (2,)], "pk long")
+    row = V.check_reference(facts, "fk", dim, "pk").first()
+    assert row["n_violations"] == 0 and row["passed"]
