@@ -37,3 +37,30 @@ def test_apply_changelog_last_of_many_changes_wins(spark):
     out = apply_changelog(base, changes, "k", "ts",
                           tiebreak=["seq"]).collect()
     assert len(out) == 1 and out[0]["v"] == "final"
+
+
+def test_apply_changelog_replay_and_order_invariant(spark):
+    """Applying the same changelog twice, or in shuffled partition order,
+    yields the identical snapshot (deterministic CDC)."""
+    import numpy as np
+    rng = np.random.RandomState(77)
+    base_rows = [(int(k), 0, f"b{k}", 0) for k in range(30)]
+    ch_rows = [(int(rng.randint(0, 40)), int(rng.randint(1, 50)),
+                f"v{i}", i, "u" if rng.rand() < 0.8 else "d")
+               for i in range(200)]
+    base = spark.createDataFrame(base_rows, "k long, ts long, v string, seq long")
+    ch = spark.createDataFrame(ch_rows,
+                               "k long, ts long, v string, seq long, op string")
+    snap = lambda c: sorted(  # noqa: E731
+        (r["k"], r["v"]) for r in
+        apply_changelog(base, c, "k", "ts", tiebreak=["seq"]).collect())
+    a = snap(ch)
+    b = snap(ch.repartition(17))
+    assert a == b
+    # idempotent re-apply: applying the changelog onto the result with no
+    # newer changes keeps every surviving row
+    first = apply_changelog(base, ch, "k", "ts", tiebreak=["seq"])
+    again = sorted((r["k"], r["v"]) for r in
+                   apply_changelog(first, ch, "k", "ts",
+                                   tiebreak=["seq"]).collect())
+    assert again == a
