@@ -1614,8 +1614,9 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                 ('not_null(text)', v_null),
                 ('unique(doc_id)', v_uniq),
                 ('in_range(n_chars,1,100000)', v_range),
-                ('one_of(lang)', v_lang),
-                ('matches(source)', v_src)) as t(rule, n_violations)
+                ('one_of(lang,en|de|fr|es)', v_lang),
+                ('matches(source,^src\\d+$)', v_src))
+                as t(rule, n_violations)
         """,
         "latest_snapshot_events": """
             select user_id, event_type, event_id,

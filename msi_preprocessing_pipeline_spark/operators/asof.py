@@ -33,8 +33,7 @@ _MATCHED = "__asof_matched_ts"
 _SALT = "__asof_salt"
 
 
-def _as_list(x) -> list[str]:
-    return [x] if isinstance(x, str) else list(x)
+from ..functions.util import as_list as _as_list  # noqa: E402
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,

@@ -32,8 +32,13 @@ def apply_changelog(base: DataFrame, changes: DataFrame,
     cols = base.columns
     b = base.select(*cols, F.lit("u").alias("__op"),
                     F.lit(0).alias("__src"))
-    c = changes.select(*cols, F.col(op_col).alias("__op"),
-                       F.lit(1).alias("__src"))
+    # an unrecognized op must not silently act as a delete (the winning
+    # row would just be filtered out) — fail the job row-side instead
+    op = F.when(F.col(op_col).isin("u", "d"), F.col(op_col)).otherwise(
+        F.raise_error(F.concat(F.lit("apply_changelog: op must be "
+                                     "'u' or 'd', got "),
+                               F.col(op_col).cast("string"))))
+    c = changes.select(*cols, op.alias("__op"), F.lit(1).alias("__src"))
     unioned = b.unionByName(c)
     order = [F.col(ts_col).desc(), F.col("__src").desc()] + \
         [F.col(t).desc() for t in (tiebreak or [])]

@@ -778,11 +778,16 @@ def duplicate_token_spans(df: DataFrame, n: int = 16,
     ``concat_ws`` per row (linear, no per-gram work), after which the
     whitespace tokenizer recovers exactly the original token boundaries, so
     the whole hashed-gram span machinery applies unchanged. Token ids never
-    contain whitespace, making the rendering bijective.
+    contain whitespace, making the rendering bijective — for null-FREE
+    arrays: ``concat_ws`` silently skips null elements, which would shift
+    every later coordinate, so rows whose array is null or contains a null
+    element are excluded (a null token id has no defined span semantics).
     """
-    rendered = df.where(F.col(tokens_col).isNotNull()).select(
+    toks = F.col(tokens_col)
+    no_null_elems = ~F.exists(toks, lambda t: t.isNull())
+    rendered = df.where(toks.isNotNull() & no_null_elems).select(
         F.col(id_col),
-        F.concat_ws(" ", F.col(tokens_col).cast("array<string>"))
+        F.concat_ws(" ", toks.cast("array<string>"))
         .alias("__tok_text"))
     return duplicate_spans(rendered, n=n, text_col="__tok_text",
                            id_col=id_col, min_docs=min_docs, max_df=max_df)

@@ -119,6 +119,8 @@ def mixture_sample(df: DataFrame, key, group_col: str,
     (``ratio = c / w``; ``t = min(ratio)``; ``rate = (t * w) / c``) so a
     SQL oracle reproduces the thresholds bit-for-bit.
     """
+    # a zero/negative weight means "exclude the group" — same as unlisted
+    target_weights = {g: w for g, w in target_weights.items() if w > 0}
     counts = {
         r[0]: int(r[1])
         for r in (df.where(F.col(group_col).isin(list(target_weights)))

@@ -21,8 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _as_list(x) -> list[str]:
-    return [x] if isinstance(x, str) else list(x)
+from ..functions.util import as_list as _as_list  # noqa: E402
 
 
 def distinct_sketches(df: DataFrame, key: str, group_by,

@@ -6,7 +6,8 @@ Rules compile to ONE aggregation pass over the relation (each rule is a
 costs a single map-side-combined scan; the uniqueness rule is the only one
 needing a shuffle (count vs count distinct on the key). Output is a tidy
 ``(rule, n_violations, passed)`` relation, SQL-oracle-able and joinable
-into lineage records.
+into lineage records. Everything (including :func:`check_reference`) is
+LAZY — composing a report runs no jobs until the caller acts.
 """
 
 from __future__ import annotations
@@ -32,13 +33,17 @@ def in_range(col: str, lo, hi) -> tuple[str, Column]:
 
 
 def matches(col: str, regex: str) -> tuple[str, Column]:
+    # the regex is part of the rule identity: two matches() rules on one
+    # column must not collide in the aggregate aliases
     c = F.col(col)
-    return (f"matches({col})", c.isNull() | ~c.rlike(regex))
+    return (f"matches({col},{regex})", c.isNull() | ~c.rlike(regex))
 
 
 def one_of(col: str, values) -> tuple[str, Column]:
+    vals = list(values)
     c = F.col(col)
-    return (f"one_of({col})", c.isNull() | ~c.isin(list(values)))
+    return (f"one_of({col},{'|'.join(str(v) for v in vals)})",
+            c.isNull() | ~c.isin(vals))
 
 
 def validate(df: DataFrame, rules) -> DataFrame:
@@ -46,24 +51,31 @@ def validate(df: DataFrame, rules) -> DataFrame:
 
     Per-row rules fuse into ONE aggregation (a single scan regardless of
     rule count); each ``unique`` rule adds one distinct-count aggregate
-    over its key. All JVM expressions — no Python in the pass.
+    over its key. All JVM expressions — no Python in the pass. An empty
+    relation passes vacuously (0 violations, not null). Duplicate rule
+    names (same rule + same arguments twice) are rejected up front.
     """
     row_rules = [(n, cond) for n, cond in rules if cond is not None]
     uniq_rules = [n for n, cond in rules if cond is None]
+    names = [n for n, _ in row_rules] + uniq_rules
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(f"duplicate rules: {sorted(dupes)}")
 
-    aggs = [F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
-            for name, cond in row_rules]
+    # coalesce: sum() over zero rows is NULL — an empty relation must pass
+    # vacuously, matching the unique rules' count-based 0
+    aggs = [F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("long").alias(name) for name, cond in row_rules]
     for name in uniq_rules:
         col = name[len("unique("):-1]
         aggs.append((F.count(col) - F.countDistinct(col))
                     .cast("long").alias(name))
     wide = df.agg(*aggs)
 
-    names = [n for n, _ in row_rules] + uniq_rules
-    stacked = wide.selectExpr(
-        "stack({n}, {pairs}) as (rule, n_violations)".format(
-            n=len(names),
-            pairs=", ".join(f"'{n}', `{n}`" for n in names)))
+    stacked = wide.select(F.stack(
+        F.lit(len(names)),
+        *[x for n in names for x in (F.lit(n), F.col(f"`{n}`"))]
+    ).alias("rule", "n_violations"))
     return stacked.select(
         "rule", "n_violations",
         (F.col("n_violations") == 0).alias("passed"))
@@ -74,7 +86,8 @@ def check_reference(df: DataFrame, col: str, dim: DataFrame,
     """Referential-integrity expectation: rows of ``df`` whose ``col``
     has no match in ``dim.dim_col`` (nulls are orphans too). Same tidy
     ``(rule, n_violations, passed)`` schema as :func:`validate`, so the
-    outputs union into one report.
+    outputs union into one report — LAZILY (no job runs here; a report
+    unioning several FK checks executes them under one action).
 
     Plan shape: LEFT ANTI join against the distinct key projection of the
     dimension — broadcastable when the dimension is small, shuffle-hash
@@ -83,8 +96,8 @@ def check_reference(df: DataFrame, col: str, dim: DataFrame,
     orphans = (df.select(F.col(col))
                .join(dim.select(F.col(dim_col).alias(col)).distinct(),
                      on=col, how="left_anti"))
-    n = orphans.agg(F.count(F.lit(1)).cast("long").alias("n")).first()["n"]
-    name = f"reference({col})"
-    return orphans.sparkSession.createDataFrame(
-        [(name, int(n), n == 0)],
-        schema="rule string, n_violations long, passed boolean")
+    n = F.count(F.lit(1)).cast("long")
+    return orphans.agg(
+        F.lit(f"reference({col})").alias("rule"),
+        n.alias("n_violations"),
+        (n == 0).alias("passed"))

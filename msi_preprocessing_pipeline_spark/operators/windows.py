@@ -13,8 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _as_list(x) -> list[str]:
-    return [x] if isinstance(x, str) else list(x)
+from ..functions.util import as_list as _as_list  # noqa: E402
 
 
 def with_lag(df: DataFrame, col: str, partition_by, order_by: str = "ts",

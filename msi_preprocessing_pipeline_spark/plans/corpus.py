@@ -47,8 +47,11 @@ class CurationConfig:
     star_over: int | None = 64
     max_df: int | None = 1000
     # substring-level pass: None disables; an int n cuts passages of >= n
-    # words shared across surviving docs (Lee et al. 2022)
+    # words shared across surviving docs (Lee et al. 2022). Its df-cap is
+    # SEPARATE from max_df: the most-replicated boilerplate is exactly what
+    # this stage exists to cut, so by default NO passage is exempt
     cut_span_words: int | None = None
+    cut_span_max_df: int | None = None
     report: dict = field(default_factory=dict)
 
 
@@ -121,7 +124,7 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame | None,
         # cut in place (docs left with no words drop out)
         spans = dedup.duplicate_spans(kept, n=cfg.cut_span_words,
                                       text_col=text_col, id_col=id_col,
-                                      max_df=cfg.max_df)
+                                      max_df=cfg.cut_span_max_df)
         cut = dedup.cut_spans(kept, spans, text_col=text_col,
                               id_col=id_col, out_col=text_col)
         keep_cols = [c for c in kept.columns if c != text_col]

@@ -15,6 +15,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 
+from ..functions.util import as_list
+
 
 def write_clustered(df: DataFrame, path: str,
                     partition_by: Sequence[str] | str | None = None,
@@ -35,8 +37,6 @@ def write_clustered(df: DataFrame, path: str,
     One range exchange total; the sort is within partitions (no extra
     shuffle).
     """
-    as_list = (lambda x: [] if x is None
-               else ([x] if isinstance(x, str) else list(x)))
     rb, sb, pb = as_list(range_by), as_list(sort_by), as_list(partition_by)
     out = df
     if rb:

@@ -64,3 +64,14 @@ def test_apply_changelog_replay_and_order_invariant(spark):
                    apply_changelog(first, ch, "k", "ts",
                                    tiebreak=["seq"]).collect())
     assert again == a
+
+
+def test_apply_changelog_rejects_unknown_op(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    base = spark.createDataFrame([(1, 10, "a")], "k long, ts long, v string")
+    changes = spark.createDataFrame([(1, 20, "b", "UPSERT")],
+                                    "k long, ts long, v string, op string")
+    with pytest.raises(Exception, match="op must be"):
+        apply_changelog(base, changes, "k", "ts").collect()

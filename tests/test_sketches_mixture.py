@@ -248,3 +248,11 @@ def test_theta_slice_rollup(spark):
     n = (slices.agg(F.expr("theta_union_agg(theta)").alias("u"))
          .selectExpr("theta_sketch_estimate(u) as n").first()["n"])
     assert n == 800
+
+
+def test_mixture_sample_zero_weight_excludes_group(corpus):
+    out = mixture_sample(corpus, "doc_id", "source",
+                         {"web": 1.0, "junk": 0.0}, seed=1)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"web"} and counts["web"] == 6_000

@@ -590,3 +590,19 @@ def test_fused_training_set_duplicate_prefix_raises(spark):
             spine, on="user_id", spine_ts="ts",
             features=[FeatureSpec(f, "fts", ["v"], "x_"),
                       FeatureSpec(f, "fts", ["v"], "x_")])
+
+
+def test_duplicate_token_spans_null_elements_excluded(spark):
+    from msi_preprocessing_pipeline_spark.operators.dedup import (
+        duplicate_token_spans)
+
+    shared = list(range(100, 116))
+    docs = spark.createDataFrame(
+        [(1, shared + [1, 2]),
+         (2, [None] + shared),   # null element -> coordinates undefined
+         (3, [7, 8] + shared)],
+        "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r
+           for r in duplicate_token_spans(docs, n=16).collect()}
+    assert set(out) == {1, 3}  # doc 2 excluded, others still pair up
+    assert (out[3]["span_start"], out[3]["span_end"]) == (2, 17)
