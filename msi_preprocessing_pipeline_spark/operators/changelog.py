@@ -15,6 +15,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.util import as_list
+
 
 def apply_changelog(base: DataFrame, changes: DataFrame,
                     key: Sequence[str] | str, ts_col: str,
@@ -28,7 +30,7 @@ def apply_changelog(base: DataFrame, changes: DataFrame,
     below any change with an equal-or-later timestamp (base is the "oldest
     version" of its key). Deletes win like upserts, then drop out.
     """
-    keys = [key] if isinstance(key, str) else list(key)
+    keys = as_list(key)
     cols = base.columns
     b = base.select(*cols, F.lit("u").alias("__op"),
                     F.lit(0).alias("__src"))

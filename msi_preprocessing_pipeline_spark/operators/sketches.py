@@ -124,7 +124,7 @@ def count_min(df: DataFrame, key: str, group_by=None,
                              F.lit(float(confidence)),
                              F.lit(int(seed))).alias(sketch_col)
     keys = [] if group_by is None else _as_list(group_by)
-    return df.groupBy(*keys).agg(agg) if keys else df.groupBy().agg(agg)
+    return df.groupBy(*keys).agg(agg)
 
 
 # ---------------------------------------------------------------------------
@@ -146,16 +146,18 @@ def quantile_sketches(df: DataFrame, col: str, group_by=None, k: int = 200,
     agg = F.kll_sketch_agg_double(F.col(col).cast("double"),
                                   F.lit(int(k))).alias(sketch_col)
     keys = [] if group_by is None else _as_list(group_by)
-    return df.groupBy(*keys).agg(agg) if keys else df.groupBy().agg(agg)
+    return df.groupBy(*keys).agg(agg)
 
 
 def sketch_quantiles(sketches: DataFrame, qs: Sequence[float],
                      sketch_col: str = "kll") -> DataFrame:
     """Evaluate quantiles from a KLL sketch table — one output column per
     requested quantile, computed JVM-side from the binary sketch."""
+    # dot-free names (q0_5, not q0.5): a dot in a column name forces every
+    # downstream reference through backticks
     exprs = [
-        F.kll_sketch_get_quantile_double(F.col(sketch_col),
-                                         F.lit(float(q))).alias(f"q{q}")
+        F.kll_sketch_get_quantile_double(F.col(sketch_col), F.lit(float(q)))
+        .alias("q" + str(q).replace(".", "_"))
         for q in qs
     ]
     others = [c for c in sketches.columns if c != sketch_col]
@@ -175,7 +177,7 @@ def theta_sketches(df: DataFrame, key: str, group_by,
     nominal 4096) distinct keys.
     """
     return (df.groupBy(*_as_list(group_by))
-            .agg(F.expr(f"theta_sketch_agg({key})").alias(sketch_col)))
+            .agg(F.theta_sketch_agg(F.col(key)).alias(sketch_col)))
 
 
 def theta_overlap(df: DataFrame, key: str, group_col: str,
@@ -184,18 +186,27 @@ def theta_overlap(df: DataFrame, key: str, group_col: str,
     one row ``(n_a, n_b, n_union, n_intersection, n_only_a)`` of
     estimates. The classic audience-overlap question answered from two
     KB-sized sketches instead of a distinct-join over raw data.
+
+    An ABSENT group is an empty set (0 / n_other / 0 / ...), matching the
+    relational semantics — group values are mapped to fixed labels before
+    the pivot, so arbitrary strings (quotes, backticks) are safe.
     """
-    sk = theta_sketches(
-        df.where(F.col(group_col).isin([a, b])), key, group_col)
-    one = (sk.groupBy()
-           .pivot(group_col, [a, b])
-           .agg(F.first("theta")))
-    return one.select(
-        F.expr(f"theta_sketch_estimate(`{a}`)").alias("n_a"),
-        F.expr(f"theta_sketch_estimate(`{b}`)").alias("n_b"),
-        F.expr(f"theta_sketch_estimate(theta_union(`{a}`, `{b}`))")
-        .alias("n_union"),
-        F.expr(f"theta_sketch_estimate(theta_intersection(`{a}`, `{b}`))")
-        .alias("n_intersection"),
-        F.expr(f"theta_sketch_estimate(theta_difference(`{a}`, `{b}`))")
-        .alias("n_only_a"))
+    tagged = (df.where(F.col(group_col).isin([a, b]))
+              .withColumn("__side", F.when(F.col(group_col) == a, "a")
+                          .otherwise("b")))
+    sk = theta_sketches(tagged, key, "__side")
+    one = sk.groupBy().pivot("__side", ["a", "b"]).agg(F.first("theta"))
+    sa, sb = F.col("a"), F.col("b")
+    est = F.theta_sketch_estimate
+    n_a = F.coalesce(est(sa), F.lit(0)).alias("n_a")
+    n_b = F.coalesce(est(sb), F.lit(0)).alias("n_b")
+    n_union = F.coalesce(est(F.theta_union(sa, sb)), est(sa), est(sb),
+                         F.lit(0)).alias("n_union")
+    n_inter = (F.when(sa.isNull() | sb.isNull(), F.lit(0))
+               .otherwise(est(F.theta_intersection(sa, sb)))
+               .alias("n_intersection"))
+    n_only_a = (F.when(sa.isNull(), F.lit(0))
+                .when(sb.isNull(), est(sa))
+                .otherwise(est(F.theta_difference(sa, sb)))
+                .alias("n_only_a"))
+    return one.select(n_a, n_b, n_union, n_inter, n_only_a)

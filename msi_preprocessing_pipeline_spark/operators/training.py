@@ -354,6 +354,12 @@ def pit_window_agg_multi(spine: DataFrame, on: Sequence[str] | str,
     if frame not in ("trailing", "leading"):
         raise ValueError(f"frame must be trailing|leading, got {frame!r}")
     keys = [on] if isinstance(on, str) else list(on)
+    prefixes = [src.prefix for src in sources]
+    dupes = {p for p in prefixes if prefixes.count(p) > 1}
+    if dupes:
+        raise ValueError(
+            f"duplicate EventSource prefixes: {sorted(dupes)} — feature "
+            "columns would collide")
     sp2 = (spine
            .withColumn("__ts", F.col(spine_ts).cast("long"))
            .withColumn("__val", F.lit(None).cast("double"))

@@ -72,9 +72,10 @@ def validate(df: DataFrame, rules) -> DataFrame:
                     .cast("long").alias(name))
     wide = df.agg(*aggs)
 
+    esc = lambda n: n.replace("`", "``")  # noqa: E731
     stacked = wide.select(F.stack(
         F.lit(len(names)),
-        *[x for n in names for x in (F.lit(n), F.col(f"`{n}`"))]
+        *[x for n in names for x in (F.lit(n), F.col(f"`{esc(n)}`"))]
     ).alias("rule", "n_violations"))
     return stacked.select(
         "rule", "n_violations",

@@ -37,7 +37,8 @@ def write_clustered(df: DataFrame, path: str,
     One range exchange total; the sort is within partitions (no extra
     shuffle).
     """
-    rb, sb, pb = as_list(range_by), as_list(sort_by), as_list(partition_by)
+    opt = lambda x: [] if x is None else as_list(x)  # noqa: E731
+    rb, sb, pb = opt(range_by), opt(sort_by), opt(partition_by)
     out = df
     if rb:
         out = (out.repartitionByRange(n_files, *rb) if n_files

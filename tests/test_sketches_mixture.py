@@ -186,7 +186,8 @@ def test_kll_quantiles_within_rank_error(spark):
     for q, e in zip(qs, exact):
         # rank error ~1.65/k -> value error ~ rank_err * n on this uniform
         # grid; allow 3x slack for the randomized compaction
-        assert abs(got[f"q{q}"] - e) <= 3 * (1.65 / 200) * n
+        key = "q" + str(q).replace(".", "_")
+        assert abs(got[key] - e) <= 3 * (1.65 / 200) * n
 
 
 def test_kll_sketch_table_rollup(spark):
@@ -256,3 +257,14 @@ def test_mixture_sample_zero_weight_excludes_group(corpus):
     counts = {r["source"]: r["n"] for r in
               out.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert set(counts) == {"web"} and counts["web"] == 6_000
+
+
+def test_theta_overlap_absent_group_is_empty_set(spark):
+    from msi_preprocessing_pipeline_spark.operators.sketches import (
+        theta_overlap)
+
+    df = spark.createDataFrame([("A", 1), ("A", 2)], "g string, k long")
+    row = theta_overlap(df, "k", "g", "A", "B").first()
+    assert (row["n_a"], row["n_b"]) == (2, 0)
+    assert row["n_union"] == 2 and row["n_intersection"] == 0
+    assert row["n_only_a"] == 2

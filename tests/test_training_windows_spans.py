@@ -606,3 +606,16 @@ def test_duplicate_token_spans_null_elements_excluded(spark):
            for r in duplicate_token_spans(docs, n=16).collect()}
     assert set(out) == {1, 3}  # doc 2 excluded, others still pair up
     assert (out[3]["span_start"], out[3]["span_end"]) == (2, 17)
+
+
+def test_pit_window_agg_multi_duplicate_prefix_raises(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        EventSource, pit_window_agg_multi)
+
+    spine = spark.createDataFrame([(1, 100)], "k long, ts long")
+    ev = spark.createDataFrame([(1, 99, 1.0)], "k long, ets long, v double")
+    with pytest.raises(ValueError, match="prefix"):
+        pit_window_agg_multi(spine, spine_ts="ts", on="k",
+                             sources=[EventSource(ev, "ets", "v", "x_"),
+                                      EventSource(ev, "ets", "v", "x_")],
+                             window=10)
