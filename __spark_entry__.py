@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-65 queries, 65 with exact DuckDB oracles — relational SQL where expressible,
+66 queries, 66 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -352,6 +352,22 @@ def _q_latest_snapshot(spark, sf_dir):
             .where(F.col("rn") == 1)
             .select("user_id", "event_type", "event_id",
                     _ms("ts").alias("latest_ms"), "value"))
+
+
+def _q_bpe_tokenize(spark, sf_dir):
+    """BPE tokenizer: fit 40 merges on the corpus word histogram (driver
+    loop over the bounded vocab; deterministic tie-breaks), Arrow-encode
+    every doc. Golden-pinned — the fit is not SQL-expressible."""
+    from msi_preprocessing_pipeline_spark.operators.bpe import (
+        encode_bpe, fit_bpe, word_frequencies)
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = fit_bpe(word_frequencies(docs), n_merges=40)
+    enc = encode_bpe(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 5)).alias("head"))
 
 
 def _q_theta_overlap(spark, sf_dir):
@@ -926,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _q_approx_distinct,
         "cms_user_event_counts": _q_cms_counts,
         "theta_user_overlap": _q_theta_overlap,
+        "bpe_tokenize_docs": _q_bpe_tokenize,
         "validate_docs": _q_validate_docs,
         "latest_snapshot_events": _q_latest_snapshot,
         "apply_changelog_users": _q_apply_changelog,

@@ -26,6 +26,8 @@
 * :mod:`sampling`   — deterministic md5-band sampling, group-stable
   train/val/test splits, stratified rates and target-mixture rebalance
   (engine-portable, partition-invariant).
+* :mod:`bpe`        — BPE tokenizer: distributed word histogram ->
+  driver merge-loop fit (bounded vocab) -> Arrow-batched encode.
 * :mod:`changelog`  — CDC apply: fold keyed upserts/deletes into a
   snapshot with one union + one window (no join).
 * :mod:`validate`   — declarative data-quality expectations fused into

@@ -33,6 +33,9 @@ PIN = [
     ("approx_distinct_users", True),
     # CMS: elementwise-add merge, same invariance
     ("cms_user_event_counts", True),
+    # BPE: driver fit over the collected word histogram with explicit
+    # (count, lexicographic) tie-breaks — collect-order independent
+    ("bpe_tokenize_docs", True),
 ]
 
 DUCK_TYPES = {
