@@ -138,3 +138,58 @@ def encode_bpe(df: DataFrame, merges: list[tuple[str, str]],
 
     schema = f"{id_col} long, {out_col} array<string>"
     return df.select(id_col, text_col).mapInPandas(enc, schema=schema)
+
+
+def bpe_vocab(encoded: DataFrame,
+              tokens_col: str = "bpe_tokens") -> DataFrame:
+    """Deterministic symbol->id table from an encoded corpus: ids are
+    assigned by (frequency desc, symbol asc) — reproducible under any
+    partitioning. Vocabulary-sized output (one aggregation)."""
+    from pyspark.sql import Window as W
+    counts = (encoded.select(F.explode(tokens_col).alias("symbol"))
+              .groupBy("symbol").agg(F.count("*").alias("freq")))
+    w = W.orderBy(F.col("freq").desc(), F.col("symbol").asc())
+    # the vocab is bounded (symbols <= base chars + n_merges), so the
+    # single-partition ranking window is fine here — never on corpus data
+    return counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("int"))
+
+
+def tokenized_table(docs: DataFrame, merges: list[tuple[str, str]],
+                    vocab: DataFrame | None = None,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    source_col: str = "source") -> DataFrame:
+    """Produce the engine's canonical input shape from raw text:
+    ``(doc_id, tokens array<int>, n_tok int, source)`` — the table every
+    PIT/feature operator downstream consumes.
+
+    Pure JVM id-mapping: positional explode of the BPE symbols, broadcast
+    join against the (vocabulary-sized) symbol table, ordered re-assembly
+    via ``array_sort(collect_list(struct(pos, id)))`` — one shuffle on the
+    doc id. Unknown symbols (possible when ``vocab`` was fitted on another
+    corpus) fail fast rather than silently dropping tokens.
+    """
+    enc = encode_bpe(docs, merges, text_col, id_col)
+    if vocab is None:
+        vocab = bpe_vocab(enc)
+    exploded = enc.select(
+        F.col(id_col), F.posexplode("bpe_tokens").alias("pos", "symbol"))
+    mapped = (exploded.join(F.broadcast(vocab.select("symbol", "token_id")),
+                            "symbol", "left")
+              .withColumn("token_id", F.when(
+                  F.col("token_id").isNotNull(), F.col("token_id"))
+                  .otherwise(F.raise_error(F.concat(
+                      F.lit("tokenized_table: symbol missing from vocab: "),
+                      F.col("symbol"))))))
+    assembled = (mapped.groupBy(id_col)
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("pos", "token_id"))),
+                     lambda s: s["token_id"]).alias("tokens")))
+    src = (docs.select(id_col, F.col(source_col))
+           if source_col in docs.columns
+           else docs.select(id_col, F.lit("default").alias(source_col)))
+    return (assembled.join(src, id_col)
+            .select(id_col, "tokens",
+                    F.size("tokens").cast("int").alias("n_tok"),
+                    source_col))

@@ -59,3 +59,36 @@ def test_fit_bpe_vocab_cap(tiny_corpus):
     with pytest.raises(ValueError, match="collect_threshold"):
         fit_bpe(word_frequencies(tiny_corpus), n_merges=2,
                 collect_threshold=3)
+
+
+def test_tokenized_table_matches_baseline_shape(tiny_corpus, spark):
+    from msi_preprocessing_pipeline_spark.operators.bpe import (
+        bpe_vocab, tokenized_table)
+
+    docs = tiny_corpus.withColumn("source", F.lit("srcA"))
+    merges = fit_bpe(word_frequencies(docs), n_merges=10)
+    out = tokenized_table(docs, merges)
+    assert out.schema.simpleString() == \
+        "struct<doc_id:bigint,tokens:array<int>,n_tok:int,source:string>"
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(r["n_tok"] == len(r["tokens"]) > 0 for r in rows.values())
+
+    # ids decode back to the exact symbol sequence
+    enc = {r["doc_id"]: r["bpe_tokens"]
+           for r in encode_bpe(docs, merges).collect()}
+    vocab = {r["token_id"]: r["symbol"]
+             for r in bpe_vocab(encode_bpe(docs, merges)).collect()}
+    for d, r in rows.items():
+        assert [vocab[t] for t in r["tokens"]] == enc[d]
+
+
+def test_tokenized_table_unknown_symbol_raises(tiny_corpus, spark):
+    from msi_preprocessing_pipeline_spark.operators.bpe import (
+        bpe_vocab, tokenized_table)
+
+    merges = fit_bpe(word_frequencies(tiny_corpus), n_merges=5)
+    foreign = bpe_vocab(encode_bpe(
+        spark.createDataFrame([(9, "zzz qqq")], "doc_id long, text string"),
+        merges))
+    with pytest.raises(Exception, match="missing from vocab"):
+        tokenized_table(tiny_corpus, merges, vocab=foreign).collect()
