@@ -879,15 +879,33 @@ def _q_lsh_topk(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is load-bearing: the correctness driver records only the
+    # FIRST 50 entries.  The 16 queries that were outside r3's window (the
+    # ANN trio has never had a driver-green row) therefore come first; the
+    # 16 simplest relational queries — all driver-green in r3 and low-risk —
+    # rotate to the back for re-rotation in r5.
     return {
-        "agg_pricing_summary": _q_agg_pricing,
-        "minmax_by_brand": _q_minmax_brand,
-        "weighted_mean_nation": _q_weighted_mean_nation,
+        # --- never / not driver-recorded in r3: must be inside the window ---
+        "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "tic_outlier_mask": _q_tic_outliers,
+        "minhash_pairs": _q_minhash_pairs,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "simhash_pairs": _q_simhash_pairs,
+        "winnowing_pairs": _q_winnowing_pairs,
+        "approx_distinct_users": _q_approx_distinct,
+        "cms_user_event_counts": _q_cms_counts,
+        "theta_user_overlap": _q_theta_overlap,
+        "bpe_tokenize_docs": _q_bpe_tokenize,
+        "validate_docs": _q_validate_docs,
+        "latest_snapshot_events": _q_latest_snapshot,
+        "apply_changelog_users": _q_apply_changelog,
+        "fk_orphan_report": _q_fk_checks,
+        # --- new in round 4 ---
+        # --- r3-green, kept inside the window (higher-risk operators) ---
         "asof_click_purchase": _q_asof_click_purchase,
-        "lag_lead_value": _q_lag_lead,
         "sessionize_stats": _q_sessionize,
-        "backfill_click_value": _q_backfill,
-        "rolling_avg_value": _q_rolling,
         "rolling_time_features": _q_rolling_time,
         "training_set_pit": _q_training_set,
         "dup_spans_docs": _q_dup_spans,
@@ -898,21 +916,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": _q_mixture_sample,
         "exact_quantiles_price": _q_exact_quantiles,
         "dedup_prefix_docs": _q_dedup_prefix,
-        "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
-        "topk_orders_per_customer": _q_topk_orders,
-        "rollup_orders": _q_rollup_orders,
-        "pivot_event_values": _q_pivot_event_values,
         "asof_forward_next_purchase": _q_asof_forward,
-        "token_counts": _q_token_counts,
         "near_dup_exact": _q_near_dup_exact,
-        "range_predicate_count": _q_range_count,
-        "distinct_users_per_type": _q_distinct_users,
-        "customers_without_orders": _q_customers_without_orders,
-        "user_key_overlap": _q_user_key_overlap,
-        "median_by_type": _q_median_by_type,
         "json_props": _q_json_props,
         "repetition_stats": _q_repetition_stats,
         "pii_scan": _q_pii_scan,
@@ -931,22 +939,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth_and_peaks": _q_smooth_and_peaks,
         "pit_features": _q_pit_features,
         "batch_features": _q_batch_features,
-        "tic_outlier_mask": _q_tic_outliers,
-        "minhash_pairs": _q_minhash_pairs,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "lsh_topk": _q_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
-        "winnowing_pairs": _q_winnowing_pairs,
-        "approx_distinct_users": _q_approx_distinct,
-        "cms_user_event_counts": _q_cms_counts,
-        "theta_user_overlap": _q_theta_overlap,
-        "bpe_tokenize_docs": _q_bpe_tokenize,
-        "validate_docs": _q_validate_docs,
-        "latest_snapshot_events": _q_latest_snapshot,
-        "apply_changelog_users": _q_apply_changelog,
-        "fk_orphan_report": _q_fk_checks,
+        # --- r3-green low-risk relational queries rotated out of the window ---
+        "agg_pricing_summary": _q_agg_pricing,
+        "minmax_by_brand": _q_minmax_brand,
+        "weighted_mean_nation": _q_weighted_mean_nation,
+        "lag_lead_value": _q_lag_lead,
+        "backfill_click_value": _q_backfill,
+        "rolling_avg_value": _q_rolling,
+        "text_stats": _q_text_stats,
+        "topk_orders_per_customer": _q_topk_orders,
+        "rollup_orders": _q_rollup_orders,
+        "pivot_event_values": _q_pivot_event_values,
+        "token_counts": _q_token_counts,
+        "range_predicate_count": _q_range_count,
+        "distinct_users_per_type": _q_distinct_users,
+        "customers_without_orders": _q_customers_without_orders,
+        "user_key_overlap": _q_user_key_overlap,
+        "median_by_type": _q_median_by_type,
     }
 
 
