@@ -1247,10 +1247,11 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                 select min(ratio) as t from r
             ), thr as (
                 select source,
-                       printf('%08x',
-                              least(cast(floor(((t * wt) / c) * 4294967296.0)
-                                         as bigint),
-                                    4294967295)) as h
+                       case when (t * wt) / c >= 1.0 then 'g'
+                            else printf('%08x',
+                                        cast(floor(((t * wt) / c)
+                                                   * 4294967296.0)
+                                             as bigint)) end as h
                 from r, tmin
             )
             select d.doc_id, d.source
@@ -1511,7 +1512,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                          1, 8)
                   < case lang when 'en' then '4ccccccc'
                               when 'de' then '99999999'
-                              when 'fr' then 'ffffffff'
+                              when 'fr' then 'g'
                               else '26666666' end
         """,
         "quality_filter_docs": f"""

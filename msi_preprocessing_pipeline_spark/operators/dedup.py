@@ -447,7 +447,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                       F.col("n_sh").alias("n_b"))
     jac = F.col("n_common").cast("double") / \
         (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-    return (common.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    # NO broadcast hint on the sizes joins: `sizes` is per-doc, i.e. CORPUS
+    # cardinality — forcing a broadcast would ship the whole doc list to
+    # every executor at 100 TB.  AQE broadcasts it at small scale on its
+    # own (it sees the post-agg size); at scale these become shuffle joins
+    # on doc ids, which is the right plan.
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
             .withColumn("jaccard", F.round(jac, 6))
             .where(F.col("jaccard") >= F.lit(threshold))
             .select("doc_a", "doc_b", "jaccard"))

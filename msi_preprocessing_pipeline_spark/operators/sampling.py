@@ -31,7 +31,13 @@ def _bucket_hex(key: Column, seed: int) -> Column:
 
 
 def _hex_threshold(fraction: float) -> str:
-    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+    # fraction >= 1.0 must keep EVERY key: 'g' sorts after every 8-char hex
+    # bucket under the strict <, where the old 'ffffffff' clamp silently
+    # dropped keys hashing exactly to ffffffff (~1 in 4.3e9 per seed) from
+    # groups documented as "kept whole" (mixture_sample's binding group)
+    if fraction >= 1.0:
+        return "g"
+    return format(max(int(fraction * _HEX_SPACE), 0), "08x")
 
 
 def hash_sample(df: DataFrame, key, fraction: float,

@@ -203,9 +203,12 @@ def tfidf_top_terms(df: DataFrame, k_terms: int = 5,
 
     Plan shape: JVM word explode → (doc, word) tf aggregation → word df
     aggregation (vocabulary-sized) → hash join back → per-doc top-k window.
-    Ranking uses the ROUNDED score (6 dp) with a word tie-break so the
-    ordering is reproducible across engines (a last-ulp ``ln`` difference
-    cannot flip ranks). Two map-side-combined shuffles + the top-k window.
+    The corpus size N enters the plan as a broadcast 1-row aggregate
+    (cross join), so COMPOSING the operator is fully lazy — no eager
+    ``count()`` job at build time.  Ranking uses the ROUNDED score (6 dp)
+    with a word tie-break so the ordering is reproducible across engines
+    (a last-ulp ``ln`` difference cannot flip ranks). Two
+    map-side-combined shuffles + the top-k window.
     """
     from pyspark.sql import Window as W
 
@@ -213,11 +216,12 @@ def tfidf_top_terms(df: DataFrame, k_terms: int = 5,
                        F.explode(words_col(text_col)).alias("word"))
              .where(F.col("word") != ""))
     tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
-    n_docs = df.select(id_col).distinct().count()
+    n_docs = df.agg(F.countDistinct(id_col).alias("_n_docs"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
-    idf = F.log(F.lit(float(n_docs + 1))
+    idf = F.log((F.col("_n_docs") + F.lit(1)).cast("double")
                 / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0)
     scored = (tf.join(dfreq, "word")
+              .crossJoin(F.broadcast(n_docs))
               .withColumn("score",
                           F.round(F.col("tf").cast("double") * idf, 6)))
     w = W.partitionBy(id_col).orderBy(F.col("score").desc(),

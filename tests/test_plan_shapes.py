@@ -278,3 +278,29 @@ def test_hll_agg_is_partial_then_final(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     plan = plan_of(approx_distinct(ev, "user_id", "event_type"), "simple")
     assert "partial_hll_sketch_agg" in plan
+
+
+def test_ngram_jaccard_no_forced_doc_cardinality_broadcast(spark):
+    """The per-doc `sizes` relation is corpus-cardinality: the operator
+    must NOT carry a broadcast hint on it (AQE may still choose to
+    broadcast at small scale — that is runtime-sized and fine; a forced
+    hint would ship the whole doc list to every executor at 100 TB)."""
+    from msi_preprocessing_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, k=5, threshold=0.2)  # no max_df ->
+    # the only joins in the plan are the two sizes joins
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+
+
+def test_tfidf_composition_is_lazy(spark):
+    """Composing tfidf_top_terms must not run a Spark job (the corpus size
+    N is an in-plan broadcast aggregate, not an eager .count())."""
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    tx.tfidf_top_terms(docs, k_terms=5)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before
