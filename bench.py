@@ -57,6 +57,22 @@ def _ensure_bench_table(spark, sf: float, channels: int):
     return path, axes
 
 
+def _contention_probe() -> float:
+    """Fixed single-thread numpy workload, ~0.26 s on this box when quiet
+    (calibrated 2026-08-17; see BASELINE.md). Its wall time scales directly
+    with CPU steal, so probes interleaved between the flagship reps make
+    noisy-neighbor contention attributable from the bench artifact alone:
+    a slow flagship rep next to an inflated probe is steal, next to a
+    quiet probe is a plan regression."""
+    import numpy as np
+
+    x = np.random.rand(4096)
+    t0 = time.time()
+    for _ in range(30_000):
+        x = np.sqrt(x * 1.000001 + 0.5)
+    return time.time() - t0
+
+
 def _hw_probe_work(_i):
     import numpy as np
     x = np.random.rand(2048)
@@ -123,7 +139,12 @@ def main() -> None:
         return pipe.transform(seq, [artifacts]).count()
 
     serve()  # warm the python workers + page cache once
-    t_serve_full = min(_timed(serve)[0] for _ in range(3))
+    serve_reps: list[float] = []
+    probe_reps: list[float] = [_contention_probe()]
+    for _ in range(3):
+        serve_reps.append(_timed(serve)[0])
+        probe_reps.append(_contention_probe())
+    t_serve_full = min(serve_reps)
     queries["flagship_serve"] = round(t_serve_full, 3)
 
     for name in ["asof_click_purchase", "sessionize_stats",
@@ -204,6 +225,12 @@ def main() -> None:
         "sf": sf,
         "flagship_rows": n_rows,
         "throughput_rows_per_s": round(thr_full, 1),
+        "flagship_contention": {
+            "serve_reps_s": [round(t, 3) for t in serve_reps],
+            "probe_reps_s": [round(t, 3) for t in probe_reps],
+            "probe_quiet_ref_s": 0.26,
+            "probe_inflation": round(min(probe_reps) / 0.26, 2),
+        },
         "scaling": {
             "n_cores": low_cpus,
             "four_n_cores": mid_cpus,
