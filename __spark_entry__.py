@@ -878,6 +878,82 @@ def _q_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10, lsh_bits=6)
 
 
+def _q_target_encode(spark, sf_dir):
+    """Leakage-free target encoding: each event's feature is the smoothed
+    mean of `value` over STRICTLY EARLIER events of its type (expanding
+    frame ending at the previous row; explicit prior so the oracle is a
+    pure window expression). Emitted in integer MICRO-units via pure
+    integer round-half-up — double rounding of a true decimal midpoint is
+    engine-dependent, integer div is not."""
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        target_encode_pit)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts",
+        F.col("value").cast("decimal(18,6)").alias("value"))
+    out = target_encode_pit(ev, "event_type", "value", ts_col="ts",
+                            tiebreak=["event_id"], prior_weight=10.0,
+                            prior_value=100.0, keep_stats=True)
+    # te = (S + pw*prior) / (C + pw) with S exact decimal; round-half-up at
+    # 6 dp == (2*N + D) div (2*D) with N = (S + 1000) * 1e6, D = C + 10
+    num = ((F.coalesce(F.col("te_value_sum"),
+                       F.lit(0).cast("decimal(18,6)"))
+            + F.lit(1000).cast("decimal(18,6)")) * F.lit(1000000)) \
+        .cast("long")
+    den = (F.col("te_value_cnt") + F.lit(10)).cast("long")
+    return (out.withColumn("__n", num).withColumn("__d", den)
+            .selectExpr("event_id", "event_type",
+                        "(2 * __n + __d) div (2 * __d) as te_micro"))
+
+
+def _q_interpolate(spark, sf_dir):
+    """Time-weighted linear interpolation of the click value at every
+    purchase instant (backward + forward as-of composition)."""
+    from msi_preprocessing_pipeline_spark.operators.asof import (
+        interpolate_linear)
+
+    ev = _t(spark, sf_dir, "events")
+    labels = (ev.where(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", _ms("ts").alias("ms")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", _ms("ts").alias("ms"), "value"))
+    out = interpolate_linear(labels, clicks, on="user_id",
+                             label_ts="ms", value_col="value")
+    return out.select("event_id", "user_id", "ms",
+                      F.round("value_interp", 6).alias("interp_value"))
+
+
+def _q_rolling_zscore(spark, sf_dir):
+    """Per-user rolling z-score of value vs the trailing 20 events
+    EXCLUDING the current one (PIT convention), plus the anomaly flag."""
+    from msi_preprocessing_pipeline_spark.operators.windows import (
+        rolling_zscore)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    out = rolling_zscore(ev, "value", "user_id", order_by="ts",
+                         window_rows=20, min_periods=5, threshold=2.0,
+                         tiebreak=["event_id"])
+    return out.select("event_id", "user_id",
+                      F.round("value_zscore", 4).alias("z"),
+                      F.col("value_is_anom").cast("int").alias("is_anom"))
+
+
+def _q_psi_drift(spark, sf_dir):
+    """PSI drift of the value distribution: click (reference) vs purchase
+    (current), 10 fixed-width bins on [0, 400)."""
+    from msi_preprocessing_pipeline_spark.operators.drift import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = psi_drift(ev.where(F.col("event_type") == "click"),
+                    ev.where(F.col("event_type") == "purchase"),
+                    "value", lo=0.0, hi=400.0, n_bins=10, smoothing=0.5)
+    return out.select("bin", "n_ref", "n_cur",
+                      F.round("p_ref", 8).alias("p_ref"),
+                      F.round("p_cur", 8).alias("p_cur"),
+                      F.round("psi_contrib", 8).alias("psi_contrib"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -903,6 +979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_changelog_users": _q_apply_changelog,
         "fk_orphan_report": _q_fk_checks,
         # --- new in round 4 ---
+        "target_encode_events": _q_target_encode,
+        "interpolated_click_value": _q_interpolate,
+        "rolling_zscore_value": _q_rolling_zscore,
+        "psi_value_drift": _q_psi_drift,
         # --- r3-green, kept inside the window (higher-risk operators) ---
         "asof_click_purchase": _q_asof_click_purchase,
         "sessionize_stats": _q_sessionize,
@@ -925,21 +1005,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "pii_scan": _q_pii_scan,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "quality_filter_docs": _q_quality_filter,
         "quality_topk_docs": _q_quality_topk,
-        "cube_doc_stats": _q_cube_doc_stats,
         "value_quartiles_by_type": _q_value_quartiles,
         "stratified_sample_docs": _q_stratified_sample,
         "range_join_price_bands": _q_range_join,
         "pack_assignments_docs": _q_pack_assignments,
-        "hash_sample_docs": _q_hash_sample,
-        "stable_split_events": _q_stable_split,
         "decontaminate_docs": _q_decontaminate,
         # rows-only checks
         "smooth_and_peaks": _q_smooth_and_peaks,
         "pit_features": _q_pit_features,
         "batch_features": _q_batch_features,
         # --- r3-green low-risk relational queries rotated out of the window ---
+        "hash_sample_docs": _q_hash_sample,
+        "stable_split_events": _q_stable_split,
+        "quality_filter_docs": _q_quality_filter,
+        "cube_doc_stats": _q_cube_doc_stats,
         "agg_pricing_summary": _q_agg_pricing,
         "minmax_by_brand": _q_minmax_brand,
         "weighted_mean_nation": _q_weighted_mean_nation,
@@ -1401,6 +1481,106 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                  (select user_id, ts, value from events
                   where event_type = 'purchase') r
             on l.user_id = r.user_id and l.ts <= r.ts
+        """,
+        "target_encode_events": """
+            with s as (
+                select event_id, event_type,
+                       coalesce(sum(cast(value as decimal(18,6))) over w,
+                                cast(0 as decimal(18,6))) as S,
+                       count(value) over w as C
+                from events
+                window w as (partition by event_type order by ts, event_id
+                             rows between unbounded preceding
+                             and 1 preceding)
+            )
+            select event_id, event_type,
+                   (2 * cast((S + 1000) * 1000000 as bigint) + (C + 10))
+                     // (2 * (C + 10)) as te_micro
+            from s
+        """,
+        "interpolated_click_value": """
+            with labels as (
+                select event_id, user_id, epoch_ms(ts) as ms
+                from events where event_type = 'purchase'
+            ), clicks as (
+                select user_id, epoch_ms(ts) as ms, value
+                from events where event_type = 'click'
+            ), b as (
+                select l.event_id, l.user_id, l.ms,
+                       r.value as v0, r.ms as t0
+                from labels l asof left join clicks r
+                on l.user_id = r.user_id and l.ms >= r.ms
+            ), f as (
+                select b.*, r.value as v1, r.ms as t1
+                from b asof left join clicks r
+                on b.user_id = r.user_id and b.ms <= r.ms
+            )
+            select event_id, user_id, ms,
+                   round(case
+                     when v0 is null then v1
+                     when v1 is null then v0
+                     when t1 = t0 then v0
+                     else v0 + (v1 - v0)
+                          * ((cast(ms as double) - cast(t0 as double))
+                             / (cast(t1 as double) - cast(t0 as double)))
+                   end, 6) as interp_value
+            from f
+        """,
+        "rolling_zscore_value": """
+            with s as (
+                select event_id, user_id, value,
+                       avg(value) over w as m,
+                       stddev_samp(value) over w as sd,
+                       count(value) over w as n
+                from events
+                window w as (partition by user_id order by ts, event_id
+                             rows between 20 preceding and 1 preceding)
+            )
+            select event_id, user_id,
+                   round(case when n >= 5 and sd > 0.0
+                              then (value - m) / sd end, 4) as z,
+                   cast(case when n >= 5 and sd > 0.0
+                             then abs((value - m) / sd) > 2.0 end as int)
+                       as is_anom
+            from s
+        """,
+        "psi_value_drift": """
+            with spine as (
+                select cast(b as int) as bin
+                from unnest(generate_series(0, 9)) as t(b)
+            ), r as (
+                select cast(least(greatest(
+                           floor(value / 40.0), 0), 9) as int) as bin,
+                       count(*) as n_ref
+                from events
+                where event_type = 'click' and value is not null
+                group by 1
+            ), c as (
+                select cast(least(greatest(
+                           floor(value / 40.0), 0), 9) as int) as bin,
+                       count(*) as n_cur
+                from events
+                where event_type = 'purchase' and value is not null
+                group by 1
+            ), j as (
+                select spine.bin,
+                       coalesce(n_ref, 0) as n_ref,
+                       coalesce(n_cur, 0) as n_cur
+                from spine left join r using (bin) left join c using (bin)
+            ), t as (
+                select bin, n_ref, n_cur,
+                       (cast(n_ref as double) + 0.5)
+                         / (cast(sum(n_ref) over () as double) + 0.5 * 10.0)
+                           as p,
+                       (cast(n_cur as double) + 0.5)
+                         / (cast(sum(n_cur) over () as double) + 0.5 * 10.0)
+                           as q
+                from j
+            )
+            select bin, n_ref, n_cur,
+                   round(p, 8) as p_ref, round(q, 8) as p_cur,
+                   round((p - q) * ln(p / q), 8) as psi_contrib
+            from t
         """,
         "token_counts": """
             select doc_id,

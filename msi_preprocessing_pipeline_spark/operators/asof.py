@@ -259,3 +259,51 @@ def backfill(df: DataFrame, cols: Sequence[str] | str,
         c: F.coalesce(F.col(c), F.last(F.col(c), ignorenulls=True).over(w))
         for c in cols
     })
+
+
+def interpolate_linear(labels: DataFrame, events: DataFrame,
+                       on: Sequence[str] | str,
+                       label_ts: str = "ts_ms", event_ts: str | None = None,
+                       value_col: str = "value",
+                       out_col: str | None = None,
+                       salt_buckets: int | None = None) -> DataFrame:
+    """Time-weighted linear interpolation of ``value_col`` at every label
+    timestamp: blend the nearest event before (t0, v0) and after (t1, v1)
+    the label instant as
+
+        v = v0 + (v1 - v0) * ((ts - t0) / (t1 - t0))
+
+    Edge semantics: only a past event -> v0 (flat extrapolation), only a
+    future event -> v1, neither -> NULL, t0 == t1 (event exactly at the
+    label instant) -> v0.  Timestamps must be numeric (epoch ms/seconds).
+
+    Built as the composition of the two tested as-of directions (backward
+    + forward, :func:`asof_join`) — two entity-key union+window passes, no
+    new join machinery; ``salt_buckets`` passes through to both for
+    skewed entities.  The blend itself is a fixed-order double expression
+    (mirrorable bit-for-bit in a SQL oracle)."""
+    event_ts = event_ts or label_ts
+    ev = events.select(*_as_list(on), F.col(event_ts),
+                       F.col(value_col).alias("__ip_v"))
+    b = asof_join(labels, ev.select(*_as_list(on), F.col(event_ts),
+                                    F.col("__ip_v").alias("__ip_v0")),
+                  on, left_ts=label_ts, right_ts=event_ts,
+                  value_cols=["__ip_v0"], direction="backward",
+                  salt_buckets=salt_buckets, matched_ts_col="__ip_t0")
+    f = asof_join(b, ev.select(*_as_list(on), F.col(event_ts),
+                               F.col("__ip_v").alias("__ip_v1")),
+                  on, left_ts=label_ts, right_ts=event_ts,
+                  value_cols=["__ip_v1"], direction="forward",
+                  salt_buckets=salt_buckets, matched_ts_col="__ip_t1")
+    ts = F.col(label_ts).cast("double")
+    t0 = F.col("__ip_t0").cast("double")
+    t1 = F.col("__ip_t1").cast("double")
+    v0 = F.col("__ip_v0").cast("double")
+    v1 = F.col("__ip_v1").cast("double")
+    blended = (F.when(v0.isNull(), v1)
+               .when(v1.isNull(), v0)
+               .when(t1 == t0, v0)
+               .otherwise(v0 + (v1 - v0) * ((ts - t0) / (t1 - t0))))
+    out = out_col or f"{value_col}_interp"
+    return (f.withColumn(out, blended)
+            .drop("__ip_v0", "__ip_v1", "__ip_t0", "__ip_t1"))

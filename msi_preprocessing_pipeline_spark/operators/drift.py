@@ -1,0 +1,76 @@
+"""Feature drift metrics between two dataset snapshots.
+
+The monitoring half of a feature-engineering pipeline: once features are
+served, production needs to know when their distribution walks away from
+the training snapshot. PSI (population stability index) is the standard
+per-feature scalar; it is exactly SQL-expressible over fixed bins, so the
+whole operator stays declarative (no Python, two map-side-combined
+aggregations, bin-cardinality output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bin_counts(df: DataFrame, col: str, lo: float, hi: float,
+                n_bins: int, out: str) -> DataFrame:
+    """Histogram over fixed equal-width bins on [lo, hi); out-of-range
+    values clamp into the edge bins, nulls are dropped."""
+    width = (hi - lo) / n_bins
+    x = F.col(col).cast("double")
+    bin_ = F.least(F.greatest(
+        F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1)).cast("int")
+    return (df.where(x.isNotNull())
+            .select(bin_.alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias(out)))
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
+              lo: float, hi: float, n_bins: int = 10,
+              smoothing: float = 0.5) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of a numeric feature over FIXED equal-width bins on
+    ``[lo, hi)`` — fixed edges keep the operator embarrassingly parallel,
+    deterministic, and SQL-oracle-able (quantile edges would add a
+    reference-wide quantile pass; compose with
+    ``operators.quantiles.exact_quantiles`` if data-driven edges are
+    wanted). Laplace-smoothed shares so empty bins stay finite:
+
+        p_i = (ref_i + s) / (N_ref + s·n_bins)    (q_i likewise)
+        contrib_i = (p_i - q_i) · ln(p_i / q_i)   ;   PSI = Σ contrib_i
+
+    Returns one row per bin: ``(bin, n_ref, n_cur, p_ref, p_cur,
+    psi_contrib)`` — sum ``psi_contrib`` for the scalar (rule of thumb:
+    <0.1 stable, 0.1–0.25 moderate shift, >0.25 major shift).
+
+    Scale shape: two partial+final count aggregations (map-side combine),
+    joined onto a driver-side ``spark.range(n_bins)`` spine so every bin
+    appears exactly once regardless of data; totals come from an
+    unbounded window over the BIN-cardinality relation (n_bins rows — a
+    single-partition window over bounded data, never over corpus rows).
+    """
+    spine = ref.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin"))
+    counts = (spine
+              .join(_bin_counts(ref, col, lo, hi, n_bins, "n_ref"),
+                    "bin", "left")
+              .join(_bin_counts(cur, col, lo, hi, n_bins, "n_cur"),
+                    "bin", "left")
+              .select("bin",
+                      F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                      F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    w = Window.partitionBy()  # n_bins rows: bounded by construction
+    s = F.lit(float(smoothing))
+    denom_ref = (F.sum("n_ref").over(w).cast("double")
+                 + s * F.lit(float(n_bins)))
+    denom_cur = (F.sum("n_cur").over(w).cast("double")
+                 + s * F.lit(float(n_bins)))
+    p = (F.col("n_ref").cast("double") + s) / denom_ref
+    q = (F.col("n_cur").cast("double") + s) / denom_cur
+    return counts.select(
+        "bin", "n_ref", "n_cur",
+        p.alias("p_ref"), q.alias("p_cur"),
+        ((p - q) * F.log(p / q)).alias("psi_contrib"))

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .asof import asof_join, asof_join_broadcast, asof_join_merge
+from ..functions.util import as_list as _as_list
 
 
 @dataclass
@@ -419,3 +420,68 @@ def pit_window_agg_multi(spine: DataFrame, on: Sequence[str] | str,
     return (unioned.select("*", *exprs)
             .where(F.col("__src") == 0)
             .drop(*drop_cols))
+
+
+def target_encode_pit(df: DataFrame, category_col: str, target_col: str,
+                      ts_col: str = "ts",
+                      tiebreak: Sequence[str] | str | None = None,
+                      prior_weight: float = 0.0,
+                      prior_value: float | None = None,
+                      out_col: str | None = None,
+                      keep_stats: bool = False) -> DataFrame:
+    """Leakage-free (point-in-time) target encoding: each row's encoding
+    is the mean of ``target_col`` over STRICTLY EARLIER rows of the same
+    category, smoothed toward a prior:
+
+        te = (sum_prev + prior_weight * prior) / (cnt_prev + prior_weight)
+
+    A category's first occurrence (cnt_prev = 0) with ``prior_weight = 0``
+    yields NULL — there is genuinely no past signal. The trailing frame
+    ends at the PREVIOUS row, so the row's own target never leaks into its
+    feature (the classic target-encoding leak).
+
+    ``prior_value=None`` attaches the GLOBAL target mean as an in-plan
+    broadcast 1-row aggregate (fully lazy — composing runs no job). Note
+    the global prior is computed over the whole relation; strictly-PIT
+    pipelines should pass the prior from the training window explicitly.
+
+    Scale shape: one shuffle on the category key; both expanding
+    aggregates share a single frame, so Catalyst collapses them into ONE
+    Window node (whole-stage codegen, no Python). ``tiebreak`` columns
+    make the frame deterministic when timestamps collide.
+    """
+    w = (Window.partitionBy(category_col)
+         .orderBy(ts_col, *_as_list(tiebreak or []))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    # sum in the TARGET COLUMN'S TYPE (cast to double only afterwards):
+    # double window sums are association-order-sensitive across engines, so
+    # callers wanting bit-exact cross-engine results pass a decimal target
+    # (the weighted_mean_nation idiom) and the expanding sum stays exact.
+    # Both window columns in ONE select — the pinned window-batch idiom.
+    tgt = F.col(target_col)
+    base = df.select(
+        "*",
+        F.sum(tgt).over(w).alias("__te_sum"),
+        F.count(tgt).over(w).alias("__te_cnt"),
+    )
+    if prior_value is not None:
+        prior = F.lit(float(prior_value))
+    else:
+        prior_rel = df.agg(F.avg(tgt).cast("double").alias("__te_prior"))
+        base = base.crossJoin(F.broadcast(prior_rel))
+        prior = F.col("__te_prior")
+    pw = F.lit(float(prior_weight))
+    denom = F.col("__te_cnt").cast("double") + pw
+    te = F.when(denom > F.lit(0.0),
+                (F.coalesce(F.col("__te_sum").cast("double"), F.lit(0.0))
+                 + pw * prior) / denom)
+    out = out_col or f"te_{target_col}"
+    res = base.withColumn(out, te)
+    if keep_stats:
+        # expose the exact expanding stats (in the target's own type) for
+        # callers that need engine-exact downstream arithmetic
+        res = (res.withColumn(f"{out}_sum", F.col("__te_sum"))
+               .withColumn(f"{out}_cnt", F.col("__te_cnt")))
+    drop = ["__te_sum", "__te_cnt"] + \
+        ([] if prior_value is not None else ["__te_prior"])
+    return res.drop(*drop)

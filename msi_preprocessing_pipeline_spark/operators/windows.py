@@ -116,3 +116,40 @@ def rolling_range(df: DataFrame, col: str, partition_by,
             expr = getattr(F, fn)(F.col(col)).over(w)
         out = out.withColumn(f"{col}_{fn}{sfx}", expr)
     return out.drop(ord_key)
+
+
+def rolling_zscore(df: DataFrame, col: str, partition_by,
+                   order_by: str = "ts", window_rows: int = 20,
+                   min_periods: int = 2, threshold: float = 3.0,
+                   tiebreak: Sequence[str] | None = None,
+                   prefix: str | None = None) -> DataFrame:
+    """Per-entity rolling z-score against the TRAILING ``window_rows`` rows
+    EXCLUDING the current row (the PIT convention: a point is scored
+    against its past, never against itself), plus an anomaly flag:
+
+        z      = (x - mean_prev) / stddev_prev
+        is_anom = |z| > threshold
+
+    NULL when fewer than ``min_periods`` prior rows or zero variance.
+    Scale shape: one shuffle on the entity key; mean/stddev/count share a
+    single frame → ONE Window node, whole-stage codegen, no Python.
+    ``tiebreak`` makes the frame deterministic on timestamp collisions.
+    """
+    p = prefix if prefix is not None else f"{col}_"
+    w = (Window.partitionBy(*_as_list(partition_by))
+         .orderBy(order_by, *(tiebreak or []))
+         .rowsBetween(-window_rows, -1))
+    x = F.col(col).cast("double")
+    base = df.select(
+        "*",
+        F.avg(x).over(w).alias(f"{p}roll_mean"),
+        F.stddev_samp(x).over(w).alias(f"{p}roll_std"),
+        F.count(x).over(w).alias(f"{p}roll_n"),
+    )
+    ok = ((F.col(f"{p}roll_n") >= F.lit(int(min_periods)))
+          & (F.col(f"{p}roll_std") > F.lit(0.0)))
+    z = F.when(ok, (x - F.col(f"{p}roll_mean")) / F.col(f"{p}roll_std"))
+    return (base.withColumn(f"{p}zscore", z)
+            .withColumn(f"{p}is_anom",
+                        F.when(z.isNotNull(),
+                               F.abs(z) > F.lit(float(threshold)))))

@@ -1,0 +1,151 @@
+"""Round-4 feature-engineering operators: leakage-free target encoding,
+linear interpolation at label times, rolling z-score, PSI drift."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from msi_preprocessing_pipeline_spark.operators.asof import interpolate_linear
+from msi_preprocessing_pipeline_spark.operators.drift import psi_drift
+from msi_preprocessing_pipeline_spark.operators.training import (
+    target_encode_pit)
+from msi_preprocessing_pipeline_spark.operators.windows import rolling_zscore
+
+
+def test_target_encode_pit_hand_computed(spark):
+    rows = [(1, "a", 1, 10.0), (2, "a", 2, 20.0), (3, "a", 3, 60.0),
+            (4, "b", 1, 5.0)]
+    df = spark.createDataFrame(
+        rows, "id long, cat string, ts long, y double")
+    out = {r["id"]: r["te_y"] for r in target_encode_pit(
+        df, "cat", "y", ts_col="ts", tiebreak=["id"]).collect()}
+    assert out[1] is None          # no past signal, no prior
+    assert out[2] == 10.0          # mean of {10}
+    assert out[3] == 15.0          # mean of {10, 20} — NOT 30: own row excluded
+    assert out[4] is None
+
+
+def test_target_encode_pit_never_leaks_own_target(spark):
+    """A category whose only row has an extreme target must still encode
+    NULL for that row (the classic target-encoding leak)."""
+    df = spark.createDataFrame(
+        [(1, "x", 1, 1e9)], "id long, cat string, ts long, y double")
+    [r] = target_encode_pit(df, "cat", "y", ts_col="ts").collect()
+    assert r["te_y"] is None
+
+
+def test_target_encode_pit_prior_smoothing(spark):
+    rows = [(1, "a", 1, 10.0), (2, "a", 2, 20.0)]
+    df = spark.createDataFrame(
+        rows, "id long, cat string, ts long, y double")
+    out = {r["id"]: r["te_y"] for r in target_encode_pit(
+        df, "cat", "y", ts_col="ts", prior_weight=2.0,
+        prior_value=100.0).collect()}
+    assert out[1] == pytest.approx(100.0)          # (0 + 2*100) / (0 + 2)
+    assert out[2] == pytest.approx((10.0 + 200.0) / 3.0)
+
+
+def test_target_encode_global_prior_is_lazy(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1, 10.0), (2, "b", 1, 30.0)],
+        "id long, cat string, ts long, y double")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    out = target_encode_pit(df, "cat", "y", ts_col="ts", prior_weight=1.0)
+    assert set(tracker.getJobIdsForGroup(None)) == before
+    # global mean is (10+30)/2 = 20 -> each first occurrence encodes to it
+    vals = {r["id"]: r["te_y"] for r in out.collect()}
+    assert vals[1] == pytest.approx(20.0) and vals[2] == pytest.approx(20.0)
+
+
+def test_target_encode_single_window_node(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1, 10.0)], "id long, cat string, ts long, y double")
+    plan = target_encode_pit(df, "cat", "y", ts_col="ts")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+
+
+def test_interpolate_linear_all_edge_branches(spark):
+    labels = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 15), (3, "u", 2), (4, "u", 40),
+         (5, "v", 10), (6, "u", 20)],
+        "label_id long, k string, ms long")
+    events = spark.createDataFrame(
+        [("u", 5, 100.0), ("u", 20, 400.0), ("u", 30, 100.0)],
+        "k string, ms long, value double")
+    out = {r["label_id"]: r["value_interp"]
+           for r in interpolate_linear(labels, events, on="k",
+                                       label_ts="ms").collect()}
+    assert out[1] == pytest.approx(100.0 + 300.0 * (5.0 / 15.0))  # between
+    assert out[2] == pytest.approx(100.0 + 300.0 * (10.0 / 15.0))
+    assert out[3] == pytest.approx(100.0)   # only future -> first after
+    assert out[4] == pytest.approx(100.0)   # only past -> flat extrapolation
+    assert out[5] is None                   # no events for entity v
+    assert out[6] == pytest.approx(400.0)   # exact hit -> that event's value
+
+
+def test_rolling_zscore_hand_computed(spark):
+    # x at ts=4 scored against {1, 2, 3}: mean 2, sd 1 -> z = (10-2)/1 = 8
+    rows = [(1, "u", 1, 1.0), (2, "u", 2, 2.0), (3, "u", 3, 3.0),
+            (4, "u", 4, 10.0)]
+    df = spark.createDataFrame(rows, "id long, k string, ts long, x double")
+    out = {r["id"]: r for r in rolling_zscore(
+        df, "x", "k", order_by="ts", window_rows=10, min_periods=3,
+        threshold=3.0, tiebreak=["id"]).collect()}
+    assert out[4]["x_zscore"] == pytest.approx(8.0)
+    assert out[4]["x_is_anom"] is True
+    assert out[3]["x_zscore"] is None       # only 2 prior rows < min_periods
+    assert out[1]["x_zscore"] is None
+
+
+def test_rolling_zscore_excludes_current_row(spark):
+    # constant history, huge current value: sd of PRIOR rows is 0 -> NULL
+    # (if the current row leaked into the frame, sd > 0 and z would fire)
+    rows = [(i, "u", i, 5.0) for i in range(1, 6)] + [(6, "u", 6, 500.0)]
+    df = spark.createDataFrame(rows, "id long, k string, ts long, x double")
+    out = {r["id"]: r["x_zscore"] for r in rolling_zscore(
+        df, "x", "k", order_by="ts", window_rows=10,
+        min_periods=2).collect()}
+    assert out[6] is None
+
+
+def test_rolling_zscore_single_window_node(spark):
+    df = spark.createDataFrame(
+        [(1, "u", 1, 1.0)], "id long, k string, ts long, x double")
+    plan = rolling_zscore(df, "x", "k", order_by="ts")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+
+
+def test_psi_drift_identical_distributions_near_zero(spark):
+    df = spark.createDataFrame([(float(i % 100),) for i in range(1000)],
+                               "v double")
+    out = psi_drift(df, df, "v", lo=0.0, hi=100.0, n_bins=10)
+    total = out.agg(F.sum("psi_contrib")).collect()[0][0]
+    assert total == pytest.approx(0.0, abs=1e-12)
+    assert out.count() == 10  # every bin present
+
+
+def test_psi_drift_hand_computed_and_clamped(spark):
+    ref = spark.createDataFrame(
+        [(0.5,), (0.5,), (1.5,), (-99.0,)], "v double")   # -99 clamps to bin 0
+    cur = spark.createDataFrame([(1.5,), (999.0,)], "v double")  # clamps to 1
+    rows = {r["bin"]: r for r in psi_drift(
+        ref, cur, "v", lo=0.0, hi=2.0, n_bins=2, smoothing=0.5).collect()}
+    assert rows[0]["n_ref"] == 3 and rows[0]["n_cur"] == 0
+    assert rows[1]["n_ref"] == 1 and rows[1]["n_cur"] == 2
+    p0 = (3 + 0.5) / (4 + 1.0)
+    q0 = (0 + 0.5) / (2 + 1.0)
+    assert rows[0]["p_ref"] == pytest.approx(p0)
+    assert rows[0]["p_cur"] == pytest.approx(q0)
+    assert rows[0]["psi_contrib"] == pytest.approx(
+        (p0 - q0) * math.log(p0 / q0))
+
+
+def test_psi_drift_ignores_nulls(spark):
+    ref = spark.createDataFrame([(1.0,), (None,)], "v double")
+    cur = spark.createDataFrame([(1.0,)], "v double")
+    rows = psi_drift(ref, cur, "v", lo=0.0, hi=2.0, n_bins=2).collect()
+    assert sum(r["n_ref"] for r in rows) == 1
