@@ -939,6 +939,20 @@ def _q_rolling_zscore(spark, sf_dir):
                       F.col("value_is_anom").cast("int").alias("is_anom"))
 
 
+def _q_decayed_sum(spark, sf_dir):
+    """Recency-weighted running value per user (1-day tau, JVM
+    anchor-factorized expanding window; see windows.decayed_sum)."""
+    from msi_preprocessing_pipeline_spark.operators.windows import decayed_sum
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", _ms("ts").alias("ms"), "value")
+    out = decayed_sum(ev, "value", "user_id", ts_col="ms",
+                      tau=86_400_000.0, strategy="window",
+                      include_current=True, tiebreak=["event_id"])
+    return out.select("event_id", "user_id",
+                      F.round("value_decayed", 6).alias("decayed"))
+
+
 def _q_psi_drift(spark, sf_dir):
     """PSI drift of the value distribution: click (reference) vs purchase
     (current), 10 fixed-width bins on [0, 400)."""
@@ -983,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolated_click_value": _q_interpolate,
         "rolling_zscore_value": _q_rolling_zscore,
         "psi_value_drift": _q_psi_drift,
+        "decayed_sum_value": _q_decayed_sum,
         # --- r3-green, kept inside the window (higher-risk operators) ---
         "asof_click_purchase": _q_asof_click_purchase,
         "sessionize_stats": _q_sessionize,
@@ -1007,7 +1022,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_topk_docs": _q_quality_topk,
         "value_quartiles_by_type": _q_value_quartiles,
-        "stratified_sample_docs": _q_stratified_sample,
         "range_join_price_bands": _q_range_join,
         "pack_assignments_docs": _q_pack_assignments,
         "decontaminate_docs": _q_decontaminate,
@@ -1018,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r3-green low-risk relational queries rotated out of the window ---
         "hash_sample_docs": _q_hash_sample,
         "stable_split_events": _q_stable_split,
+        "stratified_sample_docs": _q_stratified_sample,
         "quality_filter_docs": _q_quality_filter,
         "cube_doc_stats": _q_cube_doc_stats,
         "agg_pricing_summary": _q_agg_pricing,
@@ -1543,6 +1558,16 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                              then abs((value - m) / sd) > 2.0 end as int)
                        as is_anom
             from s
+        """,
+        "decayed_sum_value": """
+            select a.event_id, a.user_id,
+                   round(sum(b.value
+                             * exp(-(epoch_ms(a.ts) - epoch_ms(b.ts))
+                                   / 86400000.0)), 6) as decayed
+            from events a join events b
+              on a.user_id = b.user_id
+             and (b.ts < a.ts or (b.ts = a.ts and b.event_id <= a.event_id))
+            group by a.event_id, a.user_id
         """,
         "psi_value_drift": """
             with spine as (

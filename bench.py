@@ -81,6 +81,34 @@ def _hw_probe_work(_i):
     return 1
 
 
+def _wide_probe(full: int) -> dict:
+    """Full-width contention probe: per-core numpy throughput at Pool(2)
+    vs Pool(full) measured back-to-back. The single-thread probe cannot
+    see full-width steal (one thread always finds a free core); this one
+    can — `full_width_parallel_efficiency` is self-relative within the
+    same minute, so no absolute calibration is needed. Quiet-box band on
+    this 32-vCPU SMT host: ~0.55-0.75 at full=32 (hyperthread sharing
+    alone); values well below that band during a slow flagship rep mean
+    noisy-neighbor steal, values inside it mean the flagship number is
+    real."""
+    import multiprocessing as mp
+
+    items = 4 * full
+    times = {}
+    for n in (2, full):
+        with mp.Pool(n) as p:
+            p.map(_hw_probe_work, range(n))  # warm the workers
+            t0 = time.time()
+            p.map(_hw_probe_work, range(items))
+            times[n] = time.time() - t0
+    eff = (times[2] / times[full]) / (full / 2)
+    return {
+        "pool2_s": round(times[2], 3),
+        f"pool{full}_s": round(times[full], 3),
+        "full_width_parallel_efficiency": round(eff, 3),
+    }
+
+
 def _hardware_scaling_ceiling(low: int, full: int) -> float:
     """This box's raw 4× thread-scaling ceiling for numpy work (vCPU/memory
     contention, no Spark involved) — context for the efficiency number."""
@@ -144,8 +172,15 @@ def main() -> None:
     for _ in range(3):
         serve_reps.append(_timed(serve)[0])
         probe_reps.append(_contention_probe())
+    # steal bursts show up as rep spread (observed 6.8/4.7/4.8 in one run):
+    # take up to 2 extra reps while the spread is wide, min-of-reps after
+    while max(serve_reps) / min(serve_reps) > 1.25 and len(serve_reps) < 5:
+        serve_reps.append(_timed(serve)[0])
+        probe_reps.append(_contention_probe())
     t_serve_full = min(serve_reps)
     queries["flagship_serve"] = round(t_serve_full, 3)
+    # full-width contention probe adjacent in time to the flagship reps
+    wide_probe = _wide_probe(cpus)
 
     for name in ["asof_click_purchase", "sessionize_stats",
                  "agg_pricing_summary", "exact_quantiles_price",
@@ -230,6 +265,7 @@ def main() -> None:
             "probe_reps_s": [round(t, 3) for t in probe_reps],
             "probe_quiet_ref_s": 0.26,
             "probe_inflation": round(min(probe_reps) / 0.26, 2),
+            "wide_probe": wide_probe,
         },
         "scaling": {
             "n_cores": low_cpus,

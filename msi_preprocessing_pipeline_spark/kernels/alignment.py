@@ -133,6 +133,9 @@ def _best_shift_small(segment: np.ndarray, reference: np.ndarray,
     n = segment.size
     scale = 1.0 / padded
     wrap_from = padded - n
+    # NOTE: tried replacing the lag loops with numpy slice max/argmax — at
+    # the typical limit of 1-3 lags the numpy scalar overhead made it ~20%
+    # SLOWER than the list loop; keep the loop (bench 2026-08-17)
     cl = np.correlate(reference, segment, "full").tolist()
     mid = n - 1
     peak_fwd, fwd_at = -np.inf, 0
@@ -210,8 +213,25 @@ def pafft(counts: np.ndarray, reference_counts: np.ndarray, mzs: np.ndarray,
     start = 0
     while start < n:
         nominal_size = nominal_sizes[start]
-        segment, ref_segment = _next_chunk(counts, reference_counts, start,
-                                           nominal_size)
+        # inline of _next_chunk's common path: with typical ~14-channel
+        # nominal segments the probe window is < 30 channels, so the
+        # cut-point search always hits its take<=1 branch (= probe argmin)
+        # — skip two function calls and the ref-side slice per segment
+        probe_end = start + max(nominal_size * 2, 1)
+        if probe_end >= n:
+            segment = counts[start:]
+            ref_segment = reference_counts[start:]
+        else:
+            s2 = start + nominal_size
+            probe = counts[s2:probe_end]
+            if int(probe.size / 20.0 + 0.5) <= 1:
+                end_ = start + int(probe.argmin()) + nominal_size + 2
+            else:
+                end_ = start + _cut_point(
+                    probe, reference_counts[s2:probe_end]) \
+                    + nominal_size + 1
+            segment = counts[start:end_]
+            ref_segment = reference_counts[start:end_]
         # shift limit in channels, evaluated at the segment midpoint m/z
         mid = min(int(0.5 + segment.size / 2.0), n - 1 - start)
         limit = int(0.5 + shift_facs[start] * mz_list[start + mid])

@@ -56,52 +56,79 @@ def _r2_crit(df: int, significance: float) -> float:
 
 
 class _TrendScanner:
-    """O(1)-per-window Pearson trend probe via prefix sums.
+    """O(1)-per-window Pearson trend probe via BLOCK prefix sums.
 
-    The adaptive segmentation probes hundreds of overlapping windows per row;
-    recomputing the correlation from scratch each time is the dominant cost.
-    Prefix sums over globally-centered x/y (centering bounds the cancellation
-    error) give every window's r² in O(1); the significance test compares it
-    against the cached critical r² (:func:`_r2_crit`) — equivalent to the
-    two-sided Student-t p-value test of :func:`..special.pearsonr_p`.
-    Prefix sums are stored as python-float lists: the probe loop is scalar
-    arithmetic, where numpy scalars cost ~10× python floats.
+    The adaptive segmentation's window boundaries are all congruent to 0
+    modulo ``gcd(min_width, increment)`` (start indices are sums of closed
+    segment sizes ``min_width + k·increment``; probe ends grow from a start
+    by ``increment`` steps), so the prefix sums only ever need to exist at
+    block boundaries: ``np.add.reduceat`` collapses the centered products
+    into ~n/gcd block sums, and the tiny cumsum of those replaces the three
+    full-length cumsum+tolist passes per row (which dominated this
+    scanner's cost at ~24 probes/row). Probes at non-block indices (rows
+    shorter than ``min_width``) fall back to direct slice sums.
+    The significance test compares r² against the cached critical r²
+    (:func:`_r2_crit`) — equivalent to the two-sided Student-t p-value
+    test of :func:`..special.pearsonr_p`.
     """
 
-    # the x side is the (fixed) m/z axis — its centered values and prefix
-    # sums are identical for every row, so cache them by content hash
-    # (one axis is shared by thousands of rows per worker)
-    _X_CACHE: dict[tuple[int, int], tuple] = {}
+    # the x side is the (fixed) m/z axis — its centered values and block
+    # prefix sums are identical for every row, so cache them by content
+    # hash (one axis is shared by thousands of rows per worker)
+    _X_CACHE: dict[tuple[int, int, int], tuple] = {}
 
-    def __init__(self, x: np.ndarray, y: np.ndarray):
-        key = (hash(x.tobytes()), x.size)
+    def __init__(self, x: np.ndarray, y: np.ndarray, block: int = 1):
+        self.g = g = max(int(block), 1)
+        n = x.size
+        self._starts = np.arange(0, n, g)
+        key = (hash(x.tobytes()), n, g)
         cached = self._X_CACHE.get(key)
         if cached is None:
             xc = x - x.mean()
-            z = np.zeros(1)
-            cx = np.concatenate((z, np.cumsum(xc))).tolist()
-            cxx = np.concatenate((z, np.cumsum(xc * xc))).tolist()
+            cx = self._block_prefix(xc)
+            cxx = self._block_prefix(xc * xc)
             cached = (xc, cx, cxx)
             if len(self._X_CACHE) > 8:
                 self._X_CACHE.clear()
             self._X_CACHE[key] = cached
-        xc, self.cx, self.cxx = cached
+        self.xc, self.cx, self.cxx = cached
         yc = y - y.mean()
-        z = np.zeros(1)
-        self.cy = np.concatenate((z, np.cumsum(yc))).tolist()
-        self.cyy = np.concatenate((z, np.cumsum(yc * yc))).tolist()
-        self.cxy = np.concatenate((z, np.cumsum(xc * yc))).tolist()
+        self.yc = yc
+        self.cy = self._block_prefix(yc)
+        self.cyy = self._block_prefix(yc * yc)
+        self.cxy = self._block_prefix(self.xc * yc)
+
+    def _block_prefix(self, v: np.ndarray) -> list:
+        sums = np.add.reduceat(v, self._starts)
+        out = np.empty(sums.size + 1)
+        out[0] = 0.0
+        np.cumsum(sums, out=out[1:])
+        return out.tolist()
 
     def has_trend(self, start: int, end: int,
                   significance: float = 0.05) -> bool:
         m = end - start
         if m < 3:
             return False
-        sx = self.cx[end] - self.cx[start]
-        sy = self.cy[end] - self.cy[start]
-        sxx = self.cxx[end] - self.cxx[start]
-        syy = self.cyy[end] - self.cyy[start]
-        sxy = self.cxy[end] - self.cxy[start]
+        g = self.g
+        bs, rs = divmod(start, g)
+        be, re_ = divmod(end, g)
+        if rs == 0 and re_ == 0 and be < len(self.cx):
+            sx = self.cx[be] - self.cx[bs]
+            sy = self.cy[be] - self.cy[bs]
+            sxx = self.cxx[be] - self.cxx[bs]
+            syy = self.cyy[be] - self.cyy[bs]
+            sxy = self.cxy[be] - self.cxy[bs]
+        else:
+            # non-block boundary (rows shorter than min_width, or a block
+            # size of 1 disabled): direct slice sums — same quantities
+            xw = self.xc[start:end]
+            yw = self.yc[start:end]
+            sx = float(xw.sum())
+            sy = float(yw.sum())
+            sxx = float(np.dot(xw, xw))
+            syy = float(np.dot(yw, yw))
+            sxy = float(np.dot(xw, yw))
         num = m * sxy - sx * sy
         den = (m * sxx - sx * sx) * (m * syy - sy * sy)
         if den <= 0.0:
@@ -119,7 +146,9 @@ def _segment_anchors(mzs: np.ndarray, counts: np.ndarray, max_width: int,
     tests inject the original MATLAB quantiles this way)."""
     estimate = estimator or (lambda seg: _percentile10(seg))
     n = mzs.size
-    scanner = _TrendScanner(mzs, counts)
+    import math as _math
+    scanner = _TrendScanner(mzs, counts,
+                            block=_math.gcd(int(min_width), int(increment)))
     estimates: list[float] = []
     widths: list[int] = []
     start, end = 0, min(min_width, n)

@@ -153,3 +153,80 @@ def rolling_zscore(df: DataFrame, col: str, partition_by,
             .withColumn(f"{p}is_anom",
                         F.when(z.isNotNull(),
                                F.abs(z) > F.lit(float(threshold)))))
+
+
+def decayed_sum(df: DataFrame, value_col: str, partition_by,
+                ts_col: str = "ts_ms", tau: float = 3_600_000.0,
+                strategy: str = "window", include_current: bool = True,
+                tiebreak: Sequence[str] | None = None,
+                out_col: str | None = None) -> DataFrame:
+    """Exponentially time-decayed running sum per entity — the classic
+    recency-weighted feature (``s_i = Σ_{j≤i} v_j · exp(-(t_i-t_j)/τ)``):
+
+    * ``strategy='window'`` — pure JVM: anchor-offset factorization
+      ``s_i = exp(-(t_i-t_a)/τ) · Σ v_j·exp((t_j-t_a)/τ)`` turns the pair
+      weights into a single expanding window sum (one shuffle on the
+      entity key, whole-stage codegen). The anchor ``t_a`` is the global
+      min timestamp, attached as an in-plan broadcast 1-row aggregate
+      (lazy). VALID ONLY when ``(max ts - min ts)/τ ≲ 700`` (double
+      overflow bound of ``exp``) — the usual case, since τ below span/700
+      decays to zero long before it matters numerically.
+    * ``strategy='scan'`` — ``applyInPandas`` per entity running the
+      numerically-stable recurrence ``s_i = v_i + s_{i-1}·exp(-(t_i -
+      t_{i-1})/τ)`` (never exponentiates an absolute time), for
+      arbitrary-span data. Same shuffle; Python in the path.
+
+    ``include_current=False`` excludes the row's own value (the strict
+    PIT convention, like ``target_encode_pit``). ``tiebreak`` columns
+    total-order equal timestamps.
+    """
+    keys = _as_list(partition_by)
+    out = out_col or f"{value_col}_decayed"
+    tie = list(tiebreak or [])
+    if strategy == "window":
+        anchor = df.agg(F.min(F.col(ts_col)).cast("double")
+                        .alias("__ds_anchor"))
+        w = (Window.partitionBy(*keys).orderBy(ts_col, *tie)
+             .rowsBetween(Window.unboundedPreceding,
+                          0 if include_current else -1))
+        t = F.col(ts_col).cast("double")
+        weighted = F.col(value_col).cast("double") * \
+            F.exp((t - F.col("__ds_anchor")) / F.lit(float(tau)))
+        return (df.crossJoin(F.broadcast(anchor))
+                .select("*", (F.exp(-(t - F.col("__ds_anchor"))
+                                    / F.lit(float(tau)))
+                              * F.sum(weighted).over(w)).alias(out))
+                .drop("__ds_anchor"))
+    if strategy != "scan":
+        raise ValueError(f"strategy must be window|scan, got {strategy}")
+    import numpy as np
+    import pandas as pd
+
+    fields = df.schema.fields
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in fields) + f", {out} double"
+    sort_cols = [ts_col] + tie
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="stable")
+        t = pdf[ts_col].to_numpy(dtype=float)
+        v = pdf[value_col].to_numpy(dtype=float)
+        n = len(pdf)
+        s = np.empty(n)
+        acc = 0.0
+        for i in range(n):
+            if i:
+                acc *= float(np.exp(-(t[i] - t[i - 1]) / tau))
+            cur = acc + (v[i] if v[i] == v[i] else 0.0)  # NaN-safe add
+            s[i] = cur if include_current else acc
+            acc = cur
+        # rows whose value is null everywhere so far -> 0.0 by the
+        # recurrence; mirror the window strategy's null only when the
+        # frame saw no numeric value at all
+        seen = np.cumsum(~np.isnan(v)) if include_current else \
+            np.concatenate(([0], np.cumsum(~np.isnan(v))[:-1]))
+        s = np.where(seen > 0, s, np.nan)
+        pdf[out] = s
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(scan, schema=schema)

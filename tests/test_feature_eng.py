@@ -149,3 +149,63 @@ def test_psi_drift_ignores_nulls(spark):
     cur = spark.createDataFrame([(1.0,)], "v double")
     rows = psi_drift(ref, cur, "v", lo=0.0, hi=2.0, n_bins=2).collect()
     assert sum(r["n_ref"] for r in rows) == 1
+
+
+def test_decayed_sum_hand_computed(spark):
+    import math
+    rows = [(1, "u", 0, 10.0), (2, "u", 100, 20.0), (3, "u", 300, 5.0)]
+    df = spark.createDataFrame(rows, "id long, k string, ms long, x double")
+    out = {r["id"]: r["x_decayed"] for r in
+           __import__("msi_preprocessing_pipeline_spark.operators.windows",
+                      fromlist=["decayed_sum"]).decayed_sum(
+               df, "x", "k", ts_col="ms", tau=100.0,
+               include_current=True).collect()}
+    e = math.exp
+    assert out[1] == pytest.approx(10.0)
+    assert out[2] == pytest.approx(20.0 + 10.0 * e(-1.0))
+    assert out[3] == pytest.approx(5.0 + 20.0 * e(-2.0) + 10.0 * e(-3.0))
+
+
+def test_decayed_sum_strategies_agree(spark):
+    from msi_preprocessing_pipeline_spark.operators.windows import decayed_sum
+    import random
+    rng = random.Random(3)
+    rows = [(i, f"u{rng.randint(0, 5)}", rng.randint(0, 10_000),
+             rng.uniform(-5, 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, k string, ms long, x double")
+    for inc in (True, False):
+        a = {r["id"]: r["x_decayed"] for r in decayed_sum(
+            df, "x", "k", ts_col="ms", tau=2000.0, strategy="window",
+            include_current=inc, tiebreak=["id"]).collect()}
+        b = {r["id"]: r["x_decayed"] for r in decayed_sum(
+            df, "x", "k", ts_col="ms", tau=2000.0, strategy="scan",
+            include_current=inc, tiebreak=["id"]).collect()}
+        assert set(a) == set(b)
+        for i in a:
+            if a[i] is None:
+                assert b[i] is None or b[i] != b[i]
+            else:
+                assert a[i] == pytest.approx(b[i], rel=1e-9), i
+
+
+def test_decayed_sum_exclude_current_first_row_null(spark):
+    from msi_preprocessing_pipeline_spark.operators.windows import decayed_sum
+    df = spark.createDataFrame([(1, "u", 0, 10.0), (2, "u", 50, 1.0)],
+                               "id long, k string, ms long, x double")
+    out = {r["id"]: r["x_decayed"] for r in decayed_sum(
+        df, "x", "k", ts_col="ms", tau=100.0, strategy="window",
+        include_current=False).collect()}
+    assert out[1] is None
+    assert out[2] == pytest.approx(10.0 * __import__("math").exp(-0.5))
+
+
+def test_decayed_sum_window_is_lazy_single_window(spark):
+    from msi_preprocessing_pipeline_spark.operators.windows import decayed_sum
+    df = spark.createDataFrame([(1, "u", 0, 1.0)],
+                               "id long, k string, ms long, x double")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    out = decayed_sum(df, "x", "k", ts_col="ms", tau=10.0)
+    assert set(tracker.getJobIdsForGroup(None)) == before
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
