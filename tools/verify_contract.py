@@ -1,6 +1,7 @@
 """Mirror of the round driver's correctness gate: run every queries() entry
 and its oracle_sql() in DuckDB over sf0.01, compare rows/schema/values."""
 import json
+import os
 import sys
 import time
 
@@ -89,6 +90,12 @@ def main():
     bad = {k: v for k, v in results.items()
            if v != "ok" and not v.startswith("no_oracle")}
     print(json.dumps({"bad": bad, "n": len(results)}, default=str))
+    out_path = os.environ.get("CONTRACT_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "n": len(results),
+                       "n_ok": sum(v == "ok" for v in results.values()),
+                       "results": results}, f, indent=1, default=str)
     spark.stop()
 
 
