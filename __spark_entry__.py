@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-71 queries, 71 with exact DuckDB oracles — relational SQL where expressible,
+73 queries, 73 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -953,6 +953,30 @@ def _q_decayed_sum(spark, sf_dir):
                       F.round("value_decayed", 6).alias("decayed"))
 
 
+def _q_feature_hash(spark, sf_dir):
+    """Hashing-trick bucket over (user_id, event_type) — md5-band idiom,
+    engine-portable."""
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        feature_hash)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    return feature_hash(ev, ["user_id", "event_type"], n_buckets=64, seed=7)
+
+
+def _q_robust_scaled(spark, sf_dir):
+    """Median/IQR standardization of value per event type (exact
+    quantiles; zero-IQR -> null)."""
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        standardize_robust)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    out = standardize_robust(ev, "value", group_cols=["event_type"])
+    return out.select("event_id", "event_type",
+                      F.round("value_robust", 6).alias("z_robust"))
+
+
 def _q_psi_drift(spark, sf_dir):
     """PSI drift of the value distribution: click (reference) vs purchase
     (current), 10 fixed-width bins on [0, 400)."""
@@ -998,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore_value": _q_rolling_zscore,
         "psi_value_drift": _q_psi_drift,
         "decayed_sum_value": _q_decayed_sum,
+        "feature_hash_events": _q_feature_hash,
+        "robust_scaled_value": _q_robust_scaled,
         # --- r3-green, kept inside the window (higher-risk operators) ---
         "asof_click_purchase": _q_asof_click_purchase,
         "sessionize_stats": _q_sessionize,
@@ -1015,8 +1041,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "asof_forward_next_purchase": _q_asof_forward,
-        "near_dup_exact": _q_near_dup_exact,
-        "json_props": _q_json_props,
         "repetition_stats": _q_repetition_stats,
         "pii_scan": _q_pii_scan,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1033,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": _q_hash_sample,
         "stable_split_events": _q_stable_split,
         "stratified_sample_docs": _q_stratified_sample,
+        "near_dup_exact": _q_near_dup_exact,
+        "json_props": _q_json_props,
         "quality_filter_docs": _q_quality_filter,
         "cube_doc_stats": _q_cube_doc_stats,
         "agg_pricing_summary": _q_agg_pricing,
@@ -1558,6 +1584,27 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                              then abs((value - m) / sd) > 2.0 end as int)
                        as is_anom
             from s
+        """,
+        "feature_hash_events": """
+            select event_id, user_id, event_type,
+                   cast(cast(('0x' || substr(md5(concat_ws(':',
+                            cast(user_id as varchar), event_type, '7')),
+                        1, 8)) as bigint) % 64 as int) as feature_bucket
+            from events
+        """,
+        "robust_scaled_value": """
+            with s as (
+                select event_type,
+                       quantile_cont(value, 0.5) as med,
+                       quantile_cont(value, 0.75)
+                         - quantile_cont(value, 0.25) as iqr
+                from events group by 1
+            )
+            select e.event_id, e.event_type,
+                   round(case when s.iqr > 0.0
+                              then (e.value - s.med) / s.iqr end, 6)
+                       as z_robust
+            from events e join s using (event_type)
         """,
         "decayed_sum_value": """
             select a.event_id, a.user_id,

@@ -1,0 +1,71 @@
+"""Feature encoding and scaling primitives.
+
+The last mile of a feature pipeline: turn raw columns into model-ready
+numerics. Everything here is pure JVM expressions (shuffle-free where
+possible) and engine-portable — the hashing uses the same md5 idiom as
+``operators.sampling`` so every output is SQL-oracle-able bit-for-bit.
+See also :func:`..training.target_encode_pit` for the leakage-sensitive
+target encoding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.util import as_list as _as_list
+
+
+def feature_hash(df: DataFrame, cols, n_buckets: int = 1024,
+                 seed: int = 0, out_col: str = "feature_bucket") -> DataFrame:
+    """Hashing-trick bucket id over one or more columns (Weinberger et al.
+    2009): ``md5(col₁:col₂:…:seed)`` → first 8 hex chars → int → mod
+    ``n_buckets``. Deterministic, partition-invariant, engine-portable
+    (the same integer in Spark, DuckDB and Python), and shuffle-free —
+    a map-only expression on 10^12 rows.
+
+    Null columns hash as absent (``concat_ws`` skips nulls in both
+    engines), so (NULL, 'a') and ('a', NULL) collide — acceptable for the
+    hashing trick; pre-coalesce sentinel values if that matters.
+    """
+    key = F.concat_ws(
+        ":", *[F.col(c).cast("string") for c in _as_list(cols)],
+        F.lit(str(seed)))
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return df.withColumn(out_col, (h % F.lit(int(n_buckets))).cast("int"))
+
+
+def standardize_robust(df: DataFrame, col: str, group_cols=None,
+                       out_col: str | None = None) -> DataFrame:
+    """Outlier-robust standardization: ``(x - median) / IQR``, optionally
+    per group — the scaling that heavy-tailed feature distributions need
+    (a plain z-score lets one outlier set the scale).
+
+    Median and quartiles are EXACT (Spark's ``percentile`` aggregate,
+    linear interpolation — the same definition as DuckDB
+    ``quantile_cont`` and ``numpy.percentile(method='linear')``).
+    Zero-IQR groups (constant feature) yield NULL rather than ±inf.
+
+    Scale shape: one partial+final aggregation to a GROUP-cardinality
+    relation, then one equi-join back on the group key (AQE broadcasts it
+    when small — no forced hint, the group count is data-dependent); the
+    ungrouped form attaches a broadcast 1-row aggregate (lazy). The
+    quantile aggregation collects each group's values into sorted memory
+    on one reducer — for groups above ~10^8 rows switch to
+    ``operators.quantiles.exact_quantiles`` per group (sort-based, no
+    single-reducer materialization).
+    """
+    groups = _as_list(group_cols or [])
+    x = F.col(col).cast("double")
+    med = F.expr(f"percentile({col}, 0.5)").alias("__rs_med")
+    iqr = (F.expr(f"percentile({col}, 0.75)")
+           - F.expr(f"percentile({col}, 0.25)")).alias("__rs_iqr")
+    if groups:
+        stats = df.groupBy(*groups).agg(med, iqr)
+        joined = df.join(stats, groups)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(med, iqr)))
+    z = F.when(F.col("__rs_iqr") > F.lit(0.0),
+               (x - F.col("__rs_med")) / F.col("__rs_iqr"))
+    return (joined.withColumn(out_col or f"{col}_robust", z)
+            .drop("__rs_med", "__rs_iqr"))

@@ -209,3 +209,64 @@ def test_decayed_sum_window_is_lazy_single_window(spark):
     assert set(tracker.getJobIdsForGroup(None)) == before
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") == 1
+
+
+def test_feature_hash_deterministic_and_bounded(spark):
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        feature_hash)
+    import hashlib
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "a", "x")],
+        "id long, c1 string, c2 string")
+    rows = {r["id"]: r["feature_bucket"] for r in feature_hash(
+        df, ["c1", "c2"], n_buckets=16, seed=3).collect()}
+    # same inputs -> same bucket; all buckets within range
+    assert rows[1] == rows[3]
+    assert all(0 <= b < 16 for b in rows.values())
+    # matches the md5 idiom computed in plain python
+    expect = int(hashlib.md5(b"a:x:3").hexdigest()[:8], 16) % 16
+    assert rows[1] == expect
+    # concat_ws skips the null column
+    expect2 = int(hashlib.md5(b"b:3").hexdigest()[:8], 16) % 16
+    assert rows[2] == expect2
+
+
+def test_feature_hash_is_map_only(spark):
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        feature_hash)
+    df = spark.createDataFrame([(1, "a")], "id long, c string")
+    plan = feature_hash(df, ["c"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
+
+
+def test_standardize_robust_hand_computed(spark):
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        standardize_robust)
+    # group g: values 1..5 -> median 3, IQR = 4 - 2 = 2
+    rows = [(i, "g", float(i)) for i in range(1, 6)] + [(9, "c", 7.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, x double")
+    out = {r["id"]: r["x_robust"] for r in standardize_robust(
+        df, "x", group_cols=["grp"]).collect()}
+    assert out[1] == pytest.approx(-1.0)
+    assert out[3] == pytest.approx(0.0)
+    assert out[5] == pytest.approx(1.0)
+    assert out[9] is None  # constant group -> zero IQR -> null
+
+
+def test_standardize_robust_global_matches_numpy(spark):
+    import numpy as np
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        standardize_robust)
+    vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3.5]]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, x double")
+    out = {r["id"]: r["x_robust"]
+           for r in standardize_robust(df, "x").collect()}
+    med = np.percentile(vals, 50, method="linear")
+    iqr = (np.percentile(vals, 75, method="linear")
+           - np.percentile(vals, 25, method="linear"))
+    for i, v in enumerate(vals):
+        assert out[i] == pytest.approx((v - med) / iqr)
