@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-73 queries, 73 with exact DuckDB oracles — relational SQL where expressible,
+75 queries, 75 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -953,6 +953,34 @@ def _q_decayed_sum(spark, sf_dir):
                       F.round("value_decayed", 6).alias("decayed"))
 
 
+def _q_woe_encode(spark, sf_dir):
+    """PIT weight-of-evidence of label (value > 100) per user: each event
+    sees only its user's strictly-earlier label counts + global totals."""
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        woe_encode_pit)
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", "ts",
+                  (F.col("value") > 100.0).alias("big")))
+    out = woe_encode_pit(ev, "user_id", "big", ts_col="ts",
+                         tiebreak=["event_id"], smoothing=0.5)
+    return out.select("event_id", "user_id",
+                      F.round("woe_big", 6).alias("woe"))
+
+
+def _q_quantile_bin(spark, sf_dir):
+    """Equal-frequency decile of lineitem price per brand-agnostic global
+    edges (exact linear-interp quantiles; deterministic, tie-stable)."""
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        quantile_bin)
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    out = quantile_bin(li, "l_extendedprice", n_bins=10)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.col("l_extendedprice_bin").alias("price_decile"))
+
+
 def _q_feature_hash(spark, sf_dir):
     """Hashing-trick bucket over (user_id, event_type) — md5-band idiom,
     engine-portable."""
@@ -1024,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_sum_value": _q_decayed_sum,
         "feature_hash_events": _q_feature_hash,
         "robust_scaled_value": _q_robust_scaled,
+        "woe_encode_users": _q_woe_encode,
+        "quantile_bin_price": _q_quantile_bin,
         # --- r3-green, kept inside the window (higher-risk operators) ---
         "asof_click_purchase": _q_asof_click_purchase,
         "sessionize_stats": _q_sessionize,
@@ -1044,8 +1074,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "pii_scan": _q_pii_scan,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "quality_topk_docs": _q_quality_topk,
-        "value_quartiles_by_type": _q_value_quartiles,
         "range_join_price_bands": _q_range_join,
         "pack_assignments_docs": _q_pack_assignments,
         "decontaminate_docs": _q_decontaminate,
@@ -1059,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample,
         "near_dup_exact": _q_near_dup_exact,
         "json_props": _q_json_props,
+        "quality_topk_docs": _q_quality_topk,
+        "value_quartiles_by_type": _q_value_quartiles,
         "quality_filter_docs": _q_quality_filter,
         "cube_doc_stats": _q_cube_doc_stats,
         "agg_pricing_summary": _q_agg_pricing,
@@ -1584,6 +1614,44 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                              then abs((value - m) / sd) > 2.0 end as int)
                        as is_anom
             from s
+        """,
+        "quantile_bin_price": """
+            with e as (
+                select quantile_cont(l_extendedprice,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) as edges
+                from lineitem
+            )
+            select l_orderkey, l_linenumber,
+                   cast(case when l_extendedprice is null then null
+                        else length(list_filter(edges,
+                                    e -> l_extendedprice >= e)) end as int)
+                       as price_decile
+            from lineitem, e
+        """,
+        "woe_encode_users": """
+            with b as (
+                select event_id, user_id, ts,
+                       case when value > 100.0 then 1 else 0 end as ev,
+                       case when value is null then 0
+                            when value > 100.0 then 0 else 1 end as ne
+                from events
+            ), t as (
+                select sum(ev) as tev, sum(ne) as tne from b
+            ), s as (
+                select event_id, user_id,
+                       coalesce(sum(ev) over w, 0) as pev,
+                       coalesce(sum(ne) over w, 0) as pne
+                from b
+                window w as (partition by user_id order by ts, event_id
+                             rows between unbounded preceding
+                             and 1 preceding)
+            )
+            select event_id, user_id,
+                   round(ln(((cast(pev as double) + 0.5)
+                             / (cast(tev as double) + 1.0))
+                            / ((cast(pne as double) + 0.5)
+                               / (cast(tne as double) + 1.0))), 6) as woe
+            from s, t
         """,
         "feature_hash_events": """
             select event_id, user_id, event_type,

@@ -69,3 +69,39 @@ def standardize_robust(df: DataFrame, col: str, group_cols=None,
                (x - F.col("__rs_med")) / F.col("__rs_iqr"))
     return (joined.withColumn(out_col or f"{col}_robust", z)
             .drop("__rs_med", "__rs_iqr"))
+
+
+def quantile_bin(df: DataFrame, col: str, n_bins: int = 10,
+                 group_cols=None, out_col: str | None = None) -> DataFrame:
+    """Equal-frequency discretization: bin index = how many of the
+    column's exact quantile edges (q = 1/n … (n-1)/n, linear
+    interpolation) the value is >= — i.e. ``searchsorted(edges, x,
+    'right')``. Values land in 0 … n_bins-1; NULLs stay NULL.
+
+    Edge-based (not ``ntile``): rank-based binning splits ties
+    arbitrarily across buckets, so equal values can get different bins
+    depending on partitioning — edges are a deterministic function of the
+    data and equal inputs always share a bin (buckets are then only
+    approximately equal-count under heavy ties, which is the standard
+    trade).
+
+    Scale shape: ONE aggregation computes all edges as an array
+    (``percentile(col, array(...))``), joined back (broadcast 1-row for
+    the global form; group-cardinality equi-join, AQE-sized, for the
+    grouped form); the bin index is a JVM ``aggregate`` over the bounded
+    edge array — map-only after the join. Same single-reducer caveat per
+    group as :func:`standardize_robust`.
+    """
+    groups = _as_list(group_cols or [])
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    edges = F.expr(f"percentile({col}, array({qs}))").alias("__qb_edges")
+    if groups:
+        joined = df.join(df.groupBy(*groups).agg(edges), groups)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(edges)))
+    x = F.col(col).cast("double")
+    bin_ = F.when(x.isNotNull(), F.aggregate(
+        "__qb_edges", F.lit(0),
+        lambda acc, e: acc + F.when(x >= e, 1).otherwise(0)).cast("int"))
+    return (joined.withColumn(out_col or f"{col}_bin", bin_)
+            .drop("__qb_edges"))

@@ -485,3 +485,50 @@ def target_encode_pit(df: DataFrame, category_col: str, target_col: str,
     drop = ["__te_sum", "__te_cnt"] + \
         ([] if prior_value is not None else ["__te_prior"])
     return res.drop(*drop)
+
+
+def woe_encode_pit(df: DataFrame, category_col: str, label_col: str,
+                   ts_col: str = "ts",
+                   tiebreak: Sequence[str] | str | None = None,
+                   smoothing: float = 0.5,
+                   out_col: str | None = None) -> DataFrame:
+    """Leakage-free weight-of-evidence encoding of a binary label per
+    category (the credit-scoring classic), computed point-in-time: each
+    row sees only STRICTLY EARLIER rows of its category plus the global
+    class totals, Laplace-smoothed so empty cells stay finite:
+
+        woe = ln( ((ev + s) / (T_ev + 2s)) / ((ne + s) / (T_ne + 2s)) )
+
+    with ``ev``/``ne`` = prior event/non-event counts of the category and
+    ``T_ev``/``T_ne`` the global class totals (attached as an in-plan
+    broadcast 1-row aggregate — lazy; pass a training-window relation if
+    the global totals must also be PIT-strict). ``label_col`` is
+    interpreted as boolean/0-1; NULL labels count toward neither class.
+
+    Scale shape: identical to :func:`target_encode_pit` — one shuffle on
+    the category key, both expanding counts in ONE Window node, all
+    arithmetic on exact integers until the final ln.
+    """
+    w = (Window.partitionBy(category_col)
+         .orderBy(ts_col, *_as_list(tiebreak or []))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_ev = F.col(label_col).cast("boolean")
+    ev1 = F.when(is_ev, 1).otherwise(0)
+    ne1 = F.when(~is_ev, 1).otherwise(0)  # null labels -> neither class
+    base = df.select(
+        "*",
+        F.coalesce(F.sum(ev1).over(w), F.lit(0)).alias("__woe_ev"),
+        F.coalesce(F.sum(ne1).over(w), F.lit(0)).alias("__woe_ne"),
+    )
+    totals = df.agg(
+        F.coalesce(F.sum(ev1), F.lit(0)).alias("__woe_tev"),
+        F.coalesce(F.sum(ne1), F.lit(0)).alias("__woe_tne"))
+    s = float(smoothing)
+    p_ev = (F.col("__woe_ev").cast("double") + F.lit(s)) / \
+        (F.col("__woe_tev").cast("double") + F.lit(2.0 * s))
+    p_ne = (F.col("__woe_ne").cast("double") + F.lit(s)) / \
+        (F.col("__woe_tne").cast("double") + F.lit(2.0 * s))
+    out = out_col or f"woe_{label_col}"
+    return (base.crossJoin(F.broadcast(totals))
+            .withColumn(out, F.log(p_ev / p_ne))
+            .drop("__woe_ev", "__woe_ne", "__woe_tev", "__woe_tne"))

@@ -270,3 +270,80 @@ def test_standardize_robust_global_matches_numpy(spark):
            - np.percentile(vals, 25, method="linear"))
     for i, v in enumerate(vals):
         assert out[i] == pytest.approx((v - med) / iqr)
+
+
+def test_woe_encode_pit_hand_computed(spark):
+    import math
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        woe_encode_pit)
+    # cat a: labels T, F, T at ts 1,2,3; totals ev=2 ne=2 (incl cat b's F)
+    rows = [(1, "a", 1, True), (2, "a", 2, False), (3, "a", 3, True),
+            (4, "b", 1, False)]
+    df = spark.createDataFrame(rows, "id long, cat string, ts long, y boolean")
+    out = {r["id"]: r["woe_y"] for r in woe_encode_pit(
+        df, "cat", "y", ts_col="ts", tiebreak=["id"],
+        smoothing=0.5).collect()}
+
+    def woe(ev, ne, tev=2, tne=2, s=0.5):
+        return math.log(((ev + s) / (tev + 2 * s))
+                        / ((ne + s) / (tne + 2 * s)))
+    assert out[1] == pytest.approx(woe(0, 0))   # no history -> prior only
+    assert out[2] == pytest.approx(woe(1, 0))
+    assert out[3] == pytest.approx(woe(1, 1))
+    assert out[4] == pytest.approx(woe(0, 0))
+
+
+def test_woe_encode_pit_null_label_neither_class(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        woe_encode_pit)
+    df = spark.createDataFrame(
+        [(1, "a", 1, None), (2, "a", 2, True)],
+        "id long, cat string, ts long, y boolean")
+    out = woe_encode_pit(df, "cat", "y", ts_col="ts",
+                         tiebreak=["id"]).collect()
+    rows = {r["id"]: r for r in out}
+    # row 2's history is only the null-label row: ev=0, ne=0 (not 1)
+    import math
+    exp = math.log(((0 + .5) / (1 + 1.0)) / ((0 + .5) / (0 + 1.0)))
+    assert rows[2]["woe_y"] == pytest.approx(exp)
+
+
+def test_woe_single_window_node_and_lazy(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        woe_encode_pit)
+    df = spark.createDataFrame([(1, "a", 1, True)],
+                               "id long, cat string, ts long, y boolean")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    out = woe_encode_pit(df, "cat", "y", ts_col="ts")
+    assert set(tracker.getJobIdsForGroup(None)) == before
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+
+
+def test_quantile_bin_matches_numpy_searchsorted(spark):
+    import numpy as np
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        quantile_bin)
+    vals = [float(v) for v in
+            [3, 1, 4, 1, 5, 9, 2, 6, 5, 3.5, 7, 8, 0.5, 2.2]]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, x double")
+    out = {r["id"]: r["x_bin"] for r in quantile_bin(df, "x",
+                                                     n_bins=4).collect()}
+    edges = np.percentile(vals, [25, 50, 75], method="linear")
+    for i, v in enumerate(vals):
+        assert out[i] == int(np.searchsorted(edges, v, side="right")), (i, v)
+
+
+def test_quantile_bin_grouped_and_nulls(spark):
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        quantile_bin)
+    rows = [(1, "g", 1.0), (2, "g", 2.0), (3, "g", 3.0), (4, "g", 4.0),
+            (5, "h", 100.0), (6, "h", None)]
+    df = spark.createDataFrame(rows, "id long, grp string, x double")
+    out = {r["id"]: r["x_bin"] for r in quantile_bin(
+        df, "x", n_bins=2, group_cols=["grp"]).collect()}
+    assert out[1] == 0 and out[4] == 1  # split at group median
+    assert out[5] == 1                  # single-value group: x >= its median
+    assert out[6] is None
