@@ -422,13 +422,70 @@ def pit_window_agg_multi(spine: DataFrame, on: Sequence[str] | str,
             .drop(*drop_cols))
 
 
+def _expanding_prior_sums(df: DataFrame, category_col: str, ts_col: str,
+                          tiebreak, aggs: dict,
+                          bucket_width: int | None) -> DataFrame:
+    """Strictly-prior expanding aggregates per category, with an optional
+    bucketed two-pass for HOT categories.
+
+    ``aggs`` maps output column name -> sum-combinable aggregate column
+    (``F.sum(expr)`` / ``F.count(expr)`` — anything whose partials merge
+    by ``+``). Without ``bucket_width``: one Window over the category
+    key (fine when categories are many). With it: a category like
+    ``event_type`` with a handful of values serializes its ENTIRE history
+    onto one reducer at 10^12 rows, so the expanding sums are split into
+    (1) intra-bucket expanding aggregates partitioned by ``(category,
+    floor(ts/bucket_width))``, and (2) a per-(category, bucket) totals
+    relation whose strict-prior prefix (a window over the tiny
+    bucket-cardinality relation) is joined back as a carry — per-task
+    work is bounded by the bucket span, and the carry join is
+    AQE-broadcastable. Aggregates combine by ``+``, so the result is
+    IDENTICAL for integer/decimal inputs and equal up to float
+    association for doubles (empty-history rows come back 0, not null —
+    both callers coalesce anyway). ``ts_col`` must be non-null in the
+    bucketed form.
+    """
+    tie = _as_list(tiebreak or [])
+    if bucket_width is None:
+        w = (Window.partitionBy(category_col).orderBy(ts_col, *tie)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        return df.select(
+            "*", *[F.coalesce(a.over(w), F.lit(0)).alias(n)
+                   for n, a in aggs.items()])
+    bucket = F.floor(F.col(ts_col).cast("double")
+                     / F.lit(float(int(bucket_width)))).cast("long")
+    base = df.withColumn("__xp_bucket", bucket)
+    wb = (Window.partitionBy(category_col, "__xp_bucket")
+          .orderBy(ts_col, *tie)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    intra = base.select(
+        "*", *[F.coalesce(a.over(wb), F.lit(0)).alias(f"__xp_i_{n}")
+               for n, a in aggs.items()])
+    totals = base.groupBy(category_col, "__xp_bucket").agg(
+        *[a.alias(f"__xp_t_{n}") for n, a in aggs.items()])
+    wc = (Window.partitionBy(category_col).orderBy("__xp_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = totals.select(
+        category_col, "__xp_bucket",
+        *[F.coalesce(F.sum(f"__xp_t_{n}").over(wc), F.lit(0))
+          .alias(f"__xp_c_{n}") for n in aggs])
+    joined = intra.join(carry, [category_col, "__xp_bucket"])
+    out = joined.select(
+        "*", *[(F.col(f"__xp_i_{n}") + F.col(f"__xp_c_{n}")).alias(n)
+               for n in aggs])
+    drop = ["__xp_bucket"] + [f"__xp_i_{n}" for n in aggs] + \
+        [f"__xp_c_{n}" for n in aggs]
+    return out.drop(*drop)
+
+
 def target_encode_pit(df: DataFrame, category_col: str, target_col: str,
                       ts_col: str = "ts",
                       tiebreak: Sequence[str] | str | None = None,
                       prior_weight: float = 0.0,
                       prior_value: float | None = None,
                       out_col: str | None = None,
-                      keep_stats: bool = False) -> DataFrame:
+                      keep_stats: bool = False,
+                      bucket_width: int | None = None) -> DataFrame:
     """Leakage-free (point-in-time) target encoding: each row's encoding
     is the mean of ``target_col`` over STRICTLY EARLIER rows of the same
     category, smoothed toward a prior:
@@ -449,21 +506,19 @@ def target_encode_pit(df: DataFrame, category_col: str, target_col: str,
     aggregates share a single frame, so Catalyst collapses them into ONE
     Window node (whole-stage codegen, no Python). ``tiebreak`` columns
     make the frame deterministic when timestamps collide.
+    ``bucket_width`` (ts units) enables the hot-category two-pass of
+    :func:`_expanding_prior_sums` — REQUIRED when the category has few
+    distinct values (e.g. an event-type column) at large scale, where a
+    plain category window serializes each category onto one reducer.
     """
-    w = (Window.partitionBy(category_col)
-         .orderBy(ts_col, *_as_list(tiebreak or []))
-         .rowsBetween(Window.unboundedPreceding, -1))
     # sum in the TARGET COLUMN'S TYPE (cast to double only afterwards):
     # double window sums are association-order-sensitive across engines, so
     # callers wanting bit-exact cross-engine results pass a decimal target
     # (the weighted_mean_nation idiom) and the expanding sum stays exact.
-    # Both window columns in ONE select — the pinned window-batch idiom.
     tgt = F.col(target_col)
-    base = df.select(
-        "*",
-        F.sum(tgt).over(w).alias("__te_sum"),
-        F.count(tgt).over(w).alias("__te_cnt"),
-    )
+    base = _expanding_prior_sums(
+        df, category_col, ts_col, tiebreak,
+        {"__te_sum": F.sum(tgt), "__te_cnt": F.count(tgt)}, bucket_width)
     if prior_value is not None:
         prior = F.lit(float(prior_value))
     else:
@@ -491,7 +546,8 @@ def woe_encode_pit(df: DataFrame, category_col: str, label_col: str,
                    ts_col: str = "ts",
                    tiebreak: Sequence[str] | str | None = None,
                    smoothing: float = 0.5,
-                   out_col: str | None = None) -> DataFrame:
+                   out_col: str | None = None,
+                   bucket_width: int | None = None) -> DataFrame:
     """Leakage-free weight-of-evidence encoding of a binary label per
     category (the credit-scoring classic), computed point-in-time: each
     row sees only STRICTLY EARLIER rows of its category plus the global
@@ -507,19 +563,16 @@ def woe_encode_pit(df: DataFrame, category_col: str, label_col: str,
 
     Scale shape: identical to :func:`target_encode_pit` — one shuffle on
     the category key, both expanding counts in ONE Window node, all
-    arithmetic on exact integers until the final ln.
+    arithmetic on exact integers until the final ln. ``bucket_width``
+    enables the hot-category two-pass (:func:`_expanding_prior_sums`,
+    bit-identical here — integer counts combine exactly).
     """
-    w = (Window.partitionBy(category_col)
-         .orderBy(ts_col, *_as_list(tiebreak or []))
-         .rowsBetween(Window.unboundedPreceding, -1))
     is_ev = F.col(label_col).cast("boolean")
     ev1 = F.when(is_ev, 1).otherwise(0)
     ne1 = F.when(~is_ev, 1).otherwise(0)  # null labels -> neither class
-    base = df.select(
-        "*",
-        F.coalesce(F.sum(ev1).over(w), F.lit(0)).alias("__woe_ev"),
-        F.coalesce(F.sum(ne1).over(w), F.lit(0)).alias("__woe_ne"),
-    )
+    base = _expanding_prior_sums(
+        df, category_col, ts_col, tiebreak,
+        {"__woe_ev": F.sum(ev1), "__woe_ne": F.sum(ne1)}, bucket_width)
     totals = df.agg(
         F.coalesce(F.sum(ev1), F.lit(0)).alias("__woe_tev"),
         F.coalesce(F.sum(ne1), F.lit(0)).alias("__woe_tne"))

