@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-75 queries, 75 with exact DuckDB oracles — relational SQL where expressible,
+76 queries, 76 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -968,6 +968,19 @@ def _q_woe_encode(spark, sf_dir):
                       F.round("woe_big", 6).alias("woe"))
 
 
+def _q_word_entropy(spark, sf_dir):
+    """Word-distribution entropy + type-token ratio per doc (boilerplate
+    severity signal the n-gram repetition fractions can miss)."""
+    from msi_preprocessing_pipeline_spark.operators.text import word_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    out = word_entropy(docs)
+    return out.select(
+        "doc_id", "n_words_total", "n_distinct_words",
+        F.round("word_entropy", 6).alias("entropy"),
+        F.round("type_token_ratio", 6).alias("ttr"))
+
+
 def _q_quantile_bin(spark, sf_dir):
     """Equal-frequency decile of lineitem price per brand-agnostic global
     edges (exact linear-interp quantiles; deterministic, tie-stable)."""
@@ -1054,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scaled_value": _q_robust_scaled,
         "woe_encode_users": _q_woe_encode,
         "quantile_bin_price": _q_quantile_bin,
+        "word_entropy_docs": _q_word_entropy,
         # --- r3-green, kept inside the window (higher-risk operators) ---
         "asof_click_purchase": _q_asof_click_purchase,
         "sessionize_stats": _q_sessionize,
@@ -1071,7 +1085,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "asof_forward_next_purchase": _q_asof_forward,
-        "repetition_stats": _q_repetition_stats,
         "pii_scan": _q_pii_scan,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "range_join_price_bands": _q_range_join,
@@ -1087,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample,
         "near_dup_exact": _q_near_dup_exact,
         "json_props": _q_json_props,
+        "repetition_stats": _q_repetition_stats,
         "quality_topk_docs": _q_quality_topk,
         "value_quartiles_by_type": _q_value_quartiles,
         "quality_filter_docs": _q_quality_filter,
@@ -1614,6 +1628,44 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                              then abs((value - m) / sd) > 2.0 end as int)
                        as is_anom
             from s
+        """,
+        "word_entropy_docs": """
+            with w as (
+                select doc_id, w as word
+                from documents,
+                     unnest(string_split_regex(trim(lower(text)),
+                                               '\\s+')) as t(w)
+                where text is not null and w != ''
+            ), c as (
+                select doc_id, word, count(*) as c
+                from w group by 1, 2
+            ), s as (
+                select doc_id,
+                       sum(c) as n_words_total,
+                       count(*) as n_distinct_words,
+                       sum(cast(c as double) * ln(cast(c as double)))
+                           as clnc
+                from c group by 1
+            ), full_ as (
+                select d.doc_id,
+                       cast(coalesce(s.n_words_total, 0) as bigint)
+                           as n_words_total,
+                       cast(coalesce(s.n_distinct_words, 0) as bigint)
+                           as n_distinct_words,
+                       case when s.doc_id is null then 0.0
+                            else ln(cast(s.n_words_total as double))
+                                 - s.clnc
+                                   / cast(s.n_words_total as double) end
+                           as entropy,
+                       case when s.doc_id is null then null
+                            else cast(s.n_distinct_words as double)
+                                 / cast(s.n_words_total as double) end
+                           as ttr
+                from documents d left join s using (doc_id)
+            )
+            select doc_id, n_words_total, n_distinct_words,
+                   round(entropy, 6) as entropy, round(ttr, 6) as ttr
+            from full_
         """,
         "quantile_bin_price": """
             with e as (

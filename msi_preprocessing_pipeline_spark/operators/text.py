@@ -252,3 +252,47 @@ def repetition_metrics(df: DataFrame, n: int = 2, text_col: str = "text",
                                .otherwise(F.lit(0))).cast("double")
                          / F.sum("c").cast("double"), 6)
                  .alias("dup_ngram_frac")))
+
+
+def word_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document word-distribution diversity signals: Shannon entropy
+    of the word frequency distribution (natural log) and the type-token
+    ratio — low values flag boilerplate/repetitive documents that the
+    n-gram repetition filters can miss (e.g. a page of one repeated word
+    has ``dup_ngram_frac`` ~1 but entropy pins the severity).
+
+        H = -Σ_w (c_w / n) · ln(c_w / n)      ttr = |distinct words| / n
+
+    Empty/whitespace-only docs get H = 0, ttr = null. Scale shape: word
+    explode (JVM) → (doc, word) count aggregation → per-doc entropy
+    reduce — two map-side-combined shuffles, no Python, same cost class
+    as ``tfidf_top_terms``.
+    """
+    words = (df.select(F.col(id_col),
+                       F.explode(words_col(text_col)).alias("word"))
+             .where(F.col("word") != ""))
+    counts = words.groupBy(id_col, "word").agg(F.count("*").alias("c"))
+    # window-free formulation: H = ln(n) - (Σ c·ln c)/n  — one groupBy,
+    # no per-doc-total window pass
+    stats = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_words_total"),
+        F.sum(F.col("c").cast("double")
+              * F.log(F.col("c").cast("double"))).alias("__clnc"),
+        F.count("*").alias("n_distinct_words"))
+    ent = (F.log(F.col("n_words_total").cast("double"))
+           - F.col("__clnc") / F.col("n_words_total").cast("double"))
+    out = stats.select(
+        id_col, "n_words_total", "n_distinct_words",
+        ent.alias("word_entropy"),
+        (F.col("n_distinct_words").cast("double")
+         / F.col("n_words_total").cast("double")).alias("type_token_ratio"))
+    # keep empty docs (no word rows) with the documented zero-entropy row
+    empties = (df.select(F.col(id_col))
+               .join(out.select(id_col), id_col, "left_anti")
+               .select(id_col,
+                       F.lit(0).cast("long").alias("n_words_total"),
+                       F.lit(0).cast("long").alias("n_distinct_words"),
+                       F.lit(0.0).alias("word_entropy"),
+                       F.lit(None).cast("double").alias("type_token_ratio")))
+    return out.unionByName(empties)

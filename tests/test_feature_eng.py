@@ -398,3 +398,22 @@ def test_bucketed_encode_partitions_on_bucket(spark):
     assert "__xp_bucket" in plan
     assert "hashpartitioning(cat" in plan.replace("#", "").replace(" ", "") \
         or "hashpartitioning" in plan
+
+
+def test_word_entropy_hand_computed(spark):
+    import math
+    from msi_preprocessing_pipeline_spark.operators.text import word_entropy
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "x x x x"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in word_entropy(docs).collect()}
+    # doc 1: p = (2/3, 1/3)
+    exp = -(2/3) * math.log(2/3) - (1/3) * math.log(1/3)
+    assert rows[1]["word_entropy"] == pytest.approx(exp)
+    assert rows[1]["type_token_ratio"] == pytest.approx(2/3)
+    assert rows[2]["word_entropy"] == pytest.approx(0.0)  # one repeated word
+    assert rows[2]["type_token_ratio"] == pytest.approx(0.25)
+    for d in (3, 4):  # empty/null docs kept with the zero row
+        assert rows[d]["n_words_total"] == 0
+        assert rows[d]["word_entropy"] == 0.0
+        assert rows[d]["type_token_ratio"] is None
