@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-76 queries, 76 with exact DuckDB oracles — relational SQL where expressible,
+78 queries, 78 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -968,6 +968,40 @@ def _q_woe_encode(spark, sf_dir):
                       F.round("woe_big", 6).alias("woe"))
 
 
+def _q_resample_grid(spark, sf_dir):
+    """Per-user daily grid over click values, LOCF-filled (the gap-filled
+    SAMPLE BY shape; grid = multiples of step inside each user's span)."""
+    from msi_preprocessing_pipeline_spark.operators.asof import (
+        resample_to_grid)
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", _ms("ts").alias("ms"), "value"))
+    out = resample_to_grid(clicks, on="user_id", ts_col="ms",
+                           value_col="value", step=86_400_000, fill="locf")
+    return out.select("user_id", "ms",
+                      F.round("value_grid", 6).alias("value_grid"))
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """Row-level diff of two customer snapshots (simulated rebuild: some
+    rows dropped, some balances shifted) with per-column change mask."""
+    from msi_preprocessing_pipeline_spark.operators.changelog import (
+        diff_snapshots)
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    new = (cust.where(F.col("c_custkey") % 13 != 0)
+           .withColumn("c_acctbal",
+                       F.when(F.col("c_custkey") % 11 == 0,
+                              F.col("c_acctbal") + 100.0)
+                       .otherwise(F.col("c_acctbal"))))
+    out = diff_snapshots(cust, new, "c_custkey",
+                         compare_cols=["c_name", "c_acctbal"])
+    return out.select("c_custkey", "change_type",
+                      F.concat_ws(",", "changed_cols").alias("cols"))
+
+
 def _q_word_entropy(spark, sf_dir):
     """Word-distribution entropy + type-token ratio per doc (boilerplate
     severity signal the n-gram repetition fractions can miss)."""
@@ -1068,6 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_encode_users": _q_woe_encode,
         "quantile_bin_price": _q_quantile_bin,
         "word_entropy_docs": _q_word_entropy,
+        "resample_grid_clicks": _q_resample_grid,
+        "snapshot_diff_customers": _q_snapshot_diff,
         # --- r3-green, kept inside the window (higher-risk operators) ---
         "asof_click_purchase": _q_asof_click_purchase,
         "sessionize_stats": _q_sessionize,
@@ -1080,8 +1116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_window_conversions": _q_label_window,
         "mixture_sample_docs": _q_mixture_sample,
         "exact_quantiles_price": _q_exact_quantiles,
-        "dedup_prefix_docs": _q_dedup_prefix,
-        "lang_id": _q_lang_id,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "asof_forward_next_purchase": _q_asof_forward,
@@ -1101,6 +1135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_exact": _q_near_dup_exact,
         "json_props": _q_json_props,
         "repetition_stats": _q_repetition_stats,
+        "dedup_prefix_docs": _q_dedup_prefix,
+        "lang_id": _q_lang_id,
         "quality_topk_docs": _q_quality_topk,
         "value_quartiles_by_type": _q_value_quartiles,
         "quality_filter_docs": _q_quality_filter,
@@ -1628,6 +1664,63 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                              then abs((value - m) / sd) > 2.0 end as int)
                        as is_anom
             from s
+        """,
+        "resample_grid_clicks": """
+            with ev as (
+                select user_id, epoch_ms(ts) as ms, value
+                from events where event_type = 'click'
+            ), s as (
+                select user_id,
+                       cast(ceil(min(ms) / 86400000.0)
+                            * 86400000 as bigint) as lo,
+                       cast(floor(max(ms) / 86400000.0)
+                            * 86400000 as bigint) as hi
+                from ev group by 1
+            ), grid as (
+                select user_id, cast(g as bigint) as ms
+                from s, unnest(generate_series(lo, hi, 86400000)) as t(g)
+                where hi >= lo
+            )
+            select g.user_id, g.ms,
+                   round(r.value, 6) as value_grid
+            from grid g asof left join ev r
+              on g.user_id = r.user_id and g.ms >= r.ms
+        """,
+        "snapshot_diff_customers": """
+            with old as (
+                select c_custkey, c_name, c_acctbal from customer
+            ), new as (
+                select c_custkey, c_name,
+                       case when c_custkey % 11 = 0 then c_acctbal + 100.0
+                            else c_acctbal end as c_acctbal
+                from customer where c_custkey % 13 != 0
+            ), j as (
+                select coalesce(o.c_custkey, n.c_custkey) as c_custkey,
+                       o.c_custkey is not null as in_old,
+                       n.c_custkey is not null as in_new,
+                       list_filter(
+                         [case when not (o.c_name is not distinct
+                                         from n.c_name)
+                               then 'c_name' end,
+                          case when not (o.c_acctbal is not distinct
+                                         from n.c_acctbal)
+                               then 'c_acctbal' end],
+                         x -> x is not null) as diffs
+                from old o full outer join new n
+                  on o.c_custkey = n.c_custkey
+            )
+            select c_custkey,
+                   case when not in_old then 'added'
+                        when not in_new then 'removed'
+                        when length(diffs) > 0 then 'changed'
+                        else 'unchanged' end as change_type,
+                   case when in_old and in_new
+                        then array_to_string(diffs, ',') else '' end as cols
+            from j
+            where (case when not in_old then 'added'
+                        when not in_new then 'removed'
+                        when length(diffs) > 0 then 'changed'
+                        else 'unchanged' end) != 'unchanged'
         """,
         "word_entropy_docs": """
             with w as (

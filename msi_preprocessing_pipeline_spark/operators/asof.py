@@ -307,3 +307,54 @@ def interpolate_linear(labels: DataFrame, events: DataFrame,
     out = out_col or f"{value_col}_interp"
     return (f.withColumn(out, blended)
             .drop("__ip_v0", "__ip_v1", "__ip_t0", "__ip_t1"))
+
+
+def resample_to_grid(df: DataFrame, on: Sequence[str] | str,
+                     ts_col: str, value_col: str, step: int,
+                     fill: str = "locf",
+                     salt_buckets: int | None = None) -> DataFrame:
+    """Regularize each entity's irregular series onto a fixed time grid —
+    the gap-filled ``SAMPLE BY`` / ``time_bucket_gapfill`` shape every
+    time-series feature pipeline needs before windowed models.
+
+    Grid points are the multiples of ``step`` inside the entity's own
+    observed span (``ceil(min/step)·step … floor(max/step)·step``;
+    entities whose span contains no multiple emit nothing). ``fill``:
+
+    * ``'locf'`` — last observation carried forward (backward as-of);
+    * ``'linear'`` — time-weighted interpolation between the surrounding
+      observations (:func:`interpolate_linear`; exact-hit and edge
+      semantics documented there).
+
+    Scale shape: one entity-cardinality aggregation for the spans, a JVM
+    ``sequence``+``explode`` for the grid (no Python, grid size bounded
+    by span/step per entity), then the as-of machinery — the same
+    union+window single shuffle as every other PIT operator here, with
+    ``salt_buckets`` passed through for hot entities. ``ts_col`` must be
+    numeric (epoch ms/seconds)."""
+    keys = _as_list(on)
+    spans = df.groupBy(*keys).agg(
+        F.min(F.col(ts_col).cast("long")).alias("__rg_min"),
+        F.max(F.col(ts_col).cast("long")).alias("__rg_max"))
+    st = F.lit(int(step))
+    lo = (F.ceil(F.col("__rg_min") / st.cast("double")) * st).cast("long")
+    hi = (F.floor(F.col("__rg_max") / st.cast("double")) * st).cast("long")
+    grid = (spans
+            .where(hi >= lo)
+            .select(*keys, F.explode(
+                F.sequence(lo, hi, st)).alias(ts_col)))
+    ev = df.select(*keys, F.col(ts_col).cast("long").alias(ts_col),
+                   F.col(value_col))
+    if fill == "locf":
+        out = asof_join(grid, ev.withColumnRenamed(value_col,
+                                                   f"{value_col}_grid"),
+                        keys, left_ts=ts_col, right_ts=ts_col,
+                        value_cols=[f"{value_col}_grid"],
+                        direction="backward", salt_buckets=salt_buckets)
+        return out
+    if fill != "linear":
+        raise ValueError(f"fill must be locf|linear, got {fill!r}")
+    return interpolate_linear(grid, ev, keys, label_ts=ts_col,
+                              value_col=value_col,
+                              out_col=f"{value_col}_grid",
+                              salt_buckets=salt_buckets)

@@ -417,3 +417,53 @@ def test_word_entropy_hand_computed(spark):
         assert rows[d]["n_words_total"] == 0
         assert rows[d]["word_entropy"] == 0.0
         assert rows[d]["type_token_ratio"] is None
+
+
+def test_resample_to_grid_locf_hand_computed(spark):
+    from msi_preprocessing_pipeline_spark.operators.asof import (
+        resample_to_grid)
+    # entity u observed over [95, 430] with step 100 -> grid 100..400
+    rows = [("u", 95, 1.0), ("u", 210, 2.0), ("u", 430, 3.0),
+            ("v", 150, 9.0)]  # v's span contains no multiple of 100 - wait: [150,150] -> none
+    df = spark.createDataFrame(rows, "k string, ms long, value double")
+    out = {(r["k"], r["ms"]): r["value_grid"] for r in resample_to_grid(
+        df, on="k", ts_col="ms", value_col="value", step=100).collect()}
+    assert out[("u", 100)] == 1.0   # LOCF from ms=95
+    assert out[("u", 200)] == 1.0
+    assert out[("u", 300)] == 2.0   # from ms=210
+    assert out[("u", 400)] == 2.0
+    assert ("u", 500) not in out    # beyond floor(430/100)*100
+    assert all(k[0] != "v" for k in out)  # span [150,150]: no grid point
+
+
+def test_resample_to_grid_linear(spark):
+    from msi_preprocessing_pipeline_spark.operators.asof import (
+        resample_to_grid)
+    rows = [("u", 0, 0.0), ("u", 200, 200.0)]
+    df = spark.createDataFrame(rows, "k string, ms long, value double")
+    out = {r["ms"]: r["value_grid"] for r in resample_to_grid(
+        df, on="k", ts_col="ms", value_col="value", step=100,
+        fill="linear").collect()}
+    assert out[0] == pytest.approx(0.0)     # exact hit
+    assert out[100] == pytest.approx(100.0)  # interpolated midpoint
+    assert out[200] == pytest.approx(200.0)
+
+
+def test_diff_snapshots_all_change_types(spark):
+    from msi_preprocessing_pipeline_spark.operators.changelog import (
+        diff_snapshots)
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, bal double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", None), (5, "e", 50.0)],
+        "k long, name string, bal double")
+    rows = {r["k"]: r for r in diff_snapshots(old, new, "k").collect()}
+    assert set(rows) == {2, 4, 5}       # 1 and 3 unchanged (null-safe)
+    assert rows[2]["change_type"] == "changed"
+    assert rows[2]["changed_cols"] == ["name"]
+    assert rows[4]["change_type"] == "removed"
+    assert rows[4]["changed_cols"] == []
+    assert rows[5]["change_type"] == "added"
+    full = diff_snapshots(old, new, "k", include_unchanged=True)
+    assert full.count() == 5
