@@ -161,7 +161,14 @@ def main() -> None:
     pipe = FeaturePipeline(spark, axes, cfg)
 
     t_fit, artifacts = _timed(lambda: pipe.fit(seq))
-    queries["pipeline_fit"] = round(t_fit, 3)
+    # min-of-2 like every other query (r3 methodology, BASELINE.md): the
+    # first fit pays whole-stage-codegen + Arrow/JIT warm-up (~4.7 s of
+    # one-time cost measured 2026-08-17: cold 11.5 s vs warm 6.8 s);
+    # steady-state is the 100-TB-relevant number. The artifacts are
+    # deterministic, so rep 2 reproduces rep 1's output exactly.
+    t_fit2, _ = _timed(lambda: pipe.fit(seq))
+    queries["pipeline_fit"] = round(min(t_fit, t_fit2), 3)
+    queries["pipeline_fit_cold"] = round(t_fit, 3)
 
     def serve():
         return pipe.transform(seq, [artifacts]).count()
