@@ -467,3 +467,93 @@ def test_diff_snapshots_all_change_types(spark):
     assert rows[5]["change_type"] == "added"
     full = diff_snapshots(old, new, "k", include_unchanged=True)
     assert full.count() == 5
+
+
+def test_psi_total_nonnegative_random_snapshots(spark):
+    """PSI = Σ (p-q)·ln(p/q) is a sum of nonnegative terms (Gibbs): the
+    total must be >= 0 for ANY pair of snapshots."""
+    import random
+    rng = random.Random(5)
+    for trial in range(3):
+        ref = spark.createDataFrame(
+            [(rng.gauss(50 + 10 * trial, 20),) for _ in range(300)],
+            "v double")
+        cur = spark.createDataFrame(
+            [(rng.gauss(60, 30),) for _ in range(200)], "v double")
+        total = psi_drift(ref, cur, "v", lo=0.0, hi=100.0, n_bins=8) \
+            .agg(F.sum("psi_contrib")).collect()[0][0]
+        assert total >= -1e-12, trial
+
+
+def test_target_encode_independent_of_future_rows(spark):
+    """THE leakage property: changing a FUTURE row's target must not
+    change any earlier row's encoding."""
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        target_encode_pit)
+    rows = [(i, "a", i, float(i)) for i in range(1, 8)]
+    df1 = spark.createDataFrame(rows, "id long, cat string, ts long, y double")
+    rows2 = rows[:-1] + [(7, "a", 7, 1e9)]  # blow up the last target
+    df2 = spark.createDataFrame(rows2, "id long, cat string, ts long, y double")
+    a = {r["id"]: r["te_y"] for r in target_encode_pit(
+        df1, "cat", "y", ts_col="ts", tiebreak=["id"]).collect()}
+    b = {r["id"]: r["te_y"] for r in target_encode_pit(
+        df2, "cat", "y", ts_col="ts", tiebreak=["id"],
+        prior_value=None).collect()}
+    for i in range(1, 8):  # every row INCLUDING the changed one's own
+        assert a[i] == b[i], i
+
+
+def test_interpolate_linear_bounded_between_anchors(spark):
+    import random
+    rng = random.Random(9)
+    events = spark.createDataFrame(
+        [("u", t, rng.uniform(-10, 10))
+         for t in sorted(rng.sample(range(0, 10_000), 50))],
+        "k string, ms long, value double")
+    labels = spark.createDataFrame(
+        [(i, "u", rng.randint(0, 9_999)) for i in range(100)],
+        "label_id long, k string, ms long")
+    out = interpolate_linear(labels, events, on="k", label_ts="ms")
+    ev = {r["ms"]: r["value"] for r in events.collect()}
+    ts_sorted = sorted(ev)
+    import bisect
+    for r in out.collect():
+        v = r["value_interp"]
+        i = bisect.bisect_right(ts_sorted, r["ms"])
+        lo = ev[ts_sorted[i - 1]] if i > 0 else None
+        hi = ev[ts_sorted[i]] if i < len(ts_sorted) else None
+        if lo is not None and hi is not None:
+            assert min(lo, hi) - 1e-9 <= v <= max(lo, hi) + 1e-9
+        elif lo is not None:
+            assert v == pytest.approx(lo)
+        else:
+            assert v == pytest.approx(hi)
+
+
+def test_quantile_bin_monotone_in_value(spark):
+    import random
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        quantile_bin)
+    rng = random.Random(13)
+    vals = [rng.uniform(-100, 100) for _ in range(200)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, x double")
+    out = quantile_bin(df, "x", n_bins=7).collect()
+    by_val = sorted((r["x"], r["x_bin"]) for r in out)
+    bins = [b for _, b in by_val]
+    assert all(b1 <= b2 for b1, b2 in zip(bins, bins[1:]))
+    assert min(bins) == 0 and max(bins) == 6
+
+
+def test_decayed_sum_bounded_by_plain_sum(spark):
+    import random
+    from msi_preprocessing_pipeline_spark.operators.windows import decayed_sum
+    rng = random.Random(17)
+    rows = [(i, "u", rng.randint(0, 5000), rng.uniform(0, 10))
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, k string, ms long, x double")
+    out = decayed_sum(df, "x", "k", ts_col="ms", tau=500.0,
+                      tiebreak=["id"]).collect()
+    total = sum(r[3] for r in rows)
+    for r in out:
+        assert -1e-9 <= r["x_decayed"] <= total + 1e-9
