@@ -1450,9 +1450,10 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                 select source,
                        case when (t * wt) / c >= 1.0 then 'g'
                             else printf('%08x',
-                                        cast(floor(((t * wt) / c)
-                                                   * 4294967296.0)
-                                             as bigint)) end as h
+                                        least(cast(floor(((t * wt) / c)
+                                                         * 4294967296.0)
+                                                   as bigint),
+                                              4294967295)) end as h
                 from r, tmin
             )
             select d.doc_id, d.source
@@ -1625,7 +1626,8 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                 from events where event_type = 'purchase'
             ), clicks as (
                 select user_id, epoch_ms(ts) as ms, value
-                from events where event_type = 'click'
+                from events
+                where event_type = 'click' and value is not null
             ), b as (
                 select l.event_id, l.user_id, l.ms,
                        r.value as v0, r.ms as t0
@@ -1668,7 +1670,8 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
         "resample_grid_clicks": """
             with ev as (
                 select user_id, epoch_ms(ts) as ms, value
-                from events where event_type = 'click'
+                from events
+                where event_type = 'click' and value is not null
             ), s as (
                 select user_id,
                        cast(ceil(min(ms) / 86400000.0)

@@ -283,8 +283,14 @@ def interpolate_linear(labels: DataFrame, events: DataFrame,
     skewed entities.  The blend itself is a fixed-order double expression
     (mirrorable bit-for-bit in a SQL oracle)."""
     event_ts = event_ts or label_ts
-    ev = events.select(*_as_list(on), F.col(event_ts),
-                       F.col(value_col).alias("__ip_v"))
+    # drop null-valued observations UP FRONT: asof_join fills values with
+    # the last NON-NULL (ignorenulls) but the matched ts with the nearest
+    # ROW's ts — keeping null rows would anchor an older value at a newer
+    # timestamp and skew the blend. "Nearest event" therefore means
+    # "nearest event with a value".
+    ev = (events.where(F.col(value_col).isNotNull())
+          .select(*_as_list(on), F.col(event_ts),
+                  F.col(value_col).alias("__ip_v")))
     b = asof_join(labels, ev.select(*_as_list(on), F.col(event_ts),
                                     F.col("__ip_v").alias("__ip_v0")),
                   on, left_ts=label_ts, right_ts=event_ts,
@@ -343,8 +349,11 @@ def resample_to_grid(df: DataFrame, on: Sequence[str] | str,
             .where(hi >= lo)
             .select(*keys, F.explode(
                 F.sequence(lo, hi, st)).alias(ts_col)))
-    ev = df.select(*keys, F.col(ts_col).cast("long").alias(ts_col),
-                   F.col(value_col))
+    # null observations carry nothing: drop them so the LOCF value and the
+    # oracle's row-level as-of agree (same reasoning as interpolate_linear)
+    ev = (df.where(F.col(value_col).isNotNull())
+          .select(*keys, F.col(ts_col).cast("long").alias(ts_col),
+                  F.col(value_col)))
     if fill == "locf":
         out = asof_join(grid, ev.withColumnRenamed(value_col,
                                                    f"{value_col}_grid"),

@@ -14,17 +14,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def bin_expr(col: str, lo: float, hi: float, n_bins: int):
+    """THE fixed equal-width bin index expression shared by the batch PSI
+    operator and the streaming monitor (one definition so they can never
+    desynchronize): ``floor((x - lo)/width)`` clamped into [0, n_bins)."""
+    width = (hi - lo) / n_bins
+    x = F.col(col).cast("double")
+    return F.least(F.greatest(
+        F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1)).cast("int")
+
+
 def _bin_counts(df: DataFrame, col: str, lo: float, hi: float,
                 n_bins: int, out: str) -> DataFrame:
     """Histogram over fixed equal-width bins on [lo, hi); out-of-range
     values clamp into the edge bins, nulls are dropped."""
-    width = (hi - lo) / n_bins
     x = F.col(col).cast("double")
-    bin_ = F.least(F.greatest(
-        F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
-        F.lit(n_bins - 1)).cast("int")
     return (df.where(x.isNotNull())
-            .select(bin_.alias("bin"))
+            .select(bin_expr(col, lo, hi, n_bins).alias("bin"))
             .groupBy("bin").agg(F.count("*").alias(out)))
 
 

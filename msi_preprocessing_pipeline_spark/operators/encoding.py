@@ -16,6 +16,22 @@ from pyspark.sql import functions as F
 from ..functions.util import as_list as _as_list
 
 
+def _join_group_stats(df: DataFrame, stats: DataFrame, groups) -> DataFrame:
+    """Left join per-group stats back onto the rows, NULL-SAFELY: groupBy
+    emits a stats row for the NULL group, and a plain equi-join would drop
+    every null-keyed input row (null != null). The <=> condition still
+    hash-joins; stats' key copies are dropped after."""
+    renamed = stats
+    for g in groups:
+        renamed = renamed.withColumnRenamed(g, f"__gs_{g}")
+    cond = None
+    for g in groups:
+        c = F.col(g).eqNullSafe(F.col(f"__gs_{g}"))
+        cond = c if cond is None else (cond & c)
+    return (df.join(renamed, cond, "left")
+            .drop(*[f"__gs_{g}" for g in groups]))
+
+
 def feature_hash(df: DataFrame, cols, n_buckets: int = 1024,
                  seed: int = 0, out_col: str = "feature_bucket") -> DataFrame:
     """Hashing-trick bucket id over one or more columns (Weinberger et al.
@@ -61,8 +77,8 @@ def standardize_robust(df: DataFrame, col: str, group_cols=None,
     iqr = (F.expr(f"percentile({col}, 0.75)")
            - F.expr(f"percentile({col}, 0.25)")).alias("__rs_iqr")
     if groups:
-        stats = df.groupBy(*groups).agg(med, iqr)
-        joined = df.join(stats, groups)
+        joined = _join_group_stats(df, df.groupBy(*groups).agg(med, iqr),
+                                   groups)
     else:
         joined = df.crossJoin(F.broadcast(df.agg(med, iqr)))
     z = F.when(F.col("__rs_iqr") > F.lit(0.0),
@@ -96,7 +112,8 @@ def quantile_bin(df: DataFrame, col: str, n_bins: int = 10,
     qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
     edges = F.expr(f"percentile({col}, array({qs}))").alias("__qb_edges")
     if groups:
-        joined = df.join(df.groupBy(*groups).agg(edges), groups)
+        joined = _join_group_stats(df, df.groupBy(*groups).agg(edges),
+                                   groups)
     else:
         joined = df.crossJoin(F.broadcast(df.agg(edges)))
     x = F.col(col).cast("double")

@@ -37,7 +37,11 @@ def _hex_threshold(fraction: float) -> str:
     # groups documented as "kept whole" (mixture_sample's binding group)
     if fraction >= 1.0:
         return "g"
-    return format(max(int(fraction * _HEX_SPACE), 0), "08x")
+    # clamp BOTH ends: int(f * 2^32) rounds UP to 2^32 for f within one
+    # ulp below 1.0 (f*2^32 = 2^32 - 2^-21 -> 2^32.0 in double), which
+    # would emit a 9-char threshold and break the fixed-width compare
+    return format(min(max(int(fraction * _HEX_SPACE), 0),
+                      _HEX_SPACE - 1), "08x")
 
 
 def hash_sample(df: DataFrame, key, fraction: float,

@@ -519,7 +519,10 @@ def target_encode_pit(df: DataFrame, category_col: str, target_col: str,
     base = _expanding_prior_sums(
         df, category_col, ts_col, tiebreak,
         {"__te_sum": F.sum(tgt), "__te_cnt": F.count(tgt)}, bucket_width)
-    if prior_value is not None:
+    if prior_weight == 0.0:
+        # the prior is multiplied by 0 — do not build (or broadcast) it
+        prior = F.lit(0.0)
+    elif prior_value is not None:
         prior = F.lit(float(prior_value))
     else:
         prior_rel = df.agg(F.avg(tgt).cast("double").alias("__te_prior"))

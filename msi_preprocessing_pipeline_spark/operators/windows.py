@@ -166,11 +166,11 @@ def decayed_sum(df: DataFrame, value_col: str, partition_by,
     * ``strategy='window'`` — pure JVM: anchor-offset factorization
       ``s_i = exp(-(t_i-t_a)/τ) · Σ v_j·exp((t_j-t_a)/τ)`` turns the pair
       weights into a single expanding window sum (one shuffle on the
-      entity key, whole-stage codegen). The anchor ``t_a`` is the global
-      min timestamp, attached as an in-plan broadcast 1-row aggregate
-      (lazy). VALID ONLY when ``(max ts - min ts)/τ ≲ 700`` (double
-      overflow bound of ``exp``) — the usual case, since τ below span/700
-      decays to zero long before it matters numerically.
+      entity key, whole-stage codegen). The anchor ``t_a`` is each
+      ENTITY'S OWN min timestamp (a second whole-partition window over
+      the same exchange — no extra shuffle), so the exp-overflow bound
+      ``(entity max ts - entity min ts)/τ ≲ 700`` is per-entity, not
+      dataset-wide. Still lazy (no aggregate job at compose time).
     * ``strategy='scan'`` — ``applyInPandas`` per entity running the
       numerically-stable recurrence ``s_i = v_i + s_{i-1}·exp(-(t_i -
       t_{i-1})/τ)`` (never exponentiates an absolute time), for
@@ -184,19 +184,21 @@ def decayed_sum(df: DataFrame, value_col: str, partition_by,
     out = out_col or f"{value_col}_decayed"
     tie = list(tiebreak or [])
     if strategy == "window":
-        anchor = df.agg(F.min(F.col(ts_col)).cast("double")
-                        .alias("__ds_anchor"))
         w = (Window.partitionBy(*keys).orderBy(ts_col, *tie)
              .rowsBetween(Window.unboundedPreceding,
                           0 if include_current else -1))
+        wa = Window.partitionBy(*keys)  # whole-partition: entity min ts
         t = F.col(ts_col).cast("double")
+        # materialize the anchor first (window exprs cannot nest); both
+        # windows share the entity partitioning -> ONE exchange
+        base = df.select("*", F.min(t).over(wa).alias("__ds_anchor"))
+        anchor = F.col("__ds_anchor")
         weighted = F.col(value_col).cast("double") * \
-            F.exp((t - F.col("__ds_anchor")) / F.lit(float(tau)))
-        return (df.crossJoin(F.broadcast(anchor))
-                .select("*", (F.exp(-(t - F.col("__ds_anchor"))
-                                    / F.lit(float(tau)))
-                              * F.sum(weighted).over(w)).alias(out))
-                .drop("__ds_anchor"))
+            F.exp((t - anchor) / F.lit(float(tau)))
+        return (base.select(
+            "*", (F.exp(-(t - anchor) / F.lit(float(tau)))
+                  * F.sum(weighted).over(w)).alias(out))
+            .drop("__ds_anchor"))
     if strategy != "scan":
         raise ValueError(f"strategy must be window|scan, got {strategy}")
     import numpy as np

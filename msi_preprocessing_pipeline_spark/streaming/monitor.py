@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.drift import _bin_counts
+from ..operators.drift import _bin_counts, bin_expr
 
 
 def reference_shares(ref: DataFrame, col: str, lo: float, hi: float,
@@ -39,11 +39,8 @@ def streaming_bin_counts(events: DataFrame, col: str, lo: float, hi: float,
     """The streaming half: watermarked per-(tumbling-window, bin) counts.
     One aggregation, append-mode-compatible, state bounded by
     (windows-in-watermark × n_bins)."""
-    width = (hi - lo) / n_bins
     x = F.col(col).cast("double")
-    bin_ = F.least(F.greatest(
-        F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
-        F.lit(n_bins - 1)).cast("int")
+    bin_ = bin_expr(col, lo, hi, n_bins)  # SHARED with batch psi_drift
     return (events
             # watermarks require TIMESTAMP (with zone); parquet NTZ columns
             # cast deterministically under the session's pinned UTC zone
