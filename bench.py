@@ -200,7 +200,14 @@ def main() -> None:
                  "rolling_time_features", "mixture_sample_docs",
                  "approx_distinct_users", "pit_agg_features",
                  "cut_dup_spans_docs", "quality_topk_docs",
-                 "cube_doc_stats"]:
+                 "cube_doc_stats",
+                 # round-4 operators
+                 "target_encode_events", "woe_encode_users",
+                 "decayed_sum_value", "rolling_zscore_value",
+                 "psi_value_drift", "interpolated_click_value",
+                 "word_entropy_docs", "quantile_bin_price",
+                 "robust_scaled_value", "feature_hash_events",
+                 "resample_grid_clicks", "snapshot_diff_customers"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays
