@@ -33,4 +33,9 @@
 * :mod:`validate`   — declarative data-quality expectations fused into
   one aggregation scan (null / unique / range / regex / set rules).
 * :mod:`multimodal` — binary-payload plumbing (decode steps stubbed).
+* :mod:`encoding`   — hashing-trick buckets, robust (median/IQR)
+  standardization, equal-frequency quantile binning.
+* :mod:`drift`      — PSI feature-drift monitoring between snapshots
+  (fixed bins, Laplace-smoothed; shares its bin expression with the
+  streaming monitor).
 """
