@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-78 queries, 78 with exact DuckDB oracles — relational SQL where expressible,
+79 queries, 79 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1002,6 +1002,23 @@ def _q_snapshot_diff(spark, sf_dir):
                       F.concat_ws(",", "changed_cols").alias("cols"))
 
 
+def _q_calibration(spark, sf_dir):
+    """Reliability-diagram bins: score = value/400 (decimal, exact sums),
+    label = is-purchase; empty bins kept with zero counts."""
+    from msi_preprocessing_pipeline_spark.operators.drift import (
+        calibration_bins)
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("value") / F.lit(400.0)).cast("decimal(18,9)")
+        .alias("score"),
+        (F.col("event_type") == "purchase").alias("label"))
+    out = calibration_bins(ev, "score", "label", n_bins=8,
+                           lo=0.0, hi=1.0)
+    return out.select("bin", "n", "n_pos",
+                      F.round("mean_score", 6).alias("mean_score"),
+                      F.round("pos_rate", 6).alias("pos_rate"))
+
+
 def _q_word_entropy(spark, sf_dir):
     """Word-distribution entropy + type-token ratio per doc (boilerplate
     severity signal the n-gram repetition fractions can miss)."""
@@ -1102,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_encode_users": _q_woe_encode,
         "quantile_bin_price": _q_quantile_bin,
         "word_entropy_docs": _q_word_entropy,
+        "calibration_value_purchase": _q_calibration,
         "resample_grid_clicks": _q_resample_grid,
         "snapshot_diff_customers": _q_snapshot_diff,
         # --- r3-green, kept inside the window (higher-risk operators) ---
@@ -1122,7 +1140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "range_join_price_bands": _q_range_join,
-        "pack_assignments_docs": _q_pack_assignments,
         "decontaminate_docs": _q_decontaminate,
         # rows-only checks
         "smooth_and_peaks": _q_smooth_and_peaks,
@@ -1137,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "dedup_prefix_docs": _q_dedup_prefix,
         "lang_id": _q_lang_id,
+        "pack_assignments_docs": _q_pack_assignments,
         "quality_topk_docs": _q_quality_topk,
         "value_quartiles_by_type": _q_value_quartiles,
         "quality_filter_docs": _q_quality_filter,
@@ -1724,6 +1742,35 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         when not in_new then 'removed'
                         when length(diffs) > 0 then 'changed'
                         else 'unchanged' end) != 'unchanged'
+        """,
+        "calibration_value_purchase": """
+            with b as (
+                select cast(least(greatest(
+                           floor(cast(cast(value / 400.0 as decimal(18,9))
+                                      as double) / 0.125), 0), 7) as int)
+                           as bin,
+                       cast(value / 400.0 as decimal(18,9)) as score,
+                       case when event_type = 'purchase' then 1 else 0 end
+                           as pos
+                from events where value is not null
+            ), a as (
+                select bin, count(*) as n, sum(pos) as n_pos,
+                       sum(score) as ssum
+                from b group by 1
+            ), spine as (
+                select cast(x as int) as bin
+                from unnest(generate_series(0, 7)) as t(x)
+            )
+            select spine.bin,
+                   cast(coalesce(a.n, 0) as bigint) as n,
+                   cast(coalesce(a.n_pos, 0) as bigint) as n_pos,
+                   round(case when a.n > 0
+                              then cast(a.ssum as double) / a.n end, 6)
+                       as mean_score,
+                   round(case when a.n > 0
+                              then cast(a.n_pos as double) / a.n end, 6)
+                       as pos_rate
+            from spine left join a using (bin)
         """,
         "word_entropy_docs": """
             with w as (

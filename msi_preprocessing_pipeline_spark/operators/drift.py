@@ -81,3 +81,49 @@ def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
         "bin", "n_ref", "n_cur",
         p.alias("p_ref"), q.alias("p_cur"),
         ((p - q) * F.log(p / q)).alias("psi_contrib"))
+
+
+def calibration_bins(df: DataFrame, score_col: str, label_col: str,
+                     n_bins: int = 10, lo: float = 0.0,
+                     hi: float = 1.0) -> DataFrame:
+    """Reliability-diagram relation for a probabilistic score: per
+    fixed-width score bin, the count, positive count, mean score and
+    observed positive rate — the standard calibration monitoring table
+    (sum ``n·|pos_rate − mean_score|/N`` for ECE).
+
+    The score is summed in ITS OWN column type (cast to double only for
+    the final ratios) — pass a decimal score for bit-exact cross-engine
+    parity, the same idiom as ``target_encode_pit``. NULL scores are
+    dropped; NULL labels count as negatives in ``n`` (documented: they
+    dilute the rate; filter upstream if that is wrong for the use case).
+
+    Scale shape: ONE partial+final aggregation to an n_bins-sized
+    relation, joined onto the full bin spine so empty bins appear with
+    zero counts. Same fixed-bin expression as :func:`psi_drift`.
+    """
+    x = F.col(score_col).cast("double")
+    is_pos = F.col(label_col).cast("boolean")
+    binned = (df.where(x.isNotNull())
+              .select(bin_expr(score_col, lo, hi, n_bins).alias("bin"),
+                      F.col(score_col).alias("__score"),
+                      F.when(is_pos, 1).otherwise(0).alias("__pos")))
+    agg = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("__pos").alias("n_pos"),
+        F.sum("__score").alias("__ssum"))
+    spine = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin"))
+    full = (spine.join(agg, "bin", "left")
+            .select("bin",
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
+                    F.col("__ssum")))
+    mean_score = F.when(F.col("n") > 0,
+                        F.col("__ssum").cast("double")
+                        / F.col("n").cast("double"))
+    pos_rate = F.when(F.col("n") > 0,
+                      F.col("n_pos").cast("double")
+                      / F.col("n").cast("double"))
+    return full.select("bin", "n", "n_pos",
+                       mean_score.alias("mean_score"),
+                       pos_rate.alias("pos_rate"))

@@ -563,3 +563,37 @@ def test_decayed_sum_bounded_by_plain_sum(spark):
     total = sum(r[3] for r in rows)
     for r in out:
         assert -1e-9 <= r["x_decayed"] <= total + 1e-9
+
+
+def test_calibration_bins_hand_computed(spark):
+    from msi_preprocessing_pipeline_spark.operators.drift import (
+        calibration_bins)
+    rows = [(0.05, True), (0.05, False), (0.95, True), (0.95, True),
+            (None, True), (0.55, None)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {r["bin"]: r for r in calibration_bins(
+        df, "score", "label", n_bins=2, lo=0.0, hi=1.0).collect()}
+    assert set(out) == {0, 1}  # full spine even with sparse data
+    b0, b1 = out[0], out[1]
+    # null score dropped; null label counted as a negative in its bin
+    assert b0["n"] == 2 and b0["n_pos"] == 1
+    assert b0["mean_score"] == pytest.approx(0.05)
+    assert b0["pos_rate"] == pytest.approx(0.5)
+    assert b1["n"] == 3 and b1["n_pos"] == 2   # 0.55 null-label negative
+    assert b1["pos_rate"] == pytest.approx(2 / 3)
+
+
+def test_calibration_bins_perfectly_calibrated_score(spark):
+    """Score == true positive rate per bin => pos_rate ~= mean_score."""
+    import random
+    from msi_preprocessing_pipeline_spark.operators.drift import (
+        calibration_bins)
+    rng = random.Random(21)
+    rows = []
+    for _ in range(4000):
+        s = rng.random()
+        rows.append((s, rng.random() < s))
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    for r in calibration_bins(df, "score", "label", n_bins=5).collect():
+        assert r["n"] > 0
+        assert abs(r["pos_rate"] - r["mean_score"]) < 0.08  # sampling noise
