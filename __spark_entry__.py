@@ -1867,7 +1867,8 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    round(case when s.iqr > 0.0
                               then (e.value - s.med) / s.iqr end, 6)
                        as z_robust
-            from events e join s using (event_type)
+            from events e join s
+              on e.event_type is not distinct from s.event_type
         """,
         "decayed_sum_value": """
             select a.event_id, a.user_id,

@@ -207,7 +207,8 @@ def main() -> None:
                  "psi_value_drift", "interpolated_click_value",
                  "word_entropy_docs", "quantile_bin_price",
                  "robust_scaled_value", "feature_hash_events",
-                 "resample_grid_clicks", "snapshot_diff_customers"]:
+                 "resample_grid_clicks", "snapshot_diff_customers",
+                 "calibration_value_purchase"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

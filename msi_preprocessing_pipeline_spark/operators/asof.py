@@ -339,7 +339,11 @@ def resample_to_grid(df: DataFrame, on: Sequence[str] | str,
     ``salt_buckets`` passed through for hot entities. ``ts_col`` must be
     numeric (epoch ms/seconds)."""
     keys = _as_list(on)
-    spans = df.groupBy(*keys).agg(
+    # null observations carry nothing — filter them BEFORE the span
+    # aggregation too, so an entity's grid is shaped only by rows that can
+    # actually fill it (and matches the oracle's filtered-span semantics)
+    obs = df.where(F.col(value_col).isNotNull())
+    spans = obs.groupBy(*keys).agg(
         F.min(F.col(ts_col).cast("long")).alias("__rg_min"),
         F.max(F.col(ts_col).cast("long")).alias("__rg_max"))
     st = F.lit(int(step))
@@ -349,11 +353,8 @@ def resample_to_grid(df: DataFrame, on: Sequence[str] | str,
             .where(hi >= lo)
             .select(*keys, F.explode(
                 F.sequence(lo, hi, st)).alias(ts_col)))
-    # null observations carry nothing: drop them so the LOCF value and the
-    # oracle's row-level as-of agree (same reasoning as interpolate_linear)
-    ev = (df.where(F.col(value_col).isNotNull())
-          .select(*keys, F.col(ts_col).cast("long").alias(ts_col),
-                  F.col(value_col)))
+    ev = obs.select(*keys, F.col(ts_col).cast("long").alias(ts_col),
+                    F.col(value_col))
     if fill == "locf":
         out = asof_join(grid, ev.withColumnRenamed(value_col,
                                                    f"{value_col}_grid"),

@@ -28,7 +28,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "user_id long, event_id long, ms long, decayed double"
 STATE_SCHEMA = "last_ts long, acc double"
 
 
@@ -37,9 +36,12 @@ def fold_decay(rows, last_ts, acc, tau):
     unit tests: ``rows`` is an iterable of (event_id, ms, value) — folded
     in (ms, event_id) order — against state ``(last_ts, acc)``. Returns
     (emitted [(event_id, ms, decayed)], last_ts, acc). Null values add
-    nothing but still emit the current accumulator."""
+    nothing but still emit the current accumulator; rows with a NULL
+    timestamp are SKIPPED (they have no place on the decay timeline —
+    crashing the whole streaming query over one bad row is worse)."""
+    valid = [r for r in rows if r[1] is not None and r[1] == r[1]]
     out = []
-    for eid, t, v in sorted(rows, key=lambda r: (r[1], r[0])):
+    for eid, t, v in sorted(valid, key=lambda r: (r[1], r[0])):
         t = int(t)
         v = 0.0 if v is None or v != v else float(v)
         if last_ts is None:
@@ -50,7 +52,7 @@ def fold_decay(rows, last_ts, acc, tau):
             last_ts = t
         else:  # late event: its value decayed by its age vs the clock
             acc = acc + v * math.exp(-(last_ts - t) / tau)
-        out.append((int(eid), t, acc))
+        out.append((eid, t, acc))
     return out, last_ts, acc
 
 
@@ -58,7 +60,7 @@ def _decay_group(key: Tuple[Any, ...],
                  batches: Iterator[pd.DataFrame],
                  state: GroupState,
                  tau: float) -> Iterable[pd.DataFrame]:
-    (user_id,) = key
+    (entity,) = key
     rows: list[tuple] = []
     for pdf in batches:
         rows.extend(zip(pdf["event_id"], pdf["ms"], pdf["value"]))
@@ -70,7 +72,7 @@ def _decay_group(key: Tuple[Any, ...],
     state.update((last_ts, acc))
     if out:
         yield pd.DataFrame(
-            [(user_id, eid, t, d) for eid, t, d in out],
+            [(entity, eid, t, d) for eid, t, d in out],
             columns=["user_id", "event_id", "ms", "decayed"])
 
 
@@ -92,12 +94,19 @@ def streaming_decayed_sum(events: DataFrame, tau: float,
     def fn(key, batches, state):
         return _decay_group(key, batches, state, float(tau))
 
+    # output schema derives the ENTITY and ID types from the input (the
+    # column names stay canonical); a string doc id or int32 key works —
+    # only the event-time column is pinned to integer millis
+    e_type = events.schema[entity_col].dataType.simpleString()
+    i_type = events.schema[id_col].dataType.simpleString()
+    out_schema = (f"user_id {e_type}, event_id {i_type}, ms long, "
+                  f"decayed double")
     return (events.selectExpr(f"{entity_col} as user_id",
                               f"{id_col} as event_id",
                               f"{ms_col} as ms",
                               f"{value_col} as value")
             .groupBy("user_id")
             .applyInPandasWithState(
-                fn, outputStructType=OUTPUT_SCHEMA,
+                fn, outputStructType=out_schema,
                 stateStructType=STATE_SCHEMA, outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

@@ -597,3 +597,19 @@ def test_calibration_bins_perfectly_calibrated_score(spark):
     for r in calibration_bins(df, "score", "label", n_bins=5).collect():
         assert r["n"] > 0
         assert abs(r["pos_rate"] - r["mean_score"]) < 0.08  # sampling noise
+
+
+def test_resample_grid_span_ignores_null_observations(spark):
+    """A null-valued extremal row must not stretch (or create) the grid:
+    spans come from rows that can actually fill grid points."""
+    from msi_preprocessing_pipeline_spark.operators.asof import (
+        resample_to_grid)
+    rows = [("u", 0, None), ("u", 250, 1.0), ("u", 260, 2.0),
+            ("w", 50, None), ("w", 60, None)]
+    df = spark.createDataFrame(rows, "k string, ms long, value double")
+    out = [(r["k"], r["ms"]) for r in resample_to_grid(
+        df, on="k", ts_col="ms", value_col="value", step=100).collect()]
+    # u's observed (non-null) span is [250, 260]: no multiple of 100 inside
+    # (the null row at ms=0 would otherwise fabricate grid points 0..200);
+    # w has no observations at all
+    assert out == []

@@ -71,3 +71,34 @@ def test_fold_decay_null_value_emits_current_acc():
                                 None, 0.0, 100.0)
     assert acc == pytest.approx(7.0 * math.exp(-0.1))
     assert out[1][2] == pytest.approx(acc)
+
+
+def test_fold_decay_skips_null_timestamp_rows():
+    out, last, acc = fold_decay(
+        [(1, 0, 10.0), (2, None, 99.0), (3, float("nan"), 5.0)],
+        None, 0.0, 100.0)
+    assert [o[0] for o in out] == [1]
+    assert acc == pytest.approx(10.0)
+
+
+def test_streaming_decay_string_entity_and_int_id(spark, tmp_path):
+    """Output schema derives entity/id types from the input."""
+    import os
+    ev_dir = str(tmp_path / "ev")
+    os.makedirs(ev_dir)
+    spark.createDataFrame(
+        [("a", 1, 0, 10.0), ("a", 2, 100, 20.0), ("b", 3, 0, 5.0)],
+        "k string, eid int, ms long, value double") \
+        .write.parquet(ev_dir, mode="overwrite")
+    raw = spark.read.parquet(ev_dir)
+    stream = spark.readStream.schema(raw.schema).parquet(ev_dir)
+    out = streaming_decayed_sum(stream, tau=100.0, entity_col="k",
+                                id_col="eid")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("decay_str").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["user_id"], r["event_id"]): r["decayed"]
+           for r in spark.sql("select * from decay_str").collect()}
+    assert got[("a", 2)] == pytest.approx(20.0 + 10.0 * math.exp(-1.0))
+    assert got[("b", 3)] == pytest.approx(5.0)
