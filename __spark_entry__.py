@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-79 queries, 79 with exact DuckDB oracles — relational SQL where expressible,
+80 queries, 80 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1002,6 +1002,19 @@ def _q_snapshot_diff(spark, sf_dir):
                       F.concat_ws(",", "changed_cols").alias("cols"))
 
 
+def _q_grouped_quantiles(spark, sf_dir):
+    """Per-event-type exact quantiles via the giant-group-safe
+    range-partition + rank-fetch relation (zero driver collects)."""
+    from msi_preprocessing_pipeline_spark.operators.quantiles import (
+        grouped_exact_quantiles)
+
+    ev = _t(spark, sf_dir, "events")
+    out = grouped_exact_quantiles(ev, "value", ["event_type"],
+                                  [0.25, 0.5, 0.75, 0.9])
+    return out.select("event_type", F.round("q", 2).alias("q"),
+                      F.round("value", 6).alias("value"))
+
+
 def _q_calibration(spark, sf_dir):
     """Reliability-diagram bins: score = value/400 (decimal, exact sums),
     label = is-purchase; empty bins kept with zero counts."""
@@ -1120,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin_price": _q_quantile_bin,
         "word_entropy_docs": _q_word_entropy,
         "calibration_value_purchase": _q_calibration,
+        "grouped_quantiles_value": _q_grouped_quantiles,
         "resample_grid_clicks": _q_resample_grid,
         "snapshot_diff_customers": _q_snapshot_diff,
         # --- r3-green, kept inside the window (higher-risk operators) ---
@@ -1136,7 +1150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles_price": _q_exact_quantiles,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
-        "asof_forward_next_purchase": _q_asof_forward,
         "pii_scan": _q_pii_scan,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "range_join_price_bands": _q_range_join,
@@ -1155,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_docs": _q_dedup_prefix,
         "lang_id": _q_lang_id,
         "pack_assignments_docs": _q_pack_assignments,
+        "asof_forward_next_purchase": _q_asof_forward,
         "quality_topk_docs": _q_quality_topk,
         "value_quartiles_by_type": _q_value_quartiles,
         "quality_filter_docs": _q_quality_filter,
@@ -1742,6 +1756,22 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         when not in_new then 'removed'
                         when length(diffs) > 0 then 'changed'
                         else 'unchanged' end) != 'unchanged'
+        """,
+        "grouped_quantiles_value": """
+            select event_type, q, round(value, 6) as value from (
+                select event_type, 0.25 as q,
+                       quantile_cont(value, 0.25) as value
+                from events group by 1
+                union all
+                select event_type, 0.5, quantile_cont(value, 0.5)
+                from events group by 1
+                union all
+                select event_type, 0.75, quantile_cont(value, 0.75)
+                from events group by 1
+                union all
+                select event_type, 0.9, quantile_cont(value, 0.9)
+                from events group by 1
+            )
         """,
         "calibration_value_purchase": """
             with b as (

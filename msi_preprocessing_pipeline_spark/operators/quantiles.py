@@ -94,3 +94,70 @@ def matlab_quantiles(df: DataFrame, col: str, qs) -> np.ndarray:
     n = df.where(f"{col} is not null").count()
     remapped = matlab_positions(n, np.atleast_1d(np.asarray(qs, dtype=float)))
     return exact_quantiles(df, col, remapped)
+
+
+def grouped_exact_quantiles(df: DataFrame, col: str, group_cols,
+                            qs) -> DataFrame:
+    """EXACT per-group quantiles as a relation ``(group_cols…, q, value)``
+    — numpy ``percentile(method='linear')`` / DuckDB ``quantile_cont``
+    semantics — built to survive GIANT groups.
+
+    A plain ``percentile`` aggregate (or any collect_list/sort-per-group
+    form) materializes each group's values on one reducer;
+    ``Window.partitionBy(group)`` serializes each group onto one task.
+    This operator instead range-partitions on ``(group, value)`` so a hot
+    group spreads over many partitions, computes per-(partition, group)
+    counts (a small relation), turns them into global in-group ranks via
+    a prefix window over that SMALL relation, and fetches only the ≤2·|q|
+    boundary rows per group before interpolating — fully declarative,
+    zero driver-side collects or loops.
+
+    Cost: one range exchange of the projected columns + one hash exchange
+    on (partition-id, group) for the in-partition rank, plus small joins.
+    NULL values are excluded; groups with no non-null values emit nothing.
+    """
+    from ..functions.util import as_list as _as_list
+
+    groups = _as_list(group_cols)
+    qs = [float(q) for q in qs]
+    vals = (df.where(F.col(col).isNotNull())
+            .select(*groups, F.col(col).cast("double").alias("__v")))
+    part = (vals.repartitionByRange(*groups, "__v")
+            .withColumn("__pid", F.spark_partition_id()))
+    pc = part.groupBy("__pid", *groups).agg(F.count("*").alias("__c"))
+    w_off = (Window.partitionBy(*groups).orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_tot = Window.partitionBy(*groups)
+    offs = pc.select(
+        "__pid", *groups,
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__c").over(w_tot).alias("__n"))
+    w_rank = Window.partitionBy("__pid", *groups).orderBy("__v")
+    ranked = (part.join(offs, ["__pid"] + groups)
+              .select(*groups, "__v", "__n",
+                      (F.col("__off") + F.row_number().over(w_rank) - 1)
+                      .alias("__r")))
+    nm1 = (F.col("__n") - 1).cast("double")
+    keep = None
+    for q in qs:
+        pos = nm1 * F.lit(q)
+        c = (F.col("__r") == F.floor(pos)) | (F.col("__r") == F.ceil(pos))
+        keep = c if keep is None else (keep | c)
+    boundary = ranked.where(keep)
+    b2 = boundary.select(
+        *groups, "__v", "__r", "__n",
+        F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"))
+    pos = (F.col("__n") - 1).cast("double") * F.col("q")
+    b3 = (b2.where((F.col("__r") == F.floor(pos))
+                   | (F.col("__r") == F.ceil(pos)))
+          .withColumn("__frac", pos - F.floor(pos))
+          .withColumn("__is_lo", F.col("__r") == F.floor(pos))
+          .withColumn("__is_hi", F.col("__r") == F.ceil(pos)))
+    agg = b3.groupBy(*groups, "q").agg(
+        F.max(F.when(F.col("__is_lo"), F.col("__v"))).alias("__lo"),
+        F.max(F.when(F.col("__is_hi"), F.col("__v"))).alias("__hi"),
+        F.first("__frac").alias("__f"))
+    return agg.select(
+        *groups, "q",
+        (F.col("__lo")
+         + F.col("__f") * (F.col("__hi") - F.col("__lo"))).alias("value"))

@@ -613,3 +613,41 @@ def test_resample_grid_span_ignores_null_observations(spark):
     # (the null row at ms=0 would otherwise fabricate grid points 0..200);
     # w has no observations at all
     assert out == []
+
+
+def test_grouped_exact_quantiles_matches_numpy(spark):
+    import numpy as np
+    from msi_preprocessing_pipeline_spark.operators.quantiles import (
+        grouped_exact_quantiles)
+    import random
+    rng = random.Random(31)
+    data = {"a": [rng.uniform(0, 100) for _ in range(137)],
+            "b": [rng.uniform(-5, 5) for _ in range(7)],
+            "c": [42.0]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    rows += [("a", None)]  # nulls excluded
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [0.1, 0.5, 0.9]
+    got = {(r["g"], round(r["q"], 2)): r["value"]
+           for r in grouped_exact_quantiles(df, "v", ["g"], qs).collect()}
+    for g, vs in data.items():
+        for q in qs:
+            exp = float(np.percentile(vs, 100 * q, method="linear"))
+            assert got[(g, q)] == pytest.approx(exp, rel=1e-12), (g, q)
+    assert len(got) == 9
+
+
+def test_grouped_exact_quantiles_partition_invariant(spark):
+    from msi_preprocessing_pipeline_spark.operators.quantiles import (
+        grouped_exact_quantiles)
+    import random
+    rng = random.Random(33)
+    rows = [(f"g{rng.randint(0, 3)}", rng.uniform(0, 10))
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    a = sorted((r["g"], r["q"], r["value"]) for r in
+               grouped_exact_quantiles(df, "v", ["g"], [0.5]).collect())
+    b = sorted((r["g"], r["q"], r["value"]) for r in
+               grouped_exact_quantiles(df.repartition(13), "v", ["g"],
+                                       [0.5]).collect())
+    assert a == b
