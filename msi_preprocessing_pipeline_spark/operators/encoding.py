@@ -67,9 +67,9 @@ def standardize_robust(df: DataFrame, col: str, group_cols=None,
     when small — no forced hint, the group count is data-dependent); the
     ungrouped form attaches a broadcast 1-row aggregate (lazy). The
     quantile aggregation collects each group's values into sorted memory
-    on one reducer — for groups above ~10^8 rows switch to
-    ``operators.quantiles.exact_quantiles`` per group (sort-based, no
-    single-reducer materialization).
+    on one reducer — for groups above ~10^8 rows compute the stats with
+    ``operators.quantiles.grouped_exact_quantiles`` (range-partitioned,
+    no single-reducer materialization) and join them back instead.
     """
     groups = _as_list(group_cols or [])
     x = F.col(col).cast("double")
