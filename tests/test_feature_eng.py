@@ -651,3 +651,15 @@ def test_grouped_exact_quantiles_partition_invariant(spark):
                grouped_exact_quantiles(df.repartition(13), "v", ["g"],
                                        [0.5]).collect())
     assert a == b
+
+
+def test_grouped_exact_quantiles_lazy_and_range_partitioned(spark):
+    from msi_preprocessing_pipeline_spark.operators.quantiles import (
+        grouped_exact_quantiles)
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    out = grouped_exact_quantiles(df, "v", ["g"], [0.5])
+    assert set(tracker.getJobIdsForGroup(None)) == before  # no collects
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
