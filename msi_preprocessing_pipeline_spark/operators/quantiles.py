@@ -120,6 +120,11 @@ def grouped_exact_quantiles(df: DataFrame, col: str, group_cols,
 
     groups = _as_list(group_cols)
     qs = [float(q) for q in qs]
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    bad_q = [q for q in qs if not 0.0 <= q <= 1.0]
+    if bad_q:
+        raise ValueError(f"qs must be in [0, 1], got {bad_q}")
     vals = (df.where(F.col(col).isNotNull())
             .select(*groups, F.col(col).cast("double").alias("__v")))
     part = (vals.repartitionByRange(*groups, "__v")
@@ -133,7 +138,17 @@ def grouped_exact_quantiles(df: DataFrame, col: str, group_cols,
         F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
         F.sum("__c").over(w_tot).alias("__n"))
     w_rank = Window.partitionBy("__pid", *groups).orderBy("__v")
-    ranked = (part.join(offs, ["__pid"] + groups)
+    # NULL-SAFE join back on the group keys: groupBy emits a row for the
+    # NULL group (quantile_cont GROUP BY semantics keep it) and a plain
+    # equi-join would silently drop it — the same pitfall
+    # encoding._join_group_stats documents
+    offs_r = offs.withColumnRenamed("__pid", "__gq_pid")
+    for g in groups:
+        offs_r = offs_r.withColumnRenamed(g, f"__gq_{g}")
+    cond = F.col("__pid") == F.col("__gq_pid")
+    for g in groups:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__gq_{g}"))
+    ranked = (part.join(offs_r, cond)
               .select(*groups, "__v", "__n",
                       (F.col("__off") + F.row_number().over(w_rank) - 1)
                       .alias("__r")))

@@ -663,3 +663,19 @@ def test_grouped_exact_quantiles_lazy_and_range_partitioned(spark):
     assert set(tracker.getJobIdsForGroup(None)) == before  # no collects
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+def test_grouped_exact_quantiles_keeps_null_group_and_validates_qs(spark):
+    from msi_preprocessing_pipeline_spark.operators.quantiles import (
+        grouped_exact_quantiles)
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), (None, 10.0), (None, 20.0)],
+        "g string, v double")
+    got = {(r["g"], r["q"]): r["value"] for r in
+           grouped_exact_quantiles(df, "v", ["g"], [0.5]).collect()}
+    assert got[("a", 0.5)] == pytest.approx(2.0)
+    assert got[(None, 0.5)] == pytest.approx(15.0)  # NULL group kept
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_exact_quantiles(df, "v", ["g"], [])
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        grouped_exact_quantiles(df, "v", ["g"], [0.5, 1.5])
