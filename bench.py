@@ -208,7 +208,12 @@ def main() -> None:
                  "word_entropy_docs", "quantile_bin_price",
                  "robust_scaled_value", "feature_hash_events",
                  "resample_grid_clicks", "snapshot_diff_customers",
-                 "calibration_value_purchase"]:
+                 "calibration_value_purchase",
+                 # round-4 session-3 operators (token-LM + sequences)
+                 "hash_tokenize_docs", "lm_score_docs",
+                 "context_pairs_docs", "pmi_bigrams_docs", "oov_rate_docs",
+                 "transition_probs_events", "recency_features_events",
+                 "trailing_values_events", "mutual_info_docs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -127,3 +127,60 @@ def calibration_bins(df: DataFrame, score_col: str, label_col: str,
     return full.select("bin", "n", "n_pos",
                        mean_score.alias("mean_score"),
                        pos_rate.alias("pos_rate"))
+
+
+def mutual_info(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mutual information (nats) and chi-square between two CATEGORICAL
+    columns — the feature-relevance screen ("does this feature carry
+    signal about the label?") and its independence test, as one tiny
+    relation: ``(n, n_x, n_y, dof, mi, chi2)``.
+
+    * ``mi = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y)))`` over OBSERVED cells
+      (0·ln0 ≡ 0, so unobserved cells contribute nothing — exact).
+    * ``chi2 = Σ_xy (o − e)²/e`` over ALL margin cells (the full
+      |X|×|Y| cross of observed margins; unobserved cells contribute
+      ``e`` each), ``dof = (|X|−1)(|Y|−1)``.
+
+    NULL categories are real states (grouped null-safely).  Intended
+    for bounded-cardinality categoricals: the contingency relation is
+    |X|·|Y|-sized, never row-sized — at 10^12 rows the plan is one
+    map-side-combined count aggregation plus |X|/|Y|-bounded margin
+    joins and a final single-row reduce.  Quantile-bin continuous
+    features first (``encoding.quantile_bin``).
+    """
+    cell = (df.groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+            .agg(F.count("*").alias("o")))
+    mx = (cell.groupBy(F.col("x").alias("__mx"))
+          .agg(F.sum("o").alias("c_x")))
+    my = (cell.groupBy(F.col("y").alias("__my"))
+          .agg(F.sum("o").alias("c_y")))
+    tot = cell.agg(F.sum("o").alias("_n"),
+                   F.countDistinct(F.struct("x")).alias("_nx"),
+                   F.countDistinct(F.struct("y")).alias("_ny"))
+    # full margin cross (|X|·|Y| rows) so chi2 sees unobserved cells
+    grid = (mx.crossJoin(my)
+            .join(cell,
+                  F.col("__mx").eqNullSafe(F.col("x"))
+                  & F.col("__my").eqNullSafe(F.col("y")), "left")
+            .select(F.col("__mx").alias("x"), F.col("__my").alias("y"),
+                    "c_x", "c_y",
+                    F.coalesce("o", F.lit(0)).alias("o")))
+    g = grid.crossJoin(F.broadcast(tot))
+    n = F.col("_n").cast("double")
+    e = F.col("c_x").cast("double") * F.col("c_y").cast("double") / n
+    p_xy = F.col("o").cast("double") / n
+    mi_term = F.when(
+        F.col("o") > 0,
+        p_xy * F.log((F.col("o").cast("double") * n)
+                     / (F.col("c_x").cast("double")
+                        * F.col("c_y").cast("double")))).otherwise(F.lit(0.0))
+    chi_term = (F.col("o").cast("double") - e) * \
+        (F.col("o").cast("double") - e) / e
+    return g.groupBy("_n", "_nx", "_ny").agg(
+        F.sum(mi_term).alias("mi"),
+        F.sum(chi_term).alias("chi2"),
+    ).select(F.col("_n").alias("n"),
+             F.col("_nx").alias("n_x"),
+             F.col("_ny").alias("n_y"),
+             ((F.col("_nx") - 1) * (F.col("_ny") - 1)).alias("dof"),
+             "mi", "chi2")

@@ -1,0 +1,275 @@
+"""N-gram language-model statistics over token arrays.
+
+The canonical input is the pre-tokenized training-sequence table
+``(doc_id, tokens: array<int>, n_tok, source)`` — the same shape
+:func:`..bpe.tokenized_table` emits.  On top of it this module builds the
+corpus-statistics passes a training-data pipeline runs at scale:
+
+* :func:`hash_tokenize` — a deterministic hashing word tokenizer that
+  derives the canonical table from raw text with zero Python (the md5
+  idiom shared with ``operators.sampling`` / ``operators.encoding``, so
+  every downstream result is SQL-oracle-able bit-for-bit),
+* :func:`bigram_counts` / :func:`unigram_counts` — corpus n-gram
+  histograms (one map-side-combined shuffle each),
+* :func:`lm_score` — per-document add-k-smoothed bigram
+  negative-log-likelihood, the CCNet-style (Wenzek et al. 2020)
+  perplexity quality filter,
+* :func:`pmi_bigrams` — pointwise mutual information over adjacent
+  token pairs (the association score word-embedding pipelines factorize),
+* :func:`context_target_pairs` — fixed-window (context, next-token)
+  training-pair generation, pure JVM array ops.
+
+Reference parity: the reference pipeline models per-spectrum intensity
+structure with GMM components (``components/spectrum/model.py``); this
+module is the token-payload analogue — corpus-level distribution models
+scored back onto every row — recast as DataFrame aggregations.
+
+Scale notes (10^12 sequences): every aggregation here partially
+aggregates map-side before its single exchange; count relations are
+bounded by *observed* n-gram types, not corpus rows; joins of counts
+back onto exploded token rows are plain hash joins AQE can broadcast
+when the vocabulary is small.  Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# deterministic hashing tokenizer
+
+
+def _hash_token(word: Column, vocab_size: int, seed: int) -> Column:
+    """md5-bucket a word to ``[0, vocab_size)`` — identical integers in
+    Spark, DuckDB and Python (same idiom as ``encoding.feature_hash``)."""
+    h = F.conv(F.substring(F.md5(F.concat(word, F.lit(f":{seed}"))), 1, 8),
+               16, 10).cast("long")
+    return (h % F.lit(int(vocab_size))).cast("int")
+
+
+def hash_tokenize(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", vocab_size: int = 1 << 16,
+                  seed: int = 0, keep_cols=()) -> DataFrame:
+    """Deterministic hashing word tokenizer: lowercased whitespace words
+    → md5 hash buckets.  Emits the canonical pre-tokenized table
+    ``(id, tokens: array<int>, n_tok: int, *keep_cols)``.
+
+    Null / empty / whitespace-only text keeps its row with ``tokens =
+    []`` and ``n_tok = 0`` (no silent drops).  Map-only — a single
+    projection over 10^12 rows, no shuffle, no Python.
+    """
+    words = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+"),
+        lambda w: w != F.lit(""))
+    tokens = F.transform(words, lambda w: _hash_token(w, vocab_size, seed))
+    return df.select(
+        F.col(id_col),
+        tokens.alias("tokens"),
+        F.size(tokens).alias("n_tok"),
+        *[F.col(c) for c in keep_cols])
+
+
+# ---------------------------------------------------------------------------
+# n-gram histograms
+
+
+def _bigram_structs(tokens_col: str) -> Column:
+    """array<struct<pos,a,b>> of adjacent pairs; ``pos`` is the 1-based
+    position of ``a``.  Null token arrays yield null (explode drops)."""
+    col = F.col(tokens_col)
+    sliced = F.slice(col, 1, F.greatest(F.size(col) - 1, F.lit(0)))
+    return F.transform(
+        sliced,
+        lambda x, i: F.struct((i + 1).cast("int").alias("pos"),
+                              x.alias("a"),
+                              F.element_at(col, i + 2).alias("b")))
+
+
+def doc_bigrams(df: DataFrame, tokens_col: str = "tokens",
+                id_col: str = "doc_id") -> DataFrame:
+    """Explode each document's adjacent token pairs:
+    ``(id, pos, a, b)`` with ``pos`` the 1-based position of ``a``.
+    Documents with fewer than two tokens emit no rows."""
+    pairs = _bigram_structs(tokens_col)
+    return (df.select(F.col(id_col), F.explode(pairs).alias("bg"))
+            .select(id_col, "bg.pos", "bg.a", "bg.b"))
+
+
+def bigram_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Corpus bigram histogram ``(a, b, c)``.  One map-side-combined
+    shuffle; output cardinality is bounded by observed bigram types."""
+    pairs = _bigram_structs(tokens_col)
+    return (df.select(F.explode(pairs).alias("bg"))
+            .groupBy(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+            .agg(F.count("*").alias("c")))
+
+
+def unigram_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Corpus unigram histogram ``(t, c)``."""
+    return (df.select(F.explode(F.col(tokens_col)).alias("t"))
+            .groupBy("t").agg(F.count("*").alias("c")))
+
+
+# ---------------------------------------------------------------------------
+# add-k bigram LM scoring (perplexity quality filter)
+
+
+def lm_score(df: DataFrame, tokens_col: str = "tokens",
+             id_col: str = "doc_id", k: float = 0.5,
+             vocab_size: int = 1 << 16,
+             counts: DataFrame | None = None) -> DataFrame:
+    """Per-document add-k-smoothed bigram negative log-likelihood — the
+    CCNet-style LM quality score (low = fluent under the corpus model).
+
+    ``P(b|a) = (c(a,b) + k) / (c(a,·) + k·V)`` where ``c(a,·)`` is the
+    count of ``a`` as a bigram *first* token (so the conditional is
+    exactly normalized over the V-token vocabulary) and ``V`` is
+    ``vocab_size``.  Returns one row per input document:
+    ``(id, n_bigrams, sum_lnp, nll)`` with ``nll = -sum_lnp/n_bigrams``;
+    documents with fewer than two tokens keep their row with
+    ``n_bigrams = 0`` and null scores (no silent drops).
+
+    ``counts`` lets a model fitted on one corpus score another (the
+    standard held-out perplexity filter); by default the corpus scores
+    itself.  Unseen bigrams under external counts back off to
+    ``c(a,b) = 0`` / ``c(a,·) = 0`` via the smoothing.
+
+    Plan shape: doc-bigram explode → two hash joins against the
+    (observed-bigram-bounded) count relations — AQE broadcasts them when
+    small — → one per-doc partial-aggregated sum.  No Python, no
+    driver-side state.
+    """
+    big = doc_bigrams(df, tokens_col, id_col)
+    cnt_ab = (counts if counts is not None
+              else bigram_counts(df, tokens_col))
+    # conditioning counts from the SAME relation so the model normalizes
+    cnt_a = cnt_ab.groupBy("a").agg(F.sum("c").alias("c_a"))
+    lnp = F.log((F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                 + F.lit(float(k)))
+                / (F.coalesce(F.col("c_a"), F.lit(0)).cast("double")
+                   + F.lit(float(k) * int(vocab_size))))
+    scored = (big.join(cnt_ab, ["a", "b"], "left")
+              .join(cnt_a, ["a"], "left")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum(lnp).alias("sum_lnp")))
+    out = (df.select(id_col)
+           .join(scored, [id_col], "left")
+           .select(F.col(id_col),
+                   F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                   F.col("sum_lnp"),
+                   (-F.col("sum_lnp")
+                    / F.col("n_bigrams").cast("double")).alias("nll")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PMI association scores
+
+
+def pmi_bigrams(df: DataFrame, tokens_col: str = "tokens",
+                min_count: int = 2) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs:
+    ``pmi(a,b) = ln(c(a,b)·N / (c(a,·)·c(·,b)))`` with ``N`` the total
+    bigram count and the marginals taken over the same bigram relation
+    (so Σ p(a,·) = Σ p(·,b) = 1 exactly).
+
+    ``min_count`` filters rare pairs AFTER the marginals are computed
+    from the full histogram (filtering first would bias N and the
+    marginals).  Products are evaluated in double space —
+    ``c·N`` can exceed int64 at corpus scale — with one IEEE-determined
+    expression shape so any SQL engine reproduces it bit-for-bit.
+
+    Plan shape: bigram histogram (one shuffle) → two vocabulary-bounded
+    marginal aggregations joined back (AQE broadcasts them) → 1-row N
+    aggregate entering via broadcast cross join (composition stays lazy —
+    no eager count job, cf. ``text.tfidf_top_terms``).
+    """
+    cnt = bigram_counts(df, tokens_col)
+    left = cnt.groupBy("a").agg(F.sum("c").alias("c_a"))
+    right = cnt.groupBy("b").agg(F.sum("c").alias("c_b"))
+    total = cnt.agg(F.sum("c").alias("_n_big"))
+    pmi = F.log((F.col("c").cast("double") * F.col("_n_big").cast("double"))
+                / (F.col("c_a").cast("double")
+                   * F.col("c_b").cast("double")))
+    return (cnt.join(left, "a").join(right, "b")
+            .crossJoin(F.broadcast(total))
+            .where(F.col("c") >= F.lit(int(min_count)))
+            .select("a", "b", "c", "c_a", "c_b", pmi.alias("pmi")))
+
+
+# ---------------------------------------------------------------------------
+# (context, target) training pairs
+
+
+def context_target_pairs(df: DataFrame, context_len: int = 4,
+                         tokens_col: str = "tokens",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Fixed-window language-model training pairs: for every position
+    ``pos`` (1-based) with a full ``context_len`` prefix, emit
+    ``(id, pos, context: array<int>, target: int)`` where ``context``
+    is the ``context_len`` tokens immediately before ``pos``.
+
+    Documents with ``n_tok <= context_len`` emit no rows (stated, not
+    silent: there is no full context to train on — pad upstream if
+    partial contexts are wanted).  Pure JVM ``sequence``/``slice``
+    array ops — a map-only explode, no shuffle, no Python; at 10^12
+    sequences this is the shape you fan straight into a writer.
+    """
+    if context_len < 1:
+        raise ValueError(f"context_len must be >= 1, got {context_len}")
+    col = F.col(tokens_col)
+    # target positions context_len+1 .. n_tok (1-based); Spark's
+    # sequence(start, stop) DESCENDS when stop < start, so guard short docs
+    positions = F.when(
+        F.size(col) >= F.lit(context_len + 1),
+        F.sequence(F.lit(context_len + 1), F.size(col))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(F.col(id_col),
+                         col.alias("__toks"),
+                         F.explode(positions).alias("pos"))
+    return exploded.select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        F.slice(F.col("__toks"), F.col("pos") - F.lit(context_len),
+                F.lit(context_len)).alias("context"),
+        F.element_at(F.col("__toks"), F.col("pos")).alias("target"))
+
+
+# ---------------------------------------------------------------------------
+# OOV / vocabulary coverage
+
+
+def oov_rate(df: DataFrame, vocab: DataFrame, tokens_col: str = "tokens",
+             id_col: str = "doc_id", vocab_col: str = "t") -> DataFrame:
+    """Per-document out-of-vocabulary statistics against a vocabulary
+    relation: ``(id, n_tok, n_oov, oov_rate)``.
+
+    Counts are over token *occurrences* (not types).  Implemented as an
+    explode → left join → re-aggregate: the vocabulary join is a plain
+    hash join left UNHINTED — AQE broadcasts a genuinely-small vocab at
+    runtime, and a multi-GB vocabulary relation must not be forced onto
+    the driver (cf. the round-3 ngram_jaccard_pairs finding).  The
+    per-doc sum partially aggregates map-side.  Empty/null token arrays
+    keep their row with zero counts.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col).alias("__t"))
+    marked = (toks.join(vocab.select(
+                  F.col(vocab_col).alias("__t"),
+                  F.lit(1).alias("__in"))
+              .dropDuplicates(["__t"]), ["__t"], "left"))
+    per_doc = (marked.groupBy(id_col)
+               .agg(F.count("*").alias("n_tok"),
+                    F.sum(F.when(F.col("__in").isNull(), 1)
+                          .otherwise(0)).alias("n_oov")))
+    return (df.select(id_col).join(per_doc, [id_col], "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+                    F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+                    F.when(F.coalesce("n_tok", F.lit(0)) == 0, F.lit(None))
+                    .otherwise(F.col("n_oov").cast("double")
+                               / F.col("n_tok").cast("double"))
+                    .alias("oov_rate")))

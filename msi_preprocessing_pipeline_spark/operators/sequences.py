@@ -1,0 +1,119 @@
+"""Event-sequence feature operators: Markov transitions, recency,
+trailing-value arrays.
+
+The behavioural-feature family a training pipeline derives from an
+ordered event stream ``(entity, ts, type, value)``: what happened
+before each row, how long ago, and with what empirical dynamics — all
+strictly point-in-time (every feature at a row sees only earlier rows,
+mirroring the leakage discipline of ``operators.training``).
+
+Reference parity: the reference orders spectra within a source and
+derives per-position structure (``components/spectrum/alignment.py``
+works on ordered peak sequences); here the same ordered-sequence
+semantics are recast as Spark window/aggregation plans over event
+tables.
+
+Scale notes: each operator is ONE window specification (one shuffle on
+the entity key) or one map-side-combined aggregation; transition
+matrices are bounded by |types|², never by rows.  Skewed entities hit
+the same single-entity window limit as ``windows.rolling`` — salt or
+bucket upstream if one entity holds a meaningful fraction of the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.util import as_list as _as_list
+
+
+def transition_counts(df: DataFrame, partition_by,
+                      type_col: str = "event_type", order_by: str = "ts",
+                      tiebreak: Sequence[str] | str = ()) -> DataFrame:
+    """Empirical first-order Markov transition matrix of ``type_col``
+    within each entity's ordered event sequence, aggregated corpus-wide:
+    ``(from_type, to_type, n, p)`` with ``p = n / Σ_to n`` (rows sum to
+    1 over observed successors).
+
+    The first event of each entity has no predecessor and contributes
+    nothing; null types participate as their own state (a null FROM
+    state groups like any other — transitions out of "unknown" are
+    real signal).
+
+    Plan shape: one lag window (one shuffle on the entity key) → one
+    map-side-combined count aggregation (|types|²-bounded) → one
+    |types|-bounded marginal join.  ``p`` is a double division of two
+    exact int64 counts — engine-portable bit-for-bit.
+    """
+    parts = _as_list(partition_by)
+    order = [F.col(order_by)] + [F.col(c) for c in _as_list(tiebreak)]
+    w = Window.partitionBy(*parts).orderBy(*order)
+    # lag yields null BOTH for "no previous row" and for "previous type
+    # was null"; a row-number probe disambiguates (only true first rows
+    # are dropped — null-typed predecessors stay).
+    pairs = (df.select(F.col(type_col).alias("to_type"),
+                       F.lag(type_col).over(w).alias("from_type"),
+                       F.row_number().over(w).alias("__rn"))
+             .where(F.col("__rn") > 1)
+             .drop("__rn"))
+    cnt = (pairs.groupBy("from_type", "to_type")
+           .agg(F.count("*").alias("n")))
+    marg = (cnt.groupBy(F.col("from_type").alias("__ft"))
+            .agg(F.sum("n").alias("__n_from")))
+    out = (cnt.join(marg, F.col("from_type").eqNullSafe(F.col("__ft")))
+           .select("from_type", "to_type", "n",
+                   (F.col("n").cast("double")
+                    / F.col("__n_from").cast("double")).alias("p")))
+    return out
+
+
+def recency_features(df: DataFrame, partition_by,
+                     order_by: str = "ts",
+                     tiebreak: Sequence[str] | str = ()) -> DataFrame:
+    """Point-in-time recency features within each entity partition:
+    for every row, seconds since the previous row
+    (``secs_since_prev``, null on the first) and the count of strictly
+    earlier rows (``n_prior``).
+
+    Partition by ``(entity,)`` for global recency or
+    ``(entity, type)`` for per-type recency ("time since this user's
+    last *purchase*").  One window specification → one shuffle; both
+    features come from the same sort (no second exchange).
+    """
+    parts = _as_list(partition_by)
+    order = [F.col(order_by)] + [F.col(c) for c in _as_list(tiebreak)]
+    w = Window.partitionBy(*parts).orderBy(*order)
+    prev_ts = F.lag(order_by).over(w)
+    return df.select(
+        "*",
+        (F.unix_timestamp(F.col(order_by))
+         - F.unix_timestamp(prev_ts)).alias("secs_since_prev"),
+        (F.row_number().over(w) - 1).cast("long").alias("n_prior"))
+
+
+def trailing_values(df: DataFrame, value_col: str, partition_by,
+                    order_by: str = "ts", k: int = 3,
+                    tiebreak: Sequence[str] | str = (),
+                    out_col: str | None = None) -> DataFrame:
+    """The last ``k`` values strictly BEFORE each row as an array, in
+    event order — the fixed-length recent-history feature sequence
+    models consume (point-in-time: the current row is excluded, so the
+    feature at time t sees only t' < t).
+
+    Null values are kept OUT of the array (``collect_list`` skips
+    nulls — Spark and every SQL engine agree) but still occupy a frame
+    slot, so a null-valued previous event shortens the array rather
+    than shifting in an older value; rows with no history get ``[]``.
+    One window frame → one shuffle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    parts = _as_list(partition_by)
+    order = [F.col(order_by)] + [F.col(c) for c in _as_list(tiebreak)]
+    w = (Window.partitionBy(*parts).orderBy(*order)
+         .rowsBetween(-k, -1))
+    out = out_col or f"{value_col}_last{k}"
+    return df.withColumn(out, F.collect_list(value_col).over(w))

@@ -1,0 +1,244 @@
+"""Unit tests for operators.lm (token-LM statistics), operators.sequences
+(Markov/recency/trailing features) and drift.mutual_info."""
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from msi_preprocessing_pipeline_spark.operators.drift import mutual_info
+from msi_preprocessing_pipeline_spark.operators.lm import (
+    bigram_counts, context_target_pairs, doc_bigrams, hash_tokenize,
+    lm_score, oov_rate, pmi_bigrams, unigram_counts)
+from msi_preprocessing_pipeline_spark.operators.sequences import (
+    recency_features, trailing_values, transition_counts)
+
+
+def _bucket(word: str, vocab_size: int, seed: int) -> int:
+    return int(hashlib.md5(f"{word}:{seed}".encode()).hexdigest()[:8],
+               16) % vocab_size
+
+
+# ---------------------------------------------------------------------------
+# hash_tokenize
+
+
+def test_hash_tokenize_matches_manual_md5(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="The  quick Fox")])
+    [r] = hash_tokenize(df, vocab_size=1000, seed=3).collect()
+    assert r.tokens == [_bucket(w, 1000, 3) for w in ("the", "quick", "fox")]
+    assert r.n_tok == 3
+
+
+def test_hash_tokenize_keeps_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="   "),
+         Row(doc_id=3, text="a")])
+    rows = {r.doc_id: r for r in hash_tokenize(df, vocab_size=10).collect()}
+    assert len(rows) == 3
+    assert rows[1].tokens == [] and rows[1].n_tok == 0
+    assert rows[2].tokens == [] and rows[2].n_tok == 0
+    assert rows[3].n_tok == 1
+
+
+# ---------------------------------------------------------------------------
+# bigrams / histograms
+
+
+def _tok_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, tokens=t) for i, t in rows],
+        "doc_id long, tokens array<int>")
+
+
+def test_doc_bigrams_positions_and_short_docs(spark):
+    df = _tok_df(spark, [(1, [7, 8, 9]), (2, [5]), (3, []), (4, None)])
+    got = sorted((r.doc_id, r.pos, r.a, r.b)
+                 for r in doc_bigrams(df).collect())
+    assert got == [(1, 1, 7, 8), (1, 2, 8, 9)]
+
+
+def test_bigram_and_unigram_counts(spark):
+    df = _tok_df(spark, [(1, [1, 2, 1, 2]), (2, [1, 2])])
+    bg = {(r.a, r.b): r.c for r in bigram_counts(df).collect()}
+    assert bg == {(1, 2): 3, (2, 1): 1}
+    ug = {r.t: r.c for r in unigram_counts(df).collect()}
+    assert ug == {1: 3, 2: 3}
+
+
+# ---------------------------------------------------------------------------
+# lm_score
+
+
+def test_lm_score_hand_computed(spark):
+    df = _tok_df(spark, [(1, [1, 2, 1]), (2, [2, 1]), (3, [9])])
+    out = {r.doc_id: r for r in
+           lm_score(df, k=0.5, vocab_size=4).collect()}
+    # corpus bigrams: (1,2):1 (2,1):2 ; first-token counts: c(1)=1, c(2)=2
+    p12 = (1 + 0.5) / (1 + 0.5 * 4)
+    p21 = (2 + 0.5) / (2 + 0.5 * 4)
+    exp1 = math.log(p12) + math.log(p21)
+    assert out[1].n_bigrams == 2
+    assert out[1].sum_lnp == pytest.approx(exp1, rel=1e-12)
+    assert out[1].nll == pytest.approx(-exp1 / 2, rel=1e-12)
+    assert out[2].sum_lnp == pytest.approx(math.log(p21), rel=1e-12)
+    # single-token doc keeps its row with no score
+    assert out[3].n_bigrams == 0
+    assert out[3].sum_lnp is None and out[3].nll is None
+
+
+def test_lm_score_external_counts_unseen_backoff(spark):
+    model = _tok_df(spark, [(1, [1, 2])])
+    counts = bigram_counts(model)
+    score_on = _tok_df(spark, [(10, [3, 4])])  # fully unseen bigram
+    [r] = lm_score(score_on, k=0.5, vocab_size=4,
+                   counts=counts).collect()
+    # c(3,4)=0 and c(3,.)=0 -> P = 0.5 / (0.5*4)
+    assert r.sum_lnp == pytest.approx(math.log(0.25), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# pmi
+
+
+def test_pmi_hand_computed_and_min_count_after_marginals(spark):
+    df = _tok_df(spark, [(1, [1, 2, 1, 2, 1, 2]), (2, [1, 3])])
+    # bigrams: (1,2)x3, (2,1)x2, (1,3)x1 ; N=6
+    out = {(r.a, r.b): r for r in pmi_bigrams(df, min_count=2).collect()}
+    assert set(out) == {(1, 2), (2, 1)}  # (1,3) filtered by min_count
+    r = out[(1, 2)]
+    # marginals computed BEFORE the filter: c_a(1)=4 (includes (1,3))
+    assert (r.c, r.c_a, r.c_b) == (3, 4, 3)
+    assert r.pmi == pytest.approx(math.log(3 * 6 / (4 * 3)), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# context/target pairs
+
+
+def test_context_target_pairs_hand(spark):
+    df = _tok_df(spark, [(1, [10, 20, 30, 40]), (2, [1, 2])])
+    got = sorted((r.doc_id, r.pos, tuple(r.context), r.target)
+                 for r in context_target_pairs(df, context_len=2).collect())
+    assert got == [(1, 3, (10, 20), 30), (1, 4, (20, 30), 40)]
+    # doc 2 has n_tok == context_len -> no full context, no rows
+
+
+def test_context_target_pairs_validates(spark):
+    df = _tok_df(spark, [(1, [1, 2])])
+    with pytest.raises(ValueError):
+        context_target_pairs(df, context_len=0)
+
+
+# ---------------------------------------------------------------------------
+# oov
+
+
+def test_oov_rate_counts_occurrences_and_keeps_empty(spark):
+    df = _tok_df(spark, [(1, [1, 1, 9]), (2, [])])
+    vocab = spark.createDataFrame([Row(t=1)], "t int")
+    out = {r.doc_id: r for r in oov_rate(df, vocab).collect()}
+    assert (out[1].n_tok, out[1].n_oov) == (3, 1)
+    assert out[1].oov_rate == pytest.approx(1 / 3)
+    assert (out[2].n_tok, out[2].n_oov) == (0, 0)
+    assert out[2].oov_rate is None
+
+
+# ---------------------------------------------------------------------------
+# sequences
+
+
+def test_transition_counts_hand(spark):
+    df = spark.createDataFrame(
+        [Row(u=1, ts=1, t="a"), Row(u=1, ts=2, t="b"),
+         Row(u=1, ts=3, t="a"), Row(u=2, ts=1, t="b"),
+         Row(u=2, ts=2, t="a")],
+        "u long, ts long, t string")
+    out = {(r.from_type, r.to_type): r
+           for r in transition_counts(df, "u", "t", "ts").collect()}
+    # user1: a->b, b->a ; user2: b->a  (first events contribute nothing)
+    assert {(k, v.n) for k, v in out.items()} == {
+        (("a", "b"), 1), (("b", "a"), 2)}
+    assert out[("b", "a")].p == pytest.approx(1.0)
+
+
+def test_transition_counts_null_type_is_a_state(spark):
+    df = spark.createDataFrame(
+        [Row(u=1, ts=1, t=None), Row(u=1, ts=2, t="x")],
+        "u long, ts long, t string")
+    out = [(r.from_type, r.to_type, r.n, r.p)
+           for r in transition_counts(df, "u", "t", "ts").collect()]
+    assert out == [(None, "x", 1, 1.0)]
+
+
+def test_recency_features_hand(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(u=1, k="a", ts=base),
+         Row(u=1, k="a", ts=base + dt.timedelta(seconds=90)),
+         Row(u=1, k="b", ts=base + dt.timedelta(seconds=30))],
+        "u long, k string, ts timestamp")
+    out = sorted(((r.u, r.k, r.secs_since_prev, r.n_prior)
+                  for r in recency_features(df, ["u", "k"], "ts").collect()),
+                 key=lambda t: (t[0], t[1], t[3]))
+    assert out == [(1, "a", None, 0), (1, "a", 90, 1), (1, "b", None, 0)]
+
+
+def test_trailing_values_null_shortens_not_shifts(spark):
+    df = spark.createDataFrame(
+        [Row(u=1, ts=1, v=10.0), Row(u=1, ts=2, v=None),
+         Row(u=1, ts=3, v=30.0), Row(u=1, ts=4, v=40.0)],
+        "u long, ts long, v double")
+    out = {r.ts: list(r.v_hist) for r in trailing_values(
+        df, "v", "u", "ts", k=2, out_col="v_hist").collect()}
+    assert out[1] == []
+    assert out[2] == [10.0]
+    # frame is rows (2,3): the null at ts=2 is skipped, NOT replaced by
+    # the older ts=1 value
+    assert out[3] == [10.0]
+    assert out[4] == [30.0]
+
+
+def test_trailing_values_validates_k(spark):
+    df = spark.createDataFrame([Row(u=1, ts=1, v=1.0)],
+                               "u long, ts long, v double")
+    with pytest.raises(ValueError):
+        trailing_values(df, "v", "u", "ts", k=0)
+
+
+# ---------------------------------------------------------------------------
+# mutual information
+
+
+def test_mutual_info_hand_2x2(spark):
+    # contingency: (a,0):30 (a,1):10 (b,0):10 (b,1):30, n=80
+    rows = ([Row(x="a", y=0)] * 30 + [Row(x="a", y=1)] * 10
+            + [Row(x="b", y=0)] * 10 + [Row(x="b", y=1)] * 30)
+    df = spark.createDataFrame(rows, "x string, y int")
+    [r] = mutual_info(df, "x", "y").collect()
+    assert (r.n, r.n_x, r.n_y, r.dof) == (80, 2, 2, 1)
+    mi = sum((o / 80) * math.log(o * 80 / (40 * 40))
+             for o in (30, 10, 10, 30))
+    chi2 = sum((o - 20) ** 2 / 20 for o in (30, 10, 10, 30))
+    assert r.mi == pytest.approx(mi, rel=1e-12)
+    assert r.chi2 == pytest.approx(chi2, rel=1e-12)
+
+
+def test_mutual_info_independent_is_zero_and_null_is_state(spark):
+    rows = [Row(x=x, y=y) for x in ("a", "b", None) for y in (0, 1)] * 5
+    df = spark.createDataFrame(rows, "x string, y int")
+    [r] = mutual_info(df, "x", "y").collect()
+    assert (r.n_x, r.n_y, r.dof) == (3, 2, 2)  # null x is a state
+    assert r.mi == pytest.approx(0.0, abs=1e-12)
+    assert r.chi2 == pytest.approx(0.0, abs=1e-12)
+
+
+def test_mutual_info_unobserved_cell_in_chi2(spark):
+    # (a,0):5 (b,1):5 -> cells (a,1),(b,0) unobserved but e=2.5 each
+    rows = [Row(x="a", y=0)] * 5 + [Row(x="b", y=1)] * 5
+    df = spark.createDataFrame(rows, "x string, y int")
+    [r] = mutual_info(df, "x", "y").collect()
+    assert r.chi2 == pytest.approx(10.0, rel=1e-12)  # perfect association
+    assert r.mi == pytest.approx(math.log(2), rel=1e-12)
