@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-89 queries, 89 with exact DuckDB oracles — relational SQL where expressible,
+95 queries, 95 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1300,6 +1300,52 @@ def _q_pca_project(spark, sf_dir):
           for i in (1, 2, 3, 4)])
 
 
+def _q_time_folds(spark, sf_dir):
+    """Equal-frequency temporal CV folds (exact quantile edges of event
+    time — edge-based, tie- and partition-stable)."""
+    from msi_preprocessing_pipeline_spark.operators.cv import time_folds
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return time_folds(ev, "ts", n_folds=5).select("event_id", "fold")
+
+
+def _q_purged_split(spark, sf_dir):
+    """Purged temporal train/test split: test fold 2 with a 1-day
+    embargo on either side (serial-correlation leakage guard)."""
+    from msi_preprocessing_pipeline_spark.operators.cv import (
+        purged_train_test, time_folds)
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    folded = time_folds(ev, "ts", n_folds=5)
+    out = purged_train_test(folded, test_fold=2, ts_col="ts",
+                            embargo_s=86400)
+    # booleans cast to int for the cross-engine compare (pandas
+    # nullable-bool None/NaN canon mismatch, cf. rolling_zscore)
+    return out.select("event_id", "fold",
+                      F.col("is_test").cast("int").alias("is_test"),
+                      F.col("in_embargo").cast("int").alias("in_embargo"),
+                      F.col("is_train").cast("int").alias("is_train"))
+
+
+def _q_negative_samples(spark, sf_dir):
+    """Deterministic hash-based negative sampling: 2 catalog draws per
+    (customer, purchased-part) positive, true positives anti-joined
+    out. md5 idiom — reproducible and engine-portable."""
+    from msi_preprocessing_pipeline_spark.operators.cv import (
+        negative_samples)
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    pos = (li.where(F.col("l_orderkey") % 20 == 0)
+           .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+           .select(F.col("o_custkey").alias("user_id"),
+                   F.col("l_partkey").alias("item_id")))
+    return negative_samples(pos, part.select(
+        F.col("p_partkey").alias("item_id")), "user_id", "item_id",
+        k=2, seed=11)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -1356,15 +1402,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covariance_embeddings": _q_covariance_embeddings,
         "centroid_distance_vecs": _q_centroid_distance,
         "pca_project_vecs": _q_pca_project,
+        # --- new in round 4, session 3: temporal CV + negative sampling ---
+        "time_folds_events": _q_time_folds,
+        "purged_split_events": _q_purged_split,
+        "negative_samples_orders": _q_negative_samples,
         # --- r3-green, kept inside the window (north-star PIT family) ---
         "asof_click_purchase": _q_asof_click_purchase,
         "training_set_pit": _q_training_set,
-        # rows-only checks (flagship reference-parity family)
+        # --- r3-green queries rotated out of the 50-slot driver window
+        # (all covered by the committed CONTRACT_r04.json artifact) ---
+        # rows-only checks (flagship reference-parity family, golden/
+        # recall-pinned in pytest; driver-green in r3)
         "smooth_and_peaks": _q_smooth_and_peaks,
         "pit_features": _q_pit_features,
         "batch_features": _q_batch_features,
-        # --- r3-green queries rotated out of the 50-slot driver window
-        # (all covered by the committed CONTRACT_r04.json artifact) ---
         "sessionize_stats": _q_sessionize,
         "rolling_time_features": _q_rolling_time,
         "dup_spans_docs": _q_dup_spans,
@@ -2819,6 +2870,72 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    n.clabel as nearest_label,
                    round(n.dist, 6) as dist_nearest
             from own o join nearest n on n.vec_id = o.vec_id and n.rk = 1
+        """,
+        "time_folds_events": """
+            with e as (
+                select quantile_cont(epoch_ms(ts),
+                    [0.2, 0.4, 0.6, 0.8]) as edges
+                from events
+            )
+            select event_id,
+                   cast(case when ts is null then null
+                        else length(list_filter(e.edges,
+                                    ed -> epoch_ms(ts) >= ed)) end as int)
+                       as fold
+            from events, e
+        """,
+        "purged_split_events": """
+            with e as (
+                select quantile_cont(epoch_ms(ts),
+                    [0.2, 0.4, 0.6, 0.8]) as edges
+                from events
+            ), f as (
+                select event_id, epoch_ms(ts) as ms,
+                       cast(length(list_filter(e.edges,
+                            ed -> epoch_ms(ts) >= ed)) as int) as fold
+                from events, e
+            ), span as (
+                select min(ms) as lo, max(ms) as hi from f where fold = 2
+            )
+            select f.event_id, f.fold,
+                   cast(case when f.fold = 2 then 1 else 0 end as int)
+                       as is_test,
+                   cast(case when f.fold <> 2 and span.lo is not null
+                             and f.ms >= span.lo - 86400000
+                             and f.ms <= span.hi + 86400000
+                        then 1 else 0 end as int) as in_embargo,
+                   cast(case when f.fold <> 2
+                             and not (span.lo is not null
+                                      and f.ms >= span.lo - 86400000
+                                      and f.ms <= span.hi + 86400000)
+                        then 1 else 0 end as int) as is_train
+            from f cross join span
+        """,
+        "negative_samples_orders": """
+            with pos as (
+                select o_custkey as user_id, l_partkey as item_id
+                from lineitem join orders on l_orderkey = o_orderkey
+                where l_orderkey % 20 = 0
+            ), cat as (
+                select p_partkey as neg_item,
+                       cast(row_number() over (order by p_partkey) - 1
+                            as bigint) as idx
+                from (select distinct p_partkey from part)
+            ), n as (select count(*) as n_items from cat),
+            cand as (
+                select user_id, item_id, slot,
+                       cast(('0x' || substr(md5(user_id || ':' || item_id
+                            || ':' || slot || ':11'), 1, 8)) as bigint)
+                       % n.n_items as idx
+                from pos, unnest([0, 1]) as s(slot)
+                cross join n
+            )
+            select c.user_id, c.item_id, cast(c.slot as int) as slot,
+                   cat.neg_item
+            from cand c join cat on cat.idx = c.idx
+            where not exists (select 1 from pos p
+                              where p.user_id = c.user_id
+                                and p.item_id = cat.neg_item)
         """,
         "mutual_info_docs": """
             with cell as (

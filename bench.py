@@ -213,7 +213,9 @@ def main() -> None:
                  "hash_tokenize_docs", "lm_score_docs",
                  "context_pairs_docs", "pmi_bigrams_docs", "oov_rate_docs",
                  "transition_probs_events", "recency_features_events",
-                 "trailing_values_events", "mutual_info_docs"]:
+                 "trailing_values_events", "mutual_info_docs",
+                 "covariance_embeddings", "centroid_distance_vecs",
+                 "pca_project_vecs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -1,0 +1,316 @@
+"""Embedding-column feature operators: norms, moments, covariance, PCA,
+label centroids and centroid-distance features.
+
+Embeddings are ``array<float>`` columns (the multimodal/similarity data
+model, cf. ``operators.similarity``).  This module adds the *dense
+linear-algebra* feature passes a training pipeline runs over them —
+all designed around one invariant: per-row work is map-only
+(JVM array expressions or Arrow-vectorized numpy), and anything
+aggregated is bounded by the embedding dimension ``d`` (or ``d²``,
+or ``|labels|·d``), never by the row count.  Nothing row-proportional
+ever reaches the driver.
+
+Reference parity: the reference models spectra with a global GMM fitted
+from pooled statistics and then featurizes every spectrum against that
+global model (``components/spectrum/model.py``,
+``pipeline/gmm.py:128-129``).  PCA-fit/project and centroid distances
+are the embedding-payload analogue: fit a small global model from
+distributed moments, broadcast it, score every row map-only.
+
+Cross-engine exactness notes: float32·float32 products are EXACT in
+float64 (24-bit mantissas), so every partial term here equals the SQL
+oracle's term bit-for-bit; only summation order differs, which the
+6-dp rounding in the driver queries absorbs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# norms / normalization (pure JVM)
+
+
+def _sq_norm(vec_col: str):
+    return F.aggregate(
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def embedding_norms(df: DataFrame, vec_col: str = "embedding",
+                    out_col: str = "l2_norm") -> DataFrame:
+    """L2 norm of each embedding — JVM ``aggregate`` fold, map-only.
+    Null vectors get a null norm."""
+    return df.withColumn(out_col, F.sqrt(_sq_norm(vec_col)))
+
+
+def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                         out_col: str | None = None) -> DataFrame:
+    """Unit-normalize each embedding (map-only JVM).  Zero vectors map
+    to null (0/0 is not a direction); null vectors stay null."""
+    norm = F.sqrt(_sq_norm(vec_col))
+    normed = F.when(
+        norm > 0,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm))
+    return df.withColumn(out_col or f"{vec_col}_unit", normed)
+
+
+# ---------------------------------------------------------------------------
+# per-position moments & label centroids (position-exploded aggregations)
+
+
+def embedding_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-position mean/variance relation ``(pos, n, mean, var)`` with
+    1-based ``pos`` and sample variance (ddof=1; null when n<2).
+
+    posexplode → ONE map-side-combined aggregation to a d-sized
+    relation.  The d× row blowup never shuffles raw rows: partial
+    aggregation reduces each task to d rows before the exchange.
+    """
+    pos = df.select(F.posexplode(vec_col).alias("pos0", "x"))
+    x = F.col("x").cast("double")
+    agg = (pos.groupBy((F.col("pos0") + 1).alias("pos"))
+           .agg(F.count("*").alias("n"),
+                F.sum(x).alias("_sx"),
+                F.sum(x * x).alias("_sxx")))
+    n = F.col("n").cast("double")
+    mean = F.col("_sx") / n
+    var = F.when(F.col("n") >= 2,
+                 (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n)
+                 / (n - 1))
+    return agg.select("pos", "n", mean.alias("mean"), var.alias("var"))
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label mean-embedding relation ``(label, pos, n, mean)``
+    (1-based ``pos``) — the class-prototype features.  One
+    map-side-combined aggregation to a |labels|·d-sized relation;
+    null labels are a real group."""
+    pos = df.select(F.col(label_col).alias("label"),
+                    F.posexplode(vec_col).alias("pos0", "x"))
+    x = F.col("x").cast("double")
+    return (pos.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+            .agg(F.count("*").alias("n"),
+                 (F.sum(x) / F.count("*")).alias("mean")))
+
+
+# ---------------------------------------------------------------------------
+# covariance (distributed partial outer products)
+
+
+def covariance_matrix(df: DataFrame,
+                      vec_col: str = "embedding") -> DataFrame:
+    """Sample covariance relation ``(i, j, n, cov)`` over the embedding
+    positions (1-based, upper triangle ``i <= j``, ddof=1).
+
+    Scale shape: ``mapInPandas`` accumulates per-partition partial
+    outer-product/mean sums in numpy (one ``Mᵀ·M`` per Arrow batch —
+    vectorized, no per-row Python) and emits at most ``d² + d + 1``
+    rows PER PARTITION; one map-side-combined sum then reduces to the
+    d²-bounded relation.  Raw rows never shuffle — this is the
+    10^12-row shape (same partial-sum pattern as the pipeline's
+    reference aggregation).  Ragged embedding lengths raise.
+    """
+    name = vec_col
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        total = None
+        sums = None
+        n = 0
+        for pdf in batches:
+            vecs = pdf[name].dropna()
+            if not len(vecs):
+                continue
+            M = np.stack(vecs.to_numpy()).astype(np.float64)
+            if total is None:
+                total = M.T @ M
+                sums = M.sum(axis=0)
+            else:
+                if M.shape[1] != total.shape[0]:
+                    raise ValueError(
+                        f"ragged embedding length: {M.shape[1]} vs "
+                        f"{total.shape[0]}")
+                total += M.T @ M
+                sums += M.sum(axis=0)
+            n += len(M)
+        if total is None:
+            return
+        d = total.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame({
+            "i": np.concatenate([iu + 1, np.arange(1, d + 1), [-1]]),
+            "j": np.concatenate([ju + 1, np.full(d, -1), [-1]]),
+            "s": np.concatenate([total[iu, ju], sums, [float(n)]]),
+        })
+
+    parts = df.select(vec_col).mapInPandas(
+        partials, schema="i int, j int, s double")
+    agg = parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    sij = (agg.where((F.col("i") > 0) & (F.col("j") > 0))
+           .select("i", "j", F.col("s").alias("_sxy")))
+    si = (agg.where((F.col("i") > 0) & (F.col("j") == -1))
+          .select(F.col("i").alias("_mi"), F.col("s").alias("_sx")))
+    sj = si.select(F.col("_mi").alias("_mj"), F.col("_sx").alias("_sy"))
+    nn = (agg.where(F.col("i") == -1)
+          .select(F.col("s").alias("_n")))
+    # the marginal relations are d- and 1-sized: broadcast is bounded
+    out = (sij.join(F.broadcast(si), sij["i"] == si["_mi"])
+           .join(F.broadcast(sj), sij["j"] == sj["_mj"])
+           .crossJoin(F.broadcast(nn)))
+    n = F.col("_n")
+    cov = F.when(n >= 2, (F.col("_sxy")
+                          - F.col("_sx") * F.col("_sy") / n) / (n - 1))
+    return out.select("i", "j", n.cast("long").alias("n"),
+                      cov.alias("cov"))
+
+
+# ---------------------------------------------------------------------------
+# PCA (distributed moments -> bounded driver eigendecomposition)
+
+
+class PCAModel(NamedTuple):
+    mean: np.ndarray            # (d,)
+    components: np.ndarray      # (k, d) rows = principal directions
+    explained_variance: np.ndarray  # (k,)
+
+
+def pca_fit(df: DataFrame, k: int = 4,
+            vec_col: str = "embedding") -> PCAModel:
+    """Fit a k-component PCA from the DISTRIBUTED covariance relation:
+    the only driver-side data is the d²-bounded covariance matrix and
+    the d-sized mean — never rows (the same bounded-collect discipline
+    as ``similarity.ivf_fit_centroids``).
+
+    Deterministic output: ``numpy.linalg.eigh`` on the same matrix is
+    reproducible, eigenvalues are sorted descending, and each
+    component's sign is fixed so its largest-|coefficient| entry
+    (first index on ties) is positive.  The collected covariance/mean
+    are rounded to 12 dp first: distributed double sums combine in
+    task-completion order, so identical data can differ at the last
+    ulp between runs — the rounding (1e-12 ≪ any real covariance
+    here) makes the fit run- and partition-order-invariant, hence
+    golden-pinnable (same discipline as ``ivf_fit_centroids``).
+    """
+    rel = covariance_matrix(df, vec_col).collect()
+    if not rel:
+        raise ValueError("pca_fit: empty input")
+    d = max(r.j for r in rel)
+    if k < 1 or k > d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+    cov = np.zeros((d, d))
+    for r in rel:
+        if r.cov is None:
+            raise ValueError("pca_fit: need n >= 2 rows")
+        c = round(r.cov, 12)
+        cov[r.i - 1, r.j - 1] = c
+        cov[r.j - 1, r.i - 1] = c
+    n = rel[0].n
+    # mean from the same distributed pass shape (d-bounded collect)
+    mom = embedding_moments(df, vec_col).collect()
+    mean = np.zeros(d)
+    for r in mom:
+        mean[r.pos - 1] = round(r.mean, 12)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for c in comps:
+        pivot = int(np.argmax(np.abs(c)))
+        if c[pivot] < 0:
+            c *= -1
+    return PCAModel(mean=mean, components=comps,
+                    explained_variance=vals[order].copy())
+
+
+def pca_project(df: DataFrame, model: PCAModel,
+                vec_col: str = "embedding",
+                out_col: str = "pca") -> DataFrame:
+    """Project embeddings onto the fitted components:
+    ``(x - mean) @ componentsᵀ`` as one Arrow-vectorized matmul per
+    batch — map-only, model broadcast by closure (k·d floats).  Null
+    vectors project to null."""
+    mean = model.mean
+    comps_t = model.components.T  # (d, k)
+
+    @F.pandas_udf("array<double>")
+    def proj(col: pd.Series) -> pd.Series:
+        mask = col.notna().to_numpy()
+        vals: list = []
+        if mask.any():
+            M = np.stack(col[mask].to_numpy()).astype(np.float64)
+            vals = list((M - mean) @ comps_t)
+        out, k = [], 0
+        for present in mask:
+            if present:
+                out.append(vals[k])
+                k += 1
+            else:
+                out.append(None)
+        return pd.Series(out, index=col.index, dtype=object)
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))
+
+
+# ---------------------------------------------------------------------------
+# centroid-distance features
+
+
+def centroid_distance_features(df: DataFrame, centroids,
+                               label_col: str = "label",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Distance features against a bounded centroid set: per row, the
+    euclidean distance to the row's OWN label centroid (null when the
+    label has no centroid) and the nearest centroid's label + distance
+    (ties broken by ascending label).
+
+    ``centroids`` is the |labels|·d relation from
+    :func:`label_centroids` (or a compatible ``(label, pos, mean)``
+    relation): it is collected — BOUNDED by design — and broadcast by
+    closure into ONE Arrow-vectorized pass; rows never explode or
+    shuffle (a |labels|·d× explode-join would shuffle 640× the corpus
+    at d=64, L=10 — this stays map-only).
+    """
+    rows = centroids.collect()
+    if not rows:
+        raise ValueError("centroid_distance_features: empty centroids")
+    labels = sorted({r.label for r in rows}, key=lambda v: (v is None, v))
+    d = max(r.pos for r in rows)
+    C = np.zeros((len(labels), d))
+    lab_idx = {lab: i for i, lab in enumerate(labels)}
+    for r in rows:
+        C[lab_idx[r.label], r.pos - 1] = r.mean
+    label_type = centroids.schema["label"].dataType.simpleString()
+    out_schema = (f"dist_own double, nearest_label {label_type}, "
+                  "dist_nearest double")
+    lab_arr = np.array(labels, dtype=object)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # (n, L) squared distances via ||x||² - 2xC + ||c||² is the
+            # fast form but loses bitwise agreement with the SQL
+            # oracle's Σ(x−c)²; with bounded L the direct form is fine
+            diffs = M[:, None, :] - C[None, :, :]      # (n, L, d)
+            d2 = np.einsum("nld,nld->nl", diffs, diffs)
+            dist = np.sqrt(d2)
+            nearest = dist.argmin(axis=1)
+            own = np.array([lab_idx.get(v, -1)
+                            for v in pdf[label_col]])
+            res = pdf.copy()
+            res["dist_own"] = [
+                float(dist[r, o]) if o >= 0 else None
+                for r, o in enumerate(own)]
+            res["nearest_label"] = lab_arr[nearest]
+            res["dist_nearest"] = dist[np.arange(len(M)), nearest]
+            yield res
+
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    return df.mapInPandas(score, schema=f"{in_fields}, {out_schema}")

@@ -36,6 +36,9 @@ PIN = [
     # BPE: driver fit over the collected word histogram with explicit
     # (count, lexicographic) tie-breaks — collect-order independent
     ("bpe_tokenize_docs", True),
+    # PCA: fit is partition-order-invariant (12-dp covariance/mean
+    # rounding before eigh, deterministic component signs)
+    ("pca_project_vecs", True),
 ]
 
 DUCK_TYPES = {
