@@ -215,7 +215,8 @@ def main() -> None:
                  "transition_probs_events", "recency_features_events",
                  "trailing_values_events", "mutual_info_docs",
                  "covariance_embeddings", "centroid_distance_vecs",
-                 "pca_project_vecs"]:
+                 "pca_project_vecs", "time_folds_events",
+                 "purged_split_events", "negative_samples_orders"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays
