@@ -111,13 +111,15 @@ def covariance_matrix(df: DataFrame,
     """Sample covariance relation ``(i, j, n, cov)`` over the embedding
     positions (1-based, upper triangle ``i <= j``, ddof=1).
 
-    Scale shape: ``mapInPandas`` accumulates per-partition partial
-    outer-product/mean sums in numpy (one ``Mᵀ·M`` per Arrow batch —
-    vectorized, no per-row Python) and emits at most ``d² + d + 1``
-    rows PER PARTITION; one map-side-combined sum then reduces to the
-    d²-bounded relation.  Raw rows never shuffle — this is the
-    10^12-row shape (same partial-sum pattern as the pipeline's
-    reference aggregation).  Ragged embedding lengths raise.
+    Scale shape: ``mapInPandas`` accumulates per-partition partial sums
+    in numpy (one ``Mᵀ·M`` per Arrow batch — vectorized, no per-row
+    Python) and emits the upper triangle as ``(i, j, s_xy, s_xi, s_xj,
+    cnt)`` — the pair's cross-product sum PLUS both marginal sums and
+    the count carried on the same row, so the whole statistic reduces
+    in ONE map-side-combined aggregation with ZERO joins and ONE scan
+    (an earlier marginal-rows + self-join shape re-ran the corpus scan
+    four times — pinned against in ``test_plan_shapes``).  d²-bounded
+    output; raw rows never shuffle.  Ragged embedding lengths raise.
     """
     name = vec_col
 
@@ -146,29 +148,25 @@ def covariance_matrix(df: DataFrame,
         d = total.shape[0]
         iu, ju = np.triu_indices(d)
         yield pd.DataFrame({
-            "i": np.concatenate([iu + 1, np.arange(1, d + 1), [-1]]),
-            "j": np.concatenate([ju + 1, np.full(d, -1), [-1]]),
-            "s": np.concatenate([total[iu, ju], sums, [float(n)]]),
+            "i": iu + 1, "j": ju + 1,
+            "s_xy": total[iu, ju],
+            "s_xi": sums[iu], "s_xj": sums[ju],
+            "cnt": np.full(len(iu), float(n)),
         })
 
     parts = df.select(vec_col).mapInPandas(
-        partials, schema="i int, j int, s double")
-    agg = parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
-    sij = (agg.where((F.col("i") > 0) & (F.col("j") > 0))
-           .select("i", "j", F.col("s").alias("_sxy")))
-    si = (agg.where((F.col("i") > 0) & (F.col("j") == -1))
-          .select(F.col("i").alias("_mi"), F.col("s").alias("_sx")))
-    sj = si.select(F.col("_mi").alias("_mj"), F.col("_sx").alias("_sy"))
-    nn = (agg.where(F.col("i") == -1)
-          .select(F.col("s").alias("_n")))
-    # the marginal relations are d- and 1-sized: broadcast is bounded
-    out = (sij.join(F.broadcast(si), sij["i"] == si["_mi"])
-           .join(F.broadcast(sj), sij["j"] == sj["_mj"])
-           .crossJoin(F.broadcast(nn)))
+        partials,
+        schema="i int, j int, s_xy double, s_xi double, s_xj double, "
+               "cnt double")
+    agg = (parts.groupBy("i", "j")
+           .agg(F.sum("s_xy").alias("_sxy"),
+                F.sum("s_xi").alias("_sx"),
+                F.sum("s_xj").alias("_sy"),
+                F.sum("cnt").alias("_n")))
     n = F.col("_n")
     cov = F.when(n >= 2, (F.col("_sxy")
                           - F.col("_sx") * F.col("_sy") / n) / (n - 1))
-    return out.select("i", "j", n.cast("long").alias("n"),
+    return agg.select("i", "j", n.cast("long").alias("n"),
                       cov.alias("cov"))
 
 

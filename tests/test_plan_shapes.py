@@ -304,3 +304,84 @@ def test_tfidf_composition_is_lazy(spark):
     tx.tfidf_top_terms(docs, k_terms=5)
     after = set(tracker.getJobIdsForGroup(None))
     assert after == before
+
+
+def test_hash_tokenize_and_context_pairs_map_only(spark):
+    """Tokenization + training-pair generation must be one map-only JVM
+    pass: no exchange, no Python workers, no window."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        context_target_pairs, hash_tokenize)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = context_target_pairs(hash_tokenize(docs), context_len=4)
+    plan = plan_of(out, "simple")
+    assert "Exchange" not in plan and "Window" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_lm_score_and_oov_joins_unhinted(spark):
+    """The count-relation joins in lm_score/oov_rate must carry NO
+    broadcast hints — a multi-GB bigram table or vocabulary must not be
+    forced onto the driver (AQE sizes them at runtime)."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        hash_tokenize, lm_score, oov_rate, unigram_counts)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tok = hash_tokenize(docs)
+    for df in (lm_score(tok),
+               oov_rate(tok, unigram_counts(tok).where(F.col("c") >= 5))):
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical
+
+
+def test_recency_and_trailing_single_window_single_exchange(spark):
+    """Both recency features share one window sort; trailing_values is
+    one frame — each: one Window node, one entity-hash exchange."""
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        recency_features, trailing_values)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    for df in (recency_features(ev, ["user_id", "event_type"], "ts",
+                                tiebreak=["event_id"]),
+               trailing_values(ev, "value", "user_id", "ts", k=3,
+                               tiebreak=["event_id"])):
+        plan = plan_of(df, "simple")
+        assert plan.count("Window") == 1
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_covariance_raw_rows_never_shuffle(spark):
+    """The covariance partials must be computed BEFORE any exchange: the
+    scan feeds MapInPandas directly, and every exchange in the plan
+    operates on the d^2-bounded partial relation."""
+    from msi_preprocessing_pipeline_spark.operators.embeddings import (
+        covariance_matrix)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(covariance_matrix(emb), "simple")
+    assert "MapInPandas" in plan
+    scan_to_map = plan[plan.index("MapInPandas"):]
+    # below (upstream of) the MapInPandas node: scan only, no exchange
+    assert "Exchange" not in scan_to_map
+
+
+def test_centroid_distance_is_map_only(spark):
+    """Scoring rows against the broadcast centroid set must be one Arrow
+    pass over the scan — no exchange, no join in the row path."""
+    from msi_preprocessing_pipeline_spark.operators.embeddings import (
+        centroid_distance_features, label_centroids)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = centroid_distance_features(emb, label_centroids(emb))
+    plan = plan_of(out, "simple")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_time_folds_row_side_no_hash_exchange(spark):
+    """Fold assignment: the 1-row edge aggregate broadcasts; the row side
+    stays map-only (no hash exchange on event rows)."""
+    from msi_preprocessing_pipeline_spark.operators.cv import time_folds
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = plan_of(time_folds(ev, "ts", n_folds=5), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only hash exchange allowed is the single-partition edge agg
+    rows = [ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln]
+    assert rows == []
