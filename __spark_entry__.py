@@ -1499,7 +1499,8 @@ _SQL_TOK = """tok as (
                        list_transform(
                          list_filter(
                            string_split_regex(
-                             trim(lower(coalesce(text, ''))), '\\s+'),
+                             trim(lower(coalesce(text, ''))),
+                             '[ \\t\\n\\x0B\\f\\r]+'),
                            w -> w != ''),
                          w -> cast(cast(('0x' || substr(md5(w || ':7'),
                                                         1, 8)) as bigint)
@@ -2798,10 +2799,16 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
         "trailing_values_events": """
             with t as (
                 select event_id, user_id, value,
-                       coalesce(list(value) over (
-                           partition by user_id order by ts, event_id
-                           rows between 3 preceding and 1 preceding),
-                         cast([] as double[])) as l
+                       -- DuckDB's windowed list() KEEPS nulls while
+                       -- Spark's collect_list skips them: filter after
+                       -- the frame so nulls occupy a slot but are
+                       -- excluded from the array (operator contract)
+                       list_filter(
+                         coalesce(list(value) over (
+                             partition by user_id order by ts, event_id
+                             rows between 3 preceding and 1 preceding),
+                           cast([] as double[])),
+                         x -> x is not null) as l
                 from events
             )
             select event_id, user_id, value,
@@ -2891,20 +2898,32 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                 from events
             ), f as (
                 select event_id, epoch_ms(ts) as ms,
-                       cast(length(list_filter(e.edges,
-                            ed -> epoch_ms(ts) >= ed)) as int) as fold
+                       cast(case when ts is null then null
+                            else length(list_filter(e.edges,
+                                 ed -> epoch_ms(ts) >= ed)) end as int)
+                           as fold
                 from events, e
             ), span as (
                 select min(ms) as lo, max(ms) as hi from f where fold = 2
             )
             select f.event_id, f.fold,
-                   cast(case when f.fold = 2 then 1 else 0 end as int)
+                   -- null ts -> null fold -> all three flags null
+                   -- (mirrors Spark's three-valued logic through the
+                   -- ~is_test conjunctions)
+                   cast(case when f.fold is null then null
+                        when f.fold = 2 then 1 else 0 end as int)
                        as is_test,
-                   cast(case when f.fold <> 2 and span.lo is not null
+                   -- nuance: with an EMPTY test fold, lo is null and
+                   -- Spark's (null AND false) = false, so in_embargo
+                   -- is 0 (not null) even for null-ts rows
+                   cast(case when f.fold is null then
+                             (case when span.lo is null then 0 end)
+                        when f.fold <> 2 and span.lo is not null
                              and f.ms >= span.lo - 86400000
                              and f.ms <= span.hi + 86400000
                         then 1 else 0 end as int) as in_embargo,
-                   cast(case when f.fold <> 2
+                   cast(case when f.fold is null then null
+                        when f.fold <> 2
                              and not (span.lo is not null
                                       and f.ms >= span.lo - 86400000
                                       and f.ms <= span.hi + 86400000)

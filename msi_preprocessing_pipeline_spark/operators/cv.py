@@ -101,12 +101,19 @@ def negative_samples(positives: DataFrame, items: DataFrame,
     Output: ``(user, item, slot, neg_item)`` — one row per surviving
     draw.  The dense index is a row_number over the DISTINCT catalog
     ordered by item id: a |items|-bounded single-partition window,
-    fine for real catalogs (≤ ~10^8), documented as the bound.
+    fine for real catalogs (≤ ~10^8), documented as the bound.  Null
+    item ids are dropped from the catalog before indexing (engines
+    disagree on null ordering — Spark sorts nulls first, most SQL
+    engines last — which would shift every index and break the
+    cross-engine reproducibility contract).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from ..functions.util import md5_bucket
+
     idx_w = Window.orderBy(item_col)
-    catalog = (items.select(item_col).distinct()
+    catalog = (items.select(item_col)
+               .where(F.col(item_col).isNotNull()).distinct()
                .select(F.col(item_col).alias("__neg_item"),
                        (F.row_number().over(idx_w) - 1).cast("long")
                        .alias("__idx")))
@@ -115,13 +122,13 @@ def negative_samples(positives: DataFrame, items: DataFrame,
     cand = (positives.select(F.col(user_col), F.col(item_col))
             .withColumn("slot", slots)
             .crossJoin(F.broadcast(n_items)))
-    h = F.conv(F.substring(F.md5(F.concat_ws(
+    key = F.concat_ws(
         ":", F.col(user_col).cast("string"),
         F.col(item_col).cast("string"),
-        F.col("slot").cast("string"), F.lit(str(seed)))), 1, 8),
-        16, 10).cast("long")
-    cand = cand.withColumn("__idx", (h % F.col("__n_items")).cast("long")) \
-        .drop("__n_items")
+        F.col("slot").cast("string"), F.lit(str(seed)))
+    cand = (cand.withColumn(
+        "__idx", md5_bucket(key, F.col("__n_items")).cast("long"))
+        .drop("__n_items"))
     joined = (cand.join(catalog, "__idx").drop("__idx")
               .withColumnRenamed("__neg_item", "neg_item"))
     pos_keys = positives.select(

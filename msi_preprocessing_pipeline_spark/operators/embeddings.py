@@ -29,7 +29,7 @@ from typing import Iterator, NamedTuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -121,6 +121,26 @@ def covariance_matrix(df: DataFrame,
     four times — pinned against in ``test_plan_shapes``).  d²-bounded
     output; raw rows never shuffle.  Ragged embedding lengths raise.
     """
+    agg = _cov_agg(df, vec_col)
+    # cross-partition ragged guard: a partition seeing only d'-length
+    # vectors passes the per-partition check, but its pairs then carry a
+    # smaller _n than pairs involving positions > d'. All-equal _n over
+    # the d²-bounded relation (one bounded window, exact — counts are
+    # integers in double space) certifies consistency; raise otherwise.
+    w = Window.partitionBy()
+    consistent = (F.min("_n").over(w) == F.max("_n").over(w))
+    n = F.col("_n")
+    cov = F.when(n >= 2, (F.col("_sxy")
+                          - F.col("_sx") * F.col("_sy") / n) / (n - 1))
+    guarded = F.when(consistent, cov).otherwise(F.raise_error(F.lit(
+        "covariance_matrix: ragged embedding lengths across partitions")))
+    return agg.select("i", "j", n.cast("long").alias("n"),
+                      guarded.alias("cov"))
+
+
+def _cov_agg(df: DataFrame, vec_col: str) -> DataFrame:
+    """The shared one-scan covariance aggregation:
+    ``(i, j, _sxy, _sx, _sy, _n)`` per upper-triangle pair."""
     name = vec_col
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -131,6 +151,12 @@ def covariance_matrix(df: DataFrame,
             vecs = pdf[name].dropna()
             if not len(vecs):
                 continue
+            lens = np.fromiter((len(v) for v in vecs), dtype=np.int64,
+                               count=len(vecs))
+            if lens.min() != lens.max():
+                raise ValueError(
+                    f"ragged embedding lengths in batch: "
+                    f"{lens.min()}..{lens.max()}")
             M = np.stack(vecs.to_numpy()).astype(np.float64)
             if total is None:
                 total = M.T @ M
@@ -158,16 +184,11 @@ def covariance_matrix(df: DataFrame,
         partials,
         schema="i int, j int, s_xy double, s_xi double, s_xj double, "
                "cnt double")
-    agg = (parts.groupBy("i", "j")
-           .agg(F.sum("s_xy").alias("_sxy"),
-                F.sum("s_xi").alias("_sx"),
-                F.sum("s_xj").alias("_sy"),
-                F.sum("cnt").alias("_n")))
-    n = F.col("_n")
-    cov = F.when(n >= 2, (F.col("_sxy")
-                          - F.col("_sx") * F.col("_sy") / n) / (n - 1))
-    return agg.select("i", "j", n.cast("long").alias("n"),
-                      cov.alias("cov"))
+    return (parts.groupBy("i", "j")
+            .agg(F.sum("s_xy").alias("_sxy"),
+                 F.sum("s_xi").alias("_sx"),
+                 F.sum("s_xj").alias("_sy"),
+                 F.sum("cnt").alias("_n")))
 
 
 # ---------------------------------------------------------------------------
@@ -197,25 +218,31 @@ def pca_fit(df: DataFrame, k: int = 4,
     here) makes the fit run- and partition-order-invariant, hence
     golden-pinnable (same discipline as ``ivf_fit_centroids``).
     """
-    rel = covariance_matrix(df, vec_col).collect()
+    rel = _cov_agg(df, vec_col).collect()
     if not rel:
         raise ValueError("pca_fit: empty input")
     d = max(r.j for r in rel)
     if k < 1 or k > d:
         raise ValueError(f"k must be in [1, {d}], got {k}")
+    ns = {r["_n"] for r in rel}
+    if len(ns) != 1:
+        raise ValueError(
+            "pca_fit: ragged embedding lengths across partitions "
+            f"(inconsistent counts {sorted(ns)})")
+    n = ns.pop()
+    if n < 2:
+        raise ValueError(f"pca_fit: need n >= 2 rows, got {int(n)}")
+    # ONE corpus scan: covariance AND mean both come from the same
+    # collected d²-bounded partial relation (the diagonal rows carry
+    # the per-position sums) — no second embedding_moments pass
     cov = np.zeros((d, d))
+    mean = np.zeros(d)
     for r in rel:
-        if r.cov is None:
-            raise ValueError("pca_fit: need n >= 2 rows")
-        c = round(r.cov, 12)
+        c = round((r["_sxy"] - r["_sx"] * r["_sy"] / n) / (n - 1), 12)
         cov[r.i - 1, r.j - 1] = c
         cov[r.j - 1, r.i - 1] = c
-    n = rel[0].n
-    # mean from the same distributed pass shape (d-bounded collect)
-    mom = embedding_moments(df, vec_col).collect()
-    mean = np.zeros(d)
-    for r in mom:
-        mean[r.pos - 1] = round(r.mean, 12)
+        if r.i == r.j:
+            mean[r.i - 1] = round(r["_sx"] / n, 12)
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:k]
     comps = vecs[:, order].T.copy()
@@ -273,7 +300,9 @@ def centroid_distance_features(df: DataFrame, centroids,
     relation): it is collected — BOUNDED by design — and broadcast by
     closure into ONE Arrow-vectorized pass; rows never explode or
     shuffle (a |labels|·d× explode-join would shuffle 640× the corpus
-    at d=64, L=10 — this stays map-only).
+    at d=64, L=10 — this stays map-only).  Null embeddings keep their
+    row with null distances; a label absent from the centroid set gets
+    a null ``dist_own`` but is still scored for the nearest centroid.
     """
     rows = centroids.collect()
     if not rows:
@@ -291,22 +320,38 @@ def centroid_distance_features(df: DataFrame, centroids,
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            # (n, L) squared distances via ||x||² - 2xC + ||c||² is the
-            # fast form but loses bitwise agreement with the SQL
-            # oracle's Σ(x−c)²; with bounded L the direct form is fine
-            diffs = M[:, None, :] - C[None, :, :]      # (n, L, d)
-            d2 = np.einsum("nld,nld->nl", diffs, diffs)
-            dist = np.sqrt(d2)
-            nearest = dist.argmin(axis=1)
-            own = np.array([lab_idx.get(v, -1)
-                            for v in pdf[label_col]])
+            n_rows = len(pdf)
             res = pdf.copy()
-            res["dist_own"] = [
-                float(dist[r, o]) if o >= 0 else None
-                for r, o in enumerate(own)]
-            res["nearest_label"] = lab_arr[nearest]
-            res["dist_nearest"] = dist[np.arange(len(M)), nearest]
+            own_out = [None] * n_rows
+            near_lab = [None] * n_rows
+            near_out = [None] * n_rows
+            # null embeddings keep their row with null distances (same
+            # contract as pca_project/normalize_embeddings)
+            mask = pdf[vec_col].notna().to_numpy()
+            if mask.any():
+                idxs = np.nonzero(mask)[0]
+                M = np.stack(
+                    pdf[vec_col].iloc[idxs].to_numpy()).astype(np.float64)
+                # (n, L) squared distances via ||x||² - 2xC + ||c||² is
+                # the fast form but loses bitwise agreement with the SQL
+                # oracle's Σ(x−c)²; with bounded L the direct form is fine
+                diffs = M[:, None, :] - C[None, :, :]      # (n, L, d)
+                d2 = np.einsum("nld,nld->nl", diffs, diffs)
+                dist = np.sqrt(d2)
+                nearest = dist.argmin(axis=1)
+                own = [lab_idx.get(v, -1)
+                       for v in pdf[label_col].iloc[idxs]]
+                for r, (ri, o) in enumerate(zip(idxs, own)):
+                    if o >= 0:
+                        own_out[ri] = float(dist[r, o])
+                    near_lab[ri] = lab_arr[nearest[r]]
+                    near_out[ri] = float(dist[r, nearest[r]])
+            res["dist_own"] = pd.Series(own_out, index=pdf.index,
+                                        dtype=object)
+            res["nearest_label"] = pd.Series(near_lab, index=pdf.index,
+                                             dtype=object)
+            res["dist_nearest"] = pd.Series(near_out, index=pdf.index,
+                                            dtype=object)
             yield res
 
     in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"

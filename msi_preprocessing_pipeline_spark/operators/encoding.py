@@ -44,11 +44,12 @@ def feature_hash(df: DataFrame, cols, n_buckets: int = 1024,
     engines), so (NULL, 'a') and ('a', NULL) collide — acceptable for the
     hashing trick; pre-coalesce sentinel values if that matters.
     """
+    from ..functions.util import md5_bucket
+
     key = F.concat_ws(
         ":", *[F.col(c).cast("string") for c in _as_list(cols)],
         F.lit(str(seed)))
-    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
-    return df.withColumn(out_col, (h % F.lit(int(n_buckets))).cast("int"))
+    return df.withColumn(out_col, md5_bucket(key, n_buckets).cast("int"))
 
 
 def standardize_robust(df: DataFrame, col: str, group_cols=None,

@@ -36,6 +36,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.util import md5_bucket
+
+# Explicit whitespace class, NOT \s: Java's \s includes \x0B (vertical
+# tab) while DuckDB/RE2's does not, so a document containing \v would
+# tokenize differently across engines under \s+. The explicit class is
+# mirrored verbatim in the DuckDB oracle (_SQL_TOK).
+WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
 
 # ---------------------------------------------------------------------------
 # deterministic hashing tokenizer
@@ -43,10 +51,9 @@ from pyspark.sql import functions as F
 
 def _hash_token(word: Column, vocab_size: int, seed: int) -> Column:
     """md5-bucket a word to ``[0, vocab_size)`` — identical integers in
-    Spark, DuckDB and Python (same idiom as ``encoding.feature_hash``)."""
-    h = F.conv(F.substring(F.md5(F.concat(word, F.lit(f":{seed}"))), 1, 8),
-               16, 10).cast("long")
-    return (h % F.lit(int(vocab_size))).cast("int")
+    Spark, DuckDB and Python (shared ``util.md5_bucket`` idiom)."""
+    return md5_bucket(F.concat(word, F.lit(f":{seed}")),
+                      vocab_size).cast("int")
 
 
 def hash_tokenize(df: DataFrame, text_col: str = "text",
@@ -62,7 +69,7 @@ def hash_tokenize(df: DataFrame, text_col: str = "text",
     """
     words = F.filter(
         F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
-                r"\s+"),
+                WS_CLASS),
         lambda w: w != F.lit(""))
     tokens = F.transform(words, lambda w: _hash_token(w, vocab_size, seed))
     return df.select(

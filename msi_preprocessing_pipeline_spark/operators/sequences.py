@@ -104,9 +104,11 @@ def trailing_values(df: DataFrame, value_col: str, partition_by,
     feature at time t sees only t' < t).
 
     Null values are kept OUT of the array (``collect_list`` skips
-    nulls — Spark and every SQL engine agree) but still occupy a frame
-    slot, so a null-valued previous event shortens the array rather
-    than shifting in an older value; rows with no history get ``[]``.
+    nulls) but still occupy a frame slot, so a null-valued previous
+    event shortens the array rather than shifting in an older value;
+    rows with no history get ``[]``.  NOTE: SQL engines differ here —
+    DuckDB's windowed ``list()`` KEEPS nulls, so a SQL mirror must
+    ``list_filter`` them out after the frame (the driver oracle does).
     One window frame → one shuffle.
     """
     if k < 1:

@@ -102,3 +102,37 @@ def test_negative_samples_validates(spark):
     pos, items = _neg_setup(spark)
     with pytest.raises(ValueError):
         negative_samples(pos, items, "u", "it", k=0)
+
+
+def test_negative_samples_null_catalog_items_dropped(spark):
+    pos = spark.createDataFrame([Row(u=1, it=10)], "u long, it long")
+    items = spark.createDataFrame(
+        [Row(it=i) for i in (10, 11, 12, None, 13, 14)], "it long")
+    out = negative_samples(pos, items, "u", "it", k=3, seed=5)
+    rows = out.collect()
+    assert all(r.neg_item is not None for r in rows)
+    # index space must match the null-free catalog exactly
+    cat = sorted([10, 11, 12, 13, 14])
+    for r in rows:
+        h = int(hashlib.md5(f"1:10:{r.slot}:5".encode())
+                .hexdigest()[:8], 16) % 5
+        assert r.neg_item == cat[h]
+
+
+def test_purged_split_null_ts_flags(spark):
+    rows = [Row(event_id=i, ts=BASE + dt.timedelta(hours=i))
+            for i in range(8)] + [Row(event_id=99, ts=None)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    from msi_preprocessing_pipeline_spark.operators.cv import time_folds
+    folded = time_folds(df, "ts", n_folds=4)
+    out = {r.event_id: r for r in purged_train_test(
+        folded, test_fold=1, embargo_s=0).collect()}
+    r = out[99]
+    assert r.fold is None
+    assert r.is_test is None and r.is_train is None
+    assert r.in_embargo is None  # test fold nonempty -> null, not False
+    # empty test fold: (null AND false) = false for in_embargo
+    out2 = {r.event_id: r for r in purged_train_test(
+        folded, test_fold=9, embargo_s=0).collect()}
+    assert out2[99].in_embargo is False
+    assert out2[99].is_train is None

@@ -150,3 +150,46 @@ def test_centroid_distance_empty_centroids_raises(spark):
     cents = label_centroids(df.where("label < 0"))
     with pytest.raises(ValueError):
         centroid_distance_features(df, cents)
+
+
+def test_covariance_cross_partition_ragged_raises(spark):
+    # each partition is internally consistent (d=2 vs d=3) so only the
+    # cross-partition guard can catch it; AQE partition coalescing is
+    # disabled so the two partitions genuinely run as separate tasks
+    # (merged, the in-batch length check fires instead — also "ragged")
+    a = _vec_df(spark, [(1, [1.0, 2.0]), (2, [2.0, 1.0])]).coalesce(1)
+    b = _vec_df(spark, [(3, [1.0, 2.0, 3.0]),
+                        (4, [3.0, 2.0, 1.0])]).coalesce(1)
+    ragged = a.union(b)
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        with pytest.raises(Exception, match="ragged"):
+            covariance_matrix(ragged).collect()
+        with pytest.raises(Exception, match="ragged"):
+            pca_fit(ragged, k=1)
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_centroid_distance_null_embedding_row(spark):
+    df = _vec_df(spark, [(1, 0, [0.0, 0.0]), (2, 0, [2.0, 0.0]),
+                         (3, 0, None)], with_label=True)
+    cents = label_centroids(df, "label", "embedding")
+    out = {r.vec_id: r for r in
+           centroid_distance_features(df, cents).collect()}
+    assert out[3].dist_own is None
+    assert out[3].nearest_label is None
+    assert out[3].dist_nearest is None
+    assert out[1].dist_own == pytest.approx(1.0)  # others still scored
+
+
+def test_pca_fit_single_scan_mean_matches(spark):
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(30, 4)).astype(np.float32)
+    df = _vec_df(spark, [(i, [float(x) for x in row])
+                         for i, row in enumerate(X)]).repartition(3)
+    model = pca_fit(df, k=2)
+    assert model.mean == pytest.approx(
+        X.astype(np.float64).mean(axis=0), rel=1e-9, abs=1e-12)
