@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-98 queries, 98 with exact DuckDB oracles — relational SQL where expressible,
+99 queries, 99 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1346,6 +1346,23 @@ def _q_negative_samples(spark, sf_dir):
         k=2, seed=11)
 
 
+def _q_count_encode(spark, sf_dir):
+    """PIT count encoding of event_type WITH the hot-category
+    bucket+carry two-pass (bucket_width exercises the 10^12-row path;
+    the oracle is the plain expanding window — bit-identical for
+    integer counts, so this query verifies the two-pass itself)."""
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        count_encode_pit)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", _ms("ts").alias("ms"))
+    out = count_encode_pit(ev, "event_type", "ms",
+                           tiebreak=["event_id"],
+                           bucket_width=86_400_000)
+    return out.select("event_id", "event_type",
+                      F.col("ce_event_type").alias("n_prior_cat"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -1406,9 +1423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_folds_events": _q_time_folds,
         "purged_split_events": _q_purged_split,
         "negative_samples_orders": _q_negative_samples,
+        "count_encode_events": _q_count_encode,
         # --- r3-green, kept inside the window (north-star PIT family) ---
         "asof_click_purchase": _q_asof_click_purchase,
-        "training_set_pit": _q_training_set,
         # --- r3-green queries rotated out of the 50-slot driver window
         # (all covered by the committed CONTRACT_r04.json artifact) ---
         # rows-only checks (flagship reference-parity family, golden/
@@ -1416,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth_and_peaks": _q_smooth_and_peaks,
         "pit_features": _q_pit_features,
         "batch_features": _q_batch_features,
+        "training_set_pit": _q_training_set,
         "sessionize_stats": _q_sessionize,
         "rolling_time_features": _q_rolling_time,
         "dup_spans_docs": _q_dup_spans,
@@ -2955,6 +2973,15 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             where not exists (select 1 from pos p
                               where p.user_id = c.user_id
                                 and p.item_id = cat.neg_item)
+        """,
+        "count_encode_events": """
+            select event_id, event_type,
+                   cast(coalesce(count(*) over (
+                       partition by event_type
+                       order by epoch_ms(ts), event_id
+                       rows between unbounded preceding and 1 preceding),
+                     0) as bigint) as n_prior_cat
+            from events
         """,
         "mutual_info_docs": """
             with cell as (

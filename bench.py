@@ -216,7 +216,8 @@ def main() -> None:
                  "trailing_values_events", "mutual_info_docs",
                  "covariance_embeddings", "centroid_distance_vecs",
                  "pca_project_vecs", "time_folds_events",
-                 "purged_split_events", "negative_samples_orders"]:
+                 "purged_split_events", "negative_samples_orders",
+                 "count_encode_events"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

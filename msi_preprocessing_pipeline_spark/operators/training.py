@@ -466,10 +466,18 @@ def _expanding_prior_sums(df: DataFrame, category_col: str, ts_col: str,
     wc = (Window.partitionBy(category_col).orderBy("__xp_bucket")
           .rowsBetween(Window.unboundedPreceding, -1))
     carry = totals.select(
-        category_col, "__xp_bucket",
+        F.col(category_col).alias("__xp_cat"),
+        F.col("__xp_bucket").alias("__xp_cb"),
         *[F.coalesce(F.sum(f"__xp_t_{n}").over(wc), F.lit(0))
           .alias(f"__xp_c_{n}") for n in aggs])
-    joined = intra.join(carry, [category_col, "__xp_bucket"])
+    # NULL-SAFE on the category key: a plain equi-join would silently
+    # drop every null-category row (null != null) — the same defect
+    # class fixed in encoding._join_group_stats / grouped quantiles
+    joined = (intra.join(
+        carry,
+        F.col(category_col).eqNullSafe(F.col("__xp_cat"))
+        & (F.col("__xp_bucket") == F.col("__xp_cb")))
+        .drop("__xp_cat", "__xp_cb"))
     out = joined.select(
         "*", *[(F.col(f"__xp_i_{n}") + F.col(f"__xp_c_{n}")).alias(n)
                for n in aggs])
@@ -588,3 +596,27 @@ def woe_encode_pit(df: DataFrame, category_col: str, label_col: str,
     return (base.crossJoin(F.broadcast(totals))
             .withColumn(out, F.log(p_ev / p_ne))
             .drop("__woe_ev", "__woe_ne", "__woe_tev", "__woe_tne"))
+
+
+def count_encode_pit(df: DataFrame, category_col: str,
+                     ts_col: str = "ts",
+                     tiebreak: Sequence[str] | str | None = None,
+                     out_col: str | None = None,
+                     bucket_width: int | None = None) -> DataFrame:
+    """Point-in-time count encoding: each row's feature is the number of
+    STRICTLY EARLIER rows of the same category — the online-serving
+    counter (a production counter at time t has seen exactly the prior
+    rows, so this is the train/serve-skew-free form of frequency
+    encoding; no label is involved, the PIT discipline here is about
+    serving parity, not target leakage).
+
+    Same scale contract as :func:`target_encode_pit`:
+    ``bucket_width`` enables the hot-category bucket+carry two-pass —
+    REQUIRED for low-cardinality categories at large scale — and is
+    bit-identical to the plain window (counts are integers, partials
+    merge by +).
+    """
+    out = out_col or f"ce_{category_col}"
+    return _expanding_prior_sums(
+        df, category_col, ts_col, tiebreak,
+        {out: F.count("*")}, bucket_width)

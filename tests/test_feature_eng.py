@@ -679,3 +679,28 @@ def test_grouped_exact_quantiles_keeps_null_group_and_validates_qs(spark):
         grouped_exact_quantiles(df, "v", ["g"], [])
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         grouped_exact_quantiles(df, "v", ["g"], [0.5, 1.5])
+
+
+def test_count_encode_pit_bucketed_matches_plain(spark):
+    """count_encode_pit with the hot-category two-pass must be
+    bit-identical to the plain expanding window (integer counts)."""
+    import random
+    from pyspark.sql import Row
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        count_encode_pit)
+
+    rng = random.Random(7)
+    rows = [Row(event_id=i, cat=rng.choice(["a", "b", None]),
+                ms=rng.randrange(0, 10_000))
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "event_id long, cat string, ms long").repartition(4)
+    plain = {r.event_id: r.ce_cat for r in count_encode_pit(
+        df, "cat", "ms", tiebreak=["event_id"]).collect()}
+    bucketed = {r.event_id: r.ce_cat for r in count_encode_pit(
+        df, "cat", "ms", tiebreak=["event_id"],
+        bucket_width=500).collect()}
+    assert plain == bucketed
+    # spot semantics: the first event of a category has 0 priors
+    first = min((r.ms, r.event_id, r.cat) for r in rows if r.cat == "a")
+    assert plain[first[1]] == 0
