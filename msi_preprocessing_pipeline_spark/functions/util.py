@@ -29,3 +29,65 @@ def md5_bucket(key, n):
 
     h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
     return h % (n if isinstance(n, Column) else F.lit(int(n)))
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) key of two non-negative integer Columns: the
+    low ``bits`` bits of ``x`` and ``y`` interleaved (x in the even bit
+    positions, y in the odd), yielding a long in ``[0, 4**bits)``.
+
+    Sorting / range-partitioning a table by its z-key clusters rows
+    that are close in BOTH dimensions into the same files, so parquet
+    min/max row-group stats prune two-predicate scans (time × entity,
+    lat × lon) that a single-column sort can only prune on one of —
+    the standard multi-dimensional layout trick (cf. Delta/Iceberg
+    Z-ORDER). Feed it to ``sources.layout.write_clustered(range_by=,
+    sort_by=)`` via a materialized column.
+
+    Pure JVM bit arithmetic (shift/mask spreading — Warren, Hacker's
+    Delight §7-2), engine-portable: the identical expression in DuckDB
+    SQL produces the identical key (see the ``zorder_events`` oracle).
+    Inputs must already be in ``[0, 2**bits)`` — out-of-range bits are
+    masked off, so callers bucket/quantize first. ``bits <= 31`` so the
+    key never reaches the int64 sign bit (a negative key would sort
+    before every positive one and break the locality contract).
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+
+    # spread the low 32 bits of v across 64: abcd -> 0a0b0c0d
+    def spread(v):
+        v = v.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for shift, mask in ((16, 0x0000FFFF0000FFFF),
+                            (8, 0x00FF00FF00FF00FF),
+                            (4, 0x0F0F0F0F0F0F0F0F),
+                            (2, 0x3333333333333333),
+                            (1, 0x5555555555555555)):
+            v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+        return v
+
+    from pyspark.sql import Column  # noqa: F401  (doc parity with md5_bucket)
+    xs, ys = spread(x), spread(y)
+    return xs.bitwiseOR(F.shiftleft(ys, 1))
+
+
+def zorder_sql(x: str, y: str, bits: int = 16) -> str:
+    """The DuckDB rendering of :func:`zorder_key` — same shift/mask
+    spreading over the SQL expressions ``x`` and ``y``. Kept beside the
+    Column version so the two cannot drift."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+
+    def spread(e: str) -> str:
+        e = f"(cast({e} as bigint) & {(1 << bits) - 1})"
+        for shift, mask in ((16, 0x0000FFFF0000FFFF),
+                            (8, 0x00FF00FF00FF00FF),
+                            (4, 0x0F0F0F0F0F0F0F0F),
+                            (2, 0x3333333333333333),
+                            (1, 0x5555555555555555)):
+            e = f"(({e} | ({e} << {shift})) & {mask})"
+        return e
+
+    return f"({spread(x)} | ({spread(y)} << 1))"

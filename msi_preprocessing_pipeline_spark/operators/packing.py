@@ -91,3 +91,43 @@ def pack_token_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
                        .getField("frag")).alias("tokens")))
     return reassembled.select("bucket", "seq_no", "tokens",
                               F.size("tokens").alias("n_tok"))
+
+
+def chunk_tokens(df: DataFrame, chunk_len: int, stride: int | None = None,
+                 min_len: int = 1, tokens_col: str = "tokens",
+                 id_col: str = "doc_id", keep_cols=()) -> DataFrame:
+    """Per-document sliding-window chunking: cut each token array into
+    windows of ``chunk_len`` tokens starting every ``stride`` positions
+    (default ``stride = chunk_len`` — disjoint chunks; ``stride <
+    chunk_len`` overlaps them, the usual long-document training layout).
+
+    Emits ``(id, chunk_id, chunk_tokens, chunk_n, *keep_cols)`` with
+    ``chunk_id`` the 0-based window index.  The tail window is short
+    when the document length is not stride-aligned; windows shorter
+    than ``min_len`` are dropped (set ``min_len=1`` to keep every
+    non-empty tail).  Empty / null token arrays emit no chunks.
+
+    Unlike :func:`pack_sequences` (cross-document concat-and-chunk),
+    chunking is per-row: a pure JVM ``sequence → posexplode → slice``
+    projection — NO shuffle, no Python, linear in input tokens.  At
+    10^12 sequences this is a map-only pass Catalyst pipelines into
+    the scan.
+    """
+    if chunk_len < 1:
+        raise ValueError(f"chunk_len must be >= 1, got {chunk_len}")
+    stride = chunk_len if stride is None else stride
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    n = F.size(F.col(tokens_col))  # -1 for null arrays
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    out = (df.select(F.col(id_col), F.col(tokens_col),
+                     *[F.col(c) for c in keep_cols],
+                     F.posexplode(starts).alias("chunk_id", "__start"))
+           .select(F.col(id_col), F.col("chunk_id"),
+                   F.slice(F.col(tokens_col), F.col("__start") + 1,
+                           chunk_len).alias("chunk_tokens"),
+                   *[F.col(c) for c in keep_cols]))
+    return (out.withColumn("chunk_n", F.size("chunk_tokens"))
+            .where(F.col("chunk_n") >= min_len))

@@ -119,3 +119,69 @@ def trailing_values(df: DataFrame, value_col: str, partition_by,
          .rowsBetween(-k, -1))
     out = out_col or f"{value_col}_last{k}"
     return df.withColumn(out, F.collect_list(value_col).over(w))
+
+
+def autocorr(df: DataFrame, value_col: str, partition_by,
+             order_by: str = "ts", lags: Sequence[int] = (1,),
+             scale: int = 6, tiebreak: Sequence[str] | str = ()) -> DataFrame:
+    """Per-entity lag-``k`` Pearson autocorrelation of ``value_col``
+    over the entity's time-ordered OBSERVED series (null values are
+    dropped before lagging, so lag 1 means "previous non-null
+    observation"): one output row ``(entity…, lag, n_pairs, r)`` per
+    entity × lag with at least one pair (entities with fewer than
+    ``k + 1`` observations emit nothing for lag ``k``); ``r`` is null
+    when fewer than 2 pairs or either side is constant.
+
+    Exactness contract: values are quantized to ``10**-scale`` units
+    (``floor(v * 10**scale + 0.5)`` — every step IEEE, so Spark /
+    DuckDB / numpy agree bit-for-bit) and all moment sums run in exact
+    decimal integers; only the final ratio touches floating point.
+    ``r`` is therefore the autocorrelation of the quantized series —
+    reproducible across engines and partitionings, and within
+    ``~10**-(scale-1)`` of the raw-double value.  Pick ``scale`` so
+    ``|v| * 10**scale < 1e10`` (quantized products must stay inside
+    the exact-decimal range).
+
+    Plan shape: ONE window (single shuffle on the entity key) building
+    every lag column in one select — CollapseWindow keeps one Window
+    node — then explode(lags) → one map-side-combined aggregation on
+    (entity, lag).  Output cardinality |entities| × |lags|.
+    """
+    parts = _as_list(partition_by)
+    lags = [int(k) for k in lags]
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError(f"lags must be positive ints, got {lags}")
+    order = [F.col(order_by)] + [F.col(c) for c in _as_list(tiebreak)]
+    w = Window.partitionBy(*parts).orderBy(*order)
+    q = F.floor(F.col(value_col) * F.lit(float(10 ** scale)) + F.lit(0.5))
+    obs = df.where(F.col(value_col).isNotNull()).select(
+        *parts, F.col(order_by), *[F.col(c) for c in _as_list(tiebreak)],
+        q.alias("__x"))
+    # every lag column in ONE select: one Window node, one shuffle
+    lagged = obs.select(
+        *parts, F.col("__x"),
+        *[F.lag("__x", k).over(w).alias(f"__y{k}") for k in lags])
+    pairs = (lagged.select(
+        *parts, "__x",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("lag"), F.col(f"__y{k}").alias("y"))
+            for k in lags])).alias("__p"))
+        .select(*parts, F.col("__p.lag").alias("lag"),
+                F.col("__x").alias("x"), F.col("__p.y").alias("y"))
+        .where(F.col("y").isNotNull()))
+    d = lambda c: c.cast("decimal(20,0)")  # noqa: E731
+    agg = pairs.groupBy(*parts, "lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(d(F.col("x"))).alias("__sx"),
+        F.sum(d(F.col("y"))).alias("__sy"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).alias("__sxy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).alias("__sxx"),
+        F.sum(d(F.col("y")) * d(F.col("y"))).alias("__syy"))
+    n = F.col("n_pairs").cast("decimal(20,0)")
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+    d1 = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+    d2 = (n * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    den = F.sqrt(d1.cast("double") * d2.cast("double"))
+    r = F.when((F.col("n_pairs") >= 2) & (den > 0),
+               num.cast("double") / den)
+    return agg.select(*parts, "lag", "n_pairs", r.alias("r"))
