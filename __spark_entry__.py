@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-99 queries, 99 with exact DuckDB oracles — relational SQL where expressible,
+104 queries, 104 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -18,6 +18,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from msi_preprocessing_pipeline_spark.functions.util import zorder_sql
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1363,6 +1365,81 @@ def _q_count_encode(spark, sf_dir):
                       F.col("ce_event_type").alias("n_prior_cat"))
 
 
+def _q_chunk_tokens(spark, sf_dir):
+    """Sliding-window token chunking of the canonical hash-tokenized
+    table (chunk 32, stride 24 — overlapping long-document training
+    layout); map-only, no shuffle."""
+    from msi_preprocessing_pipeline_spark.operators.lm import hash_tokenize
+    from msi_preprocessing_pipeline_spark.operators.packing import (
+        chunk_tokens)
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hash_tokenize(docs, vocab_size=4096, seed=7)
+    out = chunk_tokens(tok, chunk_len=32, stride=24, min_len=8)
+    return out.select(
+        "doc_id", "chunk_id", "chunk_n",
+        F.concat_ws(" ", F.col("chunk_tokens").cast("array<string>"))
+        .alias("chunk_str"))
+
+
+def _q_index_stats(spark, sf_dir):
+    """Inverted-index statistics over the hash-tokenized corpus:
+    df/cf per token plus the capped top-3 posting heads (tf desc,
+    doc_id asc), stringified for the cross-engine hash."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        hash_tokenize, index_stats)
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hash_tokenize(docs, vocab_size=4096, seed=7)
+    out = index_stats(tok, top_k=3)
+    top_str = F.concat_ws(",", F.transform(
+        "top_docs",
+        lambda s: F.concat(s["id"].cast("string"), F.lit(":"),
+                           s["tf"].cast("string"))))
+    return out.select("t", "df", "cf", top_str.alias("top_str"))
+
+
+def _q_zorder_events(spark, sf_dir):
+    """Morton keys over (user, minute) — the 2-d layout key the
+    clustered writer range-partitions on so both user- and
+    time-predicate scans prune.  Pure JVM bit arithmetic."""
+    from msi_preprocessing_pipeline_spark.functions.util import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(65536)).alias("x"),
+        F.pmod(F.expr(
+            f"(unix_millis(cast(ts as timestamp)) div 60000)"),
+            F.lit(65536)).alias("y"))
+    return b.select("event_id", "x", "y",
+                    zorder_key(F.col("x"), F.col("y"), 16).alias("z"))
+
+
+def _q_autocorr(spark, sf_dir):
+    """Per-user lag-1/lag-2 autocorrelation of event values —
+    decimal-exact moment sums over the 1e-6-quantized series, so the
+    double result is bit-identical across engines."""
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        autocorr)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", _ms("ts").alias("ms"), "value")
+    return autocorr(ev, "value", "user_id", "ms", lags=[1, 2],
+                    scale=6, tiebreak=["event_id"])
+
+
+def _q_er_candidates(spark, sf_dir):
+    """Rarest-word-blocked fuzzy candidate pairs (levenshtein <= 2)
+    within one brand's part names — blocking + verify, never O(n^2)."""
+    from msi_preprocessing_pipeline_spark.operators.er import (
+        candidate_pairs)
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    return candidate_pairs(part, "p_name", "p_partkey",
+                           max_dist=2, max_block=1_000_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -1409,12 +1486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams_docs": _q_pmi_bigrams,
         "oov_rate_docs": _q_oov_rate,
         "transition_probs_events": _q_transition_probs,
-        "recency_features_events": _q_recency_features,
-        "trailing_values_events": _q_trailing_values,
         "mutual_info_docs": _q_mutual_info,
         # --- new in round 4, session 3: embedding linear algebra ---
-        "embedding_norms_vecs": _q_embedding_norms,
-        "embedding_moments_vecs": _q_embedding_moments,
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
         "centroid_distance_vecs": _q_centroid_distance,
@@ -1424,7 +1497,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purged_split_events": _q_purged_split,
         "negative_samples_orders": _q_negative_samples,
         "count_encode_events": _q_count_encode,
-        # --- r3-green, kept inside the window (north-star PIT family) ---
+        # --- new in round 4, session 4 ---
+        "chunk_tokens_docs": _q_chunk_tokens,
+        "index_stats_docs": _q_index_stats,
+        "zorder_events": _q_zorder_events,
+        "autocorr_value_by_user": _q_autocorr,
+        "er_candidates_part": _q_er_candidates,
+        # --- rotated BELOW the 50-slot driver window this round: the
+        # session-3/4 window ops with the heaviest pytest pinning plus
+        # r3-green asof (all covered by the committed CONTRACT artifact) ---
+        "recency_features_events": _q_recency_features,
+        "trailing_values_events": _q_trailing_values,
+        "embedding_norms_vecs": _q_embedding_norms,
+        "embedding_moments_vecs": _q_embedding_moments,
         "asof_click_purchase": _q_asof_click_purchase,
         # --- r3-green queries rotated out of the 50-slot driver window
         # (all covered by the committed CONTRACT_r04.json artifact) ---
@@ -2982,6 +3067,117 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                        rows between unbounded preceding and 1 preceding),
                      0) as bigint) as n_prior_cat
             from events
+        """,
+        "chunk_tokens_docs": f"""
+            with {_SQL_TOK},
+            starts as (
+                select doc_id, tokens,
+                       unnest(generate_series(0, len(tokens) - 1, 24)) as s
+                from tok where len(tokens) > 0
+            ), c as (
+                select doc_id, cast(s // 24 as int) as chunk_id,
+                       tokens[s + 1 : least(s + 32, len(tokens))] as ck
+                from starts
+            )
+            select doc_id, chunk_id, cast(len(ck) as int) as chunk_n,
+                   array_to_string(ck, ' ') as chunk_str
+            from c where len(ck) >= 8
+        """,
+        "index_stats_docs": f"""
+            with {_SQL_TOK},
+            pd as (
+                select t, doc_id, count(*) as tf
+                from (select doc_id, tokens[i] as t
+                      from tok,
+                           unnest(generate_series(1, len(tokens))) as u(i))
+                group by 1, 2
+            ), stats as (
+                select t, cast(count(*) as bigint) as df,
+                       cast(sum(tf) as bigint) as cf
+                from pd group by 1
+            ), rk as (
+                select t, doc_id, tf,
+                       row_number() over (partition by t
+                                          order by tf desc, doc_id) as r
+                from pd
+            ), top as (
+                select t, string_agg(doc_id || ':' || tf, ','
+                                     order by r) as top_str
+                from rk where r <= 3 group by 1
+            )
+            select stats.t, stats.df, stats.cf, top.top_str
+            from stats join top using (t)
+        """,
+        "zorder_events": f"""
+            with b as (
+                select event_id, user_id % 65536 as x,
+                       (epoch_ms(ts) // 60000) % 65536 as y
+                from events
+            )
+            select event_id, x, y,
+                   {zorder_sql('x', 'y', 16)} as z
+            from b
+        """,
+        "autocorr_value_by_user": """
+            with obs as (
+                select user_id, event_id, epoch_ms(ts) as ms,
+                       cast(floor(value * 1000000 + 0.5) as bigint) as x
+                from events where value is not null
+            ), lagged as (
+                select user_id, x,
+                       lag(x, 1) over w as y1, lag(x, 2) over w as y2
+                from obs
+                window w as (partition by user_id order by ms, event_id)
+            ), pairs as (
+                select user_id, cast(1 as int) as lag, x, y1 as y
+                from lagged where y1 is not null
+                union all
+                select user_id, cast(2 as int) as lag, x, y2 as y
+                from lagged where y2 is not null
+            ), agg as (
+                select user_id, lag, count(*) as n_pairs,
+                       sum(cast(x as hugeint)) as sx,
+                       sum(cast(y as hugeint)) as sy,
+                       sum(cast(x as hugeint) * y) as sxy,
+                       sum(cast(x as hugeint) * x) as sxx,
+                       sum(cast(y as hugeint) * y) as syy
+                from pairs group by 1, 2
+            )
+            select user_id, lag, n_pairs,
+                   case when n_pairs >= 2
+                             and sqrt(cast(n_pairs * sxx - sx * sx as double)
+                                      * cast(n_pairs * syy - sy * sy
+                                             as double)) > 0
+                        then cast(n_pairs * sxy - sx * sy as double)
+                             / sqrt(cast(n_pairs * sxx - sx * sx as double)
+                                    * cast(n_pairs * syy - sy * sy
+                                           as double))
+                   end as r
+            from agg
+        """,
+        "er_candidates_part": """
+            with src as (
+                select p_partkey as id, p_name as nm
+                from part where p_brand = 'Brand#11'
+            ), words as (
+                select id, unnest(list_distinct(list_filter(
+                    string_split_regex(trim(lower(coalesce(nm, ''))),
+                                       '[ \\t\\n\\x0B\\f\\r]+'),
+                    w -> w != ''))) as w
+                from src
+            ), dfreq as (
+                select w, count(*) as wdf from words group by w
+            ), pick as (
+                select id, min({'wdf': wdf, 'w': w}) as p
+                from words join dfreq using (w) group by id
+            ), blk as (
+                select pick.id, pick.p.w as block, src.nm
+                from pick join src using (id)
+            )
+            select b1.id as id_a, b2.id as id_b,
+                   cast(levenshtein(b1.nm, b2.nm) as int) as dist
+            from blk b1 join blk b2 using (block)
+            where b1.id < b2.id and levenshtein(b1.nm, b2.nm) <= 2
         """,
         "mutual_info_docs": """
             with cell as (

@@ -217,7 +217,10 @@ def main() -> None:
                  "covariance_embeddings", "centroid_distance_vecs",
                  "pca_project_vecs", "time_folds_events",
                  "purged_split_events", "negative_samples_orders",
-                 "count_encode_events"]:
+                 "count_encode_events",
+                 # round-4 session-4 operators
+                 "chunk_tokens_docs", "index_stats_docs", "zorder_events",
+                 "autocorr_value_by_user", "er_candidates_part"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays
