@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-104 queries, 104 with exact DuckDB oracles — relational SQL where expressible,
+106 queries, 106 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1440,6 +1440,33 @@ def _q_er_candidates(spark, sf_dir):
                            max_dist=2, max_block=1_000_000)
 
 
+def _q_sliding_distinct(spark, sf_dir):
+    """EXACT distinct-users-in-trailing-hour at every purchase instant
+    — count(distinct) over a range frame, which Spark windows cannot
+    express: presence intervals + bucketized range join instead."""
+    from msi_preprocessing_pipeline_spark.operators.windows import (
+        sliding_distinct)
+
+    ev = _t(spark, sf_dir, "events")
+    labels = (ev.where(F.col("event_type") == "purchase")
+              .select("event_id", _ms("ts").alias("ms")))
+    src = ev.select(F.col("user_id").alias("uid"),
+                    _ms("ts").alias("ems"))
+    out = sliding_distinct(labels, src, "uid", 3_600_000,
+                           label_ts="ms", event_ts="ems")
+    return out.select("event_id", "n_distinct")
+
+
+def _q_basket_rules(spark, sf_dir):
+    """Market-basket association rules over order line items: exact
+    integer counts, engine-bit-identical double scores."""
+    from msi_preprocessing_pipeline_spark.operators.market import (
+        association_rules)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(li, "l_orderkey", "l_partkey", min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -1482,7 +1509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4, session 3: token-LM + sequence features ---
         "hash_tokenize_docs": _q_hash_tokenize,
         "lm_score_docs": _q_lm_score,
-        "context_pairs_docs": _q_context_pairs,
         "pmi_bigrams_docs": _q_pmi_bigrams,
         "oov_rate_docs": _q_oov_rate,
         "transition_probs_events": _q_transition_probs,
@@ -1491,7 +1517,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
         "centroid_distance_vecs": _q_centroid_distance,
-        "pca_project_vecs": _q_pca_project,
         # --- new in round 4, session 3: temporal CV + negative sampling ---
         "time_folds_events": _q_time_folds,
         "purged_split_events": _q_purged_split,
@@ -1503,9 +1528,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": _q_zorder_events,
         "autocorr_value_by_user": _q_autocorr,
         "er_candidates_part": _q_er_candidates,
+        "active_users_trailing_hour": _q_sliding_distinct,
+        "basket_rules_lineitem": _q_basket_rules,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
+        "context_pairs_docs": _q_context_pairs,
+        "pca_project_vecs": _q_pca_project,
         "recency_features_events": _q_recency_features,
         "trailing_values_events": _q_trailing_values,
         "embedding_norms_vecs": _q_embedding_norms,
@@ -3178,6 +3207,56 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    cast(levenshtein(b1.nm, b2.nm) as int) as dist
             from blk b1 join blk b2 using (block)
             where b1.id < b2.id and levenshtein(b1.nm, b2.nm) <= 2
+        """,
+        "active_users_trailing_hour": """
+            with l as (
+                select event_id, epoch_ms(ts) as ms
+                from events where event_type = 'purchase'
+            )
+            select l.event_id,
+                   cast((select count(distinct e.user_id) from events e
+                         where e.user_id is not null
+                           and epoch_ms(e.ts) <= l.ms
+                           and epoch_ms(e.ts) > l.ms - 3600000)
+                        as bigint) as n_distinct
+            from l
+        """,
+        "basket_rules_lineitem": """
+            with pres as (
+                select distinct l_orderkey as b, l_partkey as i
+                from lineitem
+                where l_orderkey is not null and l_partkey is not null
+            ), sup as (
+                select i, cast(count(*) as bigint) as n_item
+                from pres group by i
+            ), nb as (
+                select cast(count(distinct b) as bigint) as n_baskets
+                from pres
+            ), pairs as (
+                select a.i as ia, b.i as ib,
+                       cast(count(*) as bigint) as n_pair
+                from pres a join pres b on a.b = b.b and a.i < b.i
+                group by 1, 2 having count(*) >= 2
+            ), directed as (
+                select ia as antecedent, ib as consequent, n_pair
+                from pairs
+                union all
+                select ib as antecedent, ia as consequent, n_pair
+                from pairs
+            )
+            select d.antecedent, d.consequent, d.n_pair,
+                   sa.n_item as n_ante, sc.n_item as n_cons, nb.n_baskets,
+                   cast(d.n_pair as double)
+                     / cast(nb.n_baskets as double) as support,
+                   cast(d.n_pair as double)
+                     / cast(sa.n_item as double) as confidence,
+                   cast(cast(d.n_pair as hugeint) * nb.n_baskets as double)
+                     / cast(cast(sa.n_item as hugeint) * sc.n_item
+                            as double) as lift
+            from directed d
+            join sup sa on sa.i = d.antecedent
+            join sup sc on sc.i = d.consequent
+            cross join nb
         """,
         "mutual_info_docs": """
             with cell as (

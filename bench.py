@@ -220,7 +220,8 @@ def main() -> None:
                  "count_encode_events",
                  # round-4 session-4 operators
                  "chunk_tokens_docs", "index_stats_docs", "zorder_events",
-                 "autocorr_value_by_user", "er_candidates_part"]:
+                 "autocorr_value_by_user", "er_candidates_part",
+                 "active_users_trailing_hour", "basket_rules_lineitem"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

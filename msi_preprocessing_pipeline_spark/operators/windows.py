@@ -232,3 +232,59 @@ def decayed_sum(df: DataFrame, value_col: str, partition_by,
         return pdf
 
     return df.groupBy(*keys).applyInPandas(scan, schema=schema)
+
+
+def sliding_distinct(labels: DataFrame, events: DataFrame,
+                     key_col: str, window_ms: int,
+                     label_ts: str = "ms", event_ts: str = "ms",
+                     out_col: str = "n_distinct",
+                     bucket_width: int | None = None) -> DataFrame:
+    """EXACT count of distinct ``key_col`` values active in the
+    trailing window ``(t - window_ms, t]`` at every label row — e.g.
+    "distinct users seen in the last hour" at each serving instant.
+
+    Spark windows cannot express ``count(distinct) over range``, and
+    the naive label×event join is quadratic.  This uses the
+    presence-interval identity instead: key ``u`` is in the window at
+    ``t`` iff u's LAST event at-or-before ``t`` is newer than
+    ``t - window_ms`` — i.e. iff ``t`` lands in the interval
+    ``[ts, min(next_same_key_ts, ts + window_ms) - 1]`` of exactly one
+    of u's events.  Counting interval hits therefore counts distinct
+    keys, with no distinct-aggregation anywhere.
+
+    Capping ``hi`` at ``ts + window_ms - 1`` is what makes this scale:
+    every interval spans at most ``window_ms``, so
+    :func:`..joins.range_join` keeps ALL intervals on its bucketized
+    equi-join branch (zero broadcast-side wide intervals even with
+    10^9 one-event keys, where the uncapped next-event gap would be
+    unbounded).  Plan: one lead window on the event key + one
+    bucketized range join + one label-side count.
+
+    ``labels`` keeps all its columns; unmatched labels (no active key)
+    get ``out_col = 0``.  ``label_ts`` / ``event_ts`` are integer
+    epoch-millis columns.  Events with null ``event_ts`` or null key
+    are ignored (no place on the timeline / nothing to count).
+    """
+    if window_ms < 1:
+        raise ValueError(f"window_ms must be >= 1, got {window_ms}")
+    w = Window.partitionBy(key_col).orderBy(event_ts)
+    ev = events.where(
+        F.col(event_ts).isNotNull() & F.col(key_col).isNotNull())
+    iv = ev.select(
+        F.col(event_ts).alias("__lo"),
+        (F.least(
+            F.coalesce(F.lead(event_ts).over(w),
+                       F.col(event_ts) + F.lit(window_ms)),
+            F.col(event_ts) + F.lit(window_ms)) - 1).alias("__hi"))
+    # duplicate (key, ts) rows collapse naturally: all but the last of a
+    # same-timestamp run get __hi < __lo and can never match — but they
+    # would double the interval relation, so drop them before the join
+    iv = iv.where(F.col("__hi") >= F.col("__lo"))
+    from .joins import range_join
+
+    pts = labels.withColumn("__pt", F.col(label_ts).cast("long"))
+    joined = range_join(pts, iv, "__pt", "__lo", "__hi",
+                        bucket_width=float(bucket_width or window_ms),
+                        how="left")
+    return (joined.groupBy(*labels.columns)
+            .agg(F.count("__lo").cast("long").alias(out_col)))
