@@ -385,3 +385,43 @@ def test_time_folds_row_side_no_hash_exchange(spark):
     rows = [ln for ln in plan.splitlines()
             if "Exchange hashpartitioning" in ln]
     assert rows == []
+
+
+def test_sliding_distinct_single_window_no_wide_broadcast(spark):
+    """The presence-interval build is ONE lead window, and the interval
+    cap keeps range_join on its bucketized branch: a corpus-cardinality
+    interval relation must never hit the broadcast theta-join."""
+    from msi_preprocessing_pipeline_spark.operators.windows import (
+        sliding_distinct)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("user_id").alias("uid"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ems"))
+    labels = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"))
+    plan = plan_of(sliding_distinct(labels, ev, "uid", 3_600_000,
+                                    label_ts="ms", event_ts="ems"))
+    assert plan.count("+- Window") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rarest_word_block_pick_is_aggregate_not_window(spark):
+    from msi_preprocessing_pipeline_spark.operators.er import (
+        rarest_word_blocks)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(rarest_word_blocks(docs, "text", "doc_id"))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final somewhere
+
+
+def test_association_rules_no_forced_broadcast(spark):
+    """Supports are |items|-bounded but still corpus-derived — leave
+    broadcasting to AQE, never hint (round-3 ngram_jaccard lesson)."""
+    from msi_preprocessing_pipeline_spark.operators.market import (
+        association_rules)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = association_rules(li, "l_orderkey", "l_partkey", min_count=2)
+    assert "ResolvedHint" not in plan_of(out, "extended")
