@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-106 queries, 106 with exact DuckDB oracles — relational SQL where expressible,
+108 queries, 108 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1467,6 +1467,39 @@ def _q_basket_rules(spark, sf_dir):
     return association_rules(li, "l_orderkey", "l_partkey", min_count=2)
 
 
+def _q_search_topk(spark, sf_dir):
+    """Inverted-index TF-IDF retrieval: top-20 documents for a fixed
+    hashed query (tokens of "data training model the data" under the
+    md5/4096/seed-7 idiom — 1571 1650 199 2776, 'data' twice so qtf
+    is exercised).  Scores are nano-quantized exact int64 sums —
+    partition-order immune, engine bit-identical."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        hash_tokenize, search_topk)
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hash_tokenize(docs, vocab_size=4096, seed=7)
+    return search_topk(tok, [1571, 1650, 199, 2776, 1571], k=20)
+
+
+def _q_pit_audit(spark, sf_dir):
+    """Runtime temporal-leakage audit of the engine's own as-of output
+    (purchase labels ⟵ latest click): one fused scan-aggregate;
+    n_violations must be 0 by construction."""
+    from msi_preprocessing_pipeline_spark.operators.asof import asof_join
+    from msi_preprocessing_pipeline_spark.operators.validate import (
+        check_pit)
+
+    ev = _t(spark, sf_dir, "events")
+    labels = (ev.where(F.col("event_type") == "purchase")
+              .select("event_id", _ms("ts").alias("ms"), "user_id"))
+    feats = (ev.where(F.col("event_type") == "click")
+             .select("user_id", _ms("ts").alias("fms"), "value"))
+    j = asof_join(labels, feats, on="user_id", left_ts="ms",
+                  right_ts="fms", value_cols=["value"],
+                  matched_ts_col="fms")
+    return check_pit(j, "ms", "fms")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -1501,7 +1534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scaled_value": _q_robust_scaled,
         "woe_encode_users": _q_woe_encode,
         "quantile_bin_price": _q_quantile_bin,
-        "word_entropy_docs": _q_word_entropy,
         "calibration_value_purchase": _q_calibration,
         "grouped_quantiles_value": _q_grouped_quantiles,
         "resample_grid_clicks": _q_resample_grid,
@@ -1510,7 +1542,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_tokenize_docs": _q_hash_tokenize,
         "lm_score_docs": _q_lm_score,
         "pmi_bigrams_docs": _q_pmi_bigrams,
-        "oov_rate_docs": _q_oov_rate,
         "transition_probs_events": _q_transition_probs,
         "mutual_info_docs": _q_mutual_info,
         # --- new in round 4, session 3: embedding linear algebra ---
@@ -1530,9 +1561,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_candidates_part": _q_er_candidates,
         "active_users_trailing_hour": _q_sliding_distinct,
         "basket_rules_lineitem": _q_basket_rules,
+        "search_topk_docs": _q_search_topk,
+        "pit_audit_training_set": _q_pit_audit,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
+        "oov_rate_docs": _q_oov_rate,
+        "word_entropy_docs": _q_word_entropy,
         "context_pairs_docs": _q_context_pairs,
         "pca_project_vecs": _q_pca_project,
         "recency_features_events": _q_recency_features,
@@ -3207,6 +3242,55 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    cast(levenshtein(b1.nm, b2.nm) as int) as dist
             from blk b1 join blk b2 using (block)
             where b1.id < b2.id and levenshtein(b1.nm, b2.nm) <= 2
+        """,
+        "search_topk_docs": f"""
+            with {_SQL_TOK},
+            q(t, qtf) as (values (1571, 2), (1650, 1), (199, 1),
+                                 (2776, 1)),
+            n as (select cast(count(*) as bigint) as nd from tok),
+            pos as (
+                select doc_id, tokens[i] as t
+                from tok, unnest(generate_series(1, len(tokens))) as u(i)
+                where tokens[i] in (select t from q)
+            ), pl as (
+                select t, doc_id, cast(count(*) as bigint) as tf
+                from pos group by 1, 2
+            ), dfq as (
+                select t, cast(count(*) as bigint) as df from pl group by 1
+            )
+            select pl.doc_id,
+                   cast(sum(q.qtf * pl.tf
+                            * cast(floor(ln(cast(n.nd + 1 as double)
+                                            / cast(dfq.df + 1 as double)
+                                            + 1.0) * 1000000000.0 + 0.5)
+                                   as bigint)) as bigint) as score_nano
+            from pl join dfq using (t) join q using (t) cross join n
+            group by 1
+            order by score_nano desc, doc_id
+            limit 20
+        """,
+        "pit_audit_training_set": """
+            with j as (
+                select l.event_id, epoch_ms(l.ts) as ms,
+                       epoch_ms(r.ts) as fms
+                from (select * from events
+                      where event_type = 'purchase') l
+                asof left join
+                     (select user_id, ts from events
+                      where event_type = 'click') r
+                on l.user_id = r.user_id and l.ts >= r.ts
+            )
+            select 'fms' as feature_col,
+                   cast(count(*) as bigint) as n_rows,
+                   cast(coalesce(sum(case when fms is not null
+                                               and fms > ms
+                                          then 1 else 0 end), 0)
+                        as bigint) as n_violations,
+                   max(case when fms is not null and fms > ms
+                            then fms - ms end) as max_leak,
+                   max(case when fms is not null and fms <= ms
+                            then ms - fms end) as max_lag
+            from j
         """,
         "active_users_trailing_hour": """
             with l as (

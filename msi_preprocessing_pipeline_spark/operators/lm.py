@@ -343,3 +343,60 @@ def index_stats(df: DataFrame, tokens_col: str = "tokens",
         "t", F.transform("__top", lambda s: s.dropFields("rk"))
         .alias("top_docs"))
     return stats.join(top, ["t"], "left")
+
+
+def search_topk(df: DataFrame, query_tokens, k: int = 10,
+                tokens_col: str = "tokens",
+                id_col: str = "doc_id") -> DataFrame:
+    """TF-IDF retrieval over the inverted index: the top ``k``
+    documents for a tokenized query, scored
+
+        score(d) = Σ_t  qtf(t) · tf(t, d) · idf_nano(t)
+
+    with ``idf_nano = floor(ln((N+1)/(df_t+1) + 1) · 1e9 + 0.5)``
+    (smoothed idf, quantized to nano units).  The quantization is what
+    makes ranking reproducible: per-(term, doc) contributions are exact
+    int64, so the score SUM is associative — immune to partition /
+    aggregation order, identical in Spark, DuckDB and Python.  Ties
+    break on ascending id.  Query terms absent from the corpus
+    contribute nothing.
+
+    Returns ``(id, score_nano)``, score-descending, at most ``k`` rows
+    (documents matching no query term are not candidates).
+
+    Plan shape: the postings relation is filtered to the |query|-sized
+    token set BEFORE any aggregation (predicate on the exploded stream
+    — pushes into the scan), df stats and the 1-row N come from
+    candidate-bounded aggregations, and the final top-k is a
+    ``TakeOrderedAndProject`` (per-partition partial top-k, no global
+    sort).  Nothing scales with corpus size except the initial
+    token-match scan.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qtf: dict = {}
+    for t in query_tokens:
+        qtf[int(t)] = qtf.get(int(t), 0) + 1
+    if not qtf:
+        raise ValueError("query_tokens must be non-empty")
+    terms = sorted(qtf)
+    # |query|-bounded literal relation; broadcast by size
+    n_docs = df.select(F.count("*").alias("__n"))
+    pos = (df.select(F.col(id_col), F.explode(tokens_col).alias("t"))
+           .where(F.col("t").isin(terms)))
+    plist = pos.groupBy("t", id_col).agg(F.count("*").alias("tf"))
+    dfreq = plist.groupBy("t").agg(F.count("*").alias("df"))
+    qtf_map = F.create_map(
+        *[F.lit(v) for t in terms for v in (t, qtf[t])])
+    idf_nano = F.floor(
+        F.log((F.col("__n") + 1).cast("double")
+              / (F.col("df") + 1).cast("double") + F.lit(1.0))
+        * F.lit(1e9) + F.lit(0.5)).cast("long")
+    scored = (plist.join(dfreq, ["t"]).crossJoin(n_docs)
+              .select(F.col(id_col),
+                      (qtf_map[F.col("t")].cast("long") * F.col("tf")
+                       * idf_nano).alias("__c"))
+              .groupBy(id_col)
+              .agg(F.sum("__c").alias("score_nano")))
+    return (scored.orderBy(F.col("score_nano").desc(), F.col(id_col))
+            .limit(k))

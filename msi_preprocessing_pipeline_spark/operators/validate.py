@@ -102,3 +102,57 @@ def check_reference(df: DataFrame, col: str, dim: DataFrame,
         F.lit(f"reference({col})").alias("rule"),
         n.alias("n_violations"),
         (n == 0).alias("passed"))
+
+
+def check_pit(df: DataFrame, label_ts_col: str,
+              feature_ts_cols) -> DataFrame:
+    """Temporal-leakage audit of an assembled training set: ONE
+    scan-and-aggregate emitting, per feature-timestamp column, the
+    number of rows where the feature timestamp is STRICTLY AFTER the
+    label timestamp (a future row leaked into the feature), the
+    worst leak, and the feature staleness spread.
+
+    Output: one row per audited column —
+    ``(feature_col, n_rows, n_violations, max_leak, max_lag)`` where
+    ``max_leak = max(feature_ts - label_ts)`` over violating rows
+    (null when none) and ``max_lag = max(label_ts - feature_ts)`` over
+    compliant rows (how stale the oldest served feature is).  Null
+    feature timestamps (no as-of match) violate nothing and don't
+    enter either extreme.
+
+    The as-of/PIT operators in this engine are leakage-free by
+    construction (structural tests pin it); this audit is the runtime
+    counterpart for EXTERNALLY produced tables, where "zero temporal
+    leakage" must be re-established per delivery — a fused
+    aggregation, one pass whatever the column count.
+    """
+    from ..functions.util import as_list
+
+    cols = as_list(feature_ts_cols)
+    if not cols:
+        raise ValueError("feature_ts_cols must name at least one column")
+    label = F.col(label_ts_col)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        f = F.col(c)
+        viol = f.isNotNull() & (f > label)
+        aggs += [
+            # coalesce: sum over an EMPTY relation is null, and an empty
+            # delivery has zero violations, not unknown (r3 review class)
+            F.coalesce(F.sum(viol.cast("long")), F.lit(0))
+            .alias(f"__nv_{c}"),
+            F.max(F.when(viol, f - label)).alias(f"__leak_{c}"),
+            F.max(F.when(f.isNotNull() & (f <= label), label - f))
+            .alias(f"__lag_{c}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(F.lit(c).alias("feature_col"),
+                 F.col("n_rows"),
+                 F.col(f"__nv_{c}").alias("n_violations"),
+                 F.col(f"__leak_{c}").alias("max_leak"),
+                 F.col(f"__lag_{c}").alias("max_lag"))
+        for c in cols])
+    return (one.select(F.explode(per_col).alias("r"))
+            .select("r.feature_col", "r.n_rows", "r.n_violations",
+                    "r.max_leak", "r.max_lag"))

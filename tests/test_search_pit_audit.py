@@ -1,0 +1,114 @@
+"""search_topk (inverted-index TF-IDF retrieval) and check_pit
+(temporal-leakage audit)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from msi_preprocessing_pipeline_spark.operators.lm import search_topk
+from msi_preprocessing_pipeline_spark.operators.validate import check_pit
+
+
+def _score_py(docs, query):
+    n = len(docs)
+    qtf = {}
+    for t in query:
+        qtf[t] = qtf.get(t, 0) + 1
+    dfreq = {}
+    for toks in docs.values():
+        for t in set(toks) & set(qtf):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    out = {}
+    for i, toks in docs.items():
+        s = 0
+        for t, q in qtf.items():
+            tf = toks.count(t)
+            if tf and t in dfreq:
+                idf = math.floor(
+                    math.log((n + 1) / (dfreq[t] + 1) + 1.0) * 1e9 + 0.5)
+                s += q * tf * idf
+        if s:
+            out[i] = s
+    return out
+
+
+def test_search_topk_matches_python_reference(spark):
+    docs = {1: [5, 5, 7], 2: [5], 3: [7, 7, 7, 9], 4: [9], 5: [1, 2]}
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, tokens array<int>")
+    query = [5, 7, 7, 100]  # 100 absent from the corpus
+    exp = _score_py(docs, query)
+    got = [(r["doc_id"], r["score_nano"])
+           for r in search_topk(df, query, k=10).collect()]
+    # ordering: score desc, id asc; only matching docs appear
+    exp_order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == exp_order
+    # k truncates deterministically
+    got2 = [(r["doc_id"], r["score_nano"])
+            for r in search_topk(df, query, k=2).collect()]
+    assert got2 == exp_order[:2]
+
+
+def test_search_topk_validates_args(spark):
+    df = spark.createDataFrame([(1, [1])], "doc_id long, tokens array<int>")
+    with pytest.raises(ValueError):
+        search_topk(df, [1], k=0)
+    with pytest.raises(ValueError):
+        search_topk(df, [])
+
+
+def test_search_topk_uses_partial_topk_not_global_sort(spark):
+    df = spark.createDataFrame([(1, [1, 2])], "doc_id long, tokens array<int>")
+    plan = (search_topk(df, [1, 2], k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_check_pit_counts_violations_and_lags(spark):
+    rows = [
+        # (label_ts, f1, f2): f1 leaks on row 2; f2 never matched on row 3
+        (100, 90, 100),
+        (100, 150, 40),
+        (200, 180, None),
+    ]
+    df = spark.createDataFrame(rows, "label_ms long, f1 long, f2 long")
+    got = {r["feature_col"]: r
+           for r in check_pit(df, "label_ms", ["f1", "f2"]).collect()}
+    assert got["f1"]["n_rows"] == 3
+    assert got["f1"]["n_violations"] == 1
+    assert got["f1"]["max_leak"] == 50
+    assert got["f1"]["max_lag"] == 20
+    assert got["f2"]["n_violations"] == 0
+    assert got["f2"]["max_leak"] is None
+    assert got["f2"]["max_lag"] == 60
+
+
+def test_check_pit_empty_relation_zero_not_null(spark):
+    df = spark.createDataFrame([], "label_ms long, f1 long")
+    r = check_pit(df, "label_ms", "f1").collect()[0]
+    assert (r["n_rows"], r["n_violations"]) == (0, 0)
+    assert r["max_leak"] is None and r["max_lag"] is None
+    with pytest.raises(ValueError):
+        check_pit(df, "label_ms", [])
+
+
+def test_check_pit_passes_on_engine_asof_output(spark):
+    """The engine's own as-of join must audit clean (structural
+    leakage-freedom re-established by the runtime audit)."""
+    from msi_preprocessing_pipeline_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    labels = (ev.where(F.col("event_type") == "purchase")
+              .select("event_id",
+                      F.unix_millis(F.col("ts").cast("timestamp"))
+                      .alias("ms"), "user_id"))
+    feats = (ev.where(F.col("event_type") == "click")
+             .select("user_id",
+                     F.unix_millis(F.col("ts").cast("timestamp"))
+                     .alias("fms"), "value"))
+    j = asof_join(labels, feats, on="user_id", left_ts="ms",
+                  right_ts="fms", value_cols=["value"],
+                  matched_ts_col="fms")
+    r = check_pit(j, "ms", "fms").collect()[0]
+    assert r["n_violations"] == 0 and r["n_rows"] == labels.count()
