@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-108 queries, 108 with exact DuckDB oracles — relational SQL where expressible,
+109 queries, 109 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1500,6 +1500,17 @@ def _q_pit_audit(spark, sf_dir):
     return check_pit(j, "ms", "fms")
 
 
+def _q_ks_drift(spark, sf_dir):
+    """Exact two-sample KS distance between click and purchase value
+    distributions — integer-maximized D, one double division."""
+    from msi_preprocessing_pipeline_spark.operators.drift import ks_stat
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_type") == "click").select("value")
+    cur = ev.where(F.col("event_type") == "purchase").select("value")
+    return ks_stat(ref, cur, "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -1541,7 +1552,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4, session 3: token-LM + sequence features ---
         "hash_tokenize_docs": _q_hash_tokenize,
         "lm_score_docs": _q_lm_score,
-        "pmi_bigrams_docs": _q_pmi_bigrams,
         "transition_probs_events": _q_transition_probs,
         "mutual_info_docs": _q_mutual_info,
         # --- new in round 4, session 3: embedding linear algebra ---
@@ -1563,9 +1573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules_lineitem": _q_basket_rules,
         "search_topk_docs": _q_search_topk,
         "pit_audit_training_set": _q_pit_audit,
+        "ks_value_drift": _q_ks_drift,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
+        "pmi_bigrams_docs": _q_pmi_bigrams,
         "oov_rate_docs": _q_oov_rate,
         "word_entropy_docs": _q_word_entropy,
         "context_pairs_docs": _q_context_pairs,
@@ -3242,6 +3254,43 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    cast(levenshtein(b1.nm, b2.nm) as int) as dist
             from blk b1 join blk b2 using (block)
             where b1.id < b2.id and levenshtein(b1.nm, b2.nm) <= 2
+        """,
+        "ks_value_drift": """
+            with r as (
+                select value as v, count(*) as cr from events
+                where event_type = 'click' and value is not null
+                group by 1
+            ), c as (
+                select value as v, count(*) as cc from events
+                where event_type = 'purchase' and value is not null
+                group by 1
+            ), m as (
+                select coalesce(r.v, c.v) as v,
+                       coalesce(cr, 0) as cr, coalesce(cc, 0) as cc
+                from r full outer join c on r.v = c.v
+            ), tot as (
+                select cast(coalesce(sum(cr), 0) as bigint) as n_ref,
+                       cast(coalesce(sum(cc), 0) as bigint) as n_cur
+                from m
+            ), run as (
+                select sum(cr) over w as fr, sum(cc) over w as fc
+                from m
+                window w as (order by v
+                             rows between unbounded preceding
+                                      and current row)
+            ), dmax as (
+                select max(abs(cast(fr as hugeint) * tot.n_cur
+                               - cast(fc as hugeint) * tot.n_ref))
+                       as dm
+                from run cross join tot
+            )
+            select tot.n_ref, tot.n_cur,
+                   case when tot.n_ref > 0 and tot.n_cur > 0
+                        then cast(dmax.dm as double)
+                             / cast(cast(tot.n_ref as hugeint)
+                                    * tot.n_cur as double)
+                   end as d
+            from tot cross join dmax
         """,
         "search_topk_docs": f"""
             with {_SQL_TOK},

@@ -222,7 +222,8 @@ def main() -> None:
                  "chunk_tokens_docs", "index_stats_docs", "zorder_events",
                  "autocorr_value_by_user", "er_candidates_part",
                  "active_users_trailing_hour", "basket_rules_lineitem",
-                 "search_topk_docs", "pit_audit_training_set"]:
+                 "search_topk_docs", "pit_audit_training_set",
+                 "ks_value_drift"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

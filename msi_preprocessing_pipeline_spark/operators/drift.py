@@ -184,3 +184,59 @@ def mutual_info(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
              F.col("_ny").alias("n_y"),
              ((F.col("_nx") - 1) * (F.col("_ny") - 1)).alias("dof"),
              "mi", "chi2")
+
+
+def ks_stat(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    distributions of ``col`` in ``ref`` and ``cur`` — the
+    binning-free complement of :func:`psi_drift` (PSI depends on bin
+    edges; D does not).
+
+    One row: ``(n_ref, n_cur, d)`` with
+    ``D = sup_x |F_ref(x) - F_cur(x)|`` over the pooled empirical
+    CDFs.  Exactness: D is maximized as integers —
+    ``|c_ref·n_cur − c_cur·n_ref|`` over pooled distinct values, with
+    ONE double division at the very end — so the result is
+    engine/partition-order bit-identical (same discipline as
+    ``sequences.autocorr``).  Null values are ignored (they have no
+    place on the real line); an empty side yields a null ``d``.
+
+    Plan shape: per-side value histograms (two map-side-combined
+    aggs, |distinct values|-bounded) → full-outer merge on value →
+    ONE global-order window for the two running sums → 1-row max.
+    The window is a single ordered partition over the DISTINCT-value
+    relation, not the corpus — for a continuous column at 10^12 rows
+    pre-quantize (e.g. ``F.round(col, 6)``) to bound it; counts stay
+    exact for the quantized variable.
+    """
+    r = (ref.where(F.col(col).isNotNull())
+         .groupBy(F.col(col).alias("v"))
+         .agg(F.count("*").alias("cr")))
+    c = (cur.where(F.col(col).isNotNull())
+         .groupBy(F.col(col).alias("v"))
+         .agg(F.count("*").alias("cc")))
+    merged = r.join(c, ["v"], "full_outer").select(
+        "v", F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("cc", F.lit(0)).alias("cc"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    run = merged.select(
+        F.sum("cr").over(w).alias("fr"),
+        F.sum("cc").over(w).alias("fc"))
+    # the totals ARE the last running sums: max(fr)/max(fc) — so the
+    # |c_ref·n_cur − c_cur·n_ref| maximization needs the totals joined
+    # back; both relations are |distinct values|-bounded (1-row tot)
+    tot = merged.agg(
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("n_ref"),
+        F.coalesce(F.sum("cc"), F.lit(0)).alias("n_cur"))
+    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    # decimal products: fr·n_cur reaches n_ref·n_cur ≈ 10^24 at corpus
+    # scale — int64 would silently wrap
+    d_int = F.abs(dec("fr") * dec("n_cur") - dec("fc") * dec("n_ref"))
+    dmax = (run.crossJoin(tot)
+            .agg(F.max(d_int).alias("__dmax")))
+    return (tot.crossJoin(dmax)
+            .select("n_ref", "n_cur",
+                    F.when((F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                           F.col("__dmax").cast("double")
+                           / (dec("n_ref") * dec("n_cur")).cast("double"))
+                    .alias("d")))

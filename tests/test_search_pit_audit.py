@@ -112,3 +112,35 @@ def test_check_pit_passes_on_engine_asof_output(spark):
                   matched_ts_col="fms")
     r = check_pit(j, "ms", "fms").collect()[0]
     assert r["n_violations"] == 0 and r["n_rows"] == labels.count()
+
+
+def test_ks_stat_matches_brute_force(spark):
+    """Exact D vs a numpy two-sample KS over several random pairs."""
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.drift import ks_stat
+
+    rng = np.random.RandomState(9)
+    for trial in range(3):
+        a = np.round(rng.normal(0, 1, 300), 2)
+        b = np.round(rng.normal(0.3 * trial, 1.2, 200), 2)
+        ra = spark.createDataFrame([(float(v),) for v in a], "value double")
+        rb = spark.createDataFrame([(float(v),) for v in b], "value double")
+        r = ks_stat(ra, rb, "value").collect()[0]
+        assert (r["n_ref"], r["n_cur"]) == (300, 200)
+        pooled = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), pooled, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), pooled, side="right") / len(b)
+        exp = np.abs(fa - fb).max()
+        assert r["d"] == pytest.approx(exp, abs=1e-12), trial
+
+
+def test_ks_stat_identical_and_empty_sides(spark):
+    from msi_preprocessing_pipeline_spark.operators.drift import ks_stat
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (None,)], "value double")
+    r = ks_stat(df, df, "value").collect()[0]
+    assert (r["n_ref"], r["n_cur"], r["d"]) == (2, 2, 0.0)
+    empty = spark.createDataFrame([], "value double")
+    r2 = ks_stat(df, empty, "value").collect()[0]
+    assert (r2["n_ref"], r2["n_cur"], r2["d"]) == (2, 0, None)
