@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-109 queries, 109 with exact DuckDB oracles — relational SQL where expressible,
+110 queries, 110 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1511,6 +1511,16 @@ def _q_ks_drift(spark, sf_dir):
     return ks_stat(ref, cur, "value")
 
 
+def _q_k_anonymity(spark, sf_dir):
+    """Table-level re-identification risk: k-anonymity report over
+    customer quasi-identifiers (nation × market segment), k=5."""
+    from msi_preprocessing_pipeline_spark.operators.privacy import (
+        k_anonymity_report)
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -1553,7 +1563,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_tokenize_docs": _q_hash_tokenize,
         "lm_score_docs": _q_lm_score,
         "transition_probs_events": _q_transition_probs,
-        "mutual_info_docs": _q_mutual_info,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -1574,9 +1583,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk_docs": _q_search_topk,
         "pit_audit_training_set": _q_pit_audit,
         "ks_value_drift": _q_ks_drift,
+        "k_anonymity_customers": _q_k_anonymity,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
+        "mutual_info_docs": _q_mutual_info,
         "pmi_bigrams_docs": _q_pmi_bigrams,
         "oov_rate_docs": _q_oov_rate,
         "word_entropy_docs": _q_word_entropy,
@@ -3254,6 +3265,21 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    cast(levenshtein(b1.nm, b2.nm) as int) as dist
             from blk b1 join blk b2 using (block)
             where b1.id < b2.id and levenshtein(b1.nm, b2.nm) <= 2
+        """,
+        "k_anonymity_customers": """
+            with g as (
+                select c_nationkey, c_mktsegment, count(*) as n
+                from customer group by 1, 2
+            )
+            select cast(coalesce(sum(n), 0) as bigint) as n_rows,
+                   cast(count(*) as bigint) as n_groups,
+                   cast(coalesce(sum(case when n < 5 then 1 else 0 end),
+                                 0) as bigint) as n_violating_groups,
+                   cast(coalesce(sum(case when n < 5 then n end), 0)
+                        as bigint) as n_violating_rows,
+                   min(n) as min_group,
+                   coalesce(min(n) >= 5, true) as is_k_anonymous
+            from g
         """,
         "ks_value_drift": """
             with r as (

@@ -223,7 +223,7 @@ def main() -> None:
                  "autocorr_value_by_user", "er_candidates_part",
                  "active_users_trailing_hour", "basket_rules_lineitem",
                  "search_topk_docs", "pit_audit_training_set",
-                 "ks_value_drift"]:
+                 "ks_value_drift", "k_anonymity_customers"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -144,3 +144,39 @@ def test_ks_stat_identical_and_empty_sides(spark):
     empty = spark.createDataFrame([], "value double")
     r2 = ks_stat(df, empty, "value").collect()[0]
     assert (r2["n_ref"], r2["n_cur"], r2["d"]) == (2, 0, None)
+
+
+def test_k_anonymity_groups_and_report(spark):
+    from msi_preprocessing_pipeline_spark.operators.privacy import (
+        k_anonymity_groups, k_anonymity_report)
+
+    rows = [("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 2),
+            ("c", None), ("c", None), ("d", 9)]
+    df = spark.createDataFrame(rows, "seg string, zip int")
+    g = {(r["seg"], r["zip"]): (r["n_rows"], r["is_violation"])
+         for r in k_anonymity_groups(df, ["seg", "zip"], k=3).collect()}
+    assert g[("a", 1)] == (3, False)
+    assert g[("b", 2)] == (2, True)
+    assert g[("c", None)] == (2, True)  # null QI groups as a value
+    assert g[("d", 9)] == (1, True)
+    r = k_anonymity_report(df, ["seg", "zip"], k=3).collect()[0]
+    assert (r["n_rows"], r["n_groups"]) == (8, 4)
+    assert (r["n_violating_groups"], r["n_violating_rows"]) == (3, 5)
+    assert (r["min_group"], r["is_k_anonymous"]) == (1, False)
+    ok = k_anonymity_report(df, ["seg", "zip"], k=1 + 1).collect()[0]
+    assert ok["is_k_anonymous"] is False  # d is still a singleton
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        k_anonymity_report(df, [], 3)
+    with _pt.raises(ValueError):
+        k_anonymity_report(df, ["seg"], 1)
+
+
+def test_k_anonymity_empty_relation(spark):
+    from msi_preprocessing_pipeline_spark.operators.privacy import (
+        k_anonymity_report)
+
+    df = spark.createDataFrame([], "seg string, zip int")
+    r = k_anonymity_report(df, ["seg", "zip"], k=5).collect()[0]
+    assert (r["n_rows"], r["n_groups"], r["n_violating_groups"]) == (0, 0, 0)
+    assert r["min_group"] is None and r["is_k_anonymous"] is True
