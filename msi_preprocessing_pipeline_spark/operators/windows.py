@@ -263,7 +263,9 @@ def sliding_distinct(labels: DataFrame, events: DataFrame,
     ``labels`` keeps all its columns; unmatched labels (no active key)
     get ``out_col = 0``.  ``label_ts`` / ``event_ts`` are integer
     epoch-millis columns.  Events with null ``event_ts`` or null key
-    are ignored (no place on the timeline / nothing to count).
+    are ignored (no place on the timeline / nothing to count).  Label
+    rows must be distinct (the count groups by the full label row —
+    duplicate labels collapse into one output row; carry a unique id).
     """
     if window_ms < 1:
         raise ValueError(f"window_ms must be >= 1, got {window_ms}")
