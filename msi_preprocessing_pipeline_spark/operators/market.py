@@ -6,16 +6,19 @@ entities): pair counts, support, confidence, lift.  All counts are
 exact integers and every score is a single double division of exact
 integers — engine-portable bit-for-bit.
 
-Scale notes: the item relation is deduplicated per basket BEFORE the
-pair self-join, pairs are generated by a basket-key equi-join (one
-shuffle on the basket key; pair fan-out is quadratic only in BASKET
-size, never corpus size), and ``max_basket`` drops degenerate giant
-baskets with the same documented-recall-loss discipline as
-``dedup``'s ``star_over`` / ``er``'s ``max_block``.  Supports and the
-rule join are |items|- and |pairs|-bounded relations AQE can broadcast.
+Scale notes: baskets are assembled with ONE shuffle
+(``collect_set`` on the basket key — the per-group state is the
+distinct item set, bounded by basket size, with ``max_basket``
+dropping degenerate giants under the same documented-recall-loss
+discipline as ``dedup``'s ``star_over`` / ``er``'s ``max_block``) and
+pairs are expanded JVM-side from each basket array (quadratic only in
+BASKET size, never corpus size) into a map-side-combined count.  The
+self-join formulation this replaced cost three exchanges for the same
+result.  Supports and the rule join are |items|- and |pairs|-bounded
+relations AQE can broadcast.
 
 Reference parity: the reference's component-merge stage scores all
-component pairs inside a neighborhood before merging
+component pairs inside a sorted neighborhood before merging
 (``components/spectrum/model.py``); this is the same
 "group, pair within group, score" shape over basket payloads.
 """
@@ -26,13 +29,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _present(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
-    """Distinct (basket, item) presence pairs — co-occurrence is about
-    presence, not multiplicity.  Null baskets/items are excluded (they
-    identify nothing)."""
+def _baskets(df: DataFrame, basket_col: str, item_col: str,
+             max_basket: int) -> DataFrame:
+    """One row per surviving basket: ``(basket, items)`` with ``items``
+    the SORTED distinct item array (sorting makes pair orientation
+    ``item_a < item_b`` a free by-product of expansion order).  Null
+    baskets/items are excluded (they identify nothing); baskets with
+    more than ``max_basket`` distinct items are dropped (documented
+    recall guard: one 10^6-item basket would alone emit 5·10^11
+    pairs).  ONE shuffle."""
     return (df.where(F.col(basket_col).isNotNull()
                      & F.col(item_col).isNotNull())
-            .select(basket_col, item_col).distinct())
+            .groupBy(F.col(basket_col).alias("__b"))
+            .agg(F.sort_array(F.collect_set(item_col)).alias("__items"))
+            .where(F.size("__items") <= max_basket))
+
+
+def _pair_structs(items):
+    """array<struct<item_a, item_b>> of all ordered-by-sort pairs of a
+    sorted array — pure JVM nested transform/flatten."""
+    return F.flatten(F.transform(
+        items,
+        lambda x, i: F.transform(
+            F.slice(items, i + 2, F.greatest(F.size(items) - i - 1,
+                                             F.lit(0))),
+            lambda y: F.struct(x.alias("item_a"), y.alias("item_b")))))
 
 
 def cooccurrence_pairs(df: DataFrame, basket_col: str, item_col: str,
@@ -42,25 +63,17 @@ def cooccurrence_pairs(df: DataFrame, basket_col: str, item_col: str,
     n_pair)`` over distinct per-basket item sets, ``item_a < item_b``,
     keeping pairs seen in at least ``min_count`` baskets.
 
-    Baskets with more than ``max_basket`` distinct items are dropped
-    (documented recall guard: one 10^6-item basket would alone emit
-    5·10^11 pairs).  Plan: presence dedup (one shuffle) → basket-key
-    self-join → map-side-combined pair count.
+    Plan: basket assembly (ONE shuffle, basket-size-bounded state) →
+    JVM pair expansion (``transform``/``flatten``/``explode``) →
+    map-side-combined pair count.
     """
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    items = _present(df, basket_col, item_col)
-    sized = items.join(
-        items.groupBy(basket_col).agg(F.count("*").alias("__bn")),
-        [basket_col])
-    kept = sized.where(F.col("__bn") <= max_basket)
-    a = kept.select(F.col(basket_col).alias("__b"),
-                    F.col(item_col).alias("item_a"))
-    b = kept.select(F.col(basket_col).alias("__b"),
-                    F.col(item_col).alias("item_b"))
-    pairs = (a.join(b, ["__b"])
-             .where(F.col("item_a") < F.col("item_b"))
-             .groupBy("item_a", "item_b")
+    pairs = (_baskets(df, basket_col, item_col, max_basket)
+             .select(F.explode(_pair_structs(F.col("__items")))
+                     .alias("__p"))
+             .groupBy(F.col("__p.item_a").alias("item_a"),
+                      F.col("__p.item_b").alias("item_b"))
              .agg(F.count("*").alias("n_pair")))
     return pairs.where(F.col("n_pair") >= min_count)
 
@@ -77,28 +90,29 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
     * ``lift``       = n_pair · n_baskets / (n_antecedent · n_consequent)
 
     All three are single double divisions / products of exact int64
-    counts (n_pair·n_baskets stays < 2^63 for any corpus where counts
-    fit int32; beyond that the numerator is computed in decimal) —
-    identical across engines.  ``n_baskets`` counts baskets that
-    SURVIVED the ``max_basket`` guard, so supports stay consistent
-    with the pair universe.
+    counts (the lift numerator/denominator run in decimal so
+    n_pair·n_baskets cannot wrap int64) — identical across engines.
+    ``n_baskets`` and the supports count baskets that SURVIVED the
+    ``max_basket`` guard, so scores stay consistent with the pair
+    universe.
 
-    Plan: :func:`cooccurrence_pairs` + an |items|-bounded support
-    relation joined twice (AQE broadcasts it) + a 1-row basket-count
-    broadcast — no corpus-cardinality shuffle beyond the pair build.
+    Plan: everything derives from the ONE-shuffle basket relation —
+    pair counts (JVM expansion), item supports (explode), and the
+    1-row basket count; the |items|-bounded support relation joins
+    back unhinted (AQE broadcasts).
     """
-    items = _present(df, basket_col, item_col)
-    sized = items.join(
-        items.groupBy(basket_col).agg(F.count("*").alias("__bn")),
-        [basket_col])
-    kept = sized.where(F.col("__bn") <= max_basket)
-    supports = (kept.groupBy(item_col)
+    baskets = _baskets(df, basket_col, item_col, max_basket)
+    supports = (baskets.select(F.explode("__items").alias(item_col))
+                .groupBy(item_col)
                 .agg(F.count("*").alias("n_item")))
-    n_baskets = kept.select(basket_col).distinct() \
-        .agg(F.count("*").alias("n_baskets"))
-    pairs = cooccurrence_pairs(df, basket_col, item_col,
-                               min_count=min_count,
-                               max_basket=max_basket)
+    n_baskets = baskets.agg(F.count("*").alias("n_baskets"))
+    pairs = (baskets
+             .select(F.explode(_pair_structs(F.col("__items")))
+                     .alias("__p"))
+             .groupBy(F.col("__p.item_a").alias("item_a"),
+                      F.col("__p.item_b").alias("item_b"))
+             .agg(F.count("*").alias("n_pair"))
+             .where(F.col("n_pair") >= min_count))
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"), "n_pair"
