@@ -1521,6 +1521,49 @@ def _q_k_anonymity(spark, sf_dir):
     return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=5)
 
 
+def _q_funnel_report(spark, sf_dir):
+    """view -> click -> purchase funnel completed within 3 days of the
+    first view: per-step entity counts + conversion ratios (single
+    divisions of exact int64 counts)."""
+    from msi_preprocessing_pipeline_spark.operators.behavior import (
+        funnel_report)
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_report(ev, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"],
+                         within_ms=3 * 86_400_000)
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over the event stream — cohort
+    and activity periods fold into ONE per-user aggregation."""
+    from msi_preprocessing_pipeline_spark.operators.behavior import (
+        cohort_activity)
+
+    ev = _t(spark, sf_dir, "events")
+    out = cohort_activity(ev, "user_id", "ts", "week")
+    # driver-compare convention: timestamps go out as epoch millis
+    return out.select(_ms("cohort_period").alias("cohort_ms"),
+                      "period_offset", "n_active", "cohort_size",
+                      "retention")
+
+
+def _q_interval_coverage(spark, sf_dir):
+    """Union-of-intervals watch-time per user: each view event covers
+    [ms, ms + value seconds); one window sweep, one shuffle."""
+    from msi_preprocessing_pipeline_spark.operators.behavior import (
+        interval_coverage)
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (ev.where((F.col("event_type") == "view")
+                   & F.col("value").isNotNull())
+          .select("user_id", _ms("ts").alias("s"),
+                  (_ms("ts")
+                   + F.greatest(F.floor(F.col("value") * 1000 + 0.5),
+                                F.lit(0))).alias("e")))
+    return interval_coverage(iv, "user_id", "s", "e")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -1584,6 +1627,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_audit_training_set": _q_pit_audit,
         "ks_value_drift": _q_ks_drift,
         "k_anonymity_customers": _q_k_anonymity,
+        # --- new in round 4, session 5 (below the 50-slot window: covered
+        # by CONTRACT_r04.json this round, first to rotate in next round) ---
+        "funnel_view_click_purchase": _q_funnel_report,
+        "cohort_retention_weekly": _q_cohort_retention,
+        "watch_time_coverage": _q_interval_coverage,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
@@ -3280,6 +3328,96 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    min(n) as min_group,
                    coalesce(min(n) >= 5, true) as is_k_anonymous
             from g
+        """,
+        "funnel_view_click_purchase": """
+            with e as (
+                select user_id as u, epoch_ms(ts) as ms, event_type as et
+                from events
+                where user_id is not null and ts is not null
+                  and event_type is not null
+            ), t1 as (
+                select u, min(ms) as m1 from e where et = 'view' group by u
+            ), t2 as (
+                select e.u, min(e.ms) as m2
+                from e join t1 on e.u = t1.u
+                where e.et = 'click' and e.ms > t1.m1
+                  and e.ms <= t1.m1 + 259200000
+                group by e.u
+            ), t3 as (
+                select e.u, min(e.ms) as m3
+                from e join t2 on e.u = t2.u join t1 on t1.u = t2.u
+                where e.et = 'purchase' and e.ms > t2.m2
+                  and e.ms <= t1.m1 + 259200000
+                group by e.u
+            ), n as (
+                select (select count(*) from t1) as n1,
+                       (select count(*) from t2) as n2,
+                       (select count(*) from t3) as n3
+            )
+            select cast(1 as int) as step, 'view' as event_type,
+                   cast(n1 as bigint) as n_entities,
+                   cast(null as double) as conv_from_prev,
+                   cast(null as double) as conv_from_first
+            from n
+            union all
+            select cast(2 as int), 'click', cast(n2 as bigint),
+                   case when n1 > 0 then cast(n2 as double) / n1 end,
+                   case when n1 > 0 then cast(n2 as double) / n1 end
+            from n
+            union all
+            select cast(3 as int), 'purchase', cast(n3 as bigint),
+                   case when n2 > 0 then cast(n3 as double) / n2 end,
+                   case when n1 > 0 then cast(n3 as double) / n1 end
+            from n
+        """,
+        "cohort_retention_weekly": """
+            with e as (
+                select user_id as u, ts from events
+                where user_id is not null and ts is not null
+            ), f as (
+                select u, date_trunc('week', min(ts)) as c
+                from e group by u
+            ), a as (
+                select distinct e.u, date_trunc('week', e.ts) as p from e
+            ), m as (
+                select f.c as cohort_period,
+                       cast(date_diff('day', f.c, a.p) // 7 as int)
+                           as period_offset,
+                       cast(count(*) as bigint) as n_active
+                from a join f on a.u = f.u
+                group by 1, 2
+            ), s as (
+                select cohort_period, n_active as cohort_size
+                from m where period_offset = 0
+            )
+            select epoch_ms(m.cohort_period) as cohort_ms,
+                   m.period_offset, m.n_active, s.cohort_size,
+                   cast(m.n_active as double) / s.cohort_size as retention
+            from m join s using (cohort_period)
+        """,
+        "watch_time_coverage": """
+            with iv as (
+                select user_id, epoch_ms(ts) as s,
+                       epoch_ms(ts)
+                       + greatest(cast(floor(value * 1000 + 0.5)
+                                       as bigint), 0) as e
+                from events
+                where event_type = 'view' and value is not null
+                  and user_id is not null and ts is not null
+            ), w as (
+                select user_id, s, e,
+                       max(e) over (partition by user_id order by s, e
+                                    rows between unbounded preceding
+                                    and 1 preceding) as pm
+                from iv
+            )
+            select user_id,
+                   cast(count(*) as bigint) as n_intervals,
+                   cast(sum(case when pm is null or s > pm then 1
+                            else 0 end) as bigint) as n_components,
+                   cast(sum(greatest(e - greatest(s, coalesce(pm, s)), 0))
+                        as bigint) as covered
+            from w group by user_id
         """,
         "ks_value_drift": """
             with r as (

@@ -223,7 +223,10 @@ def main() -> None:
                  "autocorr_value_by_user", "er_candidates_part",
                  "active_users_trailing_hour", "basket_rules_lineitem",
                  "search_topk_docs", "pit_audit_training_set",
-                 "ks_value_drift", "k_anonymity_customers"]:
+                 "ks_value_drift", "k_anonymity_customers",
+                 # round-4 session-5 operators
+                 "funnel_view_click_purchase", "cohort_retention_weekly",
+                 "watch_time_coverage"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

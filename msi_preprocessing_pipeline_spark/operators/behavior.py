@@ -1,0 +1,212 @@
+"""Behavioral analytics: funnels, cohort retention, interval coverage.
+
+Three operators that turn an event stream ``(entity, ts, type, ...)``
+into the standard product-analytics artifacts:
+
+* :func:`funnel_times` / :func:`funnel_report` — earliest strictly
+  ordered completion of a k-step event funnel per entity, plus the
+  per-step user counts and conversion ratios.
+* :func:`cohort_activity` — weekly/daily cohort retention matrix
+  (cohort period × period offset → active users, retention rate).
+* :func:`interval_coverage` — per-key length of the UNION of a set of
+  possibly-overlapping integer intervals (plus interval/component
+  counts), the classic sweep-line merge as one window pass.
+
+All counts are exact integers; every ratio is a single double division
+of exact int64 counts — engine-portable bit-for-bit.
+
+Scale notes (10^12-row event streams):
+
+* ``funnel_times`` shuffles the corpus ONCE (hash by entity).  Step
+  times are k chained unordered window-min expressions over the same
+  partition spec — Catalyst plans one Exchange + one sort, and the
+  final per-entity aggregate reuses the partitioning (no second
+  corpus exchange).  The per-group state is k scalars, so entity skew
+  (one user with 10^8 events) costs a scan, never memory.
+* ``funnel_report`` reduces the times relation to ONE row (partial
+  aggregation) and explodes k report rows from it driver-free.
+* ``cohort_activity`` folds first-event period AND the distinct
+  active-period set into a SINGLE per-entity aggregation (the
+  ``collect_set`` state is bounded by the number of periods in the
+  retention horizon — e.g. 52 for a year of weeks — NOT by the
+  entity's event count).  The matrix aggregation that follows is
+  map-side combined; cohort sizes come from the matrix's own
+  offset-0 rows (|cohorts|-bounded join, AQE broadcasts).
+* ``interval_coverage`` is ONE window pass: running ``max(end)`` over
+  ``(key ORDER BY start, end)`` gives each row its clamped novel
+  contribution, and the per-key sum reuses the window's partitioning
+  — no component ids, no self-join, no second exchange.
+
+Reference parity: the reference's staged pipeline gates each stage on
+the previous stage's artifact (``pipeline/run.py``) — the funnel is
+the same "earliest time stage i completed after stage i-1" recurrence
+over event payloads; the interval merge is the same cummax sweep used
+by ``dedup.duplicate_spans`` (Lee et al. substring spans) and mirrors
+the reference's sorted-neighborhood component merging
+(``components/spectrum/model.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PERIOD_DAYS = {"day": 1, "week": 7}
+
+
+def funnel_times(df: DataFrame, entity_col: str, ts_col: str,
+                 type_col: str, steps: Sequence[str],
+                 within_ms: int | None = None) -> DataFrame:
+    """One row per entity that reached step 1: ``(entity, t_1 .. t_k)``
+    where ``t_1`` is the entity's earliest ``steps[0]`` event and
+    ``t_i`` the earliest ``steps[i-1]`` event STRICTLY after
+    ``t_{i-1}`` (and, when ``within_ms`` is set, no later than
+    ``t_1 + within_ms``).  Unreached steps are null; null
+    entity/ts/type rows are ignored (they order nothing).
+
+    Strict ``>`` makes repeated step types well-defined (a
+    ``click -> click`` funnel needs two distinct click times) and
+    keeps the recurrence deterministic under same-timestamp ties.
+    """
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    if within_ms is not None and within_ms <= 0:
+        raise ValueError(f"within_ms must be positive, got {within_ms}")
+    ev = (df.where(F.col(entity_col).isNotNull()
+                   & F.col(ts_col).isNotNull()
+                   & F.col(type_col).isNotNull())
+          .select(F.col(entity_col),
+                  F.unix_millis(F.col(ts_col).cast("timestamp"))
+                  .alias("__ms"),
+                  F.col(type_col).alias("__et")))
+    w = Window.partitionBy(entity_col)
+    # Chained selects: each step's min references the previous step's
+    # column, so the windows cannot fuse into one node — but they share
+    # the partition spec, costing ONE Exchange + sort for all k.
+    cur = ev.select(entity_col, "__ms", "__et",
+                    F.min(F.when(F.col("__et") == steps[0],
+                                 F.col("__ms"))).over(w).alias("__t1"))
+    for i in range(2, len(steps) + 1):
+        cond = ((F.col("__et") == steps[i - 1])
+                & (F.col("__ms") > F.col(f"__t{i - 1}")))
+        if within_ms is not None:
+            cond = cond & (F.col("__ms") <= F.col("__t1") + within_ms)
+        cur = cur.select("*", F.min(F.when(cond, F.col("__ms")))
+                         .over(w).alias(f"__t{i}"))
+    out = (cur.groupBy(entity_col)
+           .agg(*[F.max(f"__t{i}").alias(f"__m{i}")
+                  for i in range(1, len(steps) + 1)])
+           .where(F.col("__m1").isNotNull()))
+    return out.select(
+        entity_col,
+        *[F.timestamp_millis(F.col(f"__m{i}")).alias(f"t_{i}")
+          for i in range(1, len(steps) + 1)])
+
+
+def funnel_report(df: DataFrame, entity_col: str, ts_col: str,
+                  type_col: str, steps: Sequence[str],
+                  within_ms: int | None = None) -> DataFrame:
+    """k-row funnel summary: ``(step, event_type, n_entities,
+    conv_from_prev, conv_from_first)``.
+
+    ``n_entities`` counts entities whose ``t_step`` is non-null;
+    ``conv_from_prev``/``conv_from_first`` are single double divisions
+    of those exact counts (null for step 1 and whenever the
+    denominator is 0).
+    """
+    times = funnel_times(df, entity_col, ts_col, type_col, steps,
+                         within_ms=within_ms)
+    k = len(steps)
+    one = times.agg(*[F.count(f"t_{i}").alias(f"n{i}")
+                      for i in range(1, k + 1)])
+    rows = one.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("step"),
+                 F.lit(steps[i - 1]).alias("event_type"),
+                 F.col(f"n{i}").alias("n_entities"),
+                 (F.col(f"n{i - 1}") if i > 1
+                  else F.lit(None).cast("long")).alias("__np"),
+                 F.col("n1").alias("__n1"))
+        for i in range(1, k + 1)])).alias("r")).select("r.*")
+    return rows.select(
+        "step", "event_type", "n_entities",
+        F.when(F.col("__np") > 0,
+               F.col("n_entities").cast("double") / F.col("__np"))
+        .alias("conv_from_prev"),
+        F.when((F.col("__n1") > 0) & (F.col("step") > 1),
+               F.col("n_entities").cast("double") / F.col("__n1"))
+        .alias("conv_from_first"))
+
+
+def cohort_activity(df: DataFrame, entity_col: str, ts_col: str,
+                    period: str = "week") -> DataFrame:
+    """Cohort retention matrix: ``(cohort_period, period_offset,
+    n_active, cohort_size, retention)``.
+
+    An entity's cohort is the truncated period of its FIRST event;
+    it is active at offset d if it has any event in the period d
+    periods later.  ``retention = n_active / cohort_size`` where
+    ``cohort_size`` is the matrix's own offset-0 count (every entity
+    is active in its first period by construction, so offset 0 rows
+    exist for every cohort).  Null entity/ts rows are ignored.
+    """
+    if period not in _PERIOD_DAYS:
+        raise ValueError(
+            f"period must be one of {sorted(_PERIOD_DAYS)}, got {period!r}")
+    days = _PERIOD_DAYS[period]
+    ev = df.where(F.col(entity_col).isNotNull()
+                  & F.col(ts_col).isNotNull())
+    per_entity = (ev.groupBy(entity_col)
+                  .agg(F.date_trunc(period, F.min(ts_col)).alias("__cohort"),
+                       F.collect_set(F.date_trunc(period, F.col(ts_col)))
+                       .alias("__periods")))
+    cells = (per_entity
+             .select("__cohort", F.explode("__periods").alias("__p"))
+             .select(F.col("__cohort").alias("cohort_period"),
+                     F.floor(F.datediff(F.col("__p"), F.col("__cohort"))
+                             / days).cast("int").alias("period_offset")))
+    matrix = (cells.groupBy("cohort_period", "period_offset")
+              .agg(F.count("*").alias("n_active")))
+    sizes = (matrix.where(F.col("period_offset") == 0)
+             .select("cohort_period",
+                     F.col("n_active").alias("cohort_size")))
+    return (matrix.join(sizes, ["cohort_period"])
+            .select("cohort_period", "period_offset", "n_active",
+                    "cohort_size",
+                    (F.col("n_active").cast("double")
+                     / F.col("cohort_size")).alias("retention")))
+
+
+def interval_coverage(df: DataFrame, key_col: str, start_col: str,
+                      end_col: str) -> DataFrame:
+    """Per-key union-of-intervals summary over integer interval columns
+    ``[start, end)``: ``(key, n_intervals, n_components, covered)``
+    where ``covered`` is the total length of the union and
+    ``n_components`` the number of disjoint merged runs.
+
+    Rows with null key/start/end or ``end < start`` are dropped
+    (an inverted interval identifies nothing); zero-length intervals
+    are kept (they count as intervals, may bridge nothing, and cover
+    0).  Exact int64 arithmetic throughout.
+    """
+    iv = df.where(F.col(key_col).isNotNull()
+                  & F.col(start_col).isNotNull()
+                  & F.col(end_col).isNotNull()
+                  & (F.col(end_col) >= F.col(start_col)))
+    w = (Window.partitionBy(key_col).orderBy(start_col, end_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_max: Column = F.max(F.col(end_col)).over(w)
+    swept = iv.select(
+        F.col(key_col),
+        F.when(prev_max.isNull() | (F.col(start_col) > prev_max), 1)
+        .otherwise(0).alias("__new_comp"),
+        F.greatest(
+            F.col(end_col) - F.greatest(F.col(start_col),
+                                        F.coalesce(prev_max,
+                                                   F.col(start_col))),
+            F.lit(0)).alias("__cov"))
+    return (swept.groupBy(key_col)
+            .agg(F.count("*").alias("n_intervals"),
+                 F.sum("__new_comp").alias("n_components"),
+                 F.sum("__cov").alias("covered")))
