@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-110 queries, 110 with exact DuckDB oracles — relational SQL where expressible,
+121 queries, 121 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1564,6 +1564,169 @@ def _q_interval_coverage(spark, sf_dir):
     return interval_coverage(iv, "user_id", "s", "e")
 
 
+def _q_key_profile(spark, sf_dir):
+    """One-row key-skew summary of events.user_id — the salting /
+    shuffle-partition planning input, computed exactly with no driver
+    materialization (quantiles via the range-partitioned rank fetch)."""
+    from msi_preprocessing_pipeline_spark.operators.profile import (
+        key_profile)
+
+    ev = _t(spark, sf_dir, "events")
+    out = key_profile(ev, ["user_id"], qs=[0.5, 0.9, 0.99])
+    return out.select("n_rows", "n_keys", "max_n", "min_n", "avg_n",
+                      "top_share",
+                      *[F.round(c, 6).alias(c)
+                        for c in ("p50_n", "p90_n", "p99_n")])
+
+
+def _q_heavy_keys(spark, sf_dir):
+    """Exact top-20 hottest event users (count desc, id asc tie-break)
+    — a TakeOrderedAndProject, never a global sort."""
+    from msi_preprocessing_pipeline_spark.operators.profile import (
+        heavy_keys)
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_keys(ev, ["user_id"], k=20)
+
+
+def _q_disorder(spark, sf_dir):
+    """Watermark-planning lateness profile: deterministic md5 jitter
+    (the shared cross-engine hash idiom) recreates late arrivals, then
+    the bucket+carry sweep measures them with no global window."""
+    from msi_preprocessing_pipeline_spark.functions.util import md5_bucket
+    from msi_preprocessing_pipeline_spark.operators.profile import (
+        disorder_stats)
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_id").isNotNull() & F.col("ts").isNotNull())
+    jit = md5_bucket(
+        F.concat_ws(":", F.col("event_id").cast("string"), F.lit("13")),
+        600_000)
+    obs = ev.select("event_id", (_ms("ts") - jit).alias("ms"))
+    out = disorder_stats(obs, "event_id", "ms", bucket_width=1000)
+    return out.select("n_events", "n_late", "frac_late", "max_lateness",
+                      F.round("p50_lateness", 6).alias("p50_lateness"),
+                      F.round("p99_lateness", 6).alias("p99_lateness"))
+
+
+def _q_pagerank(spark, sf_dir):
+    """Supplier/part centrality: 4 rounds of integer-arithmetic
+    PageRank over the undirected part<->supplier bipartite graph —
+    bit-identical across engines because every step is exact int64."""
+    from msi_preprocessing_pipeline_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("s"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("d"))
+    edges = fwd.union(fwd.select(F.col("d").alias("s"),
+                                 F.col("s").alias("d")))
+    return pagerank(edges, "s", "d", iters=4, scale=10**9)
+
+
+def _pagerank_oracle(iters: int = 4, scale: int = 10**9,
+                     num: int = 85, den: int = 100) -> str:
+    """Unrolled-CTE DuckDB mirror of the integer PageRank recurrence
+    (recursive CTEs cannot aggregate in the recursive term, so fixed
+    iterations unroll into chained CTEs — exact int ops throughout)."""
+    base = (scale * (den - num)) // den
+    sql = f"""
+            with edges as (
+                select distinct 'p' || cast(l_partkey as varchar) as s,
+                       's' || cast(l_suppkey as varchar) as d
+                from lineitem
+                union
+                select distinct 's' || cast(l_suppkey as varchar),
+                       'p' || cast(l_partkey as varchar)
+                from lineitem
+            ), nodes as (
+                select distinct s as node from edges
+                union
+                select distinct d from edges
+            ), deg as (
+                select s, cast(count(*) as bigint) as dg
+                from edges group by s
+            ), e as (
+                select edges.s, edges.d, deg.dg
+                from edges join deg on edges.s = deg.s
+            ), r0 as (
+                select node, cast({scale} as bigint) as r from nodes
+            )"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""", r{i} as (
+                select n.node,
+                       cast({base} + ({num} * coalesce(x.m, 0)) // {den}
+                            as bigint) as r
+                from nodes n
+                left join (select e.d, sum(pr.r // e.dg) as m
+                           from e join {prev} pr on e.s = pr.node
+                           group by e.d) x
+                on n.node = x.d
+            )"""
+        prev = f"r{i}"
+    return sql + f"\n            select node, r as rank from {prev}"
+
+
+def _q_pattern_count(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite: per-user count of view->click*->purchase
+    shapes in the ordered event-type sequence (portable regex subset,
+    skew-guarded collect)."""
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        event_pattern_count)
+
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.select("user_id", _ms("ts").alias("ms"), "event_id",
+                    "event_type")
+    return event_pattern_count(
+        pre, "user_id", ["ms", "event_id"], "event_type",
+        {"view": "V", "click": "C", "purchase": "P"}, "VC*P")
+
+
+def _q_scd2(spark, sf_dir):
+    """Type-2 SCD validity intervals over purchase events as dimension
+    versions — one lead window, per-group state is one row."""
+    from msi_preprocessing_pipeline_spark.operators.changelog import (
+        scd2_intervals)
+
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("user_id", "event_id", "value", "ts"))
+    out = scd2_intervals(p, ["user_id"], "ts",
+                         tiebreak_cols=["event_id"])
+    return out.select("user_id", "event_id", "value",
+                      _ms("eff_from").alias("eff_from_ms"),
+                      _ms("eff_to").alias("eff_to_ms"), "is_current")
+
+
+def _q_join_size(spark, sf_dir):
+    """Exact orders ⋈ lineitem output-size prediction (the salting /
+    broadcast decision input) — strictly cheaper than the join."""
+    from msi_preprocessing_pipeline_spark.operators.profile import (
+        join_size_estimate)
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = join_size_estimate(o, li, "o_orderkey", "l_orderkey")
+    return out.select("n_left", "n_right", "n_left_keys",
+                      "n_right_keys", "n_matched_keys",
+                      F.col("est_rows").cast("long").alias("est_rows"),
+                      F.col("max_key_rows").cast("long")
+                      .alias("max_key_rows"), "top_key_share")
+
+
+def _q_json_profile(spark, sf_dir):
+    """Schema-on-read profile of the events.props JSON column — per-key
+    presence + portable type classes, one JVM parse + one agg."""
+    from msi_preprocessing_pipeline_spark.operators.validate import (
+        json_key_profile)
+
+    ev = _t(spark, sf_dir, "events")
+    return json_key_profile(ev, "props")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -1632,6 +1795,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_view_click_purchase": _q_funnel_report,
         "cohort_retention_weekly": _q_cohort_retention,
         "watch_time_coverage": _q_interval_coverage,
+        "key_profile_events": _q_key_profile,
+        "heavy_users_events": _q_heavy_keys,
+        "event_time_disorder": _q_disorder,
+        "pagerank_part_supplier": _q_pagerank,
+        "pattern_vcp_users": _q_pattern_count,
+        "scd2_purchase_values": _q_scd2,
+        "join_size_orders_lineitem": _q_join_size,
+        "json_key_profile_events": _q_json_profile,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
@@ -3418,6 +3589,151 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    cast(sum(greatest(e - greatest(s, coalesce(pm, s)), 0))
                         as bigint) as covered
             from w group by user_id
+        """,
+        "key_profile_events": """
+            with c as (
+                select user_id, cast(count(*) as bigint) as n
+                from events group by user_id
+            ), s as (
+                select cast(sum(n) as bigint) as n_rows,
+                       cast(count(*) as bigint) as n_keys,
+                       max(n) as max_n, min(n) as min_n
+                from c
+            )
+            select n_rows, n_keys, max_n, min_n,
+                   cast(n_rows as double) / n_keys as avg_n,
+                   cast(max_n as double) / n_rows as top_share,
+                   round((select quantile_cont(n, 0.5) from c), 6)
+                       as p50_n,
+                   round((select quantile_cont(n, 0.9) from c), 6)
+                       as p90_n,
+                   round((select quantile_cont(n, 0.99) from c), 6)
+                       as p99_n
+            from s
+        """,
+        "heavy_users_events": """
+            select user_id, cast(count(*) as bigint) as n
+            from events group by user_id
+            order by n desc, user_id asc nulls last
+            limit 20
+        """,
+        "event_time_disorder": """
+            with e as (
+                select event_id,
+                       epoch_ms(ts)
+                       - (cast(('0x' || substr(md5(
+                              cast(event_id as varchar) || ':' || '13'),
+                              1, 8)) as bigint) % 600000) as ms
+                from events
+                where event_id is not null and ts is not null
+            ), w as (
+                select ms, max(ms) over (order by event_id
+                    rows between unbounded preceding and 1 preceding)
+                    as pm
+                from e
+            ), l as (
+                select case when pm is not null
+                       then greatest(pm - ms, 0) else 0 end as late
+                from w
+            )
+            select cast(count(*) as bigint) as n_events,
+                   cast(sum(case when late > 0 then 1 else 0 end)
+                        as bigint) as n_late,
+                   cast(sum(case when late > 0 then 1 else 0 end)
+                        as double) / count(*) as frac_late,
+                   max(late) as max_lateness,
+                   round(quantile_cont(late, 0.5)
+                         filter (late > 0), 6) as p50_lateness,
+                   round(quantile_cont(late, 0.99)
+                         filter (late > 0), 6) as p99_lateness
+            from l
+        """,
+        "pagerank_part_supplier": _pagerank_oracle(),
+        "pattern_vcp_users": """
+            with e as (
+                select user_id as u, epoch_ms(ts) as ms, event_id,
+                       case event_type when 'view' then 'V'
+                            when 'click' then 'C'
+                            when 'purchase' then 'P'
+                            else '_' end as ch
+                from events
+                where user_id is not null and ts is not null
+                  and event_id is not null
+            ), s as (
+                select u, cast(count(*) as bigint) as n_events,
+                       string_agg(ch, '' order by ms, event_id, ch)
+                           as seq
+                from e group by u
+            )
+            select u as user_id, n_events,
+                   cast(len(regexp_extract_all(seq, 'VC*P')) as int)
+                       as n_matches
+            from s
+        """,
+        "scd2_purchase_values": """
+            with p as (
+                select user_id, event_id, value, ts from events
+                where event_type = 'purchase' and ts is not null
+            )
+            select user_id, event_id, value,
+                   epoch_ms(ts) as eff_from_ms,
+                   epoch_ms(lead(ts) over (partition by user_id
+                       order by ts, event_id)) as eff_to_ms,
+                   lead(ts) over (partition by user_id
+                       order by ts, event_id) is null as is_current
+            from p
+        """,
+        "join_size_orders_lineitem": """
+            with ca as (
+                select o_orderkey as k, cast(count(*) as bigint) as cl
+                from orders where o_orderkey is not null group by 1
+            ), cb as (
+                select l_orderkey as k, cast(count(*) as bigint) as cr
+                from lineitem where l_orderkey is not null group by 1
+            ), m as (
+                select cast(count(*) as bigint) as n_matched_keys,
+                       coalesce(sum(cl * cr), 0) as est,
+                       coalesce(max(cl * cr), 0) as mx
+                from ca join cb using (k)
+            )
+            select (select cast(count(*) as bigint) from orders)
+                       as n_left,
+                   (select cast(count(*) as bigint) from lineitem)
+                       as n_right,
+                   (select cast(count(*) as bigint) from ca)
+                       as n_left_keys,
+                   (select cast(count(*) as bigint) from cb)
+                       as n_right_keys,
+                   n_matched_keys,
+                   cast(est as bigint) as est_rows,
+                   cast(mx as bigint) as max_key_rows,
+                   case when est > 0
+                        then cast(mx as double) / cast(est as double)
+                   end as top_key_share
+            from m
+        """,
+        "json_key_profile_events": """
+            with p as (
+                select props from events
+                where props is not null and json_valid(props)
+            ), kv as (
+                select k.key as key,
+                       json_extract_string(p.props, k.key) as v
+                from p, unnest(json_keys(p.props)) as k(key)
+            )
+            select key, cast(count(*) as bigint) as n_present,
+                   cast(sum(case when v is null then 1 else 0 end)
+                        as bigint) as n_null_value,
+                   cast(sum(case when regexp_matches(v, '^-?[0-9]+$')
+                            then 1 else 0 end) as bigint) as n_intlike,
+                   cast(sum(case when regexp_matches(v,
+                            '^-?[0-9]*\\.[0-9]+$') then 1 else 0 end)
+                        as bigint) as n_floatlike,
+                   cast(sum(case when regexp_matches(v,
+                            '^(true|false)$') then 1 else 0 end)
+                        as bigint) as n_boollike,
+                   cast(count(distinct v) as bigint) as n_distinct
+            from kv group by key
         """,
         "ks_value_drift": """
             with r as (

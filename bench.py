@@ -226,7 +226,9 @@ def main() -> None:
                  "ks_value_drift", "k_anonymity_customers",
                  # round-4 session-5 operators
                  "funnel_view_click_purchase", "cohort_retention_weekly",
-                 "watch_time_coverage"]:
+                 "watch_time_coverage", "key_profile_events",
+                 "heavy_users_events", "event_time_disorder",
+                 "pagerank_part_supplier"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

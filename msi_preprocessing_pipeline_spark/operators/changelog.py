@@ -93,3 +93,30 @@ def diff_snapshots(old: DataFrame, new: DataFrame,
     if include_unchanged:
         return out
     return out.where(F.col("change_type") != "unchanged")
+
+
+def scd2_intervals(df: DataFrame, key_cols, ts_col: str,
+                   tiebreak_cols=()) -> DataFrame:
+    """Type-2 slowly-changing-dimension validity intervals: every
+    input row becomes a version with ``eff_from`` (its own ``ts_col``),
+    ``eff_to`` (the NEXT version's timestamp per key, null while
+    current) and ``is_current`` — the history-table complement of
+    :func:`latest_snapshot` (which keeps only the last version).
+
+    Ordering per key is ``(ts_col, *tiebreak_cols)`` and must be a
+    total order (pass a unique id) or same-instant versions get
+    arbitrary interval nesting.  Rows with a null ``ts_col`` are
+    dropped (a version without an effective time has no interval).
+
+    Scale notes: ONE window (lead) over the key partition — one
+    shuffle, per-group state is a single row; skewed dimension keys
+    (many versions) cost a sort, never memory.
+    """
+    keys = as_list(key_cols)
+    tb = as_list(tiebreak_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tb)
+    return (df.where(F.col(ts_col).isNotNull())
+            .select("*",
+                    F.col(ts_col).alias("eff_from"),
+                    F.lead(ts_col).over(w).alias("eff_to"))
+            .withColumn("is_current", F.col("eff_to").isNull()))

@@ -1,0 +1,197 @@
+"""Data-distribution diagnostics: key skew profile, heavy keys,
+event-time disorder.
+
+Planning inputs for the engine's own scale knobs: whether a join key
+needs salting, what ``spark.sql.shuffle.partitions`` a groupBy needs,
+and what watermark a streaming job can afford all derive from (a) the
+key-count distribution and (b) how out-of-order event time is relative
+to arrival order.  These operators compute those exactly, at corpus
+scale, with no driver materialization.
+
+* :func:`key_counts` / :func:`key_profile` — per-key row counts and a
+  one-row skew summary (count quantiles via the giant-group-safe
+  rank-fetch machinery, max/avg share of the hottest key).
+* :func:`heavy_keys` — exact top-k hottest keys with a deterministic
+  total tie-break (count desc, key asc) — a ``TakeOrderedAndProject``,
+  never a global sort.
+* :func:`disorder_stats` — exact lateness distribution of an event
+  stream relative to its arrival sequence WITHOUT a single-partition
+  global window: arrival is bucketized, the running maximum factorizes
+  into an in-bucket prefix (per-bucket window) plus a carry-in from
+  all earlier buckets (a window over the tiny |buckets| relation),
+  and the two compose to the exact global prefix max — the same
+  bucket+carry decomposition as ``encoding._expanding_prior_sums``.
+
+Scale notes: ``key_counts`` is one map-side-combined aggregation;
+``key_profile`` adds only |keys|-relation reductions (its quantiles
+range-partition the COUNTS, so a 10^9-key table still spreads);
+``disorder_stats`` shuffles the corpus once on the bucket key —
+``bucket_width`` controls the |buckets| relation (keep n/width under
+~10^6 so the carry window's single partition stays trivial).
+
+Reference parity: the reference profiles per-spectrum TIC sums to pick
+outlier thresholds before modeling (``components/matlab_alike.py``
+Gamma-mixture threshold over summary stats); these are the same
+"summarize the distribution before committing to a plan" shape over
+key counts and event-time skew.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.util import as_list
+from .quantiles import grouped_exact_quantiles
+
+
+def key_counts(df: DataFrame, key_cols) -> DataFrame:
+    """``(key_cols…, n)`` — exact per-key row counts.  NULL key values
+    group as real values (a null-keyed hot spot is still a hot spot)."""
+    keys = as_list(key_cols)
+    return df.groupBy(*keys).agg(F.count("*").alias("n"))
+
+
+def key_profile(df: DataFrame, key_cols,
+                qs: Sequence[float] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """One-row key-skew summary: ``(n_rows, n_keys, max_n, min_n,
+    avg_n, top_share, p{q}_n…)``.
+
+    ``avg_n`` and ``top_share`` are single divisions of exact int64
+    counts; the count quantiles come from
+    :func:`~.quantiles.grouped_exact_quantiles` (range-partitioned —
+    no single-reducer sort even at 10^9 keys).
+    """
+    counts = key_counts(df, key_cols)
+    stats = counts.agg(
+        F.sum("n").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.min("n").alias("min_n"))
+    quant = grouped_exact_quantiles(counts, "n", [], list(qs))
+    pivoted = quant.agg(*[
+        F.max(F.when(F.col("q") == float(q), F.col("value")))
+        .alias(f"p{round(float(q) * 100):02d}_n") for q in qs])
+    return (stats.crossJoin(pivoted)
+            .select("n_rows", "n_keys", "max_n", "min_n",
+                    (F.col("n_rows").cast("double") / F.col("n_keys"))
+                    .alias("avg_n"),
+                    (F.col("max_n").cast("double") / F.col("n_rows"))
+                    .alias("top_share"),
+                    *[f"p{round(float(q) * 100):02d}_n" for q in qs]))
+
+
+def heavy_keys(df: DataFrame, key_cols, k: int = 20) -> DataFrame:
+    """Exact top-``k`` hottest keys ``(key_cols…, n)``, deterministic
+    under ties (count desc, then key columns asc)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keys = as_list(key_cols)
+    return (key_counts(df, keys)
+            .orderBy(F.col("n").desc(),
+                     *[F.col(c).asc_nulls_last() for c in keys])
+            .limit(k))
+
+
+def disorder_stats(df: DataFrame, seq_col: str, num_ts_col: str,
+                   bucket_width: int = 100_000) -> DataFrame:
+    """One-row out-of-orderness summary of a stream whose arrival order
+    is ``seq_col`` (unique integers) and whose event time is the
+    NUMERIC column ``num_ts_col`` (e.g. epoch millis): ``(n_events,
+    n_late, frac_late, max_lateness, p50_lateness, p99_lateness)``.
+
+    A row's lateness is ``max(0, max(ts of strictly-earlier seq) - ts)``
+    — exactly what a streaming watermark must absorb.  Lateness
+    quantiles are over LATE rows only (null when nothing is late).
+    Rows with null seq/ts are ignored; ``seq_col`` values must be
+    unique (ties would make "earlier" ambiguous).
+
+    The global running max is NEVER computed as a single-partition
+    window: arrival buckets of ``bucket_width`` get an in-bucket
+    prefix max (per-bucket window) plus a carry-in maximum over all
+    earlier buckets (window over the |buckets| relation), which
+    compose exactly.
+    """
+    if bucket_width < 1:
+        raise ValueError(
+            f"bucket_width must be >= 1, got {bucket_width}")
+    ev = (df.where(F.col(seq_col).isNotNull()
+                   & F.col(num_ts_col).isNotNull())
+          .select(F.col(seq_col).alias("__seq"),
+                  F.col(num_ts_col).cast("long").alias("__ts"),
+                  F.floor(F.col(seq_col) / bucket_width).alias("__b")))
+    w_in = (Window.partitionBy("__b").orderBy("__seq")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    w_carry = (Window.orderBy("__b")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    bmax = (ev.groupBy("__b").agg(F.max("__ts").alias("__bm"))
+            .select("__b", F.max("__bm").over(w_carry).alias("__carry")))
+    # greatest() skips nulls (first bucket has no carry, first row of a
+    # bucket has no in-bucket prefix); null only when BOTH are missing.
+    swept = (ev.join(bmax, ["__b"])
+             .select("__ts",
+                     F.greatest(F.max("__ts").over(w_in),
+                                F.col("__carry")).alias("__pm")))
+    late = F.greatest(F.col("__pm") - F.col("__ts"), F.lit(0))
+    lateness = swept.select(
+        F.when(F.col("__pm").isNotNull(), late).otherwise(F.lit(0))
+        .alias("__late"))
+    return lateness.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("__late") > 0, 1).otherwise(0))
+        .alias("n_late"),
+        (F.sum(F.when(F.col("__late") > 0, 1).otherwise(0))
+         .cast("double") / F.count("*")).alias("frac_late"),
+        F.max("__late").alias("max_lateness"),
+        F.percentile(F.when(F.col("__late") > 0, F.col("__late")),
+                     F.lit(0.5)).alias("p50_lateness"),
+        F.percentile(F.when(F.col("__late") > 0, F.col("__late")),
+                     F.lit(0.99)).alias("p99_lateness"))
+
+
+def join_size_estimate(left: DataFrame, right: DataFrame,
+                       left_on: str, right_on: str) -> DataFrame:
+    """EXACT predicted output size of ``left ⋈ right`` on an equi-key,
+    before running it: one row ``(n_left, n_right, n_left_keys,
+    n_right_keys, n_matched_keys, est_rows, max_key_rows,
+    top_key_share)``.
+
+    ``est_rows = Σ_k cl(k)·cr(k)`` over matched keys — the join's true
+    output cardinality — computed in decimal(38,0) so two 10^9-row hot
+    keys cannot overflow; ``max_key_rows`` is the largest single-key
+    contribution and ``top_key_share`` its fraction of the output (the
+    "will this join need salting" number).  Null keys never match and
+    are excluded from the key relations (but counted in n_left/right).
+
+    Scale notes: two map-side-combined key-count aggregations + a
+    |keys|-relation join + 1-row reductions — strictly cheaper than
+    the join being estimated.
+    """
+    ca = (left.where(F.col(left_on).isNotNull())
+          .groupBy(F.col(left_on).alias("__k"))
+          .agg(F.count("*").alias("__cl")))
+    cb = (right.where(F.col(right_on).isNotNull())
+          .groupBy(F.col(right_on).alias("__k"))
+          .agg(F.count("*").alias("__cr")))
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    prod = (d("__cl") * d("__cr"))
+    m = (ca.join(cb, ["__k"])
+         .agg(F.count("*").alias("n_matched_keys"),
+              F.coalesce(F.sum(prod),
+                         F.lit(0).cast("decimal(38,0)"))
+              .alias("est_rows"),
+              F.coalesce(F.max(prod), F.lit(0).cast("decimal(38,0)"))
+              .alias("max_key_rows")))
+    totals = (ca.agg(F.count("*").alias("n_left_keys"))
+              .crossJoin(cb.agg(F.count("*").alias("n_right_keys")))
+              .crossJoin(left.agg(F.count("*").alias("n_left")))
+              .crossJoin(right.agg(F.count("*").alias("n_right"))))
+    return (totals.crossJoin(m)
+            .select("n_left", "n_right", "n_left_keys", "n_right_keys",
+                    "n_matched_keys", "est_rows", "max_key_rows",
+                    F.when(F.col("est_rows") > 0,
+                           F.col("max_key_rows").cast("double")
+                           / F.col("est_rows").cast("double"))
+                    .alias("top_key_share")))

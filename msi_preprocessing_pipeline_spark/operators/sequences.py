@@ -185,3 +185,60 @@ def autocorr(df: DataFrame, value_col: str, partition_by,
     r = F.when((F.col("n_pairs") >= 2) & (den > 0),
                num.cast("double") / den)
     return agg.select(*parts, "lag", "n_pairs", r.alias("r"))
+
+
+def event_pattern_count(df: DataFrame, partition_by, order_by,
+                        type_col: str, type_map: dict,
+                        pattern: str,
+                        max_events: int = 100_000) -> DataFrame:
+    """Regex matches over each entity's ordered event-type sequence:
+    ``(partition_by…, n_events, n_matches)`` — MATCH_RECOGNIZE-lite.
+
+    Each event maps to a single character via ``type_map`` (unmapped
+    or null types become ``'_'`` — never use ``'_'`` in patterns);
+    the per-entity sequence is ordered by ``order_by`` (must be a
+    total order — add a unique id as final tie-break) and
+    ``n_matches`` counts non-overlapping leftmost matches of
+    ``pattern``.  Keep patterns to the portable regex subset
+    (literals, classes, ``* + ? |``) — the Spark (Java) and oracle
+    (RE2) engines agree there.
+
+    Scale notes: the per-entity sequence IS per-entity state, so this
+    is the one operator family where a giant entity hurts —
+    ``max_events`` drops entities above the cap (pre-counted with a
+    semi-join BEFORE any collect, same documented-recall discipline
+    as ``er.candidate_pairs``'s ``max_block``).  Rows with a null in
+    any ``order_by`` column are excluded (engines disagree on null
+    order; an unorderable event has no position).
+    """
+    if max_events < 1:
+        raise ValueError(f"max_events must be >= 1, got {max_events}")
+    for t, ch in type_map.items():
+        if len(ch) != 1 or ch == "_":
+            raise ValueError(
+                f"type_map values must be single non-'_' chars, "
+                f"got {t!r} -> {ch!r}")
+    parts = _as_list(partition_by)
+    order = _as_list(order_by)
+    keep = df
+    for c in parts + order:
+        keep = keep.where(F.col(c).isNotNull())
+    ch = F.lit("_")
+    for t, c in sorted(type_map.items()):
+        ch = F.when(F.col(type_col) == t, F.lit(c)).otherwise(ch)
+    ev = keep.select(*parts, *order, ch.alias("__ch"))
+    counts = ev.groupBy(*parts).agg(F.count("*").alias("__n"))
+    small = ev.join(counts.where(F.col("__n") <= max_events)
+                    .select(*parts), parts, "left_semi")
+    seq = (small.groupBy(*parts)
+           .agg(F.count("*").alias("n_events"),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct(*order, F.col("__ch")))),
+                        lambda x: x["__ch"]),
+                    "").alias("__seq")))
+    return seq.select(
+        *parts, "n_events",
+        F.size(F.regexp_extract_all(F.col("__seq"), F.lit(pattern),
+                                    F.lit(0))).alias("n_matches"))

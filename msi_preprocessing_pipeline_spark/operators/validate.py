@@ -156,3 +156,37 @@ def check_pit(df: DataFrame, label_ts_col: str,
     return (one.select(F.explode(per_col).alias("r"))
             .select("r.feature_col", "r.n_rows", "r.n_violations",
                     "r.max_leak", "r.max_lag"))
+
+
+def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema-on-read profile of a flat JSON string column: one row per
+    key — ``(key, n_present, n_null_value, n_intlike, n_floatlike,
+    n_boollike, n_distinct)``.
+
+    Values are compared in their UNQUOTED string form (``from_json``
+    as ``map<string,string>``), classified by portable regexes:
+    int ``^-?[0-9]+$``, float ``^-?[0-9]*\\.[0-9]+$``, bool
+    ``^(true|false)$``.  Rows whose column is null or unparseable
+    contribute nothing; duplicate keys inside one object follow the
+    parser's last-wins (flat well-formed metadata is the contract —
+    this profiles ``props``-style columns, not arbitrary documents).
+
+    Scale notes: one JVM-side parse + explode + map-side-combined
+    aggregation per key — |keys|-bounded output, no Python.
+    """
+    kv = (df.where(F.col(json_col).isNotNull())
+          .select(F.explode(F.from_json(F.col(json_col),
+                                        "map<string,string>"))
+                  .alias("key", "__v")))
+    v = F.col("__v")
+    return (kv.groupBy("key")
+            .agg(F.count("*").alias("n_present"),
+                 F.sum(F.when(v.isNull(), 1).otherwise(0))
+                 .alias("n_null_value"),
+                 F.sum(F.when(v.rlike("^-?[0-9]+$"), 1).otherwise(0))
+                 .alias("n_intlike"),
+                 F.sum(F.when(v.rlike("^-?[0-9]*\\.[0-9]+$"), 1)
+                       .otherwise(0)).alias("n_floatlike"),
+                 F.sum(F.when(v.rlike("^(true|false)$"), 1)
+                       .otherwise(0)).alias("n_boollike"),
+                 F.countDistinct(v).alias("n_distinct")))

@@ -1,0 +1,121 @@
+"""Key-skew profile, disorder stats, and integer PageRank vs brute force."""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from msi_preprocessing_pipeline_spark.operators.graph import (
+    degree_stats, pagerank)
+from msi_preprocessing_pipeline_spark.operators.profile import (
+    disorder_stats, heavy_keys, key_counts, key_profile)
+
+
+def test_key_profile_matches_numpy(spark):
+    rng = random.Random(3)
+    rows = [(rng.choice([1, 1, 1, 2, 2, 3, 4, 5, None]),) for _ in range(300)]
+    df = spark.createDataFrame(rows, "k long")
+    counts = {}
+    for (k,) in rows:
+        counts[k] = counts.get(k, 0) + 1
+    cs = np.array(sorted(counts.values()), dtype=float)
+    row = key_profile(df, ["k"], qs=[0.5, 0.9]).collect()[0]
+    assert row["n_rows"] == 300
+    assert row["n_keys"] == len(counts)
+    assert row["max_n"] == int(cs.max())
+    assert row["min_n"] == int(cs.min())
+    assert row["avg_n"] == pytest.approx(300 / len(counts))
+    assert row["top_share"] == pytest.approx(cs.max() / 300)
+    assert row["p50_n"] == pytest.approx(np.percentile(cs, 50))
+    assert row["p90_n"] == pytest.approx(np.percentile(cs, 90))
+
+
+def test_heavy_keys_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in [3, 3, 1, 1, 2, 2, 5, 4]], "k long")
+    got = [(r["k"], r["n"]) for r in heavy_keys(df, "k", k=4).collect()]
+    assert got == [(1, 2), (2, 2), (3, 2), (4, 1)]
+    assert key_counts(df, "k").count() == 5
+    with pytest.raises(ValueError):
+        heavy_keys(df, "k", k=0)
+
+
+def test_disorder_stats_matches_brute_force(spark):
+    rng = random.Random(41)
+    ts = [i * 1000 + rng.randint(-5000, 5000) for i in range(400)]
+    rows = [(seq, t) for seq, t in enumerate(ts)]
+    rows += [(None, 1), (1000, None)]
+    df = spark.createDataFrame(rows, "seq long, ms long")
+    lates = []
+    pm = None
+    for t in ts:  # arrival order == seq order
+        lates.append(max(0, (pm - t)) if pm is not None else 0)
+        pm = t if pm is None else max(pm, t)
+    late_only = sorted(l for l in lates if l > 0)
+    for width in (1, 7, 100, 10**6):
+        row = disorder_stats(df, "seq", "ms", bucket_width=width).collect()[0]
+        assert row["n_events"] == 400
+        assert row["n_late"] == len(late_only), width
+        assert row["frac_late"] == pytest.approx(len(late_only) / 400)
+        assert row["max_lateness"] == max(lates)
+        assert row["p50_lateness"] == pytest.approx(
+            np.percentile(late_only, 50))
+        assert row["p99_lateness"] == pytest.approx(
+            np.percentile(late_only, 99))
+    with pytest.raises(ValueError):
+        disorder_stats(df, "seq", "ms", bucket_width=0)
+
+
+def _py_pagerank(edges, iters, scale=10**12, num=85, den=100):
+    nodes = {n for e in edges for n in e}
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: scale for n in nodes}
+    base = (scale * (den - num)) // den
+    for _ in range(iters):
+        acc = {n: 0 for n in nodes}
+        for s, d in edges:
+            acc[d] += r[s] // deg[s]
+        r = {n: base + (num * acc[n]) // den for n in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_and_is_partition_invariant(spark):
+    rng = random.Random(9)
+    edges = list({(rng.randint(1, 25), rng.randint(1, 25))
+                  for _ in range(120)})
+    # duplicates + nulls must be ignored
+    rows = edges + edges[:10] + [(None, 1), (2, None)]
+    df = spark.createDataFrame(rows, "s long, d long")
+    exp = _py_pagerank(edges, iters=4)
+    for reparted in (df, df.repartition(13)):
+        got = {r["node"]: r["rank"]
+               for r in pagerank(reparted, "s", "d", iters=4).collect()}
+        assert got == exp
+    total = sum(exp.values())
+    assert total <= len(exp) * 10**12  # documented mass bound
+
+
+def test_pagerank_dangling_and_validation(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "s long, d long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, "s", "d", iters=1).collect()}
+    base = (10**12 * 15) // 100
+    assert got[1] == base  # no in-edges
+    assert got[2] == base + (85 * 10**12) // 100
+    assert got[3] == base + (85 * 10**12) // 100
+    for kwargs in ({"iters": 0}, {"damp_num": 0}, {"damp_num": 100},
+                   {"scale": 10}):
+        with pytest.raises(ValueError):
+            pagerank(df, "s", "d", **kwargs)
+
+
+def test_degree_stats(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 2), (None, 2), (3, None)],
+        "s long, d long")
+    got = {r["node"]: (r["out_deg"], r["in_deg"])
+           for r in degree_stats(df, "s", "d").collect()}
+    assert got == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
