@@ -1680,9 +1680,12 @@ def _q_pattern_count(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     pre = ev.select("user_id", _ms("ts").alias("ms"), "event_id",
                     "event_type")
+    # max_events pinned explicitly (er_candidates_part precedent): the
+    # oracle has no cap, so the cap must be unreachable at any SF.
     return event_pattern_count(
         pre, "user_id", ["ms", "event_id"], "event_type",
-        {"view": "V", "click": "C", "purchase": "P"}, "VC*P")
+        {"view": "V", "click": "C", "purchase": "P"}, "VC*P",
+        max_events=1_000_000_000)
 
 
 def _q_scd2(spark, sf_dir):

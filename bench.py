@@ -228,7 +228,9 @@ def main() -> None:
                  "funnel_view_click_purchase", "cohort_retention_weekly",
                  "watch_time_coverage", "key_profile_events",
                  "heavy_users_events", "event_time_disorder",
-                 "pagerank_part_supplier"]:
+                 "pagerank_part_supplier", "pattern_vcp_users",
+                 "scd2_purchase_values", "join_size_orders_lineitem",
+                 "json_key_profile_events"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -68,7 +68,7 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
                  F.col(dst_col).alias("__d"))
          .distinct())
     nodes = (e.select(F.col("__s").alias("node"))
-             .union(e.select("__d")).distinct())
+             .union(e.select("__d")).distinct().persist())
     deg = e.groupBy("__s").agg(F.count("*").alias("__dg"))
     ed = e.join(deg, ["__s"]).persist()
     base = (scale * (damp_den - damp_num)) // damp_den
@@ -85,6 +85,7 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
                                    f" div {damp_den}")).alias("rank"))
                  .localCheckpoint())
     ed.unpersist()
+    nodes.unpersist()
     return ranks
 
 

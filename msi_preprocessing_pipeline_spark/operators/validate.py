@@ -167,9 +167,11 @@ def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
     as ``map<string,string>``), classified by portable regexes:
     int ``^-?[0-9]+$``, float ``^-?[0-9]*\\.[0-9]+$``, bool
     ``^(true|false)$``.  Rows whose column is null or unparseable
-    contribute nothing; duplicate keys inside one object follow the
-    parser's last-wins (flat well-formed metadata is the contract —
-    this profiles ``props``-style columns, not arbitrary documents).
+    contribute nothing.  Objects with DUPLICATE keys are OUTSIDE the
+    contract: Spark's map parse keeps one last-wins entry while other
+    engines (e.g. DuckDB ``json_keys``) enumerate every occurrence —
+    flat well-formed metadata with unique keys (``props``-style
+    columns) is the supported input, not arbitrary documents.
 
     Scale notes: one JVM-side parse + explode + map-side-combined
     aggregation per key — |keys|-bounded output, no Python.
