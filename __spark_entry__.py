@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-121 queries, 121 with exact DuckDB oracles — relational SQL where expressible,
+128 queries, 128 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1730,6 +1730,128 @@ def _q_json_profile(spark, sf_dir):
     return json_key_profile(ev, "props")
 
 
+
+_SPLIT_MS = 1706140800000  # 2024-01-25T00:00:00Z — incremental-refresh split
+
+
+def _q_salted_join(spark, sf_dir):
+    """Skew-salted events ⋈ customer (salt from the unique event_id via
+    the shared md5 idiom, dim replicated 16×) — result-identical to the
+    plain join, proven by aggregating the joined rows to per-segment
+    exact sums the oracle computes with an unsalted join."""
+    from msi_preprocessing_pipeline_spark.operators.joins import (
+        salted_join)
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (_t(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    j = salted_join(ev, dim, "user_id", spread_col="event_id",
+                    n_salt=16, how="inner")
+    micro = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"),
+                 F.sum(micro).alias("sum_value_micro"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def _q_fingerprint(spark, sf_dir):
+    """Order-invariant content fingerprint of lineitem's integer key
+    columns — the "same table after rebuild?" certificate, one scan."""
+    from msi_preprocessing_pipeline_spark.operators.validate import (
+        table_fingerprint)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return table_fingerprint(
+        li, ["l_orderkey", "l_partkey", "l_suppkey"])
+
+
+def _q_diff_buckets(spark, sf_dir):
+    """Merkle-style bucket diff: events vs events-minus-a-sliver — only
+    the buckets containing the removed rows surface (locating a small
+    corruption in a huge table with two scans + a |buckets| join)."""
+    from msi_preprocessing_pipeline_spark.operators.validate import (
+        table_diff_buckets)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    broken = ev.where(
+        ~((F.col("event_type") == "purchase")
+          & (F.col("event_id") % 97 == 0)))
+    return table_diff_buckets(ev, broken, n_buckets=64)
+
+
+def _q_l_diversity(spark, sf_dir):
+    """Attribute-disclosure audit: l-diversity of the account-balance
+    band within (nation, segment) quasi-identifier groups."""
+    from msi_preprocessing_pipeline_spark.operators.privacy import (
+        l_diversity_report)
+
+    c = _t(spark, sf_dir, "customer")
+    band = (F.when(F.col("c_acctbal") < 0, "neg")
+            .when(F.col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+    return l_diversity_report(c.withColumn("bal_band", band),
+                              ["c_nationkey", "c_mktsegment"],
+                              "bal_band", l=3)
+
+
+def _q_group_sample(spark, sf_dir):
+    """Deterministic cap-at-k per group: at most 5 events per
+    event_type, ranked by the shared md5 idiom — the "bound every
+    domain's contribution" sampling step."""
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        group_sample_k)
+
+    ev = _t(spark, sf_dir, "events")
+    out = group_sample_k(ev, "event_id", "event_type", k=5, seed=0)
+    return out.select("event_type", "event_id", "user_id")
+
+
+def _refresh_agg(rel):
+    # sum coalesced to 0 so an all-null-value entity reads identically
+    # through the recompute path, the additive-merge path, and the oracle
+    micro = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    return (rel.groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 F.coalesce(F.sum(micro), F.lit(0))
+                 .alias("sum_value_micro"),
+                 F.max(F.unix_millis(F.col("ts").cast("timestamp")))
+                 .alias("max_ms")))
+
+
+def _q_incremental_refresh(spark, sf_dir):
+    """Delta-driven refresh of a per-user aggregate table: recompute
+    ONLY users present in the post-split delta, splice everyone else
+    from the previous materialization — the oracle is the from-scratch
+    aggregation over the FULL history (the identity contract)."""
+    from msi_preprocessing_pipeline_spark.operators.incremental import (
+        refresh_group_agg)
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    hist = ev.where(ms < _SPLIT_MS)
+    delta = ev.where(ms >= _SPLIT_MS)
+    return refresh_group_agg(hist, _refresh_agg(hist), delta,
+                             ["user_id"], _refresh_agg)
+
+
+def _q_merge_additive(spark, sf_dir):
+    """Algebraic fast path of the same refresh: merge the delta's OWN
+    partial aggregates into the previous table without reading history
+    — count/sum add, max takes greatest; same full-recompute oracle."""
+    from msi_preprocessing_pipeline_spark.operators.incremental import (
+        merge_additive)
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    hist = ev.where(ms < _SPLIT_MS)
+    delta = ev.where(ms >= _SPLIT_MS)
+    return merge_additive(_refresh_agg(hist), _refresh_agg(delta),
+                          ["user_id"],
+                          sum_cols=["n", "sum_value_micro"],
+                          max_cols=["max_ms"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -1806,6 +1928,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_purchase_values": _q_scd2,
         "join_size_orders_lineitem": _q_join_size,
         "json_key_profile_events": _q_json_profile,
+        "salted_join_segments": _q_salted_join,
+        "fingerprint_lineitem": _q_fingerprint,
+        "diff_buckets_events": _q_diff_buckets,
+        "l_diversity_customers": _q_l_diversity,
+        "group_sample_events": _q_group_sample,
+        "incremental_refresh_users": _q_incremental_refresh,
+        "merge_additive_users": _q_merge_additive,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
@@ -3737,6 +3866,116 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         as bigint) as n_boollike,
                    cast(count(distinct v) as bigint) as n_distinct
             from kv group by key
+        """,
+        "salted_join_segments": """
+            select c.c_mktsegment, cast(count(*) as bigint) as n,
+                   cast(sum(cast(floor(e.value * 1e6 + 0.5) as bigint))
+                        as bigint) as sum_value_micro,
+                   cast(count(distinct e.user_id) as bigint) as n_users
+            from events e
+            join customer c on e.user_id = c.c_custkey
+            group by c.c_mktsegment
+        """,
+        "fingerprint_lineitem": """
+            with h as (
+                select cast(('0x' || substr(md5(
+                    concat_ws(chr(31),
+                        coalesce(cast(l_orderkey as varchar), chr(0)),
+                        coalesce(cast(l_partkey as varchar), chr(0)),
+                        coalesce(cast(l_suppkey as varchar), chr(0)))),
+                    1, 15)) as bigint) as h
+                from lineitem
+            )
+            select cast(count(*) as bigint) as n_rows,
+                   cast(count(distinct h) as bigint)
+                       as n_distinct_hashes,
+                   cast(coalesce(sum(h), 0) as varchar) as sum_hash,
+                   min(h) as min_hash, max(h) as max_hash
+            from h
+        """,
+        "diff_buckets_events": """
+            with l as (
+                select cast(('0x' || substr(md5(
+                    concat_ws(chr(31),
+                        coalesce(cast(event_id as varchar), chr(0)),
+                        coalesce(event_type, chr(0)),
+                        coalesce(cast(user_id as varchar), chr(0)))),
+                    1, 15)) as bigint) as h
+                from events
+            ), r as (
+                select cast(('0x' || substr(md5(
+                    concat_ws(chr(31),
+                        coalesce(cast(event_id as varchar), chr(0)),
+                        coalesce(event_type, chr(0)),
+                        coalesce(cast(user_id as varchar), chr(0)))),
+                    1, 15)) as bigint) as h
+                from events
+                where not (event_type = 'purchase'
+                           and event_id % 97 = 0)
+            ), la as (
+                select h % 64 as bucket, cast(count(*) as bigint) as n,
+                       sum(h) as s
+                from l group by 1
+            ), ra as (
+                select h % 64 as bucket, cast(count(*) as bigint) as n,
+                       sum(h) as s
+                from r group by 1
+            )
+            select coalesce(la.bucket, ra.bucket) as bucket,
+                   coalesce(la.n, 0) as n_left,
+                   coalesce(ra.n, 0) as n_right,
+                   cast(coalesce(la.s, 0) as varchar) as sum_left,
+                   cast(coalesce(ra.s, 0) as varchar) as sum_right
+            from la full outer join ra on la.bucket = ra.bucket
+            where coalesce(la.n, 0) != coalesce(ra.n, 0)
+               or coalesce(la.s, 0) != coalesce(ra.s, 0)
+        """,
+        "l_diversity_customers": """
+            with b as (
+                select c_nationkey, c_mktsegment,
+                       case when c_acctbal < 0 then 'neg'
+                            when c_acctbal < 5000 then 'mid'
+                            else 'high' end as bal_band
+                from customer
+            ), g as (
+                select c_nationkey, c_mktsegment,
+                       cast(count(*) as bigint) as n_rows,
+                       cast(count(distinct bal_band) as bigint) as ns
+                from b group by 1, 2
+            )
+            select cast(coalesce(sum(n_rows), 0) as bigint) as n_rows,
+                   cast(count(*) as bigint) as n_groups,
+                   cast(coalesce(sum(case when ns < 3 then 1 else 0
+                        end), 0) as bigint) as n_violating_groups,
+                   cast(coalesce(sum(case when ns < 3 then n_rows
+                        end), 0) as bigint) as n_violating_rows,
+                   min(ns) as min_l,
+                   coalesce(min(ns) >= 3, true) as is_l_diverse
+            from g
+        """,
+        "group_sample_events": """
+            select event_type, event_id, user_id from events
+            qualify row_number() over (
+                partition by event_type
+                order by md5(cast(event_id as varchar) || ':' || '0')
+                         nulls last,
+                         event_id nulls last) <= 5
+        """,
+        "incremental_refresh_users": """
+            select user_id, cast(count(*) as bigint) as n,
+                   cast(coalesce(sum(cast(floor(value * 1e6 + 0.5)
+                        as bigint)), 0) as bigint) as sum_value_micro,
+                   max(epoch_ms(ts)) as max_ms
+            from events where ts is not null
+            group by user_id
+        """,
+        "merge_additive_users": """
+            select user_id, cast(count(*) as bigint) as n,
+                   cast(coalesce(sum(cast(floor(value * 1e6 + 0.5)
+                        as bigint)), 0) as bigint) as sum_value_micro,
+                   max(epoch_ms(ts)) as max_ms
+            from events where ts is not null
+            group by user_id
         """,
         "ks_value_drift": """
             with r as (

@@ -230,7 +230,10 @@ def main() -> None:
                  "heavy_users_events", "event_time_disorder",
                  "pagerank_part_supplier", "pattern_vcp_users",
                  "scd2_purchase_values", "join_size_orders_lineitem",
-                 "json_key_profile_events"]:
+                 "json_key_profile_events", "salted_join_segments",
+                 "fingerprint_lineitem", "diff_buckets_events",
+                 "l_diversity_customers", "group_sample_events",
+                 "incremental_refresh_users", "merge_additive_users"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -91,3 +91,56 @@ def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
     return (inner_narrow
             .unionByName(points.join(F.broadcast(wide), cond, "inner"))
             .unionByName(wide_tail.where(F.col(lo_col).isNull())))
+
+
+def salted_join(left: DataFrame, right: DataFrame, on, spread_col: str,
+                n_salt: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-salted equi-join: result-identical to ``left.join(right, on,
+    how)`` but the shuffle key is ``(on…, salt)`` so one hot join key
+    spreads over ``n_salt`` reducers instead of serializing on one.
+
+    The big/skewed side (``left``) gets a deterministic salt from
+    ``spread_col`` (any well-distributed column — a unique id; NOT the
+    join key, which is constant within the hot group) via the shared
+    cross-engine ``md5_bucket`` idiom; the right side is replicated
+    ``n_salt``× with ``explode(sequence(...))`` — JVM-side, no Python.
+    Replication is bag-correct: each (left row, right row) key match
+    meets on exactly one salt value, so multiplicities are preserved
+    for ``inner`` and ``left`` (the supported modes — ``right``/
+    ``full`` would need null-extension dedup across salts; use the
+    unsalted join or swap sides).
+
+    When to use: ``profile.join_size_estimate``'s ``top_key_share``
+    near 1 with a multi-billion-row ``est_rows`` — AQE's skew-join
+    split handles sort-merge spill skew, but a single hot KEY still
+    lands in one post-split partition per side; salting is the
+    explicit, planner-independent fix.  Cost: ``n_salt``× replication
+    of ``right`` — keep ``right`` the smaller relation.
+
+    Scale notes: one shuffle per side on ``(on…, salt)``; null join
+    keys never match (SQL semantics) and are pre-filtered from the
+    replicated side (they cannot match anything, so replicating them
+    ``n_salt``× would be pure waste) while ``left`` keeps its rows
+    (left-join null extension preserved).
+    """
+    from ..functions.util import as_list, md5_bucket
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    keys = as_list(on)
+    out_cols = left.columns + [c for c in right.columns
+                               if c not in keys]
+    l_s = left.withColumn(
+        "__salt", md5_bucket(F.col(spread_col).cast("string"), n_salt))
+    r_notnull = right
+    for k in keys:
+        r_notnull = r_notnull.where(F.col(k).isNotNull())
+    r_s = (r_notnull
+           .withColumn("__salt",
+                       F.explode(F.sequence(F.lit(0),
+                                            F.lit(n_salt - 1))))
+           .withColumn("__salt", F.col("__salt").cast("long")))
+    return (l_s.join(r_s, keys + ["__salt"], how)
+            .select(*out_cols))

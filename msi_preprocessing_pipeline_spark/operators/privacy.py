@@ -54,3 +54,45 @@ def k_anonymity_report(df: DataFrame, quasi_cols, k: int) -> DataFrame:
         F.min("n_rows").alias("min_group"))
         .withColumn("is_k_anonymous",
                     F.coalesce(F.col("min_group") >= k, F.lit(True))))
+
+
+def l_diversity_groups(df: DataFrame, quasi_cols, sensitive_col: str,
+                       l: int) -> DataFrame:  # noqa: E741
+    """Per-quasi-identifier-combination diversity view: the QI columns
+    plus ``(n_rows, n_sensitive, is_violation)`` — a combination
+    violates l-diversity when its rows expose fewer than ``l`` DISTINCT
+    sensitive values (k-anonymity's blind spot: a size-100 group whose
+    members all share one diagnosis re-identifies the attribute even
+    though no individual row does).  Null sensitive values do not count
+    toward diversity (``countDistinct`` SQL semantics — an unknown
+    value discloses nothing, so it cannot defend a group either)."""
+    cols = as_list(quasi_cols)
+    if not cols:
+        raise ValueError("quasi_cols must name at least one column")
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    return (df.groupBy(*cols)
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct(sensitive_col).alias("n_sensitive"))
+            .withColumn("is_violation", F.col("n_sensitive") < l))
+
+
+def l_diversity_report(df: DataFrame, quasi_cols, sensitive_col: str,
+                       l: int) -> DataFrame:  # noqa: E741
+    """One-row summary: ``(n_rows, n_groups, n_violating_groups,
+    n_violating_rows, min_l, is_l_diverse)`` — ``min_l`` is the least
+    diverse combination's distinct-sensitive count (the table's actual
+    l).  Same single groupBy + |combinations|-bounded reduction shape
+    as :func:`k_anonymity_report`; empty input is vacuously diverse."""
+    g = l_diversity_groups(df, quasi_cols, sensitive_col, l)
+    z = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731  (empty relation)
+    return (g.agg(
+        z(F.sum("n_rows")).alias("n_rows"),
+        F.count("*").alias("n_groups"),
+        z(F.sum(F.col("is_violation").cast("long")))
+        .alias("n_violating_groups"),
+        z(F.sum(F.when(F.col("is_violation"), F.col("n_rows"))))
+        .alias("n_violating_rows"),
+        F.min("n_sensitive").alias("min_l"))
+        .withColumn("is_l_diverse",
+                    F.coalesce(F.col("min_l") >= l, F.lit(True))))

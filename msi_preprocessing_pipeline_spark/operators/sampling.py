@@ -144,3 +144,42 @@ def mixture_sample(df: DataFrame, key, group_col: str,
              for g in present}
     return stratified_sample(df, key, group_col, rates, seed=seed,
                              default_rate=0.0)
+
+
+def group_sample_k(df: DataFrame, key, group_col: str, k: int,
+                   seed: int = 0) -> DataFrame:
+    """Deterministic uniform-without-replacement sample of at most ``k``
+    rows PER GROUP: rows ranked inside each group by the md5 hex of
+    ``(key, seed)`` (the shared cross-engine idiom — DuckDB:
+    ``row_number() over (partition by g order by md5(key || ':' || s),
+    key)``), keeping ranks ≤ ``k``.  Groups smaller than ``k`` are kept
+    whole.  ``key`` should be unique per row (ties fall back to key
+    order, biasing nothing but determinism requires a total order).
+
+    The per-group complement of :func:`hash_sample`'s global fraction:
+    bounds EVERY group's contribution — the "cap each domain / user /
+    dedup cluster at k examples" step of a training mix, where a
+    fraction-based sample would keep hot groups hot.  Null group values
+    form their own group; null keys sort after every hash (kept only
+    when the group has < k non-null-key rows).
+
+    Scale notes: one shuffle on ``group_col`` + a per-group sort —
+    rank-k per group needs no global sort and no driver state; a
+    giant group costs its sort, never memory (window emits rank
+    incrementally).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.util import as_list
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keys = as_list(key)
+    if len(keys) != 1:
+        raise ValueError(f"key must be a single column, got {keys}")
+    h = F.md5(F.concat_ws(":", F.col(keys[0]).cast("string"),
+                          F.lit(str(seed))))
+    w = (Window.partitionBy(group_col)
+         .orderBy(h.asc_nulls_last(), F.col(keys[0]).asc_nulls_last()))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))

@@ -192,3 +192,100 @@ def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
                  F.sum(F.when(v.rlike("^(true|false)$"), 1)
                        .otherwise(0)).alias("n_boollike"),
                  F.countDistinct(v).alias("n_distinct")))
+
+
+def _row_hash(cols):
+    """Engine-portable 60-bit row hash: int64 of the first 15 hex chars
+    of md5 over the chr(31)-joined column values, nulls encoded as
+    chr(0) (DuckDB mirror: ``cast(('0x' || substr(md5(...), 1, 15)) as
+    bigint)``).  60 bits keeps the value positive and summable in
+    decimal(38,0) for 10^18 rows without overflow."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+             for c in cols]
+    s = F.concat_ws("\x1f", *parts)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def table_fingerprint(df: DataFrame, cols=None) -> DataFrame:
+    """Order-invariant one-row content fingerprint: ``(n_rows,
+    n_distinct_hashes, sum_hash, min_hash, max_hash)`` — two tables
+    with equal fingerprints are content-equal as multisets up to hash
+    collision (60-bit per row; the SUM adds multiset sensitivity that
+    a pure distinct-count check lacks).
+
+    The cheap way to answer "did this 100 TB rebuild produce the same
+    table?" without sorting or joining either side: each side computes
+    its own fingerprint (one map-side-combined scan, one output row)
+    and the two rows are compared.  ``cols`` defaults to every column
+    IN NAME ORDER (so projection order doesn't matter); values are
+    compared in their string cast — int/string/bool/date columns are
+    engine-stable, raw double columns are NOT (format drift) — round
+    or quantize floats first (the repo-wide decimal discipline).
+
+    Scale notes: zero shuffle beyond the 1-row aggregation; the hash
+    is pure JVM codegen (md5 + conv).
+    """
+    from ..functions.util import as_list
+
+    use = sorted(df.columns) if cols is None else as_list(cols)
+    h = _row_hash(use)
+    d = h.cast("decimal(38,0)")
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(h).alias("n_distinct_hashes"),
+        F.coalesce(F.sum(d), F.lit(0).cast("decimal(38,0)"))
+        .alias("sum_hash"),
+        F.min(h).alias("min_hash"),
+        F.max(h).alias("max_hash"))
+
+
+def table_diff_buckets(left: DataFrame, right: DataFrame,
+                       n_buckets: int, cols=None) -> DataFrame:
+    """Merkle-style locate-the-difference: hash-bucket both tables'
+    rows into ``n_buckets`` and return ONLY the buckets whose
+    ``(count, hash sum)`` differ — ``(bucket, n_left, n_right,
+    sum_left, sum_right)``.
+
+    The scale story: two 10^12-row tables that differ in a handful of
+    rows are compared with two map-side-combined scans + one
+    |buckets|-sized join; only the differing buckets (each ~n/buckets
+    rows) need a deep row-level diff (``changelog.diff_snapshots`` on
+    the bucket predicate), instead of a full-table anti-join.  Same
+    column/string-cast contract as :func:`table_fingerprint`.
+
+    Equal tables return 0 rows — the empty result IS the equality
+    certificate (up to 60-bit collisions within a bucket).
+    """
+    from ..functions.util import as_list
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if cols is None:
+        shared = sorted(set(left.columns) & set(right.columns))
+        if sorted(left.columns) != shared or \
+                sorted(right.columns) != shared:
+            raise ValueError(
+                "left/right column sets differ "
+                f"({sorted(left.columns)} vs {sorted(right.columns)}); "
+                "pass cols explicitly")
+        use = shared
+    else:
+        use = as_list(cols)
+
+    def side(df, tag):
+        h = _row_hash(use)
+        return (df.select((F.pmod(h, F.lit(n_buckets))).alias("bucket"),
+                          h.cast("decimal(38,0)").alias("__h"))
+                .groupBy("bucket")
+                .agg(F.count("*").alias(f"n_{tag}"),
+                     F.sum("__h").alias(f"sum_{tag}")))
+
+    z = F.lit(0).cast("decimal(38,0)")
+    j = side(left, "left").join(side(right, "right"), ["bucket"], "full")
+    return (j.select("bucket",
+                     F.coalesce("n_left", F.lit(0)).alias("n_left"),
+                     F.coalesce("n_right", F.lit(0)).alias("n_right"),
+                     F.coalesce("sum_left", z).alias("sum_left"),
+                     F.coalesce("sum_right", z).alias("sum_right"))
+            .where((F.col("n_left") != F.col("n_right"))
+                   | (F.col("sum_left") != F.col("sum_right"))))
