@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-128 queries, 128 with exact DuckDB oracles — relational SQL where expressible,
+130 queries, 130 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1852,6 +1852,47 @@ def _q_merge_additive(spark, sf_dir):
                           max_cols=["max_ms"])
 
 
+
+def _inject_boilerplate(docs):
+    """Per-source header + global footer lines spliced around each doc
+    (the synthetic corpus is single-line, so the census input is built
+    in-query — the pii_scan precedent); null text stays null."""
+    inj = F.concat_ws(
+        "\n",
+        F.concat(F.lit("copyright "), F.col("source")),
+        F.col("text"),
+        F.lit("subscribe to our newsletter"))
+    return docs.withColumn(
+        "text", F.when(F.col("text").isNotNull(), inj))
+
+
+def _q_boilerplate_census(spark, sf_dir):
+    """CCNet/Dolma-style per-source boilerplate-line census: lines in
+    >= 90% of a source's docs (and >= 2 docs), presence-counted."""
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        boilerplate_lines)
+
+    docs = _inject_boilerplate(_t(spark, sf_dir, "documents"))
+    return boilerplate_lines(docs, "doc_id", "text", "source",
+                             min_docs=2, min_frac=0.9, min_chars=5)
+
+
+def _q_remove_boilerplate(spark, sf_dir):
+    """Corpus rewrite with the census lines deleted — verified through
+    an md5 of every cleaned document (order-preserving reassembly)."""
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        remove_boilerplate)
+
+    docs = _inject_boilerplate(_t(spark, sf_dir, "documents"))
+    out = remove_boilerplate(docs, "doc_id", "text", "source",
+                             min_docs=2, min_frac=0.9, min_chars=5)
+    return out.select(
+        "doc_id", "source",
+        F.when(F.col("text").isNotNull(), F.md5("text"))
+        .alias("clean_md5"),
+        "n_lines_removed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -1935,6 +1976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample_events": _q_group_sample,
         "incremental_refresh_users": _q_incremental_refresh,
         "merge_additive_users": _q_merge_additive,
+
+        "boilerplate_census_docs": _q_boilerplate_census,
+        "remove_boilerplate_docs": _q_remove_boilerplate,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
@@ -3968,6 +4012,82 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    max(epoch_ms(ts)) as max_ms
             from events where ts is not null
             group by user_id
+        """,
+        "boilerplate_census_docs": """
+            with inj as (
+                select doc_id, source,
+                       case when text is not null then
+                            'copyright ' || source || chr(10) || text
+                            || chr(10) || 'subscribe to our newsletter'
+                       end as text
+                from documents
+            ), ls as (
+                select source as g, doc_id,
+                       unnest(string_split(text, chr(10))) as line
+                from inj where text is not null
+            ), pl as (
+                select g, line,
+                       cast(count(distinct doc_id) as bigint)
+                           as n_docs_with_line
+                from ls where len(line) >= 5 group by 1, 2
+            ), pg as (
+                select source as g, cast(count(*) as bigint) as n
+                from inj where text is not null group by 1
+            )
+            select g as source, line, n_docs_with_line,
+                   n as n_docs_in_group,
+                   cast(n_docs_with_line as double) / n as frac
+            from pl join pg using (g)
+            where n_docs_with_line >= 2
+              and cast(n_docs_with_line as double) / n >= 0.9
+        """,
+        "remove_boilerplate_docs": """
+            with inj as (
+                select doc_id, source,
+                       case when text is not null then
+                            'copyright ' || source || chr(10) || text
+                            || chr(10) || 'subscribe to our newsletter'
+                       end as text
+                from documents
+            ), sp as (
+                select doc_id, source, text,
+                       string_split(text, chr(10)) as lsx
+                from inj
+            ), ex as (
+                select doc_id, source, i as pos, lsx[i] as line
+                from sp, lateral unnest(generate_series(1, len(lsx)))
+                     as t(i)
+                where text is not null
+            ), pl as (
+                select source as g, line,
+                       cast(count(distinct doc_id) as bigint) as nd
+                from ex where len(line) >= 5 group by 1, 2
+            ), pg as (
+                select source as g, cast(count(*) as bigint) as n
+                from inj where text is not null group by 1
+            ), flagged as (
+                select g, line from pl join pg using (g)
+                where nd >= 2 and cast(nd as double) / n >= 0.9
+            ), kept as (
+                select ex.doc_id, ex.pos, ex.line
+                from ex left join flagged f
+                on ex.source = f.g and ex.line = f.line
+                where f.line is null
+            ), re as (
+                select doc_id,
+                       string_agg(line, chr(10) order by pos) as clean,
+                       cast(count(*) as bigint) as n_kept
+                from kept group by doc_id
+            )
+            select i.doc_id, i.source,
+                   case when i.text is not null
+                        then md5(coalesce(re.clean, '')) end
+                       as clean_md5,
+                   cast(case when i.text is null then 0
+                        else len(string_split(i.text, chr(10)))
+                             - coalesce(re.n_kept, 0) end as bigint)
+                       as n_lines_removed
+            from inj i left join re using (doc_id)
         """,
         "merge_additive_users": """
             select user_id, cast(count(*) as bigint) as n,

@@ -296,3 +296,111 @@ def word_entropy(df: DataFrame, text_col: str = "text",
                        F.lit(0.0).alias("word_entropy"),
                        F.lit(None).cast("double").alias("type_token_ratio")))
     return out.unionByName(empties)
+
+
+def _doc_lines(df, id_col, text_col, group_col):
+    """Exploded (group, id, pos, line) relation — split on newline,
+    positions preserved for reassembly.  Null-text docs emit no rows
+    (they are re-attached by the callers' left joins)."""
+    return (df.where(F.col(text_col).isNotNull())
+            .select(F.col(group_col).alias("__g"), F.col(id_col),
+                    F.posexplode(F.split(F.col(text_col), "\n"))
+                    .alias("__pos", "__line")))
+
+
+def boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      group_col: str = "source",
+                      min_docs: int = 2, min_frac: float = 0.25,
+                      min_chars: int = 5) -> DataFrame:
+    """Boilerplate-line census (CCNet/Dolma-style line dedup): lines
+    that appear in at least ``min_docs`` AND at least ``min_frac`` of
+    a group's documents — ``(group_col, line, n_docs_with_line,
+    n_docs_in_group, frac)``.  Headers, footers, cookie banners and
+    nav text repeat across one crawl SOURCE, which is why the census
+    is per-``group_col``, not corpus-global (a line legitimate in one
+    domain can be boilerplate in another).
+
+    A line counts ONCE per document (presence, not occurrences);
+    lines shorter than ``min_chars`` characters are never flagged
+    (blank/separator lines would otherwise top every census).  Lines
+    are compared VERBATIM (no trim/case-fold) — normalize upstream if
+    the corpus needs it.
+
+    Scale notes: one line-granularity explode → distinct →
+    map-side-combined count on ``(group, line)``, one |groups| count
+    join (AQE broadcasts) — output is |distinct flagged lines|-
+    bounded.  The join/agg key is the raw line string (exact,
+    oracle-parity); at petabyte scale swap in a 128-bit hash for the
+    shuffle key — 64-bit collisions silently merge two lines'
+    counts, so keep the verbatim line through the final flag check.
+    """
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    lines = _doc_lines(df, id_col, text_col, group_col)
+    per_line = (lines.where(F.length("__line") >= min_chars)
+                .select("__g", id_col, "__line").distinct()
+                .groupBy("__g", "__line")
+                .agg(F.count("*").alias("n_docs_with_line")))
+    per_group = (df.where(F.col(text_col).isNotNull())
+                 .groupBy(F.col(group_col).alias("__g"))
+                 .agg(F.count("*").alias("n_docs_in_group")))
+    frac = (F.col("n_docs_with_line").cast("double")
+            / F.col("n_docs_in_group").cast("double"))
+    return (per_line.join(per_group, ["__g"])
+            .select(F.col("__g").alias(group_col),
+                    F.col("__line").alias("line"),
+                    "n_docs_with_line", "n_docs_in_group",
+                    frac.alias("frac"))
+            .where((F.col("n_docs_with_line") >= min_docs)
+                   & (F.col("frac") >= min_frac)))
+
+
+def remove_boilerplate(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       group_col: str = "source",
+                       min_docs: int = 2, min_frac: float = 0.25,
+                       min_chars: int = 5) -> DataFrame:
+    """Rewrite of ``df`` with flagged boilerplate lines deleted: same
+    schema, ``text_col`` replaced by the kept lines rejoined with
+    newlines, plus ``n_lines_removed``.  A document whose every line
+    is boilerplate becomes the EMPTY STRING (not null — null still
+    means "text was null upstream", the repo's null-vs-empty
+    discipline); null-text docs pass through unchanged with
+    ``n_lines_removed`` 0.
+
+    Scale notes: the census from :func:`boilerplate_lines` (a small,
+    |flagged|-bounded relation — AQE broadcasts it) anti-joins the
+    exploded lines; reassembly is ONE groupBy per doc with an
+    order-preserving ``sort_array(collect_list(struct(pos, line)))``
+    — per-doc state bounded by the doc's own line count.  Total: two
+    line-granularity shuffles, the honest minimum for a corpus
+    rewrite keyed on cross-document statistics.
+    """
+    flagged = boilerplate_lines(df, id_col, text_col, group_col,
+                                min_docs, min_frac, min_chars) \
+        .select(F.col(group_col).alias("__g"),
+                F.col("line").alias("__line"))
+    lines = _doc_lines(df, id_col, text_col, group_col)
+    kept = lines.join(flagged, ["__g", "__line"], "left_anti")
+    re = (kept.groupBy(id_col)
+          .agg(F.array_join(
+                   F.transform(
+                       F.sort_array(F.collect_list(
+                           F.struct("__pos", "__line"))),
+                       lambda x: x["__line"]),
+                   "\n").alias("__clean"),
+               F.count("*").alias("__n_kept")))
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    out_cols = [c for c in df.columns if c != text_col]
+    return (df.join(re, [id_col], "left")
+            .select(*out_cols,
+                    F.when(F.col(text_col).isNull(), F.lit(None))
+                    .otherwise(F.coalesce("__clean", F.lit("")))
+                    .alias(text_col),
+                    F.when(F.col(text_col).isNull(), F.lit(0))
+                    .otherwise(n_lines - F.coalesce("__n_kept",
+                                                    F.lit(0)))
+                    .cast("long").alias("n_lines_removed")))
