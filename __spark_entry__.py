@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-130 queries, 130 with exact DuckDB oracles — relational SQL where expressible,
+131 queries, 131 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1893,6 +1893,21 @@ def _q_remove_boilerplate(spark, sf_dir):
         "n_lines_removed")
 
 
+
+def _q_winsorize(spark, sf_dir):
+    """Percentile clipping of value per event type at (p05, p95) — exact
+    linear-interpolation edges, tails pulled to the quantile."""
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        winsorize)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    out = winsorize(ev, "value", lo_q=0.05, hi_q=0.95,
+                    group_cols=["event_type"])
+    return out.select("event_id", "event_type",
+                      F.round("value_winsor", 6).alias("v_winsor"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -1979,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         "boilerplate_census_docs": _q_boilerplate_census,
         "remove_boilerplate_docs": _q_remove_boilerplate,
+        "winsorize_value": _q_winsorize,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
@@ -4012,6 +4028,22 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    max(epoch_ms(ts)) as max_ms
             from events where ts is not null
             group by user_id
+        """,
+        "winsorize_value": """
+            with s as (
+                select event_type,
+                       quantile_cont(value, 0.05) as lo,
+                       quantile_cont(value, 0.95) as hi
+                from events group by event_type
+            )
+            select e.event_id, e.event_type,
+                   round(case when e.value is not null
+                         then least(greatest(cast(e.value as double),
+                                             s.lo), s.hi) end, 6)
+                       as v_winsor
+            from events e
+            left join s on e.event_type is not distinct from
+                           s.event_type
         """,
         "boilerplate_census_docs": """
             with inj as (

@@ -234,7 +234,8 @@ def main() -> None:
                  "fingerprint_lineitem", "diff_buckets_events",
                  "l_diversity_customers", "group_sample_events",
                  "incremental_refresh_users", "merge_additive_users",
-                 "boilerplate_census_docs", "remove_boilerplate_docs"]:
+                 "boilerplate_census_docs", "remove_boilerplate_docs",
+                 "winsorize_value"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

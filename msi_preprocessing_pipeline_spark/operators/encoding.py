@@ -123,3 +123,42 @@ def quantile_bin(df: DataFrame, col: str, n_bins: int = 10,
         lambda acc, e: acc + F.when(x >= e, 1).otherwise(0)).cast("int"))
     return (joined.withColumn(out_col or f"{col}_bin", bin_)
             .drop("__qb_edges"))
+
+
+def winsorize(df: DataFrame, col: str, lo_q: float = 0.01,
+              hi_q: float = 0.99, group_cols=None,
+              out_col: str | None = None) -> DataFrame:
+    """Percentile clipping: values below the exact ``lo_q`` quantile (or
+    above ``hi_q``) are pulled to that quantile, optionally per group —
+    the tail-taming step before scale-sensitive featurization (a z-score
+    or mean that one sensor glitch would otherwise own).
+
+    Quantiles are EXACT with linear interpolation (``percentile``, the
+    same definition as DuckDB ``quantile_cont`` — the
+    :func:`standardize_robust` discipline); NULLs stay NULL; the output
+    is double.  ``lo_q <= hi_q`` is validated; single-row groups clip to
+    their own value (both edges coincide) — a no-op, as it should be.
+
+    Scale shape: identical to :func:`standardize_robust` — one
+    aggregation to a group-cardinality relation (broadcast 1-row for
+    the global form), one null-safe equi-join back, then a map-only
+    ``least/greatest``.  Same per-group single-reducer caveat; swap in
+    ``quantiles.grouped_exact_quantiles`` for 10^8+-row groups.
+    """
+    if not 0.0 <= lo_q <= hi_q <= 1.0:
+        raise ValueError(
+            f"need 0 <= lo_q <= hi_q <= 1, got {lo_q}, {hi_q}")
+    groups = _as_list(group_cols or [])
+    lo = F.expr(f"percentile({col}, {lo_q!r})").alias("__wz_lo")
+    hi = F.expr(f"percentile({col}, {hi_q!r})").alias("__wz_hi")
+    if groups:
+        joined = _join_group_stats(df, df.groupBy(*groups).agg(lo, hi),
+                                   groups)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(lo, hi)))
+    x = F.col(col).cast("double")
+    clipped = F.when(x.isNotNull(),
+                     F.least(F.greatest(x, F.col("__wz_lo")),
+                             F.col("__wz_hi")))
+    return (joined.withColumn(out_col or f"{col}_winsor", clipped)
+            .drop("__wz_lo", "__wz_hi"))

@@ -48,15 +48,30 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, src_col: str, dst_col: str,
              iters: int = 5, scale: int = 10**12,
-             damp_num: int = 85, damp_den: int = 100) -> DataFrame:
+             damp_num: int = 85, damp_den: int = 100,
+             checkpoint_every: int = 5) -> DataFrame:
     """``(node, rank)`` after ``iters`` integer-damped-PageRank rounds
     over the DIRECTED edge list (duplicate edges count once; union the
     reversed edges first for undirected semantics).  ``rank`` is in
     1/``scale`` units of probability mass.  Null endpoints are
     dropped (they name no node).
+
+    ``checkpoint_every``: iterations per ``localCheckpoint``.  Each
+    checkpoint is an EAGER job boundary — per-iteration checkpointing
+    turns a 4-round run into 4 scheduled jobs of mostly fixed overhead,
+    while an unbounded lazy chain grows the Catalyst plan until
+    analysis stalls (the connected-components lesson).  The default
+    lets short runs execute as ONE job (each rank level is referenced
+    exactly once per round, so the lazy chain does no duplicate work)
+    and bounds plan depth for long ones; the final round is always
+    checkpointed so the returned relation is materialized and the
+    caches this function holds can be released.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}")
     if not 0 < damp_num < damp_den:
         raise ValueError(
             f"need 0 < damp_num < damp_den, got {damp_num}/{damp_den}")
@@ -73,7 +88,7 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
     ed = e.join(deg, ["__s"]).persist()
     base = (scale * (damp_den - damp_num)) // damp_den
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (ed.join(ranks, ed["__s"] == ranks["node"])
                    .select(F.col("__d"),
                            F.expr("rank div __dg").alias("__c")))
@@ -82,8 +97,9 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
                  .select("node",
                          (F.lit(base)
                           + F.expr(f"({damp_num} * coalesce(__in, 0L))"
-                                   f" div {damp_den}")).alias("rank"))
-                 .localCheckpoint())
+                                   f" div {damp_den}")).alias("rank")))
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint()
     ed.unpersist()
     nodes.unpersist()
     return ranks
