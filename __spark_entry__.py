@@ -1908,6 +1908,57 @@ def _q_winsorize(spark, sf_dir):
                       F.round("value_winsor", 6).alias("v_winsor"))
 
 
+
+def _q_triangles(spark, sf_dir):
+    """Triangle census of the supplier co-order graph (suppliers linked
+    when they serve the same order) — degree-oriented exact count, the
+    O(m^1.5) formulation that survives celebrity nodes."""
+    from msi_preprocessing_pipeline_spark.operators.graph import (
+        triangles)
+
+    li = _t(spark, sf_dir, "lineitem")
+    # one ship-month slice: the full-corpus co-order graph is near-
+    # complete (every supplier pair eventually shares an order), which
+    # makes the census trivially Θ(n³) regardless of algorithm — the
+    # operator's √m orientation matters on SPARSE graphs, so query one
+    su = (li.where(F.col("l_orderkey").isNotNull()
+                   & F.col("l_suppkey").isNotNull()
+                   & (F.col("l_shipdate") >= F.lit("1994-01-01"))
+                   & (F.col("l_shipdate") < F.lit("1994-02-01")))
+          .select("l_orderkey", F.col("l_suppkey").alias("s1"))
+          .distinct())
+    edges = (su.join(su.select("l_orderkey",
+                               F.col("s1").alias("s2")),
+                     ["l_orderkey"])
+             .where(F.col("s1") < F.col("s2"))
+             .select("s1", "s2"))
+    return triangles(edges, "s1", "s2")
+
+
+def _q_trend(spark, sf_dir):
+    """Per-user OLS trend of event value over time (slope per second,
+    intercept at the user's first event, r^2) — decimal-exact moment
+    sums over the 1e-6-quantized series, so the double tail is
+    bit-identical across engines."""
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        trend_features)
+
+    ev = _t(spark, sf_dir, "events")
+    out = trend_features(ev, "value", "user_id", "ts",
+                         scale=6, slope_unit_ms=1000)
+    # quantize the double tail: the decimal->double cast of the exact
+    # moment sums is 1-ulp engine-dependent (DuckDB's hugeint->double
+    # double-rounds), so compare on a grid ~1e12 coarser than the wobble
+    q9 = lambda c: F.floor(F.col(c) * F.lit(1e9) + F.lit(0.5))  # noqa: E731
+    return out.select("user_id", "n_obs",
+                      F.unix_millis(F.col("t0").cast("timestamp"))
+                      .alias("t0_ms"),
+                      q9("slope").alias("slope_n"),
+                      F.floor(F.col("intercept") * F.lit(1e6) + F.lit(0.5))
+                      .alias("intercept_u"),
+                      q9("r2").alias("r2_n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver records only the
     # FIRST 50 entries.  The 16 queries that were outside r3's window (the
@@ -1995,6 +2046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_census_docs": _q_boilerplate_census,
         "remove_boilerplate_docs": _q_remove_boilerplate,
         "winsorize_value": _q_winsorize,
+        "triangles_supplier_coorder": _q_triangles,
+        "trend_value_by_user": _q_trend,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
@@ -4028,6 +4081,67 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    max(epoch_ms(ts)) as max_ms
             from events where ts is not null
             group by user_id
+        """,
+        "trend_value_by_user": """
+            with obs as (
+                select user_id, epoch_ms(ts) as ms,
+                       cast(floor(value * 1000000 + 0.5) as bigint) as y
+                from events where value is not null and ts is not null
+            ), rel as (
+                select user_id, y, ms,
+                       min(ms) over (partition by user_id) as t0_ms
+                from obs
+            ), agg as (
+                select user_id, count(*) as n_obs, min(t0_ms) as t0_ms,
+                       sum(cast(ms - t0_ms as hugeint)) as sx,
+                       sum(cast(y as hugeint)) as sy,
+                       sum(cast(ms - t0_ms as hugeint) * y) as sxy,
+                       sum(cast(ms - t0_ms as hugeint) * (ms - t0_ms))
+                           as sxx,
+                       sum(cast(y as hugeint) * y) as syy
+                from rel group by 1
+            ), fit as (
+                select user_id, n_obs, t0_ms,
+                       cast(n_obs * sxy - sx * sy as double) as num,
+                       cast(n_obs * sxx - sx * sx as double) as d1,
+                       cast(n_obs * syy - sy * sy as double) as d2,
+                       cast(sx as double) as sxd, cast(sy as double) as syd
+                from agg
+            )
+            select user_id, n_obs, t0_ms,
+                   cast(floor(case when n_obs >= 2 and d1 > 0
+                              then (num / d1) * 1e-3 end
+                         * 1e9 + 0.5) as bigint) as slope_n,
+                   cast(floor(case when n_obs >= 2 and d1 > 0
+                              then ((syd - (num / d1) * sxd)
+                                    / cast(n_obs as double)) / 1e6
+                         end * 1e6 + 0.5) as bigint) as intercept_u,
+                   cast(floor(case when n_obs >= 2 and d1 > 0 and d2 > 0
+                              then (num / d1) * (num / d2) end
+                         * 1e9 + 0.5) as bigint) as r2_n
+            from fit
+        """,
+        "triangles_supplier_coorder": """
+            with su as (
+                select distinct l_orderkey as o, l_suppkey as s
+                from lineitem
+                where l_orderkey is not null and l_suppkey is not null
+                  and l_shipdate >= date '1994-01-01'
+                  and l_shipdate < date '1994-02-01'
+            ), e as (
+                select distinct a.s as x, b.s as y
+                from su a join su b on a.o = b.o and a.s < b.s
+            ), nodes as (
+                select x as v from e union select y from e
+            )
+            select (select cast(count(*) as bigint) from nodes)
+                       as n_nodes,
+                   (select cast(count(*) as bigint) from e) as n_edges,
+                   (select cast(count(*) as bigint)
+                    from e e1
+                    join e e2 on e1.y = e2.x
+                    join e e3 on e3.x = e1.x and e3.y = e2.y)
+                       as n_triangles
         """,
         "winsorize_value": """
             with s as (

@@ -235,7 +235,8 @@ def main() -> None:
                  "l_diversity_customers", "group_sample_events",
                  "incremental_refresh_users", "merge_additive_users",
                  "boilerplate_census_docs", "remove_boilerplate_docs",
-                 "winsorize_value"]:
+                 "winsorize_value", "triangles_supplier_coorder",
+                 "trend_value_by_user"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -242,3 +242,84 @@ def event_pattern_count(df: DataFrame, partition_by, order_by,
         *parts, "n_events",
         F.size(F.regexp_extract_all(F.col("__seq"), F.lit(pattern),
                                     F.lit(0))).alias("n_matches"))
+
+
+def trend_features(df: DataFrame, value_col: str, partition_by,
+                   order_by: str = "ts", scale: int = 6,
+                   slope_unit_ms: int = 1000) -> DataFrame:
+    """Per-entity ordinary-least-squares trend of ``value_col`` against
+    event time: ``(entity…, n_obs, t0, slope, intercept, r2)`` — the
+    classic "is this user's engagement rising or falling" feature.
+
+    ``t0`` is the entity's first observed timestamp; ``intercept`` is
+    the fitted value AT ``t0`` (times are regressed relative to the
+    entity's own start, which both shrinks the exact-arithmetic
+    magnitudes and makes the intercept a meaningful feature);
+    ``slope`` is per ``slope_unit_ms`` milliseconds (default: per
+    second).  ``order_by`` may be a timestamp column (converted to
+    epoch milliseconds) or any integer/long time column already in
+    milliseconds.  Rows with null value or null time are dropped;
+    ``slope``/``intercept``/``r2`` are null when fewer than 2
+    observations or all observations share one timestamp.
+
+    Exactness contract (same as :func:`autocorr`): values are
+    quantized to ``10**-scale`` units via ``floor(v*10**scale + 0.5)``
+    and every moment sum runs in exact ``decimal(38,0)``; only the
+    final ratios touch floating point (all-IEEE, engine-reproducible).
+    Bounds: with per-entity relative times ``T`` ms and ``|v|*10**scale
+    <= V``, the largest sum is ``n * max(T², T·V, V²)`` — keep it under
+    1e38 (e.g. T=1e10 ≈ 4 months, V=1e10, n=1e9 rows/entity holds).
+
+    Plan shape: one filter → one Window (``min(ts)`` over the entity,
+    no order — single shuffle on the entity key) → one map-side-combined
+    aggregation on the same key (exchange reused).  No joins, no
+    driver state; skewed entities reduce in the combiner.
+    """
+    parts = _as_list(partition_by)
+    if scale < 0 or slope_unit_ms <= 0:
+        raise ValueError(
+            f"need scale >= 0 and slope_unit_ms > 0, "
+            f"got {scale}, {slope_unit_ms}")
+    w = Window.partitionBy(*parts)
+    q = F.floor(F.col(value_col) * F.lit(float(10 ** scale)) + F.lit(0.5))
+    obs = (df.where(F.col(value_col).isNotNull()
+                    & F.col(order_by).isNotNull())
+           .select(*parts, F.col(order_by).alias("__ts"), q.alias("__y")))
+    rel = obs.select(
+        *parts, "__y", "__ts",
+        F.min("__ts").over(w).alias("__t0"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_ts = dict(df.dtypes).get(order_by, "").startswith("timestamp")
+    # the .cast("timestamp") accepts TIMESTAMP_NTZ too (session TZ UTC)
+    ms = ((lambda c: F.unix_millis(c.cast("timestamp"))) if is_ts
+          else (lambda c: c.cast("long")))
+    x = d(ms(F.col("__ts")) - ms(F.col("__t0")))
+    y = d(F.col("__y"))
+    agg = rel.groupBy(*parts).agg(
+        F.count("*").alias("n_obs"),
+        F.min("__t0").alias("t0"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"))
+    n = F.col("n_obs").cast("decimal(38,0)")
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+    d1 = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+    d2 = (n * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    ok = (F.col("n_obs") >= 2) & (d1.cast("double") > 0)
+    # slope in quantized-units/ms, de-quantized and re-scaled in double
+    slope_q = num.cast("double") / d1.cast("double")
+    slope = slope_q * F.lit(float(slope_unit_ms) / 10 ** scale)
+    # intercept at t0: (sy - slope_q * sx) / n, de-quantized
+    intercept = ((F.col("__sy").cast("double")
+                  - slope_q * F.col("__sx").cast("double"))
+                 / F.col("n_obs").cast("double") / F.lit(float(10 ** scale)))
+    r2 = F.when(d2.cast("double") > 0,
+                (num.cast("double") / d1.cast("double"))
+                * (num.cast("double") / d2.cast("double")))
+    return agg.select(
+        *parts, "n_obs", "t0",
+        F.when(ok, slope).alias("slope"),
+        F.when(ok, intercept).alias("intercept"),
+        F.when(ok, r2).alias("r2"))

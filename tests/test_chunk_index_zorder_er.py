@@ -252,3 +252,74 @@ def test_candidate_pairs_max_block_guard_drops_big_blocks(spark):
     assert candidate_pairs(df, "name", "id", 2, max_block=12).count() == 66
     with pytest.raises(ValueError):
         candidate_pairs(df, "name", "id", max_dist=-1)
+
+
+# ---------------------------------------------------------------------------
+# trend_features
+
+
+def test_trend_matches_numpy_ols(spark):
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        trend_features)
+    rng = np.random.RandomState(11)
+    rows, series = [], {}
+    for uid in range(6):
+        n = rng.randint(2, 40)
+        ts = np.sort(rng.randint(0, 10**7, n))
+        vals = np.round(rng.uniform(-50, 50, n), 4)
+        series[uid] = (ts, vals)
+        rows += [(uid, int(t), float(v)) for t, v in zip(ts, vals)]
+    rows += [(99, 5, None), (98, None, 1.0)]  # fully-null entities vanish
+    df = spark.createDataFrame(rows, "uid long, ms long, value double")
+    got = {r["uid"]: r for r in
+           trend_features(df, "value", "uid", "ms").collect()}
+    assert 99 not in got and 98 not in got
+    for uid, (ts, vals) in series.items():
+        q = np.floor(vals * 1e6 + 0.5)
+        x = (ts - ts.min()).astype(float)
+        r = got[uid]
+        assert r["n_obs"] == len(ts) and r["t0"] == ts.min()
+        if len(set(ts.tolist())) < 2:
+            assert r["slope"] is None
+            continue
+        slope_q, icept_q = np.polyfit(x, q, 1)
+        assert r["slope"] == pytest.approx(slope_q * 1000 / 1e6, rel=1e-9)
+        assert r["intercept"] == pytest.approx(icept_q / 1e6, rel=1e-7)
+        cc = np.corrcoef(x, q)[0, 1]
+        if np.isnan(cc):
+            assert r["r2"] is None
+        else:
+            assert r["r2"] == pytest.approx(cc * cc, abs=1e-9)
+
+
+def test_trend_degenerate_cases(spark):
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        trend_features)
+    rows = [(1, 100, 5.0),              # single obs
+            (2, 200, 1.0), (2, 200, 9.0),   # constant time, two obs
+            (3, 0, 2.0), (3, 1000, 2.0)]    # constant value: slope 0, r2 null
+    df = spark.createDataFrame(rows, "uid long, ms long, value double")
+    got = {r["uid"]: r for r in
+           trend_features(df, "value", "uid", "ms").collect()}
+    assert got[1]["n_obs"] == 1 and got[1]["slope"] is None
+    assert got[2]["slope"] is None and got[2]["r2"] is None
+    assert got[3]["slope"] == pytest.approx(0.0)
+    assert got[3]["intercept"] == pytest.approx(2.0)
+    assert got[3]["r2"] is None
+    with pytest.raises(ValueError):
+        trend_features(df, "value", "uid", "ms", scale=-1)
+
+
+def test_trend_timestamp_column(spark):
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        trend_features)
+    df = spark.sql("""
+        select * from values
+          (1, timestamp'2024-01-01 00:00:00', 1.0),
+          (1, timestamp'2024-01-01 00:00:10', 2.0),
+          (1, timestamp'2024-01-01 00:00:20', 3.0)
+        as t(uid, ts, value)""")
+    r = trend_features(df, "value", "uid", "ts").collect()[0]
+    assert r["slope"] == pytest.approx(0.1)   # +1 value per 10 s
+    assert r["intercept"] == pytest.approx(1.0)
+    assert r["r2"] == pytest.approx(1.0)

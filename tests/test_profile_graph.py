@@ -119,3 +119,56 @@ def test_degree_stats(spark):
     got = {r["node"]: (r["out_deg"], r["in_deg"])
            for r in degree_stats(df, "s", "d").collect()}
     assert got == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+def _brute_triangles(pairs):
+    adj = {}
+    edges = set()
+    for a, b in pairs:
+        if a is None or b is None or a == b:
+            continue
+        e = (min(a, b), max(a, b))
+        if e in edges:
+            continue
+        edges.add(e)
+        adj.setdefault(e[0], set()).add(e[1])
+        adj.setdefault(e[1], set()).add(e[0])
+    tri = 0
+    nodes = sorted(adj)
+    for a in nodes:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[b]:
+                if c > b and c in adj[a]:
+                    tri += 1
+    return len(nodes), len(edges), tri
+
+
+def test_triangles_matches_brute_force(spark):
+    from msi_preprocessing_pipeline_spark.operators.graph import triangles
+    rng = random.Random(7)
+    # random sparse graph + a celebrity hub (node 0 linked to everyone)
+    pairs = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(300)]
+    pairs += [(0, i) for i in range(1, 41)]
+    # direction noise, duplicates, self-loops, nulls
+    pairs += [(b, a) for a, b in pairs[:50]] + [(5, 5), (None, 3), (7, None)]
+    df = spark.createDataFrame(pairs, "s long, d long")
+    n_nodes, n_edges, n_tri = _brute_triangles(pairs)
+    row = triangles(df, "s", "d").collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (
+        n_nodes, n_edges, n_tri)
+
+
+def test_triangles_known_graphs(spark):
+    from msi_preprocessing_pipeline_spark.operators.graph import triangles
+    # K4 has 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    row = triangles(spark.createDataFrame(k4, "s long, d long"),
+                    "s", "d").collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+    # path graph: zero triangles
+    row = triangles(spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                          "s long, d long"),
+                    "s", "d").collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 3, 0)
