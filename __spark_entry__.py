@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-131 queries, 131 with exact DuckDB oracles — relational SQL where expressible,
+139 queries, 139 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1935,6 +1935,91 @@ def _q_triangles(spark, sf_dir):
     return triangles(edges, "s1", "s2")
 
 
+def _q_impute_median(spark, sf_dir):
+    """Group-median imputation: synthetic data has no nulls, so the
+    query nulls every 7th event's value deterministically (the
+    pii_scan injection pattern), then imputes per event type."""
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        impute_median)
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("value_n",
+                      F.when(F.col("event_id") % 7 == 0, F.lit(None))
+                      .otherwise(F.col("value"))))
+    out = impute_median(ev, "value_n", ["event_type"])
+    return out.select("event_id", "value_n", "value_n_imputed")
+
+
+def _q_calendar(spark, sf_dir):
+    """Calendar feature expansion of event timestamps — dow/hour/
+    minute by pure epoch-ms integer arithmetic (no engine week or
+    locale conventions), field extractions for year/month/day."""
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        calendar_features)
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return calendar_features(ev, "ts").drop("ts")
+
+
+def _q_lump_rare(spark, sf_dir):
+    """Rare-category lumping of part types (count < 15 -> __other__)
+    — cardinality taming before one-hot/target encoding."""
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        lump_rare)
+
+    part = _t(spark, sf_dir, "part")
+    return (lump_rare(part, "p_type", min_count=15)
+            .select("p_partkey", "p_type", "p_type_lumped"))
+
+
+def _q_value_histogram(spark, sf_dir):
+    """Per-user fixed-range histogram of event values as a feature
+    vector — 10 bins over [0, 250), tails clamped into edge bins."""
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        value_histogram)
+
+    ev = _t(spark, sf_dir, "events")
+    out = value_histogram(ev, "value", ["user_id"],
+                          lo=0.0, hi=250.0, n_bins=10)
+    # stringify the array column (harness sort can't hash ndarray cells)
+    return out.select("user_id", "n_values",
+                      F.concat_ws(",", F.col("hist").cast("array<string>"))
+                      .alias("hist_str"))
+
+
+def _q_clustering_coeff(spark, sf_dir):
+    """Per-supplier local clustering coefficient of the one-month
+    co-order graph — same sparse slice as the triangle census."""
+    from msi_preprocessing_pipeline_spark.operators.graph import (
+        clustering_coeff)
+
+    li = _t(spark, sf_dir, "lineitem")
+    su = (li.where(F.col("l_orderkey").isNotNull()
+                   & F.col("l_suppkey").isNotNull()
+                   & (F.col("l_shipdate") >= F.lit("1994-01-01"))
+                   & (F.col("l_shipdate") < F.lit("1994-02-01")))
+          .select("l_orderkey", F.col("l_suppkey").alias("s1"))
+          .distinct())
+    edges = (su.join(su.select("l_orderkey",
+                               F.col("s1").alias("s2")),
+                     ["l_orderkey"])
+             .where(F.col("s1") < F.col("s2"))
+             .select("s1", "s2"))
+    return clustering_coeff(edges, "s1", "s2")
+
+
+def _q_er_resolve(spark, sf_dir):
+    """Full entity resolution over one brand's part names: blocked
+    levenshtein match graph → connected components → canonical
+    survivor (longest name, min id) — every record labeled."""
+    from msi_preprocessing_pipeline_spark.operators.er import (
+        resolve_entities)
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    return resolve_entities(part, "p_name", "p_partkey",
+                            max_dist=2, max_block=1_000_000)
+
+
 def _q_trend(spark, sf_dir):
     """Per-user OLS trend of event value over time (slope per second,
     intercept at the user's first event, r^2) — decimal-exact moment
@@ -2048,6 +2133,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_value": _q_winsorize,
         "triangles_supplier_coorder": _q_triangles,
         "trend_value_by_user": _q_trend,
+        "er_resolve_part": _q_er_resolve,
+        "clustering_coeff_suppliers": _q_clustering_coeff,
+        "lump_rare_part_types": _q_lump_rare,
+        "value_histogram_users": _q_value_histogram,
+        "impute_median_values": _q_impute_median,
+        "calendar_features_events": _q_calendar,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
@@ -4081,6 +4172,166 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    max(epoch_ms(ts)) as max_ms
             from events where ts is not null
             group by user_id
+        """,
+        "impute_median_values": """
+            with ev as (
+                select event_id, event_type,
+                       case when event_id % 7 = 0 then null
+                            else value end as value_n
+                from events
+            ), med as (
+                select event_type,
+                       quantile_cont(value_n, 0.5) as m
+                from ev group by 1
+            )
+            select ev.event_id, ev.value_n,
+                   coalesce(ev.value_n, med.m) as value_n_imputed
+            from ev left join med
+              on ev.event_type is not distinct from med.event_type
+        """,
+        "calendar_features_events": """
+            with ev as (
+                select event_id, epoch_ms(ts) as ms, ts from events
+            )
+            select event_id,
+                   cast(year(ts) as int) as year,
+                   cast(month(ts) as int) as month,
+                   cast(day(ts) as int) as day,
+                   cast((ms % 86400000) // 3600000 as int) as hour,
+                   cast(((ms % 86400000) % 3600000) // 60000 as int)
+                       as minute,
+                   cast((ms // 86400000 + 4) % 7 as int) as dow,
+                   ((ms // 86400000 + 4) % 7) in (0, 6) as is_weekend,
+                   cast(ms // 86400000 as bigint) as days_since_epoch
+            from ev
+        """,
+        "lump_rare_part_types": """
+            with c as (
+                select p_type as t, count(*) as cn
+                from part where p_type is not null group by 1
+            ), tot as (
+                select sum(cn) as s from c
+            ), keep as (
+                select t from c, tot
+                where cn >= 15
+                  and cast(cn as double) >= 0.0 * cast(s as double)
+            )
+            select p_partkey, p_type,
+                   case when p_type is null then null
+                        when keep.t is not null then p_type
+                        else '__other__' end as p_type_lumped
+            from part left join keep on p_type = keep.t
+        """,
+        "value_histogram_users": """
+            with obs as (
+                select user_id,
+                       least(greatest(
+                           floor((value - 0.0) / 25.0), 0), 9) as b
+                from events where value is not null
+            )
+            select user_id,
+                   cast(count(*) as bigint) as n_values,
+                   concat_ws(',',
+                       cast(coalesce(sum(case when b = 0 then 1 end), 0)
+                            as bigint),
+                       cast(coalesce(sum(case when b = 1 then 1 end), 0)
+                            as bigint),
+                       cast(coalesce(sum(case when b = 2 then 1 end), 0)
+                            as bigint),
+                       cast(coalesce(sum(case when b = 3 then 1 end), 0)
+                            as bigint),
+                       cast(coalesce(sum(case when b = 4 then 1 end), 0)
+                            as bigint),
+                       cast(coalesce(sum(case when b = 5 then 1 end), 0)
+                            as bigint),
+                       cast(coalesce(sum(case when b = 6 then 1 end), 0)
+                            as bigint),
+                       cast(coalesce(sum(case when b = 7 then 1 end), 0)
+                            as bigint),
+                       cast(coalesce(sum(case when b = 8 then 1 end), 0)
+                            as bigint),
+                       cast(coalesce(sum(case when b = 9 then 1 end), 0)
+                            as bigint)) as hist_str
+            from obs group by user_id
+        """,
+        "clustering_coeff_suppliers": """
+            with su as (
+                select distinct l_orderkey as o, l_suppkey as s
+                from lineitem
+                where l_orderkey is not null and l_suppkey is not null
+                  and l_shipdate >= date '1994-01-01'
+                  and l_shipdate < date '1994-02-01'
+            ), e as (
+                select distinct a.s as x, b.s as y
+                from su a join su b on a.o = b.o and a.s < b.s
+            ), deg as (
+                select v as node, cast(count(*) as bigint) as d
+                from (select x as v from e union all select y from e)
+                group by v
+            ), tri as (
+                select unnest([e1.x, e1.y, e2.y]) as node
+                from e e1
+                join e e2 on e1.y = e2.x
+                join e e3 on e3.x = e1.x and e3.y = e2.y
+            ), tn as (
+                select node, cast(count(*) as bigint) as t
+                from tri group by node
+            )
+            select deg.node, deg.d as degree,
+                   coalesce(tn.t, 0) as n_tri,
+                   case when deg.d >= 2
+                        then cast(coalesce(tn.t, 0) * 2 as double)
+                             / cast(deg.d * (deg.d - 1) as double)
+                   end as coeff
+            from deg left join tn using (node)
+        """,
+        "er_resolve_part": """
+            with recursive src as (
+                select p_partkey as id, p_name as nm
+                from part where p_brand = 'Brand#11'
+            ), words as (
+                select id, unnest(list_distinct(list_filter(
+                    string_split_regex(trim(lower(coalesce(nm, ''))),
+                                       '[ \\t\\n\\x0B\\f\\r]+'),
+                    w -> w != ''))) as w
+                from src
+            ), dfreq as (
+                select w, count(*) as wdf from words group by w
+            ), pk as (
+                select id, min({'wdf': wdf, 'w': w}) as p
+                from words join dfreq using (w) group by id
+            ), blk as (
+                select pk.id, pk.p.w as block, src.nm
+                from pk join src using (id)
+            ), pairs as (
+                select b1.id as a, b2.id as b
+                from blk b1 join blk b2 using (block)
+                where b1.id < b2.id
+                  and levenshtein(b1.nm, b2.nm) <= 2
+            ), e as (
+                select a, b from pairs
+                union select b, a from pairs
+            ), reach as (
+                select a, b from e
+                union
+                select r.a, e.b from reach r join e on r.b = e.a
+            ), clus as (
+                select s.id,
+                       least(s.id, coalesce(min(r.b), s.id))
+                           as cluster_id
+                from src s left join reach r on r.a = s.id
+                group by s.id
+            ), pick as (
+                select cluster_id,
+                       cast(count(*) as bigint) as n_members,
+                       min({'negl': -length(coalesce(src.nm, '')),
+                            'id': clus.id}) as c
+                from clus join src using (id)
+                group by cluster_id
+            )
+            select clus.id as p_partkey, clus.cluster_id,
+                   pick.c.id as canonical_id, pick.n_members
+            from clus join pick using (cluster_id)
         """,
         "trend_value_by_user": """
             with obs as (

@@ -236,7 +236,10 @@ def main() -> None:
                  "incremental_refresh_users", "merge_additive_users",
                  "boilerplate_census_docs", "remove_boilerplate_docs",
                  "winsorize_value", "triangles_supplier_coorder",
-                 "trend_value_by_user"]:
+                 "trend_value_by_user", "er_resolve_part",
+                 "clustering_coeff_suppliers", "lump_rare_part_types",
+                 "value_histogram_users", "impute_median_values",
+                 "calendar_features_events"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

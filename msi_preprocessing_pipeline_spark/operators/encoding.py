@@ -162,3 +162,114 @@ def winsorize(df: DataFrame, col: str, lo_q: float = 0.01,
                              F.col("__wz_hi")))
     return (joined.withColumn(out_col or f"{col}_winsor", clipped)
             .drop("__wz_lo", "__wz_hi"))
+
+
+def lump_rare(df: DataFrame, col: str, min_count: int = 0,
+              min_frac: float = 0.0,
+              other: str = "__other__") -> DataFrame:
+    """Rare-category lumping: adds ``{col}_lumped`` replacing every
+    category whose corpus count is below ``min_count`` OR below
+    ``min_frac`` of the non-null total with the ``other`` sentinel —
+    the standard cardinality-taming step before one-hot / target
+    encoding (a 10^7-value tail becomes one bucket instead of 10^7
+    near-empty features).  NULL stays NULL (absence is its own
+    signal, never lumped into ``other``).
+
+    Scale notes: one map-side-combined count over |categories| plus a
+    1-row total, joined back on the category (AQE broadcasts the
+    vocabulary-sized side); rows themselves never shuffle.  The
+    ``min_frac`` comparison is ``count >= min_frac * total`` in
+    doubles — exact-int inputs, one IEEE multiply, engine-portable.
+    """
+    if min_count < 0 or not (0.0 <= min_frac <= 1.0):
+        raise ValueError(
+            f"need min_count >= 0 and 0 <= min_frac <= 1, "
+            f"got {min_count}, {min_frac}")
+    counts = (df.where(F.col(col).isNotNull())
+              .groupBy(F.col(col).alias("__cat"))
+              .agg(F.count("*").alias("__cn")))
+    total = counts.agg(F.sum("__cn").alias("__tot"))
+    keep = (counts.crossJoin(total)
+            .where((F.col("__cn") >= F.lit(min_count))
+                   & (F.col("__cn").cast("double")
+                      >= F.lit(float(min_frac))
+                      * F.col("__tot").cast("double")))
+            .select("__cat"))
+    kept = keep.select(F.col("__cat"), F.lit(True).alias("__keep"))
+    # left join: unmatched non-null categories -> other; null passes
+    return (df.join(kept, F.col(col) == kept["__cat"], "left")
+            .drop("__cat")
+            .withColumn(f"{col}_lumped",
+                        F.when(F.col(col).isNull(), F.lit(None))
+                        .when(F.col("__keep"), F.col(col))
+                        .otherwise(F.lit(other)))
+            .drop("__keep"))
+
+
+def value_histogram(df: DataFrame, col: str, group_cols,
+                    lo: float, hi: float, n_bins: int) -> DataFrame:
+    """Per-entity fixed-range histogram of ``col`` as a feature vector:
+    ``(entity…, n_values, hist array<bigint>)`` with ``n_bins`` equal
+    bins over ``[lo, hi)``; out-of-range values are CLAMPED into the
+    edge bins (tail mass stays visible), nulls dropped; entities with
+    no non-null values emit nothing.
+
+    Scale notes: the bin index is one JVM expression, the histogram is
+    ONE map-side-combined aggregation (``n_bins`` conditional sums
+    assembled into an array — no explode, no pivot, no second
+    shuffle).  Keep ``n_bins`` in the hundreds at most: it is a
+    column-count, not a row-count, bound.  Bin edges are
+    ``lo + i·(hi−lo)/n_bins`` in doubles (IEEE-identical across
+    engines); counts are exact ints.
+    """
+    if not (hi > lo) or n_bins < 1:
+        raise ValueError(
+            f"need hi > lo and n_bins >= 1, got [{lo}, {hi}), {n_bins}")
+    if n_bins > 10_000:
+        raise ValueError(f"n_bins={n_bins} is a column-count bound; "
+                         "use quantile_bin for fine-grained binning")
+    parts = _as_list(group_cols)
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    obs = (df.where(F.col(col).isNotNull())
+           .select(*parts, bin_.alias("__b")))
+    return (obs.groupBy(*parts)
+            .agg(F.count("*").alias("n_values"),
+                 F.array(*[
+                     F.coalesce(F.sum(F.when(F.col("__b") == i, 1)),
+                                F.lit(0)).cast("long")
+                     for i in range(n_bins)]).alias("hist")))
+
+
+def impute_median(df: DataFrame, col: str, group_cols=None,
+                  out_col: str | None = None) -> DataFrame:
+    """Missing-value imputation with the (group) median: adds
+    ``{col}_imputed`` = the value itself when present, else the
+    group's exact median (Spark ``percentile``, linear interpolation —
+    the same definition as DuckDB ``quantile_cont`` / numpy
+    ``method='linear'``, so results are engine-reproducible).  Groups
+    whose values are ALL null keep null (no global fallback — run a
+    second ungrouped pass if you want one; silent cross-group leakage
+    is worse than an honest null).  Median over mean is deliberate:
+    the imputed value is (a midpoint of) observed data, robust to the
+    tails, and free of summation-order float wobble.
+
+    Scale shape: one partial+final aggregation to a group-cardinality
+    relation, null-safely joined back (AQE broadcasts small group
+    sets); same single-reducer-per-group percentile caveat as
+    :func:`standardize_robust` — use
+    ``operators.quantiles.grouped_exact_quantiles`` above ~10^8 rows
+    per group.
+    """
+    groups = _as_list(group_cols or [])
+    med = F.expr(f"percentile({col}, 0.5)").alias("__im_med")
+    if groups:
+        joined = _join_group_stats(df, df.groupBy(*groups).agg(med),
+                                   groups)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(med)))
+    return (joined.withColumn(
+        out_col or f"{col}_imputed",
+        F.coalesce(F.col(col).cast("double"), F.col("__im_med")))
+        .drop("__im_med"))

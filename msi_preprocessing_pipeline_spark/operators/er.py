@@ -98,3 +98,49 @@ def candidate_pairs(df: DataFrame, text_col: str, id_col: str,
             .select("id_a", "id_b",
                     F.levenshtein("__na", "__nb").alias("dist"))
             .where(F.col("dist") <= max_dist))
+
+
+def resolve_entities(df: DataFrame, text_col: str, id_col: str,
+                     max_dist: int = 3,
+                     max_block: int = 1000) -> DataFrame:
+    """End-to-end entity resolution: block → pairwise-verify → cluster
+    → canonicalize.  One row per input record with a non-null id:
+    ``(id, cluster_id, canonical_id, n_members)`` where ``cluster_id``
+    is the connected component of the :func:`candidate_pairs` match
+    graph (component-min id), ``canonical_id`` is the cluster's
+    survivor — longest name in characters, smallest id as tiebreak —
+    and records with no surviving match are their own singleton
+    cluster.  Ids must be unique per record (the usual ER contract).
+
+    Recall follows ``candidate_pairs`` (single rarest-word blocking +
+    ``max_block`` drop); precision follows ``max_dist``.  Transitive
+    matches ARE merged (a~b, b~c puts a,c in one cluster even when
+    ``dist(a,c) > max_dist``) — the standard ER closure semantics.
+
+    Scale notes: clustering is ``dedup.connected_components``
+    (collect-probe under 1M edges, pointer-jumping loop above); the
+    canonical pick is ``min(struct(-len, id))`` — one map-side-combined
+    aggregation, no window; the label/pick joins key on ``cluster_id``
+    which is non-null by construction.
+    """
+    from .dedup import connected_components
+
+    pairs = candidate_pairs(df, text_col, id_col, max_dist, max_block)
+    comp = connected_components(pairs, "id_a", "id_b")
+    base = (df.where(F.col(id_col).isNotNull())
+            .select(F.col(id_col), F.col(text_col)))
+    lab = (base.join(comp.withColumnRenamed("doc_id", id_col),
+                     [id_col], "left")
+           .select(F.col(id_col),
+                   F.coalesce("cluster_id", F.col(id_col))
+                   .alias("cluster_id"),
+                   F.col(text_col)))
+    pick = (lab.groupBy("cluster_id")
+            .agg(F.count("*").alias("n_members"),
+                 F.min(F.struct(
+                     (-F.length(F.coalesce(F.col(text_col), F.lit(""))))
+                     .alias("negl"),
+                     F.col(id_col).alias("id"))).alias("__c")))
+    return (lab.join(pick, ["cluster_id"])
+            .select(F.col(id_col), "cluster_id",
+                    F.col("__c.id").alias("canonical_id"), "n_members"))

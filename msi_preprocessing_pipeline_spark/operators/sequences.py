@@ -323,3 +323,43 @@ def trend_features(df: DataFrame, value_col: str, partition_by,
         F.when(ok, slope).alias("slope"),
         F.when(ok, intercept).alias("intercept"),
         F.when(ok, r2).alias("r2"))
+
+
+def calendar_features(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Calendar feature expansion of a timestamp column: adds
+    ``year month day hour minute dow is_weekend days_since_epoch``
+    (``dow``: 0=Sunday … 6=Saturday).  Null timestamps yield null
+    features.  Pre-1970 timestamps are rejected nowhere but ``dow``/
+    ``hour``/``minute``/``days_since_epoch`` assume non-negative epoch
+    (integer div/mod conventions diverge below zero — documented
+    contract, not a guess).
+
+    Engine-portability: ``year/month/day`` are proleptic-Gregorian
+    field extractions (identical across engines); ``dow``, ``hour``,
+    ``minute`` and ``days_since_epoch`` are PURE integer arithmetic on
+    epoch milliseconds (``(days + 4) % 7`` — 1970-01-01 was a
+    Thursday), so no engine's week-numbering or locale conventions are
+    involved.  Map-only: zero shuffles, whole-stage-codegen friendly.
+    """
+    is_ts = dict(df.dtypes).get(ts_col, "").startswith("timestamp")
+    t = (F.col(ts_col).cast("timestamp") if is_ts
+         else F.timestamp_millis(F.col(ts_col).cast("long")))
+    ms = (F.unix_millis(F.col(ts_col).cast("timestamp")) if is_ts
+          else F.col(ts_col).cast("long"))
+    days = ms - (ms % F.lit(86_400_000))  # guard: exact multiples
+    days = (days / F.lit(86_400_000)).cast("long")
+    in_day = ms % F.lit(86_400_000)
+    dow = (days + F.lit(4)) % F.lit(7)
+    return (df
+            .withColumn("year", F.year(t))
+            .withColumn("month", F.month(t))
+            .withColumn("day", F.dayofmonth(t))
+            .withColumn("hour", (in_day / F.lit(3_600_000)).cast("int"))
+            .withColumn("minute",
+                        ((in_day % F.lit(3_600_000)) / F.lit(60_000))
+                        .cast("int"))
+            .withColumn("dow", dow.cast("int"))
+            .withColumn("is_weekend",
+                        F.when(dow.isNotNull(),
+                               dow.isin(0, 6)))
+            .withColumn("days_since_epoch", days))

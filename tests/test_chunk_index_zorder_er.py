@@ -323,3 +323,46 @@ def test_trend_timestamp_column(spark):
     assert r["slope"] == pytest.approx(0.1)   # +1 value per 10 s
     assert r["intercept"] == pytest.approx(1.0)
     assert r["r2"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# resolve_entities
+
+
+def test_resolve_entities_transitive_clusters_and_canonical(spark):
+    from msi_preprocessing_pipeline_spark.operators.er import (
+        resolve_entities)
+    # the zephyr records share their corpus-rarest word (zephyr df=3;
+    # every other token df>=5 via background records), so they block
+    # together; chain 1~2 (dist 1), 2~3 (dist 1), 1-3 dist 2 > 1 —
+    # one cluster by transitive closure
+    rows = [(1, "zephyr aaa bbb"),
+            (2, "zephyr aaa bbc"),
+            (3, "zephyr aaa bbcx"),
+            (5, None),
+            (None, "ghost uniq0")]
+    rows += [(10 + i, f"aaa bbb bbc bbcx uniq{i + 1}") for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {r["id"]: r for r in
+           resolve_entities(df, "name", "id", max_dist=1).collect()}
+    assert set(out) == {1, 2, 3, 5, 10, 11, 12, 13}   # null id dropped
+    assert {out[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+    # canonical = longest name in the cluster (id 3), not min id
+    assert all(out[i]["canonical_id"] == 3 for i in (1, 2, 3))
+    assert all(out[i]["n_members"] == 3 for i in (1, 2, 3))
+    for i in (5, 10, 11, 12, 13):  # singletons are their own canonical
+        assert (out[i]["cluster_id"], out[i]["canonical_id"],
+                out[i]["n_members"]) == (i, i, 1)
+
+
+def test_resolve_entities_canonical_tiebreak_min_id(spark):
+    from msi_preprocessing_pipeline_spark.operators.er import (
+        resolve_entities)
+    df = spark.createDataFrame(
+        [(7, "qux aaa"), (9, "qux aab"),
+         (20, "aaa aab zz1"), (21, "aaa aab zz2")], "id long, name string")
+    out = {r["id"]: r for r in
+           resolve_entities(df, "name", "id", max_dist=1).collect()}
+    # equal name lengths -> smaller id wins the canonical pick
+    assert (out[7]["cluster_id"], out[7]["canonical_id"]) == (7, 7)
+    assert (out[9]["cluster_id"], out[9]["canonical_id"]) == (7, 7)

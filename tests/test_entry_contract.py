@@ -28,6 +28,10 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pdf[c].dtype == object:
+            # driver-gate semantics (tools/verify_contract.canon):
+            # object cells compare as strings — Spark hands back
+            # decimal.Decimal where DuckDB hands back str for hugeint
+            pdf[c] = pdf[c].astype(str)
             continue
         if np.issubdtype(pdf[c].dtype, np.floating):
             pdf[c] = pdf[c].astype("float64")

@@ -425,3 +425,39 @@ def test_association_rules_no_forced_broadcast(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     out = association_rules(li, "l_orderkey", "l_partkey", min_count=2)
     assert "ResolvedHint" not in plan_of(out, "extended")
+
+
+def test_trend_features_single_exchange(spark):
+    """trend_features: the min-ts window and the moment aggregation key
+    on the same entity column — ONE hash exchange, one Window node."""
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        trend_features)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = plan_of(trend_features(ev, "value", "user_id", "ts"), "simple")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_value_histogram_single_exchange_partial_agg(spark):
+    """value_histogram: one map-side-combined aggregation — a single
+    exchange, partial+final HashAggregate, no explode/pivot."""
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        value_histogram)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = plan_of(value_histogram(ev, "value", ["user_id"],
+                                   0.0, 250.0, 10), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "Generate" not in plan            # no explode
+
+
+def test_lump_rare_rows_never_hash_shuffle(spark):
+    """lump_rare: the row side joins the vocabulary-sized kept-set via
+    broadcast — row-cardinality data must not hash-shuffle (the only
+    exchanges belong to the category-count aggregation)."""
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        lump_rare)
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    plan = plan_of(lump_rare(part, "p_type", min_count=3), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

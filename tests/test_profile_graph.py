@@ -172,3 +172,43 @@ def test_triangles_known_graphs(spark):
                                           "s long, d long"),
                     "s", "d").collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 3, 0)
+
+
+def test_clustering_coeff_matches_brute_force(spark):
+    from msi_preprocessing_pipeline_spark.operators.graph import (
+        clustering_coeff)
+    rng = random.Random(13)
+    pairs = [(rng.randint(0, 25), rng.randint(0, 25)) for _ in range(120)]
+    pairs += [(5, 5), (None, 1), (2, None)]
+    df = spark.createDataFrame(pairs, "s long, d long")
+    adj = {}
+    for a, b in pairs:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {r["node"]: r for r in clustering_coeff(df, "s", "d").collect()}
+    assert set(got) == set(adj)
+    for v, nb in adj.items():
+        d = len(nb)
+        t = sum(1 for a in nb for b in nb
+                if a < b and b in adj[a])
+        r = got[v]
+        assert (r["degree"], r["n_tri"]) == (d, t), v
+        if d < 2:
+            assert r["coeff"] is None
+        else:
+            assert r["coeff"] == pytest.approx(2 * t / (d * (d - 1)))
+
+
+def test_clustering_coeff_triangle_plus_tail(spark):
+    from msi_preprocessing_pipeline_spark.operators.graph import (
+        clustering_coeff)
+    # triangle 1-2-3 with a pendant 4 hanging off 3
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)],
+                               "s long, d long")
+    got = {r["node"]: (r["degree"], r["n_tri"], r["coeff"])
+           for r in clustering_coeff(df, "s", "d").collect()}
+    assert got[1] == (2, 1, 1.0) and got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, pytest.approx(1 / 3))
+    assert got[4] == (1, 0, None)

@@ -91,6 +91,10 @@ def main():
            if v != "ok" and not v.startswith("no_oracle")}
     print(json.dumps({"bad": bad, "n": len(results)}, default=str))
     out_path = os.environ.get("CONTRACT_OUT")
+    if out_path and only:
+        # a subset run must never clobber the full-coverage artifact
+        print(f"CONTRACT_OUT ignored: subset run ({len(only)} queries)")
+        out_path = None
     if out_path:
         with open(out_path, "w") as f:
             json.dump({"sf_dir": SF_DIR, "n": len(results),
