@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-139 queries, 139 with exact DuckDB oracles — relational SQL where expressible,
+142 queries, 142 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1935,6 +1935,41 @@ def _q_triangles(spark, sf_dir):
     return triangles(edges, "s1", "s2")
 
 
+def _q_ecdf(spark, sf_dir):
+    """Per-event-type ECDF normalization of event values — exact
+    count ratio, no interpolation, monotone-invariant."""
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        ecdf_transform)
+
+    ev = _t(spark, sf_dir, "events")
+    return (ecdf_transform(ev, "value", ["event_type"])
+            .select("event_id", "value", "value_ecdf"))
+
+
+def _q_top_paths(spark, sf_dir):
+    """Top-15 first-4-step event-type journeys across users, with the
+    truncated share reported — the product-analytics path census."""
+    from msi_preprocessing_pipeline_spark.operators.behavior import (
+        top_paths)
+
+    ev = _t(spark, sf_dir, "events")
+    out = top_paths(ev, "user_id", "ts", "event_type",
+                    max_steps=4, k=15, tiebreak=["event_id"])
+    return out.select("path", "n_entities", "n_truncated")
+
+
+def _q_column_profile(spark, sf_dir):
+    """One-scan column-level data-quality profile of events (exact
+    null/distinct counts, stringified min/max) — the Expand-strategy
+    multi-distinct, not |cols| scans."""
+    from msi_preprocessing_pipeline_spark.operators.profile import (
+        column_profile)
+
+    ev = _t(spark, sf_dir, "events")
+    return column_profile(ev, ["event_id", "user_id", "event_type",
+                               "value"])
+
+
 def _q_impute_median(spark, sf_dir):
     """Group-median imputation: synthetic data has no nulls, so the
     query nulls every 7th event's value deterministically (the
@@ -2139,6 +2174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram_users": _q_value_histogram,
         "impute_median_values": _q_impute_median,
         "calendar_features_events": _q_calendar,
+        "column_profile_events": _q_column_profile,
+        "top_paths_events": _q_top_paths,
+        "ecdf_value_by_type": _q_ecdf,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
@@ -4172,6 +4210,65 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    max(epoch_ms(ts)) as max_ms
             from events where ts is not null
             group by user_id
+        """,
+        "ecdf_value_by_type": """
+            select event_id, value,
+                   case when value is not null then
+                       cast(count(value) over (
+                                partition by event_type order by value
+                                range between unbounded preceding
+                                          and current row) as double)
+                       / cast(count(value) over (
+                                partition by event_type) as double)
+                   end as value_ecdf
+            from events
+        """,
+        "top_paths_events": """
+            with s as (
+                select user_id, coalesce(event_type, '∅') as t,
+                       row_number() over (
+                           partition by user_id
+                           order by ts, event_id) as rn
+                from events
+            ), pe as (
+                select user_id,
+                       string_agg(t, '>' order by rn)
+                           filter (where rn <= 4) as path,
+                       max(rn) as n_ev
+                from s group by user_id
+            )
+            select path, cast(count(*) as bigint) as n_entities,
+                   cast(sum(case when n_ev > 4 then 1 else 0 end)
+                        as bigint) as n_truncated
+            from pe group by path
+            order by n_entities desc, path
+            limit 15
+        """,
+        "column_profile_events": """
+            select 'event_id' as column, count(*) as n_rows,
+                   count(*) - count(event_id) as n_null,
+                   count(distinct event_id) as n_distinct,
+                   cast(min(event_id) as varchar) as min_str,
+                   cast(max(event_id) as varchar) as max_str
+            from events
+            union all
+            select 'user_id', count(*), count(*) - count(user_id),
+                   count(distinct user_id),
+                   cast(min(user_id) as varchar),
+                   cast(max(user_id) as varchar)
+            from events
+            union all
+            select 'event_type', count(*), count(*) - count(event_type),
+                   count(distinct event_type),
+                   cast(min(event_type) as varchar),
+                   cast(max(event_type) as varchar)
+            from events
+            union all
+            select 'value', count(*), count(*) - count(value),
+                   count(distinct value),
+                   cast(min(value) as varchar),
+                   cast(max(value) as varchar)
+            from events
         """,
         "impute_median_values": """
             with ev as (

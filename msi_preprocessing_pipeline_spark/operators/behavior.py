@@ -53,6 +53,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.util import as_list as _as_list
+
 _PERIOD_DAYS = {"day": 1, "week": 7}
 
 
@@ -210,3 +212,60 @@ def interval_coverage(df: DataFrame, key_col: str, start_col: str,
             .agg(F.count("*").alias("n_intervals"),
                  F.sum("__new_comp").alias("n_components"),
                  F.sum("__cov").alias("covered")))
+
+
+def top_paths(df: DataFrame, entity_col: str, ts_col: str,
+              type_col: str = "event_type", max_steps: int = 5,
+              k: int = 20, sep: str = ">",
+              tiebreak: Sequence[str] | str = ()) -> DataFrame:
+    """Most common event-type paths: each entity's time-ordered first
+    ``max_steps`` event types joined into one path string, censused
+    corpus-wide — ``(path, n_entities, n_truncated, truncated_frac)``
+    for the top ``k`` paths by count (ties broken by path string
+    ascending, so the cut is deterministic).  ``n_truncated`` counts
+    the path's entities that had MORE than ``max_steps`` events (their
+    path is a prefix, not the full journey) — reported, not hidden;
+    ``truncated_frac`` is its exact-int ratio (compare on the counts
+    for bit-level cross-engine checks — a rounded ratio can land on a
+    decimal midpoint).
+
+    Null event types render as ``'∅'`` inside the path (they are real
+    steps); entities with no events don't exist in the input by
+    definition.  ``ts_col`` plus ``tiebreak`` must totally order each
+    entity's events or the path is partition-dependent — pass the
+    event id like every other ordered operator here.
+
+    Scale notes: one entity-hash shuffle (window row_number + one
+    aggregation on the same key, Exchange reused), then a
+    |distinct paths|-bounded census aggregation (paths are ≤
+    ``max_steps`` types — a small-vocabulary space) and a top-k
+    ``TakeOrderedAndProject``.  Entity skew costs a sort, never
+    memory (the path keeps only ``max_steps`` steps).
+    """
+    if max_steps < 1 or k < 1:
+        raise ValueError(
+            f"need max_steps >= 1 and k >= 1, got {max_steps}, {k}")
+    order = [F.col(ts_col)] + [F.col(c) for c in _as_list(tiebreak)]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    stepped = df.select(
+        F.col(entity_col).alias("__e"),
+        F.coalesce(F.col(type_col).cast("string"), F.lit("∅"))
+        .alias("__t"),
+        F.row_number().over(w).alias("__rn"))
+    per_entity = (stepped
+                  .groupBy("__e")
+                  .agg(F.concat_ws(sep, F.array_sort(F.collect_list(
+                      F.when(F.col("__rn") <= max_steps,
+                             F.struct(F.col("__rn").alias("rn"),
+                                      F.col("__t").alias("t"))))).getField("t"))
+                       .alias("path"),
+                       F.max("__rn").alias("__n_ev")))
+    census = (per_entity.groupBy("path")
+              .agg(F.count("*").alias("n_entities"),
+                   F.sum(F.when(F.col("__n_ev") > max_steps, 1)
+                         .otherwise(0)).alias("n_truncated"))
+              .withColumn("truncated_frac",
+                          F.col("n_truncated").cast("double")
+                          / F.col("n_entities").cast("double")))
+    return (census.orderBy(F.col("n_entities").desc(), F.col("path"))
+            .limit(k))

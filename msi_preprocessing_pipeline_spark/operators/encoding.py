@@ -10,7 +10,7 @@ target encoding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.util import as_list as _as_list
@@ -273,3 +273,37 @@ def impute_median(df: DataFrame, col: str, group_cols=None,
         out_col or f"{col}_imputed",
         F.coalesce(F.col(col).cast("double"), F.col("__im_med")))
         .drop("__im_med"))
+
+
+def ecdf_transform(df: DataFrame, col: str, group_cols=None,
+                   out_col: str | None = None) -> DataFrame:
+    """Empirical-CDF (rank) normalization: adds ``{col}_ecdf`` =
+    fraction of the (group's) NON-NULL values ``<= x`` — ties share a
+    value (peers count together), outputs lie in ``(0, 1]``, and the
+    transform is invariant to any monotone rescaling of the input —
+    the standard first step of rank-gauss style normalization and the
+    scale-free alternative to z-scores.  NULL inputs get NULL.
+
+    Exactness: the ECDF is one division of two exact int64 counts
+    (rows-≤-x over non-null-total) — engine-portable bit-for-bit,
+    no percentile interpolation anywhere.
+
+    Scale notes: one hash shuffle on the group key serving two window
+    specs (an ordered RANGE frame for the ≤-count, an unordered total
+    count); no joins, no second exchange.  NULLs sort first and a
+    RANGE frame over only-null prefixes counts zero non-nulls, which
+    the null-in guard masks — ordering conventions never leak into
+    the result.  Ungrouped use shuffles everything to one partition
+    (it is a global sort) — prefer grouped use at corpus scale, or
+    ``quantile_bin`` for a fixed-resolution global variant.
+    """
+    groups = _as_list(group_cols or [])
+    w_tot = Window.partitionBy(*groups)
+    w_le = (Window.partitionBy(*groups)
+            .orderBy(F.col(col).asc_nulls_first())
+            .rangeBetween(Window.unboundedPreceding, 0))
+    ecdf = F.when(
+        F.col(col).isNotNull(),
+        F.count(col).over(w_le).cast("double")
+        / F.count(col).over(w_tot).cast("double"))
+    return df.withColumn(out_col or f"{col}_ecdf", ecdf)

@@ -195,3 +195,44 @@ def join_size_estimate(left: DataFrame, right: DataFrame,
                            F.col("max_key_rows").cast("double")
                            / F.col("est_rows").cast("double"))
                     .alias("top_key_share")))
+
+
+def column_profile(df: DataFrame, cols=None) -> DataFrame:
+    """One-scan data-quality profile: one row per column with
+    ``(column, n_rows, n_null, n_distinct, min_str, max_str)`` —
+    exact null and distinct counts, min/max stringified so every
+    column type shares one schema.  ``n_distinct`` counts non-null
+    distinct values (SQL ``count(distinct)`` semantics); an all-null
+    column profiles as ``(n, n, 0, null, null)``.
+
+    Scale notes: ONE aggregation job — the multiple exact distincts
+    compile to Spark's Expand strategy (the input is replicated
+    |cols|-ways map-side, then one shuffle), so cost is
+    O(|cols| · rows) map work, not |cols| scans.  For very wide
+    tables at extreme row counts swap exact distincts for
+    ``approx_count_distinct`` upstream; exactness is this operator's
+    contract, so it does not silently substitute.  Stringified
+    min/max follow each engine's default rendering — for doubles
+    beyond ~1e7 the scientific-notation cutover differs between
+    engines; quantize upstream if cross-engine string parity matters.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count("*").alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [F.count(F.col(c)).alias(f"__nn_{i}"),
+                 F.countDistinct(F.col(c)).alias(f"__nd_{i}"),
+                 F.min(F.col(c)).cast("string").alias(f"__mn_{i}"),
+                 F.max(F.col(c)).cast("string").alias(f"__mx_{i}")]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col("__n").alias("n_rows"),
+                 (F.col("__n") - F.col(f"__nn_{i}")).alias("n_null"),
+                 F.col(f"__nd_{i}").alias("n_distinct"),
+                 F.col(f"__mn_{i}").alias("min_str"),
+                 F.col(f"__mx_{i}").alias("max_str"))
+        for i, c in enumerate(cols)])
+    return (one.select(F.explode(rows).alias("__p"))
+            .select("__p.*"))

@@ -128,3 +128,29 @@ def test_calendar_features_long_ms_column(spark):
     assert (r["year"], r["month"], r["day"], r["hour"], r["minute"],
             r["dow"], r["is_weekend"], r["days_since_epoch"]) \
         == (1970, 1, 2, 3, 21, 5, False, 1)
+
+
+def test_ecdf_transform_matches_numpy(spark):
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        ecdf_transform)
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0), ("a", None),
+            ("b", 7.0), (None, 3.0), (None, 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = ecdf_transform(df, "v", ["g"]).collect()
+    got = {(r["g"], r["v"]): r["v_ecdf"] for r in out}
+    assert got[("a", 1.0)] == pytest.approx(1 / 4)
+    assert got[("a", 2.0)] == pytest.approx(3 / 4)   # ties share a level
+    assert got[("a", 5.0)] == pytest.approx(1.0)
+    assert got[("a", None)] is None
+    assert got[("b", 7.0)] == pytest.approx(1.0)     # singleton
+    assert got[(None, 3.0)] == pytest.approx(0.5)    # null group is a group
+    assert got[(None, 4.0)] == pytest.approx(1.0)
+
+
+def test_ecdf_transform_global_and_row_count(spark):
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        ecdf_transform)
+    df = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    out = ecdf_transform(df, "v").collect()
+    assert len(out) == 10
+    assert {r["v_ecdf"] for r in out} == {(i + 1) / 10 for i in range(10)}
