@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-142 queries, 142 with exact DuckDB oracles — relational SQL where expressible,
+143 queries, 143 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1917,14 +1917,14 @@ def _q_triangles(spark, sf_dir):
         triangles)
 
     li = _t(spark, sf_dir, "lineitem")
-    # one ship-month slice: the full-corpus co-order graph is near-
+    # one sparse ship-date slice: the full-corpus co-order graph is near-
     # complete (every supplier pair eventually shares an order), which
     # makes the census trivially Θ(n³) regardless of algorithm — the
     # operator's √m orientation matters on SPARSE graphs, so query one
     su = (li.where(F.col("l_orderkey").isNotNull()
                    & F.col("l_suppkey").isNotNull()
-                   & (F.col("l_shipdate") >= F.lit("1994-01-01"))
-                   & (F.col("l_shipdate") < F.lit("1994-02-01")))
+                   & (F.col("l_shipdate") >= F.lit("1995-02-01"))
+                   & (F.col("l_shipdate") < F.lit("1995-08-01")))
           .select("l_orderkey", F.col("l_suppkey").alias("s1"))
           .distinct())
     edges = (su.join(su.select("l_orderkey",
@@ -2022,6 +2022,28 @@ def _q_value_histogram(spark, sf_dir):
                       .alias("hist_str"))
 
 
+def _q_kcore(spark, sf_dir):
+    """8-core of the supplier co-order graph (same sparse slice):
+    iterative peeling, unique fixpoint — golden-pinned (peeling is
+    not expressible in non-recursive SQL; the pytest brute-force
+    peeler independently checks the algorithm)."""
+    from msi_preprocessing_pipeline_spark.operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    su = (li.where(F.col("l_orderkey").isNotNull()
+                   & F.col("l_suppkey").isNotNull()
+                   & (F.col("l_shipdate") >= F.lit("1995-02-01"))
+                   & (F.col("l_shipdate") < F.lit("1995-08-01")))
+          .select("l_orderkey", F.col("l_suppkey").alias("s1"))
+          .distinct())
+    edges = (su.join(su.select("l_orderkey",
+                               F.col("s1").alias("s2")),
+                     ["l_orderkey"])
+             .where(F.col("s1") < F.col("s2"))
+             .select("s1", "s2"))
+    return kcore(edges, "s1", "s2", k=8)
+
+
 def _q_clustering_coeff(spark, sf_dir):
     """Per-supplier local clustering coefficient of the one-month
     co-order graph — same sparse slice as the triangle census."""
@@ -2031,8 +2053,8 @@ def _q_clustering_coeff(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     su = (li.where(F.col("l_orderkey").isNotNull()
                    & F.col("l_suppkey").isNotNull()
-                   & (F.col("l_shipdate") >= F.lit("1994-01-01"))
-                   & (F.col("l_shipdate") < F.lit("1994-02-01")))
+                   & (F.col("l_shipdate") >= F.lit("1995-02-01"))
+                   & (F.col("l_shipdate") < F.lit("1995-08-01")))
           .select("l_orderkey", F.col("l_suppkey").alias("s1"))
           .distinct())
     edges = (su.join(su.select("l_orderkey",
@@ -2170,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_value_by_user": _q_trend,
         "er_resolve_part": _q_er_resolve,
         "clustering_coeff_suppliers": _q_clustering_coeff,
+        "kcore_suppliers": _q_kcore,
         "lump_rare_part_types": _q_lump_rare,
         "value_histogram_users": _q_value_histogram,
         "impute_median_values": _q_impute_median,
@@ -4356,8 +4379,8 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                 select distinct l_orderkey as o, l_suppkey as s
                 from lineitem
                 where l_orderkey is not null and l_suppkey is not null
-                  and l_shipdate >= date '1994-01-01'
-                  and l_shipdate < date '1994-02-01'
+                  and l_shipdate >= date '1995-02-01'
+                  and l_shipdate < date '1995-08-01'
             ), e as (
                 select distinct a.s as x, b.s as y
                 from su a join su b on a.o = b.o and a.s < b.s
@@ -4474,8 +4497,8 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                 select distinct l_orderkey as o, l_suppkey as s
                 from lineitem
                 where l_orderkey is not null and l_suppkey is not null
-                  and l_shipdate >= date '1994-01-01'
-                  and l_shipdate < date '1994-02-01'
+                  and l_shipdate >= date '1995-02-01'
+                  and l_shipdate < date '1995-08-01'
             ), e as (
                 select distinct a.s as x, b.s as y
                 from su a join su b on a.o = b.o and a.s < b.s

@@ -240,7 +240,8 @@ def main() -> None:
                  "clustering_coeff_suppliers", "lump_rare_part_types",
                  "value_histogram_users", "impute_median_values",
                  "calendar_features_events", "column_profile_events",
-                 "top_paths_events", "ecdf_value_by_type"]:
+                 "top_paths_events", "ecdf_value_by_type",
+                 "kcore_suppliers"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

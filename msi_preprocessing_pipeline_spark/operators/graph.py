@@ -247,3 +247,46 @@ def clustering_coeff(edges: DataFrame, src_col: str,
                    .alias("coeff"))).localCheckpoint()
     oriented.unpersist()
     return out
+
+
+def kcore(edges: DataFrame, src_col: str, dst_col: str, k: int,
+          max_iter: int = 60) -> DataFrame:
+    """The k-core of the undirected graph (direction/duplicates/loops
+    ignored): the maximal subgraph in which every node has degree
+    ``>= k``, computed by iterative peeling — repeatedly drop
+    below-``k`` nodes until stable.  Output: ``(node, core_degree)``
+    for every surviving node, ``core_degree`` its degree WITHIN the
+    core; empty when no k-core exists.  Deterministic (the k-core is
+    unique — peeling order never matters).
+
+    Scale notes: each round is one degree aggregation plus two
+    semi-joins (all map-side-combinable equi-joins on node keys) and
+    ends in an eager ``localCheckpoint`` — the connected-components
+    lesson: un-truncated iterative lineage hangs Catalyst analysis
+    long before execution.  Round count is the peeling depth: small
+    for real skewed graphs (cores collapse fast), but adversarial
+    chains peel O(n) ends per round — ``max_iter`` RAISES rather than
+    returning a silently-unpeeled graph.  One driver-side
+    ``limit(1).count()`` probe per round (cheap short-circuit), no
+    row-proportional collects.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e, _ = _undirected(edges, src_col, dst_col)
+    cur = e.localCheckpoint()
+    for _ in range(max_iter):
+        deg = (cur.select(F.col("__a").alias("node"))
+               .union(cur.select("__b"))
+               .groupBy("node").agg(F.count("*").alias("__dg")))
+        if deg.where(F.col("__dg") < k).limit(1).count() == 0:
+            return deg.select("node",
+                              F.col("__dg").alias("core_degree"))
+        keep = deg.where(F.col("__dg") >= k).select("node")
+        cur = (cur
+               .join(keep.withColumnRenamed("node", "__a"),
+                     ["__a"], "leftsemi")
+               .join(keep.withColumnRenamed("node", "__b"),
+                     ["__b"], "leftsemi")).localCheckpoint()
+    raise RuntimeError(
+        f"kcore did not converge within max_iter={max_iter} peeling "
+        f"rounds — adversarially chain-shaped graph; raise max_iter")

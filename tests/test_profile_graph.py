@@ -212,3 +212,53 @@ def test_clustering_coeff_triangle_plus_tail(spark):
     assert got[1] == (2, 1, 1.0) and got[2] == (2, 1, 1.0)
     assert got[3] == (3, 1, pytest.approx(1 / 3))
     assert got[4] == (1, 0, None)
+
+
+def _brute_kcore(pairs, k):
+    adj = {}
+    for a, b in pairs:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    return {v: len(nb) for v, nb in adj.items()}
+
+
+def test_kcore_matches_brute_force(spark):
+    from msi_preprocessing_pipeline_spark.operators.graph import kcore
+    rng = random.Random(31)
+    pairs = [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(140)]
+    pairs += [(1, 1), (None, 2), (3, None)]
+    df = spark.createDataFrame(pairs, "s long, d long")
+    for k in (2, 3, 5):
+        exp = _brute_kcore(pairs, k)
+        got = {r["node"]: r["core_degree"]
+               for r in kcore(df, "s", "d", k).collect()}
+        assert got == exp, k
+
+
+def test_kcore_empty_and_validation(spark):
+    from msi_preprocessing_pipeline_spark.operators.graph import kcore
+    # a path graph has no 2-core
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "s long, d long")
+    assert kcore(df, "s", "d", 2).count() == 0
+    # a triangle IS its own 2-core
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "s long, d long")
+    got = {r["node"]: r["core_degree"]
+           for r in kcore(tri, "s", "d", 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    with pytest.raises(ValueError):
+        kcore(df, "s", "d", 0)
+    with pytest.raises(RuntimeError):
+        kcore(spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                    "s long, d long"), "s", "d", 2,
+              max_iter=2)

@@ -39,6 +39,10 @@ PIN = [
     # PCA: fit is partition-order-invariant (12-dp covariance/mean
     # rounding before eigh, deterministic component signs)
     ("pca_project_vecs", True),
+    # k-core: the k-core is a unique fixpoint (peeling order never
+    # matters) — deterministic, but iterative peeling is not
+    # expressible in non-recursive SQL, hence a pinned golden
+    ("kcore_suppliers", True),
 ]
 
 DUCK_TYPES = {
