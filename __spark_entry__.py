@@ -1909,6 +1909,32 @@ def _q_winsorize(spark, sf_dir):
 
 
 
+
+def _supplier_coorder_edges(spark, sf_dir):
+    """Undirected supplier co-order edges over ONE sparse ship-date
+    slice (1995-02..1995-08) — single-sourced for the three graph
+    queries.  The full-corpus co-order graph is near-complete (every
+    supplier pair eventually shares an order), where any exact census
+    is Θ(n³) regardless of algorithm; the slice keeps it sparse AND
+    non-trivial at every sf (sf0.01: 100 nodes / 620 edges / 377
+    triangles — an empty slice once made these queries verify
+    vacuously, so the bounds are load-bearing).  The six date literals
+    (three here via one site, three in the oracle SQL strings) must
+    stay in sync.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    su = (li.where(F.col("l_orderkey").isNotNull()
+                   & F.col("l_suppkey").isNotNull()
+                   & (F.col("l_shipdate") >= F.lit("1995-02-01"))
+                   & (F.col("l_shipdate") < F.lit("1995-08-01")))
+          .select("l_orderkey", F.col("l_suppkey").alias("s1"))
+          .distinct())
+    return (su.join(su.select("l_orderkey", F.col("s1").alias("s2")),
+                    ["l_orderkey"])
+            .where(F.col("s1") < F.col("s2"))
+            .select("s1", "s2"))
+
+
 def _q_triangles(spark, sf_dir):
     """Triangle census of the supplier co-order graph (suppliers linked
     when they serve the same order) — degree-oriented exact count, the
@@ -1916,22 +1942,7 @@ def _q_triangles(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.graph import (
         triangles)
 
-    li = _t(spark, sf_dir, "lineitem")
-    # one sparse ship-date slice: the full-corpus co-order graph is near-
-    # complete (every supplier pair eventually shares an order), which
-    # makes the census trivially Θ(n³) regardless of algorithm — the
-    # operator's √m orientation matters on SPARSE graphs, so query one
-    su = (li.where(F.col("l_orderkey").isNotNull()
-                   & F.col("l_suppkey").isNotNull()
-                   & (F.col("l_shipdate") >= F.lit("1995-02-01"))
-                   & (F.col("l_shipdate") < F.lit("1995-08-01")))
-          .select("l_orderkey", F.col("l_suppkey").alias("s1"))
-          .distinct())
-    edges = (su.join(su.select("l_orderkey",
-                               F.col("s1").alias("s2")),
-                     ["l_orderkey"])
-             .where(F.col("s1") < F.col("s2"))
-             .select("s1", "s2"))
+    edges = _supplier_coorder_edges(spark, sf_dir)
     return triangles(edges, "s1", "s2")
 
 
@@ -1952,7 +1963,10 @@ def _q_top_paths(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.behavior import (
         top_paths)
 
-    ev = _t(spark, sf_dir, "events")
+    # ts ordering of nulls diverges between engines (Spark windows
+    # sort nulls first, DuckDB row_number sorts them last) — paths are
+    # defined over TIMESTAMPED events on both sides
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     out = top_paths(ev, "user_id", "ts", "event_type",
                     max_steps=4, k=15, tiebreak=["event_id"])
     return out.select("path", "n_entities", "n_truncated")
@@ -2029,39 +2043,17 @@ def _q_kcore(spark, sf_dir):
     peeler independently checks the algorithm)."""
     from msi_preprocessing_pipeline_spark.operators.graph import kcore
 
-    li = _t(spark, sf_dir, "lineitem")
-    su = (li.where(F.col("l_orderkey").isNotNull()
-                   & F.col("l_suppkey").isNotNull()
-                   & (F.col("l_shipdate") >= F.lit("1995-02-01"))
-                   & (F.col("l_shipdate") < F.lit("1995-08-01")))
-          .select("l_orderkey", F.col("l_suppkey").alias("s1"))
-          .distinct())
-    edges = (su.join(su.select("l_orderkey",
-                               F.col("s1").alias("s2")),
-                     ["l_orderkey"])
-             .where(F.col("s1") < F.col("s2"))
-             .select("s1", "s2"))
+    edges = _supplier_coorder_edges(spark, sf_dir)
     return kcore(edges, "s1", "s2", k=8)
 
 
 def _q_clustering_coeff(spark, sf_dir):
-    """Per-supplier local clustering coefficient of the one-month
-    co-order graph — same sparse slice as the triangle census."""
+    """Per-supplier local clustering coefficient of the co-order
+    graph — same sparse slice as the triangle census."""
     from msi_preprocessing_pipeline_spark.operators.graph import (
         clustering_coeff)
 
-    li = _t(spark, sf_dir, "lineitem")
-    su = (li.where(F.col("l_orderkey").isNotNull()
-                   & F.col("l_suppkey").isNotNull()
-                   & (F.col("l_shipdate") >= F.lit("1995-02-01"))
-                   & (F.col("l_shipdate") < F.lit("1995-08-01")))
-          .select("l_orderkey", F.col("l_suppkey").alias("s1"))
-          .distinct())
-    edges = (su.join(su.select("l_orderkey",
-                               F.col("s1").alias("s2")),
-                     ["l_orderkey"])
-             .where(F.col("s1") < F.col("s2"))
-             .select("s1", "s2"))
+    edges = _supplier_coorder_edges(spark, sf_dir)
     return clustering_coeff(edges, "s1", "s2")
 
 
@@ -4252,7 +4244,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                        row_number() over (
                            partition by user_id
                            order by ts, event_id) as rn
-                from events
+                from events where ts is not null
             ), pe as (
                 select user_id,
                        string_agg(t, '>' order by rn)

@@ -216,7 +216,7 @@ def column_profile(df: DataFrame, cols=None) -> DataFrame:
     beyond ~1e7 the scientific-notation cutover differs between
     engines; quantize upstream if cross-engine string parity matters.
     """
-    cols = list(cols) if cols is not None else list(df.columns)
+    cols = as_list(cols) if cols is not None else list(df.columns)
     if not cols:
         raise ValueError("cols must be non-empty")
     aggs = [F.count("*").alias("__n")]

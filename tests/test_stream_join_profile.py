@@ -113,3 +113,9 @@ def test_top_paths_validation_and_single_event(spark):
     import pytest as pt
     with pt.raises(ValueError):
         top_paths(df, "uid", "ts", "et", max_steps=0)
+
+
+def test_column_profile_accepts_string_arg(spark):
+    df = spark.createDataFrame([("x", 1.0)], "g string, v double")
+    out = column_profile(df, "g").collect()
+    assert len(out) == 1 and out[0]["column"] == "g"
