@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-143 queries, 143 with exact DuckDB oracles — relational SQL where expressible,
+144 queries, 144 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1946,6 +1946,16 @@ def _q_triangles(spark, sf_dir):
     return triangles(edges, "s1", "s2")
 
 
+def _q_audience_overlap(spark, sf_dir):
+    """Pairwise event-type audience overlap (exact counts + Jaccard)
+    — the exact companion of the theta-sketch overlap query."""
+    from msi_preprocessing_pipeline_spark.operators.behavior import (
+        audience_overlap)
+
+    ev = _t(spark, sf_dir, "events")
+    return audience_overlap(ev, "user_id", "event_type")
+
+
 def _q_ecdf(spark, sf_dir):
     """Per-event-type ECDF normalization of event values — exact
     count ratio, no interpolation, monotone-invariant."""
@@ -2192,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile_events": _q_column_profile,
         "top_paths_events": _q_top_paths,
         "ecdf_value_by_type": _q_ecdf,
+        "audience_overlap_types": _q_audience_overlap,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
@@ -4225,6 +4236,29 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    max(epoch_ms(ts)) as max_ms
             from events where ts is not null
             group by user_id
+        """,
+        "audience_overlap_types": """
+            with base as (
+                select distinct user_id as e, event_type as t
+                from events
+                where user_id is not null and event_type is not null
+            ), marg as (
+                select t, cast(count(*) as bigint) as n from base group by t
+            ), ovl as (
+                select a.t as type_a, b.t as type_b,
+                       cast(count(*) as bigint) as n_both
+                from base a join base b on a.e = b.e and a.t < b.t
+                group by 1, 2
+            )
+            select ma.t as type_a, mb.t as type_b,
+                   ma.n as n_a, mb.n as n_b,
+                   coalesce(ovl.n_both, 0) as n_both,
+                   cast(coalesce(ovl.n_both, 0) as double)
+                   / cast(ma.n + mb.n - coalesce(ovl.n_both, 0)
+                          as double) as jaccard
+            from marg ma
+            join marg mb on ma.t < mb.t
+            left join ovl on ovl.type_a = ma.t and ovl.type_b = mb.t
         """,
         "ecdf_value_by_type": """
             select event_id, value,

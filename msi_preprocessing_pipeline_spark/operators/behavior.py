@@ -269,3 +269,50 @@ def top_paths(df: DataFrame, entity_col: str, ts_col: str,
                           / F.col("n_entities").cast("double")))
     return (census.orderBy(F.col("n_entities").desc(), F.col("path"))
             .limit(k))
+
+
+def audience_overlap(df: DataFrame, entity_col: str,
+                     type_col: str = "event_type") -> DataFrame:
+    """Pairwise audience overlap between segments: for every ordered
+    pair of distinct ``type_col`` values ``(a, b)`` with ``a < b``,
+    the exact entity counts ``(type_a, type_b, n_a, n_b, n_both,
+    jaccard)`` where ``n_both`` is entities seen in BOTH segments and
+    ``jaccard = n_both / (n_a + n_b - n_both)`` — the exact companion
+    of the Theta-sketch overlap (``sketches.theta_*``) for
+    segment-cardinality planning.  Null types and null entities are
+    excluded (they name no segment / no entity); pairs with zero
+    co-audience still appear (their absence would read as "not
+    computed").
+
+    Scale notes: one distinct (entity, type) pass, a per-entity
+    type-set self-join bounded by each entity's segment count (an
+    entity in t types contributes t·(t−1)/2 pair rows — |types| is
+    small by construction of a segment column), one |types|²-bounded
+    aggregation, and a |types| marginal broadcast join.  No windows;
+    the heavy relation never exceeds distinct-(entity,type).
+    """
+    base = (df.where(F.col(entity_col).isNotNull()
+                     & F.col(type_col).isNotNull())
+            .select(F.col(entity_col).alias("__e"),
+                    F.col(type_col).alias("__t"))
+            .distinct())
+    a = base.select("__e", F.col("__t").alias("type_a"))
+    b = base.select("__e", F.col("__t").alias("type_b"))
+    both = (a.join(b, ["__e"])
+            .where(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("n_both")))
+    marg = base.groupBy(F.col("__t")).agg(F.count("*").alias("__n"))
+    ma = marg.select(F.col("__t").alias("type_a"),
+                     F.col("__n").alias("n_a"))
+    mb = marg.select(F.col("__t").alias("type_b"),
+                     F.col("__n").alias("n_b"))
+    pairs = (ma.crossJoin(mb)
+             .where(F.col("type_a") < F.col("type_b")))
+    return (pairs.join(both, ["type_a", "type_b"], "left")
+            .select("type_a", "type_b", "n_a", "n_b",
+                    F.coalesce("n_both", F.lit(0)).alias("n_both"),
+                    (F.coalesce("n_both", F.lit(0)).cast("double")
+                     / (F.col("n_a") + F.col("n_b")
+                        - F.coalesce("n_both", F.lit(0))).cast("double"))
+                    .alias("jaccard")))

@@ -119,3 +119,20 @@ def test_column_profile_accepts_string_arg(spark):
     df = spark.createDataFrame([("x", 1.0)], "g string, v double")
     out = column_profile(df, "g").collect()
     assert len(out) == 1 and out[0]["column"] == "g"
+
+
+def test_audience_overlap_brute_force(spark):
+    from msi_preprocessing_pipeline_spark.operators.behavior import (
+        audience_overlap)
+    rows = [(1, "a"), (1, "b"), (1, "a"),        # dup event: distinct user
+            (2, "a"), (3, "b"), (4, "c"),
+            (None, "a"), (5, None)]              # nulls excluded
+    df = spark.createDataFrame(rows, "uid long, et string")
+    got = {(r["type_a"], r["type_b"]):
+           (r["n_a"], r["n_b"], r["n_both"], r["jaccard"])
+           for r in audience_overlap(df, "uid", "et").collect()}
+    # audiences: a={1,2}, b={1,3}, c={4}
+    assert got[("a", "b")] == (2, 2, 1, pytest.approx(1 / 3))
+    assert got[("a", "c")] == (2, 1, 0, 0.0)     # zero-overlap pair present
+    assert got[("b", "c")] == (2, 1, 0, 0.0)
+    assert len(got) == 3
