@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-144 queries, 144 with exact DuckDB oracles — relational SQL where expressible,
+146 queries, 146 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1946,6 +1946,34 @@ def _q_triangles(spark, sf_dir):
     return triangles(edges, "s1", "s2")
 
 
+def _q_gap_stats(spark, sf_dir):
+    """Per-user inactivity-gap summary (1-hour threshold) — exact
+    integer gaps; median via percentile = quantile_cont."""
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        gap_stats)
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_stats(ev, "user_id", "ts", threshold_ms=3_600_000,
+                     tiebreak=["event_id"])
+
+
+def _q_survivorship(spark, sf_dir):
+    """Field-level golden record per user: latest NON-NULL value and
+    event_type can come from different events (synthetic data has no
+    nulls, so the query injects them deterministically)."""
+    from msi_preprocessing_pipeline_spark.operators.er import (
+        survivorship_merge)
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", _ms("ts").alias("ms"),
+                  F.when(F.col("event_id") % 5 == 0, F.lit(None))
+                  .otherwise(F.col("value")).alias("value_n"),
+                  F.when(F.col("event_id") % 3 == 0, F.lit(None))
+                  .otherwise(F.col("event_type")).alias("type_n")))
+    return survivorship_merge(ev, "user_id", "ms",
+                              ["value_n", "type_n"])
+
+
 def _q_audience_overlap(spark, sf_dir):
     """Pairwise event-type audience overlap (exact counts + Jaccard)
     — the exact companion of the theta-sketch overlap query."""
@@ -2203,6 +2231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths_events": _q_top_paths,
         "ecdf_value_by_type": _q_ecdf,
         "audience_overlap_types": _q_audience_overlap,
+        "survivorship_users": _q_survivorship,
+        "gap_stats_users": _q_gap_stats,
         # --- rotated BELOW the 50-slot driver window this round: the
         # session-3/4 window ops with the heaviest pytest pinning plus
         # r3-green asof (all covered by the committed CONTRACT artifact) ---
@@ -4236,6 +4266,46 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    max(epoch_ms(ts)) as max_ms
             from events where ts is not null
             group by user_id
+        """,
+        "gap_stats_users": """
+            with obs as (
+                select user_id, epoch_ms(ts) as ms, event_id
+                from events where ts is not null
+            ), lagged as (
+                select user_id,
+                       ms - lag(ms) over (partition by user_id
+                                          order by ms, event_id) as gap
+                from obs
+            )
+            select user_id,
+                   cast(count(*) as bigint) as n_obs,
+                   cast(count(gap) as bigint) as n_gaps,
+                   max(gap) as max_gap_ms,
+                   quantile_cont(gap, 0.5) as median_gap_ms,
+                   cast(coalesce(sum(case when gap > 3600000
+                                          then 1 end), 0) as bigint)
+                       as n_gaps_over
+            from lagged group by user_id
+        """,
+        "survivorship_users": """
+            with ev as (
+                select user_id, epoch_ms(ts) as ms,
+                       case when event_id % 5 = 0 then null
+                            else value end as value_n,
+                       case when event_id % 3 = 0 then null
+                            else event_type end as type_n
+                from events
+            ), agg as (
+                select user_id,
+                       cast(count(*) as bigint) as n_members,
+                       max(case when value_n is not null
+                                then {'ts': ms, 'v': value_n} end) as pv,
+                       max(case when type_n is not null
+                                then {'ts': ms, 'v': type_n} end) as pt
+                from ev group by user_id
+            )
+            select user_id, n_members, pv.v as value_n, pt.v as type_n
+            from agg
         """,
         "audience_overlap_types": """
             with base as (

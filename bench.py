@@ -241,7 +241,8 @@ def main() -> None:
                  "value_histogram_users", "impute_median_values",
                  "calendar_features_events", "column_profile_events",
                  "top_paths_events", "ecdf_value_by_type",
-                 "kcore_suppliers", "audience_overlap_types"]:
+                 "kcore_suppliers", "audience_overlap_types",
+                 "survivorship_users", "gap_stats_users"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -144,3 +144,39 @@ def resolve_entities(df: DataFrame, text_col: str, id_col: str,
     return (lab.join(pick, ["cluster_id"])
             .select(F.col(id_col), "cluster_id",
                     F.col("__c.id").alias("canonical_id"), "n_members"))
+
+
+def survivorship_merge(df: DataFrame, cluster_col: str, ts_col: str,
+                       fields) -> DataFrame:
+    """Field-level golden-record assembly (MDM survivorship): one row
+    per ``cluster_col`` value carrying, for each field, the value of
+    the LATEST row where that field is non-null — so a cluster's
+    golden record can combine field values from different member
+    records (the point of field-level over record-level
+    survivorship).  Ties on ``ts_col`` break by the field value
+    (max), making the pick deterministic; fields null in every member
+    stay null; ``n_members`` counts the cluster's rows.
+
+    Pair with :func:`resolve_entities`: its ``cluster_id`` is this
+    operator's ``cluster_col``.
+
+    Scale notes: ONE map-side-combined aggregation — per field a
+    ``max(struct(ts, value))`` over structs built only when the field
+    is non-null (aggregates skip null structs, which is exactly the
+    "latest NON-NULL" semantics; the same null-conditional-struct
+    idiom works verbatim in SQL engines for the oracle).  No windows,
+    no joins, no second shuffle; skewed clusters reduce in the
+    combiner.
+    """
+    from ..functions.util import as_list
+
+    fields = as_list(fields)
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    aggs = [F.count("*").alias("n_members")]
+    for f in fields:
+        pick = F.max(F.when(F.col(f).isNotNull(),
+                            F.struct(F.col(ts_col).alias("ts"),
+                                     F.col(f).alias("v"))))
+        aggs.append(pick.getField("v").alias(f))
+    return df.groupBy(cluster_col).agg(*aggs)

@@ -363,3 +363,53 @@ def calendar_features(df: DataFrame, ts_col: str = "ts") -> DataFrame:
                         F.when(dow.isNotNull(),
                                dow.isin(0, 6)))
             .withColumn("days_since_epoch", days))
+
+
+def gap_stats(df: DataFrame, partition_by, order_by: str = "ts",
+              threshold_ms: int = 3_600_000,
+              tiebreak: Sequence[str] | str = ()) -> DataFrame:
+    """Per-entity inactivity-gap summary over the time-ordered event
+    stream: ``(entity…, n_obs, n_gaps, max_gap_ms, median_gap_ms,
+    n_gaps_over)`` where a gap is the millisecond delta between
+    consecutive events (``n_gaps = n_obs - 1``) and ``n_gaps_over``
+    counts gaps strictly greater than ``threshold_ms`` — the broken-
+    sensor / churn-risk inactivity feature.  Rows with null time are
+    dropped; single-event entities report ``n_gaps 0`` with null gap
+    stats.  ``order_by`` may be a timestamp or an epoch-millisecond
+    integer column (the :func:`trend_features` convention).
+
+    ``median_gap_ms`` uses the exact ``percentile`` aggregate (linear
+    interpolation — the DuckDB ``quantile_cont`` definition), over
+    integer gaps: midpoints are x.0 or x.5 exactly, engine-portable.
+
+    Plan shape: one lag window + one map-side-combined aggregation on
+    the same entity key (Exchange reused) — the :func:`autocorr`
+    shape.  The percentile state is the entity's gap list on one
+    reducer; for 10^8+-event entities swap in
+    ``quantiles.grouped_exact_quantiles``.
+    """
+    parts = _as_list(partition_by)
+    if threshold_ms < 0:
+        raise ValueError(f"threshold_ms must be >= 0, got {threshold_ms}")
+    is_ts = dict(df.dtypes).get(order_by, "").startswith("timestamp")
+    ms = (F.unix_millis(F.col(order_by).cast("timestamp")) if is_ts
+          else F.col(order_by).cast("long"))
+    order = [F.col(order_by)] + [F.col(c) for c in _as_list(tiebreak)]
+    w = Window.partitionBy(*parts).orderBy(*order)
+    obs = (df.where(F.col(order_by).isNotNull())
+           .select(*parts, ms.alias("__ms"),
+                   *[F.col(c) for c in _as_list(tiebreak)]))
+    # re-derive the order on the projected columns (ms preserves it)
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("__ms"), *[F.col(c) for c in _as_list(tiebreak)])
+    lagged = obs.select(
+        *parts, "__ms",
+        (F.col("__ms") - F.lag("__ms").over(w)).alias("__gap"))
+    return (lagged.groupBy(*parts)
+            .agg(F.count("*").alias("n_obs"),
+                 F.count("__gap").alias("n_gaps"),
+                 F.max("__gap").alias("max_gap_ms"),
+                 F.expr("percentile(__gap, 0.5)").alias("median_gap_ms"),
+                 F.coalesce(F.sum(F.when(F.col("__gap")
+                                         > F.lit(threshold_ms), 1)),
+                            F.lit(0)).cast("long").alias("n_gaps_over")))

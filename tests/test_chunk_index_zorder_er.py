@@ -366,3 +366,82 @@ def test_resolve_entities_canonical_tiebreak_min_id(spark):
     # equal name lengths -> smaller id wins the canonical pick
     assert (out[7]["cluster_id"], out[7]["canonical_id"]) == (7, 7)
     assert (out[9]["cluster_id"], out[9]["canonical_id"]) == (7, 7)
+
+
+# ---------------------------------------------------------------------------
+# survivorship_merge
+
+
+def test_survivorship_merge_field_level_latest_non_null(spark):
+    from msi_preprocessing_pipeline_spark.operators.er import (
+        survivorship_merge)
+    rows = [
+        # cluster 1: email latest at t3 from row B, phone only on row A
+        (1, 1, "a@x.com", "111"),
+        (1, 3, "b@x.com", None),
+        (1, 2, None, None),
+        # cluster 2: everything null -> stays null
+        (2, 5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "cid long, ts long, email string,"
+                                     " phone string")
+    got = {r["cid"]: r for r in
+           survivorship_merge(df, "cid", "ts",
+                              ["email", "phone"]).collect()}
+    assert (got[1]["email"], got[1]["phone"], got[1]["n_members"]) \
+        == ("b@x.com", "111", 3)
+    assert (got[2]["email"], got[2]["phone"], got[2]["n_members"]) \
+        == (None, None, 1)
+    import pytest as pt
+    with pt.raises(ValueError):
+        survivorship_merge(df, "cid", "ts", [])
+
+
+def test_survivorship_merge_tie_breaks_by_value(spark):
+    from msi_preprocessing_pipeline_spark.operators.er import (
+        survivorship_merge)
+    df = spark.createDataFrame([(1, 7, "aa"), (1, 7, "zz")],
+                               "cid long, ts long, v string")
+    r = survivorship_merge(df, "cid", "ts", "v").collect()[0]
+    assert r["v"] == "zz"  # same ts: max value wins, deterministic
+
+
+# ---------------------------------------------------------------------------
+# gap_stats
+
+
+def test_gap_stats_matches_numpy(spark):
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        gap_stats)
+    rng = np.random.RandomState(17)
+    rows, series = [], {}
+    for uid in range(5):
+        ts = np.sort(rng.choice(10**6, size=rng.randint(1, 30),
+                                replace=False))
+        series[uid] = ts
+        rows += [(uid, int(t)) for t in ts]
+    rows += [(9, None)]
+    df = spark.createDataFrame(rows, "uid long, ms long")
+    got = {r["uid"]: r for r in
+           gap_stats(df, "uid", "ms", threshold_ms=50_000).collect()}
+    assert 9 not in got
+    for uid, ts in series.items():
+        gaps = np.diff(ts)
+        r = got[uid]
+        assert (r["n_obs"], r["n_gaps"]) == (len(ts), len(gaps))
+        if len(gaps) == 0:
+            assert r["max_gap_ms"] is None and r["median_gap_ms"] is None
+            assert r["n_gaps_over"] == 0
+        else:
+            assert r["max_gap_ms"] == gaps.max()
+            assert r["median_gap_ms"] == pytest.approx(
+                np.percentile(gaps, 50))
+            assert r["n_gaps_over"] == int((gaps > 50_000).sum())
+
+
+def test_gap_stats_validation(spark):
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        gap_stats)
+    df = spark.createDataFrame([(1, 1)], "uid long, ms long")
+    with pytest.raises(ValueError):
+        gap_stats(df, "uid", "ms", threshold_ms=-1)
