@@ -1964,7 +1964,11 @@ def _q_survivorship(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.er import (
         survivorship_merge)
 
+    # null-ts guard (vacuous on this data, but Spark sorts null struct
+    # fields FIRST in max(struct) while DuckDB sorts them LAST — same
+    # latent class as the top_paths/gap_stats fixes)
     ev = (_t(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull())
           .select("user_id", _ms("ts").alias("ms"),
                   F.when(F.col("event_id") % 5 == 0, F.lit(None))
                   .otherwise(F.col("value")).alias("value_n"),
@@ -4294,7 +4298,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                             else value end as value_n,
                        case when event_id % 3 = 0 then null
                             else event_type end as type_n
-                from events
+                from events where ts is not null
             ), agg as (
                 select user_id,
                        cast(count(*) as bigint) as n_members,

@@ -394,12 +394,10 @@ def gap_stats(df: DataFrame, partition_by, order_by: str = "ts",
     is_ts = dict(df.dtypes).get(order_by, "").startswith("timestamp")
     ms = (F.unix_millis(F.col(order_by).cast("timestamp")) if is_ts
           else F.col(order_by).cast("long"))
-    order = [F.col(order_by)] + [F.col(c) for c in _as_list(tiebreak)]
-    w = Window.partitionBy(*parts).orderBy(*order)
     obs = (df.where(F.col(order_by).isNotNull())
            .select(*parts, ms.alias("__ms"),
                    *[F.col(c) for c in _as_list(tiebreak)]))
-    # re-derive the order on the projected columns (ms preserves it)
+    # order on the projected integer key (ms preserves the ts order)
     w = Window.partitionBy(*parts).orderBy(
         F.col("__ms"), *[F.col(c) for c in _as_list(tiebreak)])
     lagged = obs.select(
