@@ -489,16 +489,21 @@ def _q_rollup_orders(spark, sf_dir):
 
 
 def _q_pivot_event_values(spark, sf_dir):
+    # micro-unit integer sums: a distributed float sum combines in
+    # task-completion order (the r4 covariance lesson), so the contract
+    # quantizes value per row and sums exact longs instead
     ev = _t(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
 
     def s(t):
-        return F.round(F.sum(F.when(F.col("event_type") == t,
-                                    F.col("value")).otherwise(F.lit(0.0))), 6)
+        return F.sum(F.when(F.col("event_type") == t, q)
+                     .otherwise(F.lit(0).cast("long")))
 
     return ev.groupBy("user_id").agg(
-        s("click").alias("click_sum"), s("purchase").alias("purchase_sum"),
-        s("view").alias("view_sum"), s("signup").alias("signup_sum"),
-        s("error").alias("error_sum"))
+        s("click").alias("click_sum_u"),
+        s("purchase").alias("purchase_sum_u"),
+        s("view").alias("view_sum_u"), s("signup").alias("signup_sum_u"),
+        s("error").alias("error_sum_u"))
 
 
 def _q_asof_forward(spark, sf_dir):
@@ -1040,11 +1045,15 @@ def _q_word_entropy(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.text import word_entropy
 
     docs = _t(spark, sf_dir, "documents")
-    out = word_entropy(docs)
+    # scale=9: c*ln(c) terms quantized + summed exactly — no float
+    # combine-order dependence (r4 covariance lesson); outputs compared
+    # as floor-quantized integers of the fixed-order statistic
+    out = word_entropy(docs, scale=9)
+    u6 = lambda c: F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
     return out.select(
         "doc_id", "n_words_total", "n_distinct_words",
-        F.round("word_entropy", 6).alias("entropy"),
-        F.round("type_token_ratio", 6).alias("ttr"))
+        u6("word_entropy").alias("entropy_u"),
+        u6("type_token_ratio").alias("ttr_u"))
 
 
 def _q_quantile_bin(spark, sf_dir):
@@ -1126,10 +1135,13 @@ def _q_lm_score(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.lm import lm_score
 
     tok = _tokenized_docs(spark, sf_dir)
-    out = lm_score(tok, k=0.5, vocab_size=4096)
+    # scale=9: per-bigram ln p quantized + summed exactly (no float
+    # combine-order dependence); outputs floor-quantized
+    out = lm_score(tok, k=0.5, vocab_size=4096, scale=9)
+    u6 = lambda c: F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
     return out.select("doc_id", "n_bigrams",
-                      F.round("sum_lnp", 6).alias("sum_lnp"),
-                      F.round("nll", 6).alias("nll"))
+                      u6("sum_lnp").alias("sum_lnp_u"),
+                      u6("nll").alias("nll_u"))
 
 
 def _q_context_pairs(spark, sf_dir):
@@ -1220,69 +1232,99 @@ def _q_mutual_info(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.drift import mutual_info
 
     docs = _t(spark, sf_dir, "documents")
-    out = mutual_info(docs, "lang", "source")
+    # scale=9: per-cell mi/chi2 terms quantized + summed exactly (no
+    # float combine-order dependence); outputs floor-quantized
+    out = mutual_info(docs, "lang", "source", scale=9)
+    u6 = lambda c: F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
     return out.select("n", "n_x", "n_y", "dof",
-                      F.round("mi", 6).alias("mi"),
-                      F.round("chi2", 6).alias("chi2"))
+                      u6("mi").alias("mi_u"),
+                      u6("chi2").alias("chi2_u"))
 
+
+# The embedding-family contracts all use scale=6 quantized inputs and
+# compare floor-quantized integers: a distributed float64 sum combines
+# in task-completion order, so the old round(float_sum, 6) contracts
+# could flip at rounding midpoints between engines/partitionings (the
+# round-4 covariance_embeddings driver red row).  With scale set, every
+# moment sum is exact (decimal over floor(x*1e6+0.5) integers) and the
+# final statistic is a FIXED-order double expression mirrored verbatim
+# in the DuckDB oracle — bit-identical by construction, so the
+# floor(stat*K + 0.5) outputs cannot wobble.
 
 def _q_embedding_norms(spark, sf_dir):
-    """L2 norms — JVM aggregate fold, map-only."""
+    """L2 norms — JVM aggregate fold, map-only; quantized contract."""
     from msi_preprocessing_pipeline_spark.operators.embeddings import (
         embedding_norms)
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_norms(emb).select(
-        "vec_id", F.round("l2_norm", 6).alias("l2_norm"))
+    out = embedding_norms(emb, scale=6)
+    return out.select(
+        "vec_id",
+        F.floor(F.col("l2_norm") * F.lit(1000000.0)
+                + F.lit(0.5)).alias("l2_norm_u"))
 
 
 def _q_embedding_moments(spark, sf_dir):
     """Per-position mean/variance of the embedding cloud (d-bounded
-    relation from one map-side-combined aggregation)."""
+    relation from one map-side-combined aggregation); quantized."""
     from msi_preprocessing_pipeline_spark.operators.embeddings import (
         embedding_moments)
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_moments(emb)
-    return out.select("pos", "n", F.round("mean", 6).alias("mean"),
-                      F.round("var", 6).alias("var"))
+    out = embedding_moments(emb, scale=6)
+    return out.select(
+        "pos", "n",
+        F.floor(F.col("mean") * F.lit(1000000.0)
+                + F.lit(0.5)).alias("mean_u"),
+        F.floor(F.col("var") * F.lit(1000000000.0)
+                + F.lit(0.5)).alias("var_u"))
 
 
 def _q_label_centroids(spark, sf_dir):
-    """Per-label mean embedding (class prototypes), |labels|*d-bounded."""
+    """Per-label mean embedding (class prototypes), |labels|*d-bounded;
+    quantized contract."""
     from msi_preprocessing_pipeline_spark.operators.embeddings import (
         label_centroids)
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = label_centroids(emb)
-    return out.select("label", "pos", "n",
-                      F.round("mean", 6).alias("mean"))
+    out = label_centroids(emb, scale=6)
+    return out.select(
+        "label", "pos", "n",
+        F.floor(F.col("mean") * F.lit(1000000.0)
+                + F.lit(0.5)).alias("mean_u"))
 
 
 def _q_covariance_embeddings(spark, sf_dir):
     """Sample covariance of embedding positions — distributed partial
-    outer products (mapInPandas), d^2-bounded output."""
+    outer products (mapInPandas), d^2-bounded output; exact-decimal
+    reduction + fixed-order cov expression (partition- and
+    engine-deterministic, unlike the r4 round(float,6) contract)."""
     from msi_preprocessing_pipeline_spark.operators.embeddings import (
         covariance_matrix)
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = covariance_matrix(emb)
-    return out.select("i", "j", "n", F.round("cov", 6).alias("cov"))
+    out = covariance_matrix(emb, scale=6)
+    return out.select(
+        "i", "j", "n",
+        F.floor(F.col("cov") * F.lit(1000000000.0)
+                + F.lit(0.5)).alias("cov_u"))
 
 
 def _q_centroid_distance(spark, sf_dir):
     """Distance to own-label centroid + nearest centroid label/distance
-    — broadcast-centroid Arrow pass, map-only (no explode-join)."""
+    — broadcast-centroid Arrow pass, map-only (no explode-join);
+    integer-centroid quantized contract."""
     from msi_preprocessing_pipeline_spark.operators.embeddings import (
         centroid_distance_features, label_centroids)
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = label_centroids(emb)
-    out = centroid_distance_features(emb, cents)
+    cents = label_centroids(emb, scale=6)
+    out = centroid_distance_features(emb, cents, scale=6)
+    u = lambda c: F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
     return out.select("vec_id", "label",
-                      F.round("dist_own", 6).alias("dist_own"),
+                      u("dist_own").alias("dist_own_u"),
                       "nearest_label",
-                      F.round("dist_nearest", 6).alias("dist_nearest"))
+                      u("dist_nearest").alias("dist_nearest_u"))
 
 
 def _q_pca_project(spark, sf_dir):
@@ -2360,6 +2402,18 @@ _SQL_POS = """pos as (
                      unnest(generate_series(1, len(embedding))) as u(i)
             )"""
 
+# Quantized positions (scale=6): q = floor(x*1e6 + 0.5) as an exact
+# bigint — the embedding-family contracts sum these integers exactly,
+# so results cannot depend on engine or partitioning (see the
+# _q_embedding_* docstrings).
+_SQL_POSQ = """posq as (
+                select vec_id, label, i,
+                       cast(floor(cast(embedding[i] as double)
+                            * 1000000.0 + 0.5) as bigint) as q
+                from embeddings,
+                     unnest(generate_series(1, len(embedding))) as u(i)
+            )"""
+
 # Adjacent token pairs with 1-based position (mirror of lm.doc_bigrams).
 _SQL_BG = """bg as (
                 select doc_id, cast(p as int) as pos,
@@ -2767,13 +2821,17 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             group by rollup(o_orderstatus, o_orderpriority)
         """,
         "pivot_event_values": """
+            with q as (select user_id, event_type,
+                              cast(floor(value * 1000000.0 + 0.5)
+                                   as bigint) as vq
+                       from events)
             select user_id,
-                   round(coalesce(sum(value) filter (where event_type = 'click'), 0), 6) as click_sum,
-                   round(coalesce(sum(value) filter (where event_type = 'purchase'), 0), 6) as purchase_sum,
-                   round(coalesce(sum(value) filter (where event_type = 'view'), 0), 6) as view_sum,
-                   round(coalesce(sum(value) filter (where event_type = 'signup'), 0), 6) as signup_sum,
-                   round(coalesce(sum(value) filter (where event_type = 'error'), 0), 6) as error_sum
-            from events group by 1
+                   cast(coalesce(sum(vq) filter (where event_type = 'click'), 0) as bigint) as click_sum_u,
+                   cast(coalesce(sum(vq) filter (where event_type = 'purchase'), 0) as bigint) as purchase_sum_u,
+                   cast(coalesce(sum(vq) filter (where event_type = 'view'), 0) as bigint) as view_sum_u,
+                   cast(coalesce(sum(vq) filter (where event_type = 'signup'), 0) as bigint) as signup_sum_u,
+                   cast(coalesce(sum(vq) filter (where event_type = 'error'), 0) as bigint) as error_sum_u
+            from q group by 1
         """,
         "asof_forward_next_purchase": """
             select l.event_id, l.user_id, epoch_ms(l.ts) as click_ms,
@@ -2965,8 +3023,10 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                 select doc_id,
                        sum(c) as n_words_total,
                        count(*) as n_distinct_words,
-                       sum(cast(c as double) * ln(cast(c as double)))
-                           as clnc
+                       cast(cast(sum(cast(floor(
+                            cast(c as double) * ln(cast(c as double))
+                            * 1000000000.0 + 0.5) as bigint))
+                            as bigint) as double) as clncq
                 from c group by 1
             ), full_ as (
                 select d.doc_id,
@@ -2976,7 +3036,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                            as n_distinct_words,
                        case when s.doc_id is null then 0.0
                             else ln(cast(s.n_words_total as double))
-                                 - s.clnc
+                                 - (s.clncq / 1000000000.0)
                                    / cast(s.n_words_total as double) end
                            as entropy,
                        case when s.doc_id is null then null
@@ -2986,7 +3046,9 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                 from documents d left join s using (doc_id)
             )
             select doc_id, n_words_total, n_distinct_words,
-                   round(entropy, 6) as entropy, round(ttr, 6) as ttr
+                   cast(floor(entropy * 1000000.0 + 0.5) as bigint)
+                       as entropy_u,
+                   cast(floor(ttr * 1000000.0 + 0.5) as bigint) as ttr_u
             from full_
         """,
         "quantile_bin_price": """
@@ -3557,16 +3619,22 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    from cab group by 1),
             s as (
                 select bg.doc_id, count(*) as n_bigrams,
-                       sum(ln((cast(cab.c as double) + 0.5)
-                              / (cast(ca.c_a as double) + 0.5 * 4096)))
-                           as sum_lnp
+                       cast(cast(sum(cast(floor(
+                            ln((cast(cab.c as double) + 0.5)
+                               / (cast(ca.c_a as double) + 0.5 * 4096))
+                            * 1000000000.0 + 0.5) as bigint))
+                            as bigint) as double)
+                           / 1000000000.0 as sum_lnp
                 from bg join cab using (a, b) join ca using (a)
                 group by 1
             )
             select t.doc_id,
                    cast(coalesce(s.n_bigrams, 0) as bigint) as n_bigrams,
-                   round(s.sum_lnp, 6) as sum_lnp,
-                   round(-s.sum_lnp / s.n_bigrams, 6) as nll
+                   cast(floor(s.sum_lnp * 1000000.0 + 0.5) as bigint)
+                       as sum_lnp_u,
+                   cast(floor((-s.sum_lnp
+                               / cast(s.n_bigrams as double))
+                        * 1000000.0 + 0.5) as bigint) as nll_u
             from tok t left join s using (doc_id)
         """,
         "context_pairs_docs": f"""
@@ -3659,66 +3727,99 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             from t
         """,
         "embedding_norms_vecs": """
+            with q as (
+                select vec_id,
+                       list_transform(embedding, x ->
+                           floor(cast(x as double) * 1000000.0 + 0.5))
+                           as qs
+                from embeddings
+            )
             select vec_id,
-                   round(sqrt(list_sum(list_transform(embedding,
-                         x -> cast(x as double) * cast(x as double)))),
-                         6) as l2_norm
-            from embeddings
+                   cast(floor((sqrt(list_sum(list_transform(qs,
+                            v -> v * v))) / 1000000.0)
+                        * 1000000.0 + 0.5) as bigint) as l2_norm_u
+            from q
         """,
         "embedding_moments_vecs": f"""
-            with {_SQL_POS}
-            select cast(i as int) as pos, count(*) as n,
-                   round(sum(x) / count(*), 6) as mean,
-                   round(case when count(*) >= 2 then
-                         (sum(x * x) - sum(x) * sum(x) / count(*))
-                         / (count(*) - 1) end, 6) as var
-            from pos group by 1
+            with {_SQL_POSQ},
+            a as (
+                select cast(i as int) as pos, count(*) as n,
+                       cast(count(*) as double) as nd,
+                       cast(cast(sum(q) as bigint) as double) as sx,
+                       cast(cast(sum(q * q) as bigint) as double) as sxx
+                from posq group by 1
+            )
+            select pos, n,
+                   cast(floor(((sx / nd) / 1000000.0)
+                        * 1000000.0 + 0.5) as bigint) as mean_u,
+                   case when n >= 2 then
+                        cast(floor((((sxx - sx * sx / nd) / (nd - 1.0))
+                             / 1000000000000.0)
+                             * 1000000000.0 + 0.5) as bigint) end as var_u
+            from a
         """,
         "label_centroids_vecs": f"""
-            with {_SQL_POS}
-            select label, cast(i as int) as pos, count(*) as n,
-                   round(sum(x) / count(*), 6) as mean
-            from pos group by 1, 2
+            with {_SQL_POSQ},
+            a as (
+                select label, cast(i as int) as pos, count(*) as n,
+                       cast(count(*) as double) as nd,
+                       cast(cast(sum(q) as bigint) as double) as sx
+                from posq group by 1, 2
+            )
+            select label, pos, n,
+                   cast(floor(((sx / nd) / 1000000.0)
+                        * 1000000.0 + 0.5) as bigint) as mean_u
+            from a
         """,
         "covariance_embeddings": f"""
-            with {_SQL_POS},
-            pr as (select a.i as i, b.i as j, sum(a.x * b.x) as sxy
-                   from pos a join pos b
+            with {_SQL_POSQ},
+            pr as (select a.i as i, b.i as j,
+                          cast(cast(sum(a.q * b.q) as bigint) as double)
+                              as sxy
+                   from posq a join posq b
                      on a.vec_id = b.vec_id and a.i <= b.i
                    group by 1, 2),
-            m as (select i, sum(x) as sx from pos group by 1),
-            nn as (select cast(count(*) as double) as n from embeddings
+            m as (select i,
+                         cast(cast(sum(q) as bigint) as double) as sx
+                  from posq group by 1),
+            nn as (select cast(count(*) as bigint) as n,
+                          cast(count(*) as double) as nd from embeddings
                    where embedding is not null)
-            select cast(p.i as int) as i, cast(p.j as int) as j,
-                   cast(nn.n as bigint) as n,
-                   round(case when nn.n >= 2 then
-                         (p.sxy - mi.sx * mj.sx / nn.n) / (nn.n - 1)
-                         end, 6) as cov
+            select cast(p.i as int) as i, cast(p.j as int) as j, nn.n,
+                   case when nn.n >= 2 then
+                        cast(floor((((p.sxy - mi.sx * mj.sx / nn.nd)
+                             / (nn.nd - 1.0)) / 1000000000000.0)
+                             * 1000000000.0 + 0.5) as bigint) end as cov_u
             from pr p
             join m mi on mi.i = p.i
             join m mj on mj.i = p.j
             cross join nn
         """,
         "centroid_distance_vecs": f"""
-            with {_SQL_POS},
-            cent as (select label as clabel, i, sum(x) / count(*) as m
-                     from pos group by 1, 2),
+            with {_SQL_POSQ},
+            cent as (select label as clabel, i,
+                            floor(cast(cast(sum(q) as bigint) as double)
+                                  / cast(count(*) as double) + 0.5) as mq
+                     from posq group by 1, 2),
             dists as (select p.vec_id, c.clabel,
-                             sum((p.x - c.m) * (p.x - c.m)) as d2
-                      from pos p join cent c on p.i = c.i
+                             cast(cast(sum((p.q - c.mq) * (p.q - c.mq))
+                                  as bigint) as double) as d2
+                      from posq p join cent c on p.i = c.i
                       group by 1, 2),
-            own as (select e.vec_id, e.label, sqrt(d.d2) as dist_own
+            own as (select e.vec_id, e.label, d.d2 as d2own
                     from embeddings e
                     left join dists d on d.vec_id = e.vec_id
                                      and d.clabel = e.label),
-            nearest as (select vec_id, clabel, sqrt(d2) as dist,
+            nearest as (select vec_id, clabel, d2,
                                row_number() over (partition by vec_id
                                    order by d2, clabel) as rk
                         from dists)
             select o.vec_id, o.label,
-                   round(o.dist_own, 6) as dist_own,
+                   cast(floor((sqrt(o.d2own) / 1000000.0)
+                        * 1000000.0 + 0.5) as bigint) as dist_own_u,
                    n.clabel as nearest_label,
-                   round(n.dist, 6) as dist_nearest
+                   cast(floor((sqrt(n.d2) / 1000000.0)
+                        * 1000000.0 + 0.5) as bigint) as dist_nearest_u
             from own o join nearest n on n.vec_id = o.vec_id and n.rk = 1
         """,
         "time_folds_events": """
@@ -4871,14 +4972,18 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             )
             select tot.n, tot.n_x, tot.n_y,
                    cast((tot.n_x - 1) * (tot.n_y - 1) as bigint) as dof,
-                   round(sum(case when g.o > 0
-                       then (cast(g.o as double) / cast(tot.n as double))
+                   cast(floor((cast(cast(sum(case when g.o > 0
+                       then cast(floor(
+                            (cast(g.o as double) / cast(tot.n as double))
                             * ln((cast(g.o as double)
                                   * cast(tot.n as double))
                                  / (cast(g.c_x as double)
                                     * cast(g.c_y as double)))
-                       else 0 end), 6) as mi,
-                   round(sum(
+                            * 1000000000000.0 + 0.5) as bigint)
+                       else 0 end) as bigint) as double)
+                       / 1000000000000.0)
+                       * 1000000.0 + 0.5) as bigint) as mi_u,
+                   cast(floor((cast(cast(sum(cast(floor(
                        (cast(g.o as double)
                         - cast(g.c_x as double) * cast(g.c_y as double)
                           / cast(tot.n as double))
@@ -4886,7 +4991,10 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                           - cast(g.c_x as double) * cast(g.c_y as double)
                             / cast(tot.n as double))
                        / (cast(g.c_x as double) * cast(g.c_y as double)
-                          / cast(tot.n as double))), 6) as chi2
+                          / cast(tot.n as double))
+                       * 1000000000.0 + 0.5) as bigint)) as bigint)
+                       as double) / 1000000000.0)
+                       * 1000000.0 + 0.5) as bigint) as chi2_u
             from grid g cross join tot
             group by 1, 2, 3, 4
         """,

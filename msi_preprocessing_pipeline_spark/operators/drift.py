@@ -129,7 +129,8 @@ def calibration_bins(df: DataFrame, score_col: str, label_col: str,
                        pos_rate.alias("pos_rate"))
 
 
-def mutual_info(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+def mutual_info(df: DataFrame, x_col: str, y_col: str,
+                scale: int | None = None) -> DataFrame:
     """Mutual information (nats) and chi-square between two CATEGORICAL
     columns — the feature-relevance screen ("does this feature carry
     signal about the label?") and its independence test, as one tiny
@@ -147,6 +148,13 @@ def mutual_info(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     map-side-combined count aggregation plus |X|/|Y|-bounded margin
     joins and a final single-row reduce.  Quantile-bin continuous
     features first (``encoding.quantile_bin``).
+
+    ``scale`` (e.g. 9): each per-cell term — a deterministic scalar of
+    exact integer counts — is quantized (mi at ``10^(s+3)`` units since
+    its terms are ≤1-magnitude probabilities, chi2 at ``10^s``) and
+    summed exactly (decimal for chi2, whose terms can reach ``n``), so
+    neither statistic depends on the combine order of a distributed
+    float sum.
     """
     cell = (df.groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
             .agg(F.count("*").alias("o")))
@@ -169,21 +177,36 @@ def mutual_info(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     n = F.col("_n").cast("double")
     e = F.col("c_x").cast("double") * F.col("c_y").cast("double") / n
     p_xy = F.col("o").cast("double") / n
-    mi_term = F.when(
-        F.col("o") > 0,
-        p_xy * F.log((F.col("o").cast("double") * n)
-                     / (F.col("c_x").cast("double")
-                        * F.col("c_y").cast("double")))).otherwise(F.lit(0.0))
-    chi_term = (F.col("o").cast("double") - e) * \
+    mi_raw = p_xy * F.log((F.col("o").cast("double") * n)
+                          / (F.col("c_x").cast("double")
+                             * F.col("c_y").cast("double")))
+    chi_raw = (F.col("o").cast("double") - e) * \
         (F.col("o").cast("double") - e) / e
+    if scale is None:
+        mi_term = (F.when(F.col("o") > 0, mi_raw)
+                   .otherwise(F.lit(0.0)))
+        mi_sum = F.sum(mi_term).alias("mi")
+        chi_sum = F.sum(chi_raw).alias("chi2")
+        sel_mi, sel_chi = F.col("mi"), F.col("chi2")
+    else:
+        mi_q = (F.when(F.col("o") > 0,
+                       F.floor(mi_raw * F.lit(float(10 ** (scale + 3)))
+                               + F.lit(0.5)))
+                .otherwise(F.lit(0).cast("long")))
+        chi_q = F.floor(chi_raw * F.lit(float(10 ** scale)) + F.lit(0.5))
+        mi_sum = F.sum(mi_q).alias("mi")
+        chi_sum = F.sum(chi_q.cast("decimal(38,0)")).alias("chi2")
+        sel_mi = (F.col("mi").cast("double")
+                  / F.lit(float(10 ** (scale + 3))))
+        sel_chi = (F.col("chi2").cast("double")
+                   / F.lit(float(10 ** scale)))
     return g.groupBy("_n", "_nx", "_ny").agg(
-        F.sum(mi_term).alias("mi"),
-        F.sum(chi_term).alias("chi2"),
+        mi_sum, chi_sum,
     ).select(F.col("_n").alias("n"),
              F.col("_nx").alias("n_x"),
              F.col("_ny").alias("n_y"),
              ((F.col("_nx") - 1) * (F.col("_ny") - 1)).alias("dof"),
-             "mi", "chi2")
+             sel_mi.alias("mi"), sel_chi.alias("chi2"))
 
 
 def ks_stat(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:

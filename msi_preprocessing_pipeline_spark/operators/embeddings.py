@@ -19,8 +19,17 @@ distributed moments, broadcast it, score every row map-only.
 
 Cross-engine exactness notes: float32·float32 products are EXACT in
 float64 (24-bit mantissas), so every partial term here equals the SQL
-oracle's term bit-for-bit; only summation order differs, which the
-6-dp rounding in the driver queries absorbs.
+oracle's term bit-for-bit — but distributed float64 SUMS combine in
+task-completion order, so `round(sum, 6)` contracts flip at rounding
+midpoints (the round-4 `covariance_embeddings` driver red row).  Every
+aggregating operator here therefore takes an optional ``scale``: when
+set, inputs are quantized to ``floor(x * 10**scale + 0.5)`` integers
+(each step IEEE — Spark, DuckDB and numpy agree bit-for-bit) and all
+moment sums run in exact integer/decimal space; only the final
+statistic touches floating point, via a FIXED-order expression both
+engines evaluate identically.  Same discipline as
+``sequences.autocorr`` / ``trend_features``.  ``scale=None`` keeps the
+raw float64 path (faster; for contracts use ``scale``).
 """
 
 from __future__ import annotations
@@ -44,11 +53,35 @@ def _sq_norm(vec_col: str):
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _quant(x, scale: int):
+    """``floor(x * 10**scale + 0.5)`` as a double-valued integer —
+    each step is a single IEEE op, so Spark / DuckDB / numpy produce
+    the identical integer for the identical input."""
+    return F.floor(x.cast("double") * F.lit(float(10 ** scale))
+                   + F.lit(0.5)).cast("double")
+
+
+_DEC = "decimal(38,0)"
+
+
 def embedding_norms(df: DataFrame, vec_col: str = "embedding",
-                    out_col: str = "l2_norm") -> DataFrame:
+                    out_col: str = "l2_norm",
+                    scale: int | None = None) -> DataFrame:
     """L2 norm of each embedding — JVM ``aggregate`` fold, map-only.
-    Null vectors get a null norm."""
-    return df.withColumn(out_col, F.sqrt(_sq_norm(vec_col)))
+    Null vectors get a null norm.
+
+    With ``scale``, each component is quantized first and the fold
+    sums exact integer squares (``Σq² ≤ d·(|x|·10^s)²`` must stay
+    under 2⁵³ — at d=64, s=6, |x|≤1 that is 6.4e13, fine), so the
+    sum is order-free and ``sqrt(Σq²)/10^s`` is the same double on
+    every engine and partitioning."""
+    if scale is None:
+        return df.withColumn(out_col, F.sqrt(_sq_norm(vec_col)))
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: _quant(x, scale)),
+        F.lit(0.0), lambda acc, q: acc + q * q)
+    return df.withColumn(
+        out_col, F.sqrt(sq) / F.lit(float(10 ** scale)))
 
 
 def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
@@ -66,48 +99,94 @@ def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
 # per-position moments & label centroids (position-exploded aggregations)
 
 
-def embedding_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def embedding_moments(df: DataFrame, vec_col: str = "embedding",
+                      scale: int | None = None) -> DataFrame:
     """Per-position mean/variance relation ``(pos, n, mean, var)`` with
     1-based ``pos`` and sample variance (ddof=1; null when n<2).
 
     posexplode → ONE map-side-combined aggregation to a d-sized
     relation.  The d× row blowup never shuffles raw rows: partial
     aggregation reduces each task to d rows before the exchange.
+
+    With ``scale``, inputs are quantized and the moment sums run in
+    exact decimal integers; the returned ``mean``/``var`` are then a
+    FIXED-order double expression over those exact sums —
+    ``mean = (Sx/n)/10^s``, ``var = ((Sxx − Sx·Sx/n)/(n−1))/10^2s``
+    — identical on every engine and partitioning (each sum must stay
+    under 2⁵³ for the exact double cast: ``n·(|x|·10^s)² < 2^53``,
+    i.e. ~9e6 rows at s=6, |x|≤1; raise above that by lowering s).
     """
+    if scale is None:
+        pos = df.select(F.posexplode(vec_col).alias("pos0", "x"))
+        x = F.col("x").cast("double")
+        agg = (pos.groupBy((F.col("pos0") + 1).alias("pos"))
+               .agg(F.count("*").alias("n"),
+                    F.sum(x).alias("_sx"),
+                    F.sum(x * x).alias("_sxx")))
+        n = F.col("n").cast("double")
+        mean = F.col("_sx") / n
+        var = F.when(F.col("n") >= 2,
+                     (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n)
+                     / (n - 1))
+        return agg.select("pos", "n", mean.alias("mean"),
+                          var.alias("var"))
     pos = df.select(F.posexplode(vec_col).alias("pos0", "x"))
-    x = F.col("x").cast("double")
+    q = _quant(F.col("x"), scale)
     agg = (pos.groupBy((F.col("pos0") + 1).alias("pos"))
            .agg(F.count("*").alias("n"),
-                F.sum(x).alias("_sx"),
-                F.sum(x * x).alias("_sxx")))
+                F.sum(q.cast(_DEC)).alias("_sx"),
+                F.sum((q * q).cast(_DEC)).alias("_sxx")))
     n = F.col("n").cast("double")
-    mean = F.col("_sx") / n
-    var = F.when(F.col("n") >= 2,
-                 (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n)
-                 / (n - 1))
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    mean = (sx / n) / F.lit(float(10 ** scale))
+    var = F.when(
+        F.col("n") >= 2,
+        ((sxx - sx * sx / n) / (n - F.lit(1.0)))
+        / F.lit(float(10 ** (2 * scale))))
     return agg.select("pos", "n", mean.alias("mean"), var.alias("var"))
 
 
 def label_centroids(df: DataFrame, label_col: str = "label",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    scale: int | None = None) -> DataFrame:
     """Per-label mean-embedding relation ``(label, pos, n, mean)``
     (1-based ``pos``) — the class-prototype features.  One
     map-side-combined aggregation to a |labels|·d-sized relation;
-    null labels are a real group."""
+    null labels are a real group.
+
+    With ``scale``, adds ``mean_q`` — the centroid mean re-quantized
+    to ``10^-scale`` units as an exact integer (``floor(Sx/n + 0.5)``
+    over the exact decimal sum) — and makes ``mean`` the fixed-order
+    ``(Sx/n)/10^s`` double.  ``mean_q`` is what
+    :func:`centroid_distance_features` consumes in its deterministic
+    path: integer centroids make every distance an exact-integer sum.
+    """
     pos = df.select(F.col(label_col).alias("label"),
                     F.posexplode(vec_col).alias("pos0", "x"))
-    x = F.col("x").cast("double")
-    return (pos.groupBy("label", (F.col("pos0") + 1).alias("pos"))
-            .agg(F.count("*").alias("n"),
-                 (F.sum(x) / F.count("*")).alias("mean")))
+    if scale is None:
+        x = F.col("x").cast("double")
+        return (pos.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+                .agg(F.count("*").alias("n"),
+                     (F.sum(x) / F.count("*")).alias("mean")))
+    q = _quant(F.col("x"), scale)
+    agg = (pos.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+           .agg(F.count("*").alias("n"),
+                F.sum(q.cast(_DEC)).alias("_sx")))
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    return agg.select(
+        "label", "pos", "n",
+        ((sx / n) / F.lit(float(10 ** scale))).alias("mean"),
+        F.floor(sx / n + F.lit(0.5)).alias("mean_q"))
 
 
 # ---------------------------------------------------------------------------
 # covariance (distributed partial outer products)
 
 
-def covariance_matrix(df: DataFrame,
-                      vec_col: str = "embedding") -> DataFrame:
+def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
+                      scale: int | None = None) -> DataFrame:
     """Sample covariance relation ``(i, j, n, cov)`` over the embedding
     positions (1-based, upper triangle ``i <= j``, ddof=1).
 
@@ -120,8 +199,13 @@ def covariance_matrix(df: DataFrame,
     (an earlier marginal-rows + self-join shape re-ran the corpus scan
     four times — pinned against in ``test_plan_shapes``).  d²-bounded
     output; raw rows never shuffle.  Ragged embedding lengths raise.
+
+    With ``scale``, the partials are int64 ``Mqᵀ·Mq`` over quantized
+    inputs, cross-partition reduction is exact decimal, and ``cov`` is
+    the fixed-order ``((Sxy − Sx·Sy/n)/(n−1))/10^2s`` double — the
+    same value on every engine and partitioning.
     """
-    agg = _cov_agg(df, vec_col)
+    agg = _cov_agg(df, vec_col, scale=scale)
     # cross-partition ragged guard: a partition seeing only d'-length
     # vectors passes the per-partition check, but its pairs then carry a
     # smaller _n than pairs involving positions > d'. All-equal _n over
@@ -130,23 +214,42 @@ def covariance_matrix(df: DataFrame,
     w = Window.partitionBy()
     consistent = (F.min("_n").over(w) == F.max("_n").over(w))
     n = F.col("_n")
-    cov = F.when(n >= 2, (F.col("_sxy")
-                          - F.col("_sx") * F.col("_sy") / n) / (n - 1))
+    if scale is None:
+        cov = F.when(n >= 2, (F.col("_sxy")
+                              - F.col("_sx") * F.col("_sy") / n) / (n - 1))
+    else:
+        nd = n.cast("double")
+        sxy = F.col("_sxy").cast("double")
+        sx = F.col("_sx").cast("double")
+        sy = F.col("_sy").cast("double")
+        cov = F.when(n >= 2,
+                     ((sxy - sx * sy / nd) / (nd - F.lit(1.0)))
+                     / F.lit(float(10 ** (2 * scale))))
     guarded = F.when(consistent, cov).otherwise(F.raise_error(F.lit(
         "covariance_matrix: ragged embedding lengths across partitions")))
     return agg.select("i", "j", n.cast("long").alias("n"),
                       guarded.alias("cov"))
 
 
-def _cov_agg(df: DataFrame, vec_col: str) -> DataFrame:
+def _cov_agg(df: DataFrame, vec_col: str,
+             scale: int | None = None) -> DataFrame:
     """The shared one-scan covariance aggregation:
-    ``(i, j, _sxy, _sx, _sy, _n)`` per upper-triangle pair."""
+    ``(i, j, _sxy, _sx, _sy, _n)`` per upper-triangle pair.
+
+    ``scale=None``: float64 partials (fast path; last-ulp sums vary
+    with partitioning).  ``scale`` set: inputs quantized to
+    ``floor(x·10^s + 0.5)`` int64, partials accumulated in exact int64
+    (guarded against overflow), reduced with exact decimal sums —
+    bit-reproducible under any partitioning.
+    """
     name = vec_col
+    qmul = None if scale is None else float(10 ** scale)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         total = None
         sums = None
         n = 0
+        qmax = 0
         for pdf in batches:
             vecs = pdf[name].dropna()
             if not len(vecs):
@@ -158,17 +261,29 @@ def _cov_agg(df: DataFrame, vec_col: str) -> DataFrame:
                     f"ragged embedding lengths in batch: "
                     f"{lens.min()}..{lens.max()}")
             M = np.stack(vecs.to_numpy()).astype(np.float64)
+            if qmul is not None:
+                M = np.floor(M * qmul + 0.5)
+                qmax = max(qmax, float(np.abs(M).max(initial=0.0)))
+                M = M.astype(np.int64)
             if total is None:
                 total = M.T @ M
-                sums = M.sum(axis=0)
+                sums = M.sum(axis=0, dtype=M.dtype)
             else:
                 if M.shape[1] != total.shape[0]:
                     raise ValueError(
                         f"ragged embedding length: {M.shape[1]} vs "
                         f"{total.shape[0]}")
                 total += M.T @ M
-                sums += M.sum(axis=0)
+                sums += M.sum(axis=0, dtype=M.dtype)
             n += len(M)
+            if qmul is not None and n * qmax * qmax > float(2 ** 62):
+                # int64 matmul wraps silently on overflow — fail fast
+                # while the bound (rows-so-far × max|q|²) still proves
+                # every accumulated partial is exact
+                raise OverflowError(
+                    f"covariance partials would overflow int64: "
+                    f"{n} rows with max|q|={qmax:.0f} at scale={scale}; "
+                    f"lower scale or repartition finer")
         if total is None:
             return
         d = total.shape[0]
@@ -177,17 +292,27 @@ def _cov_agg(df: DataFrame, vec_col: str) -> DataFrame:
             "i": iu + 1, "j": ju + 1,
             "s_xy": total[iu, ju],
             "s_xi": sums[iu], "s_xj": sums[ju],
-            "cnt": np.full(len(iu), float(n)),
+            "cnt": np.full(len(iu), n,
+                           dtype=np.int64 if qmul else np.float64),
         })
 
+    if scale is None:
+        parts = df.select(vec_col).mapInPandas(
+            partials,
+            schema="i int, j int, s_xy double, s_xi double, s_xj double, "
+                   "cnt double")
+        return (parts.groupBy("i", "j")
+                .agg(F.sum("s_xy").alias("_sxy"),
+                     F.sum("s_xi").alias("_sx"),
+                     F.sum("s_xj").alias("_sy"),
+                     F.sum("cnt").alias("_n")))
     parts = df.select(vec_col).mapInPandas(
         partials,
-        schema="i int, j int, s_xy double, s_xi double, s_xj double, "
-               "cnt double")
+        schema="i int, j int, s_xy long, s_xi long, s_xj long, cnt long")
     return (parts.groupBy("i", "j")
-            .agg(F.sum("s_xy").alias("_sxy"),
-                 F.sum("s_xi").alias("_sx"),
-                 F.sum("s_xj").alias("_sy"),
+            .agg(F.sum(F.col("s_xy").cast(_DEC)).alias("_sxy"),
+                 F.sum(F.col("s_xi").cast(_DEC)).alias("_sx"),
+                 F.sum(F.col("s_xj").cast(_DEC)).alias("_sy"),
                  F.sum("cnt").alias("_n")))
 
 
@@ -289,7 +414,8 @@ def pca_project(df: DataFrame, model: PCAModel,
 
 def centroid_distance_features(df: DataFrame, centroids,
                                label_col: str = "label",
-                               vec_col: str = "embedding") -> DataFrame:
+                               vec_col: str = "embedding",
+                               scale: int | None = None) -> DataFrame:
     """Distance features against a bounded centroid set: per row, the
     euclidean distance to the row's OWN label centroid (null when the
     label has no centroid) and the nearest centroid's label + distance
@@ -303,6 +429,14 @@ def centroid_distance_features(df: DataFrame, centroids,
     at d=64, L=10 — this stays map-only).  Null embeddings keep their
     row with null distances; a label absent from the centroid set gets
     a null ``dist_own`` but is still scored for the nearest centroid.
+
+    With ``scale``, ``centroids`` must carry the integer ``mean_q``
+    column (from ``label_centroids(..., scale=s)``): row embeddings
+    are quantized the same way, so every squared distance is an exact
+    integer sum (order-free; ``d·(2·|x|·10^s)² < 2^53`` — 2.3e14 at
+    d=64, s=6, |x|≤1) and ``sqrt(d2)/10^s`` plus the
+    ``(d2, label)``-ordered nearest pick are identical on every
+    engine and partitioning.
     """
     rows = centroids.collect()
     if not rows:
@@ -312,7 +446,8 @@ def centroid_distance_features(df: DataFrame, centroids,
     C = np.zeros((len(labels), d))
     lab_idx = {lab: i for i, lab in enumerate(labels)}
     for r in rows:
-        C[lab_idx[r.label], r.pos - 1] = r.mean
+        C[lab_idx[r.label], r.pos - 1] = (r.mean if scale is None
+                                          else float(r.mean_q))
     label_type = centroids.schema["label"].dataType.simpleString()
     out_schema = (f"dist_own double, nearest_label {label_type}, "
                   "dist_nearest double")
@@ -332,13 +467,19 @@ def centroid_distance_features(df: DataFrame, centroids,
                 idxs = np.nonzero(mask)[0]
                 M = np.stack(
                     pdf[vec_col].iloc[idxs].to_numpy()).astype(np.float64)
+                if scale is not None:
+                    M = np.floor(M * float(10 ** scale) + 0.5)
                 # (n, L) squared distances via ||x||² - 2xC + ||c||² is
                 # the fast form but loses bitwise agreement with the SQL
                 # oracle's Σ(x−c)²; with bounded L the direct form is fine
+                # (and with scale set, every (q−m)² term and their sum
+                # are exact integers in float64 — order-free)
                 diffs = M[:, None, :] - C[None, :, :]      # (n, L, d)
                 d2 = np.einsum("nld,nld->nl", diffs, diffs)
                 dist = np.sqrt(d2)
-                nearest = dist.argmin(axis=1)
+                if scale is not None:
+                    dist = dist / float(10 ** scale)
+                nearest = d2.argmin(axis=1)
                 own = [lab_idx.get(v, -1)
                        for v in pdf[label_col].iloc[idxs]]
                 for r, (ri, o) in enumerate(zip(idxs, own)):

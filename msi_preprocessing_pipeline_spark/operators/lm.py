@@ -127,7 +127,8 @@ def unigram_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
 def lm_score(df: DataFrame, tokens_col: str = "tokens",
              id_col: str = "doc_id", k: float = 0.5,
              vocab_size: int = 1 << 16,
-             counts: DataFrame | None = None) -> DataFrame:
+             counts: DataFrame | None = None,
+             scale: int | None = None) -> DataFrame:
     """Per-document add-k-smoothed bigram negative log-likelihood — the
     CCNet-style LM quality score (low = fluent under the corpus model).
 
@@ -148,6 +149,12 @@ def lm_score(df: DataFrame, tokens_col: str = "tokens",
     (observed-bigram-bounded) count relations — AQE broadcasts them when
     small — → one per-doc partial-aggregated sum.  No Python, no
     driver-side state.
+
+    ``scale`` (e.g. 9): each per-bigram ``ln p`` — a deterministic
+    scalar of exact integer counts — is quantized to
+    ``floor(lnp·10^s + 0.5)`` and summed as exact integers, removing
+    the float-sum combine-order hazard; ``sum_lnp`` is then within
+    ``n_bigrams·10^-s`` of the raw value.
     """
     big = doc_bigrams(df, tokens_col, id_col)
     cnt_ab = (counts if counts is not None
@@ -158,13 +165,20 @@ def lm_score(df: DataFrame, tokens_col: str = "tokens",
                  + F.lit(float(k)))
                 / (F.coalesce(F.col("c_a"), F.lit(0)).cast("double")
                    + F.lit(float(k) * int(vocab_size))))
+    if scale is None:
+        lnp_sum = F.sum(lnp).alias("__slnp")
+        unq = F.col("__slnp")
+    else:
+        lnp_sum = F.sum(F.floor(
+            lnp * F.lit(float(10 ** scale)) + F.lit(0.5))).alias("__slnp")
+        unq = F.col("__slnp").cast("double") / F.lit(float(10 ** scale))
     scored = (big.join(cnt_ab, ["a", "b"], "left")
               .join(cnt_a, ["a"], "left")
               .groupBy(id_col)
-              .agg(F.count("*").alias("n_bigrams"),
-                   F.sum(lnp).alias("sum_lnp")))
+              .agg(F.count("*").alias("n_bigrams"), lnp_sum))
     out = (df.select(id_col)
-           .join(scored, [id_col], "left")
+           .join(scored.select(id_col, "n_bigrams",
+                               unq.alias("sum_lnp")), [id_col], "left")
            .select(F.col(id_col),
                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                    F.col("sum_lnp"),

@@ -255,7 +255,8 @@ def repetition_metrics(df: DataFrame, n: int = 2, text_col: str = "text",
 
 
 def word_entropy(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 scale: int | None = None) -> DataFrame:
     """Per-document word-distribution diversity signals: Shannon entropy
     of the word frequency distribution (natural log) and the type-token
     ratio — low values flag boilerplate/repetitive documents that the
@@ -268,20 +269,37 @@ def word_entropy(df: DataFrame, text_col: str = "text",
     explode (JVM) → (doc, word) count aggregation → per-doc entropy
     reduce — two map-side-combined shuffles, no Python, same cost class
     as ``tfidf_top_terms``.
+
+    ``scale`` (e.g. 9): each ``c·ln c`` term — a deterministic scalar
+    of an exact integer count — is quantized to ``floor(t·10^s + 0.5)``
+    and summed as exact integers, so the entropy no longer depends on
+    the float-sum combine order (run-to-run partition-order hazard);
+    the result is the entropy of the quantized terms, within
+    ``~n·10^-s`` of the raw value.  Term bound: ``n·ln n · 10^s`` per
+    doc must stay inside int64 (~9e18) — 1e9 words/doc at s=9.
     """
     words = (df.select(F.col(id_col),
                        F.explode(words_col(text_col)).alias("word"))
              .where(F.col("word") != ""))
     counts = words.groupBy(id_col, "word").agg(F.count("*").alias("c"))
+    cd = F.col("c").cast("double")
     # window-free formulation: H = ln(n) - (Σ c·ln c)/n  — one groupBy,
     # no per-doc-total window pass
+    if scale is None:
+        clnc_sum = F.sum(cd * F.log(cd)).alias("__clnc")
+    else:
+        clnc_sum = F.sum(F.floor(
+            cd * F.log(cd) * F.lit(float(10 ** scale))
+            + F.lit(0.5))).alias("__clnc")
     stats = counts.groupBy(id_col).agg(
         F.sum("c").alias("n_words_total"),
-        F.sum(F.col("c").cast("double")
-              * F.log(F.col("c").cast("double"))).alias("__clnc"),
+        clnc_sum,
         F.count("*").alias("n_distinct_words"))
-    ent = (F.log(F.col("n_words_total").cast("double"))
-           - F.col("__clnc") / F.col("n_words_total").cast("double"))
+    nwd = F.col("n_words_total").cast("double")
+    clnc = (F.col("__clnc") if scale is None
+            else F.col("__clnc").cast("double")
+            / F.lit(float(10 ** scale)))
+    ent = F.log(nwd) - clnc / nwd
     out = stats.select(
         id_col, "n_words_total", "n_distinct_words",
         ent.alias("word_entropy"),
