@@ -152,26 +152,39 @@ def _q_backfill(spark, sf_dir):
 
 
 def _q_rolling(spark, sf_dir):
+    # window sums of doubles differ by summation ALGORITHM across engines
+    # (DuckDB segment tree vs Spark sequential slide) — quantize the input
+    # to micro-unit longs so the frame sum is exact and the avg is one
+    # fixed division of identical operands (the r4 covariance lesson)
     ev = _t(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(-4, Window.currentRow))
-    return ev.select("event_id", "user_id",
-                     F.round(F.avg("value").over(w), 6).alias("value_avg_5"))
+    return ev.select(
+        "event_id", "user_id",
+        (F.sum(q).over(w).cast("double")
+         / F.count(F.lit(1)).over(w).cast("double")).alias("value_avg_5_u"))
 
 
 def _q_rolling_time(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.windows import rolling_range
 
     ev = (_t(spark, sf_dir, "events")
-          .select("event_id", "user_id", _ms("ts").alias("ms"), "value"))
+          .select("event_id", "user_id", _ms("ts").alias("ms"),
+                  F.floor(F.col("value") * F.lit(1000000.0)
+                          + F.lit(0.5)).alias("value")))
+    # integer micro-units in → frame sums are exact longs; avg derived by
+    # one division (Spark's built-in avg(long) would re-accumulate in
+    # float64 and reintroduce the combine-order hazard)
     out = rolling_range(ev, "value", "user_id", order_col="ms",
-                        preceding=3_600_000, fns=("count", "sum", "avg"),
+                        preceding=3_600_000, fns=("count", "sum"),
                         suffix="_1h")
     return out.select(
         "event_id", "user_id",
         F.col("value_count_1h").alias("n_1h"),
-        F.round("value_sum_1h", 6).alias("sum_1h"),
-        F.round("value_avg_1h", 6).alias("avg_1h"))
+        F.col("value_sum_1h").alias("sum_1h_u"),
+        (F.col("value_sum_1h").cast("double")
+         / F.col("value_count_1h").cast("double")).alias("avg_1h_u"))
 
 
 def _q_training_set(spark, sf_dir):
@@ -214,7 +227,9 @@ def _q_pit_agg_features(spark, sf_dir):
     spine = (ev.where(F.col("event_type") == "purchase")
              .select("event_id", "user_id", _ms("ts").alias("purchase_ms")))
     clicks = (ev.where(F.col("event_type") == "click")
-              .select("user_id", _ms("ts").alias("cms"), "value"))
+              .select("user_id", _ms("ts").alias("cms"),
+                      F.floor(F.col("value") * F.lit(1000000.0)
+                              + F.lit(0.5)).alias("value")))
     out = pit_window_agg(spine, clicks, on="user_id",
                          spine_ts="purchase_ms", event_ts="cms",
                          value_col="value", window=3_600_000,
@@ -222,8 +237,8 @@ def _q_pit_agg_features(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "purchase_ms",
         F.col("clk_count_3600000").alias("n_clicks_1h"),
-        F.round(F.coalesce(F.col("clk_sum_3600000"), F.lit(0.0)), 6)
-        .alias("sum_clicks_1h"))
+        F.coalesce(F.col("clk_sum_3600000"), F.lit(0)).cast("long")
+        .alias("sum_clicks_1h_u"))
 
 
 def _q_label_window(spark, sf_dir):
@@ -236,7 +251,9 @@ def _q_label_window(spark, sf_dir):
     spine = (ev.where(F.col("event_type") == "click")
              .select("event_id", "user_id", _ms("ts").alias("click_ms")))
     purch = (ev.where(F.col("event_type") == "purchase")
-             .select("user_id", _ms("ts").alias("pms"), "value"))
+             .select("user_id", _ms("ts").alias("pms"),
+                     F.floor(F.col("value") * F.lit(1000000.0)
+                             + F.lit(0.5)).alias("value")))
     out = pit_window_agg(spine, purch, on="user_id", spine_ts="click_ms",
                          event_ts="pms", value_col="value",
                          window=86_400_000, frame="leading",
@@ -244,8 +261,8 @@ def _q_label_window(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "click_ms",
         F.col("buy_count_86400000").alias("n_purchases_24h"),
-        F.round(F.coalesce(F.col("buy_sum_86400000"), F.lit(0.0)), 6)
-        .alias("sum_purchases_24h"),
+        F.coalesce(F.col("buy_sum_86400000"), F.lit(0)).cast("long")
+        .alias("sum_purchases_24h_u"),
         (F.col("buy_count_86400000") > 0).alias("converted_24h"))
 
 
@@ -257,7 +274,9 @@ def _q_multi_source_agg(spark, sf_dir):
     spine = (ev.where(F.col("event_type") == "purchase")
              .select("event_id", "user_id", _ms("ts").alias("purchase_ms")))
     src = lambda t: ev.where(F.col("event_type") == t).select(  # noqa: E731
-        "user_id", _ms("ts").alias("ems"), "value")
+        "user_id", _ms("ts").alias("ems"),
+        F.floor(F.col("value") * F.lit(1000000.0)
+                + F.lit(0.5)).alias("value"))
     out = pit_window_agg_multi(
         spine, on="user_id", spine_ts="purchase_ms",
         sources=[EventSource(src("click"), "ems", "value", "clk_"),
@@ -266,11 +285,11 @@ def _q_multi_source_agg(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "purchase_ms",
         F.col("clk_count_3600000").alias("n_clicks_1h"),
-        F.round(F.coalesce(F.col("clk_sum_3600000"), F.lit(0.0)), 6)
-        .alias("sum_clicks_1h"),
+        F.coalesce(F.col("clk_sum_3600000"), F.lit(0)).cast("long")
+        .alias("sum_clicks_1h_u"),
         F.col("vw_count_3600000").alias("n_views_1h"),
-        F.round(F.coalesce(F.col("vw_sum_3600000"), F.lit(0.0)), 6)
-        .alias("sum_views_1h"))
+        F.coalesce(F.col("vw_sum_3600000"), F.lit(0)).cast("long")
+        .alias("sum_views_1h_u"))
 
 
 def _q_cut_dup_spans(spark, sf_dir):
@@ -2503,22 +2522,29 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             from events
         """,
         "rolling_avg_value": """
+            with base as (
+                select event_id, user_id, ts,
+                       cast(floor(value * 1000000 + 0.5) as bigint) as q
+                from events
+            )
             select event_id, user_id,
-                   round(avg(value) over (partition by user_id
-                                          order by ts, event_id
-                                          rows between 4 preceding
-                                          and current row), 6) as value_avg_5
-            from events
+                   cast(sum(q) over w as double)
+                       / cast(count(*) over w as double) as value_avg_5_u
+            from base
+            window w as (partition by user_id order by ts, event_id
+                         rows between 4 preceding and current row)
         """,
         "rolling_time_features": """
             with base as (
-                select event_id, user_id, epoch_ms(ts) as ms, value
+                select event_id, user_id, epoch_ms(ts) as ms,
+                       cast(floor(value * 1000000 + 0.5) as bigint) as q
                 from events
             )
             select event_id, user_id,
                    count(*) over w as n_1h,
-                   round(sum(value) over w, 6) as sum_1h,
-                   round(avg(value) over w, 6) as avg_1h
+                   cast(sum(q) over w as bigint) as sum_1h_u,
+                   cast(sum(q) over w as double)
+                       / cast(count(*) over w as double) as avg_1h_u
             from base
             window w as (partition by user_id order by ms
                          range between 3600000 preceding and current row)
@@ -2547,16 +2573,17 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
         "pit_agg_features": """
             with u as (
                 select event_id, user_id, epoch_ms(ts) as ts_n,
-                       cast(null as double) as val, 1 as side
+                       cast(null as bigint) as val, 1 as side
                 from events where event_type = 'purchase'
                 union all
                 select cast(null as bigint), user_id, epoch_ms(ts),
-                       value, 0
+                       cast(floor(value * 1000000 + 0.5) as bigint), 0
                 from events where event_type = 'click'
             )
             select event_id, user_id, ts_n as purchase_ms,
                    count(val) over w as n_clicks_1h,
-                   round(coalesce(sum(val) over w, 0), 6) as sum_clicks_1h
+                   cast(coalesce(sum(val) over w, 0) as bigint)
+                       as sum_clicks_1h_u
             from u
             window w as (partition by user_id order by ts_n
                          range between 3600000 preceding and 1 preceding)
@@ -2565,17 +2592,17 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
         "label_window_conversions": """
             with u as (
                 select event_id, user_id, epoch_ms(ts) as ts_n,
-                       cast(null as double) as val, 1 as side
+                       cast(null as bigint) as val, 1 as side
                 from events where event_type = 'click'
                 union all
                 select cast(null as bigint), user_id, epoch_ms(ts),
-                       value, 0
+                       cast(floor(value * 1000000 + 0.5) as bigint), 0
                 from events where event_type = 'purchase'
             )
             select event_id, user_id, ts_n as click_ms,
                    count(val) over w as n_purchases_24h,
-                   round(coalesce(sum(val) over w, 0), 6)
-                       as sum_purchases_24h,
+                   cast(coalesce(sum(val) over w, 0) as bigint)
+                       as sum_purchases_24h_u,
                    (count(val) over w) > 0 as converted_24h
             from u
             window w as (partition by user_id order by ts_n
@@ -2586,26 +2613,26 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
         "multi_source_agg_features": """
             with u as (
                 select event_id, user_id, epoch_ms(ts) as ts_n,
-                       cast(null as double) as val, 0 as src
+                       cast(null as bigint) as val, 0 as src
                 from events where event_type = 'purchase'
                 union all
                 select cast(null as bigint), user_id, epoch_ms(ts),
-                       value, 1
+                       cast(floor(value * 1000000 + 0.5) as bigint), 1
                 from events where event_type = 'click'
                 union all
                 select cast(null as bigint), user_id, epoch_ms(ts),
-                       value, 2
+                       cast(floor(value * 1000000 + 0.5) as bigint), 2
                 from events where event_type = 'view'
             )
             select event_id, user_id, ts_n as purchase_ms,
                    count(case when src = 1 then val end) over w
                        as n_clicks_1h,
-                   round(coalesce(sum(case when src = 1 then val end)
-                                  over w, 0), 6) as sum_clicks_1h,
+                   cast(coalesce(sum(case when src = 1 then val end)
+                                 over w, 0) as bigint) as sum_clicks_1h_u,
                    count(case when src = 2 then val end) over w
                        as n_views_1h,
-                   round(coalesce(sum(case when src = 2 then val end)
-                                  over w, 0), 6) as sum_views_1h
+                   cast(coalesce(sum(case when src = 2 then val end)
+                                 over w, 0) as bigint) as sum_views_1h_u
             from u
             window w as (partition by user_id order by ts_n
                          range between 3600000 preceding and 1 preceding)
