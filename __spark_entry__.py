@@ -2196,13 +2196,39 @@ def _q_trend(spark, sf_dir):
                       q9("r2").alias("r2_n"))
 
 
+# Dict ORDER is load-bearing: the correctness driver records only the FIRST
+# 50 queries() entries.  _R5_WINDOW lists this round's 50: the four contracts
+# whose semantics changed this round (the quantized embedding/LM family —
+# covariance_embeddings was r4's one red row) plus the 46 queries that have
+# never had a driver-recorded row (r4 sessions 5-7); everything else is
+# driver-green from an earlier round and covered by CONTRACT_r05.json.
+_R5_WINDOW = [
+    "covariance_embeddings", "label_centroids_vecs",
+    "centroid_distance_vecs", "lm_score_docs",
+    "funnel_view_click_purchase", "cohort_retention_weekly",
+    "watch_time_coverage", "key_profile_events", "heavy_users_events",
+    "event_time_disorder", "pagerank_part_supplier", "pattern_vcp_users",
+    "scd2_purchase_values", "join_size_orders_lineitem",
+    "json_key_profile_events", "salted_join_segments",
+    "fingerprint_lineitem", "diff_buckets_events", "l_diversity_customers",
+    "group_sample_events", "incremental_refresh_users",
+    "merge_additive_users", "boilerplate_census_docs",
+    "remove_boilerplate_docs", "winsorize_value",
+    "triangles_supplier_coorder", "trend_value_by_user", "er_resolve_part",
+    "clustering_coeff_suppliers", "kcore_suppliers", "lump_rare_part_types",
+    "value_histogram_users", "impute_median_values",
+    "calendar_features_events", "column_profile_events", "top_paths_events",
+    "ecdf_value_by_type", "audience_overlap_types", "survivorship_users",
+    "gap_stats_users", "mutual_info_docs", "pmi_bigrams_docs",
+    "oov_rate_docs", "word_entropy_docs", "context_pairs_docs",
+    "pca_project_vecs", "recency_features_events",
+    "trailing_values_events", "embedding_norms_vecs",
+    "embedding_moments_vecs",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict ORDER is load-bearing: the correctness driver records only the
-    # FIRST 50 entries.  The 16 queries that were outside r3's window (the
-    # ANN trio has never had a driver-green row) therefore come first; the
-    # 16 simplest relational queries — all driver-green in r3 and low-risk —
-    # rotate to the back for re-rotation in r5.
-    return {
+    all_q = {
         # --- never / not driver-recorded in r3: must be inside the window ---
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
@@ -2366,6 +2392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_key_overlap": _q_user_key_overlap,
         "median_by_type": _q_median_by_type,
     }
+    assert len(_R5_WINDOW) == 50 and not set(_R5_WINDOW) - set(all_q), \
+        sorted(set(_R5_WINDOW) - set(all_q))
+    return {**{n: all_q[n] for n in _R5_WINDOW},
+            **{n: f for n, f in all_q.items() if n not in set(_R5_WINDOW)}}
 
 
 # ---------------------------------------------------------------------------

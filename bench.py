@@ -95,16 +95,24 @@ def _wide_probe(full: int) -> dict:
 
     items = 4 * full
     times = {}
-    for n in (2, full):
+    mid = min(8, full)  # inside the physical cores: SMT-free on this box
+    for n in (2, mid, full):
         with mp.Pool(n) as p:
             p.map(_hw_probe_work, range(n))  # warm the workers
             t0 = time.time()
             p.map(_hw_probe_work, range(items))
             times[n] = time.time() - t0
     eff = (times[2] / times[full]) / (full / 2)
+    # mid-width efficiency separates the two contention sources: Pool(8)
+    # stays within physical cores, so a low mid_width number is pure
+    # neighbor steal while a low full_width number with a quiet mid is
+    # just hyperthread sharing (quiet mid band ~0.9+ on this box)
+    eff_mid = (times[2] / times[mid]) / (mid / 2)
     return {
         "pool2_s": round(times[2], 3),
+        f"pool{mid}_s": round(times[mid], 3),
         f"pool{full}_s": round(times[full], 3),
+        "mid_width_parallel_efficiency": round(eff_mid, 3),
         "full_width_parallel_efficiency": round(eff, 3),
     }
 
@@ -301,6 +309,28 @@ def main() -> None:
     efficiency = (thr_mid / thr_low) / (mid_cpus / low_cpus)
     hw_ceiling = _hardware_scaling_ceiling(low_cpus, mid_cpus)
 
+    contention = {
+        "serve_reps_s": [round(t, 3) for t in serve_reps],
+        "probe_reps_s": [round(t, 3) for t in probe_reps],
+        "probe_quiet_ref_s": 0.26,
+        "probe_inflation": round(min(probe_reps) / 0.26, 2),
+        "wide_probe": wide_probe,
+    }
+    scaling = {
+        "n_cores": low_cpus,
+        "four_n_cores": mid_cpus,
+        "throughput_n": round(thr_low, 1),
+        "throughput_4n": round(thr_mid, 1),
+        "efficiency": round(efficiency, 3),
+        "hardware_ceiling_efficiency": round(hw_ceiling, 3),
+        "efficiency_vs_ceiling": round(efficiency / hw_ceiling, 3),
+        "throughput_full_width": round(thr_full, 1),
+        "full_width_cores": cpus,
+    }
+    # full record first (everything, one line), then a compact summary as
+    # the FINAL line: a consumer capturing only the output tail (the r4
+    # driver kept ~2000 chars and lost pipeline_fit to truncation) always
+    # gets a parseable JSON object with the headline numbers
     print(json.dumps({
         "metric": "asof_join_gmm_featurize_wall",
         "value": round(t_serve_full, 3),
@@ -309,25 +339,28 @@ def main() -> None:
         "sf": sf,
         "flagship_rows": n_rows,
         "throughput_rows_per_s": round(thr_full, 1),
+        "flagship_contention": contention,
+        "scaling": scaling,
+    }), flush=True)
+    print(json.dumps({
+        "metric": "asof_join_gmm_featurize_wall",
+        "value": round(t_serve_full, 3),
+        "unit": "sec",
+        "sf": sf,
+        "flagship_rows": n_rows,
+        "throughput_rows_per_s": round(thr_full, 1),
+        "queries": {
+            "pipeline_fit": queries["pipeline_fit"],
+            "pipeline_fit_cold": queries["pipeline_fit_cold"],
+            "flagship_serve": queries["flagship_serve"],
+            "n_queries_timed_in_full_record": len(queries),
+        },
         "flagship_contention": {
-            "serve_reps_s": [round(t, 3) for t in serve_reps],
-            "probe_reps_s": [round(t, 3) for t in probe_reps],
-            "probe_quiet_ref_s": 0.26,
-            "probe_inflation": round(min(probe_reps) / 0.26, 2),
+            "probe_inflation": contention["probe_inflation"],
             "wide_probe": wide_probe,
         },
-        "scaling": {
-            "n_cores": low_cpus,
-            "four_n_cores": mid_cpus,
-            "throughput_n": round(thr_low, 1),
-            "throughput_4n": round(thr_mid, 1),
-            "efficiency": round(efficiency, 3),
-            "hardware_ceiling_efficiency": round(hw_ceiling, 3),
-            "efficiency_vs_ceiling": round(efficiency / hw_ceiling, 3),
-            "throughput_full_width": round(thr_full, 1),
-            "full_width_cores": cpus,
-        },
-    }))
+        "scaling": scaling,
+    }), flush=True)
 
 
 if __name__ == "__main__":
