@@ -851,6 +851,38 @@ def _q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(sigs, bands=16, threshold=0.3)
 
 
+def _q_incremental_minhash(spark, sf_dir):
+    """Daily-increment dedup: sign only the 'new' slice (a deterministic
+    1-in-5 hash split of documents), band-join it against the full
+    signature store, emit every verified pair touching a new doc. The
+    union of these pairs across increments equals the one-shot
+    minhash_pairs run — pinned by test_incremental_minhash_equivalence;
+    the golden pins this increment's exact pairs."""
+    from msi_preprocessing_pipeline_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    is_new = F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0
+    prior_sigs = dedup.minhash_signatures(
+        docs.where(~is_new), n_hashes=64, shingle_words=3)
+    _, pairs = dedup.incremental_minhash_pairs(
+        docs.where(is_new), prior_sigs, n_hashes=64, shingle_words=3,
+        bands=16, threshold=0.3)
+    return pairs
+
+
+def _q_phash_near_dup(spark, sf_dir):
+    """Multimodal near-dup: deterministic synthetic PNM images (grouped
+    near-duplicates) decoded by the REAL pure-numpy decoder → pHash64 →
+    pigeonhole banded Hamming join (the SimHash machinery reused over the
+    phash column)."""
+    from msi_preprocessing_pipeline_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synth_media_from_ids(docs.select("doc_id"), n_groups=200)
+    hashes = mm.phash64(media, decoder="real", id_col="doc_id")
+    return mm.phash_near_pairs(hashes, id_col="doc_id", max_hamming=6)
+
+
 def _q_near_dup_clusters(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators import dedup
 
@@ -2235,6 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "tic_outlier_mask": _q_tic_outliers,
         "minhash_pairs": _q_minhash_pairs,
+        "incremental_minhash_pairs": _q_incremental_minhash,
+        "phash_near_dup": _q_phash_near_dup,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "winnowing_pairs": _q_winnowing_pairs,

@@ -250,7 +250,9 @@ def main() -> None:
                  "calendar_features_events", "column_profile_events",
                  "top_paths_events", "ecdf_value_by_type",
                  "kcore_suppliers", "audience_overlap_types",
-                 "survivorship_users", "gap_stats_users"]:
+                 "survivorship_users", "gap_stats_users",
+                 # round-5 operators
+                 "incremental_minhash_pairs", "phash_near_dup"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

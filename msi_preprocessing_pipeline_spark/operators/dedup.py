@@ -88,16 +88,7 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
     the union of verified stars connects the same component the clique
     would.
     """
-    sig_len = F.size("signature")
-    rows_per_band = (sig_len / F.lit(bands)).cast("int")
-    banded = signatures.select(
-        id_col, "signature",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
-    banded = banded.withColumn(
-        "band_key",
-        F.xxhash64(F.col("band"),
-                   F.slice("signature", F.col("band") * rows_per_band + 1,
-                           rows_per_band).cast("string")))
+    banded = minhash_bands(signatures, id_col, bands)
     left = _star_left_side(banded, ["band_key"], id_col,
                            star_over).alias("l")
     right = banded.alias("r")
@@ -108,6 +99,31 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
                      F.col("l.signature").alias("sig_a"),
                      F.col("r.signature").alias("sig_b"))
              .dropDuplicates(["doc_a", "doc_b"]))
+    return _verify_sig_pairs(pairs, threshold)
+
+
+def minhash_bands(signatures: DataFrame, id_col: str = "doc_id",
+                  bands: int = 16) -> DataFrame:
+    """The exploded LSH band-bucket relation ``(id, signature, band,
+    band_key)`` — both the join-time shape of :func:`minhash_lsh_pairs`
+    and the PERSISTED STORE shape of :func:`incremental_minhash_pairs`
+    (write it bucketed/clustered by ``band_key`` so each day's candidate
+    join is co-located instead of reshuffling the corpus)."""
+    sig_len = F.size("signature")
+    rows_per_band = (sig_len / F.lit(bands)).cast("int")
+    banded = signatures.select(
+        id_col, "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+    return banded.withColumn(
+        "band_key",
+        F.xxhash64(F.col("band"),
+                   F.slice("signature", F.col("band") * rows_per_band + 1,
+                           rows_per_band).cast("string")))
+
+
+def _verify_sig_pairs(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact signature-agreement verification shared by the batch and
+    incremental pair generators (no false positives past here)."""
     agree = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
         lambda m: m))
@@ -115,6 +131,64 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
     return (pairs.withColumn("est_jaccard", F.round(est, 6))
             .where(F.col("est_jaccard") >= F.lit(threshold))
             .select("doc_a", "doc_b", "est_jaccard"))
+
+
+def incremental_minhash_pairs(new_docs: DataFrame, prior_sigs: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n_hashes: int = 64,
+                              shingle_words: int = 3, seed: int = 7,
+                              bands: int = 16, threshold: float = 0.5,
+                              star_over: int | None = None,
+                              ) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection against a prior signature store:
+    shingle + sign ONLY the new batch, then find every verified pair that
+    involves at least one new doc — new↔new and new↔prior, never
+    prior↔prior (those were emitted when their batch arrived).
+
+    Returns ``(all_sigs, pairs)``: the updated signature store (prior rows
+    minus re-ingested ids, plus the new batch — persist it for the next
+    increment) and the new pairs ``(doc_a, doc_b, est_jaccard)``.
+
+    Equivalence contract: with the same params and no ``star_over``, the
+    union of ``pairs`` across increments equals the one-shot
+    :func:`minhash_lsh_pairs` over the full corpus — banding and
+    verification are the SAME code (``minhash_bands`` /
+    ``_verify_sig_pairs``), so band keys and scores match exactly.
+
+    Scale shape: signing is the expensive part (shingle explode over raw
+    text) and touches only the new batch. The candidate join puts the new
+    batch's bands on the LEFT (small — broadcast or few partitions) and
+    the full band relation on the RIGHT; persist the store as
+    :func:`minhash_bands` output bucketed by ``band_key`` and the join is
+    co-located with NO shuffle of the accumulated corpus. A re-ingested
+    id (present in both inputs) is re-signed and its prior store row
+    dropped, so the store keeps one signature per id.
+    """
+    new_sigs = minhash_signatures(new_docs, text_col, id_col,
+                                  n_hashes=n_hashes,
+                                  shingle_words=shingle_words, seed=seed)
+    prior_kept = prior_sigs.join(new_sigs.select(id_col), [id_col],
+                                 "left_anti")
+    all_sigs = prior_kept.unionByName(new_sigs)
+    new_bands = minhash_bands(new_sigs, id_col, bands)
+    all_bands = minhash_bands(all_sigs, id_col, bands)
+    left = _star_left_side(new_bands, ["band_key"], id_col,
+                           star_over).alias("l")
+    right = all_bands.alias("r")
+    li, ri = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    # canonical (min, max) orientation: a new↔new pair matches from both
+    # sides of the join, a new↔prior pair from one — dropDuplicates
+    # collapses both cases to one row per pair
+    pairs = (left.join(right, (F.col("l.band_key") == F.col("r.band_key"))
+                       & (li != ri))
+             .select(F.least(li, ri).alias("doc_a"),
+                     F.greatest(li, ri).alias("doc_b"),
+                     F.when(li < ri, F.col("l.signature"))
+                     .otherwise(F.col("r.signature")).alias("sig_a"),
+                     F.when(li < ri, F.col("r.signature"))
+                     .otherwise(F.col("l.signature")).alias("sig_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    return all_sigs, _verify_sig_pairs(pairs, threshold)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "doc_a",
@@ -301,8 +375,13 @@ def _simhash_chunks(n_chunks: int) -> list[tuple[int, int, int]]:
 
 def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id",
                        max_hamming: int = 3,
-                       star_over: int | None = None) -> DataFrame:
+                       star_over: int | None = None,
+                       hash_col: str = "simhash") -> DataFrame:
     """ALL pairs within Hamming distance ``max_hamming``, exactly.
+
+    Works over ANY 64-bit hash column (``hash_col``) — SimHash here,
+    pHash in :mod:`.multimodal` — the pigeonhole banding only assumes
+    near-duplicates differ in ≤ ``max_hamming`` bits.
 
     * ``max_hamming ≤ 3`` — single-round pigeonhole: ``h+1`` chunks of ≥16
       bits; any qualifying pair shares ≥1 exact chunk. Random-pair collision
@@ -318,14 +397,14 @@ def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id",
     if max_hamming <= 3:
         specs = _simhash_chunks(max_hamming + 1)
         chunks = hashes.select(
-            id_col, "simhash",
+            id_col, hash_col,
             F.explode(F.array(*[
                 F.struct(F.lit(i).alias("chunk"),
-                         F.shiftrightunsigned("simhash", start)
+                         F.shiftrightunsigned(hash_col, start)
                          .bitwiseAND(F.lit(mask)).alias("key"))
                 for i, start, mask in specs
             ])).alias("c"))
-        chunks = chunks.select(id_col, "simhash", "c.chunk", "c.key")
+        chunks = chunks.select(id_col, hash_col, "c.chunk", "c.key")
         l = _star_left_side(chunks, ["chunk", "key"], id_col,
                             star_over).alias("l")
         r = chunks.alias("r")
@@ -334,8 +413,8 @@ def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id",
                        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
                 .select(F.col(f"l.{id_col}").alias("doc_a"),
                         F.col(f"r.{id_col}").alias("doc_b"),
-                        F.col("l.simhash").alias("h_a"),
-                        F.col("r.simhash").alias("h_b"))
+                        F.col(f"l.{hash_col}").alias("h_a"),
+                        F.col(f"r.{hash_col}").alias("h_b"))
                 .dropDuplicates(["doc_a", "doc_b"]))
     elif max_hamming <= 7:
         specs = _simhash_chunks(max_hamming + 2)
@@ -346,14 +425,14 @@ def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id",
                 _, sb, mb = specs[bi]
                 pair_structs.append(F.struct(
                     F.lit(ai * len(specs) + bi).alias("chunk"),
-                    F.shiftrightunsigned("simhash", sa)
+                    F.shiftrightunsigned(hash_col, sa)
                     .bitwiseAND(F.lit(ma)).alias("key"),
-                    F.shiftrightunsigned("simhash", sb)
+                    F.shiftrightunsigned(hash_col, sb)
                     .bitwiseAND(F.lit(mb)).alias("key2")))
         chunks = (hashes.select(
-            id_col, "simhash",
+            id_col, hash_col,
             F.explode(F.array(*pair_structs)).alias("c"))
-            .select(id_col, "simhash", "c.chunk", "c.key", "c.key2"))
+            .select(id_col, hash_col, "c.chunk", "c.key", "c.key2"))
         l = _star_left_side(chunks, ["chunk", "key", "key2"], id_col,
                             star_over).alias("l")
         r = chunks.alias("r")
@@ -363,8 +442,8 @@ def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id",
                        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
                 .select(F.col(f"l.{id_col}").alias("doc_a"),
                         F.col(f"r.{id_col}").alias("doc_b"),
-                        F.col("l.simhash").alias("h_a"),
-                        F.col("r.simhash").alias("h_b"))
+                        F.col(f"l.{hash_col}").alias("h_a"),
+                        F.col(f"r.{hash_col}").alias("h_b"))
                 .dropDuplicates(["doc_a", "doc_b"]))
     else:
         raise ValueError(

@@ -43,6 +43,12 @@ PIN = [
     # matters) — deterministic, but iterative peeling is not
     # expressible in non-recursive SQL, hence a pinned golden
     ("kcore_suppliers", True),
+    # incremental minhash: same xxhash64 banding as minhash_pairs (not
+    # SQL-expressible); equivalence to the one-shot run is pytest-pinned
+    ("incremental_minhash_pairs", True),
+    # pHash: per-row numpy DCT over deterministic synthetic images —
+    # partitioning-invariant, pinned like the ANN family
+    ("phash_near_dup", True),
 ]
 
 DUCK_TYPES = {
