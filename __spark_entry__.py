@@ -883,6 +883,74 @@ def _q_phash_near_dup(spark, sf_dir):
     return mm.phash_near_pairs(hashes, id_col="doc_id", max_hamming=6)
 
 
+def _q_passage_windows(spark, sf_dir):
+    """Sliding char-window passages (retrieval corpus prep) — map-only
+    sequence+posexplode+substring, no shuffle."""
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        passage_windows)
+
+    docs = _t(spark, sf_dir, "documents")
+    return passage_windows(docs, window_chars=120, overlap=20)
+
+
+def _q_attribution(spark, sf_dir):
+    """First/last-touch attribution of purchases to clicks within 1h —
+    union + ONE window (min/max struct over a trailing range frame)."""
+    from msi_preprocessing_pipeline_spark.operators.behavior import (
+        attribution)
+
+    ev = _t(spark, sf_dir, "events")
+    conv = (ev.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", _ms("ts").alias("ms")))
+    tch = (ev.where(F.col("event_type") == "click")
+           .select("event_id", "user_id", _ms("ts").alias("ms")))
+    return attribution(conv, tch, conv_ts="ms", touch_ts="ms",
+                       horizon_ms=3_600_000)
+
+
+def _q_fs_weights(spark, sf_dir):
+    """Fellegi-Sunter record-linkage weights over labeled same-user event
+    pairs (label: within the same hour). Counts exact; the ln weights are
+    micro-quantized (libm ulp differs across engines)."""
+    from msi_preprocessing_pipeline_spark.operators.er import fs_weights
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type", "value",
+                  _ms("ts").alias("ms")))
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.event_id") < F.col("b.event_id")))
+             .select((F.col("a.event_type") == F.col("b.event_type"))
+                     .alias("type_agree"),
+                     (F.abs(F.col("a.value") - F.col("b.value"))
+                      < F.lit(1.0)).alias("val_agree"),
+                     (F.abs(F.col("a.ms") - F.col("b.ms"))
+                      < F.lit(3_600_000)).alias("is_match")))
+    out = fs_weights(pairs, ["type_agree", "val_agree"],
+                     label_col="is_match")
+    u9 = lambda c: F.floor(F.col(c) * F.lit(1e9) + F.lit(0.5))  # noqa: E731
+    return out.select("field", "n_match", "n_unmatch", "agree_match",
+                      "agree_unmatch",
+                      u9("w_agree").alias("w_agree_u"),
+                      u9("w_disagree").alias("w_disagree_u"))
+
+
+def _q_kmeans(spark, sf_dir):
+    """Distributed Lloyd's over the full embedding table (quantized
+    exact-integer centroid sums — partitioning-invariant, golden-pinned)
+    + map-only assignment."""
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        kmeans_assign, kmeans_fit)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, k=8, iters=4, scale=6)
+    out = kmeans_assign(emb, cent, scale=6)
+    return out.select(
+        "vec_id", "cluster",
+        F.floor(F.col("dist") * F.lit(1000000.0)
+                + F.lit(0.5)).alias("dist_u"))
+
+
 def _q_near_dup_clusters(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators import dedup
 
@@ -2269,6 +2337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "incremental_minhash_pairs": _q_incremental_minhash,
         "phash_near_dup": _q_phash_near_dup,
+        "passage_windows_docs": _q_passage_windows,
+        "attribution_last_touch": _q_attribution,
+        "fs_weights_events": _q_fs_weights,
+        "kmeans_vecs": _q_kmeans,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "winnowing_pairs": _q_winnowing_pairs,
@@ -3316,6 +3388,95 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) as median_value,
                    round(quantile_cont(value, 0.9), 6) as p90_value
             from events group by 1
+        """,
+        "passage_windows_docs": """
+            with base as (
+                select doc_id, text, length(text) as n
+                from documents where text is not null
+            )
+            select doc_id, k as passage_idx,
+                   k * 100 as char_start,
+                   substr(text, cast(k * 100 + 1 as int), 120) as passage
+            from base, unnest(generate_series(
+                0, (greatest(n - 120, 0) + 99) // 100
+            )) as t(k)
+        """,
+        "attribution_last_touch": """
+            with u as (
+                select event_id, user_id, epoch_ms(ts) as ms, 0 as side,
+                       event_id as tid, cast(null as bigint) as cid
+                from events where event_type = 'click'
+                union all
+                select event_id, user_id, epoch_ms(ts), 1,
+                       cast(null as bigint), event_id
+                from events where event_type = 'purchase'
+            ), w0 as (
+                select *,
+                       min(case when side = 0
+                                then {'ms': ms, 'tid': tid} end) over w as f,
+                       max(case when side = 0
+                                then {'ms': ms, 'tid': tid} end) over w as l,
+                       count(case when side = 0
+                                  then {'ms': ms, 'tid': tid} end) over w
+                           as n_touches
+                from u
+                window w as (partition by user_id order by ms
+                             range between 3600000 preceding
+                             and 1 preceding)
+            )
+            select cid as conv_id, user_id, ms as conv_ms,
+                   f.tid as first_touch_id, f.ms as first_touch_ms,
+                   l.tid as last_touch_id, l.ms as last_touch_ms,
+                   n_touches
+            from w0 where side = 1
+        """,
+        "fs_weights_events": """
+            with ev as (
+                select event_id, user_id, event_type, value,
+                       epoch_ms(ts) as ms
+                from events
+            ), pairs as (
+                select (a.event_type = b.event_type) as type_agree,
+                       (abs(a.value - b.value) < 1.0) as val_agree,
+                       (abs(a.ms - b.ms) < 3600000) as is_match
+                from ev a join ev b
+                  on a.user_id = b.user_id and a.event_id < b.event_id
+            ), c as (
+                select
+                    sum(case when is_match then 1 else 0 end) as nm,
+                    sum(case when not is_match then 1 else 0 end) as nu,
+                    sum(case when is_match and type_agree
+                             then 1 else 0 end) as am_t,
+                    sum(case when not is_match and type_agree
+                             then 1 else 0 end) as au_t,
+                    sum(case when is_match and val_agree
+                             then 1 else 0 end) as am_v,
+                    sum(case when not is_match and val_agree
+                             then 1 else 0 end) as au_v
+                from pairs
+            ), f as (
+                select 'type_agree' as field, nm, nu,
+                       am_t as am, au_t as au from c
+                union all
+                select 'val_agree', nm, nu, am_v, au_v from c
+            ), p as (
+                select field,
+                       cast(nm as bigint) as n_match,
+                       cast(nu as bigint) as n_unmatch,
+                       cast(am as bigint) as agree_match,
+                       cast(au as bigint) as agree_unmatch,
+                       (cast(am as double) + 0.5)
+                           / (cast(nm as double) + 1.0) as m,
+                       (cast(au as double) + 0.5)
+                           / (cast(nu as double) + 1.0) as u
+                from f
+            )
+            select field, n_match, n_unmatch, agree_match, agree_unmatch,
+                   cast(floor(ln(m / u) * 1e9 + 0.5) as bigint)
+                       as w_agree_u,
+                   cast(floor(ln((1 - m) / (1 - u)) * 1e9 + 0.5) as bigint)
+                       as w_disagree_u
+            from p
         """,
         "json_props": """
             select event_id,

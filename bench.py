@@ -252,7 +252,9 @@ def main() -> None:
                  "kcore_suppliers", "audience_overlap_types",
                  "survivorship_users", "gap_stats_users",
                  # round-5 operators
-                 "incremental_minhash_pairs", "phash_near_dup"]:
+                 "incremental_minhash_pairs", "phash_near_dup",
+                 "passage_windows_docs", "attribution_last_touch",
+                 "fs_weights_events", "kmeans_vecs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

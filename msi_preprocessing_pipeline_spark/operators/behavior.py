@@ -316,3 +316,63 @@ def audience_overlap(df: DataFrame, entity_col: str,
                      / (F.col("n_a") + F.col("n_b")
                         - F.coalesce("n_both", F.lit(0))).cast("double"))
                     .alias("jaccard")))
+
+
+def attribution(conversions: DataFrame, touches: DataFrame,
+                entity_col: str = "user_id", conv_ts: str = "ts",
+                touch_ts: str = "ts", touch_id: str = "event_id",
+                horizon_ms: int = 86_400_000,
+                conv_id: str = "event_id") -> DataFrame:
+    """First/last-touch conversion attribution within a lookback horizon.
+
+    For each conversion, over the touches of the same entity with
+    ``conv_ts − horizon ≤ touch_ts < conv_ts`` (strictly before — zero
+    leakage of the conversion instant itself): the earliest touch
+    (first-touch credit), the latest (last-touch credit) and the touch
+    count. Conversions with no touch in the horizon keep their row with
+    nulls (n_touches 0).
+
+    Output: ``(conv_id, entity, conv_ms, first_touch_id, first_touch_ms,
+    last_touch_id, last_touch_ms, n_touches)``.
+
+    Scale shape: the union + single-window trick shared with
+    ``training.pit_window_agg`` — tag touches side 0 / conversions side
+    1, ONE window per entity ordered by ``(ms, side)`` with a trailing
+    RANGE frame ``[−horizon, −1]``, take ``min/max(struct(ms, id))``
+    over the frame. One shuffle of the union, no join, entity skew costs
+    a scan (window state is two structs + a count). Ties among touches
+    at the same ms break by id (struct comparison) — deterministic.
+    """
+    t = touches.select(
+        F.col(entity_col).alias("__e"),
+        F.col(touch_ts).alias("__ms"),
+        F.lit(0).alias("__side"),
+        F.col(touch_id).alias("__tid"),
+        F.lit(None).alias("__cid"))
+    c = conversions.select(
+        F.col(entity_col).alias("__e"),
+        F.col(conv_ts).alias("__ms"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(touches.schema[touch_id].dataType).alias("__tid"),
+        F.col(conv_id).alias("__cid"))
+    u = t.unionByName(c)
+    w = (Window.partitionBy("__e").orderBy("__ms")
+         .rangeBetween(-int(horizon_ms), -1))
+    tch = F.when(F.col("__side") == 0,
+                 F.struct(F.col("__ms").alias("ms"),
+                          F.col("__tid").alias("tid")))
+    first = F.min(tch).over(w)
+    last = F.max(tch).over(w)
+    n = F.count(tch).over(w)
+    return (u.select("__e", "__ms", "__side", "__cid",
+                     first.alias("__f"), last.alias("__l"),
+                     n.alias("n_touches"))
+            .where(F.col("__side") == 1)
+            .select(F.col("__cid").alias("conv_id"),
+                    F.col("__e").alias(entity_col),
+                    F.col("__ms").alias("conv_ms"),
+                    F.col("__f.tid").alias("first_touch_id"),
+                    F.col("__f.ms").alias("first_touch_ms"),
+                    F.col("__l.tid").alias("last_touch_id"),
+                    F.col("__l.ms").alias("last_touch_ms"),
+                    "n_touches"))

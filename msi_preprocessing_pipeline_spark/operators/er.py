@@ -180,3 +180,58 @@ def survivorship_merge(df: DataFrame, cluster_col: str, ts_col: str,
                                      F.col(f).alias("v"))))
         aggs.append(pick.getField("v").alias(f))
     return df.groupBy(cluster_col).agg(*aggs)
+
+
+def fs_weights(pairs: DataFrame, agree_cols, label_col: str = "is_match",
+               smooth: float = 0.5) -> DataFrame:
+    """Fellegi–Sunter match/unmatch weights from labeled candidate pairs —
+    the classic probabilistic record-linkage scorer fitted as ONE tiny
+    aggregation.
+
+    Per comparison field ``f``: ``m = P(agree_f | match)`` and
+    ``u = P(agree_f | non-match)`` with add-``smooth`` Laplace smoothing,
+    and the log-weights ``w_agree = ln(m/u)``, ``w_disagree =
+    ln((1−m)/(1−u))`` a scorer adds up per field. Null agreement values
+    count as disagreement (conservative).
+
+    Output: one row per field — ``(field, n_match, n_unmatch,
+    agree_match, agree_unmatch, m, u, w_agree, w_disagree)``.
+
+    Scale shape: one map-side-combined aggregation over the pairs
+    relation to a |fields|-sized result; counts are exact int64, every
+    probability/weight is a fixed-order scalar expression of those exact
+    counts (engine-portable). At 10^12 candidate pairs this is a single
+    scan.
+    """
+    from ..functions.util import as_list
+
+    agree_cols = as_list(agree_cols)
+    lab = F.col(label_col).cast("boolean")
+    aggs = [F.sum(F.when(lab, 1).otherwise(0)).alias("_nm"),
+            F.sum(F.when(~lab, 1).otherwise(0)).alias("_nu")]
+    for c in agree_cols:
+        a = F.coalesce(F.col(c).cast("boolean"), F.lit(False))
+        aggs.append(F.sum(F.when(lab & a, 1).otherwise(0)).alias(f"_am_{c}"))
+        aggs.append(F.sum(F.when(~lab & a, 1).otherwise(0))
+                    .alias(f"_au_{c}"))
+    g = pairs.agg(*aggs)
+    s = float(smooth)
+    per_field = []
+    for c in agree_cols:
+        nm = F.col("_nm").cast("double")
+        nu = F.col("_nu").cast("double")
+        am = F.col(f"_am_{c}").cast("double")
+        au = F.col(f"_au_{c}").cast("double")
+        m = (am + F.lit(s)) / (nm + F.lit(2 * s))
+        u = (au + F.lit(s)) / (nu + F.lit(2 * s))
+        per_field.append(F.struct(
+            F.lit(c).alias("field"),
+            F.col("_nm").alias("n_match"),
+            F.col("_nu").alias("n_unmatch"),
+            F.col(f"_am_{c}").alias("agree_match"),
+            F.col(f"_au_{c}").alias("agree_unmatch"),
+            m.alias("m"), u.alias("u"),
+            F.log(m / u).alias("w_agree"),
+            F.log((F.lit(1.0) - m) / (F.lit(1.0) - u)).alias("w_disagree")))
+    return (g.select(F.explode(F.array(*per_field)).alias("r"))
+            .select("r.*"))

@@ -248,3 +248,126 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("rank") <= F.lit(k))
             .select(query_id_col, F.col(id_col).alias("neighbor_id"),
                     "cosine", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (full-corpus Lloyd's — the 100 TB path; contrast with
+# ivf_fit_centroids, which k-means a bounded collected SAMPLE)
+
+
+def _quantize_vecs(corpus: DataFrame, vec_col: str, scale: int):
+    """Embedding components → ``floor(x·10^s + 0.5)`` int64 arrays (JVM
+    transform, map-only). Exact-integer space makes every downstream sum
+    partition-order-free — the same discipline as ``embeddings.scale``."""
+    mul = float(10 ** scale)
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(mul)
+                          + F.lit(0.5)).cast("long"))
+
+
+def kmeans_fit(corpus: DataFrame, k: int = 8, vec_col: str = "embedding",
+               id_col: str = "vec_id", iters: int = 5, seed: int = 19,
+               scale: int = 6) -> np.ndarray:
+    """Distributed Lloyd's over the FULL corpus; returns the [k, dim]
+    centroid matrix in quantized (``10^-scale``) units, bit-reproducible
+    under any partitioning / cluster size.
+
+    Per iteration: broadcast the k·d centroid matrix into one Arrow pass
+    that emits per-batch partial sums (one int64 row per cluster seen —
+    NOT per input row), reduce those with exact decimal sums, collect the
+    k-row result to the driver. Raw vectors never shuffle; the per-iter
+    exchange is ≤ partitions·k rows. Determinism: inputs are quantized
+    once, partial sums are exact integers (overflow-guarded), and the new
+    centroid ``Σq/n`` is the same float64 everywhere since both operands
+    are exact; distance argmin ties break to the LOWEST cluster id.
+
+    Init: the k corpus rows with the smallest ``xxhash64(id, seed)``
+    (total order, partition-invariant — same rationale as
+    ``ivf_fit_centroids``'s hash-band sample).
+    """
+    qdf = corpus.select(id_col,
+                        _quantize_vecs(corpus, vec_col, scale).alias("q"))
+    init_rows = (qdf.select(
+        "q", F.xxhash64(F.col(id_col), F.lit(int(seed))).alias("h"))
+        .orderBy("h", "q").limit(k).collect())
+    if not init_rows:
+        raise ValueError("kmeans_fit: empty corpus")
+    centroids = np.stack([np.asarray(r.q, dtype=np.float64)
+                          for r in init_rows])
+    d = centroids.shape[1]
+    kk = centroids.shape[0]
+
+    def partials_for(cent: np.ndarray):
+        def run(batches):
+            import pandas as pd
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Mi = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+                M = Mi.astype(np.float64)
+                d2 = ((M[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)  # ties → lowest cluster id
+                qmax = float(np.abs(Mi).max(initial=0))
+                if len(Mi) * qmax > float(2 ** 62):
+                    # int64 accumulation wraps silently — fail fast while
+                    # the bound still proves the partials are exact
+                    raise OverflowError(
+                        "kmeans partial sums would overflow int64; lower "
+                        "scale or repartition finer")
+                out = {"cluster": [], "n": [], "s": []}
+                for c in np.unique(assign):
+                    members = Mi[assign == c]
+                    out["cluster"].append(int(c))
+                    out["n"].append(len(members))
+                    out["s"].append(members.sum(axis=0,
+                                                dtype=np.int64))
+                yield pd.DataFrame(out)
+        return run
+
+    sum_cols = [F.sum(F.element_at("s", i + 1).cast("decimal(38,0)"))
+                .alias(f"_s{i}") for i in range(d)]
+    for _ in range(iters):
+        parts = qdf.select("q").mapInPandas(
+            partials_for(centroids.copy()),
+            schema="cluster int, n long, s array<long>")
+        rows = (parts.groupBy("cluster")
+                .agg(F.sum("n").alias("_n"), *sum_cols)
+                .collect())
+        new_c = centroids.copy()  # empty clusters keep their centroid
+        for r in rows:
+            n = float(r["_n"])
+            new_c[r["cluster"]] = np.array(
+                [float(r[f"_s{i}"]) for i in range(d)]) / n
+        centroids = new_c
+    return centroids
+
+
+def kmeans_assign(corpus: DataFrame, centroids: np.ndarray,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  scale: int = 6) -> DataFrame:
+    """Map-only cluster assignment against a broadcast quantized-unit
+    centroid matrix (from :func:`kmeans_fit`): ``(id, cluster, dist)``
+    with ``dist`` in original units. Same quantization + argmin rule as
+    the fit, so assignments are partitioning-invariant."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    mul = float(10 ** scale)
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["q"].to_numpy()).astype(np.float64)
+            d2 = ((M[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            dist = np.sqrt(d2[np.arange(len(M)), assign]) / mul
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "cluster": assign.astype(np.int32),
+                                "dist": dist})
+
+    qdf = corpus.select(id_col,
+                        _quantize_vecs(corpus, vec_col, scale).alias("q"))
+    return qdf.mapInPandas(
+        run, schema=f"{id_col} {id_type}, cluster int, dist double")

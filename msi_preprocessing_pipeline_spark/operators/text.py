@@ -422,3 +422,43 @@ def remove_boilerplate(df: DataFrame, id_col: str = "doc_id",
                     .otherwise(n_lines - F.coalesce("__n_kept",
                                                     F.lit(0)))
                     .cast("long").alias("n_lines_removed")))
+
+
+def passage_windows(df: DataFrame, window_chars: int = 200,
+                    overlap: int = 40, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding character-window passages — the char-level sibling of
+    ``packing.chunk_tokens`` (retrieval / context-window corpus prep).
+
+    Window ``i`` starts at ``i·(window_chars − overlap)``; the last start
+    is the smallest multiple covering the tail (its window may overlap
+    more than ``overlap``). Empty/whitespace-only text still yields its
+    single (possibly empty) window 0; null text yields no rows.
+
+    Output: ``(id, passage_idx, char_start, passage)`` with 0-based
+    ``char_start``. Map-only JVM plan: one ``sequence`` + ``posexplode``
+    + ``substring`` — no Python, no shuffle; at 100 TB this is a pure
+    scan→write with the ~(1 + overlap/window) char blowup as the only
+    cost.
+    """
+    if not 0 <= overlap < window_chars:
+        raise ValueError(
+            f"need 0 <= overlap < window_chars, got {overlap} vs "
+            f"{window_chars}")
+    step = window_chars - overlap
+    n = F.length(F.col(text_col))
+    # last start index K: ceil(max(n - window, 0) / step) in pure ints
+    k_max = (F.greatest(n - F.lit(window_chars), F.lit(0))
+             + F.lit(step - 1)).cast("long") / F.lit(step)
+    k_max = k_max.cast("long")
+    out = (df.where(F.col(text_col).isNotNull())
+           .select(id_col,
+                   F.col(text_col).alias("__t"),
+                   F.posexplode(F.sequence(F.lit(0), k_max))
+                   .alias("passage_idx", "__k")))
+    start = (F.col("__k") * F.lit(step)).cast("long")
+    return out.select(
+        id_col, F.col("passage_idx").cast("long").alias("passage_idx"),
+        start.alias("char_start"),
+        F.substring(F.col("__t"), (start + 1).cast("int"),
+                    window_chars).alias("passage"))

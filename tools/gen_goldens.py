@@ -49,6 +49,9 @@ PIN = [
     # pHash: per-row numpy DCT over deterministic synthetic images —
     # partitioning-invariant, pinned like the ANN family
     ("phash_near_dup", True),
+    # distributed k-means: quantized exact-integer centroid sums make the
+    # fit partitioning-invariant (pytest-verified); iterative → golden
+    ("kmeans_vecs", True),
 ]
 
 DUCK_TYPES = {
