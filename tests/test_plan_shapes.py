@@ -461,3 +461,65 @@ def test_lump_rare_rows_never_hash_shuffle(spark):
     plan = plan_of(lump_rare(part, "p_type", min_count=3), "simple")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_passage_windows_map_only(spark):
+    """Char-window passage splitting must be one map-only JVM pass:
+    no exchange, no Python workers, no window."""
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        passage_windows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(passage_windows(docs, 120, 20), "simple")
+    assert "Exchange" not in plan and "Window" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_attribution_single_exchange_no_join(spark):
+    """Attribution is the union + ONE window shape: exactly one hash
+    exchange of the union, and no join node anywhere."""
+    from msi_preprocessing_pipeline_spark.operators.behavior import (
+        attribution)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"))
+    out = attribution(ev.where(F.col("event_id") % 2 == 0),
+                      ev.where(F.col("event_id") % 2 == 1),
+                      conv_ts="ms", touch_ts="ms", horizon_ms=1000)
+    plan = plan_of(out, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_phash_and_kmeans_assign_map_only(spark):
+    """pHash computation and k-means assignment are single Arrow passes:
+    one MapInPandas each, no exchange."""
+    import numpy as np
+    from msi_preprocessing_pipeline_spark.operators.multimodal import (
+        phash64, synth_media_from_ids)
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        kmeans_assign)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hashes = phash64(synth_media_from_ids(docs.select("doc_id")),
+                     decoder="real", id_col="doc_id")
+    plan = plan_of(hashes, "simple")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2  # media synth + phash, chained
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan2 = plan_of(kmeans_assign(emb, np.zeros((4, 64))), "simple")
+    assert "Exchange" not in plan2
+    assert plan2.count("MapInPandas") == 1
+
+
+def test_fs_weights_single_aggregation(spark):
+    """fs_weights reduces the pairs relation with ONE partial+final
+    aggregate to a single row — no window, no second scan."""
+    from msi_preprocessing_pipeline_spark.operators.er import fs_weights
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pairs = ev.select((F.col("value") > 1).alias("a1"),
+                      (F.col("value") > 2).alias("a2"),
+                      (F.col("event_id") % 2 == 0).alias("is_match"))
+    plan = plan_of(fs_weights(pairs, ["a1", "a2"]), "simple")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final
