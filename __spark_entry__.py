@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-146 queries, 146 with exact DuckDB oracles — relational SQL where expressible,
+155 queries, 155 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -933,6 +933,73 @@ def _q_fs_weights(spark, sf_dir):
                       "agree_unmatch",
                       u9("w_agree").alias("w_agree_u"),
                       u9("w_disagree").alias("w_disagree_u"))
+
+
+def _q_contamination(spark, sf_dir):
+    """Graded benchmark contamination: per-doc share of distinct 5-gram
+    shingles found in the benchmark slice (exact-int ratio)."""
+    from msi_preprocessing_pipeline_spark.operators.dedup import (
+        contamination_report)
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 41 == 0)
+    train = docs.where(~(F.col("doc_id") % 41 == 0))
+    return contamination_report(train, bench, k=5)
+
+
+def _q_ab_cuped(spark, sf_dir):
+    """A/B readout with CUPED: per-user purchase value split at a fixed
+    mid-period instant (covariate = first half), hash-assigned groups.
+    Event values quantized to micro-units BEFORE any sum, so every moment
+    is exact; outputs nano-quantized."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        ab_stats)
+
+    mid = 1_705_363_200_000  # 2024-01-16T00:00Z (events span Jan 2024)
+    ev = _t(spark, sf_dir, "events")
+    # MILLI-units (not micro): keeps every moment sum — syy is the worst,
+    # ~2e14 at sf0.1 — under 2^53, so the decimal→double cast is exact in
+    # BOTH engines (DuckDB's hugeint→double is 1-ulp off Spark's
+    # decimal→double above 2^53) and all downstream stats are identical
+    q = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+    per_user = (ev.where(F.col("event_type") == "purchase")
+                .groupBy("user_id")
+                .agg(F.sum(F.when(_ms("ts") >= mid, q)
+                           .otherwise(F.lit(0))).alias("metric"),
+                     F.sum(F.when(_ms("ts") < mid, q)
+                           .otherwise(F.lit(0))).alias("cov")))
+    # md5-based assignment (the repo's cross-engine hash idiom — DuckDB
+    # has no xxhash64): even first hex digit of md5("<id>:42") → control
+    even = F.substring(
+        F.md5(F.concat_ws(":", F.col("user_id").cast("string"),
+                          F.lit("42"))), 1, 1) \
+        .isin("0", "2", "4", "6", "8", "a", "c", "e")
+    grouped = per_user.withColumn(
+        "grp", F.when(even, F.lit("control")).otherwise(F.lit("treatment")))
+    out = ab_stats(grouped, "grp", "metric", control="control",
+                   treatment="treatment", covariate_col="cov", scale=0)
+    u9 = lambda c: F.floor(F.col(c) * F.lit(1e9) + F.lit(0.5))  # noqa: E731
+    return out.select(
+        "n_c", "n_t",
+        u9("mean_c").alias("mean_c_u"), u9("mean_t").alias("mean_t_u"),
+        u9("diff").alias("diff_u"), u9("welch_t").alias("welch_t_u"),
+        u9("theta").alias("theta_u"),
+        u9("cuped_diff").alias("cuped_diff_u"),
+        u9("cuped_t").alias("cuped_t_u"),
+        u9("var_reduction").alias("var_reduction_u"))
+
+
+def _q_token_budget(spark, sf_dir):
+    """Data-mixing recipe: per-source sampling fractions hitting a token
+    budget under ppm weights — pure int64 arithmetic."""
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        token_budget_plan)
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = {"src0": 200_000, "src1": 150_000, "src2": 100_000,
+               "src3": 50_000}
+    return token_budget_plan(docs, weights, budget_tokens=50_000,
+                             tokens_col="n_chars")
 
 
 def _q_kmeans(spark, sf_dir):
@@ -2341,6 +2408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": _q_attribution,
         "fs_weights_events": _q_fs_weights,
         "kmeans_vecs": _q_kmeans,
+        "contamination_frac_docs": _q_contamination,
+        "ab_cuped_purchases": _q_ab_cuped,
+        "token_budget_sources": _q_token_budget,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "winnowing_pairs": _q_winnowing_pairs,
@@ -3388,6 +3458,159 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) as median_value,
                    round(quantile_cont(value, 0.9), 6) as p90_value
             from events group by 1
+        """,
+        "contamination_frac_docs": """
+            with w as (
+                select doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') as words
+                from documents where text is not null
+            ), sh as (
+                select distinct doc_id,
+                       array_to_string(words[i : i + 4], ' ') as shingle
+                from w, unnest(generate_series(
+                    1, greatest(length(words) - 4, 1))) as t(i)
+            ), bench as (
+                select distinct shingle from sh where doc_id % 41 = 0
+            ), tr as (
+                select doc_id, count(*) as n_sh,
+                       sum(case when shingle in (select shingle from bench)
+                                then 1 else 0 end) as n_cont
+                from sh where doc_id % 41 <> 0 group by 1
+            )
+            select d.doc_id,
+                   cast(coalesce(tr.n_sh, 0) as bigint) as n_shingles,
+                   cast(coalesce(tr.n_cont, 0) as bigint)
+                       as n_contaminated,
+                   cast(tr.n_cont as double) / cast(tr.n_sh as double)
+                       as contamination_frac
+            from (select distinct doc_id from documents
+                  where doc_id % 41 <> 0) d
+            left join tr using (doc_id)
+        """,
+        "ab_cuped_purchases": """
+            with pu as (
+                select user_id,
+                       sum(case when epoch_ms(ts) >= 1705363200000
+                                then cast(floor(value * 1000 + 0.5)
+                                          as bigint) else 0 end) as metric,
+                       sum(case when epoch_ms(ts) < 1705363200000
+                                then cast(floor(value * 1000 + 0.5)
+                                          as bigint) else 0 end) as cov
+                from events where event_type = 'purchase' group by 1
+            ), g as (
+                select case when substr(md5(concat(
+                                cast(user_id as varchar), ':', '42')), 1, 1)
+                            in ('0','2','4','6','8','a','c','e')
+                            then 'control' else 'treatment' end as grp,
+                       metric, cov
+                from pu
+            ), m as (
+                select
+                  sum(case when grp='control' then 1 else 0 end) as n_c,
+                  sum(case when grp='treatment' then 1 else 0 end) as n_t,
+                  cast(sum(case when grp='control' then metric end)
+                       as double) as sy_c,
+                  cast(sum(case when grp='treatment' then metric end)
+                       as double) as sy_t,
+                  cast(sum(case when grp='control'
+                                then metric*metric end) as double) as syy_c,
+                  cast(sum(case when grp='treatment'
+                                then metric*metric end) as double) as syy_t,
+                  cast(sum(case when grp='control' then cov end)
+                       as double) as sx_c,
+                  cast(sum(case when grp='treatment' then cov end)
+                       as double) as sx_t,
+                  cast(sum(case when grp='control'
+                                then cov*cov end) as double) as sxx_c,
+                  cast(sum(case when grp='treatment'
+                                then cov*cov end) as double) as sxx_t,
+                  cast(sum(case when grp='control'
+                                then cov*metric end) as double) as sxy_c,
+                  cast(sum(case when grp='treatment'
+                                then cov*metric end) as double) as sxy_t
+                from g
+            ), s as (
+                select *,
+                  cast(n_c as double) as nc, cast(n_t as double) as nt,
+                  sy_c / cast(n_c as double) as mean_c,
+                  sy_t / cast(n_t as double) as mean_t,
+                  (syy_c - sy_c * sy_c / cast(n_c as double))
+                      / (cast(n_c as double) - 1.0) as var_c,
+                  (syy_t - sy_t * sy_t / cast(n_t as double))
+                      / (cast(n_t as double) - 1.0) as var_t
+                from m
+            ), s2 as (
+                select *,
+                  var_c / nc + var_t / nt as se2,
+                  (sxy_c + sxy_t) - (sx_c + sx_t) * (sy_c + sy_t)
+                      / (nc + nt) as cov_xy,
+                  (sxx_c + sxx_t) - (sx_c + sx_t) * (sx_c + sx_t)
+                      / (nc + nt) as var_x,
+                  (syy_c + syy_t) - (sy_c + sy_t) * (sy_c + sy_t)
+                      / (nc + nt) as var_y,
+                  (sx_c + sx_t) / (nc + nt) as x_bar
+                from s
+            ), s3 as (
+                select *,
+                  cov_xy / var_x as theta,
+                  (cov_xy * cov_xy) / (var_x * var_y) as rho2,
+                  sy_c / nc - (cov_xy / var_x) * (sx_c / nc - x_bar)
+                      as adj_c,
+                  sy_t / nt - (cov_xy / var_x) * (sx_t / nt - x_bar)
+                      as adj_t
+                from s2
+            )
+            select cast(n_c as bigint) as n_c, cast(n_t as bigint) as n_t,
+                   cast(floor(mean_c * 1e9 + 0.5) as bigint) as mean_c_u,
+                   cast(floor(mean_t * 1e9 + 0.5) as bigint) as mean_t_u,
+                   cast(floor((mean_t - mean_c) * 1e9 + 0.5) as bigint)
+                       as diff_u,
+                   cast(floor((mean_t - mean_c) / sqrt(se2) * 1e9 + 0.5)
+                        as bigint) as welch_t_u,
+                   cast(floor(theta * 1e9 + 0.5) as bigint) as theta_u,
+                   cast(floor((adj_t - adj_c) * 1e9 + 0.5) as bigint)
+                       as cuped_diff_u,
+                   cast(floor((adj_t - adj_c)
+                              / sqrt(se2 * (1.0 - rho2)) * 1e9 + 0.5)
+                        as bigint) as cuped_t_u,
+                   cast(floor((1.0 - rho2) * 1e9 + 0.5) as bigint)
+                       as var_reduction_u
+            from s3
+        """,
+        "token_budget_sources": """
+            with g as (
+                select source as "group", count(*) as n_docs,
+                       cast(sum(cast(n_chars as bigint)) as bigint)
+                           as tokens_available
+                from documents group by 1
+            ), w as (
+                select *,
+                       case "group"
+                           when 'src0' then 200000
+                           when 'src1' then 150000
+                           when 'src2' then 100000
+                           when 'src3' then 50000
+                           else 0 end as weight_ppm,
+                       case "group"
+                           when 'src0' then 10000
+                           when 'src1' then 7500
+                           when 'src2' then 5000
+                           when 'src3' then 2500
+                           else 0 end as tokens_target
+                from g
+            )
+            select "group", n_docs, tokens_available,
+                   cast(weight_ppm as bigint) as weight_ppm,
+                   cast(tokens_target as bigint) as tokens_target,
+                   case when tokens_available > 0
+                        then cast(least(tokens_available, tokens_target)
+                                  as double)
+                             / cast(tokens_available as double)
+                        else 0.0 end as sample_fraction,
+                   cast(least(tokens_available, tokens_target) as bigint)
+                       as tokens_expected,
+                   (tokens_available < tokens_target) as exhausted
+            from w
         """,
         "passage_windows_docs": """
             with base as (

@@ -254,7 +254,9 @@ def main() -> None:
                  # round-5 operators
                  "incremental_minhash_pairs", "phash_near_dup",
                  "passage_windows_docs", "attribution_last_touch",
-                 "fs_weights_events", "kmeans_vecs"]:
+                 "fs_weights_events", "kmeans_vecs",
+                 "contamination_frac_docs", "ab_cuped_purchases",
+                 "token_budget_sources"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -875,3 +875,45 @@ def duplicate_token_spans(df: DataFrame, n: int = 16,
         .alias("__tok_text"))
     return duplicate_spans(rendered, n=n, text_col="__tok_text",
                            id_col=id_col, min_docs=min_docs, max_df=max_df)
+
+
+def contamination_report(docs: DataFrame, benchmark: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 8,
+                         max_df: int | None = None) -> DataFrame:
+    """Per-document contamination FRACTION against a benchmark set — the
+    graded companion to :func:`decontaminate`'s binary flag: for every
+    training doc, the share of its distinct word ``k``-gram shingles that
+    appear anywhere in the benchmark.
+
+    Output: ``(id, n_shingles, n_contaminated, contamination_frac)`` for
+    EVERY training doc (zero-shingle docs keep a row with nulls/zeros;
+    ``frac`` is one exact-int division).
+
+    Scale shape: benchmark shingles deduplicate to a small relation →
+    broadcast left-semi join against the training shingles; both per-doc
+    counts come from ONE aggregation over the semi-join-tagged relation
+    (no second corpus scan). ``max_df`` drops boilerplate shingles first.
+    """
+    doc_sh = drop_hot_keys(word_shingles(docs, text_col, id_col, k),
+                           "shingle", max_df, id_col=id_col)
+    bench_set = (word_shingles(
+        benchmark.select(F.col(id_col).alias("bench_id"), F.col(text_col)),
+        text_col, "bench_id", k)
+        .select("shingle").distinct())
+    tagged = (doc_sh.join(
+        F.broadcast(bench_set.withColumn("__hit", F.lit(1))),
+        "shingle", "left")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shingles"),
+             F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated")))
+    return (docs.select(id_col).distinct()
+            .join(tagged, [id_col], "left")
+            .select(id_col,
+                    F.coalesce("n_shingles", F.lit(0)).cast("long")
+                    .alias("n_shingles"),
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                    .alias("n_contaminated"),
+                    (F.col("n_contaminated").cast("double")
+                     / F.col("n_shingles").cast("double"))
+                    .alias("contamination_frac")))

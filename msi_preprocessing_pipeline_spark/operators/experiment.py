@@ -1,0 +1,131 @@
+"""Experimentation analytics: A/B test statistics with CUPED variance
+reduction.
+
+The feature-engineering engine's consumer loop: after a model ships, the
+same event stream feeds experiment readouts. One map-side-combined
+aggregation per readout; every moment sum runs in exact micro-unit
+integers (the ``embeddings.scale`` discipline), so the statistics are
+partition-order-free and engine-portable — only fixed-order final
+expressions touch floating point.
+
+Reference parity: the reference computes grouped moment statistics for
+merge decisions (``components/merge.py`` moment matching); this module is
+the same exact-moments machinery pointed at treatment/control groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def _q(col: Column, scale: int) -> Column:
+    return F.floor(col.cast("double") * F.lit(float(10 ** scale))
+                   + F.lit(0.5))
+
+
+def ab_stats(df: DataFrame, group_col: str, metric_col: str,
+             control: str, treatment: str,
+             covariate_col: str | None = None,
+             scale: int = 6) -> DataFrame:
+    """One-row A/B readout: per-group exact moments, mean difference,
+    Welch's t, and (with ``covariate_col``, e.g. the PRE-experiment value
+    of the metric) the CUPED-adjusted difference and variance-reduction
+    factor.
+
+    Output row: ``(n_c, n_t, mean_c, mean_t, diff, welch_t[, theta,
+    cuped_diff, cuped_t, var_reduction])``.
+
+    CUPED (Deng et al., WSDM'13): ``Y' = Y − θ·(X − X̄)`` with
+    ``θ = cov(X, Y)/var(X)`` pooled over both groups; Var(Y') shrinks by
+    the factor ``1 − ρ²``. All sums (Σy, Σy², Σx, Σx², Σxy) accumulate as
+    exact decimal integers over ``floor(v·10^s + 0.5)`` micro-units —
+    partition-order-free — and every statistic is a fixed-order double
+    expression of those exact sums. Null metrics/covariates drop (CUPED
+    needs the pair).
+
+    Scale shape: ONE aggregation over the filtered stream to a 2-row
+    relation, pivoted driver-free to one row. Moment-sum bound:
+    ``n·(|v|·10^s)² < 10³⁸`` — astronomically safe at decimal(38).
+    """
+    y = _q(F.col(metric_col), scale)
+    cond = F.col(group_col).isin([control, treatment]) \
+        & F.col(metric_col).isNotNull()
+    aggs = [F.count("*").alias("n"),
+            F.sum(y.cast(_DEC)).alias("sy"),
+            F.sum((y * y).cast(_DEC)).alias("syy")]
+    if covariate_col is not None:
+        cond = cond & F.col(covariate_col).isNotNull()
+        x = _q(F.col(covariate_col), scale)
+        aggs += [F.sum(x.cast(_DEC)).alias("sx"),
+                 F.sum((x * x).cast(_DEC)).alias("sxx"),
+                 F.sum((x * y).cast(_DEC)).alias("sxy")]
+    g = (df.where(cond)
+         .groupBy(F.col(group_col).alias("__g")).agg(*aggs))
+    is_t = F.col("__g") == F.lit(treatment)
+    picks = [F.max(F.when(~is_t, F.col("n"))).alias("n_c"),
+             F.max(F.when(is_t, F.col("n"))).alias("n_t")]
+    for c in ("sy", "syy", "sx", "sxx", "sxy"):
+        if c in [a for a in ("sy", "syy")] or covariate_col is not None:
+            picks += [F.max(F.when(~is_t, F.col(c))).alias(f"{c}_c"),
+                      F.max(F.when(is_t, F.col(c))).alias(f"{c}_t")]
+    one = g.agg(*picks)
+
+    mul = float(10 ** scale)
+
+    def mean(s, n):
+        return (F.col(s).cast("double") / F.col(n).cast("double")) / mul
+
+    def var(s2, s, n):  # sample variance of the micro-unit values / 10^2s
+        nn = F.col(n).cast("double")
+        return ((F.col(s2).cast("double")
+                 - F.col(s).cast("double") * F.col(s).cast("double") / nn)
+                / (nn - F.lit(1.0))) / (mul * mul)
+
+    mean_c, mean_t = mean("sy_c", "n_c"), mean("sy_t", "n_t")
+    var_c, var_t = var("syy_c", "sy_c", "n_c"), var("syy_t", "sy_t", "n_t")
+    nc, nt = F.col("n_c").cast("double"), F.col("n_t").cast("double")
+    se2 = var_c / nc + var_t / nt
+    out_cols = [
+        F.col("n_c"), F.col("n_t"),
+        mean_c.alias("mean_c"), mean_t.alias("mean_t"),
+        (mean_t - mean_c).alias("diff"),
+        # degenerate guards (ANSI mode raises on /0): constant metric →
+        # no t-stat; constant covariate → no θ; perfectly correlated
+        # covariate (ρ²=1, e.g. X ≡ aY+b) → CUPED residual variance is 0
+        # and the adjusted t is undefined — null, not ±inf
+        F.when(se2 > 0, (mean_t - mean_c) / F.sqrt(se2)).alias("welch_t"),
+    ]
+    if covariate_col is not None:
+        # pooled θ over both groups from the exact sums
+        n = nc + nt
+        sx = F.col("sx_c").cast("double") + F.col("sx_t").cast("double")
+        sy = F.col("sy_c").cast("double") + F.col("sy_t").cast("double")
+        sxx = F.col("sxx_c").cast("double") + F.col("sxx_t").cast("double")
+        syy = F.col("syy_c").cast("double") + F.col("syy_t").cast("double")
+        sxy = F.col("sxy_c").cast("double") + F.col("sxy_t").cast("double")
+        cov_xy = sxy - sx * sy / n
+        var_x = sxx - sx * sx / n
+        var_y = syy - sy * sy / n
+        theta = F.when(var_x > 0, cov_xy / var_x)  # micro-units: scale cancels
+        x_bar_all = sx / n
+        # adjusted group means: Ȳg − θ·(X̄g − X̄)  (exact-sum expressions)
+        adj_c = (F.col("sy_c").cast("double") / nc
+                 - theta * (F.col("sx_c").cast("double") / nc - x_bar_all)) \
+            / mul
+        adj_t = (F.col("sy_t").cast("double") / nt
+                 - theta * (F.col("sx_t").cast("double") / nt - x_bar_all)) \
+            / mul
+        rho2 = F.when((var_x > 0) & (var_y > 0),
+                      (cov_xy * cov_xy) / (var_x * var_y))
+        cuped_se2 = se2 * (F.lit(1.0) - rho2)
+        out_cols += [
+            theta.alias("theta"),
+            (adj_t - adj_c).alias("cuped_diff"),
+            F.when(cuped_se2 > 0, (adj_t - adj_c) / F.sqrt(cuped_se2))
+            .alias("cuped_t"),
+            (F.lit(1.0) - rho2).alias("var_reduction"),
+        ]
+    return one.select(*out_cols)

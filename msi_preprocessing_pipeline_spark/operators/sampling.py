@@ -183,3 +183,49 @@ def group_sample_k(df: DataFrame, key, group_col: str, k: int,
          .orderBy(h.asc_nulls_last(), F.col(keys[0]).asc_nulls_last()))
     return (df.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k).drop("__rk"))
+
+
+def token_budget_plan(df: DataFrame, weights: dict[str, int],
+                      budget_tokens: int, group_col: str = "source",
+                      tokens_col: str = "n_tok") -> DataFrame:
+    """Data-mixing recipe: given per-source target weights (integer parts
+    per million — exact by construction) and a total token budget, compute
+    each source's available tokens, its target, the sampling fraction that
+    hits the target (capped at 1 when the source is too small to fill its
+    share) and the expected token yield.
+
+    Output per source: ``(group, n_docs, tokens_available, weight_ppm,
+    tokens_target, sample_fraction, tokens_expected, exhausted)``.
+
+    ``tokens_target = budget·ppm // 10⁶`` and ``tokens_expected =
+    min(available, target)`` are pure int64 arithmetic;
+    ``sample_fraction`` is one division of exact ints. Feed the fractions
+    to :func:`hash_sample`/:func:`mixture_sample` per source to
+    materialize the mix. One map-side-combined aggregation over the
+    corpus; |sources|-bounded output. Sources absent from ``weights``
+    get weight 0 (reported, not sampled).
+    """
+    if sum(weights.values()) > 1_000_000:
+        raise ValueError("weights (ppm) must sum to <= 1e6")
+    # targets in driver-side EXACT int math (ppm·budget can exceed 2^53,
+    # where a float64 division would silently round)
+    targets = {k: (int(v) * int(budget_tokens)) // 1_000_000
+               for k, v in weights.items()}
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    tmap = F.create_map(*[F.lit(x) for kv in targets.items() for x in kv])
+    g = (df.groupBy(F.col(group_col).alias("group"))
+         .agg(F.count("*").alias("n_docs"),
+              F.sum(F.col(tokens_col).cast("long"))
+              .alias("tokens_available")))
+    ppm = F.coalesce(wmap[F.col("group")], F.lit(0)).cast("long")
+    target = F.coalesce(tmap[F.col("group")], F.lit(0)).cast("long")
+    avail = F.col("tokens_available")
+    expected = F.least(avail, target)
+    frac = F.when(avail > 0, expected.cast("double")
+                  / avail.cast("double")).otherwise(F.lit(0.0))
+    return g.select(
+        "group", "n_docs", avail.alias("tokens_available"),
+        ppm.alias("weight_ppm"), target.alias("tokens_target"),
+        frac.alias("sample_fraction"),
+        expected.alias("tokens_expected"),
+        (avail < target).alias("exhausted"))

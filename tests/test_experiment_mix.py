@@ -1,0 +1,124 @@
+"""ab_stats (CUPED) / contamination_report / token_budget_plan."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from msi_preprocessing_pipeline_spark.operators.dedup import (
+    contamination_report)
+from msi_preprocessing_pipeline_spark.operators.experiment import ab_stats
+from msi_preprocessing_pipeline_spark.operators.sampling import (
+    token_budget_plan)
+
+
+def test_ab_stats_matches_numpy(spark):
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(400):
+        grp = "treatment" if i % 2 else "control"
+        x = float(rng.rand() * 10)
+        y = x * 0.8 + float(rng.rand()) + (0.5 if grp == "treatment" else 0)
+        rows.append((grp, round(y, 6), round(x, 6)))
+    df = spark.createDataFrame(rows, "grp string, y double, x double")
+    out = ab_stats(df, "grp", "y", "control", "treatment",
+                   covariate_col="x", scale=6).collect()[0]
+    # numpy reference over the SAME quantization
+    q = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    yc = np.array([q(r[1]) for r in rows if r[0] == "control"])
+    yt = np.array([q(r[1]) for r in rows if r[0] == "treatment"])
+    xc = np.array([q(r[2]) for r in rows if r[0] == "control"])
+    xt = np.array([q(r[2]) for r in rows if r[0] == "treatment"])
+    assert (out.n_c, out.n_t) == (len(yc), len(yt))
+    assert math.isclose(out.mean_c, yc.mean(), rel_tol=1e-12)
+    assert math.isclose(out.diff, yt.mean() - yc.mean(), rel_tol=1e-9)
+    se2 = yc.var(ddof=1) / len(yc) + yt.var(ddof=1) / len(yt)
+    assert math.isclose(out.welch_t, (yt.mean() - yc.mean())
+                        / math.sqrt(se2), rel_tol=1e-9)
+    x_all = np.concatenate([xc, xt])
+    y_all = np.concatenate([yc, yt])
+    theta = (np.sum(x_all * y_all) - x_all.sum() * y_all.sum()
+             / len(x_all)) / \
+        (np.sum(x_all * x_all) - x_all.sum() ** 2 / len(x_all))
+    assert math.isclose(out.theta, theta, rel_tol=1e-9)
+    adj_t = yt.mean() - theta * (xt.mean() - x_all.mean())
+    adj_c = yc.mean() - theta * (xc.mean() - x_all.mean())
+    assert math.isclose(out.cuped_diff, adj_t - adj_c, rel_tol=1e-9)
+    # CUPED must reduce variance on a strongly covariate-driven metric
+    assert 0 < out.var_reduction < 0.5
+    assert abs(out.cuped_t) > abs(out.welch_t)
+
+
+def test_ab_stats_partitioning_invariant(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select(F.when(F.col("user_id") % 2 == 0, "control")
+                .otherwise("treatment").alias("grp"),
+                "value",
+                (F.col("value") * 0.5).alias("pre"))
+    a = ab_stats(ev.repartition(2), "grp", "value", "control",
+                 "treatment", covariate_col="pre").collect()[0]
+    b = ab_stats(ev.repartition(16), "grp", "value", "control",
+                 "treatment", covariate_col="pre").collect()[0]
+    assert a == b  # bit-identical, not allclose
+
+
+def test_ab_stats_degenerate_guards(spark):
+    # constant metric -> welch_t null; covariate == metric (rho2 == 1)
+    # -> cuped_t null, never a divide-by-zero / inf
+    df = spark.createDataFrame(
+        [("control", 1.0, 1.0)] * 3 + [("treatment", 1.0, 1.0)] * 3,
+        "grp string, y double, x double")
+    r = ab_stats(df, "grp", "y", "control", "treatment",
+                 covariate_col="x").collect()[0]
+    assert r.welch_t is None and r.theta is None and r.cuped_t is None
+    vary = spark.createDataFrame(
+        [("control", 1.0, 2.0), ("control", 3.0, 6.0),
+         ("treatment", 2.0, 4.0), ("treatment", 5.0, 10.0)],
+        "grp string, y double, x double")
+    r2 = ab_stats(vary, "grp", "y", "control", "treatment",
+                  covariate_col="x").collect()[0]
+    # x = 2y exactly even after quantization -> rho2 == 1 -> null cuped_t
+    assert r2.theta is not None
+    assert r2.cuped_t is None and r2.welch_t is not None
+
+
+def test_contamination_report_fracs(spark):
+    train = spark.createDataFrame(
+        [("t1", "a b c d e f"),          # grams: abcde bcdef — both leaked
+         ("t2", "a b c d e zz"),         # abcde leaked, bcdezz not
+         ("t3", "x y z w v u"),          # disjoint
+         ("t4", "q r"),                  # short: one 2-word gram
+         ("t5", None)],                  # null text
+        "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("b1", "a b c d e f g")], "doc_id string, text string")
+    out = {r.doc_id: r for r in
+           contamination_report(train, bench, k=5).collect()}
+    assert out["t1"].n_shingles == 2 and out["t1"].n_contaminated == 2
+    assert out["t1"].contamination_frac == 1.0
+    assert out["t2"].n_shingles == 2 and out["t2"].n_contaminated == 1
+    assert out["t2"].contamination_frac == 0.5
+    assert out["t3"].n_contaminated == 0
+    assert out["t4"].n_shingles == 1 and out["t4"].n_contaminated == 0
+    assert out["t5"].n_shingles == 0
+    assert out["t5"].contamination_frac is None
+
+
+def test_token_budget_plan(spark):
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 200), ("b", 50), ("c", 1000)],
+        "source string, n_tok int")
+    out = {r.group: r for r in token_budget_plan(
+        df, {"a": 500_000, "b": 400_000}, budget_tokens=1000).collect()}
+    ra = out["a"]  # target 500 > available 300 -> exhausted, frac 1
+    assert (ra.tokens_available, ra.tokens_target) == (300, 500)
+    assert ra.tokens_expected == 300 and ra.exhausted
+    assert ra.sample_fraction == 1.0
+    rb = out["b"]  # target 400 > available 50
+    assert rb.tokens_expected == 50 and rb.exhausted
+    rc = out["c"]  # absent from weights -> 0
+    assert (rc.weight_ppm, rc.tokens_target, rc.tokens_expected) == (0, 0, 0)
+    assert rc.sample_fraction == 0.0 and not rc.exhausted
+    with pytest.raises(ValueError):
+        token_budget_plan(df, {"a": 900_000, "b": 200_000}, 10)
