@@ -33,3 +33,65 @@ def streaming_dedup_exact(docs: DataFrame, text_col: str = "text",
                .withColumn("fingerprint", F.md5(normalized.cast("binary")))
                .withWatermark(ts_col, watermark))
     return with_fp.dropDuplicatesWithinWatermark(["fingerprint"])
+
+
+def near_dup_landing(store_path: str, pairs_path: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n_hashes: int = 64, shingle_words: int = 3,
+                     seed: int = 7, bands: int = 16,
+                     threshold: float = 0.5,
+                     star_over: int | None = None):
+    """Continuous NEAR-dup detection: a ``foreachBatch`` landing step that
+    maintains the MinHash signature store across micro-batches and appends
+    each batch's verified new pairs — the streaming deployment of
+    ``operators.dedup.incremental_minhash_pairs``.
+
+    Wiring::
+
+        (docs_stream.writeStream
+         .foreachBatch(near_dup_landing(store, pairs))
+         .option("checkpointLocation", ckpt).start())
+
+    The store is written as VERSIONED snapshots ``{store_path}/v{batch_id}``
+    (never in place — the update reads the previous version lazily while
+    writing the next, and an in-place overwrite would corrupt the read).
+    Superseded versions are deleted after the new one commits. Pairs land
+    under ``pairs_path`` stamped with ``batch_id``: on a micro-batch RETRY
+    the same batch_id is appended twice, so exactly-once consumers dedup
+    on ``(batch_id, doc_a, doc_b)`` — the values are deterministic, so
+    duplicates are identical.
+
+    Parity contract (pytest-pinned): the union of pairs across batches
+    equals the one-shot ``minhash_lsh_pairs`` over everything ingested —
+    pair (a, b) is emitted exactly when its LATER member arrives.
+    """
+    from ..operators.dedup import incremental_minhash_pairs
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = batch.sparkSession
+        versions = []
+        if os.path.isdir(store_path):
+            versions = sorted(
+                (int(d[1:]) for d in os.listdir(store_path)
+                 if d.startswith("v") and d[1:].isdigit()))
+        if versions:
+            prior = spark.read.parquet(f"{store_path}/v{versions[-1]}")
+        else:
+            id_type = batch.schema[id_col].dataType.simpleString()
+            prior = spark.createDataFrame(
+                [], f"{id_col} {id_type}, signature array<bigint>")
+        all_sigs, pairs = incremental_minhash_pairs(
+            batch, prior, text_col=text_col, id_col=id_col,
+            n_hashes=n_hashes, shingle_words=shingle_words, seed=seed,
+            bands=bands, threshold=threshold, star_over=star_over)
+        (pairs.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("append").parquet(pairs_path))
+        all_sigs.write.mode("overwrite") \
+            .parquet(f"{store_path}/v{batch_id}")
+        for v in versions:  # prune superseded snapshots after commit
+            shutil.rmtree(f"{store_path}/v{v}", ignore_errors=True)
+
+    return land

@@ -149,3 +149,51 @@ def test_incremental_minhash_reingest_replaces(spark):
               .join(fresh.alias("f"), "doc_id")
               .where(F.col("s.signature") != F.col("f.signature")))
     assert joined.count() == 0  # store carries the NEW signatures
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup (foreachBatch landing over the incremental operator)
+
+
+def test_streaming_near_dup_batch_parity(spark, tmp_path):
+    import os
+    import shutil
+
+    from msi_preprocessing_pipeline_spark.streaming.dedup import (
+        near_dup_landing)
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").cache()
+    # two arrival waves as two files -> two micro-batches
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.parquet(str(tmp_path / "w0"))
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.parquet(str(tmp_path / "w1"))
+    for i in (0, 1):
+        src = [f for f in os.listdir(str(tmp_path / f"w{i}"))
+               if f.endswith(".parquet")][0]
+        shutil.copy(str(tmp_path / f"w{i}" / src), f"{in_dir}/b{i}.parquet")
+
+    store = str(tmp_path / "store")
+    pairs_dir = str(tmp_path / "pairs")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream.writeStream
+         .foreachBatch(near_dup_landing(store, pairs_dir, threshold=0.2))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = (spark.read.parquet(pairs_dir)
+           .select("doc_a", "doc_b", "est_jaccard").toPandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    exp = (minhash_lsh_pairs(minhash_signatures(docs), threshold=0.2)
+           .toPandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    # store holds exactly one latest snapshot with every doc signed
+    versions = [d for d in os.listdir(store) if d.startswith("v")]
+    assert len(versions) == 1
+    assert spark.read.parquet(f"{store}/{versions[0]}").count() \
+        == docs.count()
