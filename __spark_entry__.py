@@ -30,6 +30,15 @@ _FR = ["le", "la", "et", "les", "des", "est", "un", "une", "dans"]
 _ES = ["el", "la", "de", "que", "y", "los", "es", "un", "una", "por"]
 
 
+def _uq(col, scale: int = 6):
+    """The shared micro-quantized contract idiom — floor(x·10^scale + 0.5)
+    as an exact int64 (``functions.util.quantize``); SQL mirror:
+    ``cast(floor(x * 1e<scale> + 0.5) as bigint)``."""
+    from msi_preprocessing_pipeline_spark.functions.util import quantize
+
+    return quantize(F.col(col) if isinstance(col, str) else col, scale)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -157,7 +166,7 @@ def _q_rolling(spark, sf_dir):
     # to micro-unit longs so the frame sum is exact and the avg is one
     # fixed division of identical operands (the r4 covariance lesson)
     ev = _t(spark, sf_dir, "events")
-    q = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+    q = _uq("value")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(-4, Window.currentRow))
     return ev.select(
@@ -171,8 +180,7 @@ def _q_rolling_time(spark, sf_dir):
 
     ev = (_t(spark, sf_dir, "events")
           .select("event_id", "user_id", _ms("ts").alias("ms"),
-                  F.floor(F.col("value") * F.lit(1000000.0)
-                          + F.lit(0.5)).alias("value")))
+                  _uq("value").alias("value")))
     # integer micro-units in → frame sums are exact longs; avg derived by
     # one division (Spark's built-in avg(long) would re-accumulate in
     # float64 and reintroduce the combine-order hazard)
@@ -228,8 +236,7 @@ def _q_pit_agg_features(spark, sf_dir):
              .select("event_id", "user_id", _ms("ts").alias("purchase_ms")))
     clicks = (ev.where(F.col("event_type") == "click")
               .select("user_id", _ms("ts").alias("cms"),
-                      F.floor(F.col("value") * F.lit(1000000.0)
-                              + F.lit(0.5)).alias("value")))
+                      _uq("value").alias("value")))
     out = pit_window_agg(spine, clicks, on="user_id",
                          spine_ts="purchase_ms", event_ts="cms",
                          value_col="value", window=3_600_000,
@@ -252,8 +259,7 @@ def _q_label_window(spark, sf_dir):
              .select("event_id", "user_id", _ms("ts").alias("click_ms")))
     purch = (ev.where(F.col("event_type") == "purchase")
              .select("user_id", _ms("ts").alias("pms"),
-                     F.floor(F.col("value") * F.lit(1000000.0)
-                             + F.lit(0.5)).alias("value")))
+                     _uq("value").alias("value")))
     out = pit_window_agg(spine, purch, on="user_id", spine_ts="click_ms",
                          event_ts="pms", value_col="value",
                          window=86_400_000, frame="leading",
@@ -275,8 +281,7 @@ def _q_multi_source_agg(spark, sf_dir):
              .select("event_id", "user_id", _ms("ts").alias("purchase_ms")))
     src = lambda t: ev.where(F.col("event_type") == t).select(  # noqa: E731
         "user_id", _ms("ts").alias("ems"),
-        F.floor(F.col("value") * F.lit(1000000.0)
-                + F.lit(0.5)).alias("value"))
+        _uq("value").alias("value"))
     out = pit_window_agg_multi(
         spine, on="user_id", spine_ts="purchase_ms",
         sources=[EventSource(src("click"), "ems", "value", "clk_"),
@@ -512,7 +517,7 @@ def _q_pivot_event_values(spark, sf_dir):
     # task-completion order (the r4 covariance lesson), so the contract
     # quantizes value per row and sums exact longs instead
     ev = _t(spark, sf_dir, "events")
-    q = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+    q = _uq("value")
 
     def s(t):
         return F.sum(F.when(F.col("event_type") == t, q)
@@ -928,7 +933,7 @@ def _q_fs_weights(spark, sf_dir):
                       < F.lit(3_600_000)).alias("is_match")))
     out = fs_weights(pairs, ["type_agree", "val_agree"],
                      label_col="is_match")
-    u9 = lambda c: F.floor(F.col(c) * F.lit(1e9) + F.lit(0.5))  # noqa: E731
+    u9 = lambda c: _uq(c, 9)  # noqa: E731
     return out.select("field", "n_match", "n_unmatch", "agree_match",
                       "agree_unmatch",
                       u9("w_agree").alias("w_agree_u"),
@@ -961,7 +966,7 @@ def _q_ab_cuped(spark, sf_dir):
     # ~2e14 at sf0.1 — under 2^53, so the decimal→double cast is exact in
     # BOTH engines (DuckDB's hugeint→double is 1-ulp off Spark's
     # decimal→double above 2^53) and all downstream stats are identical
-    q = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+    q = _uq("value", 3)
     per_user = (ev.where(F.col("event_type") == "purchase")
                 .groupBy("user_id")
                 .agg(F.sum(F.when(_ms("ts") >= mid, q)
@@ -978,7 +983,7 @@ def _q_ab_cuped(spark, sf_dir):
         "grp", F.when(even, F.lit("control")).otherwise(F.lit("treatment")))
     out = ab_stats(grouped, "grp", "metric", control="control",
                    treatment="treatment", covariate_col="cov", scale=0)
-    u9 = lambda c: F.floor(F.col(c) * F.lit(1e9) + F.lit(0.5))  # noqa: E731
+    u9 = lambda c: _uq(c, 9)  # noqa: E731
     return out.select(
         "n_c", "n_t",
         u9("mean_c").alias("mean_c_u"), u9("mean_t").alias("mean_t_u"),
@@ -1014,8 +1019,7 @@ def _q_kmeans(spark, sf_dir):
     out = kmeans_assign(emb, cent, scale=6)
     return out.select(
         "vec_id", "cluster",
-        F.floor(F.col("dist") * F.lit(1000000.0)
-                + F.lit(0.5)).alias("dist_u"))
+        _uq("dist").alias("dist_u"))
 
 
 def _q_near_dup_clusters(spark, sf_dir):
@@ -1235,7 +1239,7 @@ def _q_word_entropy(spark, sf_dir):
     # combine-order dependence (r4 covariance lesson); outputs compared
     # as floor-quantized integers of the fixed-order statistic
     out = word_entropy(docs, scale=9)
-    u6 = lambda c: F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+    u6 = lambda c: _uq(c)  # noqa: E731
     return out.select(
         "doc_id", "n_words_total", "n_distinct_words",
         u6("word_entropy").alias("entropy_u"),
@@ -1324,7 +1328,7 @@ def _q_lm_score(spark, sf_dir):
     # scale=9: per-bigram ln p quantized + summed exactly (no float
     # combine-order dependence); outputs floor-quantized
     out = lm_score(tok, k=0.5, vocab_size=4096, scale=9)
-    u6 = lambda c: F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+    u6 = lambda c: _uq(c)  # noqa: E731
     return out.select("doc_id", "n_bigrams",
                       u6("sum_lnp").alias("sum_lnp_u"),
                       u6("nll").alias("nll_u"))
@@ -1421,7 +1425,7 @@ def _q_mutual_info(spark, sf_dir):
     # scale=9: per-cell mi/chi2 terms quantized + summed exactly (no
     # float combine-order dependence); outputs floor-quantized
     out = mutual_info(docs, "lang", "source", scale=9)
-    u6 = lambda c: F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+    u6 = lambda c: _uq(c)  # noqa: E731
     return out.select("n", "n_x", "n_y", "dof",
                       u6("mi").alias("mi_u"),
                       u6("chi2").alias("chi2_u"))
@@ -1446,8 +1450,7 @@ def _q_embedding_norms(spark, sf_dir):
     out = embedding_norms(emb, scale=6)
     return out.select(
         "vec_id",
-        F.floor(F.col("l2_norm") * F.lit(1000000.0)
-                + F.lit(0.5)).alias("l2_norm_u"))
+        _uq("l2_norm").alias("l2_norm_u"))
 
 
 def _q_embedding_moments(spark, sf_dir):
@@ -1460,10 +1463,8 @@ def _q_embedding_moments(spark, sf_dir):
     out = embedding_moments(emb, scale=6)
     return out.select(
         "pos", "n",
-        F.floor(F.col("mean") * F.lit(1000000.0)
-                + F.lit(0.5)).alias("mean_u"),
-        F.floor(F.col("var") * F.lit(1000000000.0)
-                + F.lit(0.5)).alias("var_u"))
+        _uq("mean").alias("mean_u"),
+        _uq("var", 9).alias("var_u"))
 
 
 def _q_label_centroids(spark, sf_dir):
@@ -1476,8 +1477,7 @@ def _q_label_centroids(spark, sf_dir):
     out = label_centroids(emb, scale=6)
     return out.select(
         "label", "pos", "n",
-        F.floor(F.col("mean") * F.lit(1000000.0)
-                + F.lit(0.5)).alias("mean_u"))
+        _uq("mean").alias("mean_u"))
 
 
 def _q_covariance_embeddings(spark, sf_dir):
@@ -1492,8 +1492,7 @@ def _q_covariance_embeddings(spark, sf_dir):
     out = covariance_matrix(emb, scale=6)
     return out.select(
         "i", "j", "n",
-        F.floor(F.col("cov") * F.lit(1000000000.0)
-                + F.lit(0.5)).alias("cov_u"))
+        _uq("cov", 9).alias("cov_u"))
 
 
 def _q_centroid_distance(spark, sf_dir):
@@ -1506,7 +1505,7 @@ def _q_centroid_distance(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = label_centroids(emb, scale=6)
     out = centroid_distance_features(emb, cents, scale=6)
-    u = lambda c: F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+    u = lambda c: _uq(c)  # noqa: E731
     return out.select("vec_id", "label",
                       u("dist_own").alias("dist_own_u"),
                       "nearest_label",
@@ -2364,33 +2363,42 @@ def _q_trend(spark, sf_dir):
 
 
 # Dict ORDER is load-bearing: the correctness driver records only the FIRST
-# 50 queries() entries.  _R5_WINDOW lists this round's 50: the four contracts
-# whose semantics changed this round (the quantized embedding/LM family —
-# covariance_embeddings was r4's one red row) plus the 46 queries that have
-# never had a driver-recorded row (r4 sessions 5-7); everything else is
-# driver-green from an earlier round and covered by CONTRACT_r05.json.
+# 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
+# (a) every contract whose SEMANTICS changed this round — the quantized
+# embedding/LM family (covariance_embeddings was r4's one red row) and the
+# requantized rolling/PIT window sums, whose prior driver-green rows attest
+# only to the old round(float,6) contracts; (b) all nine brand-new round-5
+# queries; (c) the riskiest of the never-driver-recorded r4 queries (graph /
+# ER / boilerplate / incremental-refresh class).  The 15 never-recorded
+# single-agg queries that no longer fit (key_profile, winsorize, lump_rare,
+# calendar, column_profile, ...) stay covered by CONTRACT_r05.json + pytest
+# and rotate into r6's window.
 _R5_WINDOW = [
+    # (a) changed contracts — previously recorded (stale green rows)
     "covariance_embeddings", "label_centroids_vecs",
-    "centroid_distance_vecs", "lm_score_docs",
-    "funnel_view_click_purchase", "cohort_retention_weekly",
-    "watch_time_coverage", "key_profile_events", "heavy_users_events",
-    "event_time_disorder", "pagerank_part_supplier", "pattern_vcp_users",
-    "scd2_purchase_values", "join_size_orders_lineitem",
-    "json_key_profile_events", "salted_join_segments",
-    "fingerprint_lineitem", "diff_buckets_events", "l_diversity_customers",
-    "group_sample_events", "incremental_refresh_users",
-    "merge_additive_users", "boilerplate_census_docs",
-    "remove_boilerplate_docs", "winsorize_value",
-    "triangles_supplier_coorder", "trend_value_by_user", "er_resolve_part",
-    "clustering_coeff_suppliers", "kcore_suppliers", "lump_rare_part_types",
-    "value_histogram_users", "impute_median_values",
-    "calendar_features_events", "column_profile_events", "top_paths_events",
-    "ecdf_value_by_type", "audience_overlap_types", "survivorship_users",
-    "gap_stats_users", "mutual_info_docs", "pmi_bigrams_docs",
-    "oov_rate_docs", "word_entropy_docs", "context_pairs_docs",
-    "pca_project_vecs", "recency_features_events",
-    "trailing_values_events", "embedding_norms_vecs",
+    "centroid_distance_vecs", "lm_score_docs", "pivot_event_values",
+    "rolling_avg_value",
+    # (a) changed contracts — never recorded
+    "rolling_time_features", "pit_agg_features",
+    "multi_source_agg_features", "label_window_conversions",
+    "word_entropy_docs", "mutual_info_docs", "embedding_norms_vecs",
     "embedding_moments_vecs",
+    # (b) new round-5 operators
+    "incremental_minhash_pairs", "phash_near_dup", "passage_windows_docs",
+    "attribution_last_touch", "fs_weights_events", "kmeans_vecs",
+    "contamination_frac_docs", "ab_cuped_purchases", "token_budget_sources",
+    # (c) never-driver-recorded r4 queries, riskiest first
+    "pagerank_part_supplier", "triangles_supplier_coorder",
+    "clustering_coeff_suppliers", "kcore_suppliers", "er_resolve_part",
+    "boilerplate_census_docs", "remove_boilerplate_docs",
+    "incremental_refresh_users", "merge_additive_users",
+    "salted_join_segments", "fingerprint_lineitem", "diff_buckets_events",
+    "scd2_purchase_values", "pattern_vcp_users", "event_time_disorder",
+    "join_size_orders_lineitem", "json_key_profile_events",
+    "top_paths_events", "ecdf_value_by_type", "audience_overlap_types",
+    "survivorship_users", "gap_stats_users", "trend_value_by_user",
+    "funnel_view_click_purchase", "cohort_retention_weekly",
+    "pmi_bigrams_docs", "pca_project_vecs",
 ]
 
 

@@ -2,6 +2,24 @@
 
 from __future__ import annotations
 
+# exact-integer accumulator type for cross-partition reductions of
+# quantized moment sums (shared by embeddings/experiment/similarity)
+DEC38 = "decimal(38,0)"
+
+
+def quantize(col, scale: int):
+    """THE cross-engine quantization rule: ``floor(x·10^scale + 0.5)`` as
+    an int64 Column. Each step is a single IEEE double op, so Spark,
+    DuckDB and numpy produce the identical integer for the identical
+    input — the foundation of every exact-integer moment contract in this
+    repo (see ``operators.embeddings`` module docstring). SQL mirror:
+    ``cast(floor(x * 1e<scale> + 0.5) as bigint)``; numpy mirror:
+    ``np.floor(x * 10.0**scale + 0.5)``."""
+    from pyspark.sql import functions as F
+
+    return F.floor(col.cast("double") * F.lit(float(10 ** scale))
+                   + F.lit(0.5))
+
 
 def as_list(x) -> list:
     """Normalize a column-name argument: string -> [string], any sequence

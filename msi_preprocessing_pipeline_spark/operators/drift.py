@@ -189,11 +189,10 @@ def mutual_info(df: DataFrame, x_col: str, y_col: str,
         chi_sum = F.sum(chi_raw).alias("chi2")
         sel_mi, sel_chi = F.col("mi"), F.col("chi2")
     else:
-        mi_q = (F.when(F.col("o") > 0,
-                       F.floor(mi_raw * F.lit(float(10 ** (scale + 3)))
-                               + F.lit(0.5)))
+        from ..functions.util import quantize
+        mi_q = (F.when(F.col("o") > 0, quantize(mi_raw, scale + 3))
                 .otherwise(F.lit(0).cast("long")))
-        chi_q = F.floor(chi_raw * F.lit(float(10 ** scale)) + F.lit(0.5))
+        chi_q = quantize(chi_raw, scale)
         mi_sum = F.sum(mi_q).alias("mi")
         chi_sum = F.sum(chi_q.cast("decimal(38,0)")).alias("chi2")
         sel_mi = (F.col("mi").cast("double")

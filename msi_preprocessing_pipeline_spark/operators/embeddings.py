@@ -41,6 +41,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.util import DEC38 as _DEC
+from ..functions.util import quantize
+
 
 # ---------------------------------------------------------------------------
 # norms / normalization (pure JVM)
@@ -54,14 +57,9 @@ def _sq_norm(vec_col: str):
 
 
 def _quant(x, scale: int):
-    """``floor(x * 10**scale + 0.5)`` as a double-valued integer —
-    each step is a single IEEE op, so Spark / DuckDB / numpy produce
-    the identical integer for the identical input."""
-    return F.floor(x.cast("double") * F.lit(float(10 ** scale))
-                   + F.lit(0.5)).cast("double")
-
-
-_DEC = "decimal(38,0)"
+    """Shared quantization rule (``functions.util.quantize``) carried as
+    a double for the float64-exact integer arithmetic below."""
+    return quantize(x, scale).cast("double")
 
 
 def embedding_norms(df: DataFrame, vec_col: str = "embedding",

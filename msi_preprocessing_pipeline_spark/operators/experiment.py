@@ -18,12 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_DEC = "decimal(38,0)"
-
-
-def _q(col: Column, scale: int) -> Column:
-    return F.floor(col.cast("double") * F.lit(float(10 ** scale))
-                   + F.lit(0.5))
+from ..functions.util import DEC38 as _DEC
+from ..functions.util import quantize as _q
 
 
 def ab_stats(df: DataFrame, group_col: str, metric_col: str,

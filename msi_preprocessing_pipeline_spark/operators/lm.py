@@ -169,8 +169,8 @@ def lm_score(df: DataFrame, tokens_col: str = "tokens",
         lnp_sum = F.sum(lnp).alias("__slnp")
         unq = F.col("__slnp")
     else:
-        lnp_sum = F.sum(F.floor(
-            lnp * F.lit(float(10 ** scale)) + F.lit(0.5))).alias("__slnp")
+        from ..functions.util import quantize
+        lnp_sum = F.sum(quantize(lnp, scale)).alias("__slnp")
         unq = F.col("__slnp").cast("double") / F.lit(float(10 ** scale))
     scored = (big.join(cnt_ab, ["a", "b"], "left")
               .join(cnt_a, ["a"], "left")

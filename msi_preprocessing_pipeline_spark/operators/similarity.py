@@ -259,11 +259,9 @@ def _quantize_vecs(corpus: DataFrame, vec_col: str, scale: int):
     """Embedding components → ``floor(x·10^s + 0.5)`` int64 arrays (JVM
     transform, map-only). Exact-integer space makes every downstream sum
     partition-order-free — the same discipline as ``embeddings.scale``."""
-    mul = float(10 ** scale)
-    return F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(mul)
-                          + F.lit(0.5)).cast("long"))
+    from ..functions.util import quantize
+
+    return F.transform(F.col(vec_col), lambda x: quantize(x, scale))
 
 
 def kmeans_fit(corpus: DataFrame, k: int = 8, vec_col: str = "embedding",
@@ -286,8 +284,11 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, vec_col: str = "embedding",
     (total order, partition-invariant — same rationale as
     ``ivf_fit_centroids``'s hash-band sample).
     """
-    qdf = corpus.select(id_col,
-                        _quantize_vecs(corpus, vec_col, scale).alias("q"))
+    # null vectors contribute nothing to the fit (the _cov_agg dropna
+    # discipline); kmeans_assign keeps their rows with null cluster/dist
+    qdf = (corpus.select(id_col,
+                         _quantize_vecs(corpus, vec_col, scale).alias("q"))
+           .where(F.col("q").isNotNull()))
     init_rows = (qdf.select(
         "q", F.xxhash64(F.col(id_col), F.lit(int(seed))).alias("h"))
         .orderBy("h", "q").limit(k).collect())
@@ -349,7 +350,9 @@ def kmeans_assign(corpus: DataFrame, centroids: np.ndarray,
     """Map-only cluster assignment against a broadcast quantized-unit
     centroid matrix (from :func:`kmeans_fit`): ``(id, cluster, dist)``
     with ``dist`` in original units. Same quantization + argmin rule as
-    the fit, so assignments are partitioning-invariant."""
+    the fit, so assignments are partitioning-invariant. Null embeddings
+    keep their row with null cluster/dist (the
+    ``centroid_distance_features`` discipline)."""
     cent = np.asarray(centroids, dtype=np.float64)
     id_type = corpus.schema[id_col].dataType.simpleString()
     mul = float(10 ** scale)
@@ -359,13 +362,21 @@ def kmeans_assign(corpus: DataFrame, centroids: np.ndarray,
         for pdf in batches:
             if not len(pdf):
                 continue
-            M = np.stack(pdf["q"].to_numpy()).astype(np.float64)
-            d2 = ((M[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            dist = np.sqrt(d2[np.arange(len(M)), assign]) / mul
+            cluster = pd.array([None] * len(pdf), dtype="Int32")
+            dist = pd.array([None] * len(pdf), dtype="Float64")
+            mask = pdf["q"].notna().to_numpy()
+            if mask.any():
+                idxs = np.nonzero(mask)[0]
+                M = np.stack(pdf["q"].iloc[idxs].to_numpy()) \
+                    .astype(np.float64)
+                d2 = ((M[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                dd = np.sqrt(d2[np.arange(len(M)), assign]) / mul
+                for r, i in enumerate(idxs):
+                    cluster[i] = int(assign[r])
+                    dist[i] = float(dd[r])
             yield pd.DataFrame({id_col: pdf[id_col],
-                                "cluster": assign.astype(np.int32),
-                                "dist": dist})
+                                "cluster": cluster, "dist": dist})
 
     qdf = corpus.select(id_col,
                         _quantize_vecs(corpus, vec_col, scale).alias("q"))

@@ -288,9 +288,8 @@ def word_entropy(df: DataFrame, text_col: str = "text",
     if scale is None:
         clnc_sum = F.sum(cd * F.log(cd)).alias("__clnc")
     else:
-        clnc_sum = F.sum(F.floor(
-            cd * F.log(cd) * F.lit(float(10 ** scale))
-            + F.lit(0.5))).alias("__clnc")
+        from ..functions.util import quantize
+        clnc_sum = F.sum(quantize(cd * F.log(cd), scale)).alias("__clnc")
     stats = counts.groupBy(id_col).agg(
         F.sum("c").alias("n_words_total"),
         clnc_sum,

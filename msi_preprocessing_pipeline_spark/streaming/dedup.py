@@ -55,7 +55,11 @@ def near_dup_landing(store_path: str, pairs_path: str,
     The store is written as VERSIONED snapshots ``{store_path}/v{batch_id}``
     (never in place — the update reads the previous version lazily while
     writing the next, and an in-place overwrite would corrupt the read).
-    Superseded versions are deleted after the new one commits. Pairs land
+    The prior is always the newest version STRICTLY below ``batch_id`` —
+    a retry of a batch whose snapshot already committed re-reads the same
+    prior instead of its own output — and that consumed snapshot is
+    retained until the next batch supersedes it (steady state: two
+    snapshots on disk); everything older is pruned. Pairs land
     under ``pairs_path`` stamped with ``batch_id``: on a micro-batch RETRY
     the same batch_id is appended twice, so exactly-once consumers dedup
     on ``(batch_id, doc_a, doc_b)`` — the values are deterministic, so
@@ -74,9 +78,15 @@ def near_dup_landing(store_path: str, pairs_path: str,
         spark = batch.sparkSession
         versions = []
         if os.path.isdir(store_path):
+            # STRICTLY below batch_id: on a micro-batch retry after the
+            # store write committed but before the checkpoint did,
+            # v{batch_id} already exists — reading it as prior would make
+            # the overwrite read its own input (Spark refuses), and
+            # pruning it would destroy the snapshot just written
             versions = sorted(
-                (int(d[1:]) for d in os.listdir(store_path)
-                 if d.startswith("v") and d[1:].isdigit()))
+                v for v in (int(d[1:]) for d in os.listdir(store_path)
+                            if d.startswith("v") and d[1:].isdigit())
+                if v < int(batch_id))
         if versions:
             prior = spark.read.parquet(f"{store_path}/v{versions[-1]}")
         else:
@@ -91,7 +101,11 @@ def near_dup_landing(store_path: str, pairs_path: str,
          .write.mode("append").parquet(pairs_path))
         all_sigs.write.mode("overwrite") \
             .parquet(f"{store_path}/v{batch_id}")
-        for v in versions:  # prune superseded snapshots after commit
+        # prune all but the snapshot this batch consumed: a RETRY of this
+        # batch must re-read the same prior, so the newest version below
+        # batch_id stays until the NEXT batch supersedes it (steady state
+        # is two snapshots on disk)
+        for v in versions[:-1]:
             shutil.rmtree(f"{store_path}/v{v}", ignore_errors=True)
 
     return land

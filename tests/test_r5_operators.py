@@ -167,3 +167,19 @@ def test_kmeans_empty_corpus_raises(spark):
         .where(F.lit(False))
     with pytest.raises(ValueError):
         kmeans_fit(emb, k=4)
+
+
+def test_kmeans_null_embeddings(spark):
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    with_null = emb.withColumn(
+        "embedding", F.when(F.col("vec_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("embedding")))
+    cent = kmeans_fit(with_null, k=4, iters=2)
+    # fit over nulls == fit over the null-free subset
+    ref = kmeans_fit(emb.where(~(F.col("vec_id") % 7 == 0)), k=4, iters=2)
+    assert np.array_equal(cent, ref)
+    out = kmeans_assign(with_null, cent).toPandas().set_index("vec_id")
+    nulls = out[out.index % 7 == 0]
+    assert len(nulls) > 0
+    assert nulls["cluster"].isna().all() and nulls["dist"].isna().all()
+    assert out[out.index % 7 != 0]["cluster"].notna().all()
