@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-155 queries, 155 with exact DuckDB oracles — relational SQL where expressible,
+157 queries, 157 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -666,6 +666,34 @@ def _q_pack_assignments(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     with_len = docs.select("doc_id", tx.token_count().alias("n_tok"))
     return pack_assignments(with_len, budget=256)
+
+
+def _q_packing_stats(spark, sf_dir):
+    """Packing-efficiency report at budget 256 over whitespace token
+    counts — exact ints, two divisions."""
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+    from msi_preprocessing_pipeline_spark.operators.packing import (
+        packing_stats)
+
+    docs = _t(spark, sf_dir, "documents")
+    with_len = docs.select("doc_id", tx.token_count().alias("n_tok"))
+    return packing_stats(with_len, budget=256)
+
+
+def _q_zipf_fit(spark, sf_dir):
+    """Zipf-slope corpus statistic over the hash-tokenized unigram
+    spectrum. scale=5 keeps every OLS moment sum under 2^53, so the
+    decimal→double casts agree across engines and the nano-quantized
+    outputs compare exactly."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        hash_tokenize, zipf_fit)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = zipf_fit(hash_tokenize(docs), top_n=500, scale=5)
+    u9 = lambda c: _uq(c, 9)  # noqa: E731
+    return out.select("n_ranks", u9("slope").alias("slope_u"),
+                      u9("intercept").alias("intercept_u"),
+                      u9("r2").alias("r2_u"))
 
 
 def _q_pii_scan(spark, sf_dir):
@@ -2398,7 +2426,7 @@ _R5_WINDOW = [
     "top_paths_events", "ecdf_value_by_type", "audience_overlap_types",
     "survivorship_users", "gap_stats_users", "trend_value_by_user",
     "funnel_view_click_purchase", "cohort_retention_weekly",
-    "pmi_bigrams_docs", "pca_project_vecs",
+    "packing_stats_docs", "zipf_fit_docs",
 ]
 
 
@@ -2419,6 +2447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_frac_docs": _q_contamination,
         "ab_cuped_purchases": _q_ab_cuped,
         "token_budget_sources": _q_token_budget,
+        "packing_stats_docs": _q_packing_stats,
+        "zipf_fit_docs": _q_zipf_fit,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "winnowing_pairs": _q_winnowing_pairs,
@@ -3745,6 +3775,88 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         as bigint) as last_seq,
                    cast(start_offset % 256 as bigint) as offset_in_seq
             from a
+        """,
+        "packing_stats_docs": """
+            with d as (
+                select doc_id,
+                       substr(md5(cast(doc_id as varchar)), 1, 2) as bucket,
+                       cast(case when length(trim(text)) = 0 then 0 else
+                            length(string_split_regex(trim(text), '\\s+'))
+                            end as bigint) as n_tok
+                from documents
+            ), pb as (
+                select bucket,
+                       cast(sum(n_tok) as bigint) as stream,
+                       count(*) as n,
+                       cast(sum(least(n_tok, 256)) as bigint) as kept,
+                       sum(case when n_tok > 256 then 1 else 0 end)
+                           as trunc
+                from d group by 1
+            ), a as (
+                select cast(sum(n) as bigint) as n_docs,
+                       cast(sum(stream) as bigint) as total_tokens,
+                       cast(sum((stream + 255) // 256) as bigint)
+                           as n_windows,
+                       cast(sum(kept) as bigint) as kept_all,
+                       cast(sum(trunc) as bigint) as n_truncated_docs
+                from pb
+            )
+            select n_docs, total_tokens, cast(256 as int) as budget,
+                   n_windows,
+                   case when n_windows > 0 then
+                        cast(total_tokens as double)
+                        / (cast(n_windows as double) * 256.0) end
+                       as packed_efficiency,
+                   n_truncated_docs,
+                   n_docs as naive_rows,
+                   case when n_docs > 0 then
+                        cast(kept_all as double)
+                        / (cast(n_docs as double) * 256.0) end
+                       as naive_efficiency
+            from a
+        """,
+        "zipf_fit_docs": f"""
+            with {_SQL_TOK},
+            uni as (
+                select t, count(*) as c
+                from tok, unnest(tokens) as u(t)
+                group by 1
+            ), ranked as (
+                select c,
+                       row_number() over (order by c desc, t asc) as r
+                from uni
+                qualify r <= 500
+            ), q as (
+                select cast(floor(ln(cast(r as double)) * 1e5 + 0.5)
+                            as hugeint) as x,
+                       cast(floor(ln(cast(c as double)) * 1e5 + 0.5)
+                            as hugeint) as y
+                from ranked
+            ), m as (
+                select count(*) as n_ranks,
+                       cast(sum(x) as double) as sx,
+                       cast(sum(y) as double) as sy,
+                       cast(sum(x * y) as double) as sxy,
+                       cast(sum(x * x) as double) as sxx,
+                       cast(sum(y * y) as double) as syy
+                from q
+            ), s as (
+                select n_ranks,
+                       cast(n_ranks as double) as n,
+                       sxy - sx * sy / cast(n_ranks as double) as cov,
+                       sxx - sx * sx / cast(n_ranks as double) as varx,
+                       syy - sy * sy / cast(n_ranks as double) as vary,
+                       sx, sy
+                from m
+            )
+            select cast(n_ranks as bigint) as n_ranks,
+                   cast(floor((cov / varx) * 1e9 + 0.5) as bigint)
+                       as slope_u,
+                   cast(floor(((sy - (cov / varx) * sx) / n / 1e5)
+                              * 1e9 + 0.5) as bigint) as intercept_u,
+                   cast(floor(((cov * cov) / (varx * vary)) * 1e9 + 0.5)
+                        as bigint) as r2_u
+            from s
         """,
         "stratified_sample_docs": """
             select doc_id, lang from documents

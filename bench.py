@@ -256,7 +256,8 @@ def main() -> None:
                  "passage_windows_docs", "attribution_last_touch",
                  "fs_weights_events", "kmeans_vecs",
                  "contamination_frac_docs", "ab_cuped_purchases",
-                 "token_budget_sources"]:
+                 "token_budget_sources", "packing_stats_docs",
+                 "zipf_fit_docs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -414,3 +414,60 @@ def search_topk(df: DataFrame, query_tokens, k: int = 10,
               .agg(F.sum("__c").alias("score_nano")))
     return (scored.orderBy(F.col("score_nano").desc(), F.col(id_col))
             .limit(k))
+
+
+def zipf_fit(df: DataFrame, tokens_col: str = "tokens",
+             top_n: int = 1000, scale: int = 9) -> DataFrame:
+    """Zipf law fit over the corpus unigram spectrum: OLS of ``ln(count)``
+    on ``ln(rank)`` across the ``top_n`` most frequent tokens — the
+    one-row corpus-health statistic (natural corpora slope ≈ −1; templated
+    or deduplicate-me corpora bend it).
+
+    Output: ``(n_ranks, slope, intercept, r2)`` — ``intercept`` is
+    ``ln(count)`` at rank 1 under the fit.
+
+    Determinism: ranks come from a total order ``(c desc, t asc)``; each
+    ``ln`` is a per-row scalar of an exact count, quantized with the
+    shared rule (``functions.util.quantize``); the OLS moment sums run in
+    exact decimal, so the fit is partition-order-free (the
+    ``sequences.trend_features`` discipline). The rank window sorts only
+    the |vocab|-bounded histogram, never the corpus; ``top_n`` then caps
+    the fitted relation.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.util import DEC38, quantize
+
+    counts = unigram_counts(df, tokens_col)
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    ranked = (counts.withColumn("r", F.row_number().over(w))
+              .where(F.col("r") <= int(top_n)))
+    # products of two scale-9 quantized lns reach ~4e20 — past int64, so
+    # multiply in decimal (exact at scale 0, well inside 38 digits)
+    x = quantize(F.log(F.col("r").cast("double")), scale).cast(DEC38)
+    y = quantize(F.log(F.col("c").cast("double")), scale).cast(DEC38)
+    agg = ranked.agg(
+        F.count("*").alias("n_ranks"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"))
+    n = F.col("n_ranks").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    mul = float(10 ** scale)
+    slope = F.when(varx > 0, cov / varx)
+    return agg.select(
+        "n_ranks",
+        slope.alias("slope"),
+        F.when(varx > 0, ((sy - (cov / varx) * sx) / n) / mul)
+        .alias("intercept"),
+        F.when((varx > 0) & (vary > 0), (cov * cov) / (varx * vary))
+        .alias("r2"))

@@ -131,3 +131,56 @@ def chunk_tokens(df: DataFrame, chunk_len: int, stride: int | None = None,
                    *[F.col(c) for c in keep_cols]))
     return (out.withColumn("chunk_n", F.size("chunk_tokens"))
             .where(F.col("chunk_n") >= min_len))
+
+
+def packing_stats(df: DataFrame, budget: int, id_col: str = "doc_id",
+                  len_col: str = "n_tok") -> DataFrame:
+    """One-row packing-efficiency report for a token budget: how much of
+    every materialized training window is real tokens (concat-and-chunk
+    packing) vs the naive one-doc-per-row padding baseline.
+
+    Output: ``(n_docs, total_tokens, budget, n_windows, packed_efficiency,
+    n_truncated_docs, naive_rows, naive_efficiency)``.
+
+    * ``n_windows`` — windows :func:`pack_token_sequences` materializes:
+      per layout bucket, ``ceil(stream_len / budget)`` (empty buckets 0).
+    * ``packed_efficiency = total_tokens / (n_windows·budget)``.
+    * naive baseline: one doc per row, padded/truncated to ``budget`` —
+      ``naive_efficiency = Σ min(len, budget) / (n_docs·budget)``, with
+      ``n_truncated_docs`` counting the docs that would LOSE tokens.
+
+    All counts exact int64/decimal; each efficiency is one division of
+    exact ints. One map-side-combined aggregation over the corpus plus a
+    |buckets|-bounded (≤256) reduction — strictly cheaper than packing.
+    """
+    lens = df.select(F.col(len_col).cast("long").alias("__len"),
+                     _bucket(id_col).alias("bucket"))
+    per_bucket = (lens.groupBy("bucket")
+                  .agg(F.sum("__len").alias("__stream"),
+                       F.count("*").alias("__n"),
+                       F.sum(F.least(F.col("__len"), F.lit(int(budget))))
+                       .alias("__kept"),
+                       F.sum(F.when(F.col("__len") > int(budget), 1)
+                             .otherwise(0)).alias("__trunc")))
+    # integral `div`, not float `/`: a bucket stream of 10^12 docs × 10^4
+    # tokens exceeds 2^53, where double division would silently round
+    win = F.expr(f"(__stream + {int(budget) - 1}) div {int(budget)}")
+    agg = per_bucket.agg(
+        F.sum("__n").alias("n_docs"),
+        F.sum("__stream").cast("long").alias("total_tokens"),
+        F.sum(win).cast("long").alias("n_windows"),
+        F.sum("__kept").cast("long").alias("__kept_all"),
+        F.sum("__trunc").cast("long").alias("n_truncated_docs"))
+    nw = F.col("n_windows").cast("double")
+    nd = F.col("n_docs").cast("double")
+    return agg.select(
+        "n_docs", "total_tokens", F.lit(int(budget)).alias("budget"),
+        "n_windows",
+        F.when(F.col("n_windows") > 0,
+               F.col("total_tokens").cast("double")
+               / (nw * F.lit(float(budget)))).alias("packed_efficiency"),
+        "n_truncated_docs",
+        F.col("n_docs").alias("naive_rows"),
+        F.when(F.col("n_docs") > 0,
+               F.col("__kept_all").cast("double")
+               / (nd * F.lit(float(budget)))).alias("naive_efficiency"))

@@ -122,3 +122,54 @@ def test_token_budget_plan(spark):
     assert rc.sample_fraction == 0.0 and not rc.exhausted
     with pytest.raises(ValueError):
         token_budget_plan(df, {"a": 900_000, "b": 200_000}, 10)
+
+
+def test_packing_stats_hand_computed(spark):
+    from msi_preprocessing_pipeline_spark.operators.packing import (
+        packing_stats)
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 300), ("c", 0), ("d", 256)],
+        "doc_id string, n_tok int")
+    r = packing_stats(df, budget=256).collect()[0]
+    assert r.n_docs == 4 and r.total_tokens == 566
+    assert r.n_truncated_docs == 1          # only the 300-token doc
+    # naive: min(len,256) summed = 10+256+0+256 = 522 over 4*256 slots
+    assert r.naive_efficiency == 522 / (4 * 256.0)
+    # windows: ceil(stream/budget) per md5 bucket — recompute exactly
+    import hashlib
+    streams = {}
+    for doc, n in [("a", 10), ("b", 300), ("c", 0), ("d", 256)]:
+        b = hashlib.md5(doc.encode()).hexdigest()[:2]
+        streams[b] = streams.get(b, 0) + n
+    n_win = sum((s + 255) // 256 for s in streams.values() if s or True)
+    assert r.n_windows == n_win
+    assert r.packed_efficiency == 566 / (n_win * 256.0)
+
+
+def test_zipf_fit_matches_numpy(spark):
+    import math
+
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        hash_tokenize, zipf_fit)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r = zipf_fit(hash_tokenize(docs), top_n=200, scale=6).collect()[0]
+    # numpy reference over the SAME quantization and total rank order
+    tok = hash_tokenize(docs).toPandas()
+    from collections import Counter
+    counts = Counter()
+    for arr in tok.tokens:
+        if arr is not None:
+            counts.update(list(arr))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    x = np.array([math.floor(math.log(i + 1) * 1e6 + 0.5)
+                  for i in range(len(ranked))], dtype=object)
+    y = np.array([math.floor(math.log(c) * 1e6 + 0.5)
+                  for _, c in ranked], dtype=object)
+    n = len(x)
+    cov = float(sum(a * b for a, b in zip(x, y)) - sum(x) * sum(y) / n)
+    varx = float(sum(a * a for a in x) - sum(x) ** 2 / n)
+    vary = float(sum(b * b for b in y) - sum(y) ** 2 / n)
+    assert r.n_ranks == n
+    assert math.isclose(r.slope, cov / varx, rel_tol=1e-9)
+    assert -1.5 < r.slope < -0.1          # Zipf-ish negative slope
+    assert math.isclose(r.r2, cov * cov / (varx * vary), rel_tol=1e-9)
