@@ -909,9 +909,15 @@ def _q_phash_near_dup(spark, sf_dir):
     pigeonhole banded Hamming join (the SimHash machinery reused over the
     phash column)."""
     from msi_preprocessing_pipeline_spark.operators import multimodal as mm
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        rebalance_for_cpu)
 
     docs = _t(spark, sf_dir, "documents")
-    media = mm.synth_media_from_ids(docs.select("doc_id"), n_groups=200)
+    # synth+DCT are the CPU-heavy Python path: a single-file input would
+    # serialize them onto one task (the rebalance_for_cpu discipline);
+    # the hash is per-row deterministic, so partitioning can't change it
+    ids = rebalance_for_cpu(docs.select("doc_id"))
+    media = mm.synth_media_from_ids(ids, n_groups=200)
     hashes = mm.phash64(media, decoder="real", id_col="doc_id")
     return mm.phash_near_pairs(hashes, id_col="doc_id", max_hamming=6)
 
