@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-157 queries, 157 with exact DuckDB oracles — relational SQL where expressible,
+160 queries, 160 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1054,6 +1054,62 @@ def _q_kmeans(spark, sf_dir):
     return out.select(
         "vec_id", "cluster",
         _uq("dist").alias("dist_u"))
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (cluster-scoped semantic dedup): k-means the embedding
+    table, mark rows with a same-cluster mate at cosine ≥ 0.9 (keep the
+    farther-from-centroid of a pair).  Synthetic embeddings are near-
+    orthogonal, so near-duplicates are INJECTED in-query (the pii_scan /
+    boilerplate pattern): 8 scaled copies (x·1.001 — cosine ≈ 1, still
+    ~0.1% apart in euclidean so they co-cluster).  Golden-pinned: the
+    k-means fit is iterative (not SQL-expressible) but partitioning-
+    invariant; the dedup verdict itself is exact-integer (pytest
+    brute-force + partition-invariance pins)."""
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        semdedup)
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = (emb.where(F.col("vec_id") < 8)
+           .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                   F.transform(
+                       "embedding",
+                       lambda x: (x.cast("double")
+                                  * F.lit(1.001)).cast("float"))
+                   .alias("embedding")))
+    corpus = emb.unionByName(dup)
+    return semdedup(corpus, k=8, threshold=0.9, iters=4, seed=19, scale=6)
+
+
+def _q_random_projection(spark, sf_dir):
+    """Deterministic Rademacher JL sketch 64→16: exact int64 components
+    (quantized inputs × ±1 signs), signs derived from the shared md5
+    idiom so the DuckDB oracle REBUILDS the identical matrix from SQL
+    alone — a fully relational cross-engine contract for a linear-
+    algebra operator."""
+    from msi_preprocessing_pipeline_spark.operators.embeddings import (
+        random_projection)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rp = random_projection(emb.where(F.col("embedding").isNotNull()),
+                           in_dim=64, out_dim=16, seed=7, scale=6)
+    return rp.select("vec_id", F.posexplode("rp").alias("dim", "comp_q"))
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (hashed unigram+bigram models, target =
+    English docs): per-doc Σ λq[bucket] exact int64.  Bucket counts are
+    exact distributed integers; the only floating point is the driver's
+    bounded λ=ln-ratio table (numpy, deterministic) — partitioning-
+    invariant end to end, golden-pinned because λ's transcendental ln
+    has no ulp-stable SQL mirror (DuckDB ln ≠ numpy ln at 1 ulp)."""
+    from msi_preprocessing_pipeline_spark.operators.importance import (
+        dsir_bucket_logratios, dsir_weights)
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    lamq = dsir_bucket_logratios(docs, target, buckets=4096, seed=7)
+    return dsir_weights(docs, lamq, buckets=4096, seed=7)
 
 
 def _q_near_dup_clusters(spark, sf_dir):
@@ -2421,14 +2477,14 @@ _R5_WINDOW = [
     "incremental_minhash_pairs", "phash_near_dup", "passage_windows_docs",
     "attribution_last_touch", "fs_weights_events", "kmeans_vecs",
     "contamination_frac_docs", "ab_cuped_purchases", "token_budget_sources",
+    "semdedup_vecs", "rp_embed_vecs", "dsir_weights_docs",
     # (c) never-driver-recorded r4 queries, riskiest first
     "pagerank_part_supplier", "triangles_supplier_coorder",
     "clustering_coeff_suppliers", "kcore_suppliers", "er_resolve_part",
     "boilerplate_census_docs", "remove_boilerplate_docs",
     "incremental_refresh_users", "merge_additive_users",
     "salted_join_segments", "fingerprint_lineitem", "diff_buckets_events",
-    "scd2_purchase_values", "pattern_vcp_users", "event_time_disorder",
-    "join_size_orders_lineitem", "json_key_profile_events",
+    "scd2_purchase_values", "pattern_vcp_users",
     "top_paths_events", "ecdf_value_by_type", "audience_overlap_types",
     "survivorship_users", "gap_stats_users", "trend_value_by_user",
     "funnel_view_click_purchase", "cohort_retention_weekly",
@@ -2455,6 +2511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sources": _q_token_budget,
         "packing_stats_docs": _q_packing_stats,
         "zipf_fit_docs": _q_zipf_fit,
+        "semdedup_vecs": _q_semdedup,
+        "rp_embed_vecs": _q_random_projection,
+        "dsir_weights_docs": _q_dsir_weights,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "winnowing_pairs": _q_winnowing_pairs,
@@ -4326,6 +4385,38 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             select event_id, user_id, value,
                    l[-1] as prev1, l[-2] as prev2, l[-3] as prev3
             from t
+        """,
+        # deterministic Rademacher JL sketch: the DuckDB oracle REBUILDS
+        # the ±1 sign matrix from the shared md5 idiom (first 8 hex chars
+        # even → +1), so a linear-algebra operator gets a fully
+        # relational exact-integer contract — no goldens, no floats
+        "rp_embed_vecs": """
+            with s as (
+                select i.i as i, j.j as j,
+                       case when cast(('0x' || substr(md5(
+                                cast(i.i as varchar) || ':'
+                                || cast(j.j as varchar) || ':rp:7'),
+                                1, 8)) as bigint) % 2 = 0
+                            then 1 else -1 end as sgn
+                from (select unnest(generate_series(0, 63)) as i) i,
+                     (select unnest(generate_series(0, 15)) as j) j
+            ),
+            q as (
+                select vec_id,
+                       list_transform(embedding, x ->
+                           cast(floor(cast(x as double) * 1000000.0
+                                      + 0.5) as bigint)) as qv
+                from embeddings where embedding is not null
+            ),
+            u as (
+                select vec_id, g.i as i, qv[g.i + 1] as qi
+                from q, lateral (select unnest(generate_series(0,
+                         len(qv) - 1)) as i) g
+            )
+            select u.vec_id, cast(s.j as int) as dim,
+                   cast(sum(u.qi * s.sgn) as bigint) as comp_q
+            from u join s on s.i = u.i
+            group by u.vec_id, s.j
         """,
         "embedding_norms_vecs": """
             with q as (

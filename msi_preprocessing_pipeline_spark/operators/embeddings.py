@@ -496,3 +496,82 @@ def centroid_distance_features(df: DataFrame, centroids,
     in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                           for f in df.schema.fields)
     return df.mapInPandas(score, schema=f"{in_fields}, {out_schema}")
+
+# ---------------------------------------------------------------------------
+# deterministic random projection (Johnson–Lindenstrauss sketch)
+
+
+def rademacher_signs(in_dim: int, out_dim: int, seed: int = 7) -> np.ndarray:
+    """The deterministic ±1 projection matrix shared by
+    :func:`random_projection` and its SQL oracles: entry ``(i, j)`` is
+    ``+1`` when ``md5(f"{i}:{j}:rp:{seed}")``'s first 8 hex chars are an
+    even integer, else ``-1`` — exactly the ``functions.util.md5_bucket``
+    idiom with ``n=2``, so Spark (driver numpy here), DuckDB and Python
+    derive the identical matrix from the identical strings with no
+    shipped state.  An i.i.d. Rademacher matrix satisfies the JL lemma
+    with the same distortion bounds as Gaussian (Achlioptas 2003,
+    "Database-friendly random projections"), and integer entries keep
+    the projection in EXACT integer arithmetic."""
+    import hashlib
+
+    signs = np.empty((in_dim, out_dim), dtype=np.int64)
+    for i in range(in_dim):
+        for j in range(out_dim):
+            h = int(hashlib.md5(
+                f"{i}:{j}:rp:{seed}".encode()).hexdigest()[:8], 16)
+            signs[i, j] = 1 if h % 2 == 0 else -1
+    return signs
+
+
+def random_projection(df: DataFrame, in_dim: int, out_dim: int,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      seed: int = 7, scale: int = 6) -> DataFrame:
+    """Map-only JL sketch: quantize each embedding to
+    ``floor(x·10^scale + 0.5)`` int64 (JVM transform), then one Arrow
+    batch matmul against the broadcast (d × out_dim) Rademacher matrix.
+    Returns ``(id, rp array<long>)`` with components in quantized-sum
+    units (divide by ``10^scale·√out_dim`` for calibrated real units) —
+    EXACT integers, so the contract is partition-order-free and the SQL
+    oracle can recompute the same matrix from md5 alone.
+
+    Scale: zero shuffles, zero driver state beyond the d·k sign matrix;
+    distances shrink d→out_dim before any ANN/near-dup pass (the classic
+    sketch-then-bucket pipeline; cf. ``dedup.embedding_near_dup``'s
+    hyperplane LSH, which keeps only sign bits — this keeps magnitudes).
+    Null embeddings keep their row with a null sketch
+    (``pca_project`` discipline).  Overflow: ``|out_j| ≤ in_dim·max|q|``
+    — guarded per batch like ``kmeans_fit``.
+    """
+    S = rademacher_signs(in_dim, out_dim, seed)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pd.Series([None] * len(pdf), index=pdf.index,
+                            dtype=object)
+            mask = pdf["q"].notna().to_numpy()
+            if mask.any():
+                idxs = np.nonzero(mask)[0]
+                Mi = np.stack(pdf["q"].iloc[idxs].to_numpy()) \
+                    .astype(np.int64)
+                if Mi.shape[1] != S.shape[0]:
+                    raise ValueError(
+                        f"random_projection: vectors have dim "
+                        f"{Mi.shape[1]}, sign matrix expects {S.shape[0]}")
+                qmax = float(np.abs(Mi).max(initial=0))
+                if Mi.shape[1] * qmax > float(2 ** 62):
+                    raise OverflowError(
+                        "random_projection sums would overflow int64; "
+                        "lower scale")
+                P = Mi @ S  # exact int64
+                for r, i in enumerate(idxs):
+                    out.iloc[i] = P[r]
+            yield pd.DataFrame({id_col: pdf[id_col], "rp": out})
+
+    qdf = df.select(
+        id_col, F.transform(F.col(vec_col),
+                            lambda x: quantize(x, scale)).alias("q"))
+    return qdf.mapInPandas(run, schema=f"{id_col} {id_type}, "
+                                       f"rp array<long>")

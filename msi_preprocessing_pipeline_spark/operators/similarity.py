@@ -382,3 +382,145 @@ def kmeans_assign(corpus: DataFrame, centroids: np.ndarray,
                         _quantize_vecs(corpus, vec_col, scale).alias("q"))
     return qdf.mapInPandas(
         run, schema=f"{id_col} {id_type}, cluster int, dist double")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic deduplication
+
+
+def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             iters: int = 4, seed: int = 19, scale: int = 6,
+             max_cluster: int = 200_000,
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """Semantic dedup à la SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means the corpus, then inside each cluster mark every row that has a
+    cluster-mate with cosine ≥ ``threshold`` ranking above it.  Returns
+    ``(id, cluster, d2_q, removed)`` — ``d2_q`` the EXACT integer squared
+    distance to the row's centroid in quantized units.
+
+    Keep rule (deterministic): within a semantic-duplicate pair the row
+    FARTHER from its centroid survives (the paper's "keep low
+    centroid-similarity" policy — retains the less prototypical example);
+    ties break to the lower id.  A row is removed iff some same-cluster
+    mate with ``cos ≥ threshold`` beats it under that order.
+
+    Exactness: vectors are quantized once (``floor(x·10^s + 0.5)``), so
+    dot products, squared norms and d² are exact int64; the cosine test
+    runs comparison-free in integer space —
+    ``dot > 0 ∧ dot²·den² ≥ num²·‖a‖²·‖b‖²`` with ``threshold = num/den``
+    exact from its decimal literal — and the fit itself is the
+    partitioning-invariant :func:`kmeans_fit`.  Zero-norm vectors are
+    never considered duplicates (cosine undefined).
+
+    Scale: the all-pairs stage is scoped to clusters — the published
+    recipe grows ``k ∝ N`` to bound cluster sizes, making the self-join
+    ``Σ|c|²`` instead of ``N²``; a ``max_cluster`` guard fails fast when
+    an input violates that contract (the ``star_over`` philosophy from
+    ``dedup.minhash_lsh_pairs``, except SemDeDup's semantics give no
+    sound star fallback: removal depends on EVERY pairwise edge).  One
+    shuffle on cluster id for the self-join, one groupBy(id) for the
+    removal verdict; raw vectors shuffle once, quantized.
+    """
+    from fractions import Fraction
+
+    from ..functions.util import DEC38, quantize
+
+    if centroids is None:
+        centroids = kmeans_fit(corpus, k=k, vec_col=vec_col, id_col=id_col,
+                               iters=iters, seed=seed, scale=scale)
+    cent = np.asarray(centroids, dtype=np.float64)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def assign(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cl = pd.array([None] * len(pdf), dtype="Int32")
+            d2q = pd.array([None] * len(pdf), dtype="Int64")
+            mask = pdf["q"].notna().to_numpy()
+            if mask.any():
+                idxs = np.nonzero(mask)[0]
+                Mi = np.stack(pdf["q"].iloc[idxs].to_numpy()) \
+                    .astype(np.int64)
+                M = Mi.astype(np.float64)
+                d2 = ((M[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)  # ties → lowest cluster id
+                # exact integer d² against the argmin centroid (float64
+                # d² above is kmeans_fit's assignment rule; the exact
+                # int recompute is the CONTRACT value and tie-break key)
+                crounded = np.rint(cent).astype(np.int64)
+                for r, i in enumerate(idxs):
+                    diff = Mi[r] - crounded[a[r]]
+                    cl[i] = int(a[r])
+                    d2q[i] = int((diff * diff).sum())
+            yield pd.DataFrame({id_col: pdf[id_col], "cluster": cl,
+                                "d2_q": d2q, "q": pdf["q"]})
+
+    qdf = corpus.select(
+        id_col, F.transform(F.col(vec_col),
+                            lambda x: quantize(x, scale)).alias("q"))
+    assigned = qdf.mapInPandas(
+        assign, schema=f"{id_col} {id_type}, cluster int, d2_q long, "
+                       f"q array<long>").persist()
+
+    # bounded guards in ONE k-row job: per-cluster sizes + max |q| term
+    guard = (assigned.where(F.col("cluster").isNotNull())
+             .groupBy("cluster")
+             .agg(F.count("*").alias("n"),
+                  F.max(F.aggregate(
+                      F.transform("q", lambda x: F.abs(x)),
+                      F.lit(0).cast("long"),
+                      lambda acc, x: F.greatest(acc, x))).alias("qmax"))
+             .agg(F.max("n").alias("nmax"), F.max("qmax").alias("qmax"))
+             .collect()[0])
+    if guard["nmax"] is not None and guard["nmax"] > max_cluster:
+        raise ValueError(
+            f"semdedup: largest cluster has {guard['nmax']} rows "
+            f"(> max_cluster={max_cluster}); raise k so cluster sizes "
+            f"stay bounded (SemDeDup scales k with N)")
+    if guard["qmax"] is not None:
+        d = len(cent[0])
+        if d * float(guard["qmax"]) ** 2 > float(2 ** 62):
+            raise OverflowError(
+                "semdedup: pair dot products would overflow int64; "
+                "lower scale")
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    sqn = {s: F.aggregate(
+        F.transform(F.col(f"{s}.q"), lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x) for s in ("a", "b")}
+    pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+             .where(F.col("a.cluster").isNotNull())
+             .select(F.col(f"a.{id_col}").alias("__id"),
+                     F.col("a.d2_q").alias("__da"),
+                     F.col("b.d2_q").alias("__db"),
+                     F.col(f"b.{id_col}").alias("__mate"),
+                     dot.alias("__dot"), sqn["a"].alias("__na"),
+                     sqn["b"].alias("__nb")))
+    near = ((F.col("__dot") > 0) & (F.col("__na") > 0)
+            & (F.col("__nb") > 0)
+            & (F.col("__dot").cast(DEC38) * F.col("__dot")
+               * F.lit(den * den)
+               >= F.col("__na").cast(DEC38) * F.col("__nb")
+               * F.lit(num * num)))
+    mate_wins = (F.col("__db") > F.col("__da")) | \
+        ((F.col("__db") == F.col("__da"))
+         & (F.col("__mate") < F.col("__id")))
+    verdicts = (pairs.groupBy(F.col("__id").alias(id_col))
+                .agg(F.max(near & mate_wins).alias("__removed")))
+    out = (assigned.drop("q")
+           .join(verdicts, on=id_col, how="left")
+           .select(id_col, "cluster", "d2_q",
+                   F.coalesce(F.col("__removed"),
+                              F.lit(False)).alias("removed")))
+    return out

@@ -523,3 +523,42 @@ def test_fs_weights_single_aggregation(spark):
     plan = plan_of(fs_weights(pairs, ["a1", "a2"]), "simple")
     assert "Window" not in plan
     assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_random_projection_map_only(spark):
+    """The JL sketch is ONE Arrow pass: quantize (JVM) + matmul
+    (MapInPandas) — zero exchanges, so it composes with any downstream
+    bucketing without its own shuffle."""
+    from msi_preprocessing_pipeline_spark.operators.embeddings import (
+        random_projection)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(random_projection(emb, in_dim=64, out_dim=16), "simple")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_dsir_weights_broadcast_lambda_single_doc_shuffle(spark):
+    """DSIR scoring: the λ table joins BROADCAST (bounded ≤ buckets
+    rows) and the per-doc sum is the only row-proportional exchange —
+    no sort-merge join anywhere."""
+    import numpy as np
+    from msi_preprocessing_pipeline_spark.operators.importance import (
+        dsir_weights)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(dsir_weights(docs, np.ones(64, dtype=np.int64),
+                                buckets=64), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_pairs_shuffle_on_cluster_only(spark):
+    """SemDeDup's pair stage self-joins on cluster id (SMJ/shuffle-hash
+    on the bounded cluster key) — no broadcast of the full corpus and
+    no cartesian product."""
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        semdedup)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = semdedup(emb, k=4, iters=1, threshold=0.95)
+    plan = plan_of(out, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

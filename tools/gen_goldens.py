@@ -52,6 +52,13 @@ PIN = [
     # distributed k-means: quantized exact-integer centroid sums make the
     # fit partitioning-invariant (pytest-verified); iterative → golden
     ("kmeans_vecs", True),
+    # SemDeDup: k-means fit is iterative (golden like kmeans_vecs); the
+    # dedup verdict is exact-integer and pytest-pinned partition-invariant
+    ("semdedup_vecs", True),
+    # DSIR: λ table is a driver-side numpy ln over exact bucket counts —
+    # deterministic, but DuckDB's ln differs from numpy's at 1 ulp, so the
+    # quantized λ has no stable SQL mirror; weights are exact int64 sums
+    ("dsir_weights_docs", True),
 ]
 
 DUCK_TYPES = {
