@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-160 queries, 160 with exact DuckDB oracles — relational SQL where expressible,
+161 queries, 161 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1110,6 +1110,22 @@ def _q_dsir_weights(spark, sf_dir):
     target = docs.where(F.col("lang") == "en")
     lamq = dsir_bucket_logratios(docs, target, buckets=4096, seed=7)
     return dsir_weights(docs, lamq, buckets=4096, seed=7)
+
+
+def _q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: fused multi-subspace codebook fit (one
+    Arrow pass per iteration for ALL m subspaces), map-only encode to
+    m-byte codes, asymmetric-distance top-10 for 3 query vectors with an
+    EXACT integer ADC table — ranking partition-order-immune.
+    Golden-pinned (iterative fit), recall pytest-checked vs exact L2."""
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        pq_adc_topk, pq_encode, pq_fit)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=8, k=16, iters=3, seed=19, scale=6)
+    codes = pq_encode(emb, books, scale=6)
+    return pq_adc_topk(codes, books, emb.where(F.col("vec_id") < 3),
+                       topk=10, scale=6)
 
 
 def _q_near_dup_clusters(spark, sf_dir):
@@ -2477,7 +2493,7 @@ _R5_WINDOW = [
     "incremental_minhash_pairs", "phash_near_dup", "passage_windows_docs",
     "attribution_last_touch", "fs_weights_events", "kmeans_vecs",
     "contamination_frac_docs", "ab_cuped_purchases", "token_budget_sources",
-    "semdedup_vecs", "rp_embed_vecs", "dsir_weights_docs",
+    "semdedup_vecs", "rp_embed_vecs", "dsir_weights_docs", "pq_topk_vecs",
     # (c) never-driver-recorded r4 queries, riskiest first
     "pagerank_part_supplier", "triangles_supplier_coorder",
     "clustering_coeff_suppliers", "kcore_suppliers", "er_resolve_part",
@@ -2485,7 +2501,7 @@ _R5_WINDOW = [
     "incremental_refresh_users", "merge_additive_users",
     "salted_join_segments", "fingerprint_lineitem", "diff_buckets_events",
     "scd2_purchase_values", "pattern_vcp_users",
-    "top_paths_events", "ecdf_value_by_type", "audience_overlap_types",
+    "top_paths_events", "audience_overlap_types",
     "survivorship_users", "gap_stats_users", "trend_value_by_user",
     "funnel_view_click_purchase", "cohort_retention_weekly",
     "packing_stats_docs", "zipf_fit_docs",
@@ -2514,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_vecs": _q_semdedup,
         "rp_embed_vecs": _q_random_projection,
         "dsir_weights_docs": _q_dsir_weights,
+        "pq_topk_vecs": _q_pq_topk,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "winnowing_pairs": _q_winnowing_pairs,

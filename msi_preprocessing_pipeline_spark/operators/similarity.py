@@ -524,3 +524,195 @@ def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
                    F.coalesce(F.col("__removed"),
                               F.lit(False)).alias("removed")))
     return out
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): memory-bounded codes + asymmetric-distance top-k
+
+
+def pq_fit(corpus: DataFrame, m: int = 8, k: int = 16,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           iters: int = 4, seed: int = 19, scale: int = 6) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    quantization for nearest neighbor search"): split the ``d`` dims into
+    ``m`` contiguous subspaces and k-means each — returned as a
+    ``[m, k, d/m]`` matrix in quantized units.
+
+    Unlike running :func:`kmeans_fit` m times (m × iters corpus scans),
+    ALL m sub-fits share ONE Arrow pass per iteration: each batch assigns
+    every block of every row and emits per-(subspace, cluster) int64
+    partial sums — ≤ partitions·m·k rows cross the wire per iteration,
+    reduced with exact decimal sums.  Same determinism contract as
+    ``kmeans_fit``: quantize-once inputs, exact-integer partials,
+    lowest-id argmin ties, hash-ordered init rows, empty clusters keep
+    their centroid — bit-reproducible under any partitioning.
+    """
+    qdf = (corpus.select(id_col,
+                         _quantize_vecs(corpus, vec_col, scale).alias("q"))
+           .where(F.col("q").isNotNull()))
+    init_rows = (qdf.select(
+        "q", F.xxhash64(F.col(id_col), F.lit(int(seed))).alias("h"))
+        .orderBy("h", "q").limit(k).collect())
+    if not init_rows:
+        raise ValueError("pq_fit: empty corpus")
+    full = np.stack([np.asarray(r.q, dtype=np.float64) for r in init_rows])
+    d = full.shape[1]
+    if d % m != 0:
+        raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
+    sub = d // m
+    kk = full.shape[0]
+    # [m, k, sub] — subspace s's init is the same hash-ordered rows, sliced
+    books = np.stack([full[:, s * sub:(s + 1) * sub] for s in range(m)])
+
+    def partials_for(bks: np.ndarray):
+        def run(batches):
+            import pandas as pd
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Mi = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+                qmax = float(np.abs(Mi).max(initial=0))
+                if len(Mi) * qmax > float(2 ** 62):
+                    raise OverflowError(
+                        "pq_fit partial sums would overflow int64; lower "
+                        "scale or repartition finer")
+                out = {"sub": [], "cluster": [], "n": [], "s": []}
+                for s in range(m):
+                    Bi = Mi[:, s * sub:(s + 1) * sub]
+                    B = Bi.astype(np.float64)
+                    d2 = ((B[:, None, :] - bks[s][None, :, :]) ** 2) \
+                        .sum(axis=2)
+                    assign = d2.argmin(axis=1)  # ties → lowest id
+                    for c in np.unique(assign):
+                        members = Bi[assign == c]
+                        out["sub"].append(s)
+                        out["cluster"].append(int(c))
+                        out["n"].append(len(members))
+                        out["s"].append(members.sum(axis=0,
+                                                    dtype=np.int64))
+                yield pd.DataFrame(out)
+        return run
+
+    sum_cols = [F.sum(F.element_at("s", i + 1).cast("decimal(38,0)"))
+                .alias(f"_s{i}") for i in range(sub)]
+    for _ in range(iters):
+        parts = qdf.select("q").mapInPandas(
+            partials_for(books.copy()),
+            schema="sub int, cluster int, n long, s array<long>")
+        rows = (parts.groupBy("sub", "cluster")
+                .agg(F.sum("n").alias("_n"), *sum_cols)
+                .collect())
+        new_b = books.copy()  # empty clusters keep their centroid
+        for r in rows:
+            n = float(r["_n"])
+            new_b[r["sub"], r["cluster"]] = np.array(
+                [float(r[f"_s{i}"]) for i in range(sub)]) / n
+        books = new_b
+    return books
+
+
+def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              scale: int = 6) -> DataFrame:
+    """Map-only PQ encoding against broadcast codebooks: ``(id, codes
+    array<int>)`` — m small ints replace d floats (the 100-TB memory
+    story: a 64-dim float table becomes 8 bytes/row).  Same quantize +
+    lowest-id-argmin rule as the fit → partitioning-invariant.  Null
+    embeddings keep their row with null codes."""
+    bks = np.asarray(codebooks, dtype=np.float64)
+    m, _, sub = bks.shape
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pd.Series([None] * len(pdf), index=pdf.index,
+                            dtype=object)
+            mask = pdf["q"].notna().to_numpy()
+            if mask.any():
+                idxs = np.nonzero(mask)[0]
+                Mi = np.stack(pdf["q"].iloc[idxs].to_numpy()) \
+                    .astype(np.float64)
+                if Mi.shape[1] != m * sub:
+                    raise ValueError(
+                        f"pq_encode: dim {Mi.shape[1]} != m·sub "
+                        f"{m * sub}")
+                codes = np.empty((len(Mi), m), dtype=np.int32)
+                for s in range(m):
+                    B = Mi[:, s * sub:(s + 1) * sub]
+                    d2 = ((B[:, None, :] - bks[s][None, :, :]) ** 2) \
+                        .sum(axis=2)
+                    codes[:, s] = d2.argmin(axis=1)
+                for r, i in enumerate(idxs):
+                    out.iloc[i] = codes[r]
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": out})
+
+    qdf = corpus.select(id_col,
+                        _quantize_vecs(corpus, vec_col, scale).alias("q"))
+    return qdf.mapInPandas(run, schema=f"{id_col} {id_type}, "
+                                       f"codes array<int>")
+
+
+def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray,
+                queries: DataFrame, topk: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                query_id_col: str = "query_id",
+                scale: int = 6) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, the
+    ``[m, k]`` table of EXACT integer squared distances from the query's
+    quantized sub-vectors to every codeword is computed once on the
+    driver (queries are a bounded relation — collected like
+    ``cosine_topk`` broadcasts them) and the per-row score is
+    ``Σ_s table[s, code_s]`` — a JVM expression over broadcast literal
+    arrays, exact int64, so ranking is partition-order-immune (ties →
+    ascending id).  One shuffle: the per-query top-k
+    ``TakeOrderedAndProject``-style window.  At scale the scan reads
+    ONLY the m-byte code column — the point of PQ."""
+    bks = np.asarray(codebooks, dtype=np.float64)
+    m, kk, sub = bks.shape
+    # codewords are float centroids of quantized ints; rint makes the
+    # ADC table exact-integer (same contract trick as semdedup's d2_q)
+    bki = np.rint(bks).astype(np.int64)
+    qrows = (queries.select(F.col(id_col).alias("__qid"),
+                            _quantize_vecs(queries, vec_col, scale)
+                            .alias("__q"))
+             .where(F.col("__q").isNotNull())
+             .orderBy("__qid").collect())
+    if not qrows:
+        raise ValueError("pq_adc_topk: no non-null query vectors")
+    per_query = []
+    for qr in qrows:
+        qv = np.asarray(qr["__q"], dtype=np.int64)
+        if len(qv) != m * sub:
+            raise ValueError(f"pq_adc_topk: query dim {len(qv)} != "
+                             f"m·sub {m * sub}")
+        tab = np.empty((m, kk), dtype=np.int64)
+        for s in range(m):
+            diff = qv[s * sub:(s + 1) * sub][None, :] - bki[s]
+            tab[s] = (diff * diff).sum(axis=1)
+        per_query.append((qr["__qid"], tab))
+
+    scored_parts = []
+    for qid, tab in per_query:
+        # table[s, code_s] as a JVM lookup into a broadcast literal
+        # array-of-arrays: element_at(element_at(tab, s+1), code+1)
+        tab_col = F.array(*[
+            F.array(*[F.lit(int(v)) for v in tab[s]]) for s in range(m)])
+        adc = F.aggregate(
+            F.zip_with(tab_col, F.col("codes"),
+                       lambda trow, c: F.element_at(trow, c + 1)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        scored_parts.append(
+            codes.where(F.col("codes").isNotNull())
+            .select(F.lit(qid).alias(query_id_col),
+                    F.col(id_col).alias("neighbor_id"),
+                    adc.alias("adc_q")))
+    scored = scored_parts[0]
+    for p in scored_parts[1:]:
+        scored = scored.unionByName(p)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_q").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= F.lit(topk)))

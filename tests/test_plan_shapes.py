@@ -562,3 +562,26 @@ def test_semdedup_pairs_shuffle_on_cluster_only(spark):
     plan = plan_of(out, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_encode_map_only(spark):
+    """PQ encoding is ONE Arrow pass (0 Exchange) and ADC scoring adds
+    no Python: the score is a JVM zip_with lookup-fold over the
+    broadcast literal table."""
+    import numpy as np
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        pq_adc_topk, pq_encode)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = np.zeros((4, 2, 16))
+    books[:, 1, :] = 1.0
+    codes = pq_encode(emb, books)
+    plan = plan_of(codes, "simple")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+    out = pq_adc_topk(codes, books, emb.where(F.col("vec_id") < 2),
+                      topk=5)
+    plan2 = plan_of(out, "simple")
+    # the only Python in the whole ADC plan is the encode pass (once per
+    # unioned query branch); scoring itself is JVM — no join of any kind
+    assert plan2.count("MapInPandas") == 2
+    assert "Join" not in plan2

@@ -59,6 +59,9 @@ PIN = [
     # deterministic, but DuckDB's ln differs from numpy's at 1 ulp, so the
     # quantized λ has no stable SQL mirror; weights are exact int64 sums
     ("dsir_weights_docs", True),
+    # PQ: iterative codebook fit (kmeans determinism contract); encode +
+    # exact-int ADC ranking are partition-invariant, pytest-pinned
+    ("pq_topk_vecs", True),
 ]
 
 DUCK_TYPES = {
