@@ -108,6 +108,12 @@ def dsir_weights(raw: DataFrame, lamq: np.ndarray, buckets: int = 4096,
     so overflow needs a 10^8-gram single document — guarded).  Docs with
     null text keep their row with null weight (the engine-wide
     null-payload discipline)."""
+    if len(lamq) != buckets:
+        # an inner join on bucket would otherwise silently DROP every
+        # gram hashing outside the λ table — corrupt weights, no error
+        raise ValueError(
+            f"dsir_weights: λ table has {len(lamq)} buckets but scoring "
+            f"hashes into {buckets}; fit and score must share `buckets`")
     lam_rows = [(int(b), int(v)) for b, v in enumerate(lamq)]
     spark = raw.sparkSession
     lam_df = spark.createDataFrame(lam_rows, "bucket bigint, lamq bigint")

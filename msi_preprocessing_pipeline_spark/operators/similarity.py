@@ -424,7 +424,7 @@ def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
     """
     from fractions import Fraction
 
-    from ..functions.util import DEC38, quantize
+    from ..functions.util import DEC38
 
     if centroids is None:
         centroids = kmeans_fit(corpus, k=k, vec_col=vec_col, id_col=id_col,
@@ -459,8 +459,7 @@ def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
                                 "d2_q": d2q, "q": pdf["q"]})
 
     qdf = corpus.select(
-        id_col, F.transform(F.col(vec_col),
-                            lambda x: quantize(x, scale)).alias("q"))
+        id_col, _quantize_vecs(corpus, vec_col, scale).alias("q"))
     assigned = qdf.mapInPandas(
         assign, schema=f"{id_col} {id_type}, cluster int, d2_q long, "
                        f"q array<long>").persist()
@@ -480,15 +479,24 @@ def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
             f"semdedup: largest cluster has {guard['nmax']} rows "
             f"(> max_cluster={max_cluster}); raise k so cluster sizes "
             f"stay bounded (SemDeDup scales k with N)")
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
     if guard["qmax"] is not None:
         d = len(cent[0])
-        if d * float(guard["qmax"]) ** 2 > float(2 ** 62):
+        bound = d * float(guard["qmax"]) ** 2  # max |dot| / max norm²
+        if bound > float(2 ** 62):
             raise OverflowError(
                 "semdedup: pair dot products would overflow int64; "
                 "lower scale")
-
-    frac = Fraction(str(threshold))
-    num, den = frac.numerator, frac.denominator
+        # the decimal(38,0) cosine comparison needs dot²·den² and
+        # na·nb·num² — both bounded by (d·qmax²)²·max(num,den)² — to fit
+        # in 10^38, or `near` overflows (NULL/raise depending on ANSI)
+        # and a true duplicate silently survives
+        if bound * bound * float(max(num, den)) ** 2 > 1e38:
+            raise OverflowError(
+                "semdedup: cosine comparison would overflow decimal(38,0) "
+                "(d·qmax²)²·max(num,den)² > 10^38; lower scale or use a "
+                "threshold with a smaller denominator")
 
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -523,6 +531,15 @@ def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
            .select(id_col, "cluster", "d2_q",
                    F.coalesce(F.col("__removed"),
                               F.lit(False)).alias("removed")))
+    # materialize the verdict (id/cluster/d2/flag — ~27× narrower than
+    # the cached id+q corpus copy) and release the cache: `assigned` is
+    # consumed three times (guard, both self-join sides, final join), so
+    # it must be cached through the job, but holding the quantized
+    # corpus for the session would pin executor storage (the graph.py
+    # persist/unpersist discipline — here the consuming action runs
+    # inside the operator, like the guard collect already does)
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
     return out
 
 
@@ -665,11 +682,11 @@ def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray,
     quantized sub-vectors to every codeword is computed once on the
     driver (queries are a bounded relation — collected like
     ``cosine_topk`` broadcasts them) and the per-row score is
-    ``Σ_s table[s, code_s]`` — a JVM expression over broadcast literal
-    arrays, exact int64, so ranking is partition-order-immune (ties →
-    ascending id).  One shuffle: the per-query top-k
-    ``TakeOrderedAndProject``-style window.  At scale the scan reads
-    ONLY the m-byte code column — the point of PQ."""
+    ``Σ_s table[s, code_s]`` — a JVM lookup-fold against the broadcast
+    ``(query_id, tab)`` relation (ONE code scan covers every query),
+    exact int64, so ranking is partition-order-immune (ties → ascending
+    id).  One shuffle: the per-query top-k window.  At scale the scan
+    reads ONLY the m-byte code column — the point of PQ."""
     bks = np.asarray(codebooks, dtype=np.float64)
     m, kk, sub = bks.shape
     # codewords are float centroids of quantized ints; rint makes the
@@ -694,24 +711,28 @@ def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray,
             tab[s] = (diff * diff).sum(axis=1)
         per_query.append((qr["__qid"], tab))
 
-    scored_parts = []
-    for qid, tab in per_query:
-        # table[s, code_s] as a JVM lookup into a broadcast literal
-        # array-of-arrays: element_at(element_at(tab, s+1), code+1)
-        tab_col = F.array(*[
-            F.array(*[F.lit(int(v)) for v in tab[s]]) for s in range(m)])
-        adc = F.aggregate(
-            F.zip_with(tab_col, F.col("codes"),
-                       lambda trow, c: F.element_at(trow, c + 1)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
-        scored_parts.append(
-            codes.where(F.col("codes").isNotNull())
-            .select(F.lit(qid).alias(query_id_col),
-                    F.col(id_col).alias("neighbor_id"),
-                    adc.alias("adc_q")))
-    scored = scored_parts[0]
-    for p in scored_parts[1:]:
-        scored = scored.unionByName(p)
+    # ONE scan for all queries: the flattened [m·k] tables ride a
+    # broadcast (query_id, tab) relation — a per-query union would
+    # re-run the upstream encode pass |queries| times; this is the
+    # cosine_topk broadcast pattern.  Explicit schema keeps query_id's
+    # type equal to the queries' id column (F.lit would narrow small
+    # bigint ids to int).
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    spark = codes.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, [int(v) for v in tab.ravel()]) for qid, tab in per_query],
+        f"{query_id_col} {qid_type}, __tab array<long>")
+    # score = Σ_s tab[s·k + code_s]: JVM zip_with lookup-fold, no Python
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"),
+                   F.sequence(F.lit(0), F.lit(m - 1)),
+                   lambda c, s: F.element_at("__tab", s * kk + c + 1)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (codes.where(F.col("codes").isNotNull())
+              .crossJoin(F.broadcast(qdf))
+              .select(query_id_col,
+                      F.col(id_col).alias("neighbor_id"),
+                      adc.alias("adc_q")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_q").asc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -581,7 +581,8 @@ def test_pq_encode_map_only(spark):
     out = pq_adc_topk(codes, books, emb.where(F.col("vec_id") < 2),
                       topk=5)
     plan2 = plan_of(out, "simple")
-    # the only Python in the whole ADC plan is the encode pass (once per
-    # unioned query branch); scoring itself is JVM — no join of any kind
-    assert plan2.count("MapInPandas") == 2
-    assert "Join" not in plan2
+    # ONE code scan (hence one encode pass) covers every query — the
+    # tables ride a broadcast relation, scoring itself is JVM
+    assert plan2.count("MapInPandas") == 1
+    assert "BroadcastNestedLoopJoin" in plan2
+    assert "SortMergeJoin" not in plan2

@@ -235,3 +235,27 @@ def test_dsir_topk_deterministic(spark):
     full = w.toPandas().sort_values(
         ["weight_q", "doc_id"], ascending=[False, True])
     assert list(a["doc_id"]) == list(full["doc_id"].head(10))
+
+
+def test_semdedup_decimal_overflow_guard(spark):
+    """Magnitudes that pass the int64 dot guard but would overflow the
+    decimal(38,0) cosine comparison must fail fast, not silently keep
+    true duplicates (the `near` predicate would go NULL/raise)."""
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        semdedup)
+
+    big = spark.createDataFrame(
+        [(i, [215.0 + i * 0.001] * 64) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(OverflowError, match="decimal"):
+        semdedup(big, k=2, iters=1, threshold=0.9, scale=6,
+                 max_cluster=100)
+
+
+def test_dsir_buckets_mismatch_fails_fast(spark):
+    from msi_preprocessing_pipeline_spark.operators.importance import (
+        dsir_weights)
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_weights(docs, np.ones(64, dtype=np.int64), buckets=128)
