@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-161 queries, 161 with exact DuckDB oracles — relational SQL where expressible,
+162 queries, 162 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1110,6 +1110,17 @@ def _q_dsir_weights(spark, sf_dir):
     target = docs.where(F.col("lang") == "en")
     lamq = dsir_bucket_logratios(docs, target, buckets=4096, seed=7)
     return dsir_weights(docs, lamq, buckets=4096, seed=7)
+
+
+def _q_group_kfold(spark, sf_dir):
+    """Group-stable k-fold: every event of a user lands in the same fold
+    via the engine-portable md5 bucket — exact SQL oracle (the
+    GroupKFold entity-leakage complement of time_folds/purged_split)."""
+    from msi_preprocessing_pipeline_spark.operators.cv import group_kfold
+
+    ev = _t(spark, sf_dir, "events")
+    return group_kfold(ev, "user_id", n_folds=5, seed=7) \
+        .select("event_id", "user_id", "fold")
 
 
 def _q_pq_topk(spark, sf_dir):
@@ -2497,6 +2508,7 @@ _R5_WINDOW = [
     "attribution_last_touch", "fs_weights_events", "kmeans_vecs",
     "contamination_frac_docs", "ab_cuped_purchases", "token_budget_sources",
     "semdedup_vecs", "rp_embed_vecs", "dsir_weights_docs", "pq_topk_vecs",
+    "group_kfold_events",
     # (c) never-driver-recorded r4 queries, riskiest first
     "pagerank_part_supplier", "triangles_supplier_coorder",
     "clustering_coeff_suppliers", "kcore_suppliers", "er_resolve_part",
@@ -2504,7 +2516,7 @@ _R5_WINDOW = [
     "incremental_refresh_users", "merge_additive_users",
     "salted_join_segments", "fingerprint_lineitem", "diff_buckets_events",
     "scd2_purchase_values", "pattern_vcp_users",
-    "top_paths_events", "audience_overlap_types",
+    "top_paths_events",
     "survivorship_users", "gap_stats_users", "trend_value_by_user",
     "funnel_view_click_purchase", "cohort_retention_weekly",
     "packing_stats_docs", "zipf_fit_docs",
@@ -2534,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_embed_vecs": _q_random_projection,
         "dsir_weights_docs": _q_dsir_weights,
         "pq_topk_vecs": _q_pq_topk,
+        "group_kfold_events": _q_group_kfold,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "winnowing_pairs": _q_winnowing_pairs,
@@ -4223,6 +4236,16 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             select doc_id, lang from documents
             where substr(md5(concat(cast(doc_id as varchar), ':', '7')),
                          1, 8) < '33333333'
+        """,
+        "group_kfold_events": """
+            select event_id, user_id,
+                   case when user_id is not null then
+                        cast(cast(('0x' || substr(md5(
+                                 concat(cast(user_id as varchar),
+                                        ':gkf:7')), 1, 8)) as bigint)
+                             % 5 as int)
+                   end as fold
+            from events
         """,
         "stable_split_events": """
             select event_id, user_id,

@@ -258,7 +258,8 @@ def main() -> None:
                  "contamination_frac_docs", "ab_cuped_purchases",
                  "token_budget_sources", "packing_stats_docs",
                  "zipf_fit_docs", "semdedup_vecs", "rp_embed_vecs",
-                 "dsir_weights_docs", "pq_topk_vecs"]:
+                 "dsir_weights_docs", "pq_topk_vecs",
+                 "group_kfold_events"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -135,3 +135,36 @@ def negative_samples(positives: DataFrame, items: DataFrame,
         F.col(user_col), F.col(item_col).alias("neg_item")).distinct()
     return (joined.join(pos_keys, [user_col, "neg_item"], "left_anti")
             .select(user_col, item_col, "slot", "neg_item"))
+
+
+def group_kfold(df: DataFrame, group_col: str, n_folds: int = 5,
+                seed: int = 7, out_col: str = "fold") -> DataFrame:
+    """Group-stable k-fold assignment: every row of a group lands in the
+    SAME fold (the scikit-learn ``GroupKFold`` contract — entity-level
+    leakage protection for temporally-unstructured features; use
+    :func:`time_folds` / :func:`purged_train_test` when leakage is
+    serial).  Fold = the engine-portable md5 bucket of the group key
+    (``functions.util.md5_bucket``), so the split is deterministic,
+    partition-invariant, reproducible across engines/runs, and STABLE
+    under corpus growth — a group keeps its fold when new rows arrive,
+    the property a ``row_number % k`` or ``ntile`` split lacks.
+
+    Map-only (zero shuffles, no group materialization — the bucket is a
+    per-row expression on the key).  Null group keys get a null fold:
+    they are no one's entity, and silently pooling them into fold 0
+    would leak every null-keyed row into one split.
+
+    Folds are md5-uniform in GROUP count; byte balance follows group
+    sizes (report skew with ``profile.key_profile`` and cap dominant
+    groups upstream if needed).
+    """
+    from ..functions.util import md5_bucket
+
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be >= 2, got {n_folds}")
+    fold = md5_bucket(
+        F.concat(F.col(group_col).cast("string"), F.lit(f":gkf:{seed}")),
+        n_folds)
+    return df.withColumn(
+        out_col,
+        F.when(F.col(group_col).isNotNull(), fold.cast("int")))

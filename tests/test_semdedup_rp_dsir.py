@@ -259,3 +259,32 @@ def test_dsir_buckets_mismatch_fails_fast(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="buckets"):
         dsir_weights(docs, np.ones(64, dtype=np.int64), buckets=128)
+
+
+def test_group_kfold_contract(spark):
+    from msi_preprocessing_pipeline_spark.operators.cv import group_kfold
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    with_null = ev.unionByName(
+        ev.limit(1).withColumn("user_id", F.lit(None).cast("long")))
+    out = group_kfold(with_null, "user_id", n_folds=5, seed=7).toPandas()
+    # group-stable: one fold per user
+    per_user = out[out.user_id.notna()].groupby("user_id")["fold"].nunique()
+    assert (per_user == 1).all()
+    # matches the python md5 mirror
+    for uid, fold in out[out.user_id.notna()] \
+            .drop_duplicates("user_id")[["user_id", "fold"]].itertuples(
+                index=False):
+        h = int(hashlib.md5(f"{int(uid)}:gkf:7".encode())
+                .hexdigest()[:8], 16)
+        assert fold == h % 5, uid
+    # null keys get null folds, all folds populated
+    assert out[out.user_id.isna()]["fold"].isna().all()
+    assert set(out[out.user_id.notna()]["fold"].unique()) == set(range(5))
+    # growth-stable: a subset assigns identically
+    sub = group_kfold(ev.limit(50), "user_id", n_folds=5, seed=7) \
+        .toPandas().drop_duplicates("user_id").set_index("user_id")["fold"]
+    full = out[out.user_id.notna()].drop_duplicates("user_id") \
+        .set_index("user_id")["fold"]
+    for uid in sub.index:
+        assert sub.loc[uid] == full.loc[uid]
