@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-162 queries, 162 with exact DuckDB oracles — relational SQL where expressible,
+163 queries, 163 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1110,6 +1110,20 @@ def _q_dsir_weights(spark, sf_dir):
     target = docs.where(F.col("lang") == "en")
     lamq = dsir_bucket_logratios(docs, target, buckets=4096, seed=7)
     return dsir_weights(docs, lamq, buckets=4096, seed=7)
+
+
+def _q_classification_report(spark, sf_dir):
+    """Confusion cells + P/R/F1/accuracy in ONE aggregation; metrics are
+    single divisions of exact int64 cells (engine-bit-identical)."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        classification_report)
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.col("event_type") == "purchase").alias("label"),
+        F.when(F.col("value").isNotNull(),
+               F.col("value") > 2.0).alias("pred"))
+    return classification_report(scored, "label", "pred")
 
 
 def _q_group_kfold(spark, sf_dir):
@@ -2508,7 +2522,7 @@ _R5_WINDOW = [
     "attribution_last_touch", "fs_weights_events", "kmeans_vecs",
     "contamination_frac_docs", "ab_cuped_purchases", "token_budget_sources",
     "semdedup_vecs", "rp_embed_vecs", "dsir_weights_docs", "pq_topk_vecs",
-    "group_kfold_events",
+    "group_kfold_events", "classification_report_events",
     # (c) never-driver-recorded r4 queries, riskiest first
     "pagerank_part_supplier", "triangles_supplier_coorder",
     "clustering_coeff_suppliers", "kcore_suppliers", "er_resolve_part",
@@ -2516,7 +2530,6 @@ _R5_WINDOW = [
     "incremental_refresh_users", "merge_additive_users",
     "salted_join_segments", "fingerprint_lineitem", "diff_buckets_events",
     "scd2_purchase_values", "pattern_vcp_users",
-    "top_paths_events",
     "survivorship_users", "gap_stats_users", "trend_value_by_user",
     "funnel_view_click_purchase", "cohort_retention_weekly",
     "packing_stats_docs", "zipf_fit_docs",
@@ -2547,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights_docs": _q_dsir_weights,
         "pq_topk_vecs": _q_pq_topk,
         "group_kfold_events": _q_group_kfold,
+        "classification_report_events": _q_classification_report,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "winnowing_pairs": _q_winnowing_pairs,
@@ -4236,6 +4250,45 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             select doc_id, lang from documents
             where substr(md5(concat(cast(doc_id as varchar), ':', '7')),
                          1, 8) < '33333333'
+        """,
+        "classification_report_events": """
+            with s as (
+                select (event_type = 'purchase') as label,
+                       case when value is not null then value > 2.0 end
+                           as pred
+                from events
+            ), a as (
+                select
+                  cast(sum(case when label is not null and pred is not null
+                                and label and pred then 1 else 0 end)
+                       as bigint) as tp,
+                  cast(sum(case when label is not null and pred is not null
+                                and (not label) and pred then 1 else 0 end)
+                       as bigint) as fp,
+                  cast(sum(case when label is not null and pred is not null
+                                and label and (not pred) then 1 else 0 end)
+                       as bigint) as fn,
+                  cast(sum(case when label is not null and pred is not null
+                                and (not label) and (not pred)
+                                then 1 else 0 end) as bigint) as tn,
+                  cast(sum(case when label is null or pred is null
+                                then 1 else 0 end) as bigint) as n_null
+                from s
+            )
+            select tp, fp, fn, tn, n_null,
+                   case when tp + fp > 0
+                        then cast(tp as double) / (tp + fp)
+                   end as "precision",
+                   case when tp + fn > 0
+                        then cast(tp as double) / (tp + fn)
+                   end as recall,
+                   case when tp + tp + fp + fn > 0
+                        then cast(tp + tp as double) / (tp + tp + fp + fn)
+                   end as f1,
+                   case when tp + fp + fn + tn > 0
+                        then cast(tp + tn as double) / (tp + fp + fn + tn)
+                   end as accuracy
+            from a
         """,
         "group_kfold_events": """
             select event_id, user_id,

@@ -125,3 +125,48 @@ def ab_stats(df: DataFrame, group_col: str, metric_col: str,
             (F.lit(1.0) - rho2).alias("var_reduction"),
         ]
     return one.select(*out_cols)
+
+
+def classification_report(df: DataFrame, label_col: str, pred_col: str,
+                          by: str | None = None) -> DataFrame:
+    """Confusion counts + precision/recall/F1/accuracy for boolean
+    label/prediction columns — ONE map-side-combined aggregation (a
+    single scan at 10^12 scored rows), optionally per ``by`` group.
+
+    Exactness: the four confusion cells are exact int64 counts; each
+    metric is a SINGLE IEEE division (or one div after one add) of
+    exact integers, so Spark and DuckDB produce bit-identical doubles —
+    no summation-order anywhere.  Rows where label or prediction is
+    NULL are excluded from the cells but reported in ``n_null`` (a
+    silent drop would overstate accuracy on sparsely-labeled data).
+    Degenerate denominators (no predicted positives, no actual
+    positives) yield null metrics under ANSI-safe guards, never 0/0.
+    """
+    lab, prd = F.col(label_col), F.col(pred_col)
+    valid = lab.isNotNull() & prd.isNotNull()
+
+    def cell(cond):
+        return F.sum(F.when(valid & cond, 1).otherwise(0)).cast("long")
+
+    keys = [by] if by else []
+    agg = df.groupBy(*keys).agg(
+        cell(lab & prd).alias("tp"),
+        cell(~lab & prd).alias("fp"),
+        cell(lab & ~prd).alias("fn"),
+        cell(~lab & ~prd).alias("tn"),
+        F.sum(F.when(~valid, 1).otherwise(0)).cast("long")
+        .alias("n_null"))
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    precision = F.when(tp + fp > 0, tp.cast("double") / (tp + fp))
+    recall = F.when(tp + fn > 0, tp.cast("double") / (tp + fn))
+    # F1 from the cells directly (2tp / (2tp + fp + fn)): one division
+    # of exact ints — algebraically equal to the harmonic mean but
+    # engine-bit-identical, unlike 2PR/(P+R) which composes 3 divisions
+    f1 = F.when(tp + tp + fp + fn > 0,
+                (tp + tp).cast("double") / (tp + tp + fp + fn))
+    total = tp + fp + fn + tn
+    accuracy = F.when(total > 0, (tp + tn).cast("double") / total)
+    return agg.select(
+        *keys, "tp", "fp", "fn", "tn", "n_null",
+        precision.alias("precision"), recall.alias("recall"),
+        f1.alias("f1"), accuracy.alias("accuracy"))

@@ -288,3 +288,26 @@ def test_group_kfold_contract(spark):
         .set_index("user_id")["fold"]
     for uid in sub.index:
         assert sub.loc[uid] == full.loc[uid]
+
+
+def test_classification_report(spark):
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        classification_report)
+
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (False, True), (False, False),
+         (True, True), (None, True), (True, None)],
+        "label boolean, pred boolean")
+    out = classification_report(df, "label", "pred").collect()[0]
+    assert (out.tp, out.fp, out.fn, out.tn, out.n_null) == (2, 1, 1, 1, 2)
+    assert out.precision == 2 / 3 and out.recall == 2 / 3
+    assert out.f1 == 4 / 6 and out.accuracy == 3 / 5
+    # by-group variant + degenerate guards (no positives → null metrics)
+    g = spark.createDataFrame(
+        [("a", False, False), ("a", False, False), ("b", True, True)],
+        "g string, label boolean, pred boolean")
+    rep = {r.g: r for r in
+           classification_report(g, "label", "pred", by="g").collect()}
+    assert rep["a"].precision is None and rep["a"].recall is None
+    assert rep["a"].accuracy == 1.0
+    assert rep["b"].f1 == 1.0
