@@ -146,7 +146,10 @@ def classification_report(df: DataFrame, label_col: str, pred_col: str,
     valid = lab.isNotNull() & prd.isNotNull()
 
     def cell(cond):
-        return F.sum(F.when(valid & cond, 1).otherwise(0)).cast("long")
+        # coalesce: sum over ZERO rows is NULL — an empty input must
+        # report 0-count cells, not nulls (the documented contract)
+        return F.coalesce(F.sum(F.when(valid & cond, 1).otherwise(0)),
+                          F.lit(0)).cast("long")
 
     keys = [by] if by else []
     agg = df.groupBy(*keys).agg(
@@ -154,8 +157,8 @@ def classification_report(df: DataFrame, label_col: str, pred_col: str,
         cell(~lab & prd).alias("fp"),
         cell(lab & ~prd).alias("fn"),
         cell(~lab & ~prd).alias("tn"),
-        F.sum(F.when(~valid, 1).otherwise(0)).cast("long")
-        .alias("n_null"))
+        F.coalesce(F.sum(F.when(~valid, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("n_null"))
     tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
     precision = F.when(tp + fp > 0, tp.cast("double") / (tp + fp))
     recall = F.when(tp + fn > 0, tp.cast("double") / (tp + fn))

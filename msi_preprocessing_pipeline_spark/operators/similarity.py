@@ -283,65 +283,16 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, vec_col: str = "embedding",
     Init: the k corpus rows with the smallest ``xxhash64(id, seed)``
     (total order, partition-invariant — same rationale as
     ``ivf_fit_centroids``'s hash-band sample).
+
+    Implemented as the single-subspace case of :func:`pq_fit` (identical
+    math batch for batch — one shared copy of the init/guard/reduce
+    machinery, so a determinism fix cannot drift between them).  Null
+    vectors contribute nothing to the fit (the ``_cov_agg`` dropna
+    discipline); ``kmeans_assign`` keeps their rows with null
+    cluster/dist.
     """
-    # null vectors contribute nothing to the fit (the _cov_agg dropna
-    # discipline); kmeans_assign keeps their rows with null cluster/dist
-    qdf = (corpus.select(id_col,
-                         _quantize_vecs(corpus, vec_col, scale).alias("q"))
-           .where(F.col("q").isNotNull()))
-    init_rows = (qdf.select(
-        "q", F.xxhash64(F.col(id_col), F.lit(int(seed))).alias("h"))
-        .orderBy("h", "q").limit(k).collect())
-    if not init_rows:
-        raise ValueError("kmeans_fit: empty corpus")
-    centroids = np.stack([np.asarray(r.q, dtype=np.float64)
-                          for r in init_rows])
-    d = centroids.shape[1]
-    kk = centroids.shape[0]
-
-    def partials_for(cent: np.ndarray):
-        def run(batches):
-            import pandas as pd
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                Mi = np.stack(pdf["q"].to_numpy()).astype(np.int64)
-                M = Mi.astype(np.float64)
-                d2 = ((M[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-                assign = d2.argmin(axis=1)  # ties → lowest cluster id
-                qmax = float(np.abs(Mi).max(initial=0))
-                if len(Mi) * qmax > float(2 ** 62):
-                    # int64 accumulation wraps silently — fail fast while
-                    # the bound still proves the partials are exact
-                    raise OverflowError(
-                        "kmeans partial sums would overflow int64; lower "
-                        "scale or repartition finer")
-                out = {"cluster": [], "n": [], "s": []}
-                for c in np.unique(assign):
-                    members = Mi[assign == c]
-                    out["cluster"].append(int(c))
-                    out["n"].append(len(members))
-                    out["s"].append(members.sum(axis=0,
-                                                dtype=np.int64))
-                yield pd.DataFrame(out)
-        return run
-
-    sum_cols = [F.sum(F.element_at("s", i + 1).cast("decimal(38,0)"))
-                .alias(f"_s{i}") for i in range(d)]
-    for _ in range(iters):
-        parts = qdf.select("q").mapInPandas(
-            partials_for(centroids.copy()),
-            schema="cluster int, n long, s array<long>")
-        rows = (parts.groupBy("cluster")
-                .agg(F.sum("n").alias("_n"), *sum_cols)
-                .collect())
-        new_c = centroids.copy()  # empty clusters keep their centroid
-        for r in rows:
-            n = float(r["_n"])
-            new_c[r["cluster"]] = np.array(
-                [float(r[f"_s{i}"]) for i in range(d)]) / n
-        centroids = new_c
-    return centroids
+    return pq_fit(corpus, m=1, k=k, vec_col=vec_col, id_col=id_col,
+                  iters=iters, seed=seed, scale=scale)[0]
 
 
 def kmeans_assign(corpus: DataFrame, centroids: np.ndarray,
@@ -392,7 +343,8 @@ def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
              vec_col: str = "embedding", id_col: str = "vec_id",
              iters: int = 4, seed: int = 19, scale: int = 6,
              max_cluster: int = 200_000,
-             centroids: np.ndarray | None = None) -> DataFrame:
+             centroids: np.ndarray | None = None,
+             materialize: bool = True) -> DataFrame:
     """Semantic dedup à la SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
     k-means the corpus, then inside each cluster mark every row that has a
     cluster-mate with cosine ≥ ``threshold`` ranking above it.  Returns
@@ -537,9 +489,12 @@ def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
     # it must be cached through the job, but holding the quantized
     # corpus for the session would pin executor storage (the graph.py
     # persist/unpersist discipline — here the consuming action runs
-    # inside the operator, like the guard collect already does)
-    out = out.localCheckpoint(eager=True)
-    assigned.unpersist()
+    # inside the operator, like the guard collect already does).
+    # materialize=False keeps the lazy plan (and the cache) — for plan
+    # inspection/pins; the caller then owns assigned's lifetime
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        assigned.unpersist()
     return out
 
 
@@ -571,7 +526,8 @@ def pq_fit(corpus: DataFrame, m: int = 8, k: int = 16,
         "q", F.xxhash64(F.col(id_col), F.lit(int(seed))).alias("h"))
         .orderBy("h", "q").limit(k).collect())
     if not init_rows:
-        raise ValueError("pq_fit: empty corpus")
+        raise ValueError("pq_fit/kmeans_fit: empty corpus "
+                         "(no non-null vectors)")
     full = np.stack([np.asarray(r.q, dtype=np.float64) for r in init_rows])
     d = full.shape[1]
     if d % m != 0:
@@ -686,7 +642,13 @@ def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray,
     ``(query_id, tab)`` relation (ONE code scan covers every query),
     exact int64, so ranking is partition-order-immune (ties → ascending
     id).  One shuffle: the per-query top-k window.  At scale the scan
-    reads ONLY the m-byte code column — the point of PQ."""
+    reads ONLY the m-byte code column — the point of PQ.
+
+    Self-matches are excluded (the ``cosine_topk``/``lsh_topk``/
+    ``ivf_topk`` family contract).  Fail-fast guards: ADC sums that
+    would wrap int64 raise on the driver, and codes inconsistent with
+    the codebooks' (m, k) raise in-plan (a code ≥ k would otherwise
+    silently read the next subspace's table cells)."""
     bks = np.asarray(codebooks, dtype=np.float64)
     m, kk, sub = bks.shape
     # codewords are float centroids of quantized ints; rint makes the
@@ -705,9 +667,21 @@ def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray,
         if len(qv) != m * sub:
             raise ValueError(f"pq_adc_topk: query dim {len(qv)} != "
                              f"m·sub {m * sub}")
+        # overflow guard BEFORE the int64 math: numpy int64 wraps
+        # silently (the kmeans_fit/semdedup fail-fast discipline) —
+        # bound each cell in float64 first, with the m-cell row fold
+        # included in the bound
         tab = np.empty((m, kk), dtype=np.int64)
         for s in range(m):
-            diff = qv[s * sub:(s + 1) * sub][None, :] - bki[s]
+            block = qv[s * sub:(s + 1) * sub]
+            diff_f = block.astype(np.float64)[None, :] \
+                - bki[s].astype(np.float64)
+            cells_f = (diff_f ** 2).sum(axis=1)
+            if m * float(cells_f.max(initial=0.0)) > float(2 ** 62):
+                raise OverflowError(
+                    "pq_adc_topk: ADC sums would overflow int64; "
+                    "lower scale")
+            diff = block[None, :] - bki[s]
             tab[s] = (diff * diff).sum(axis=1)
         per_query.append((qr["__qid"], tab))
 
@@ -722,14 +696,26 @@ def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray,
     qdf = spark.createDataFrame(
         [(qid, [int(v) for v in tab.ravel()]) for qid, tab in per_query],
         f"{query_id_col} {qid_type}, __tab array<long>")
-    # score = Σ_s tab[s·k + code_s]: JVM zip_with lookup-fold, no Python
-    adc = F.aggregate(
+    # score = Σ_s tab[s·k + code_s]: JVM zip_with lookup-fold, no Python.
+    # Fit/serve mismatches must RAISE, not corrupt: a code ≥ k would
+    # otherwise silently read the NEXT subspace's cells (flattened
+    # table), and a wrong-m codes column would mis-pair with the
+    # sequence — the dsir buckets-guard class
+    err = ("pq_adc_topk: codes do not match the codebooks' (m, k) — "
+           "encode and serve must share the same fit")
+    lookup = F.aggregate(
         F.zip_with(F.col("codes"),
                    F.sequence(F.lit(0), F.lit(m - 1)),
-                   lambda c, s: F.element_at("__tab", s * kk + c + 1)),
+                   lambda c, s: F.when((c >= 0) & (c < kk),
+                                       F.element_at("__tab",
+                                                    s * kk + c + 1))
+                   .otherwise(F.raise_error(F.lit(err)).cast("long"))),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
+    adc = F.when(F.size("codes") == m, lookup) \
+        .otherwise(F.raise_error(F.lit(err)).cast("long"))
     scored = (codes.where(F.col("codes").isNotNull())
               .crossJoin(F.broadcast(qdf))
+              .where(F.col(id_col) != F.col(query_id_col))
               .select(query_id_col,
                       F.col(id_col).alias("neighbor_id"),
                       adc.alias("adc_q")))

@@ -558,10 +558,14 @@ def test_semdedup_pairs_shuffle_on_cluster_only(spark):
     from msi_preprocessing_pipeline_spark.operators.similarity import (
         semdedup)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    out = semdedup(emb, k=4, iters=1, threshold=0.95)
+    # materialize=False keeps the lazy plan — the default eager
+    # localCheckpoint would truncate lineage to Scan ExistingRDD and
+    # make these assertions vacuous
+    out = semdedup(emb, k=4, iters=1, threshold=0.95, materialize=False)
     plan = plan_of(out, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_pq_encode_map_only(spark):
