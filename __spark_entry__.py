@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-163 queries, 163 with exact DuckDB oracles — relational SQL where expressible,
+164 queries, 164 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1110,6 +1110,19 @@ def _q_dsir_weights(spark, sf_dir):
     target = docs.where(F.col("lang") == "en")
     lamq = dsir_bucket_logratios(docs, target, buckets=4096, seed=7)
     return dsir_weights(docs, lamq, buckets=4096, seed=7)
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (exponential race keys,
+    md5 draws): 50 docs favoring high n_chars. Golden-pinned (JVM ln has
+    no ulp-stable DuckDB mirror); race-key determinism pytest-pinned."""
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        weighted_sample_k)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_k(docs, "doc_id", "n_chars", n=50, seed=11)
+    return out.select("doc_id", "n_chars", _uq("race_key", 9)
+                      .alias("race_key_n"))
 
 
 def _q_classification_report(spark, sf_dir):
@@ -2525,13 +2538,14 @@ _R5_WINDOW = [
     "contamination_frac_docs", "ab_cuped_purchases", "token_budget_sources",
     "semdedup_vecs", "rp_embed_vecs", "dsir_weights_docs", "pq_topk_vecs",
     "group_kfold_events", "classification_report_events",
+    "weighted_sample_docs",
     # (c) never-driver-recorded r4 queries, riskiest first
     "pagerank_part_supplier", "triangles_supplier_coorder",
     "clustering_coeff_suppliers", "kcore_suppliers", "er_resolve_part",
     "boilerplate_census_docs", "remove_boilerplate_docs",
     "incremental_refresh_users", "merge_additive_users",
     "salted_join_segments", "fingerprint_lineitem", "diff_buckets_events",
-    "scd2_purchase_values", "pattern_vcp_users",
+    "scd2_purchase_values",
     "survivorship_users", "gap_stats_users", "trend_value_by_user",
     "funnel_view_click_purchase", "cohort_retention_weekly",
     "packing_stats_docs", "zipf_fit_docs",
@@ -2563,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_vecs": _q_pq_topk,
         "group_kfold_events": _q_group_kfold,
         "classification_report_events": _q_classification_report,
+        "weighted_sample_docs": _q_weighted_sample,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "winnowing_pairs": _q_winnowing_pairs,

@@ -259,7 +259,8 @@ def main() -> None:
                  "token_budget_sources", "packing_stats_docs",
                  "zipf_fit_docs", "semdedup_vecs", "rp_embed_vecs",
                  "dsir_weights_docs", "pq_topk_vecs",
-                 "group_kfold_events", "classification_report_events"]:
+                 "group_kfold_events", "classification_report_events",
+                 "weighted_sample_docs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -229,3 +229,41 @@ def token_budget_plan(df: DataFrame, weights: dict[str, int],
         frac.alias("sample_fraction"),
         expected.alias("tokens_expected"),
         (avail < target).alias("exhausted"))
+
+
+def weighted_sample_k(df: DataFrame, key, weight_col: str, n: int,
+                      seed: int = 0) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: the n rows with the
+    smallest exponential race keys ``-ln(u)/w`` (Efraimidis & Spirakis
+    2006, "Weighted random sampling with a reservoir") — inclusion
+    favors high ``weight_col`` in the without-replacement sense, unlike
+    a per-row Bernoulli thinning which cannot hit an exact n.
+
+    The uniform draw ``u`` is the engine-portable md5 hex band of
+    ``key`` (deterministic, partition-invariant, seedable — the
+    ``hash_sample`` idiom), mapped to ``(0, 1]`` so ``ln`` never sees
+    0; the race key is one JVM expression per row and selection is a
+    ``TakeOrderedAndProject`` top-n — no full sort, no reservoir state,
+    no Python.  Rows with null or non-positive weights never win (they
+    are filtered: a zero weight must have zero inclusion probability,
+    and its race key would be infinite).
+
+    Determinism: the float race keys are IEEE-deterministic per row in
+    Spark, so any partitioning and any rerun returns the identical
+    sample; the cross-engine CONTRACT is golden-pinned because DuckDB's
+    ``ln`` differs from the JVM's at 1 ulp (the dsir_weights
+    precedent).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    h = _bucket_hex(
+        F.concat_ws("|", *[F.col(k).cast("string") for k in keys]), seed)
+    # (hex + 1) / 16^8 is in (0, 1] — u = 0 would make -ln(u) infinite
+    u = ((F.conv(h, 16, 10).cast("double") + F.lit(1.0))
+         / F.lit(float(16 ** 8)))
+    race = -F.log(u) / F.col(weight_col).cast("double")
+    return (df.where(F.col(weight_col).isNotNull()
+                     & (F.col(weight_col).cast("double") > 0))
+            .withColumn("race_key", race)
+            .orderBy(F.col("race_key").asc(),
+                     *[F.col(k).asc() for k in keys])
+            .limit(n))

@@ -311,3 +311,35 @@ def test_classification_report(spark):
     assert rep["a"].precision is None and rep["a"].recall is None
     assert rep["a"].accuracy == 1.0
     assert rep["b"].f1 == 1.0
+
+
+def test_weighted_sample_k(spark):
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        weighted_sample_k)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with_bad = docs.unionByName(
+        docs.limit(2).withColumn("n_chars", F.lit(0).cast("long"))
+        .withColumn("doc_id", F.col("doc_id") + 900000)).unionByName(
+        docs.limit(1).withColumn("n_chars", F.lit(None).cast("long"))
+        .withColumn("doc_id", F.col("doc_id") + 950000))
+    got = weighted_sample_k(with_bad, "doc_id", "n_chars", n=20, seed=11) \
+        .toPandas()
+    assert len(got) == 20
+    # zero/null-weight rows can never win
+    assert not (got["doc_id"] >= 900000).any()
+    # matches the python race-key mirror (rank gaps >> 1 ulp)
+    pdf = docs.select("doc_id", "n_chars").toPandas()
+    race = {}
+    for did, w in pdf.itertuples(index=False):
+        h = int(hashlib.md5(f"{did}:11".encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / 16 ** 8
+        race[did] = -np.log(u) / float(w)
+    exp = sorted(race, key=lambda d: (race[d], d))[:20]
+    assert list(got.sort_values(["race_key", "doc_id"])["doc_id"]) == exp
+    # partition-invariant selection
+    again = weighted_sample_k(with_bad.repartition(7), "doc_id",
+                              "n_chars", n=20, seed=11).toPandas()
+    assert sorted(again["doc_id"]) == sorted(got["doc_id"])
+    # weighting pulls long docs: sampled mean length > corpus mean
+    assert got["n_chars"].mean() > pdf["n_chars"].mean()

@@ -62,6 +62,10 @@ PIN = [
     # PQ: iterative codebook fit (kmeans determinism contract); encode +
     # exact-int ADC ranking are partition-invariant, pytest-pinned
     ("pq_topk_vecs", True),
+    # weighted reservoir sampling: per-row race key = -ln(md5 u)/w — the
+    # JVM ln has no ulp-stable DuckDB mirror (dsir precedent); selection
+    # determinism is pytest-pinned under repartitioning
+    ("weighted_sample_docs", True),
 ]
 
 DUCK_TYPES = {
