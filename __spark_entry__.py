@@ -2511,17 +2511,17 @@ def _q_trend(spark, sf_dir):
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
 # requantized rolling/PIT window sums, whose prior driver-green rows attest
-# only to the old round(float,6) contracts — 14 queries; (b) all FIFTEEN
+# only to the old round(float,6) contracts — 14 queries; (b) all SIXTEEN
 # brand-new round-5 queries (nine from the first session + semdedup /
-# random projection / DSIR / PQ / group-kfold / classification-report from
-# the second); (c) the 21 riskiest never-driver-recorded r4 queries
-# (graph / ER / boilerplate / incremental-refresh class).  The never-
-# recorded queries that no longer fit (key_profile, winsorize, lump_rare,
-# calendar, column_profile, ..., plus the six evicted for the second-
-# session queries: event_time_disorder, join_size_orders_lineitem,
-# json_key_profile_events, ecdf_value_by_type, audience_overlap_types,
-# top_paths_events) stay covered by CONTRACT_r05.json + pytest and rotate
-# into r6's window.
+# random projection / DSIR / PQ / group-kfold / classification-report /
+# weighted-sample from the second); (c) the 20 riskiest never-driver-
+# recorded r4 queries (graph / ER / boilerplate / incremental-refresh
+# class).  The never-recorded queries that no longer fit (key_profile,
+# winsorize, lump_rare, calendar, column_profile, ..., plus the seven
+# evicted for the second-session queries: event_time_disorder,
+# join_size_orders_lineitem, json_key_profile_events, ecdf_value_by_type,
+# audience_overlap_types, top_paths_events, pattern_vcp_users) stay
+# covered by CONTRACT_r05.json + pytest and rotate into r6's window.
 _R5_WINDOW = [
     # (a) changed contracts — previously recorded (stale green rows)
     "covariance_embeddings", "label_centroids_vecs",
