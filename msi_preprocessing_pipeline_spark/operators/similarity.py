@@ -391,6 +391,7 @@ def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
                 continue
             cl = pd.array([None] * len(pdf), dtype="Int32")
             d2q = pd.array([None] * len(pdf), dtype="Int64")
+            nq = pd.array([None] * len(pdf), dtype="Int64")
             mask = pdf["q"].notna().to_numpy()
             if mask.any():
                 idxs = np.nonzero(mask)[0]
@@ -401,20 +402,25 @@ def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
                 a = d2.argmin(axis=1)  # ties → lowest cluster id
                 # exact integer d² against the argmin centroid (float64
                 # d² above is kmeans_fit's assignment rule; the exact
-                # int recompute is the CONTRACT value and tie-break key)
+                # int recompute is the CONTRACT value and tie-break key);
+                # ‖q‖² is carried from here so the pair stage folds ONE
+                # array (the dot), not three — the interpreted
+                # higher-order folds dominate the Σ|c|² pair cost
                 crounded = np.rint(cent).astype(np.int64)
+                sq = (Mi * Mi).sum(axis=1)
                 for r, i in enumerate(idxs):
                     diff = Mi[r] - crounded[a[r]]
                     cl[i] = int(a[r])
                     d2q[i] = int((diff * diff).sum())
+                    nq[i] = int(sq[r])
             yield pd.DataFrame({id_col: pdf[id_col], "cluster": cl,
-                                "d2_q": d2q, "q": pdf["q"]})
+                                "d2_q": d2q, "nq": nq, "q": pdf["q"]})
 
     qdf = corpus.select(
         id_col, _quantize_vecs(corpus, vec_col, scale).alias("q"))
     assigned = qdf.mapInPandas(
         assign, schema=f"{id_col} {id_type}, cluster int, d2_q long, "
-                       f"q array<long>").persist()
+                       f"nq long, q array<long>").persist()
 
     # bounded guards in ONE k-row job: per-cluster sizes + max |q| term
     guard = (assigned.where(F.col("cluster").isNotNull())
@@ -455,9 +461,6 @@ def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
     dot = F.aggregate(
         F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
-    sqn = {s: F.aggregate(
-        F.transform(F.col(f"{s}.q"), lambda x: x * x),
-        F.lit(0).cast("long"), lambda acc, x: acc + x) for s in ("a", "b")}
     pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
                     & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
              .where(F.col("a.cluster").isNotNull())
@@ -465,8 +468,9 @@ def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
                      F.col("a.d2_q").alias("__da"),
                      F.col("b.d2_q").alias("__db"),
                      F.col(f"b.{id_col}").alias("__mate"),
-                     dot.alias("__dot"), sqn["a"].alias("__na"),
-                     sqn["b"].alias("__nb")))
+                     dot.alias("__dot"),
+                     F.col("a.nq").alias("__na"),
+                     F.col("b.nq").alias("__nb")))
     near = ((F.col("__dot") > 0) & (F.col("__na") > 0)
             & (F.col("__nb") > 0)
             & (F.col("__dot").cast(DEC38) * F.col("__dot")
