@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-164 queries, 164 with exact DuckDB oracles — relational SQL where expressible,
+165 queries, 165 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1114,6 +1114,19 @@ def _q_dsir_weights(spark, sf_dir):
     target = docs.where(F.col("lang") == "en")
     lamq = dsir_bucket_logratios(docs, target, buckets=4096, seed=7)
     return dsir_weights(docs, lamq, buckets=4096, seed=7)
+
+
+def _q_scalar_quantize(spark, sf_dir):
+    """Per-vector int8 symmetric quantization: exact SQL contract (the
+    code chain ÷,×,+0.5,floor is the same IEEE ops in both engines)."""
+    from msi_preprocessing_pipeline_spark.operators.embeddings import (
+        scalar_quantize)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = scalar_quantize(emb.where(F.col("embedding").isNotNull()),
+                          bits=8)
+    return out.select("vec_id", _uq("qscale", 6).alias("qscale_u"),
+                      F.posexplode("codes").alias("pos", "code"))
 
 
 def _q_weighted_sample(spark, sf_dir):
@@ -2515,16 +2528,17 @@ def _q_trend(spark, sf_dir):
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
 # requantized rolling/PIT window sums, whose prior driver-green rows attest
-# only to the old round(float,6) contracts — 14 queries; (b) all SIXTEEN
-# brand-new round-5 queries (nine from the first session + semdedup /
-# random projection / DSIR / PQ / group-kfold / classification-report /
-# weighted-sample from the second); (c) the 20 riskiest never-driver-
-# recorded r4 queries (graph / ER / boilerplate / incremental-refresh
-# class).  The never-recorded queries that no longer fit (key_profile,
-# winsorize, lump_rare, calendar, column_profile, ..., plus the seven
-# evicted for the second-session queries: event_time_disorder,
-# join_size_orders_lineitem, json_key_profile_events, ecdf_value_by_type,
-# audience_overlap_types, top_paths_events, pattern_vcp_users) stay
+# only to the old round(float,6) contracts — 14 queries; (b) all
+# SEVENTEEN brand-new round-5 queries (nine from the first session +
+# semdedup / random projection / DSIR / PQ / group-kfold /
+# classification-report / weighted-sample / scalar-quantize from the
+# second); (c) the 19 riskiest never-driver-recorded r4 queries
+# (graph / ER / boilerplate / incremental-refresh class).  The never-
+# recorded queries that no longer fit (key_profile, winsorize, lump_rare,
+# calendar, column_profile, ..., plus the eight evicted for the second-
+# session queries: event_time_disorder, join_size_orders_lineitem,
+# json_key_profile_events, ecdf_value_by_type, audience_overlap_types,
+# top_paths_events, pattern_vcp_users, scd2_purchase_values) stay
 # covered by CONTRACT_r05.json + pytest and rotate into r6's window.
 _R5_WINDOW = [
     # (a) changed contracts — previously recorded (stale green rows)
@@ -2542,14 +2556,13 @@ _R5_WINDOW = [
     "contamination_frac_docs", "ab_cuped_purchases", "token_budget_sources",
     "semdedup_vecs", "rp_embed_vecs", "dsir_weights_docs", "pq_topk_vecs",
     "group_kfold_events", "classification_report_events",
-    "weighted_sample_docs",
+    "weighted_sample_docs", "scalar_quantize_vecs",
     # (c) never-driver-recorded r4 queries, riskiest first
     "pagerank_part_supplier", "triangles_supplier_coorder",
     "clustering_coeff_suppliers", "kcore_suppliers", "er_resolve_part",
     "boilerplate_census_docs", "remove_boilerplate_docs",
     "incremental_refresh_users", "merge_additive_users",
     "salted_join_segments", "fingerprint_lineitem", "diff_buckets_events",
-    "scd2_purchase_values",
     "survivorship_users", "gap_stats_users", "trend_value_by_user",
     "funnel_view_click_purchase", "cohort_retention_weekly",
     "packing_stats_docs", "zipf_fit_docs",
@@ -2582,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_kfold_events": _q_group_kfold,
         "classification_report_events": _q_classification_report,
         "weighted_sample_docs": _q_weighted_sample,
+        "scalar_quantize_vecs": _q_scalar_quantize,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "winnowing_pairs": _q_winnowing_pairs,
@@ -4502,6 +4516,27 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             select event_id, user_id, value,
                    l[-1] as prev1, l[-2] as prev2, l[-3] as prev3
             from t
+        """,
+        # per-vector int8 scalar quantization: amax is an exact max of
+        # exact float32→double widenings; each code is the identical
+        # 4-op IEEE chain (÷, ×127, +0.5, floor) in both engines
+        "scalar_quantize_vecs": """
+            with q as (
+                select vec_id, embedding,
+                       list_max(list_transform(embedding, x ->
+                           abs(cast(x as double)))) as amax
+                from embeddings where embedding is not null
+            )
+            select vec_id,
+                   cast(floor(amax * 1000000.0 + 0.5) as bigint)
+                       as qscale_u,
+                   gs.i as pos,
+                   case when amax > 0 then
+                        cast(floor(cast(embedding[gs.i + 1] as double)
+                                   / amax * 127.0 + 0.5) as int)
+                   else 0 end as code
+            from q, lateral (select unnest(generate_series(0,
+                     len(embedding) - 1)) as i) gs
         """,
         # deterministic Rademacher JL sketch: the DuckDB oracle REBUILDS
         # the ±1 sign matrix from the shared md5 idiom (first 8 hex chars

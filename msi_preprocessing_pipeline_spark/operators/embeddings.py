@@ -575,3 +575,37 @@ def random_projection(df: DataFrame, in_dim: int, out_dim: int,
                             lambda x: quantize(x, scale)).alias("q"))
     return qdf.mapInPandas(run, schema=f"{id_col} {id_type}, "
                                        f"rp array<long>")
+
+
+def scalar_quantize(df: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", bits: int = 8) -> DataFrame:
+    """Per-vector symmetric scalar quantization (int8 by default): the
+    memory-reduction counterpart of product quantization — each float
+    becomes ``floor(x / amax · L + 0.5)`` with ``L = 2^(bits-1) − 1``
+    and ``amax = max|x|`` the per-vector scale, so a 64-float embedding
+    serves from 64 small ints + one double (dequantize:
+    ``code · amax / L``).
+
+    Fully JVM (one ``array_max`` + one ``transform`` — map-only, zero
+    Python, zero shuffle) and EXACTLY SQL-mirrorable: amax is an exact
+    max of exact float32→double widenings, and each code is the same
+    4-op IEEE chain (÷, ×, +0.5, floor) in Spark and DuckDB — a fully
+    relational contract, like ``random_projection``.  Null vectors keep
+    null codes/scale; all-zero vectors quantize to all-zero codes with
+    scale 0 (dequantizing them is exact).
+    """
+    if not 2 <= bits <= 16:
+        raise ValueError(f"scalar_quantize: bits must be in [2, 16], "
+                         f"got {bits}")
+    levels = float(2 ** (bits - 1) - 1)
+    amax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    codes = F.when(
+        amax > 0,
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") / amax
+                                      * F.lit(levels)
+                                      + F.lit(0.5)).cast("int"))) \
+        .otherwise(F.transform(F.col(vec_col),
+                               lambda x: F.lit(0).cast("int")))
+    return df.select(id_col, amax.alias("qscale"), codes.alias("codes"))

@@ -343,3 +343,34 @@ def test_weighted_sample_k(spark):
     assert sorted(again["doc_id"]) == sorted(got["doc_id"])
     # weighting pulls long docs: sampled mean length > corpus mean
     assert got["n_chars"].mean() > pdf["n_chars"].mean()
+
+
+def test_scalar_quantize(spark):
+    from msi_preprocessing_pipeline_spark.operators.embeddings import (
+        scalar_quantize)
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, -1.0]), (2, [0.0, 0.0, 0.0, 0.0]),
+         (3, None)],
+        "vec_id long, embedding array<double>")
+    out = scalar_quantize(df, bits=8).toPandas().set_index("vec_id")
+    assert list(out.loc[1, "codes"]) == [127, -63, 32, -127]
+    assert out.loc[1, "qscale"] == 1.0
+    assert list(out.loc[2, "codes"]) == [0, 0, 0, 0]
+    assert out.loc[2, "qscale"] == 0.0
+    assert out.loc[3, "codes"] is None or (
+        isinstance(out.loc[3, "codes"], float)
+        and np.isnan(out.loc[3, "codes"]))
+    # dequantization error bounded by half a step
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = scalar_quantize(emb, bits=8).toPandas().set_index("vec_id")
+    pdf = emb.toPandas().set_index("vec_id")
+    for vid in list(pdf.index)[:20]:
+        x = np.asarray(pdf.loc[vid, "embedding"], dtype=np.float64)
+        amax = float(np.abs(x).max())
+        deq = np.asarray(got.loc[vid, "codes"], dtype=np.float64) \
+            * amax / 127.0
+        assert np.abs(deq - x).max() <= amax / 127.0 * 0.5 + 1e-12
+    import pytest
+    with pytest.raises(ValueError, match="bits"):
+        scalar_quantize(df, bits=1)
