@@ -1078,11 +1078,10 @@ def _q_semdedup(spark, sf_dir):
                                   * F.lit(1.001)).cast("float"))
                    .alias("embedding")))
     corpus = emb.unionByName(dup)
-    # k ∝ N (the published recipe): ~64 rows/cluster bounds the Σ|c|²
-    # pair stage at any sf.  At the golden sf0.01 (508 rows) this is
-    # the pinned k=8; at sf0.1 it is 78 (10× fewer pairs than k=8)
-    k = max(8, corpus.count() // 64)
-    return semdedup(corpus, k=k, threshold=0.9, iters=4, seed=19, scale=6)
+    # k=None → the operator's k ∝ N default (~64 rows/cluster), which
+    # bounds the Σ|c|² pair stage at any sf.  At the golden sf0.01
+    # (508 rows) that resolves to the pinned k=8
+    return semdedup(corpus, threshold=0.9, iters=4, seed=19, scale=6)
 
 
 def _q_random_projection(spark, sf_dir):

@@ -600,12 +600,19 @@ def scalar_quantize(df: DataFrame, vec_col: str = "embedding",
     levels = float(2 ** (bits - 1) - 1)
     amax = F.array_max(
         F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    # amax MUST be materialized as a column before the codes lambda:
+    # lambda bodies are interpreted and excluded from subexpression
+    # elimination (SPARK-35410), so closing over the ArrayMax subtree
+    # would re-scan the whole vector once per ELEMENT — O(d²) per row
+    base = df.select(id_col, F.col(vec_col).alias("__v"),
+                     amax.alias("qscale"))
+    qs = F.col("qscale")
     codes = F.when(
-        amax > 0,
-        F.transform(F.col(vec_col),
-                    lambda x: F.floor(x.cast("double") / amax
+        qs > 0,
+        F.transform(F.col("__v"),
+                    lambda x: F.floor(x.cast("double") / qs
                                       * F.lit(levels)
                                       + F.lit(0.5)).cast("int"))) \
-        .otherwise(F.transform(F.col(vec_col),
+        .otherwise(F.transform(F.col("__v"),
                                lambda x: F.lit(0).cast("int")))
-    return df.select(id_col, amax.alias("qscale"), codes.alias("codes"))
+    return base.select(id_col, "qscale", codes.alias("codes"))

@@ -261,8 +261,12 @@ def weighted_sample_k(df: DataFrame, key, weight_col: str, n: int,
     u = ((F.conv(h, 16, 10).cast("double") + F.lit(1.0))
          / F.lit(float(16 ** 8)))
     race = -F.log(u) / F.col(weight_col).cast("double")
+    # NaN > 0 is TRUE under Spark's total ordering — a NaN weight would
+    # survive the filter with a NaN race key (and win whenever fewer
+    # than n positive-weight rows exist); exclude it explicitly
+    wd = F.col(weight_col).cast("double")
     return (df.where(F.col(weight_col).isNotNull()
-                     & (F.col(weight_col).cast("double") > 0))
+                     & ~F.isnan(wd) & (wd > 0))
             .withColumn("race_key", race)
             .orderBy(F.col("race_key").asc(),
                      *[F.col(k).asc() for k in keys])

@@ -339,7 +339,8 @@ def kmeans_assign(corpus: DataFrame, centroids: np.ndarray,
 # SemDeDup: cluster-scoped semantic deduplication
 
 
-def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
+def semdedup(corpus: DataFrame, k: int | None = None,
+             threshold: float = 0.96,
              vec_col: str = "embedding", id_col: str = "vec_id",
              iters: int = 4, seed: int = 19, scale: int = 6,
              max_cluster: int = 200_000,
@@ -378,6 +379,11 @@ def semdedup(corpus: DataFrame, k: int = 8, threshold: float = 0.96,
 
     from ..functions.util import DEC38
 
+    if k is None and centroids is None:
+        # the recipe's k ∝ N default (~64 rows/cluster) — a FIXED k at
+        # a growing corpus is the contract violation max_cluster exists
+        # to catch; one count() job, cheaper than any wrong k
+        k = max(8, corpus.count() // 64)
     if centroids is None:
         centroids = kmeans_fit(corpus, k=k, vec_col=vec_col, id_col=id_col,
                                iters=iters, seed=seed, scale=scale)

@@ -125,8 +125,14 @@ def main():
         f.write("}\n\n")
         f.write("# goldens whose pinned values depend on the sf0.01 input "
                 "tables\n")
+        # emit SORTED (a set repr is hash-order-randomized per process:
+        # every regen would churn the whole line and mask real
+        # membership changes in review)
         sf_dep = sorted(name for name, dep in PIN if dep)
-        f.write(f"SF001_PINNED = {set(sf_dep)!r}\n")
+        f.write("SF001_PINNED = {\n")
+        for name in sf_dep:
+            f.write(f"    {name!r},\n")
+        f.write("}\n")
     print("written _golden_oracles.py")
 
 
