@@ -4529,7 +4529,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             select vec_id,
                    cast(floor(amax * 1000000.0 + 0.5) as bigint)
                        as qscale_u,
-                   gs.i as pos,
+                   cast(gs.i as int) as pos,
                    case when amax > 0 then
                         cast(floor(cast(embedding[gs.i + 1] as double)
                                    / amax * 127.0 + 0.5) as int)
