@@ -65,8 +65,17 @@ def test_query_matches_oracle(spark, duck, name):
     # sketch-dedup goldens are pinned to the driver's sf0.01 input tables;
     # run those at sf0.01 (the synthesized-input goldens are sf-independent)
     sf_dir = ("/root/testdata/sf0.01" if name in _SF001_PINNED else SF_DIR)
-    got = _normalize(q(spark, sf_dir).toPandas())
-    exp = _normalize(duck.sql(entrymod.oracle_sql()[name]).df())
+    got_raw = q(spark, sf_dir).toPandas()
+    exp_raw = duck.sql(entrymod.oracle_sql()[name]).df()
+    # dtype-strict like tools/verify_contract (which caught an
+    # int32-vs-int64 divergence this harness' width-unifying compare
+    # passed): integer-width and float-vs-int mismatches fail here too
+    for c in sorted(set(got_raw.columns) & set(exp_raw.columns)):
+        gd, ed = got_raw[c].dtype, exp_raw[c].dtype
+        if gd != object and ed != object:
+            assert gd == ed, f"{name}.{c}: spark {gd} vs oracle {ed}"
+    got = _normalize(got_raw)
+    exp = _normalize(exp_raw)
     assert list(got.columns) == list(exp.columns), name
     assert len(got) == len(exp), name
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
