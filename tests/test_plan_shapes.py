@@ -590,3 +590,20 @@ def test_pq_encode_map_only(spark):
     assert plan2.count("MapInPandas") == 1
     assert "BroadcastNestedLoopJoin" in plan2
     assert "SortMergeJoin" not in plan2
+
+
+def test_weighted_sample_and_dsir_topk_take_ordered(spark):
+    """Both top-n selections compile to TakeOrderedAndProject (per-
+    partition heaps + one small merge), never a full global sort."""
+    import numpy as np
+    from msi_preprocessing_pipeline_spark.operators.importance import (
+        dsir_topk, dsir_weights)
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        weighted_sample_k)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p1 = plan_of(weighted_sample_k(docs, "doc_id", "n_chars", n=10),
+                 "simple")
+    assert "TakeOrderedAndProject" in p1
+    w = dsir_weights(docs, np.ones(64, dtype=np.int64), buckets=64)
+    p2 = plan_of(dsir_topk(w, 10), "simple")
+    assert "TakeOrderedAndProject" in p2
