@@ -1110,8 +1110,11 @@ def _q_dsir_weights(spark, sf_dir):
         dsir_bucket_logratios, dsir_weights)
 
     docs = _t(spark, sf_dir, "documents")
-    target = docs.where(F.col("lang") == "en")
-    lamq = dsir_bucket_logratios(docs, target, buckets=4096, seed=7)
+    # fused form: target = a slice of the corpus named by a predicate,
+    # so BOTH model estimates come from ONE gram pass (λ identical to
+    # the two-pass form — pytest-pinned)
+    lamq = dsir_bucket_logratios(docs, buckets=4096, seed=7,
+                                 target_predicate=F.col("lang") == "en")
     return dsir_weights(docs, lamq, buckets=4096, seed=7)
 
 

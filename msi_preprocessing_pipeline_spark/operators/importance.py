@@ -47,31 +47,35 @@ from .text import word_grams
 
 
 def _bucketed_grams(docs: DataFrame, buckets: int, seed: int,
-                    text_col: str, id_col: str,
-                    ngram_max: int) -> DataFrame:
-    """One row per gram occurrence: ``(id, bucket)`` for every word
-    n-gram, n = 1..ngram_max, hashed with the engine-portable md5 idiom
-    (salted per n so a unigram and a bigram with equal text collide no
-    more often than random)."""
+                    text_col: str, id_col: str, ngram_max: int,
+                    extra_cols: list[str] | None = None) -> DataFrame:
+    """One row per gram occurrence: ``(id, bucket[, extra_cols...])``
+    for every word n-gram, n = 1..ngram_max, hashed with the
+    engine-portable md5 idiom (salted per n so a unigram and a bigram
+    with equal text collide no more often than random).  ``extra_cols``
+    are carried through the explode (the fused-model path tags each
+    occurrence with its row's target flag)."""
+    extra = list(extra_cols or [])
     parts = []
     for n in range(1, ngram_max + 1):
         g = word_grams(docs, n, text_col=text_col, id_col=id_col,
-                       out_col="__gram")
+                       out_col="__gram", extra_cols=extra)
         parts.append(g.select(
             id_col,
             md5_bucket(F.concat(F.col("__gram"), F.lit(f":{n}:{seed}")),
-                       buckets).alias("bucket")))
+                       buckets).alias("bucket"), *extra))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
 
 
-def dsir_bucket_logratios(raw: DataFrame, target: DataFrame,
+def dsir_bucket_logratios(raw: DataFrame, target: DataFrame | None = None,
                           buckets: int = 4096, seed: int = 7,
                           text_col: str = "text", id_col: str = "doc_id",
                           ngram_max: int = 2, smoothing: int = 1,
-                          lam_scale: int = 9) -> np.ndarray:
+                          lam_scale: int = 9,
+                          target_predicate=None) -> np.ndarray:
     """The λ table: a dense ``buckets``-length int64 vector where
     ``λq[b] = floor((ln p̂_t(b) − ln p̂_r(b))·10^lam_scale + 0.5)`` with
     Laplace estimates ``p̂(b) = (count_b + a) / (total + a·B)``.
@@ -80,19 +84,54 @@ def dsir_bucket_logratios(raw: DataFrame, target: DataFrame,
     the ln/quantize step runs once on the driver over the two collected
     ≤B-row vectors, so the only floating point in the whole operator is
     this bounded, single-threaded, deterministic numpy pass.
-    """
-    def counts(df: DataFrame) -> np.ndarray:
-        rows = (_bucketed_grams(df, buckets, seed, text_col, id_col,
-                                ngram_max)
-                .groupBy("bucket").agg(F.count("*").alias("n"))
-                .collect())
-        v = np.zeros(buckets, dtype=np.int64)
-        for r in rows:
-            v[int(r["bucket"])] = int(r["n"])
-        return v
 
-    t, r = counts(target), counts(raw)
+    Two ways to name the target distribution: a separate ``target``
+    DataFrame (two gram passes), or — when the target is a slice of
+    ``raw`` — a ``target_predicate`` Column, which fuses both model
+    estimates into ONE gram pass over the corpus (conditional counts in
+    the same ≤B-row aggregation).  At 100 TB the fused form saves a full
+    corpus scan; results are identical.
+    """
     a = float(smoothing)
+
+    if target_predicate is not None:
+        if target is not None:
+            raise ValueError("dsir_bucket_logratios: pass target OR "
+                             "target_predicate, not both")
+        flagged = raw.select(
+            id_col, text_col,
+            F.coalesce(target_predicate, F.lit(False)).alias("__is_t"))
+        rows = (_bucketed_grams(flagged.select(id_col, text_col,
+                                               "__is_t"),
+                                buckets, seed, text_col, id_col,
+                                ngram_max, extra_cols=["__is_t"])
+                .groupBy("bucket")
+                .agg(F.count("*").alias("nr"),
+                     F.sum(F.when(F.col("__is_t"), 1).otherwise(0))
+                     .alias("nt"))
+                .collect())
+        t = np.zeros(buckets, dtype=np.int64)
+        r = np.zeros(buckets, dtype=np.int64)
+        for row in rows:
+            r[int(row["bucket"])] = int(row["nr"])
+            t[int(row["bucket"])] = int(row["nt"])
+    else:
+        if target is None:
+            raise ValueError("dsir_bucket_logratios: a target "
+                             "distribution is required")
+
+        def counts(df: DataFrame) -> np.ndarray:
+            rows = (_bucketed_grams(df, buckets, seed, text_col, id_col,
+                                    ngram_max)
+                    .groupBy("bucket").agg(F.count("*").alias("n"))
+                    .collect())
+            v = np.zeros(buckets, dtype=np.int64)
+            for rr in rows:
+                v[int(rr["bucket"])] = int(rr["n"])
+            return v
+
+        t, r = counts(target), counts(raw)
+
     lam = (np.log((t + a) / float(t.sum() + a * buckets))
            - np.log((r + a) / float(r.sum() + a * buckets)))
     return np.floor(lam * float(10 ** lam_scale) + 0.5).astype(np.int64)

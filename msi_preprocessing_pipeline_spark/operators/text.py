@@ -155,7 +155,8 @@ def redact_pii(text_col: str = "text") -> Column:
 
 def word_grams(df: DataFrame, n: int, text_col: str = "text",
                id_col: str = "doc_id", out_col: str = "ngram",
-               distinct: bool = False) -> DataFrame:
+               distinct: bool = False,
+               extra_cols: list[str] | None = None) -> DataFrame:
     """Word n-gram relation (one row per gram occurrence, or per distinct
     gram with ``distinct=True``) — the shared generator behind
     :func:`word_ngrams` and ``dedup.word_shingles``.
@@ -173,10 +174,13 @@ def word_grams(df: DataFrame, n: int, text_col: str = "text",
     from pyspark.ml.feature import NGram
 
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    extra = list(extra_cols or [])  # per-row tags carried through the
+    # explode (e.g. the DSIR fused-model target flag)
     # null text → no grams (the SQL-oracle semantics; NGram's Scala UDF
     # NPEs on a null array, and the old Python path stringified None)
     base = (df.where(F.col(text_col).isNotNull())
-            .select(F.col(id_col), words.alias("__words")))
+            .select(F.col(id_col), *[F.col(c) for c in extra],
+                    words.alias("__words")))
     grammed = NGram(n=n, inputCol="__words", outputCol="__grams") \
         .transform(base)
     grams = F.when(F.size("__words") < n,
@@ -184,7 +188,8 @@ def word_grams(df: DataFrame, n: int, text_col: str = "text",
         .otherwise(F.col("__grams"))
     if distinct:
         grams = F.array_distinct(grams)
-    return grammed.select(F.col(id_col), F.explode(grams).alias(out_col))
+    return grammed.select(F.col(id_col), *extra,
+                          F.explode(grams).alias(out_col))
 
 
 def word_ngrams(df: DataFrame, n: int, text_col: str = "text",

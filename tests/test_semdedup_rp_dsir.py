@@ -374,3 +374,21 @@ def test_scalar_quantize(spark):
     import pytest
     with pytest.raises(ValueError, match="bits"):
         scalar_quantize(df, bits=1)
+
+
+def test_dsir_fused_predicate_matches_two_pass(spark):
+    from msi_preprocessing_pipeline_spark.operators.importance import (
+        dsir_bucket_logratios)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    two_pass = dsir_bucket_logratios(
+        docs, docs.where(F.col("lang") == "en"), buckets=512)
+    fused = dsir_bucket_logratios(
+        docs, buckets=512, target_predicate=F.col("lang") == "en")
+    assert np.array_equal(two_pass, fused)
+    import pytest
+    with pytest.raises(ValueError, match="not both"):
+        dsir_bucket_logratios(docs, docs, buckets=64,
+                              target_predicate=F.lit(True))
+    with pytest.raises(ValueError, match="required"):
+        dsir_bucket_logratios(docs, buckets=64)
