@@ -110,6 +110,12 @@ def _wide_probe(full: int) -> dict:
     eff_mid = (times[2] / times[mid]) / (mid / 2)
     return {
         "pool2_s": round(times[2], 3),
+        # UNIFORM steal slows every pool level proportionally, leaving
+        # the self-relative efficiencies quiet-looking while absolute
+        # throughput drops — check pool2_s against this calibrated
+        # quiet band FIRST (measured 1.58-1.77 s across quiet windows,
+        # 2026-08-18; a 2.4 s reading meant ~40% uniform steal)
+        "pool2_quiet_band_s": [1.55, 1.85],
         f"pool{mid}_s": round(times[mid], 3),
         f"pool{full}_s": round(times[full], 3),
         "mid_width_parallel_efficiency": round(eff_mid, 3),
