@@ -1497,6 +1497,18 @@ def _q_lm_score(spark, sf_dir):
                       u6("nll").alias("nll_u"))
 
 
+def _q_kn_score(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram NLL per doc (KenLM-style count
+    smoothing with continuation probabilities), corpus self-scored."""
+    from msi_preprocessing_pipeline_spark.operators.lm import kn_score
+
+    tok = _tokenized_docs(spark, sf_dir)
+    out = kn_score(tok, discount=0.75, scale=9)
+    return out.select("doc_id", "n_bigrams",
+                      _uq("sum_lnp").alias("sum_lnp_u"),
+                      _uq("nll").alias("nll_u"))
+
+
 def _q_context_pairs(spark, sf_dir):
     """(context, next-token) LM training pairs, context_len=4 — pure JVM
     array ops, map-only explode."""
@@ -2626,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4, session 3: token-LM + sequence features ---
         "hash_tokenize_docs": _q_hash_tokenize,
         "lm_score_docs": _q_lm_score,
+        "kn_score_docs": _q_kn_score,
         "transition_probs_events": _q_transition_probs,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4419,6 +4432,39 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                             as bigint) as double)
                            / 1000000000.0 as sum_lnp
                 from bg join cab using (a, b) join ca using (a)
+                group by 1
+            )
+            select t.doc_id,
+                   cast(coalesce(s.n_bigrams, 0) as bigint) as n_bigrams,
+                   cast(floor(s.sum_lnp * 1000000.0 + 0.5) as bigint)
+                       as sum_lnp_u,
+                   cast(floor((-s.sum_lnp
+                               / cast(s.n_bigrams as double))
+                        * 1000000.0 + 0.5) as bigint) as nll_u
+            from tok t left join s using (doc_id)
+        """,
+        "kn_score_docs": f"""
+            with {_SQL_TOK}, {_SQL_BG},
+            cab as (select a, b, count(*) as c from bg group by 1, 2),
+            ca as (select a, cast(sum(c) as bigint) as c_a,
+                          count(*) as n1a
+                   from cab group by 1),
+            nb as (select b, count(*) as n1b from cab group by 1),
+            tot as (select count(*) as n1t from cab),
+            s as (
+                select bg.doc_id, count(*) as n_bigrams,
+                       cast(cast(sum(cast(floor(
+                            ln((greatest(cast(cab.c as double) - 0.75,
+                                         0.0)
+                                + (0.75 * cast(ca.n1a as double))
+                                * (cast(nb.n1b as double)
+                                   / cast(tot.n1t as double)))
+                               / cast(ca.c_a as double))
+                            * 1000000000.0 + 0.5) as bigint))
+                            as bigint) as double)
+                           / 1000000000.0 as sum_lnp
+                from bg join cab using (a, b) join ca using (a)
+                     join nb using (b) cross join tot
                 group by 1
             )
             select t.doc_id,

@@ -266,7 +266,8 @@ def main() -> None:
                  "zipf_fit_docs", "semdedup_vecs", "rp_embed_vecs",
                  "dsir_weights_docs", "pq_topk_vecs",
                  "group_kfold_events", "classification_report_events",
-                 "weighted_sample_docs", "scalar_quantize_vecs"]:
+                 "weighted_sample_docs", "scalar_quantize_vecs",
+                 "kn_score_docs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

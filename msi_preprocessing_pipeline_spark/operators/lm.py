@@ -14,6 +14,8 @@ corpus-statistics passes a training-data pipeline runs at scale:
 * :func:`lm_score` — per-document add-k-smoothed bigram
   negative-log-likelihood, the CCNet-style (Wenzek et al. 2020)
   perplexity quality filter,
+* :func:`kn_score` — interpolated Kneser–Ney bigram scoring (the KenLM
+  default smoothing) with continuation probabilities,
 * :func:`pmi_bigrams` — pointwise mutual information over adjacent
   token pairs (the association score word-embedding pipelines factorize),
 * :func:`context_target_pairs` — fixed-window (context, next-token)
@@ -185,6 +187,93 @@ def lm_score(df: DataFrame, tokens_col: str = "tokens",
                    (-F.col("sum_lnp")
                     / F.col("n_bigrams").cast("double")).alias("nll")))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Kneser–Ney smoothed bigram scoring
+
+
+def kn_score(df: DataFrame, tokens_col: str = "tokens",
+             id_col: str = "doc_id", discount: float = 0.75,
+             counts: DataFrame | None = None,
+             scale: int | None = None) -> DataFrame:
+    """Per-document interpolated Kneser–Ney bigram negative
+    log-likelihood — the smoothing the strong count-based LM filters use
+    (Kneser & Ney 1995; the KenLM default), upgrading :func:`lm_score`'s
+    add-k with continuation probabilities:
+
+    ``P(b|a) = (max(c(a,b) − d, 0) + d·N1+(a·)·P_cont(b)) / c(a·)``
+    with ``P_cont(b) = N1+(·b) / N1+(··)`` where ``N1+(a·)`` counts
+    distinct continuations of ``a``, ``N1+(·b)`` distinct predecessors of
+    ``b``, and ``N1+(··)`` the number of distinct bigram types.
+
+    The corpus scores itself (every scored bigram exists in the model, so
+    ``c(a·) ≥ 1`` and no backoff-to-unseen branch is needed — held-out
+    scoring with unseen-event mass belongs to :func:`lm_score`'s add-k).
+    All five inputs per bigram are exact integers; ``d`` defaults to
+    0.75 (exact in binary), so the per-bigram probability is a fixed
+    IEEE-double expression tree over exact integers — engine-reproducible
+    when the SQL oracle mirrors the same association order.
+
+    Returns one row per input document ``(id, n_bigrams, sum_lnp, nll)``;
+    docs with fewer than two tokens keep their row with ``n_bigrams = 0``
+    and null scores.  ``scale`` quantizes each per-bigram ``ln p`` to
+    ``floor(lnp·10^s + 0.5)`` and sums exact integers (the
+    :func:`lm_score` combine-order rule).
+
+    ``counts`` injects a pre-materialized (persisted / written) bigram
+    histogram ``(a, b, c)`` — the 100-TB shape, where the model is built
+    once and reused — leaving a single corpus pass for the scoring
+    explode.
+
+    Plan shape: all four model marginals ride ONE histogram lineage —
+    ``c_a``/``N1+(a·)``/``N1+(·b)`` as two window specs over the
+    |bigram types|-bounded count relation (Catalyst does NOT reuse the
+    corpus-histogram exchange across separate ``groupBy`` branches — the
+    branchy formulation re-scanned the corpus 6×, measured) — so the
+    corpus is read once for scoring, once for the histogram, and once
+    for the 1-row ``N1+(··)`` broadcast.  One corpus-sized hash join
+    (AQE broadcasts the enriched count side when small), one per-doc
+    partial agg.
+    """
+    big = doc_bigrams(df, tokens_col, id_col)
+    cnt_ab = (counts if counts is not None
+              else bigram_counts(df, tokens_col))
+    w_a = Window.partitionBy("a")
+    w_b = Window.partitionBy("b")
+    enriched = cnt_ab.select(
+        "a", "b", "c",
+        F.sum("c").over(w_a).alias("c_a"),
+        F.count("*").over(w_a).alias("n1a"),
+        F.count("*").over(w_b).alias("n1b"))
+    tot = cnt_ab.agg(F.count("*").alias("n1t"))
+    d = F.lit(float(discount))
+    # association mirrored verbatim in the SQL oracle: the continuation
+    # ratio divides FIRST, then two explicit multiplies, then the add
+    p = ((F.greatest(F.col("c").cast("double") - d, F.lit(0.0))
+          + (d * F.col("n1a").cast("double"))
+          * (F.col("n1b").cast("double") / F.col("n1t").cast("double")))
+         / F.col("c_a").cast("double"))
+    lnp = F.log(p)
+    if scale is None:
+        lnp_sum = F.sum(lnp).alias("__slnp")
+        unq = F.col("__slnp")
+    else:
+        from ..functions.util import quantize
+        lnp_sum = F.sum(quantize(lnp, scale)).alias("__slnp")
+        unq = F.col("__slnp").cast("double") / F.lit(float(10 ** scale))
+    scored = (big.join(enriched, ["a", "b"])
+              .crossJoin(F.broadcast(tot))
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_bigrams"), lnp_sum))
+    return (df.select(id_col)
+            .join(scored.select(id_col, "n_bigrams",
+                                unq.alias("sum_lnp")), [id_col], "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.col("sum_lnp"),
+                    (-F.col("sum_lnp")
+                     / F.col("n_bigrams").cast("double")).alias("nll")))
 
 
 # ---------------------------------------------------------------------------

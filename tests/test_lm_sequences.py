@@ -99,6 +99,91 @@ def test_lm_score_external_counts_unseen_backoff(spark):
 
 
 # ---------------------------------------------------------------------------
+# kn_score
+
+
+def test_kn_score_hand_computed(spark):
+    from msi_preprocessing_pipeline_spark.operators.lm import kn_score
+
+    df = _tok_df(spark, [(1, [1, 2, 1]), (2, [2, 1]), (3, [9])])
+    out = {r.doc_id: r for r in kn_score(df, discount=0.75).collect()}
+    # bigram types: (1,2):1, (2,1):2 -> N1+(..)=2
+    # N1+(1.)=1, N1+(2.)=1 ; N1+(.2)=1, N1+(.1)=1 ; c(1.)=1, c(2.)=2
+    d = 0.75
+    p12 = (max(1 - d, 0.0) + (d * 1) * (1 / 2)) / 1
+    p21 = (max(2 - d, 0.0) + (d * 1) * (1 / 2)) / 2
+    exp1 = math.log(p12) + math.log(p21)
+    assert out[1].n_bigrams == 2
+    assert out[1].sum_lnp == pytest.approx(exp1, rel=1e-12)
+    assert out[1].nll == pytest.approx(-exp1 / 2, rel=1e-12)
+    assert out[2].n_bigrams == 1
+    assert out[2].sum_lnp == pytest.approx(math.log(p21), rel=1e-12)
+    # single-token doc keeps its row with no score
+    assert out[3].n_bigrams == 0
+    assert out[3].sum_lnp is None and out[3].nll is None
+
+
+def test_kn_score_matches_pure_python_reference(spark):
+    """Operator output equals a from-scratch KN implementation on a
+    bigger corpus, and the implied per-context distribution over seen
+    continuations stays strictly below 1 (sub-distribution property)."""
+    from collections import Counter
+
+    from msi_preprocessing_pipeline_spark.operators.lm import kn_score
+
+    corpus = [(i, [(i * 7 + j * 3) % 5 for j in range((i % 4) + 3)])
+              for i in range(12)]
+    d = 0.6
+    cab = Counter((t[j], t[j + 1]) for _, t in corpus
+                  for j in range(len(t) - 1))
+    c_a = Counter()
+    n1a = Counter()
+    n1b = Counter()
+    for (a, b), c in cab.items():
+        c_a[a] += c
+        n1a[a] += 1
+        n1b[b] += 1
+    n1t = len(cab)
+
+    def p_kn(a, b):
+        return ((max(cab[(a, b)] - d, 0.0)
+                 + (d * n1a[a]) * (n1b[b] / n1t)) / c_a[a])
+
+    exp = {}
+    for i, t in corpus:
+        lnps = [math.log(p_kn(t[j], t[j + 1]))
+                for j in range(len(t) - 1)]
+        exp[i] = (len(lnps), sum(lnps))
+    out = {r.doc_id: r for r in
+           kn_score(_tok_df(spark, corpus), discount=d).collect()}
+    for i, (n, s) in exp.items():
+        assert out[i].n_bigrams == n
+        assert out[i].sum_lnp == pytest.approx(s, rel=1e-12)
+    # sub-distribution: per context a, sum over seen b of P(b|a) < 1
+    by_a = Counter()
+    for (a, b) in cab:
+        by_a[a] += p_kn(a, b)
+    for a, tot in by_a.items():
+        assert tot < 1.0 + 1e-12
+
+
+def test_kn_score_partitioning_invariant(spark):
+    """Quantized scores must be identical under different partitionings
+    (the covariance_embeddings lesson: exact-int sums, no ulp wobble)."""
+    from msi_preprocessing_pipeline_spark.operators.lm import kn_score
+
+    rows = [(i, [(i * 13 + j * 5) % 7 for j in range((i % 5) + 2)])
+            for i in range(40)]
+    a = _tok_df(spark, rows).repartition(1)
+    b = _tok_df(spark, rows).repartition(16)
+    got_a = sorted((r.doc_id, r.n_bigrams, r.sum_lnp)
+                   for r in kn_score(a, scale=9).collect())
+    got_b = sorted((r.doc_id, r.n_bigrams, r.sum_lnp)
+                   for r in kn_score(b, scale=9).collect())
+    assert got_a == got_b
+
+
+# ---------------------------------------------------------------------------
 # pmi
 
 
