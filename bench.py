@@ -267,7 +267,8 @@ def main() -> None:
                  "dsir_weights_docs", "pq_topk_vecs",
                  "group_kfold_events", "classification_report_events",
                  "weighted_sample_docs", "scalar_quantize_vecs",
-                 "kn_score_docs"]:
+                 "kn_score_docs", "dedup_paragraphs_docs",
+                 "c4_filter_docs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

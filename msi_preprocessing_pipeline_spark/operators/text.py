@@ -466,3 +466,110 @@ def passage_windows(df: DataFrame, window_chars: int = 200,
         start.alias("char_start"),
         F.substring(F.col("__t"), (start + 1).cast("int"),
                     window_chars).alias("passage"))
+
+
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     min_chars: int = 5) -> DataFrame:
+    """Corpus-GLOBAL paragraph dedup (the Dolma / RefinedWeb pass that
+    complements per-source :func:`remove_boilerplate`): every line of at
+    least ``min_chars`` characters is kept only at its FIRST occurrence
+    corpus-wide — first = smallest ``(id, pos)`` — and deleted at every
+    later occurrence, whether in another document or repeated inside the
+    same one.  Lines shorter than ``min_chars`` (blanks, separators) are
+    always kept, so document structure survives.
+
+    Same output contract as :func:`remove_boilerplate`: input schema
+    with ``text_col`` rewritten (empty string when every paragraph was a
+    repeat; null only when text was null upstream) plus
+    ``n_paragraphs_removed``.
+
+    Scale notes: one line-granularity explode → one map-side-combined
+    ``min(struct(id, pos))`` per distinct eligible line → one join of
+    that |distinct lines|-bounded relation back onto the exploded lines
+    (each line matches at most one census row — no fan-out; a line
+    repeated a billion times is ONE census row, so the census side has
+    no skew) → one order-preserving per-doc reassembly.  Keys are raw
+    line strings for oracle parity; at petabyte scale swap a 128-bit
+    hash for the shuffle key, as in :func:`boilerplate_lines`.
+    """
+    lines = (df.where(F.col(text_col).isNotNull())
+             .select(F.col(id_col),
+                     F.posexplode(F.split(F.col(text_col), "\n"))
+                     .alias("__pos", "__line")))
+    firsts = (lines.where(F.length("__line") >= min_chars)
+              .groupBy("__line")
+              .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                  F.col("__pos").alias("p")))
+                   .alias("__f")))
+    # ineligible (short) lines never equal an eligible one, so their
+    # left-join miss (__f null) is exactly the "always keep" rule
+    kept = (lines.join(firsts, ["__line"], "left")
+            .where(F.col("__f").isNull()
+                   | ((F.col("__f.i") == F.col(id_col))
+                      & (F.col("__f.p") == F.col("__pos")))))
+    re = (kept.groupBy(id_col)
+          .agg(F.array_join(
+                   F.transform(
+                       F.sort_array(F.collect_list(
+                           F.struct("__pos", "__line"))),
+                       lambda x: x["__line"]),
+                   "\n").alias("__clean"),
+               F.count("*").alias("__n_kept")))
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    out_cols = [c for c in df.columns if c != text_col]
+    return (df.join(re, [id_col], "left")
+            .select(*out_cols,
+                    F.when(F.col(text_col).isNull(), F.lit(None))
+                    .otherwise(F.coalesce("__clean", F.lit("")))
+                    .alias(text_col),
+                    F.when(F.col(text_col).isNull(), F.lit(0))
+                    .otherwise(n_lines - F.coalesce("__n_kept",
+                                                    F.lit(0)))
+                    .cast("long").alias("n_paragraphs_removed")))
+
+
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_filter(df: DataFrame, text_col: str = "text",
+              min_words: int = 5, min_lines: int = 3) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, §2.2) as ONE
+    map-only projection — line rules via JVM array lambdas (no explode,
+    no shuffle, no Python):
+
+    * keep a line only if it ends in terminal punctuation
+      (``. ! ? "``), has at least ``min_words`` whitespace words, and
+      does not mention ``javascript`` (case-insensitive);
+    * flag the document for DROP (``keep_doc = false``) if fewer than
+      ``min_lines`` lines survive, or the raw text contains
+      ``lorem ipsum`` (case-insensitive) or a ``{``.
+
+    Returns the input schema with ``text_col`` rewritten to the kept
+    lines, plus ``n_lines_kept`` and ``keep_doc``.  The caller applies
+    (or audits) the drop — rows are never silently removed.  Null text
+    stays null with ``n_lines_kept = 0`` and ``keep_doc = false``.
+
+    At 100 TB this is the ideal shape: a pure scan→project→write with
+    whole-stage codegen, trivially partition-parallel.
+    """
+    raw = F.col(text_col)
+    words_of = lambda l: F.filter(  # noqa: E731
+        F.split(F.trim(l), r"\s+"), lambda w: w != F.lit(""))
+    line_ok = lambda l: (  # noqa: E731
+        F.right(l, F.lit(1)).isin(*C4_TERMINAL)
+        & (F.size(words_of(l)) >= F.lit(min_words))
+        & ~F.contains(F.lower(l), F.lit("javascript")))
+    kept = F.filter(F.split(raw, "\n"), line_ok)
+    n_kept = F.size(kept).cast("long")
+    keep = ((n_kept >= F.lit(min_lines))
+            & ~F.contains(F.lower(raw), F.lit("lorem ipsum"))
+            & ~F.contains(raw, F.lit("{")))
+    out_cols = [c for c in df.columns if c != text_col]
+    return df.select(
+        *out_cols,
+        F.when(raw.isNotNull(),
+               F.array_join(kept, "\n")).alias(text_col),
+        F.when(raw.isNotNull(), n_kept).otherwise(F.lit(0))
+        .cast("long").alias("n_lines_kept"),
+        F.coalesce(keep, F.lit(False)).alias("keep_doc"))

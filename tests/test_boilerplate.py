@@ -70,3 +70,108 @@ def test_census_validates_args(corpus):
         boilerplate_lines(corpus, min_frac=0.0)
     with pytest.raises(ValueError, match="min_docs"):
         boilerplate_lines(corpus, min_docs=0)
+
+
+# ---------------------------------------------------------------------------
+# dedup_paragraphs (corpus-global keep-first)
+
+
+@pytest.fixture(scope="module")
+def para_corpus(spark):
+    from pyspark.sql import Row
+    dup = "this exact paragraph repeats across documents"
+    return spark.createDataFrame([
+        Row(doc_id=1, text=f"{dup}\nunique to doc one\n--"),
+        Row(doc_id=2, text=f"intro line two\n{dup}\n--"),
+        # within-doc repeat: second copy must go
+        Row(doc_id=3, text=f"own text of three\nown text of three"),
+        # short duplicate line survives everywhere
+        Row(doc_id=4, text="--\n--"),
+        Row(doc_id=5, text=None),
+    ])
+
+
+def test_dedup_paragraphs_keep_first_global(para_corpus):
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        dedup_paragraphs)
+
+    out = {r.doc_id: r for r in
+           dedup_paragraphs(para_corpus, min_chars=5).collect()}
+    dup = "this exact paragraph repeats across documents"
+    # doc 1 holds the first occurrence -> untouched
+    assert out[1].text == f"{dup}\nunique to doc one\n--"
+    assert out[1].n_paragraphs_removed == 0
+    # doc 2 loses the global duplicate only
+    assert out[2].text == "intro line two\n--"
+    assert out[2].n_paragraphs_removed == 1
+    # within-doc repeat: keep pos 0, drop pos 1
+    assert out[3].text == "own text of three"
+    assert out[3].n_paragraphs_removed == 1
+    # short lines are never deduped
+    assert out[4].text == "--\n--"
+    assert out[4].n_paragraphs_removed == 0
+    # null text passes through
+    assert out[5].text is None and out[5].n_paragraphs_removed == 0
+
+
+def test_dedup_paragraphs_partitioning_invariant(spark):
+    """Keep-first is a deterministic (id, pos) argmin — identical
+    output under different partitionings."""
+    from pyspark.sql import Row
+
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        dedup_paragraphs)
+
+    rows = [Row(doc_id=i,
+                text="\n".join(f"shared paragraph number {j % 4}"
+                               for j in range(i % 6 + 1)))
+            for i in range(30)]
+    a = spark.createDataFrame(rows).repartition(1)
+    b = spark.createDataFrame(rows).repartition(13)
+    ga = sorted((r.doc_id, r.text, r.n_paragraphs_removed)
+                for r in dedup_paragraphs(a).collect())
+    gb = sorted((r.doc_id, r.text, r.n_paragraphs_removed)
+                for r in dedup_paragraphs(b).collect())
+    assert ga == gb
+    # every eligible distinct line survives exactly once corpus-wide
+    kept = [line for _, t, _ in ga for line in t.split("\n") if t]
+    long_kept = [l for l in kept if len(l) >= 5]
+    assert len(long_kept) == len(set(long_kept)) == 4
+
+
+# ---------------------------------------------------------------------------
+# c4_filter
+
+
+def test_c4_filter_line_and_doc_rules(spark):
+    from pyspark.sql import Row
+
+    from msi_preprocessing_pipeline_spark.operators.text import c4_filter
+
+    good = ("this sentence has enough words to pass.\n"
+            "another proper sentence is here for you!\n"
+            'a third one ends with a quote so it stays."')
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=good),
+        # line rules: no terminal punct / too few words / javascript
+        Row(doc_id=2, text=(good + "\nclick here now\nshort line here.\n"
+                            "please enable JavaScript to continue now.")),
+        # doc rules: lorem ipsum / curly brace poison the whole doc
+        Row(doc_id=3, text=good + "\nsome Lorem Ipsum filler is here."),
+        Row(doc_id=4, text=good + "\nvar x = { broken: true };"),
+        # too few surviving lines
+        Row(doc_id=5, text="only one good line survives this time."),
+        Row(doc_id=6, text=None),
+    ])
+    out = {r.doc_id: r for r in
+           c4_filter(df, min_words=5, min_lines=3).collect()}
+    assert out[1].text == good and out[1].n_lines_kept == 3
+    assert out[1].keep_doc is True
+    assert out[2].text == good and out[2].n_lines_kept == 3
+    assert out[2].keep_doc is True
+    assert out[3].keep_doc is False      # lorem ipsum, case-insensitive
+    assert out[3].n_lines_kept == 4      # the lorem line itself is kept
+    assert out[4].keep_doc is False      # '{' poisons the doc
+    assert out[5].keep_doc is False and out[5].n_lines_kept == 1
+    assert out[6].text is None and out[6].n_lines_kept == 0
+    assert out[6].keep_doc is False
