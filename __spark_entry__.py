@@ -1509,6 +1509,17 @@ def _q_kn_score(spark, sf_dir):
                       _uq("nll").alias("nll_u"))
 
 
+def _q_similar_docs(spark, sf_dir):
+    """All-pairs TF-IDF cosine similarity (Bayardo-style inverted-index
+    self-join) over a 1-in-7 document slice — exact integer weights,
+    decimal dots, pairs at cosine >= 0.8."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        similar_doc_pairs)
+
+    tok = _tokenized_docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    return similar_doc_pairs(tok, threshold=0.8, max_df=1 << 20)
+
+
 def _q_context_pairs(spark, sf_dir):
     """(context, next-token) LM training pairs, context_len=4 — pure JVM
     array ops, map-only explode."""
@@ -2635,14 +2646,16 @@ _R5_WINDOW = [
     "clustering_coeff_suppliers", "kcore_suppliers", "er_resolve_part",
     "boilerplate_census_docs", "remove_boilerplate_docs",
     "incremental_refresh_users", "merge_additive_users",
-    "salted_join_segments", "fingerprint_lineitem", "diff_buckets_events",
+    "salted_join_segments", "diff_buckets_events",
     "survivorship_users", "gap_stats_users", "trend_value_by_user",
     "funnel_view_click_purchase",
     # (d) round-5 continuation: Kneser-Ney LM scoring, corpus-global
-    # paragraph dedup, C4 filter (cohort/packing/zipf rotate out — all
-    # judge-verified in r4 or contract-green, and CONTRACT_r05.json
-    # re-attests them this round)
+    # paragraph dedup, C4 filter, all-pairs TF-IDF similarity
+    # (cohort/packing/zipf/fingerprint rotate out — all judge-verified
+    # in r4 or contract-green, and CONTRACT_r05.json re-attests them
+    # this round)
     "kn_score_docs", "dedup_paragraphs_docs", "c4_filter_docs",
+    "similar_docs_tfidf",
 ]
 
 
@@ -2702,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_tokenize_docs": _q_hash_tokenize,
         "lm_score_docs": _q_lm_score,
         "kn_score_docs": _q_kn_score,
+        "similar_docs_tfidf": _q_similar_docs,
         "transition_probs_events": _q_transition_probs,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4540,6 +4554,53 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                                / cast(s.n_bigrams as double))
                         * 1000000.0 + 0.5) as bigint) as nll_u
             from tok t left join s using (doc_id)
+        """,
+        "similar_docs_tfidf": f"""
+            with {_SQL_TOK},
+            ex as (
+                select doc_id, unnest(tokens) as t
+                from tok where doc_id % 7 = 0
+            ),
+            pl as (
+                select t, doc_id, cast(count(*) as bigint) as tf
+                from ex group by 1, 2
+            ),
+            nd as (
+                select cast(count(*) as bigint) as n
+                from tok where doc_id % 7 = 0
+            ),
+            dfq as (
+                select t, cast(count(*) as bigint) as df
+                from pl group by 1
+                having count(*) <= 1048576
+            ),
+            wp as (
+                select pl.t, pl.doc_id,
+                       pl.tf * cast(floor(
+                           ln((cast(nd.n as double) + 1)
+                              / (cast(dfq.df as double) + 1) + 1.0)
+                           * 1000.0 + 0.5) as bigint) as w
+                from pl join dfq using (t) cross join nd
+            ),
+            nrm as (select doc_id, sum(w * w) as n2 from wp group by 1),
+            pr as (
+                select l.doc_id as id_a, r.doc_id as id_b,
+                       cast(count(*) as bigint) as n_shared,
+                       sum(l.w * r.w) as dot
+                from wp l join wp r
+                     on l.t = r.t and l.doc_id < r.doc_id
+                group by 1, 2
+            )
+            select * from (
+                select pr.id_a, pr.id_b, pr.n_shared,
+                       cast(pr.dot as bigint) as dot,
+                       cast(floor(cast(pr.dot as double)
+                            / (sqrt(cast(na.n2 as double))
+                               * sqrt(cast(nb.n2 as double)))
+                            * 1000000.0 + 0.5) as bigint) as cos_u
+                from pr join nrm na on pr.id_a = na.doc_id
+                        join nrm nb on pr.id_b = nb.doc_id
+            ) where cos_u >= 800000
         """,
         "context_pairs_docs": f"""
             with {_SQL_TOK}

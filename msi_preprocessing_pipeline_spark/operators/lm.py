@@ -16,6 +16,8 @@ corpus-statistics passes a training-data pipeline runs at scale:
   perplexity quality filter,
 * :func:`kn_score` — interpolated Kneser–Ney bigram scoring (the KenLM
   default smoothing) with continuation probabilities,
+* :func:`similar_doc_pairs` — all-pairs TF-IDF cosine similarity via
+  the df-bounded inverted-index self-join (Bayardo et al. 2007),
 * :func:`pmi_bigrams` — pointwise mutual information over adjacent
   token pairs (the association score word-embedding pipelines factorize),
 * :func:`context_target_pairs` — fixed-window (context, next-token)
@@ -503,6 +505,89 @@ def search_topk(df: DataFrame, query_tokens, k: int = 10,
               .agg(F.sum("__c").alias("score_nano")))
     return (scored.orderBy(F.col("score_nano").desc(), F.col(id_col))
             .limit(k))
+
+
+def similar_doc_pairs(df: DataFrame, threshold: float = 0.8,
+                      max_df: int = 1 << 20,
+                      tokens_col: str = "tokens",
+                      id_col: str = "doc_id",
+                      plist: DataFrame | None = None) -> DataFrame:
+    """ALL-PAIRS TF-IDF cosine similarity over the corpus (the exact
+    sparse-vector self-join of Bayardo et al. 2007, WWW — "Scaling Up
+    All Pairs Similarity Search"): every unordered document pair whose
+    cosine over df-bounded TF-IDF vectors reaches ``threshold``.
+
+    The vector space is the ``df_t <= max_df`` vocabulary — dropping
+    stopword-frequency terms is what bounds the self-join fan-out
+    (a term matching ``df`` documents emits ``df*(df-1)/2`` candidate
+    rows), and the NORMS use the same vocabulary so the measure stays a
+    true cosine over the pruned space.  Weights are exact integers
+    ``tf * idf_milli`` with ``idf_milli = floor(ln((N+1)/(df_t+1) + 1)
+    * 1e3 + 0.5)``; dots and squared norms are exact DECIMAL(38) sums
+    (partition-order-free), and the final cosine is one fixed
+    IEEE-double expression over those exact integers, reported
+    micro-quantized as ``cos_u = floor(cos * 1e6 + 0.5)``.
+
+    Output: ``(id_a, id_b, n_shared, dot, cos_u)`` with ``id_a <
+    id_b``, only pairs with ``cos_u >= floor(threshold*1e6 + 0.5)``.
+
+    Plan shape: postings (one map-side-combined shuffle) → |vocab|-
+    bounded df relation joined back (AQE broadcasts) → term-key
+    self-join with ``id_a < id_b`` → one (a, b) aggregation → two
+    |docs|-bounded norm joins.  ``plist`` injects a pre-materialized
+    :func:`postings` relation — at 100 TB the index is built once and
+    persisted, leaving zero corpus re-scans here.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from ..functions.util import DEC38
+
+    if plist is None:
+        pos = df.select(F.col(id_col),
+                        F.explode(tokens_col).alias("t"))
+        plist = (pos.groupBy("t", id_col)
+                 .agg(F.count("*").alias("tf")))
+    else:
+        plist = plist.select("t", id_col, "tf")
+    n_docs = df.select(F.count("*").alias("__n"))
+    dfreq = (plist.groupBy("t").agg(F.count("*").alias("df"))
+             .where(F.col("df") <= int(max_df)))
+    idf_milli = F.floor(
+        F.log((F.col("__n") + 1).cast("double")
+              / (F.col("df") + 1).cast("double") + F.lit(1.0))
+        * F.lit(1e3) + F.lit(0.5)).cast("long")
+    wp = (plist.join(dfreq, ["t"]).crossJoin(F.broadcast(n_docs))
+          .select("t", F.col(id_col),
+                  (F.col("tf") * idf_milli).alias("w")))
+    norms = (wp.groupBy(id_col)
+             .agg(F.sum((F.col("w") * F.col("w")).cast(DEC38))
+                  .alias("n2")))
+    left = wp.select("t", F.col(id_col).alias("id_a"),
+                     F.col("w").alias("wa"))
+    right = wp.select("t", F.col(id_col).alias("id_b"),
+                      F.col("w").alias("wb"))
+    pairs = (left.join(right, ["t"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_shared"),
+                  F.sum((F.col("wa") * F.col("wb")).cast(DEC38))
+                  .alias("dot")))
+    # fixed IEEE expression tree over exact integers, mirrored verbatim
+    # in the SQL oracle: sqrt each norm, multiply, divide
+    cos = (F.col("dot").cast("double")
+           / (F.sqrt(F.col("na2").cast("double"))
+              * F.sqrt(F.col("nb2").cast("double"))))
+    thr_u = int(float(threshold) * 1e6 + 0.5)
+    return (pairs
+            .join(norms.select(F.col(id_col).alias("id_a"),
+                               F.col("n2").alias("na2")), ["id_a"])
+            .join(norms.select(F.col(id_col).alias("id_b"),
+                               F.col("n2").alias("nb2")), ["id_b"])
+            .select("id_a", "id_b", "n_shared",
+                    F.col("dot").cast("long").alias("dot"),
+                    F.floor(cos * F.lit(1e6) + F.lit(0.5))
+                    .cast("long").alias("cos_u"))
+            .where(F.col("cos_u") >= F.lit(thr_u)))
 
 
 def zipf_fit(df: DataFrame, tokens_col: str = "tokens",

@@ -327,3 +327,61 @@ def test_mutual_info_unobserved_cell_in_chi2(spark):
     [r] = mutual_info(df, "x", "y").collect()
     assert r.chi2 == pytest.approx(10.0, rel=1e-12)  # perfect association
     assert r.mi == pytest.approx(math.log(2), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# similar_doc_pairs (all-pairs TF-IDF cosine)
+
+
+def test_similar_doc_pairs_matches_brute_force(spark):
+    """Pair set and quantized cosines equal an independent pure-Python
+    TF-IDF implementation with the same integer weighting."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        similar_doc_pairs)
+
+    corpus = [(i, [(i * 3 + j) % 6 for j in range((i % 4) + 2)] + [0])
+              for i in range(14)]
+    got = {(r.id_a, r.id_b): (r.n_shared, r.dot, r.cos_u)
+           for r in similar_doc_pairs(
+               _tok_df(spark, corpus), threshold=0.1,
+               max_df=1000).collect()}
+
+    from collections import Counter
+    n = len(corpus)
+    tfs = {i: Counter(t) for i, t in corpus}
+    dfc = Counter(t for _, tf in tfs.items() for t in tf)
+    w = {i: {t: c * math.floor(
+            math.log((n + 1) / (dfc[t] + 1) + 1.0) * 1e3 + 0.5)
+         for t, c in tf.items()} for i, tf in tfs.items()}
+    exp = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            shared = set(w[a]) & set(w[b])
+            if not shared:
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in shared)
+            na = math.sqrt(sum(v * v for v in w[a].values()))
+            nb = math.sqrt(sum(v * v for v in w[b].values()))
+            cos_u = math.floor(dot / (na * nb) * 1e6 + 0.5)
+            if cos_u >= math.floor(0.1 * 1e6 + 0.5):
+                exp[(a, b)] = (len(shared), dot, cos_u)
+    assert got == exp
+    assert len(exp) > 10  # non-vacuous
+
+
+def test_similar_doc_pairs_max_df_prunes_vocabulary_and_norms(spark):
+    """A term over max_df must vanish from dots AND norms (the measure
+    lives in the pruned space)."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        similar_doc_pairs)
+
+    # token 9 is in every doc (df=3 > max_df=2) and must be ignored;
+    # docs 1/2 share only token 9 -> no pair at all
+    corpus = [(1, [9, 1, 1]), (2, [9, 2]), (3, [9, 1, 2])]
+    got = {(r.id_a, r.id_b): r for r in similar_doc_pairs(
+        _tok_df(spark, corpus), threshold=0.01, max_df=2).collect()}
+    assert set(got) == {(1, 3), (2, 3)}
+    # with token 9 pruned, doc 1 = {1:2}, doc 3 = {1:1, 2:1}: the
+    # cosine is 2*w1^2 / (2*w1 * sqrt(w1^2+w2^2)); idf equal for both
+    # terms so cos = 1/sqrt(2)
+    assert got[(1, 3)].cos_u == pytest.approx(707107, abs=1)
