@@ -1509,6 +1509,105 @@ def _q_kn_score(spark, sf_dir):
                       _uq("nll").alias("nll_u"))
 
 
+def _q_bt_ratings(spark, sf_dir):
+    """Bradley-Terry strengths over event-type 'contests': each user's
+    first two events (deterministic total order) pit their event types
+    against each other, higher value wins; 8 quantized MM rounds —
+    the oracle unrolls the identical iteration as chained SQL CTEs."""
+    from msi_preprocessing_pipeline_spark.operators.ranking import (
+        bradley_terry)
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                 & F.col("event_type").isNotNull()
+                 & F.col("user_id").isNotNull()))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type",
+                                              "value")
+    r = (ev.select("user_id", "event_type", "value",
+                   F.row_number().over(w).alias("rn"))
+         .where(F.col("rn") <= 2))
+    a = r.where(F.col("rn") == 1).select(
+        "user_id", F.col("event_type").alias("t1"),
+        F.col("value").alias("v1"))
+    b = r.where(F.col("rn") == 2).select(
+        "user_id", F.col("event_type").alias("t2"),
+        F.col("value").alias("v2"))
+    contests = (a.join(b, ["user_id"])
+                .where((F.col("t1") != F.col("t2"))
+                       & (F.col("v1") != F.col("v2")))
+                .select(F.when(F.col("v1") > F.col("v2"), F.col("t1"))
+                        .otherwise(F.col("t2")).alias("winner"),
+                        F.when(F.col("v1") > F.col("v2"), F.col("t2"))
+                        .otherwise(F.col("t1")).alias("loser")))
+    return bradley_terry(contests, iters=8, scale=9)
+
+
+def _bt_oracle_sql(iters: int = 8, scale: int = 9) -> str:
+    """Unrolled MM iteration as chained CTEs — the SQL mirror of
+    operators.ranking.bradley_terry's quantized update.  Every CTE is
+    MATERIALIZED: DuckDB inlines CTEs by default, and it{k} references
+    it{k-1} TWICE, so the inlined plan doubles per iteration (>120 s at
+    8 rounds); materialization makes the chain linear (~ms)."""
+    sc = float(10 ** scale)
+    parts = [f"""
+        with ev as materialized (
+            select user_id, event_type, value, ts from events
+            where ts is not null and value is not null
+              and event_type is not null and user_id is not null
+        ), r as materialized (
+            select user_id, event_type, value,
+                   row_number() over (partition by user_id
+                                      order by ts, event_type, value)
+                       as rn
+            from ev
+        ), c as materialized (
+            select case when a.value > b.value then a.event_type
+                        else b.event_type end as winner,
+                   case when a.value > b.value then b.event_type
+                        else a.event_type end as loser
+            from (select * from r where rn = 1) a
+                 join (select * from r where rn = 2) b using (user_id)
+            where a.event_type <> b.event_type and a.value <> b.value
+        ), wd as materialized (
+            select winner as i, loser as j,
+                   cast(count(*) as bigint) as w
+            from c group by 1, 2
+        ), sym as materialized (
+            select i, j, cast(sum(w) as bigint) as n
+            from (select i, j, w from wd
+                  union all select j as i, i as j, w from wd)
+            group by 1, 2
+        ), items as materialized (select distinct i as item from sym),
+        wt as materialized (
+            select items.item, cast(coalesce(ww.w, 0) as bigint) as w
+            from items left join (
+                select winner as item, cast(count(*) as bigint) as w
+                from c group by 1) ww using (item)
+        ), it0 as materialized (
+            select item, cast({int(sc)} as bigint) as s_n from items
+        )"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", d{k} as materialized (
+            select sym.i as item,
+                   cast(sum(cast(floor(cast(sym.n as double)
+                       / (cast(greatest(a.s_n + b.s_n, 1) as double)
+                          / {sc}) * {sc} + 0.5) as bigint)) as bigint)
+                       as ds
+            from sym join it{k - 1} a on sym.i = a.item
+                     join it{k - 1} b on sym.j = b.item
+            group by 1
+        ), it{k} as materialized (
+            select wt.item,
+                   case when wt.w = 0 then cast(0 as bigint)
+                        else cast(floor(cast(wt.w as double)
+                             / (cast(d{k}.ds as double) / {sc})
+                             * {sc} + 0.5) as bigint) end as s_n
+            from wt join d{k} using (item)
+        )""")
+    parts.append(f" select item, s_n from it{iters}")
+    return "".join(parts)
+
+
 def _q_similar_docs(spark, sf_dir):
     """All-pairs TF-IDF cosine similarity (Bayardo-style inverted-index
     self-join) over a 1-in-7 document slice — exact integer weights,
@@ -2646,16 +2745,16 @@ _R5_WINDOW = [
     "clustering_coeff_suppliers", "kcore_suppliers", "er_resolve_part",
     "boilerplate_census_docs", "remove_boilerplate_docs",
     "incremental_refresh_users", "merge_additive_users",
-    "salted_join_segments", "diff_buckets_events",
+    "salted_join_segments",
     "survivorship_users", "gap_stats_users", "trend_value_by_user",
     "funnel_view_click_purchase",
     # (d) round-5 continuation: Kneser-Ney LM scoring, corpus-global
-    # paragraph dedup, C4 filter, all-pairs TF-IDF similarity
-    # (cohort/packing/zipf/fingerprint rotate out — all judge-verified
-    # in r4 or contract-green, and CONTRACT_r05.json re-attests them
-    # this round)
+    # paragraph dedup, C4 filter, all-pairs TF-IDF similarity,
+    # Bradley-Terry ratings (cohort/packing/zipf/fingerprint/
+    # diff_buckets rotate out — all judge-verified in r4 or
+    # contract-green, and CONTRACT_r05.json re-attests them this round)
     "kn_score_docs", "dedup_paragraphs_docs", "c4_filter_docs",
-    "similar_docs_tfidf",
+    "similar_docs_tfidf", "bt_ratings_events",
 ]
 
 
@@ -2716,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": _q_lm_score,
         "kn_score_docs": _q_kn_score,
         "similar_docs_tfidf": _q_similar_docs,
+        "bt_ratings_events": _q_bt_ratings,
         "transition_probs_events": _q_transition_probs,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4602,6 +4702,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         join nrm nb on pr.id_b = nb.doc_id
             ) where cos_u >= 800000
         """,
+        "bt_ratings_events": _bt_oracle_sql(iters=8, scale=9),
         "context_pairs_docs": f"""
             with {_SQL_TOK}
             select doc_id, cast(p as int) as pos,

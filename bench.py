@@ -268,7 +268,8 @@ def main() -> None:
                  "group_kfold_events", "classification_report_events",
                  "weighted_sample_docs", "scalar_quantize_vecs",
                  "kn_score_docs", "dedup_paragraphs_docs",
-                 "c4_filter_docs", "similar_docs_tfidf"]:
+                 "c4_filter_docs", "similar_docs_tfidf",
+                 "bt_ratings_events"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

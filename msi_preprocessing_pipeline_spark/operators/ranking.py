@@ -1,0 +1,118 @@
+"""Pairwise-preference rating models (Bradley–Terry).
+
+The preference-pair table ``(winner, loser)`` is the canonical shape of
+RLHF / reward-model training data and of interleaving experiments; the
+Bradley–Terry strength vector is its standard summary statistic
+(Bradley & Terry 1952; the minorization–maximization fit follows
+Hunter 2004, "MM algorithms for generalized Bradley-Terry models",
+Annals of Statistics).
+
+Reference parity: the reference pipeline's iterative model fits
+(``components/spectrum/model.py`` GMM EM) are the structural analogue —
+a fixed-point refit over the full relation per round — recast here as a
+bounded-state DataFrame iteration like ``operators.graph.pagerank``.
+
+Determinism contract (the repo's exact-integer discipline): strengths
+live on a ``10^-scale`` integer grid; every per-pair MM contribution is
+one fixed IEEE-double expression over exact integers, floor-quantized
+back to the grid BEFORE the (exact, associative) integer sum.  The
+whole fit — including every intermediate iteration — is therefore
+partition-order-free and reproducible bit-for-bit in any engine that
+mirrors the expression tree, which is what lets the driver contract
+unroll the iteration as plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bradley_terry(contests: DataFrame, winner_col: str = "winner",
+                  loser_col: str = "loser", iters: int = 8,
+                  scale: int = 9,
+                  checkpoint_every: int = 1) -> DataFrame:
+    """Bradley–Terry strengths from a ``(winner, loser)`` contest table
+    via ``iters`` minorization–maximization rounds:
+
+        s_i ← W_i / Σ_j  n_ij / (s_i + s_j)
+
+    with ``W_i`` the item's total wins and ``n_ij`` the games played
+    between ``i`` and ``j``.  Strengths start at 1 and are reported on
+    the ``10^-scale`` integer grid as ``(item, s_n)`` (``s_n`` =
+    strength · 10^scale, bigint); the model is identified only up to a
+    positive constant, so compare ratios (or normalize downstream).
+
+    Items that never win are pinned at strength 0 — their MLE limit —
+    and kept in every join so opponents' denominators stay correct.
+    The MLE is finite only when the comparison graph is strongly
+    connected (Hunter 2004 §1); on a disconnected or all-win corpus
+    individual strengths diverge, which on the grid shows up as values
+    racing toward 0 / huge — the caller owns that data screen.
+
+    Scale/plan shape: the contest table is reduced ONCE to two bounded
+    relations — symmetric per-pair game counts ``n_ij`` (|item pairs
+    that actually met|) and per-item wins (|items|) — so each MM round
+    touches only model-sized state: two hash joins of the strength
+    vector onto the pair counts (AQE broadcasts the |items| side), one
+    map-side-combined integer sum, one win join.  The strength vector
+    is referenced TWICE per round (both join sides), so without
+    truncation the logical plan DOUBLES per iteration and Catalyst
+    analysis blows up (the ``dedup.connected_components`` lesson) —
+    ``checkpoint_every=1`` (default) ``localCheckpoint``s each round,
+    and the two model relations are checkpointed once up front so
+    their contest-scan lineage is executed once, not 2× per round.
+    Nothing iterates over the raw contest rows.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    from ..functions.util import DEC38
+
+    sc = 10 ** scale
+    w = F.col("__w")
+    # directed win counts, then symmetrize to n_ij on ordered (i, j):
+    # every (i, j) with any game appears in BOTH orientations
+    wins_dir = (contests.groupBy(F.col(winner_col).alias("i"),
+                                 F.col(loser_col).alias("j"))
+                .agg(F.count("*").alias("__w")))
+    sym = (wins_dir.select("i", "j", "__w")
+           .unionByName(wins_dir.select(F.col("j").alias("i"),
+                                        F.col("i").alias("j"), "__w"))
+           .groupBy("i", "j").agg(F.sum("__w").alias("n")))
+    # model-sized relations, each referenced every round: materialize
+    # their contest-scan lineage exactly once
+    sym = sym.localCheckpoint()
+    items = sym.select(F.col("i").alias("item")).distinct()
+    wtab = (items.join(contests.groupBy(F.col(winner_col).alias("item"))
+                       .agg(F.count("*").alias("__w")), ["item"], "left")
+            .select("item", F.coalesce(w, F.lit(0)).alias("w"))
+            .localCheckpoint())
+    s = items.select("item", F.lit(sc).cast("long").alias("s_n"))
+    for k in range(iters):
+        joined = (sym
+                  .join(s.select(F.col("item").alias("i"),
+                                 F.col("s_n").alias("si")), ["i"])
+                  .join(s.select(F.col("item").alias("j"),
+                                 F.col("s_n").alias("sj")), ["j"]))
+        # fixed IEEE tree over exact ints, mirrored in the SQL oracle:
+        # n / ((si + sj) / 10^scale), floor-quantized to the grid
+        term = F.floor(
+            F.col("n").cast("double")
+            / (F.greatest(F.col("si") + F.col("sj"),
+                          F.lit(1)).cast("double") / F.lit(float(sc)))
+            * F.lit(float(sc)) + F.lit(0.5)).cast("long")
+        denom = (joined.select(F.col("i").alias("item"),
+                               term.cast(DEC38).alias("__t"))
+                 .groupBy("item").agg(F.sum("__t").alias("ds")))
+        s = (wtab.join(denom, ["item"])
+             .select("item",
+                     F.when(F.col("w") == 0, F.lit(0).cast("long"))
+                     .otherwise(F.floor(
+                         F.col("w").cast("double")
+                         / (F.col("ds").cast("double") / F.lit(float(sc)))
+                         * F.lit(float(sc)) + F.lit(0.5)).cast("long"))
+                     .alias("s_n")))
+        if checkpoint_every and (k + 1) % checkpoint_every == 0 \
+                and k + 1 < iters:
+            s = s.localCheckpoint()
+    return s
