@@ -607,3 +607,71 @@ def test_weighted_sample_and_dsir_topk_take_ordered(spark):
     w = dsir_weights(docs, np.ones(64, dtype=np.int64), buckets=64)
     p2 = plan_of(dsir_topk(w, 10), "simple")
     assert "TakeOrderedAndProject" in p2
+
+
+def test_c4_filter_is_map_only(spark):
+    """C4 cleaning must stay a pure projection: zero Exchange, zero
+    Python, one scan."""
+    from msi_preprocessing_pipeline_spark.operators.text import c4_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(c4_filter(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # formatted mode prints each node twice (tree + detail section)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_kn_score_single_histogram_lineage(spark):
+    """All model marginals must ride ONE bigram-histogram lineage: the
+    executed plan reads the corpus exactly 4x (scoring explode,
+    histogram, 1-row N1+(..) branch, keep-all-docs left join) — the
+    branchy groupBy formulation measured 6 scans."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        hash_tokenize, kn_score)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = kn_score(hash_tokenize(docs, vocab_size=512), scale=9)
+    out.count()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan parquet") == 4
+
+
+def test_similar_doc_pairs_no_cartesian_and_pair_filter_in_join(spark):
+    """The term self-join must be an equi-join on t with the id_a <
+    id_b predicate attached — never a cartesian/nested-loop product."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        hash_tokenize, similar_doc_pairs)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tok = hash_tokenize(docs, vocab_size=512)
+    plan = plan_of(similar_doc_pairs(tok, threshold=0.9, max_df=10**6))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are copies of the 1-row N
+    # broadcast (wp's lineage is re-inlined in each of its 4 uses;
+    # formatted mode prints every node twice: tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") <= 8
+    # the pair stage itself must be hash-joined on the term key
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bradley_terry_iteration_state_is_model_sized(spark):
+    """Each MM round must touch only checkpointed model relations: the
+    analyzed plan of the returned strengths contains NO raw-contest
+    scan (the lineage was truncated) and builds in bounded time."""
+    from pyspark.sql import Row
+
+    from msi_preprocessing_pipeline_spark.operators.ranking import (
+        bradley_terry)
+
+    contests = spark.createDataFrame(
+        [Row(winner="a", loser="b"), Row(winner="b", loser="c"),
+         Row(winner="a", loser="c")] * 4)
+    s = bradley_terry(contests, iters=6)
+    plan = plan_of(s)
+    # the strength lineage ends at the last round's localCheckpoints:
+    # the raw contest relation (a LocalTableScan here) must be GONE,
+    # and only checkpointed ExistingRDD scans remain — 4 of them (s
+    # twice, sym, wtab), printed twice by formatted mode
+    assert "LocalTableScan" not in plan
+    assert plan.count("Scan ExistingRDD") <= 8
