@@ -1509,6 +1509,34 @@ def _q_kn_score(spark, sf_dir):
                       _uq("nll").alias("nll_u"))
 
 
+def _q_kappa_langid(spark, sf_dir):
+    """Cohen's kappa between the corpus lang labels and the stopword
+    lang-ID heuristic — chance-corrected agreement as ONE division of
+    exact integer counts."""
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        cohens_kappa)
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select("doc_id", "lang",
+                          tx.lang_id().alias("lang_pred"))
+    out = cohens_kappa(labeled, "lang", "lang_pred")
+    return out.select(
+        "n", "n_null", "n_agree", "sum_rc",
+        F.floor(F.col("kappa") * F.lit(1e9) + F.lit(0.5))
+        .cast("long").alias("kappa_n"))
+
+
+def _q_gram_novelty(spark, sf_dir):
+    """Per-source 3-gram novelty census (diminishing-returns curve):
+    grams whose first (min) shard is this shard."""
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        gram_novelty)
+
+    docs = _t(spark, sf_dir, "documents")
+    return gram_novelty(docs, n=3, text_col="text", shard_col="source")
+
+
 def _q_bt_ratings(spark, sf_dir):
     """Bradley-Terry strengths over event-type 'contests': each user's
     first two events (deterministic total order) pit their event types
@@ -2745,16 +2773,17 @@ _R5_WINDOW = [
     "clustering_coeff_suppliers", "kcore_suppliers", "er_resolve_part",
     "boilerplate_census_docs", "remove_boilerplate_docs",
     "incremental_refresh_users", "merge_additive_users",
-    "salted_join_segments",
-    "survivorship_users", "gap_stats_users", "trend_value_by_user",
+    "survivorship_users", "trend_value_by_user",
     "funnel_view_click_purchase",
     # (d) round-5 continuation: Kneser-Ney LM scoring, corpus-global
     # paragraph dedup, C4 filter, all-pairs TF-IDF similarity,
-    # Bradley-Terry ratings (cohort/packing/zipf/fingerprint/
-    # diff_buckets rotate out — all judge-verified in r4 or
-    # contract-green, and CONTRACT_r05.json re-attests them this round)
+    # Bradley-Terry ratings, Cohen's kappa, gram novelty
+    # (cohort/packing/zipf/fingerprint/diff_buckets/salted_join/
+    # gap_stats rotate out — all judge-verified in r4 or contract-
+    # green, and CONTRACT_r05.json re-attests them this round)
     "kn_score_docs", "dedup_paragraphs_docs", "c4_filter_docs",
-    "similar_docs_tfidf", "bt_ratings_events",
+    "similar_docs_tfidf", "bt_ratings_events", "kappa_langid_docs",
+    "gram_novelty_docs",
 ]
 
 
@@ -2816,6 +2845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_score_docs": _q_kn_score,
         "similar_docs_tfidf": _q_similar_docs,
         "bt_ratings_events": _q_bt_ratings,
+        "kappa_langid_docs": _q_kappa_langid,
+        "gram_novelty_docs": _q_gram_novelty,
         "transition_probs_events": _q_transition_probs,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4703,6 +4734,82 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             ) where cos_u >= 800000
         """,
         "bt_ratings_events": _bt_oracle_sql(iters=8, scale=9),
+        "kappa_langid_docs": f"""
+            with scores as ({_sql_lang_scores()}),
+            pred as (
+                select doc_id,
+                       case when s_en >= s_de and s_en >= s_fr
+                                 and s_en >= s_es then 'en'
+                            when s_de >= s_fr and s_de >= s_es then 'de'
+                            when s_fr >= s_es then 'fr'
+                            else 'es' end as lang_pred
+                from scores
+            ), j as (
+                select d.lang as a, p.lang_pred as b
+                from documents d join pred p using (doc_id)
+            ), cells as (
+                select a, b, cast(count(*) as bigint) as c
+                from j where a is not null and b is not null
+                group by 1, 2
+            ), ra as (select a, sum(c) as ra from cells group by 1),
+            cb as (select b, sum(c) as cb from cells group by 1),
+            rc as (
+                select cast(coalesce(sum(ra.ra * cb.cb), 0) as bigint)
+                    as sum_rc
+                from ra join cb on ra.a = cb.b
+            ), tot as (
+                select cast(coalesce(sum(c), 0) as bigint) as n,
+                       cast(coalesce(sum(case when a = b then c end), 0)
+                            as bigint) as n_agree
+                from cells
+            ), nulls as (
+                select cast(count(*) as bigint) as n_null
+                from j where a is null or b is null
+            )
+            select tot.n, nulls.n_null, tot.n_agree, rc.sum_rc,
+                   case when tot.n * tot.n <> rc.sum_rc then
+                        cast(floor(
+                            (cast(tot.n * tot.n_agree - rc.sum_rc
+                                  as double)
+                             / cast(tot.n * tot.n - rc.sum_rc
+                                    as double)) * 1000000000.0 + 0.5)
+                            as bigint) end as kappa_n
+            from tot cross join rc cross join nulls
+        """,
+        "gram_novelty_docs": """
+            with w as (
+                select source,
+                       string_split_regex(trim(lower(text)), '\\s+')
+                           as words
+                from documents where text is not null
+            ), g as (
+                select source,
+                       array_to_string(words[i : i + 2], ' ') as ngram
+                from w, unnest(generate_series(
+                    1, greatest(len(words) - 2, 1))) as t(i)
+            ), occ as (
+                select source as shard,
+                       cast(count(*) as bigint) as n_occurrences
+                from g group by 1
+            ), ps as (select distinct source as shard, ngram from g),
+            dist as (
+                select shard, cast(count(*) as bigint) as n_distinct
+                from ps group by 1
+            ), novel as (
+                select shard, cast(count(*) as bigint) as n_novel
+                from (select ngram, min(shard) as shard
+                      from ps group by 1)
+                group by 1
+            )
+            select occ.shard as source, occ.n_occurrences,
+                   cast(coalesce(dist.n_distinct, 0) as bigint)
+                       as n_distinct,
+                   cast(coalesce(novel.n_novel, 0) as bigint) as n_novel
+            from occ
+            left join dist on occ.shard is not distinct from dist.shard
+            left join novel
+                 on occ.shard is not distinct from novel.shard
+        """,
         "context_pairs_docs": f"""
             with {_SQL_TOK}
             select doc_id, cast(p as int) as pos,

@@ -269,7 +269,8 @@ def main() -> None:
                  "weighted_sample_docs", "scalar_quantize_vecs",
                  "kn_score_docs", "dedup_paragraphs_docs",
                  "c4_filter_docs", "similar_docs_tfidf",
-                 "bt_ratings_events"]:
+                 "bt_ratings_events", "kappa_langid_docs",
+                 "gram_novelty_docs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -173,3 +173,59 @@ def classification_report(df: DataFrame, label_col: str, pred_col: str,
         *keys, "tp", "fp", "fn", "tn", "n_null",
         precision.alias("precision"), recall.alias("recall"),
         f1.alias("f1"), accuracy.alias("accuracy"))
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelings (annotator pairs, model-vs-gold, heuristic-
+    vs-classifier): one row ``(n, n_null, n_agree, sum_rc, kappa)``.
+
+    Using exact integer counts only,
+
+        kappa = (n·n_agree − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k)
+
+    with ``r_k``/``c_k`` the per-class marginals of ``col_a``/``col_b``
+    over the ``n`` rows where BOTH labels are non-null (``n_null``
+    reports the excluded rest — never silently dropped).  Numerator and
+    denominator are exact DECIMAL products of exact counts, so ``kappa``
+    is ONE IEEE division — partition-order-free and engine-portable.
+    Degenerate chance agreement (``n² = Σ r_k·c_k``, e.g. a constant
+    column) yields null kappa under the ANSI-safe division guard.
+
+    Plan shape: ONE map-side-combined groupBy on the (|classes_a| ×
+    |classes_b|)-bounded label-pair histogram; marginals, agreements and
+    totals all derive from that bounded relation — the corpus is read
+    once regardless of scale.
+    """
+    from ..functions.util import DEC38
+
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (df.where(a.isNotNull() & b.isNotNull())
+             .groupBy(a.alias("__a"), b.alias("__b"))
+             .agg(F.count("*").alias("__c")))
+    ra = cells.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    cb = cells.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    # sum_rc over the joint class grid (including never-cooccurring
+    # class pairs contributes nothing: r_k·c_k only for classes present
+    # on BOTH sides — the standard square-table embedding)
+    rc = (ra.join(cb, ra["__a"] == cb["__b"])
+          .agg(F.coalesce(F.sum((F.col("__ra") * F.col("__cb"))
+                                .cast(DEC38)),
+                          F.lit(0).cast(DEC38)).alias("sum_rc")))
+    tot = cells.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum(F.when(F.col("__a") == F.col("__b"),
+                                F.col("__c"))),
+                   F.lit(0)).alias("n_agree"))
+    nulls = (df.where(a.isNull() | b.isNull())
+             .agg(F.count("*").alias("n_null")))
+    n = F.col("n").cast(DEC38)
+    num = (n * F.col("n_agree").cast(DEC38) - F.col("sum_rc"))
+    den = (n * n - F.col("sum_rc"))
+    return (tot.crossJoin(F.broadcast(rc))
+            .crossJoin(F.broadcast(nulls))
+            .select("n", "n_null", "n_agree",
+                    F.col("sum_rc").cast("long").alias("sum_rc"),
+                    F.when(den != F.lit(0).cast(DEC38),
+                           num.cast("double") / den.cast("double"))
+                    .alias("kappa")))

@@ -573,3 +573,45 @@ def c4_filter(df: DataFrame, text_col: str = "text",
         F.when(raw.isNotNull(), n_kept).otherwise(F.lit(0))
         .cast("long").alias("n_lines_kept"),
         F.coalesce(keep, F.lit(False)).alias("keep_doc"))
+
+
+def gram_novelty(df: DataFrame, n: int = 3, text_col: str = "text",
+                 shard_col: str = "source") -> DataFrame:
+    """Per-shard n-gram novelty — the diminishing-returns diagnostic of
+    corpus curation: for each shard, how many of its distinct word
+    n-grams appear in NO earlier shard (earlier = smaller ``shard_col``
+    value; pass a sortable ingestion key).  One row per shard:
+    ``(shard, n_occurrences, n_distinct, n_novel)``.
+
+    A gram's home shard is the exact aggregate ``min(shard)`` over its
+    occurrences (the :func:`dedup_paragraphs` keep-first idiom at shard
+    granularity).  Grams appearing only in null-shard rows aggregate to
+    the null shard (``min`` skips nulls, so a null shard "wins" a gram
+    only when no non-null shard has it — mirrored by SQL ``min``).
+
+    Plan shape: ONE gram explode (JVM NGram) → a (shard, gram) distinct
+    → one |distinct grams|-bounded ``min`` census → per-shard counts;
+    the two shard-keyed count relations join back null-safely.  Nothing
+    is pairwise; the census key is the raw gram string for oracle
+    parity (hash-swap at petabyte scale, as :func:`boilerplate_lines`).
+    """
+    grams = word_grams(df, n, text_col, id_col=shard_col)
+    occ = (grams.groupBy(F.col(shard_col).alias("shard"))
+           .agg(F.count("*").alias("n_occurrences")))
+    per_shard = grams.select(F.col(shard_col).alias("shard"),
+                             "ngram").distinct()
+    dist = (per_shard.groupBy("shard")
+            .agg(F.count("*").alias("n_distinct")))
+    novel = (per_shard.groupBy("ngram")
+             .agg(F.min("shard").alias("shard"))
+             .groupBy("shard")
+             .agg(F.count("*").alias("n_novel")))
+    return (occ
+            .join(dist, occ["shard"].eqNullSafe(dist["shard"]), "left")
+            .drop(dist["shard"])
+            .join(novel, occ["shard"].eqNullSafe(novel["shard"]),
+                  "left")
+            .drop(novel["shard"])
+            .select(occ["shard"].alias(shard_col), "n_occurrences",
+                    F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+                    F.coalesce("n_novel", F.lit(0)).alias("n_novel")))

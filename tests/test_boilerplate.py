@@ -175,3 +175,69 @@ def test_c4_filter_line_and_doc_rules(spark):
     assert out[5].keep_doc is False and out[5].n_lines_kept == 1
     assert out[6].text is None and out[6].n_lines_kept == 0
     assert out[6].keep_doc is False
+
+
+# ---------------------------------------------------------------------------
+# gram_novelty
+
+
+def test_gram_novelty_keep_first_by_shard(spark):
+    from pyspark.sql import Row
+
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        gram_novelty)
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, source="a", text="x y z w"),      # grams: xyz, yzw
+        Row(doc_id=2, source="b", text="x y z"),        # gram xyz (seen in a)
+        Row(doc_id=3, source="b", text="p q r"),        # gram pqr (novel)
+        Row(doc_id=4, source="a", text="x y z"),        # repeat within a
+        Row(doc_id=5, source=None, text="x y z"),       # null shard loses
+        Row(doc_id=6, source=None, text="n o v"),       # exclusive -> novel
+        Row(doc_id=7, source="c", text=None),           # null text: no grams
+    ])
+    got = {r.source: (r.n_occurrences, r.n_distinct, r.n_novel)
+           for r in gram_novelty(df, n=3).collect()}
+    assert got["a"] == (3, 2, 2)      # xyz, yzw both first in 'a'
+    assert got["b"] == (2, 2, 1)      # xyz seen, pqr novel
+    assert got[None] == (2, 2, 1)     # nov exclusive to null shard
+    assert "c" not in got             # null text emits nothing
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa
+
+
+def test_cohens_kappa_textbook_example(spark):
+    """The classic 2x2 example: po=0.70, pe=0.50 -> kappa=0.40, plus
+    null handling and exact integer outputs."""
+    from pyspark.sql import Row
+
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        cohens_kappa)
+
+    rows = ([Row(a="y", b="y")] * 25 + [Row(a="y", b="n")] * 15
+            + [Row(a="n", b="y")] * 15 + [Row(a="n", b="n")] * 45
+            + [Row(a=None, b="y")] * 3 + [Row(a="y", b=None)] * 2)
+    [r] = cohens_kappa(spark.createDataFrame(rows), "a", "b").collect()
+    assert (r.n, r.n_null, r.n_agree) == (100, 5, 70)
+    # sum_rc = r_y*c_y + r_n*c_n = 40*40 + 60*60 = 5200
+    assert r.sum_rc == 5200
+    assert r.kappa == pytest.approx((100 * 70 - 5200) / (100 * 100 - 5200),
+                                    rel=1e-15)
+
+
+def test_cohens_kappa_degenerate_constant_columns(spark):
+    from pyspark.sql import Row
+
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        cohens_kappa)
+
+    [r] = cohens_kappa(spark.createDataFrame(
+        [Row(a="x", b="x")] * 4), "a", "b").collect()
+    assert r.n == 4 and r.n_agree == 4 and r.sum_rc == 16
+    assert r.kappa is None  # n^2 == sum_rc -> chance-saturated
+    # disjoint label sets: sum_rc = 0, kappa = n_agree/n = 0
+    [r2] = cohens_kappa(spark.createDataFrame(
+        [Row(a="x", b="y")] * 4), "a", "b").collect()
+    assert r2.sum_rc == 0 and r2.kappa == 0.0
