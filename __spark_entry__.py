@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-165 queries, 165 with exact DuckDB oracles — relational SQL where expressible,
+172 queries, 172 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1517,7 +1517,11 @@ def _q_kappa_langid(spark, sf_dir):
     from msi_preprocessing_pipeline_spark.operators.experiment import (
         cohens_kappa)
 
-    docs = _t(spark, sf_dir, "documents")
+    # null text diverges across engines (Spark size(null) = -1 ties all
+    # scores -> 'en'; the SQL CASE falls through to 'es') — exclude it,
+    # the gap_stats/top_paths guard pattern
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
     labeled = docs.select("doc_id", "lang",
                           tx.lang_id().alias("lang_pred"))
     out = cohens_kappa(labeled, "lang", "lang_pred")
@@ -2443,11 +2447,14 @@ def _q_dedup_paragraphs(spark, sf_dir):
         dedup_paragraphs)
 
     docs = _t(spark, sf_dir, "documents")
+    # coalesce: Spark concat_ws SKIPS a null element while DuckDB '||'
+    # nulls the whole expression — a null source must not diverge
     inj = F.concat_ws(
         "\n",
         F.lit("the quick brown fox jumps over the lazy dog."),
         F.col("text"),
-        F.concat(F.lit("sig "), F.col("source")),
+        F.concat(F.lit("sig "),
+                 F.coalesce(F.col("source"), F.lit("?"))),
         F.lit("--"),
         F.when(F.col("doc_id") % 5 == 0, F.col("text")))
     docs = docs.withColumn(
@@ -4747,6 +4754,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             ), j as (
                 select d.lang as a, p.lang_pred as b
                 from documents d join pred p using (doc_id)
+                where d.text is not null
             ), cells as (
                 select a, b, cast(count(*) as bigint) as c
                 from j where a is not null and b is not null
@@ -6039,7 +6047,8 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                        case when text is not null then
                             'the quick brown fox jumps over the lazy '
                             || 'dog.' || chr(10) || text || chr(10)
-                            || 'sig ' || source || chr(10) || '--'
+                            || 'sig ' || coalesce(source, '?')
+                            || chr(10) || '--'
                             || case when doc_id % 5 = 0
                                then chr(10) || text else '' end
                        end as text
@@ -6103,7 +6112,9 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                        list_filter(string_split(text, chr(10)), x ->
                            right(x, 1) in ('.', '!', '?', '"')
                            and len(list_filter(
-                                   string_split_regex(trim(x), '\\s+'),
+                                   string_split_regex(
+                                       trim(x),
+                                       '[ \\t\\n\\x0B\\f\\r]+'),
                                    w -> w <> '')) >= 5
                            and not contains(lower(x), 'javascript'))
                            as kept

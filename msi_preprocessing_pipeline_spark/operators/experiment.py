@@ -192,17 +192,23 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     Degenerate chance agreement (``n² = Σ r_k·c_k``, e.g. a constant
     column) yields null kappa under the ANSI-safe division guard.
 
-    Plan shape: ONE map-side-combined groupBy on the (|classes_a| ×
-    |classes_b|)-bounded label-pair histogram; marginals, agreements and
-    totals all derive from that bounded relation — the corpus is read
-    once regardless of scale.
+    Plan shape: the corpus is read ONCE — a single map-side-combined
+    groupBy to the (|classes_a| × |classes_b|)-bounded label-pair
+    histogram (null labels kept as their own cells), eagerly
+    ``localCheckpoint``-ed so the marginal/total/null branches read the
+    bounded relation instead of re-running the corpus scan each (the
+    ``ranking.bradley_terry`` model-relation discipline).
     """
     from ..functions.util import DEC38
 
     a, b = F.col(col_a), F.col(col_b)
-    cells = (df.where(a.isNotNull() & b.isNotNull())
-             .groupBy(a.alias("__a"), b.alias("__b"))
-             .agg(F.count("*").alias("__c")))
+    # null labels kept as null-keyed cells: n_null derives from the
+    # same single corpus pass
+    all_cells = (df.groupBy(a.alias("__a"), b.alias("__b"))
+                 .agg(F.count("*").alias("__c"))
+                 .localCheckpoint())
+    both = F.col("__a").isNotNull() & F.col("__b").isNotNull()
+    cells = all_cells.where(both)
     ra = cells.groupBy("__a").agg(F.sum("__c").alias("__ra"))
     cb = cells.groupBy("__b").agg(F.sum("__c").alias("__cb"))
     # sum_rc over the joint class grid (including never-cooccurring
@@ -212,18 +218,18 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
           .agg(F.coalesce(F.sum((F.col("__ra") * F.col("__cb"))
                                 .cast(DEC38)),
                           F.lit(0).cast(DEC38)).alias("sum_rc")))
-    tot = cells.agg(
-        F.coalesce(F.sum("__c"), F.lit(0)).alias("n"),
-        F.coalesce(F.sum(F.when(F.col("__a") == F.col("__b"),
+    tot = all_cells.agg(
+        F.coalesce(F.sum(F.when(both, F.col("__c"))), F.lit(0))
+        .alias("n"),
+        F.coalesce(F.sum(F.when(both & (F.col("__a") == F.col("__b")),
                                 F.col("__c"))),
-                   F.lit(0)).alias("n_agree"))
-    nulls = (df.where(a.isNull() | b.isNull())
-             .agg(F.count("*").alias("n_null")))
+                   F.lit(0)).alias("n_agree"),
+        F.coalesce(F.sum(F.when(~both, F.col("__c"))), F.lit(0))
+        .alias("n_null"))
     n = F.col("n").cast(DEC38)
     num = (n * F.col("n_agree").cast(DEC38) - F.col("sum_rc"))
     den = (n * n - F.col("sum_rc"))
     return (tot.crossJoin(F.broadcast(rc))
-            .crossJoin(F.broadcast(nulls))
             .select("n", "n_null", "n_agree",
                     F.col("sum_rc").cast("long").alias("sum_rc"),
                     F.when(den != F.lit(0).cast(DEC38),

@@ -209,73 +209,101 @@ def kn_score(df: DataFrame, tokens_col: str = "tokens",
     distinct continuations of ``a``, ``N1+(·b)`` distinct predecessors of
     ``b``, and ``N1+(··)`` the number of distinct bigram types.
 
-    The corpus scores itself (every scored bigram exists in the model, so
-    ``c(a·) ≥ 1`` and no backoff-to-unseen branch is needed — held-out
-    scoring with unseen-event mass belongs to :func:`lm_score`'s add-k).
     All five inputs per bigram are exact integers; ``d`` defaults to
     0.75 (exact in binary), so the per-bigram probability is a fixed
     IEEE-double expression tree over exact integers — engine-reproducible
     when the SQL oracle mirrors the same association order.
 
-    Returns one row per input document ``(id, n_bigrams, sum_lnp, nll)``;
-    docs with fewer than two tokens keep their row with ``n_bigrams = 0``
-    and null scores.  ``scale`` quantizes each per-bigram ``ln p`` to
-    ``floor(lnp·10^s + 0.5)`` and sums exact integers (the
-    :func:`lm_score` combine-order rule).
+    Returns one row per input document ``(id, n_bigrams,
+    n_oov_bigrams, sum_lnp, nll)``; docs with fewer than two tokens
+    keep their row with ``n_bigrams = 0`` and null scores.  ``scale``
+    quantizes each per-bigram ``ln p`` to ``floor(lnp·10^s + 0.5)`` and
+    sums exact integers (the :func:`lm_score` combine-order rule).
 
     ``counts`` injects a pre-materialized (persisted / written) bigram
-    histogram ``(a, b, c)`` — the 100-TB shape, where the model is built
-    once and reused — leaving a single corpus pass for the scoring
-    explode.
+    histogram ``(a, b, c)`` — the 100-TB shape, where the model is
+    built once and reused — leaving a single corpus pass for the
+    scoring explode.  Under an external model, an unseen PAIR whose
+    context and continuation words are both known gets the interpolated
+    continuation mass (``c(a,b) = 0`` in the formula); a bigram whose
+    context has no model mass (``c(a·)`` unknown) or whose continuation
+    word was never seen (``N1+(·b)`` unknown) has NO finite KN
+    probability — those are counted in ``n_oov_bigrams`` and EXCLUDED
+    from ``sum_lnp``/``nll`` (never silently dropped; ``nll`` averages
+    over the ``n_bigrams − n_oov_bigrams`` scored ones).  Self-scoring
+    (``counts=None``) has ``n_oov_bigrams = 0`` by construction.
 
-    Plan shape: all four model marginals ride ONE histogram lineage —
-    ``c_a``/``N1+(a·)``/``N1+(·b)`` as two window specs over the
-    |bigram types|-bounded count relation (Catalyst does NOT reuse the
-    corpus-histogram exchange across separate ``groupBy`` branches — the
-    branchy formulation re-scanned the corpus 6×, measured) — so the
-    corpus is read once for scoring, once for the histogram, and once
-    for the 1-row ``N1+(··)`` broadcast.  One corpus-sized hash join
-    (AQE broadcasts the enriched count side when small), one per-doc
-    partial agg.
+    Plan shape, self-scoring: all four model marginals ride ONE
+    histogram lineage — ``c_a``/``N1+(a·)``/``N1+(·b)`` as two window
+    specs over the |bigram types|-bounded count relation (Catalyst does
+    NOT reuse the corpus-histogram exchange across separate ``groupBy``
+    branches — the branchy formulation re-scanned the corpus 6×,
+    measured) — so the corpus is read once for scoring, once for the
+    histogram, and once for the 1-row ``N1+(··)`` broadcast; one
+    corpus-sized hash join (AQE broadcasts the enriched count side when
+    small), one per-doc partial agg.  With ``counts`` injected the
+    marginals come from three aggregation branches over the
+    caller-materialized histogram (each branch re-reads IT, not the
+    corpus) and the pair join is a LEFT join so unseen pairs survive to
+    the oov accounting.
     """
     big = doc_bigrams(df, tokens_col, id_col)
-    cnt_ab = (counts if counts is not None
-              else bigram_counts(df, tokens_col))
-    w_a = Window.partitionBy("a")
-    w_b = Window.partitionBy("b")
-    enriched = cnt_ab.select(
-        "a", "b", "c",
-        F.sum("c").over(w_a).alias("c_a"),
-        F.count("*").over(w_a).alias("n1a"),
-        F.count("*").over(w_b).alias("n1b"))
+    if counts is None:
+        cnt_ab = bigram_counts(df, tokens_col)
+        w_a = Window.partitionBy("a")
+        w_b = Window.partitionBy("b")
+        enriched = cnt_ab.select(
+            "a", "b", "c",
+            F.sum("c").over(w_a).alias("c_a"),
+            F.count("*").over(w_a).alias("n1a"),
+            F.count("*").over(w_b).alias("n1b"))
+        joined = big.join(enriched, ["a", "b"])
+    else:
+        cnt_ab = counts
+        cnt_a = cnt_ab.groupBy("a").agg(F.sum("c").alias("c_a"),
+                                        F.count("*").alias("n1a"))
+        n1b = cnt_ab.groupBy("b").agg(F.count("*").alias("n1b"))
+        joined = (big.join(cnt_ab, ["a", "b"], "left")
+                  .join(cnt_a, ["a"], "left")
+                  .join(n1b, ["b"], "left"))
     tot = cnt_ab.agg(F.count("*").alias("n1t"))
     d = F.lit(float(discount))
     # association mirrored verbatim in the SQL oracle: the continuation
     # ratio divides FIRST, then two explicit multiplies, then the add
-    p = ((F.greatest(F.col("c").cast("double") - d, F.lit(0.0))
+    p = ((F.greatest(F.coalesce(F.col("c"), F.lit(0)).cast("double") - d,
+                     F.lit(0.0))
           + (d * F.col("n1a").cast("double"))
           * (F.col("n1b").cast("double") / F.col("n1t").cast("double")))
          / F.col("c_a").cast("double"))
-    lnp = F.log(p)
+    known = F.col("c_a").isNotNull() & F.col("n1b").isNotNull()
+    lnp = F.when(known, F.log(p))
     if scale is None:
         lnp_sum = F.sum(lnp).alias("__slnp")
         unq = F.col("__slnp")
     else:
         from ..functions.util import quantize
-        lnp_sum = F.sum(quantize(lnp, scale)).alias("__slnp")
+        lnp_sum = F.sum(F.when(known, quantize(lnp, scale))) \
+            .alias("__slnp")
         unq = F.col("__slnp").cast("double") / F.lit(float(10 ** scale))
-    scored = (big.join(enriched, ["a", "b"])
+    scored = (joined
               .crossJoin(F.broadcast(tot))
               .groupBy(id_col)
-              .agg(F.count("*").alias("n_bigrams"), lnp_sum))
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum(F.when(known, 0).otherwise(1)).alias("__oov"),
+                   lnp_sum))
+    n_scored = (F.col("n_bigrams") - F.col("n_oov_bigrams"))
     return (df.select(id_col)
             .join(scored.select(id_col, "n_bigrams",
+                                F.col("__oov").alias("n_oov_bigrams"),
                                 unq.alias("sum_lnp")), [id_col], "left")
             .select(F.col(id_col),
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("n_oov_bigrams", F.lit(0))
+                    .cast("long").alias("n_oov_bigrams"),
                     F.col("sum_lnp"),
-                    (-F.col("sum_lnp")
-                     / F.col("n_bigrams").cast("double")).alias("nll")))
+                    F.when(n_scored > 0,
+                           -F.col("sum_lnp") / n_scored.cast("double"))
+                    .alias("nll")))
 
 
 # ---------------------------------------------------------------------------
@@ -511,7 +539,8 @@ def similar_doc_pairs(df: DataFrame, threshold: float = 0.8,
                       max_df: int = 1 << 20,
                       tokens_col: str = "tokens",
                       id_col: str = "doc_id",
-                      plist: DataFrame | None = None) -> DataFrame:
+                      plist: DataFrame | None = None,
+                      n_docs: int | None = None) -> DataFrame:
     """ALL-PAIRS TF-IDF cosine similarity over the corpus (the exact
     sparse-vector self-join of Bayardo et al. 2007, WWW — "Scaling Up
     All Pairs Similarity Search"): every unordered document pair whose
@@ -535,8 +564,9 @@ def similar_doc_pairs(df: DataFrame, threshold: float = 0.8,
     bounded df relation joined back (AQE broadcasts) → term-key
     self-join with ``id_a < id_b`` → one (a, b) aggregation → two
     |docs|-bounded norm joins.  ``plist`` injects a pre-materialized
-    :func:`postings` relation — at 100 TB the index is built once and
-    persisted, leaving zero corpus re-scans here.
+    :func:`postings` relation and ``n_docs`` the corpus size N for the
+    idf — pass BOTH (at 100 TB the index is built once and persisted);
+    with ``plist`` alone the N aggregation still scans ``df`` once.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -549,16 +579,23 @@ def similar_doc_pairs(df: DataFrame, threshold: float = 0.8,
                  .agg(F.count("*").alias("tf")))
     else:
         plist = plist.select("t", id_col, "tf")
-    n_docs = df.select(F.count("*").alias("__n"))
+    if n_docs is None:
+        n_rel = df.select(F.count("*").alias("__n"))
+        n_expr = F.col("__n")
+    else:
+        n_rel = None
+        n_expr = F.lit(int(n_docs))
     dfreq = (plist.groupBy("t").agg(F.count("*").alias("df"))
              .where(F.col("df") <= int(max_df)))
     idf_milli = F.floor(
-        F.log((F.col("__n") + 1).cast("double")
+        F.log((n_expr + 1).cast("double")
               / (F.col("df") + 1).cast("double") + F.lit(1.0))
         * F.lit(1e3) + F.lit(0.5)).cast("long")
-    wp = (plist.join(dfreq, ["t"]).crossJoin(F.broadcast(n_docs))
-          .select("t", F.col(id_col),
-                  (F.col("tf") * idf_milli).alias("w")))
+    wp = plist.join(dfreq, ["t"])
+    if n_rel is not None:
+        wp = wp.crossJoin(F.broadcast(n_rel))
+    wp = wp.select("t", F.col(id_col),
+                   (F.col("tf") * idf_milli).alias("w"))
     norms = (wp.groupBy(id_col)
              .agg(F.sum((F.col("w") * F.col("w")).cast(DEC38))
                   .alias("n2")))

@@ -70,21 +70,23 @@ def bradley_terry(contests: DataFrame, winner_col: str = "winner",
 
     sc = 10 ** scale
     w = F.col("__w")
-    # directed win counts, then symmetrize to n_ij on ordered (i, j):
-    # every (i, j) with any game appears in BOTH orientations
+    # ONE corpus scan: the directed-win histogram is the whole model —
+    # checkpointed first so sym AND wtab derive from the bounded
+    # relation instead of re-scanning contests
     wins_dir = (contests.groupBy(F.col(winner_col).alias("i"),
                                  F.col(loser_col).alias("j"))
-                .agg(F.count("*").alias("__w")))
+                .agg(F.count("*").alias("__w"))
+                .localCheckpoint())
+    # symmetrize to n_ij on ordered (i, j): every (i, j) with any game
+    # appears in BOTH orientations
     sym = (wins_dir.select("i", "j", "__w")
            .unionByName(wins_dir.select(F.col("j").alias("i"),
                                         F.col("i").alias("j"), "__w"))
-           .groupBy("i", "j").agg(F.sum("__w").alias("n")))
-    # model-sized relations, each referenced every round: materialize
-    # their contest-scan lineage exactly once
-    sym = sym.localCheckpoint()
+           .groupBy("i", "j").agg(F.sum("__w").alias("n"))
+           .localCheckpoint())
     items = sym.select(F.col("i").alias("item")).distinct()
-    wtab = (items.join(contests.groupBy(F.col(winner_col).alias("item"))
-                       .agg(F.count("*").alias("__w")), ["item"], "left")
+    wtab = (items.join(wins_dir.groupBy(F.col("i").alias("item"))
+                       .agg(F.sum("__w").alias("__w")), ["item"], "left")
             .select("item", F.coalesce(w, F.lit(0)).alias("w"))
             .localCheckpoint())
     s = items.select("item", F.lit(sc).cast("long").alias("s_n"))

@@ -554,8 +554,12 @@ def c4_filter(df: DataFrame, text_col: str = "text",
     whole-stage codegen, trivially partition-parallel.
     """
     raw = F.col(text_col)
+    # explicit whitespace class, not \s: Java's \s includes \x0B while
+    # DuckDB/RE2's does not (the lm.WS_CLASS convention) — mirrored
+    # verbatim in the SQL oracle
     words_of = lambda l: F.filter(  # noqa: E731
-        F.split(F.trim(l), r"\s+"), lambda w: w != F.lit(""))
+        F.split(F.trim(l), r"[ \t\n\x0B\f\r]+"),
+        lambda w: w != F.lit(""))
     line_ok = lambda l: (  # noqa: E731
         F.right(l, F.lit(1)).isin(*C4_TERMINAL)
         & (F.size(words_of(l)) >= F.lit(min_words))
@@ -589,29 +593,27 @@ def gram_novelty(df: DataFrame, n: int = 3, text_col: str = "text",
     the null shard (``min`` skips nulls, so a null shard "wins" a gram
     only when no non-null shard has it — mirrored by SQL ``min``).
 
-    Plan shape: ONE gram explode (JVM NGram) → a (shard, gram) distinct
-    → one |distinct grams|-bounded ``min`` census → per-shard counts;
-    the two shard-keyed count relations join back null-safely.  Nothing
-    is pairwise; the census key is the raw gram string for oracle
-    parity (hash-swap at petabyte scale, as :func:`boilerplate_lines`).
+    Plan shape — ONE lineage, one corpus pass: the gram explode (JVM
+    NGram) aggregates straight to the |shard × gram|-bounded pair-count
+    relation; the per-gram first shard rides it as a single window spec
+    (separate aggregation branches would each re-run the corpus explode
+    — the ``lm.kn_score`` measured lesson); one final per-shard
+    aggregation.  Nothing is pairwise; the census key is the raw gram
+    string for oracle parity (hash-swap at petabyte scale, as
+    :func:`boilerplate_lines`).
     """
+    from pyspark.sql import Window
+
     grams = word_grams(df, n, text_col, id_col=shard_col)
-    occ = (grams.groupBy(F.col(shard_col).alias("shard"))
-           .agg(F.count("*").alias("n_occurrences")))
-    per_shard = grams.select(F.col(shard_col).alias("shard"),
-                             "ngram").distinct()
-    dist = (per_shard.groupBy("shard")
-            .agg(F.count("*").alias("n_distinct")))
-    novel = (per_shard.groupBy("ngram")
-             .agg(F.min("shard").alias("shard"))
-             .groupBy("shard")
-             .agg(F.count("*").alias("n_novel")))
-    return (occ
-            .join(dist, occ["shard"].eqNullSafe(dist["shard"]), "left")
-            .drop(dist["shard"])
-            .join(novel, occ["shard"].eqNullSafe(novel["shard"]),
-                  "left")
-            .drop(novel["shard"])
-            .select(occ["shard"].alias(shard_col), "n_occurrences",
-                    F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
-                    F.coalesce("n_novel", F.lit(0)).alias("n_novel")))
+    base = (grams.groupBy(F.col(shard_col).alias("shard"), "ngram")
+            .agg(F.count("*").alias("__c")))
+    first = F.min("shard").over(Window.partitionBy("ngram"))
+    per = base.select("shard", "__c",
+                      first.eqNullSafe(F.col("shard")).alias("__novel"))
+    return (per.groupBy("shard")
+            .agg(F.sum("__c").alias("n_occurrences"),
+                 F.count("*").alias("n_distinct"),
+                 F.sum(F.when(F.col("__novel"), 1).otherwise(0))
+                 .cast("long").alias("n_novel"))
+            .select(F.col("shard").alias(shard_col), "n_occurrences",
+                    "n_distinct", "n_novel"))

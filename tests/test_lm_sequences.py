@@ -385,3 +385,45 @@ def test_similar_doc_pairs_max_df_prunes_vocabulary_and_norms(spark):
     # cosine is 2*w1^2 / (2*w1 * sqrt(w1^2+w2^2)); idf equal for both
     # terms so cos = 1/sqrt(2)
     assert got[(1, 3)].cos_u == pytest.approx(707107, abs=1)
+
+
+def test_kn_score_external_counts_oov_accounting(spark):
+    """Under an external model: unseen PAIR of seen words gets the
+    continuation mass; bigrams with unseen context or continuation are
+    counted as OOV and excluded from nll, never silently dropped."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        bigram_counts, kn_score)
+
+    model = _tok_df(spark, [(1, [1, 2, 1, 3])])   # bigrams 12,21,13
+    counts = bigram_counts(model)
+    # doc 10: (1,2) seen; (2,1) seen; (1,9) unseen continuation -> oov;
+    # (9,3) unseen context -> oov; (3,?) none
+    score_on = _tok_df(spark, [(10, [1, 2, 1, 9, 3]), (11, [9])])
+    out = {r.doc_id: r for r in
+           kn_score(score_on, discount=0.5, counts=counts).collect()}
+    r = out[10]
+    assert r.n_bigrams == 4 and r.n_oov_bigrams == 2
+    # model marginals: cab={12:1,21:1,13:1}; c_a(1)=2,n1a(1)=2;
+    # c_a(2)=1,n1a(2)=1; n1b(2)=1,n1b(1)=1,n1b(3)=1; n1t=3
+    d = 0.5
+    p12 = (max(1 - d, 0) + (d * 2) * (1 / 3)) / 2
+    p21 = (max(1 - d, 0) + (d * 1) * (1 / 3)) / 1
+    exp = math.log(p12) + math.log(p21)
+    assert r.sum_lnp == pytest.approx(exp, rel=1e-12)
+    assert r.nll == pytest.approx(-exp / 2, rel=1e-12)  # over 2 scored
+    assert out[11].n_bigrams == 0 and out[11].nll is None
+
+
+def test_kn_score_external_counts_unseen_pair_of_seen_words(spark):
+    """(2,3): both words known to the model, pair unseen -> pure
+    continuation mass, not OOV."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        bigram_counts, kn_score)
+
+    model = _tok_df(spark, [(1, [1, 2, 1, 3])])
+    [r] = kn_score(_tok_df(spark, [(10, [2, 3])]), discount=0.5,
+                   counts=bigram_counts(model)).collect()
+    assert r.n_bigrams == 1 and r.n_oov_bigrams == 0
+    # c(2,3)=0; c_a(2)=1, n1a(2)=1; n1b(3)=1; n1t=3
+    p = (0.0 + (0.5 * 1) * (1 / 3)) / 1
+    assert r.sum_lnp == pytest.approx(math.log(p), rel=1e-12)
