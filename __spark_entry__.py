@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-172 queries, 172 with exact DuckDB oracles — relational SQL where expressible,
+173 queries, 173 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1509,6 +1509,61 @@ def _q_kn_score(spark, sf_dir):
                       _uq("nll").alias("nll_u"))
 
 
+def _q_k_center(spark, sf_dir):
+    """Greedy k-center (farthest-first) selection of 6 diverse
+    embedding exemplars — exact-int distances, id-asc tie-breaks; the
+    oracle unrolls the greedy rounds as materialized SQL CTEs."""
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        k_center_select)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return k_center_select(emb, k=6, scale=6)
+
+
+def _kcenter_oracle_sql(k: int = 6, scale: int = 6) -> str:
+    """Unrolled greedy k-center as materialized CTEs (the
+    _bt_oracle_sql discipline: DuckDB inlines CTEs, and each round
+    references the last twice)."""
+    sc = float(10 ** scale)
+    dist = ("cast(list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2]))) as bigint)")
+    parts = [f"""
+        with q as materialized (
+            select vec_id,
+                   list_transform(embedding, x ->
+                       cast(floor(cast(x as double) * {sc} + 0.5)
+                            as bigint)) as qv
+            from embeddings where embedding is not null
+        ), c0 as materialized (
+            select vec_id, qv from q order by vec_id asc limit 1
+        ), d1 as materialized (
+            select q.vec_id, q.qv,
+                   {dist.format(a='q.qv', b='c.qv')} as dmin
+            from q cross join c0 c where q.vec_id <> c.vec_id
+        )"""]
+    for r in range(1, k):
+        parts.append(f""", c{r} as materialized (
+            select vec_id, qv, dmin from d{r}
+            order by dmin desc, vec_id asc limit 1
+        )""")
+        if r + 1 < k:
+            parts.append(f""", d{r + 1} as materialized (
+                select d.vec_id, d.qv,
+                       least(d.dmin,
+                             {dist.format(a='d.qv', b='c.qv')}) as dmin
+                from d{r} d cross join c{r} c
+                where d.vec_id <> c.vec_id
+            )""")
+    sel = ["""
+        select cast(0 as int) as sel_round, vec_id,
+               cast(null as bigint) as dmin_q from c0"""]
+    for r in range(1, k):
+        sel.append(f"""
+        union all select cast({r} as int), vec_id,
+               cast(dmin as bigint) from c{r}""")
+    return "".join(parts) + "".join(sel)
+
+
 def _q_kappa_langid(spark, sf_dir):
     """Cohen's kappa between the corpus lang labels and the stopword
     lang-ID heuristic — chance-corrected agreement as ONE division of
@@ -2780,17 +2835,17 @@ _R5_WINDOW = [
     "clustering_coeff_suppliers", "kcore_suppliers", "er_resolve_part",
     "boilerplate_census_docs", "remove_boilerplate_docs",
     "incremental_refresh_users", "merge_additive_users",
-    "survivorship_users", "trend_value_by_user",
+    "survivorship_users",
     "funnel_view_click_purchase",
     # (d) round-5 continuation: Kneser-Ney LM scoring, corpus-global
     # paragraph dedup, C4 filter, all-pairs TF-IDF similarity,
-    # Bradley-Terry ratings, Cohen's kappa, gram novelty
+    # Bradley-Terry ratings, Cohen's kappa, gram novelty, k-center
     # (cohort/packing/zipf/fingerprint/diff_buckets/salted_join/
-    # gap_stats rotate out — all judge-verified in r4 or contract-
-    # green, and CONTRACT_r05.json re-attests them this round)
+    # gap_stats/trend rotate out — all judge-verified in r4 or
+    # contract-green, and CONTRACT_r05.json re-attests them this round)
     "kn_score_docs", "dedup_paragraphs_docs", "c4_filter_docs",
     "similar_docs_tfidf", "bt_ratings_events", "kappa_langid_docs",
-    "gram_novelty_docs",
+    "gram_novelty_docs", "k_center_vecs",
 ]
 
 
@@ -2854,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_ratings_events": _q_bt_ratings,
         "kappa_langid_docs": _q_kappa_langid,
         "gram_novelty_docs": _q_gram_novelty,
+        "k_center_vecs": _q_k_center,
         "transition_probs_events": _q_transition_probs,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4741,6 +4797,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             ) where cos_u >= 800000
         """,
         "bt_ratings_events": _bt_oracle_sql(iters=8, scale=9),
+        "k_center_vecs": _kcenter_oracle_sql(k=6, scale=6),
         "kappa_langid_docs": f"""
             with scores as ({_sql_lang_scores()}),
             pred as (

@@ -270,7 +270,7 @@ def main() -> None:
                  "kn_score_docs", "dedup_paragraphs_docs",
                  "c4_filter_docs", "similar_docs_tfidf",
                  "bt_ratings_events", "kappa_langid_docs",
-                 "gram_novelty_docs"]:
+                 "gram_novelty_docs", "k_center_vecs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

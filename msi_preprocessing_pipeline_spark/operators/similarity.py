@@ -733,3 +733,71 @@ def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray,
         F.col("adc_q").asc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= F.lit(topk)))
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center selection (diverse-coreset data pruning)
+
+
+def k_center_select(corpus: DataFrame, k: int = 8,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    scale: int = 6) -> DataFrame:
+    """Greedy k-center selection (Gonzalez 1985 farthest-first — the
+    2-approximation behind diverse-coreset data pruning / DataComp-style
+    subset selection): seed with the smallest id, then ``k − 1`` times
+    pick the point FARTHEST from the selected set (max over points of
+    min squared L2 to any selected center).
+
+    Returns ``k`` rows ``(sel_round, id, dmin_q)`` — selection order,
+    picked id, and its min squared distance to the prior centers in
+    quantized units (null for the round-0 seed).  The last row's
+    ``dmin_q`` is the (squared) coverage radius of the selected set.
+
+    Determinism: vectors quantize once to the ``10^-scale`` integer
+    grid, squared distances are exact int64 sums, and the per-round
+    argmax breaks ties on ascending id — bit-reproducible under any
+    partitioning, mirrored exactly by the oracle's unrolled SQL rounds.
+
+    Scale/plan shape: each round is ONE map-only scan — the ≤ k·d
+    selected-center matrix rides along as a broadcast literal, the
+    min-distance fold is a JVM array expression — into a
+    ``TakeOrderedAndProject`` top-1 and a 1-row collect (k bounded
+    driver round-trips, the :func:`kmeans_fit` discipline).  Stateless
+    O(k²·N·d) recompute instead of carrying a corpus-sized running-min
+    column: at 10^12 rows a per-round materialized dmin relation costs
+    more in checkpoint I/O than the k-fold distance recompute (k·d
+    int64 multiplies per row, whole-stage codegen) unless k is large —
+    for large k, persist a running-min column instead.  Null vectors
+    are never selected (no distance defined).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = (corpus.where(F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("id"),
+                 _quantize_vecs(corpus, vec_col, scale).alias("qv")))
+    [seed] = q.orderBy("id").limit(1).collect()
+    sel = [(0, seed.id, None, list(seed.qv))]
+    for r in range(1, int(k)):
+        centers = F.array(*[
+            F.array(*[F.lit(int(v)) for v in qv])
+            for _, _, _, qv in sel])
+        dmin = F.array_min(F.transform(
+            centers,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("qv"), c,
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)))
+        chosen = [i for _, i, _, _ in sel]
+        picked = (q.where(~F.col("id").isin(chosen))
+                  .select("id", "qv", dmin.alias("dmin"))
+                  .orderBy(F.col("dmin").desc(), F.col("id").asc())
+                  .limit(1).collect())
+        if not picked:
+            break
+        p = picked[0]
+        sel.append((r, p.id, int(p.dmin), list(p.qv)))
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(r, i, d) for r, i, d, _ in sel],
+        "sel_round int, id long, dmin_q long").select(
+            "sel_round", F.col("id").alias(id_col), "dmin_q")
