@@ -241,3 +241,33 @@ def test_cohens_kappa_degenerate_constant_columns(spark):
     [r2] = cohens_kappa(spark.createDataFrame(
         [Row(a="x", b="y")] * 4), "a", "b").collect()
     assert r2.sum_rc == 0 and r2.kappa == 0.0
+
+
+# ---------------------------------------------------------------------------
+# streaming composition: the C4 filter is stateless map-only, so it must
+# run unchanged on a streaming DataFrame with batch-identical output
+
+
+def test_c4_filter_streaming_matches_batch(spark, tmp_path):
+    import os
+    import shutil
+
+    from msi_preprocessing_pipeline_spark.operators.text import c4_filter
+
+    doc_dir = str(tmp_path / "docs")
+    os.makedirs(doc_dir)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                f"{doc_dir}/part-0.parquet")
+    raw = spark.read.parquet(doc_dir)
+    batch = {(r.doc_id, r.n_lines_kept, r.keep_doc)
+             for r in c4_filter(raw).collect()}
+
+    stream = spark.readStream.schema(raw.schema).parquet(doc_dir)
+    q = (c4_filter(stream).writeStream.outputMode("append")
+         .format("memory").queryName("c4_stream")
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.doc_id, r.n_lines_kept, r.keep_doc)
+           for r in spark.sql("select * from c4_stream").collect()}
+    assert got == batch and len(got) > 0
