@@ -2797,6 +2797,64 @@ def _q_trend(spark, sf_dir):
 
 
 # Dict ORDER is load-bearing: the correctness driver records only the FIRST
+def _inject_gopher(docs):
+    """Gopher-signal fixture: the synthetic corpus is single-line ASCII
+    with no duplicates/bullets/symbols, so the quality census input is
+    built in-query (the pii_scan / boilerplate precedent).  ``' the '``
+    → newline turns every doc multi-line (literal replace — identical
+    left-to-right non-overlap in both engines); residue classes splice
+    duplicate stop-word lines ending in ``...`` (doc_id%5), bullet
+    lines (%7), and hash/ellipsis symbols (%11).  Null text stays
+    null."""
+    dup_line = "\nand that have with to be of..."
+    inj = F.concat(
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(dup_line + dup_line))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\n- bullet point one\n* bullet two"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\n# # # fin…"))
+        .otherwise(F.lit("")))
+    return docs.withColumn("text",
+                           F.when(F.col("text").isNotNull(), inj))
+
+
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher quality rules (Rae et al. §A1.1) as ONE map-only
+    projection — within-doc duplicate-line census via sorted-array
+    neighbour flags, zero exchanges.  All ratios are single int/int
+    divisions micro-quantized with _uq; the pass flag is pure integer
+    threshold algebra (min_words=20 / min_stop_hits=1 so the 25-word
+    synthetic docs exercise BOTH outcomes)."""
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+
+    docs = _inject_gopher(_t(spark, sf_dir, "documents"))
+    out = tx.gopher_quality(docs, min_words=20, min_stop_hits=1)
+    w = F.col("n_words")
+    li = F.col("n_lines")
+    lc = F.col("n_line_chars")
+    return out.select(
+        "doc_id", "n_words", "n_lines", "n_dup_lines", "n_bullet_lines",
+        "n_stop_hits",
+        F.when(w > 0, _uq(F.col("n_word_chars") / w))
+        .alias("mean_word_len_u"),
+        F.when(w > 0, _uq(F.col("n_alpha_words") / w))
+        .alias("alpha_frac_u"),
+        F.when(w > 0, _uq((F.col("n_hash_chars")
+                           + F.col("n_ellipsis_seqs")) / w))
+        .alias("symbol_ratio_u"),
+        F.when(li > 0, _uq(F.col("n_bullet_lines") / li))
+        .alias("bullet_frac_u"),
+        F.when(li > 0, _uq(F.col("n_ellipsis_lines") / li))
+        .alias("ellipsis_frac_u"),
+        F.when(li > 0, _uq(F.col("n_dup_lines") / li))
+        .alias("dup_line_frac_u"),
+        F.when(lc > 0, _uq(F.col("n_dup_line_chars") / lc))
+        .alias("dup_char_frac_u"),
+        F.col("gopher_pass").cast("int").alias("gopher_pass"))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -2910,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_langid_docs": _q_kappa_langid,
         "gram_novelty_docs": _q_gram_novelty,
         "k_center_vecs": _q_k_center,
+        "gopher_quality_docs": _q_gopher_quality,
         "transition_probs_events": _q_transition_probs,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4840,6 +4899,128 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                                     as double)) * 1000000000.0 + 0.5)
                             as bigint) end as kappa_n
             from tot cross join rc cross join nulls
+        """,
+        "gopher_quality_docs": """
+            with inj as (
+                select doc_id, case when text is not null then
+                        replace(text, ' the ', chr(10))
+                        || case when doc_id % 5 = 0 then
+                             repeat(chr(10)
+                                    || 'and that have with to be of...',
+                                    2) else '' end
+                        || case when doc_id % 7 = 0 then
+                             chr(10) || '- bullet point one' || chr(10)
+                             || '* bullet two' else '' end
+                        || case when doc_id % 11 = 0 then
+                             chr(10) || '# # # fin' || chr(8230)
+                             else '' end
+                    end as text
+                from documents
+            ), base as (
+                select doc_id, coalesce(text, '') as t from inj
+            ), w as (
+                select doc_id, t,
+                       list_filter(
+                           string_split_regex(trim(t),
+                                              '[ \\t\\n\\x0B\\f\\r]+'),
+                           x -> x <> '') as words
+                from base
+            ), wn as (
+                select doc_id,
+                       cast(len(words) as bigint) as n_words,
+                       cast(coalesce(list_sum(list_transform(
+                                words, x -> length(x))), 0) as bigint)
+                           as n_word_chars,
+                       cast(len(list_filter(words,
+                                x -> regexp_matches(x, '[A-Za-z]')))
+                            as bigint) as n_alpha_words,
+                       cast(len(list_filter(words,
+                                x -> list_contains(
+                                    ['the','be','to','of','and',
+                                     'that','have','with'], lower(x))))
+                            as bigint) as n_stop_hits,
+                       cast(length(t) - length(replace(t, '#', ''))
+                            as bigint) as n_hash_chars,
+                       cast((length(t)
+                             - length(replace(t, '...', ''))) // 3
+                            as bigint) as n_ellipsis_seqs
+                from w
+            ), l as (
+                select doc_id, trim(x) as line
+                from base, unnest(string_split(t, chr(10))) as u(x)
+                where trim(x) <> ''
+            ), lc as (
+                select doc_id, line, count(*) as c,
+                       length(line) as len,
+                       case when substr(line, 1, 1) in
+                            ('-', '*', chr(8226), chr(8227), chr(9702))
+                            then 1 else 0 end as bul,
+                       case when ends_with(line, '...')
+                            or ends_with(line, chr(8230))
+                            then 1 else 0 end as ell
+                from l group by 1, 2
+            ), ln as (
+                select doc_id,
+                       cast(sum(c) as bigint) as n_lines,
+                       cast(sum(bul * c) as bigint) as n_bullet_lines,
+                       cast(sum(ell * c) as bigint) as n_ellipsis_lines,
+                       cast(sum(case when c > 1 then c else 0 end)
+                            as bigint) as n_dup_lines,
+                       cast(sum(case when c > 1 then c * len
+                                else 0 end) as bigint)
+                           as n_dup_line_chars,
+                       cast(sum(c * len) as bigint) as n_line_chars
+                from lc group by 1
+            ), j as (
+                select wn.*,
+                       coalesce(n_lines, 0) as n_lines,
+                       coalesce(n_bullet_lines, 0) as n_bullet_lines,
+                       coalesce(n_ellipsis_lines, 0)
+                           as n_ellipsis_lines,
+                       coalesce(n_dup_lines, 0) as n_dup_lines,
+                       coalesce(n_dup_line_chars, 0)
+                           as n_dup_line_chars,
+                       coalesce(n_line_chars, 0) as n_line_chars
+                from wn left join ln using (doc_id)
+            )
+            select doc_id, n_words, n_lines, n_dup_lines,
+                   n_bullet_lines, n_stop_hits,
+                   case when n_words > 0 then cast(floor(
+                        n_word_chars / n_words * 1000000.0 + 0.5)
+                        as bigint) end as mean_word_len_u,
+                   case when n_words > 0 then cast(floor(
+                        n_alpha_words / n_words * 1000000.0 + 0.5)
+                        as bigint) end as alpha_frac_u,
+                   case when n_words > 0 then cast(floor(
+                        (n_hash_chars + n_ellipsis_seqs) / n_words
+                        * 1000000.0 + 0.5) as bigint) end
+                       as symbol_ratio_u,
+                   case when n_lines > 0 then cast(floor(
+                        n_bullet_lines / n_lines * 1000000.0 + 0.5)
+                        as bigint) end as bullet_frac_u,
+                   case when n_lines > 0 then cast(floor(
+                        n_ellipsis_lines / n_lines * 1000000.0 + 0.5)
+                        as bigint) end as ellipsis_frac_u,
+                   case when n_lines > 0 then cast(floor(
+                        n_dup_lines / n_lines * 1000000.0 + 0.5)
+                        as bigint) end as dup_line_frac_u,
+                   case when n_line_chars > 0 then cast(floor(
+                        n_dup_line_chars / n_line_chars
+                        * 1000000.0 + 0.5) as bigint) end
+                       as dup_char_frac_u,
+                   case when n_words between 20 and 100000
+                        and n_word_chars >= 3 * n_words
+                        and n_word_chars <= 10 * n_words
+                        and 10 * (n_hash_chars + n_ellipsis_seqs)
+                            <= n_words
+                        and 10 * n_bullet_lines <= 9 * n_lines
+                        and 10 * n_ellipsis_lines <= 3 * n_lines
+                        and 5 * n_alpha_words >= 4 * n_words
+                        and n_stop_hits >= 1
+                        and 10 * n_dup_lines <= 3 * n_lines
+                        and 5 * n_dup_line_chars <= n_line_chars
+                        then 1 else 0 end as gopher_pass
+            from j
         """,
         "gram_novelty_docs": """
             with w as (

@@ -617,3 +617,112 @@ def gram_novelty(df: DataFrame, n: int = 3, text_col: str = "text",
                  .cast("long").alias("n_novel"))
             .select(F.col("shard").alias(shard_col), "n_occurrences",
                     "n_distinct", "n_novel"))
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+BULLET_CHARS = ("-", "*", "•", "‣", "◦")
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_words: int = 50,
+                   max_words: int = 100000,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1) as a
+    single MAP-ONLY projection — every signal, including within-document
+    duplicate-line detection, is computed with array higher-order
+    functions so the plan has ZERO exchanges and whole-stage codegen
+    covers the scan (the 10^12-doc shape: no shuffle, no Python).
+
+    Signals per document (exact integer counts; ratios are left to the
+    caller so contracts can micro-quantize single divisions):
+
+    - ``n_words`` / ``n_word_chars`` — whitespace words (``lm.WS_CLASS``
+      convention) and their total character count (mean word length).
+    - ``n_alpha_words`` — words containing at least one ASCII letter.
+    - ``n_stop_hits`` — occurrences of the 8-word Gopher stop list.
+    - ``n_hash_chars`` / ``n_ellipsis_seqs`` — symbol censuses
+      (``#`` characters; non-overlapping ``...`` runs, greedy
+      left-to-right in both engines).
+    - ``n_lines`` — non-empty (space-trimmed) lines.
+    - ``n_bullet_lines`` / ``n_ellipsis_lines`` — lines starting with a
+      bullet glyph / ending with ``...`` or ``…``.
+    - ``n_dup_lines`` / ``n_dup_line_chars`` / ``n_line_chars`` —
+      within-document duplicate-line census: a line is duplicated when
+      it appears more than once in the SAME document.  Computed without
+      any aggregation by sorting the line array once (hoisted to a
+      column — never recomputed inside a lambda, SPARK-35410) and
+      flagging elements equal to a sorted neighbour.
+    - ``gopher_pass`` — the conjunction of the published thresholds,
+      evaluated as exact integer cross-multiplications (no float
+      boundary can flip between engines):
+      ``min_words`` ≤ words ≤ ``max_words`` (published defaults
+      50/100000); mean word length in [3, 10]; symbol/word ratio
+      ≤ 0.1; bullet lines ≤ 90%; ellipsis lines ≤ 30%; alpha words
+      ≥ 80%; ≥ ``min_stop_hits`` stop-list hits; duplicate lines
+      ≤ 30%; duplicate-line characters ≤ 20%.
+
+    Null text is kept (tokenized-table convention) and scores as an
+    empty document: zero counts, ``gopher_pass`` false.
+    """
+    from msi_preprocessing_pipeline_spark.operators.lm import WS_CLASS
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(txt), WS_CLASS), lambda w: w != "")
+    lines = F.filter(F.transform(F.split(txt, "\n"), F.trim),
+                     lambda x: x != "")
+    acc_len = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+
+    step1 = df.withColumns({
+        "__words": words,
+        "__lines": lines,
+        # hoisted ONCE: lambdas below only reference the attribute
+        "__sorted": F.array_sort(lines),
+    })
+    sorted_c = F.col("__sorted")
+    is_dup = lambda x, i: (  # noqa: E731
+        F.coalesce(F.get(sorted_c, i - 1) == x, F.lit(False))
+        | F.coalesce(F.get(sorted_c, i + 1) == x, F.lit(False)))
+    dup_lines = F.filter(sorted_c, is_dup)
+
+    step2 = step1.withColumns({
+        "n_words": F.size("__words").cast("long"),
+        "n_word_chars": acc_len(F.col("__words")),
+        "n_alpha_words": F.size(F.filter(
+            F.col("__words"), lambda w: w.rlike("[A-Za-z]"))).cast("long"),
+        "n_stop_hits": F.size(F.filter(
+            F.col("__words"),
+            lambda w: F.lower(w).isin(*GOPHER_STOPWORDS))).cast("long"),
+        "n_hash_chars": (F.length(txt)
+                         - F.length(F.replace(txt, F.lit("#")))).cast("long"),
+        "n_ellipsis_seqs": ((F.length(txt)
+                             - F.length(F.replace(txt, F.lit("..."))))
+                            / F.lit(3)).cast("long"),
+        "n_lines": F.size("__lines").cast("long"),
+        "n_bullet_lines": F.size(F.filter(
+            F.col("__lines"),
+            lambda x: F.substring(x, 1, 1).isin(*BULLET_CHARS)))
+        .cast("long"),
+        "n_ellipsis_lines": F.size(F.filter(
+            F.col("__lines"),
+            lambda x: F.endswith(x, F.lit("..."))
+            | F.endswith(x, F.lit("…")))).cast("long"),
+        "n_dup_lines": F.size(dup_lines).cast("long"),
+        "n_dup_line_chars": acc_len(dup_lines),
+        "n_line_chars": acc_len(F.col("__lines")),
+    })
+    p = step2  # integer threshold algebra — no division anywhere
+    gpass = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("n_word_chars") >= 3 * F.col("n_words"))
+        & (F.col("n_word_chars") <= 10 * F.col("n_words"))
+        & (10 * (F.col("n_hash_chars") + F.col("n_ellipsis_seqs"))
+           <= F.col("n_words"))
+        & (10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines"))
+        & (10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines"))
+        & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+        & (F.col("n_stop_hits") >= min_stop_hits)
+        & (10 * F.col("n_dup_lines") <= 3 * F.col("n_lines"))
+        & (5 * F.col("n_dup_line_chars") <= F.col("n_line_chars")))
+    return (p.withColumn("gopher_pass", gpass)
+            .drop("__words", "__lines", "__sorted"))

@@ -1,0 +1,90 @@
+"""Session-4 round-5 quality operators: Gopher rules, NFC normalization,
+perplexity buckets, tokenizer fertility."""
+
+from pyspark.sql import functions as F
+
+from msi_preprocessing_pipeline_spark.operators.text import gopher_quality
+
+SF001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality
+
+
+def test_gopher_quality_hand_case(spark):
+    rows = [
+        # 24 words; "repeat me" twice; one bullet; one ellipsis line
+        (1, "the cat and the dog have fun with all of that stuff here "
+            "today\nrepeat me\nrepeat me\n- bullet\nends with...\nplain "
+            "line"),
+        (2, None),
+        (3, "### #... word"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in gopher_quality(df).collect()}
+
+    d1 = out[1]
+    assert d1["n_words"] == 24
+    assert d1["n_lines"] == 6
+    assert d1["n_dup_lines"] == 2          # both "repeat me" copies
+    assert d1["n_dup_line_chars"] == 18    # 2 * len("repeat me")
+    assert d1["n_bullet_lines"] == 1
+    assert d1["n_ellipsis_lines"] == 1
+    assert d1["n_ellipsis_seqs"] == 1
+    assert d1["n_stop_hits"] == 7          # the,and,the,have,with,of,that
+    assert d1["gopher_pass"] is False      # 24 < 50 words
+
+    d2 = out[2]  # null text scores as an empty doc
+    assert d2["n_words"] == 0 and d2["n_lines"] == 0
+    assert d2["gopher_pass"] is False
+
+    d3 = out[3]
+    assert d3["n_hash_chars"] == 4
+    assert d3["n_ellipsis_seqs"] == 1
+    assert d3["n_alpha_words"] == 1        # only "word"
+
+
+def test_gopher_pass_thresholds_exact_integer():
+    """The pass flag is integer algebra — craft a doc exactly ON the
+    duplicate-line boundary (3 dup lines of 10 => 30%, inclusive pass)
+    and one just past it."""
+    # handled in Spark below: 10*n_dup <= 3*n_lines is the pass side
+
+
+def test_gopher_boundary_dup_lines(spark):
+    stop = "the be to of and that have with "  # 8 stop words
+    filler = " ".join(f"w{i:03d}x" for i in range(50))
+    # 10 lines, 3 of them the same → dup frac exactly 0.30 (pass);
+    # 4 the same → 0.40 (fail)
+    mk = lambda k: (stop + filler + "\n"  # noqa: E731
+                    + "\n".join(["same line here"] * k
+                                + [f"uniq {i} line" for i in range(10 - k)]))
+    df = spark.createDataFrame([(1, mk(3)), (2, mk(4))],
+                               "doc_id int, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in gopher_quality(df, min_words=10).collect()}
+    assert out[1]["n_lines"] == 11 and out[1]["n_dup_lines"] == 3
+    assert out[2]["n_dup_lines"] == 4
+    # 10*3 <= 3*11 → pass side; 10*4 > 3*11 → fail side
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["gopher_pass"] is False
+
+
+def test_gopher_quality_is_map_only(spark):
+    """Every Gopher signal — including the within-doc duplicate-line
+    census — must be a pure projection: zero Exchange, zero Python."""
+    import contextlib
+    import io
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    df = gopher_quality(docs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # formatted mode prints each node twice (tree + detail section)
+    assert plan.count("Scan parquet") == 2
