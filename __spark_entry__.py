@@ -2855,6 +2855,36 @@ def _q_gopher_quality(spark, sf_dir):
         F.col("gopher_pass").cast("int").alias("gopher_pass"))
 
 
+def _q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization as a cross-engine contract: CPython's
+    ``unicodedata`` (one Arrow-batched map pass) must produce the exact
+    bytes of DuckDB's utf8proc ``nfc_normalize()`` — verified through
+    md5 + code-point lengths.  The ASCII corpus gets decomposed
+    combining sequences injected for doc_id%3 (must change under NFC)
+    and precomposed ``é å`` for doc_id%4 (already NFC — must NOT
+    change)."""
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        nfc_normalize)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" Cafe\u0301 A\u030a"))  # decomposed
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" \u00e9\u00e5"))  # precomposed
+        .otherwise(F.lit("")))
+    inj = docs.withColumn(
+        "text", F.when(F.col("text").isNotNull(), injected)).withColumn(
+        "n_chars_orig", F.length("text").cast("long"))
+    out = nfc_normalize(inj)
+    return out.select(
+        "doc_id",
+        F.col("nfc_changed").cast("int").alias("changed"),
+        F.md5(F.col("text").cast("binary")).alias("norm_md5"),
+        "n_chars_orig",
+        F.length("text").cast("long").alias("n_chars_norm"))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -2969,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_novelty_docs": _q_gram_novelty,
         "k_center_vecs": _q_k_center,
         "gopher_quality_docs": _q_gopher_quality,
+        "nfc_normalize_docs": _q_nfc_normalize,
         "transition_probs_events": _q_transition_probs,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4899,6 +4930,30 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                                     as double)) * 1000000000.0 + 0.5)
                             as bigint) end as kappa_n
             from tot cross join rc cross join nulls
+        """,
+        "nfc_normalize_docs": """
+            with inj as (
+                select doc_id, case when text is not null then
+                        text
+                        || case when doc_id % 3 = 0 then
+                             ' Cafe' || chr(769) || ' A' || chr(778)
+                             else '' end
+                        || case when doc_id % 4 = 0 then
+                             ' ' || chr(233) || chr(229) else '' end
+                    end as text
+                from documents
+            ), n as (
+                select doc_id, text, nfc_normalize(text) as norm
+                from inj
+            )
+            select doc_id,
+                   case when text is not null then
+                        case when text <> norm then 1 else 0 end
+                   end as changed,
+                   md5(norm) as norm_md5,
+                   cast(length(text) as bigint) as n_chars_orig,
+                   cast(length(norm) as bigint) as n_chars_norm
+            from n
         """,
         "gopher_quality_docs": """
             with inj as (

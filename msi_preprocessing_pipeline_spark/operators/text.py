@@ -726,3 +726,50 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
         & (5 * F.col("n_dup_line_chars") <= F.col("n_line_chars")))
     return (p.withColumn("gopher_pass", gpass)
             .drop("__words", "__lines", "__sorted"))
+
+
+def nfc_normalize(df: DataFrame, text_col: str = "text",
+                  form: str = "NFC") -> DataFrame:
+    """Unicode canonical normalization of a text column (NFC by default)
+    with a ``nfc_changed`` audit flag — the first cleaning step of a
+    multilingual corpus pipeline (decomposed combining sequences and
+    precomposed code points must hash/dedup identically).
+
+    Spark has no Unicode-normalization expression, so this is the one
+    honest Python step in the text-cleaning chain: an Arrow-batched
+    ``mapInPandas`` pass calling CPython's C-implemented
+    ``unicodedata.normalize`` per value.  MAP-ONLY — all other columns
+    pass through untouched, no shuffle; at 10^12 docs the cost is one
+    Arrow round-trip over the text column (pair with
+    ``rebalance_for_cpu`` when the scan yields fewer splits than
+    cores).  Null text stays null with a null flag.
+
+    Cross-engine contract: DuckDB's ``nfc_normalize()`` (utf8proc) and
+    CPython's ``unicodedata`` both implement UAX #15, so
+    ``md5(normalized)`` matches exactly — see the
+    ``nfc_normalize_docs`` driver query.
+    """
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    # NOTE: never df.schema.add(...) — StructType.add mutates in place
+    # and pyspark CACHES the schema object on the DataFrame, silently
+    # desyncing it from the JVM plan
+    schema = StructType(list(df.schema.fields)
+                        + [StructField("nfc_changed", BooleanType())])
+
+    def norm_batches(it):
+        import unicodedata
+        for pdf in it:
+            raw = pdf[text_col]
+            normed = [unicodedata.normalize(form, x)
+                      if isinstance(x, str) else None for x in raw]
+            changed = [(n != x) if isinstance(x, str) else None
+                       for x, n in zip(raw, normed)]
+            pdf = pdf.copy()
+            pdf[text_col] = pd.Series(normed, index=pdf.index,
+                                      dtype="object")
+            pdf["nfc_changed"] = pd.array(changed, dtype="boolean")
+            yield pdf
+
+    return df.mapInPandas(norm_batches, schema=schema)

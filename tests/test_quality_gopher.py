@@ -88,3 +88,30 @@ def test_gopher_quality_is_map_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     # formatted mode prints each node twice (tree + detail section)
     assert plan.count("Scan parquet") == 2
+
+
+# ---------------------------------------------------------------------------
+# nfc_normalize
+
+
+def test_nfc_normalize_hand_case(spark):
+    import unicodedata
+
+    from msi_preprocessing_pipeline_spark.operators.text import nfc_normalize
+
+    rows = [
+        (1, "Café Å", "s1"),   # decomposed -> must change
+        (2, "éå plain", "s2"),   # precomposed -> unchanged
+        (3, None, "s3"),                   # null stays null
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    out = {r["doc_id"]: r.asDict() for r in nfc_normalize(df).collect()}
+
+    assert out[1]["nfc_changed"] is True
+    assert out[1]["text"] == unicodedata.normalize("NFC", rows[0][1])
+    assert out[1]["text"] == "Café Å"
+    assert out[2]["nfc_changed"] is False
+    assert out[2]["text"] == rows[1][1]
+    assert out[3]["nfc_changed"] is None and out[3]["text"] is None
+    # non-text columns pass through untouched
+    assert {out[i]["source"] for i in (1, 2, 3)} == {"s1", "s2", "s3"}
