@@ -2885,6 +2885,46 @@ def _q_nfc_normalize(spark, sf_dir):
         F.length("text").cast("long").alias("n_chars_norm"))
 
 
+def _q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity cut per source: add-k bigram
+    NLL (micro-quantized — integer ranking keys) ranked within source,
+    exact thirds by (nll_u, doc_id) row_number.  Docs with <2 tokens
+    are excluded (no score), mirrored by the oracle's n_bigrams>0."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        lm_score, perplexity_buckets)
+
+    tok = _tokenized_docs(spark, sf_dir)
+    scored = (lm_score(tok, k=0.5, vocab_size=4096, scale=9)
+              .where(F.col("n_bigrams") > 0)
+              .withColumn("nll_u", _uq("nll")))
+    j = scored.join(tok.select("doc_id", "source"), ["doc_id"])
+    out = perplexity_buckets(j, by="source", score_col="nll_u")
+    return out.select("doc_id", "source", "nll_u", "bucket_idx",
+                      "ppl_bucket")
+
+
+def _q_fertility(spark, sf_dir):
+    """Per-source tokenizer fertility: pieces/word and chars/piece from
+    one exact-integer census scan — the corpus budget-planning table."""
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        tokenizer_fertility)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tokenizer_fertility(docs, by="source")
+    return out.select(
+        "source", "n_docs", "n_null_text", "n_words", "n_pieces",
+        "n_chars",
+        F.when(F.col("n_words") > 0,
+               _uq(F.col("n_pieces") / F.col("n_words")))
+        .alias("fertility_u"),
+        F.when(F.col("n_pieces") > 0,
+               _uq(F.col("n_chars") / F.col("n_pieces")))
+        .alias("chars_per_piece_u"),
+        F.when(F.col("n_words") > 0,
+               _uq(F.col("n_chars") / F.col("n_words")))
+        .alias("chars_per_word_u"))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3000,6 +3040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_center_vecs": _q_k_center,
         "gopher_quality_docs": _q_gopher_quality,
         "nfc_normalize_docs": _q_nfc_normalize,
+        "perplexity_buckets_docs": _q_perplexity_buckets,
+        "fertility_sources": _q_fertility,
         "transition_probs_events": _q_transition_probs,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4930,6 +4972,73 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                                     as double)) * 1000000000.0 + 0.5)
                             as bigint) end as kappa_n
             from tot cross join rc cross join nulls
+        """,
+        "fertility_sources": """
+            with c as (
+                select source, count(*) as n_docs,
+                       cast(sum(case when text is null then 1 else 0
+                                end) as bigint) as n_null_text,
+                       cast(sum(coalesce(
+                            case when length(trim(text)) = 0 then 0
+                                 else length(string_split_regex(
+                                          trim(text), '\\s+')) end, 0))
+                            as bigint) as n_words,
+                       cast(sum(coalesce(length(regexp_extract_all(
+                                lower(text),
+                                '[a-z]+|[0-9]+|[^a-z0-9\\s]')), 0))
+                            as bigint) as n_pieces,
+                       cast(sum(coalesce(length(text), 0)) as bigint)
+                           as n_chars
+                from documents group by 1
+            )
+            select source, n_docs, n_null_text, n_words, n_pieces,
+                   n_chars,
+                   case when n_words > 0 then cast(floor(
+                        n_pieces / n_words * 1000000.0 + 0.5)
+                        as bigint) end as fertility_u,
+                   case when n_pieces > 0 then cast(floor(
+                        n_chars / n_pieces * 1000000.0 + 0.5)
+                        as bigint) end as chars_per_piece_u,
+                   case when n_words > 0 then cast(floor(
+                        n_chars / n_words * 1000000.0 + 0.5)
+                        as bigint) end as chars_per_word_u
+            from c
+        """,
+        "perplexity_buckets_docs": f"""
+            with {_SQL_TOK}, {_SQL_BG},
+            cab as (select a, b, count(*) as c from bg group by 1, 2),
+            ca as (select a, cast(sum(c) as bigint) as c_a
+                   from cab group by 1),
+            s as (
+                select bg.doc_id, count(*) as n_bigrams,
+                       cast(cast(sum(cast(floor(
+                            ln((cast(cab.c as double) + 0.5)
+                               / (cast(ca.c_a as double) + 0.5 * 4096))
+                            * 1000000000.0 + 0.5) as bigint))
+                            as bigint) as double)
+                           / 1000000000.0 as sum_lnp
+                from bg join cab using (a, b) join ca using (a)
+                group by 1
+            ), sc as (
+                select t.doc_id, t.source,
+                       cast(floor((-s.sum_lnp
+                                   / cast(s.n_bigrams as double))
+                            * 1000000.0 + 0.5) as bigint) as nll_u
+                from tok t join s using (doc_id)
+                where s.n_bigrams > 0
+            ), r as (
+                select doc_id, source, nll_u,
+                       row_number() over (partition by source
+                                          order by nll_u, doc_id) as rn,
+                       count(*) over (partition by source) as n
+                from sc
+            )
+            select doc_id, source, nll_u,
+                   cast(((rn - 1) * 3) // n as int) as bucket_idx,
+                   case when ((rn - 1) * 3) // n = 0 then 'head'
+                        when ((rn - 1) * 3) // n = 2 then 'tail'
+                        else 'middle' end as ppl_bucket
+            from r
         """,
         "nfc_normalize_docs": """
             with inj as (

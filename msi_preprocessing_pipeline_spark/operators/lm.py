@@ -682,3 +682,41 @@ def zipf_fit(df: DataFrame, tokens_col: str = "tokens",
         .alias("intercept"),
         F.when((varx > 0) & (vary > 0), (cov * cov) / (varx * vary))
         .alias("r2"))
+
+
+def perplexity_buckets(df: DataFrame, by: str = "source",
+                       score_col: str = "nll_u", id_col: str = "doc_id",
+                       n_buckets: int = 3) -> DataFrame:
+    """CCNet-style per-group perplexity bucketing (Wenzek et al. 2020):
+    rank documents by LM score within each group and cut into
+    ``n_buckets`` equal-count buckets — ``head`` (most fluent),
+    ``middle``, ``tail`` for the default 3; ``b<i>`` labels otherwise.
+
+    Rank-based, not value-based: ``bucket_idx = (rank−1)·k // n`` over
+    the deterministic ``(score, id)`` total order, so the cut is exact
+    and partition-free (ties broken by id, never by engine — feed an
+    integer-quantized score).  Plan: ONE shuffle on the group key
+    serving two Window specs (ordered row_number + unordered count),
+    the ecdf_transform shape.
+
+    Scale note: a window sort over a 10^12-row group is the honest
+    cost of exact rank cuts; when only the cut EDGES matter, swap in
+    ``operators.quantiles.grouped_quantiles`` (range-partition +
+    boundary-rank fetch) and bucket by value comparison instead —
+    value-bucketing differs on boundary ties, documented there.
+    """
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy(by).orderBy(F.col(score_col).asc(),
+                                            F.col(id_col).asc())
+    w_all = Window.partitionBy(by)
+    rn = F.row_number().over(w_rank).cast("long")
+    n = F.count("*").over(w_all).cast("long")
+    idx = F.floor((rn - F.lit(1)) * F.lit(n_buckets) / n).cast("int")
+    if n_buckets == 3:
+        label = (F.when(idx == 0, F.lit("head"))
+                 .when(idx == 2, F.lit("tail"))
+                 .otherwise(F.lit("middle")))
+    else:
+        label = F.concat(F.lit("b"), idx.cast("string"))
+    return df.withColumns({"bucket_idx": idx, "ppl_bucket": label})

@@ -773,3 +773,25 @@ def nfc_normalize(df: DataFrame, text_col: str = "text",
             yield pdf
 
     return df.mapInPandas(norm_batches, schema=schema)
+
+
+def tokenizer_fertility(df: DataFrame, text_col: str = "text",
+                        by: str = "source") -> DataFrame:
+    """Per-group tokenizer fertility census: whitespace words vs BPE-ish
+    pieces (:func:`bpe_ish_token_count`) vs characters, as EXACT integer
+    sums — the standard corpus planning table (pieces/word = fertility,
+    chars/piece ≈ bytes-per-token for budget conversion).
+
+    One partial-aggregated scan (map-side combine, |groups|-bounded
+    result); ratios are left to callers so contracts can micro-quantize
+    the single divisions.  Null text counts as a doc with zero
+    words/pieces/chars (``n_null_text`` reports how many)."""
+    t = F.col(text_col)
+    zl = lambda c: F.sum(F.coalesce(c, F.lit(0)).cast("long"))  # noqa: E731
+    return df.groupBy(by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(t.isNull(), 1).otherwise(0)).cast("long")
+        .alias("n_null_text"),
+        zl(token_count(text_col)).alias("n_words"),
+        zl(bpe_ish_token_count(text_col)).alias("n_pieces"),
+        zl(F.length(t)).alias("n_chars"))

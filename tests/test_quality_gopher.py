@@ -115,3 +115,79 @@ def test_nfc_normalize_hand_case(spark):
     assert out[3]["nfc_changed"] is None and out[3]["text"] is None
     # non-text columns pass through untouched
     assert {out[i]["source"] for i in (1, 2, 3)} == {"s1", "s2", "s3"}
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets
+
+
+def test_perplexity_buckets_exact_thirds(spark):
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        perplexity_buckets)
+
+    rows = [(i, "s", i * 10) for i in range(1, 10)]  # 9 docs, one group
+    df = spark.createDataFrame(rows, "doc_id int, source string, nll_u long")
+    out = perplexity_buckets(df, by="source", score_col="nll_u").collect()
+    got = {r["doc_id"]: (r["bucket_idx"], r["ppl_bucket"]) for r in out}
+    for d in (1, 2, 3):
+        assert got[d] == (0, "head")
+    for d in (4, 5, 6):
+        assert got[d] == (1, "middle")
+    for d in (7, 8, 9):
+        assert got[d] == (2, "tail")
+
+
+def test_perplexity_buckets_tiny_groups_and_ties(spark):
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        perplexity_buckets)
+
+    rows = [(1, "a", 5), (2, "a", 5), (3, "b", 7)]  # tie broken by id
+    df = spark.createDataFrame(rows, "doc_id int, source string, nll_u long")
+    got = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(df).collect()}
+    assert got[1] == "head" and got[2] == "middle"  # (rn-1)*3//2 = 0, 1
+    assert got[3] == "head"                          # singleton group
+
+
+def test_perplexity_buckets_single_exchange(spark):
+    """Two window specs (ordered rank + unordered count) must share ONE
+    shuffle on the group key."""
+    import contextlib
+    import io
+
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        perplexity_buckets)
+
+    df = spark.read.parquet(f"{SF001}/documents.parquet") \
+        .select("doc_id", "source", F.col("n_chars").alias("nll_u"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        perplexity_buckets(df).explain("formatted")
+    plan = buf.getvalue()
+    # formatted mode prints each node twice (tree + detail section)
+    assert plan.count("Exchange") == 2
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        tokenizer_fertility)
+
+    rows = [
+        (1, "hello world42", "a"),   # 2 words; pieces: hello,world,42 = 3
+        (2, "a b-c", "a"),           # 2 words; pieces: a,b,-,c = 4
+        (3, None, "a"),
+        (4, "xy", "b"),              # 1 word, 1 piece
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    out = {r["source"]: r.asDict()
+           for r in tokenizer_fertility(df).collect()}
+    a = out["a"]
+    assert a["n_docs"] == 3 and a["n_null_text"] == 1
+    assert a["n_words"] == 4 and a["n_pieces"] == 7
+    assert a["n_chars"] == len("hello world42") + len("a b-c")
+    b = out["b"]
+    assert (b["n_words"], b["n_pieces"], b["n_chars"]) == (1, 1, 2)
