@@ -2925,6 +2925,19 @@ def _q_fertility(spark, sf_dir):
         .alias("chars_per_word_u"))
 
 
+def _q_unimax(spark, sf_dir):
+    """UniMax budget allocation over the tokenized corpus: exact
+    integer water-filling with a 2-epoch cap — budget 48000 sits
+    mid-pack at sf0.01 so BOTH exhausted and budget-bound sources
+    occur (vacuity-checked)."""
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        unimax_plan)
+
+    tok = _tokenized_docs(spark, sf_dir)
+    return unimax_plan(tok, budget_tokens=48000, max_epochs=2,
+                       group_col="source", tokens_col="n_tok")
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3042,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize_docs": _q_nfc_normalize,
         "perplexity_buckets_docs": _q_perplexity_buckets,
         "fertility_sources": _q_fertility,
+        "unimax_plan_sources": _q_unimax,
         "transition_probs_events": _q_transition_probs,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4972,6 +4986,60 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                                     as double)) * 1000000000.0 + 0.5)
                             as bigint) end as kappa_n
             from tot cross join rc cross join nulls
+        """,
+        "unimax_plan_sources": f"""
+            with {_SQL_TOK},
+            g as (
+                select source as "group", count(*) as n_docs,
+                       cast(sum(len(tokens)) as bigint)
+                           as tokens_available
+                from tok group by 1
+            ), c as (
+                select *, tokens_available * 2 as cap from g
+            ), r as (
+                select *,
+                       cast(row_number() over (order by cap, "group")
+                            as bigint) as rk,
+                       cast(count(*) over () as bigint) as m,
+                       cast(coalesce(sum(cap) over (
+                            order by cap, "group"
+                            rows between unbounded preceding
+                            and 1 preceding), 0) as bigint) as pfx
+                from c
+            ), e as (
+                select *,
+                       (cap * (m - rk + 1) + pfx) <= 48000 as exhausted
+                from r
+            ), k as (
+                select cast(max(case when exhausted then rk else 0 end)
+                            as bigint) as kline,
+                       cast(max(case when exhausted then pfx + cap
+                                else 0 end) as bigint) as pk
+                from e
+            ), f as (
+                select e.*, k.kline,
+                       greatest(48000 - k.pk, 0) as rem,
+                       e.m - k.kline as nfree
+                from e cross join k
+            ), a as (
+                select *,
+                       case when exhausted then cap
+                            else (case when nfree > 0 then rem // nfree
+                                  else 0 end)
+                                 + (case when rk - kline <=
+                                         (rem - (case when nfree > 0
+                                            then rem // nfree else 0
+                                            end) * nfree)
+                                    then 1 else 0 end)
+                       end as tokens_alloc
+                from f
+            )
+            select "group", n_docs, tokens_available, cap, exhausted,
+                   cast(tokens_alloc as bigint) as tokens_alloc,
+                   case when tokens_available > 0 then cast(floor(
+                        tokens_alloc / tokens_available
+                        * 1000000.0 + 0.5) as bigint) end as epochs_u
+            from a
         """,
         "fertility_sources": """
             with c as (

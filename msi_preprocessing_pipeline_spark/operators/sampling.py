@@ -271,3 +271,86 @@ def weighted_sample_k(df: DataFrame, key, weight_col: str, n: int,
             .orderBy(F.col("race_key").asc(),
                      *[F.col(k).asc() for k in keys])
             .limit(n))
+
+
+def unimax_plan(df: DataFrame, budget_tokens: int,
+                max_epochs: int = 1, group_col: str = "source",
+                tokens_col: str = "n_tok") -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): split a total token
+    budget across sources as uniformly as possible, capping every source
+    at ``max_epochs`` passes over its data — the principled alternative
+    to temperature sampling for multi-source pre-training mixes.
+
+    Exact integer water-filling, fully relational (one |sources|-bounded
+    aggregation + window prefix sums — no driver loop, no floats):
+    sources sorted by capacity ``cap = max_epochs·tokens`` ascending
+    (group name tie-break), a source is EXHAUSTED when even giving every
+    source from it onward its own capacity fits the remaining budget
+    (``cap_i·(m−i+1) + prefix_excl_i ≤ B``); the largest exhausted rank
+    is the water line ``k*``.  Ranks ≤ k* take their full capacity; the
+    rest split the remainder evenly (integer floor), with the leftover
+    ``r`` tokens going one each to the ``r`` first non-exhausted sources
+    in sort order — allocations are deterministic ints, never a float
+    rounding.
+
+    Output per source: ``(group, n_docs, tokens_available, cap,
+    exhausted, tokens_alloc, epochs_u)`` where ``epochs_u`` is the
+    micro-quantized achieved epoch count ``alloc/available``.
+
+    Scale: the corpus scan is one map-side-combined aggregation; all
+    window work happens on the |sources|-row relation.  Matches
+    ``token_budget_plan``'s output discipline so the fractions feed
+    ``hash_sample`` per source the same way.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.util import quantize
+
+    if budget_tokens < 0 or max_epochs <= 0:
+        raise ValueError("budget_tokens must be >= 0, max_epochs >= 1")
+    if int(budget_tokens) >= 1 << 53:
+        # the even-share division below rides through float64; keep it
+        # exact (10^15 tokens is well inside this)
+        raise ValueError("budget_tokens must be < 2^53")
+    b = F.lit(int(budget_tokens)).cast("long")
+    g = (df.groupBy(F.col(group_col).alias("group"))
+         .agg(F.count("*").alias("n_docs"),
+              F.coalesce(F.sum(F.col(tokens_col).cast("long")), F.lit(0))
+              .alias("tokens_available")))
+    cap = (F.col("tokens_available") * F.lit(int(max_epochs))
+           ).alias("cap")
+    g = g.select("*", cap)
+    # |sources|-bounded relation: a single unpartitioned window is fine
+    w = Window.orderBy(F.col("cap").asc(), F.col("group").asc())
+    wall = w.rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)
+    rk = F.row_number().over(w).cast("long")
+    m = F.count("*").over(wall).cast("long")
+    prefix_excl = (F.coalesce(
+        F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))).cast("long")
+    exhausted = (F.col("cap") * (m - rk + 1) + prefix_excl) <= b
+    ranked = g.select(
+        "*", rk.alias("__rk"), m.alias("__m"),
+        prefix_excl.alias("__pfx"), exhausted.alias("exhausted"))
+    kline = F.max(F.when(F.col("exhausted"), F.col("__rk"))
+                  .otherwise(F.lit(0))).over(wall).alias("__k")
+    pk = F.max(F.when(F.col("exhausted"),
+                      F.col("__pfx") + F.col("cap"))
+               .otherwise(F.lit(0))).over(wall).alias("__pk")
+    lined = ranked.select("*", kline, pk)
+    rem = F.greatest(b - F.col("__pk"), F.lit(0).cast("long"))
+    nfree = F.col("__m") - F.col("__k")
+    share = F.when(nfree > 0, rem / nfree).otherwise(F.lit(0)) \
+        .cast("long")  # int floor: rem/nfree exact for < 2^53
+    leftover = rem - share * nfree
+    alloc = F.when(F.col("exhausted"), F.col("cap")).otherwise(
+        share + F.when(F.col("__rk") - F.col("__k") <= leftover,
+                       F.lit(1)).otherwise(F.lit(0)))
+    avail = F.col("tokens_available")
+    out = lined.select(
+        "group", "n_docs", "tokens_available", "cap", "exhausted",
+        alloc.cast("long").alias("tokens_alloc"))
+    return out.withColumn(
+        "epochs_u",
+        F.when(avail > 0, quantize(F.col("tokens_alloc") / avail, 6)))

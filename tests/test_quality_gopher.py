@@ -191,3 +191,55 @@ def test_tokenizer_fertility_hand_case(spark):
     assert a["n_chars"] == len("hello world42") + len("a b-c")
     b = out["b"]
     assert (b["n_words"], b["n_pieces"], b["n_chars"]) == (1, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# unimax_plan
+
+
+def test_unimax_hand_cases(spark):
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        unimax_plan)
+
+    df = spark.createDataFrame([("a", 10), ("b", 20), ("c", 100)],
+                               "source string, n_tok int")
+    cases = {
+        60: {"a": 10, "b": 20, "c": 30},     # a,b exhausted; c takes rest
+        200: {"a": 10, "b": 20, "c": 100},   # everything fits
+        25: {"a": 9, "b": 8, "c": 8},        # even split + 1 leftover
+        0: {"a": 0, "b": 0, "c": 0},
+    }
+    for budget, expect in cases.items():
+        got = {r["group"]: r["tokens_alloc"]
+               for r in unimax_plan(df, budget).collect()}
+        assert got == expect, (budget, got)
+
+
+def test_unimax_conservation_and_caps(spark):
+    """Σalloc == min(budget, Σcap); no source ever exceeds its cap."""
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        unimax_plan)
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet") \
+        .select("source", F.col("n_chars").alias("n_tok"))
+    total_cap = 3 * docs.agg(F.sum("n_tok")).collect()[0][0]
+    for budget in (0, 1, 1000, total_cap // 2, total_cap, total_cap * 2):
+        rows = unimax_plan(docs, budget, max_epochs=3).collect()
+        assert all(r["tokens_alloc"] <= r["cap"] for r in rows)
+        assert (sum(r["tokens_alloc"] for r in rows)
+                == min(budget, total_cap))
+
+
+def test_unimax_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        unimax_plan)
+
+    df = spark.createDataFrame([("a", 1)], "source string, n_tok int")
+    with _pytest.raises(ValueError):
+        unimax_plan(df, -1)
+    with _pytest.raises(ValueError):
+        unimax_plan(df, 10, max_epochs=0)
+    with _pytest.raises(ValueError):
+        unimax_plan(df, 1 << 53)
