@@ -2938,6 +2938,17 @@ def _q_unimax(spark, sf_dir):
                        group_col="source", tokens_col="n_tok")
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: top-2 nearest DIFFERENT-label
+    neighbors per vector — exact-int dots over micro-quantized
+    components, fixed-order IEEE cosine key, id tie-breaks."""
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        hard_negatives)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, k=2)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3056,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets_docs": _q_perplexity_buckets,
         "fertility_sources": _q_fertility,
         "unimax_plan_sources": _q_unimax,
+        "hard_negatives_vecs": _q_hard_negatives,
         "transition_probs_events": _q_transition_probs,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4986,6 +4998,44 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                                     as double)) * 1000000000.0 + 0.5)
                             as bigint) end as kappa_n
             from tot cross join rc cross join nulls
+        """,
+        "hard_negatives_vecs": """
+            with q as (
+                select vec_id, label,
+                       list_transform(embedding, x ->
+                           cast(floor(cast(x as double) * 1000000.0
+                                      + 0.5) as bigint)) as qv
+                from embeddings
+            ), n as (
+                select vec_id, label, qv,
+                       cast(list_sum(list_transform(qv, x -> x * x))
+                            as bigint) as n2
+                from q
+            ), p as (
+                select a.vec_id, a.label,
+                       b.vec_id as neighbor_id,
+                       b.label as neighbor_label,
+                       cast(list_sum(list_transform(
+                            list_zip(a.qv, b.qv), z -> z[1] * z[2]))
+                            as bigint) as dot,
+                       a.n2 as n2a, b.n2 as n2b
+                from n a join n b on a.label <> b.label
+                where a.n2 > 0 and b.n2 > 0
+            ), s as (
+                select vec_id, label, neighbor_id, neighbor_label,
+                       cast(floor(cast(dot as double)
+                            / (sqrt(cast(n2a as double))
+                               * sqrt(cast(n2b as double)))
+                            * 1000000000.0 + 0.5) as bigint) as cos_q
+                from p
+            ), r as (
+                select *, row_number() over (partition by vec_id
+                             order by cos_q desc, neighbor_id) as rnk
+                from s
+            )
+            select vec_id, label, neighbor_id, neighbor_label, cos_q,
+                   cast(rnk as bigint) as rank
+            from r where rnk <= 2
         """,
         "unimax_plan_sources": f"""
             with {_SQL_TOK},

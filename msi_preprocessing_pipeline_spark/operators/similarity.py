@@ -801,3 +801,63 @@ def k_center_select(corpus: DataFrame, k: int = 8,
         [(r, i, d) for r, i, d, _ in sel],
         "sel_round int, id long, dmin_q long").select(
             "sel_round", F.col("id").alias(id_col), "dmin_q")
+
+
+def hard_negatives(corpus: DataFrame, k: int = 1, id_col: str = "vec_id",
+                   label_col: str = "label", vec_col: str = "embedding",
+                   scale: int = 6,
+                   candidates: DataFrame | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    every vector, the ``k`` most-cosine-similar vectors carrying a
+    DIFFERENT label — the canonical "closest wrong answer" pairs fed to
+    triplet / InfoNCE losses.
+
+    Determinism contract: components are micro-quantized to int64
+    (``_quantize_vecs``), so ``dot`` and the squared norms are exact
+    integers (order-free sums), and the ranking key
+    ``cos_q = floor(dot/(√n2a·√n2b)·10⁹ + 0.5)`` is a fixed-order IEEE
+    expression of exact ints — bit-identical in Spark, DuckDB and
+    numpy; ties break by neighbor id.  Zero-norm vectors are excluded
+    from BOTH sides (cosine undefined).
+
+    Plan shape: brute-force is one broadcast-nested-loop self-join
+    (O(n²) scoring — exact, the re-rank baseline) + ONE shuffle for the
+    per-anchor top-k window.  At 10^9+ vectors pass ``candidates`` —
+    an (id, neighbor) pair relation from ``lsh_topk``'s bucketer or
+    ``ivf`` probes — and only those pairs are scored (two hash joins
+    to fetch vectors, same contract).
+    """
+    qv = _quantize_vecs(corpus, vec_col, scale)
+    n2 = F.aggregate(F.transform(F.col("__q"), lambda x: x * x),
+                     F.lit(0).cast("long"), lambda a, x: a + x)
+    base = (corpus.select(F.col(id_col), F.col(label_col),
+                          qv.alias("__q"))
+            .withColumn("__n2", n2)
+            .where(F.col("__n2") > 0))
+    nb = base.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(label_col).alias("neighbor_label"),
+                     F.col("__q").alias("__qb"),
+                     F.col("__n2").alias("__n2b"))
+    if candidates is None:
+        pairs = (base.crossJoin(F.broadcast(nb))
+                 .where(F.col(label_col) != F.col("neighbor_label")))
+    else:
+        pairs = (candidates.select(id_col, "neighbor_id")
+                 .join(base, [id_col])
+                 .join(nb, ["neighbor_id"])
+                 .where(F.col(label_col) != F.col("neighbor_label")))
+    dot = F.aggregate(
+        F.zip_with(F.col("__q"), F.col("__qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    cos_q = F.floor(
+        dot.cast("double")
+        / (F.sqrt(F.col("__n2").cast("double"))
+           * F.sqrt(F.col("__n2b").cast("double")))
+        * F.lit(1e9) + F.lit(0.5)).cast("long")
+    scored = pairs.withColumn("cos_q", cos_q)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos_q").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= F.lit(k))
+            .select(id_col, label_col, "neighbor_id", "neighbor_label",
+                    "cos_q", "rank"))

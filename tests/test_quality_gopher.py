@@ -243,3 +243,59 @@ def test_unimax_rejects_bad_args(spark):
         unimax_plan(df, 10, max_epochs=0)
     with _pytest.raises(ValueError):
         unimax_plan(df, 1 << 53)
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives
+
+
+def test_hard_negatives_matches_numpy_bruteforce(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        hard_negatives)
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    got = hard_negatives(emb, k=1).collect()
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    q = np.floor(np.array([r["embedding"] for r in rows],
+                          dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+    n2 = (q * q).sum(axis=1)
+    expect = {}
+    for i in range(len(ids)):
+        best = None
+        for j in range(len(ids)):
+            if labels[j] == labels[i] or n2[j] == 0:
+                continue
+            dot = int((q[i] * q[j]).sum())
+            cos_q = int(np.floor(
+                dot / (np.sqrt(float(n2[i])) * np.sqrt(float(n2[j])))
+                * 1e9 + 0.5))
+            key = (-cos_q, int(ids[j]))
+            if best is None or key < best:
+                best = key
+        expect[int(ids[i])] = (-best[0], best[1])
+    assert len(got) == len(expect)
+    for r in got:
+        c, nbr = expect[r["vec_id"]]
+        assert (r["cos_q"], r["neighbor_id"]) == (c, nbr), r
+
+
+def test_hard_negatives_candidates_path_subsets_bruteforce(spark):
+    """With an explicit candidate-pair relation, results equal the
+    brute-force ranking restricted to those pairs."""
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        hard_negatives)
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet") \
+        .where(F.col("vec_id") < 40)
+    full = hard_negatives(emb, k=3)
+    cand = full.select("vec_id", "neighbor_id")  # feed its own pairs back
+    again = hard_negatives(emb, k=3, candidates=cand)
+    a = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["cos_q"])
+         for r in full.collect()}
+    b = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["cos_q"])
+         for r in again.collect()}
+    assert a == b
