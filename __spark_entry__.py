@@ -2949,6 +2949,35 @@ def _q_hard_negatives(spark, sf_dir):
     return hard_negatives(emb, k=2)
 
 
+def _q_logreg_quality(spark, sf_dir):
+    """Fasttext-style linear quality classifier fit ON the corpus
+    (label: lang == 'en') then scored map-only — gradient sums are
+    exact DECIMAL(38,0) over micro-quantized residuals, so fit weights
+    and every per-doc score are partition-invariant (golden-pinned:
+    σ uses exp, which is not cross-libm exact)."""
+    from msi_preprocessing_pipeline_spark.operators import text as tx
+    from msi_preprocessing_pipeline_spark.operators.classifier import (
+        logreg_fit, logreg_score)
+
+    docs = _t(spark, sf_dir, "documents")
+    nw = tx.token_count().cast("double")
+    nsp = F.length(F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"\s+", "")).cast("double")
+    stop = tx.stopword_hits("en").cast("double")
+    feats = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.coalesce(nw / F.lit(100.0), F.lit(0.0)).alias("f_words"),
+        F.when(nw > 0, (nsp / nw) / F.lit(10.0)).otherwise(F.lit(0.0))
+        .alias("f_mwl"),
+        F.when(nw > 0, stop / nw).otherwise(F.lit(0.0))
+        .alias("f_stop"))
+    cols = ["f_words", "f_mwl", "f_stop"]
+    w = logreg_fit(feats, cols, "y", iters=6, lr=2.0)
+    out = logreg_score(feats, w, cols)
+    return out.select("doc_id", "y", _uq("z").alias("z_u"), "pred")
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3068,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fertility_sources": _q_fertility,
         "unimax_plan_sources": _q_unimax,
         "hard_negatives_vecs": _q_hard_negatives,
+        "logreg_quality_docs": _q_logreg_quality,
         "transition_probs_events": _q_transition_probs,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,

@@ -299,3 +299,54 @@ def test_hard_negatives_candidates_path_subsets_bruteforce(spark):
     b = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["cos_q"])
          for r in again.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# logreg quality classifier
+
+
+def test_logreg_learns_and_is_partition_invariant(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.classifier import (
+        logreg_fit, logreg_score)
+
+    rng = np.random.RandomState(7)
+    n = 1500
+    x1, x2 = rng.randn(n), rng.randn(n)
+    y = ((x1 + 2 * x2 + 0.3 * rng.randn(n)) > 0).astype(int)
+    rows = [(float(a), float(b), int(c)) for a, b, c in zip(x1, x2, y)]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, y int")
+
+    w = logreg_fit(df, ["f1", "f2"], "y", iters=10, lr=2.0)
+    acc = (logreg_score(df, w, ["f1", "f2"])
+           .selectExpr("avg(cast(pred = y as int))").collect()[0][0])
+    assert acc > 0.9
+    # the separating direction is recovered (w2 ≈ 2·w1, both positive)
+    assert w[0] > 0 and w[1] > 0 and 1.5 < w[1] / w[0] < 2.7
+
+    # bit-identical weights under any partitioning — the whole point
+    for parts in (3, 13):
+        w2 = logreg_fit(df.repartition(parts), ["f1", "f2"], "y",
+                        iters=10, lr=2.0)
+        assert np.array_equal(w, w2)
+
+
+def test_logreg_rejects_nulls_and_bad_shapes(spark):
+    import pytest as _pytest
+
+    from msi_preprocessing_pipeline_spark.operators.classifier import (
+        logreg_fit, logreg_score)
+
+    df = spark.createDataFrame([(1.0, None, 1), (0.5, 1.0, 0)],
+                               "f1 double, f2 double, y int")
+    with _pytest.raises(ValueError, match="non-null"):
+        logreg_fit(df, ["f1", "f2"], "y")
+    with _pytest.raises(ValueError, match="intercept"):
+        logreg_score(df, [1.0, 2.0], ["f1", "f2"])  # missing intercept
+    # scoring with nulls: null z, null pred (impute-first contract)
+    out = {r["f1"]: (r["z"], r["pred"])
+           for r in logreg_score(df, [1.0, 1.0, 0.0],
+                                 ["f1", "f2"]).collect()}
+    assert out[1.0] == (None, None)
+    assert out[0.5] == (1.5, 1)

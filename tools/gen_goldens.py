@@ -14,6 +14,10 @@ SF_DIR = "/root/testdata/sf0.01"
 
 # queries to pin: (name, sf_dependent)
 PIN = [
+    # logistic quality classifier: fit is partition-invariant by exact
+    # decimal gradient sums; σ uses exp (not cross-libm exact) so the
+    # contract is pinned rather than mirrored in SQL
+    ("logreg_quality_docs", True),
     ("pit_features", False),
     ("batch_features", False),
     ("smooth_and_peaks", False),
