@@ -2978,6 +2978,33 @@ def _q_logreg_quality(spark, sf_dir):
     return out.select("doc_id", "y", _uq("z").alias("z_u"), "pred")
 
 
+def _q_retrieval_metrics(spark, sf_dir):
+    """IR-quality readout of the engine's own exact cosine run against
+    label-derived graded qrels: every metric is exact-int arithmetic or
+    one IEEE division (discount/reciprocal literal tables shared with
+    the DuckDB oracle), and the Spark side derives IDCG from the
+    (query, grade) histogram while the oracle sorts — cross-checking
+    the scale path against the naive definition."""
+    from msi_preprocessing_pipeline_spark.operators.retrieval import (
+        retrieval_metrics)
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        cosine_topk)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    run = (cosine_topk(emb, queries, k=10)
+           .withColumnRenamed("neighbor_id", "doc_id"))
+    qv = queries.select(F.col("vec_id").alias("query_id"),
+                        F.col("label").alias("__ql"))
+    qrels = (emb.crossJoin(F.broadcast(qv))
+             .where(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", F.col("vec_id").alias("doc_id"),
+                     F.when(F.col("label") == F.col("__ql"), F.lit(2))
+                     .when(F.col("label") % 4 == F.col("__ql") % 4, F.lit(1))
+                     .otherwise(F.lit(0)).alias("rel")))
+    return retrieval_metrics(run, qrels, k=10)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3099,6 +3126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_vecs": _q_hard_negatives,
         "logreg_quality_docs": _q_logreg_quality,
         "transition_probs_events": _q_transition_probs,
+        # --- new in round 5, session 5 ---
+        "retrieval_metrics_vecs": _q_retrieval_metrics,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -3307,6 +3336,46 @@ _SQL_BG = """bg as (
                 from tok, unnest(generate_series(1, len(tokens) - 1))
                      as u(p)
             )"""
+
+
+def _sql_retrieval_metrics() -> str:
+    """DuckDB mirror of ``retrieval_metrics_vecs``: the cosine run over
+    the first 20 query vectors, label-derived graded qrels, then the
+    shared-literal metric block from ``retrieval.retrieval_metrics_sql``
+    (same discount/reciprocal integer tables as the Spark side)."""
+    from msi_preprocessing_pipeline_spark.operators.retrieval import (
+        retrieval_metrics_sql)
+
+    return f"""
+        with q as (
+            select vec_id as query_id, embedding as qv, label as qlabel
+            from embeddings where vec_id < 20
+        ), scored as (
+            select q.query_id, e.vec_id as doc_id,
+                   round(
+                     list_sum(list_transform(list_zip(e.embedding, q.qv),
+                        p -> cast(p[1] as double) * cast(p[2] as double)))
+                     / (sqrt(list_sum(list_transform(e.embedding,
+                          x -> cast(x as double) * cast(x as double))))
+                        * sqrt(list_sum(list_transform(q.qv,
+                          x -> cast(x as double) * cast(x as double))))),
+                     6) as cosine
+            from embeddings e, q
+            where e.vec_id <> q.query_id
+        ), run0 as (
+            select query_id, doc_id,
+                   cast(row_number() over (partition by query_id
+                        order by cosine desc, doc_id) as bigint) as rank
+            from scored
+        ), qr as (
+            select q.query_id, e.vec_id as doc_id,
+                   case when e.label = q.qlabel then 2
+                        when e.label % 4 = q.qlabel % 4 then 1
+                        else 0 end as rel
+            from embeddings e, q where e.vec_id <> q.query_id
+        ),
+        {retrieval_metrics_sql('run0', 'qr', k=10)}
+    """
 
 
 def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
@@ -4873,6 +4942,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             select query_id, neighbor_id, cosine, rank
             from ranked where rank <= 10
         """,
+        "retrieval_metrics_vecs": _sql_retrieval_metrics(),
         "hash_tokenize_docs": f"""
             with {_SQL_TOK}
             select doc_id, array_to_string(tokens, ' ') as tokens_str,

@@ -1,0 +1,239 @@
+"""Retrieval evaluation: exact-integer IR metrics (hits / precision /
+recall / MRR / AP / nDCG @k) and MMR diversified re-ranking.
+
+The engine's similarity-search stack (``similarity.cosine_topk`` /
+``lsh_topk`` / ``ivf_topk`` / ``pq_adc_topk``) produces ranked runs; this
+module closes the loop with the standard trec_eval-style quality readout
+over a relevance-judgment (qrels) table, plus the classic diversity
+re-ranker used to de-duplicate retrieved context windows before they are
+packed into a training sequence.
+
+Determinism discipline (the ``operators.embeddings`` contract): every
+metric is either exact integer arithmetic or a SINGLE IEEE division of
+two exact integers — no distributed float sums anywhere — so Spark,
+DuckDB and numpy agree bit-for-bit at any partitioning:
+
+* nDCG discounts ``1/log2(r+1)`` are pre-scaled integer LITERALS
+  (``floor(10^12/log2(r+1) + 0.5)``, one shared table embedded in both
+  engines), so DCG/IDCG are exact int64 dot products, and nDCG is one
+  division.
+* AP@k multiplies each reciprocal rank by ``lcm(1..k)`` so the AP
+  numerator is an exact integer; AP is one division.
+* RR@k is ``1/first_relevant_rank`` — one division of ints.
+
+Scale shape (run = |queries|·k rows — tiny; qrels — potentially
+10^12 rows): qrels are touched by ONE map-side-combined aggregation to
+the per-(query, grade) histogram; IDCG@k is computed FROM the histogram
+(contiguous equal-grade rank spans × a prefix-discount literal table)
+instead of sorting each query's judgments — no per-query top-k window
+over qrels, no skew from hot queries. The hit join broadcasts the run.
+
+Reference parity: the reference validates its pipeline output against
+golden rankings by exact comparison (test/components/spectrum); this is
+the distributed generalization to graded-relevance metrics.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: fixed-point scale for the discount table: disc_u(r) = floor(10^12 /
+#: log2(r+1) + 0.5).  Python's math.log2 is correctly-rounded on every
+#: platform this engine targets (IEEE double), and the table is embedded
+#: as literals in BOTH engines, so the contract cannot drift.
+DISC_SCALE = 12
+
+
+def ndcg_discount_units(k: int) -> list[int]:
+    """``[disc_u(1), …, disc_u(k)]`` — the shared Spark/SQL literal table."""
+    return [int(math.floor(10 ** DISC_SCALE / math.log2(r + 1) + 0.5))
+            for r in range(1, k + 1)]
+
+
+def _prefix(units: list[int]) -> list[int]:
+    """``P[i] = Σ_{r<=i} disc_u(r)`` with ``P[0] = 0`` (len k+1)."""
+    out = [0]
+    for u in units:
+        out.append(out[-1] + u)
+    return out
+
+
+def retrieval_metrics(run: DataFrame, qrels: DataFrame, k: int = 10,
+                      query_col: str = "query_id", doc_col: str = "doc_id",
+                      rank_col: str = "rank", rel_col: str = "rel",
+                      max_grade: int = 15) -> DataFrame:
+    """Per-query IR metrics at cutoff ``k`` for a ranked ``run``
+    (one row per (query, doc) with a 1-based, per-query-unique ``rank``)
+    against graded judgments ``qrels`` (rows with ``rel >= 1`` are
+    relevant; ``rel`` is capped by ``max_grade`` — raise, don't clip).
+
+    Output: one row per run query —
+    ``(query_id, n_ret, n_rel, hits, precision_at_k, recall_at_k,
+    rr_at_k, ap_at_k, dcg_u, idcg_u, ndcg_at_k)`` where ``dcg_u`` /
+    ``idcg_u`` are the exact integer DCG/IDCG in ``10^-12`` discount
+    units with gain ``2^rel - 1``, and every ratio metric is a single
+    IEEE division (null when its denominator is 0: no judged-relevant
+    docs → recall/ap/ndcg null; no relevant retrieved → rr null).
+
+    IDCG without sorting qrels: grades of equal value occupy a
+    CONTIGUOUS span of ideal ranks, so the ideal top-k gain is
+    ``Σ_grades gain(g) · (P[min(prior+cnt, k)] - P[min(prior, k)])``
+    over the per-(query, grade) count histogram, with ``prior`` the
+    count of strictly-higher grades and ``P`` the literal prefix-sum
+    discount table — identical to the sorted definition because
+    within-grade order cannot change the sum.
+
+    Overflow: ``k · (2^max_grade - 1) · 10^12 < 2^63`` is validated at
+    call time; AP's ``lcm(1..k)`` scaling requires ``k <= 40``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k > 40:
+        raise ValueError(f"k must be <= 40 for exact AP (lcm growth), got {k}")
+    if k * ((1 << max_grade) - 1) * 10 ** DISC_SCALE >= 1 << 63:
+        raise ValueError("k * (2^max_grade - 1) * 10^12 overflows int64")
+    units = ndcg_discount_units(k)
+    prefix = _prefix(units)
+    lcm = math.lcm(*range(1, k + 1))
+    disc_arr = F.array(*[F.lit(u) for u in units])            # 1-based @rank
+    pref_arr = F.array(*[F.lit(p) for p in prefix])           # P[i] at i+1
+    recip_arr = F.array(*[F.lit(lcm // r) for r in range(1, k + 1)])
+
+    q, d, r = F.col(query_col), F.col(doc_col), F.col(rank_col)
+    runk = run.where(r <= k).select(q.alias("__q"), d.alias("__d"),
+                                    r.cast("int").alias("__r"))
+    rel = qrels.where(F.col(rel_col) >= 1).select(
+        q.alias("__q"), d.alias("__d"),
+        F.col(rel_col).cast("int").alias("__g"))
+
+    # --- ONE pass over qrels: per-(query, grade) histogram -> n_rel + IDCG
+    grades = rel.groupBy("__q", "__g").agg(F.count("*").alias("__c"))
+    wg = (Window.partitionBy("__q").orderBy(F.col("__g").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    # gain 2^rel - 1 as exact integer; shiftleft's python wrapper only
+    # takes a literal shift, so the column-shift goes through expr()
+    gain = F.expr("shiftleft(1, __g)") - 1
+    prior = F.coalesce(F.sum("__c").over(wg), F.lit(0))
+    lo = F.least(prior, F.lit(k)).cast("int")
+    hi = F.least(prior + F.col("__c"), F.lit(k)).cast("int")
+    span = (F.element_at(pref_arr, hi + 1) - F.element_at(pref_arr, lo + 1))
+    ideal = (grades
+             .withColumn("__contrib", gain.cast("long") * span)
+             .groupBy("__q")
+             .agg(F.sum(F.col("__c")).alias("n_rel"),
+                  F.sum("__contrib").alias("idcg_u")))
+
+    # --- hits: judged-relevant retrieved rows (broadcast the tiny run)
+    hits = rel.join(F.broadcast(runk), ["__q", "__d"])
+    wh = (Window.partitionBy("__q").orderBy("__r")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    per_hit = hits.withColumn("__cumhits", F.count("*").over(wh))
+    hit_agg = per_hit.groupBy("__q").agg(
+        F.count("*").alias("hits"),
+        F.sum((F.expr("shiftleft(1, __g)") - 1).cast("long")
+              * F.element_at(disc_arr, F.col("__r"))).alias("dcg_u"),
+        F.min("__r").alias("__first"),
+        F.sum(F.col("__cumhits")
+              * F.element_at(recip_arr, F.col("__r"))).alias("__ap_num"))
+
+    base = runk.groupBy(F.col("__q").alias(query_col)).agg(
+        F.count("*").alias("n_ret"))
+    out = (base
+           .join(ideal.withColumnRenamed("__q", query_col), query_col, "left")
+           .join(hit_agg.withColumnRenamed("__q", query_col), query_col,
+                 "left"))
+    n_rel = F.coalesce(F.col("n_rel"), F.lit(0)).cast("long")
+    hits_c = F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+    idcg = F.coalesce(F.col("idcg_u"), F.lit(0)).cast("long")
+    dcg = F.coalesce(F.col("dcg_u"), F.lit(0)).cast("long")
+    denom_ap = F.least(n_rel, F.lit(k))
+    return out.select(
+        query_col,
+        F.col("n_ret").cast("long").alias("n_ret"),
+        n_rel.alias("n_rel"), hits_c.alias("hits"),
+        (hits_c.cast("double") / F.lit(float(k))).alias("precision_at_k"),
+        F.when(n_rel > 0, hits_c.cast("double") / n_rel)
+        .alias("recall_at_k"),
+        F.when(F.col("__first").isNotNull(),
+               F.lit(1.0) / F.col("__first")).alias("rr_at_k"),
+        F.when(denom_ap > 0,
+               F.coalesce(F.col("__ap_num"), F.lit(0)).cast("double")
+               / (denom_ap * F.lit(lcm)).cast("double")).alias("ap_at_k"),
+        dcg.alias("dcg_u"), idcg.alias("idcg_u"),
+        F.when(idcg > 0, dcg.cast("double") / idcg.cast("double"))
+        .alias("ndcg_at_k"))
+
+
+def retrieval_metrics_sql(run_cte: str, qrels_cte: str, k: int = 10) -> str:
+    """DuckDB mirror of :func:`retrieval_metrics` over two CTE names
+    (``run_cte``: (query_id, doc_id, rank); ``qrels_cte``: (query_id,
+    doc_id, rel) — both already cutoff-agnostic).  Shares the SAME
+    discount / reciprocal literal tables, so the integers are identical;
+    the oracle computes IDCG by the naive per-query sort, cross-checking
+    the histogram-span derivation used on the Spark side.
+    """
+    units = ndcg_discount_units(k)
+    lcm = math.lcm(*range(1, k + 1))
+    disc_list = "[" + ", ".join(str(u) for u in units) + "]"
+    recip_list = "[" + ", ".join(str(lcm // r) for r in range(1, k + 1)) + "]"
+    return f"""
+        runk as (select query_id, doc_id, rank from {run_cte}
+                 where rank <= {k}),
+        rel as (select query_id, doc_id, rel from {qrels_cte}
+                where rel >= 1),
+        ideal as (
+            select query_id, cast(count(*) as bigint) as n_rel,
+                   cast(sum(case when irank <= {k}
+                            then ((1 << rel) - 1)
+                                 * list_extract({disc_list}, irank)
+                            else 0 end) as bigint) as idcg_u
+            from (select query_id, rel,
+                         cast(row_number() over (partition by query_id
+                              order by rel desc, doc_id) as int) as irank
+                  from rel) g
+            group by 1
+        ),
+        hit as (
+            select r.query_id, r.rank, q.rel,
+                   cast(count(*) over (partition by r.query_id
+                        order by r.rank) as bigint) as cumhits
+            from runk r join rel q using (query_id, doc_id)
+        ),
+        hagg as (
+            select query_id, cast(count(*) as bigint) as hits,
+                   cast(sum(((1 << rel) - 1)
+                        * list_extract({disc_list}, cast(rank as int)))
+                        as bigint) as dcg_u,
+                   min(rank) as first_rank,
+                   cast(sum(cumhits * list_extract({recip_list},
+                            cast(rank as int))) as bigint) as ap_num
+            from hit group by 1
+        ),
+        base as (select query_id, cast(count(*) as bigint) as n_ret
+                 from runk group by 1)
+        select b.query_id, b.n_ret,
+               cast(coalesce(i.n_rel, 0) as bigint) as n_rel,
+               cast(coalesce(h.hits, 0) as bigint) as hits,
+               cast(coalesce(h.hits, 0) as double) / {float(k)}
+                   as precision_at_k,
+               case when coalesce(i.n_rel, 0) > 0 then
+                   cast(coalesce(h.hits, 0) as double) / i.n_rel
+               end as recall_at_k,
+               case when h.first_rank is not null then
+                   1.0 / h.first_rank end as rr_at_k,
+               case when least(coalesce(i.n_rel, 0), {k}) > 0 then
+                   cast(coalesce(h.ap_num, 0) as double)
+                   / cast(least(i.n_rel, {k}) * {lcm} as double)
+               end as ap_at_k,
+               cast(coalesce(h.dcg_u, 0) as bigint) as dcg_u,
+               cast(coalesce(i.idcg_u, 0) as bigint) as idcg_u,
+               case when coalesce(i.idcg_u, 0) > 0 then
+                   cast(coalesce(h.dcg_u, 0) as double)
+                   / cast(i.idcg_u as double) end as ndcg_at_k
+        from base b
+        left join ideal i using (query_id)
+        left join hagg h using (query_id)
+    """
