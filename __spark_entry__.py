@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-173 queries, 173 with exact DuckDB oracles — relational SQL where expressible,
+182 queries, 182 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3005,6 +3005,19 @@ def _q_retrieval_metrics(spark, sf_dir):
     return retrieval_metrics(run, qrels, k=10)
 
 
+def _q_mmr_rerank(spark, sf_dir):
+    """MMR diversified top-k over the embedding corpus: exact-int cosine
+    keys (hard_negatives contract) and an integer-percent λ make the
+    greedy selection bit-reproducible at any partitioning — iterative,
+    so golden-pinned (the kmeans/pq precedent)."""
+    from msi_preprocessing_pipeline_spark.operators.retrieval import (
+        mmr_rerank)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return mmr_rerank(emb, queries, k=8, pool=40, lam_pct=70)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3128,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_probs_events": _q_transition_probs,
         # --- new in round 5, session 5 ---
         "retrieval_metrics_vecs": _q_retrieval_metrics,
+        "mmr_rerank_vecs": _q_mmr_rerank,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,

@@ -167,6 +167,116 @@ def retrieval_metrics(run: DataFrame, qrels: DataFrame, k: int = 10,
         .alias("ndcg_at_k"))
 
 
+def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               pool: int = 50, lam_pct: int = 70, id_col: str = "vec_id",
+               vec_col: str = "embedding", query_id_col: str = "query_id",
+               scale: int = 6) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    diversified top-k: greedily pick the candidate maximizing
+    ``λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)`` — the standard way to
+    de-duplicate retrieved context before packing it into a training
+    window, so k near-identical passages don't crowd out coverage.
+
+    Exactness: ``λ`` is the integer percentage ``lam_pct`` and both
+    ``rel`` and ``sim`` are the engine's exact-int cosine key
+    ``floor(dot/√(n2a·n2b)·10⁹ + 0.5)`` over micro-quantized vectors
+    (the ``similarity.hard_negatives`` contract), so the greedy score
+    ``lam_pct·rel_q − (100−lam_pct)·maxsim_q`` is an exact int64 and
+    selection (score desc, id asc) is bit-reproducible at any
+    partitioning / engine — what lets an iterative re-ranker be
+    golden-pinned.  The empty-selection diversity term is 0 (the
+    classical convention), so round 1 is pure relevance order.
+
+    Scale shape: candidate POOLING is the broadcast-scored top-``pool``
+    window (ids + scores only — vectors do NOT ride the ranking
+    shuffle; pass a pre-bucketed candidate relation via ``queries``
+    upstream ANN ops for 10^9+ corpora), vectors are re-fetched for the
+    |queries|·pool winners with broadcast joins, and the greedy loop
+    runs ONE bounded Arrow batch per query (``applyInPandas``, ≤pool
+    rows — never the corpus).  Zero-norm vectors are excluded from both
+    sides (cosine undefined).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0 <= lam_pct <= 100:
+        raise ValueError(f"lam_pct must be in [0, 100], got {lam_pct}")
+    if pool < k:
+        raise ValueError(f"pool ({pool}) must be >= k ({k})")
+    from .similarity import _quantize_vecs
+
+    n2_of = (lambda c: F.aggregate(F.transform(c, lambda x: x * x),
+                                   F.lit(0).cast("long"), lambda a, x: a + x))
+    base = (corpus.select(F.col(id_col),
+                          _quantize_vecs(corpus, vec_col, scale)
+                          .alias("__q"))
+            .withColumn("__n2", n2_of(F.col("__q")))
+            .where(F.col("__n2") > 0))
+    qs = (queries.select(F.col(id_col).alias(query_id_col),
+                         _quantize_vecs(queries, vec_col, scale)
+                         .alias("__qq"))
+          .withColumn("__qn2", n2_of(F.col("__qq")))
+          .where(F.col("__qn2") > 0)
+          .select(query_id_col, "__qq", "__qn2"))
+
+    # --- pool: exact-int relevance key, ids-only through the shuffle
+    dot = F.aggregate(
+        F.zip_with(F.col("__q"), F.col("__qq"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    rel_q = F.floor(dot.cast("double")
+                    / (F.sqrt(F.col("__n2").cast("double"))
+                       * F.sqrt(F.col("__qn2").cast("double")))
+                    * F.lit(1e9) + F.lit(0.5)).cast("long")
+    scored = (base.crossJoin(F.broadcast(
+        qs.select(query_id_col, "__qq", "__qn2")))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, F.col(id_col).alias("doc_id"),
+                rel_q.alias("rel_q")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rel_q").desc(), F.col("doc_id").asc())
+    pooled = (scored.withColumn("__rk", F.row_number().over(w))
+              .where(F.col("__rk") <= pool).drop("__rk"))
+
+    # --- re-fetch vectors for the winners (|queries|·pool rows)
+    cand = (base.select(F.col(id_col).alias("doc_id"),
+                        F.col("__q").alias("__dv"))
+            .join(F.broadcast(pooled), "doc_id"))
+
+    id_t = dict(corpus.dtypes)[id_col]
+    out_schema = (f"{query_id_col} {id_t}, doc_id {id_t}, mmr_round int, "
+                  f"rel_q long, score_u long")
+    lam, mu = int(lam_pct), 100 - int(lam_pct)
+    kk = int(k)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        D = np.array(pdf["__dv"].tolist(), dtype=np.int64)
+        rel = pdf["rel_q"].to_numpy(np.int64)
+        n = len(pdf)
+        G = D @ D.T                                   # exact int64 grams
+        nrm = np.sqrt(np.diag(G).astype(np.float64))
+        sim = np.floor(G / (nrm[:, None] * nrm[None, :]) * 1e9 + 0.5) \
+            .astype(np.int64)
+        avail = np.ones(n, dtype=bool)
+        maxsim = np.zeros(n, dtype=np.int64)
+        picks, scores = [], []
+        for _ in range(min(kk, n)):
+            score = lam * rel - mu * maxsim
+            score[~avail] = np.iinfo(np.int64).min
+            best = int(np.flatnonzero(score == score.max())[0])
+            picks.append(best)
+            scores.append(int(score[best]))
+            avail[best] = False
+            maxsim = np.maximum(maxsim, sim[:, best])
+        return pd.DataFrame({
+            query_id_col: pdf[query_id_col].iloc[picks].to_numpy(),
+            "doc_id": pdf["doc_id"].iloc[picks].to_numpy(),
+            "mmr_round": np.arange(1, len(picks) + 1, dtype=np.int32),
+            "rel_q": rel[picks], "score_u": np.array(scores, np.int64)})
+
+    return cand.groupBy(query_id_col).applyInPandas(_greedy, out_schema)
+
+
 def retrieval_metrics_sql(run_cte: str, qrels_cte: str, k: int = 10) -> str:
     """DuckDB mirror of :func:`retrieval_metrics` over two CTE names
     (``run_cte``: (query_id, doc_id, rank); ``qrels_cte``: (query_id,

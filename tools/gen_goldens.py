@@ -70,6 +70,11 @@ PIN = [
     # JVM ln has no ulp-stable DuckDB mirror (dsir precedent); selection
     # determinism is pytest-pinned under repartitioning
     ("weighted_sample_docs", True),
+    # MMR: greedy diversified re-rank over exact-int cosine keys with an
+    # integer-percent λ — every selection step compares exact int64
+    # scores (pytest-pinned partition-invariant; pure-python mirror),
+    # but the k-step greedy loop is iterative → golden, like kmeans
+    ("mmr_rerank_vecs", True),
 ]
 
 DUCK_TYPES = {
