@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-182 queries, 182 with exact DuckDB oracles — relational SQL where expressible,
+183 queries, 183 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3018,6 +3018,20 @@ def _q_mmr_rerank(spark, sf_dir):
     return mmr_rerank(emb, queries, k=8, pool=40, lam_pct=70)
 
 
+def _q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle reordering of the canonical tokenized corpus:
+    md5-drawn cut points + JVM slices — map-only, zero Python, exact
+    relational mirror in DuckDB."""
+    from msi_preprocessing_pipeline_spark.operators.augment import (
+        fim_transform)
+
+    out = fim_transform(_tokenized_docs(spark, sf_dir), vocab_size=4096,
+                        rate_pct=50, mode="psm")
+    return out.select("doc_id", "fim_applied",
+                      F.size("fim_tokens").cast("long").alias("n_out"),
+                      F.concat_ws(" ", "fim_tokens").alias("fim_str"))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3142,6 +3156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5, session 5 ---
         "retrieval_metrics_vecs": _q_retrieval_metrics,
         "mmr_rerank_vecs": _q_mmr_rerank,
+        "fim_transform_docs": _q_fim_transform,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -3389,6 +3404,21 @@ def _sql_retrieval_metrics() -> str:
             from embeddings e, q where e.vec_id <> q.query_id
         ),
         {retrieval_metrics_sql('run0', 'qr', k=10)}
+    """
+
+
+def _sql_fim_transform() -> str:
+    """DuckDB mirror of ``fim_transform_docs``: the canonical tokenized
+    CTE + the shared md5-cut FIM block from ``augment.fim_sql``."""
+    from msi_preprocessing_pipeline_spark.operators.augment import fim_sql
+
+    return f"""
+        with {_SQL_TOK},
+        {fim_sql('tok', vocab_size=4096, rate_pct=50, mode='psm', seed=7)}
+        select doc_id, fim_applied,
+               cast(len(fim_tokens) as bigint) as n_out,
+               array_to_string(fim_tokens, ' ') as fim_str
+        from fim
     """
 
 
@@ -4957,6 +4987,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             from ranked where rank <= 10
         """,
         "retrieval_metrics_vecs": _sql_retrieval_metrics(),
+        "fim_transform_docs": _sql_fim_transform(),
         "hash_tokenize_docs": f"""
             with {_SQL_TOK}
             select doc_id, array_to_string(tokens, ' ') as tokens_str,
