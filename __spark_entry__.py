@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-183 queries, 183 with exact DuckDB oracles — relational SQL where expressible,
+184 queries, 184 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3032,6 +3032,21 @@ def _q_fim_transform(spark, sf_dir):
                       F.concat_ws(" ", "fim_tokens").alias("fim_str"))
 
 
+def _q_span_corrupt(spark, sf_dir):
+    """T5 span corruption of the canonical tokenized corpus: ONE JVM
+    fold per row (map-only) on the Spark side vs an exploded
+    slot-window reassembly in DuckDB — two independent derivations of
+    the identical md5-deterministic mask."""
+    from msi_preprocessing_pipeline_spark.operators.augment import (
+        span_corrupt)
+
+    out = span_corrupt(_tokenized_docs(spark, sf_dir), vocab_size=4096,
+                       slot_len=8, rate_pct=40, max_span=3)
+    return out.select("doc_id", "n_spans", "n_masked",
+                      F.concat_ws(" ", "inputs").alias("inputs_str"),
+                      F.concat_ws(" ", "targets").alias("targets_str"))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3157,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_metrics_vecs": _q_retrieval_metrics,
         "mmr_rerank_vecs": _q_mmr_rerank,
         "fim_transform_docs": _q_fim_transform,
+        "span_corrupt_docs": _q_span_corrupt,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -3417,8 +3433,26 @@ def _sql_fim_transform() -> str:
         {fim_sql('tok', vocab_size=4096, rate_pct=50, mode='psm', seed=7)}
         select doc_id, fim_applied,
                cast(len(fim_tokens) as bigint) as n_out,
-               array_to_string(fim_tokens, ' ') as fim_str
+               -- duckdb: array_to_string([]) is NULL, spark concat_ws ''
+               coalesce(array_to_string(fim_tokens, ' '), '') as fim_str
         from fim
+    """
+
+
+def _sql_span_corrupt() -> str:
+    """DuckDB mirror of ``span_corrupt_docs``: canonical tokenized CTE +
+    the exploded-window block from ``augment.span_corrupt_sql``."""
+    from msi_preprocessing_pipeline_spark.operators.augment import (
+        span_corrupt_sql)
+
+    return f"""
+        with {_SQL_TOK},
+        {span_corrupt_sql('tok', vocab_size=4096, slot_len=8, rate_pct=40,
+                          max_span=3, seed=7)}
+        select doc_id, n_spans, n_masked,
+               coalesce(array_to_string(inputs, ' '), '') as inputs_str,
+               coalesce(array_to_string(targets, ' '), '') as targets_str
+        from sc
     """
 
 
@@ -4988,6 +5022,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
         """,
         "retrieval_metrics_vecs": _sql_retrieval_metrics(),
         "fim_transform_docs": _sql_fim_transform(),
+        "span_corrupt_docs": _sql_span_corrupt(),
         "hash_tokenize_docs": f"""
             with {_SQL_TOK}
             select doc_id, array_to_string(tokens, ' ') as tokens_str,
