@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-184 queries, 184 with exact DuckDB oracles — relational SQL where expressible,
+186 queries, 186 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3047,6 +3047,39 @@ def _q_span_corrupt(spark, sf_dir):
                       F.concat_ws(" ", "targets").alias("targets_str"))
 
 
+def _q_vocab_remap(spark, sf_dir):
+    """Frequency-pruned vocabulary remap of the canonical tokenized
+    corpus: the Spark side collects the |V|-bounded pruned vocab into
+    ONE zero-shuffle Arrow lookup pass, the DuckDB oracle takes the
+    fully relational explode/join/reassemble route — two independent
+    derivations of the same dense re-id."""
+    from msi_preprocessing_pipeline_spark.operators.vocab import (
+        prune_vocab, remap_tokens)
+
+    tok = _tokenized_docs(spark, sf_dir)
+    # max_vocab=24 < the corpus's ~32 distinct hashed types at every sf,
+    # so the unk path is NON-vacuous in this contract (min_count alone
+    # would prune nothing: the synthetic text has no rare words).
+    vocab = prune_vocab(tok, min_count=2, max_vocab=24)
+    out = remap_tokens(tok, vocab, strategy="arrow")
+    return out.select(
+        "doc_id", F.col("n_tok").cast("long").alias("n_tok"), "n_unk",
+        F.concat_ws(" ", F.col("remapped").cast("array<string>"))
+        .alias("remap_str"))
+
+
+def _q_vocab_coverage(spark, sf_dir):
+    """One-row corpus coverage summary for the pruned vocabulary —
+    exact integer cells plus ONE IEEE division (the
+    classification_report determinism pattern)."""
+    from msi_preprocessing_pipeline_spark.operators.vocab import (
+        prune_vocab, vocab_coverage)
+
+    tok = _tokenized_docs(spark, sf_dir)
+    return vocab_coverage(tok, prune_vocab(tok, min_count=2,
+                                           max_vocab=24))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3173,6 +3206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank_vecs": _q_mmr_rerank,
         "fim_transform_docs": _q_fim_transform,
         "span_corrupt_docs": _q_span_corrupt,
+        "vocab_remap_docs": _q_vocab_remap,
+        "vocab_coverage_docs": _q_vocab_coverage,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5023,6 +5058,60 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
         "retrieval_metrics_vecs": _sql_retrieval_metrics(),
         "fim_transform_docs": _sql_fim_transform(),
         "span_corrupt_docs": _sql_span_corrupt(),
+        "vocab_remap_docs": f"""
+            with {_SQL_TOK},
+            freq as (select t as tok, count(*) as c
+                     from (select unnest(tokens) as t from tok)
+                     group by 1),
+            kept as (select tok, new_id from (
+                       select tok,
+                              cast(row_number() over
+                                   (order by c desc, tok asc) as int)
+                                as new_id
+                       from freq where c >= 2)
+                     where new_id <= 24),
+            pos as (select doc_id, i, tokens[i] as tk
+                    from tok,
+                         unnest(generate_series(1, len(tokens))) as u(i)),
+            m as (select p.doc_id, p.i,
+                         coalesce(k.new_id, 0) as nid,
+                         (k.new_id is null) as unk
+                  from pos p left join kept k on k.tok = p.tk),
+            agg as (select doc_id,
+                           cast(sum(case when unk then 1 else 0 end)
+                                as bigint) as n_unk,
+                           string_agg(cast(nid as varchar), ' '
+                                      order by i) as remap_str
+                    from m group by doc_id)
+            select t.doc_id, cast(len(t.tokens) as bigint) as n_tok,
+                   coalesce(a.n_unk, 0) as n_unk,
+                   coalesce(a.remap_str, '') as remap_str
+            from tok t left join agg a using (doc_id)
+        """,
+        "vocab_coverage_docs": f"""
+            with {_SQL_TOK},
+            freq as (select t as tok, count(*) as c
+                     from (select unnest(tokens) as t from tok)
+                     group by 1),
+            kept as (select tok, new_id from (
+                       select tok,
+                              row_number() over
+                                  (order by c desc, tok asc) as new_id
+                       from freq where c >= 2)
+                     where new_id <= 24),
+            sel as (select f.c, k.new_id
+                    from freq f left join kept k using (tok))
+            select cast(count(new_id) as bigint) as vocab_size,
+                   cast(coalesce(sum(c), 0) as bigint) as n_tokens,
+                   cast(coalesce(sum(case when new_id is not null
+                                          then c end), 0) as bigint)
+                     as n_covered,
+                   cast(coalesce(sum(case when new_id is not null
+                                          then c end), 0) as double)
+                     / cast(coalesce(sum(c), 0) as double)
+                     as coverage_frac
+            from sel
+        """,
         "hash_tokenize_docs": f"""
             with {_SQL_TOK}
             select doc_id, array_to_string(tokens, ' ') as tokens_str,
