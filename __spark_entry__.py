@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-186 queries, 186 with exact DuckDB oracles — relational SQL where expressible,
+187 queries, 187 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3068,6 +3068,16 @@ def _q_vocab_remap(spark, sf_dir):
         .alias("remap_str"))
 
 
+def _q_token_spans(spark, sf_dir):
+    """Cross-document duplicated TOKEN spans (Lee et al. 2022 substring
+    dedup over the pre-tokenized input shape): maximal token-coordinate
+    spans covered by 8-grams occurring in >= 2 distinct docs."""
+    from msi_preprocessing_pipeline_spark.operators.dedup import (
+        duplicate_token_spans)
+
+    return duplicate_token_spans(_tokenized_docs(spark, sf_dir), n=8)
+
+
 def _q_vocab_coverage(spark, sf_dir):
     """One-row corpus coverage summary for the pruned vocabulary —
     exact integer cells plus ONE IEEE division (the
@@ -3208,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corrupt_docs": _q_span_corrupt,
         "vocab_remap_docs": _q_vocab_remap,
         "vocab_coverage_docs": _q_vocab_coverage,
+        "token_spans_docs": _q_token_spans,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5087,6 +5098,41 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    coalesce(a.n_unk, 0) as n_unk,
                    coalesce(a.remap_str, '') as remap_str
             from tok t left join agg a using (doc_id)
+        """,
+        "token_spans_docs": f"""
+            with {_SQL_TOK},
+            g as (
+                select doc_id, cast(i - 1 as bigint) as pos,
+                       cast(least(i + 6, len(tokens) - 1) as bigint)
+                           as end_pos,
+                       array_to_string(tokens[i : i + 7], ' ') as gram
+                from tok, unnest(generate_series(
+                    1, greatest(len(tokens) - 7, 1))) as t(i)
+                where len(tokens) >= 8
+            ), dup as (
+                select gram from g
+                group by gram having count(distinct doc_id) >= 2
+            ), hits as (
+                select doc_id, pos, end_pos from g
+                where gram in (select gram from dup)
+            ), m as (
+                select doc_id, pos, end_pos,
+                       max(end_pos) over (partition by doc_id order by pos
+                                          rows between unbounded preceding
+                                          and 1 preceding) as pmax
+                from hits
+            ), grp as (
+                select doc_id, pos, end_pos,
+                       sum(case when pmax is null or pos > pmax + 1
+                                then 1 else 0 end)
+                         over (partition by doc_id order by pos
+                               rows between unbounded preceding
+                               and current row) as grp_id
+                from m
+            )
+            select doc_id, min(pos) as span_start, max(end_pos) as span_end,
+                   max(end_pos) - min(pos) + 1 as span_words
+            from grp group by doc_id, grp_id
         """,
         "vocab_coverage_docs": f"""
             with {_SQL_TOK},
