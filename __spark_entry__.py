@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-187 queries, 187 with exact DuckDB oracles — relational SQL where expressible,
+188 queries, 188 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3078,6 +3078,25 @@ def _q_token_spans(spark, sf_dir):
     return duplicate_token_spans(_tokenized_docs(spark, sf_dir), n=8)
 
 
+def _q_pack_segments(spark, sf_dir):
+    """Concat-and-chunk packing WITH the trainer-facing block-diagonal
+    attention arrays: per packed 64-token window, the per-token source
+    ordinal (segment_ids) and in-document position (position_ids,
+    resuming across straddled windows)."""
+    from msi_preprocessing_pipeline_spark.operators.packing import (
+        pack_with_segments)
+
+    out = pack_with_segments(_tokenized_docs(spark, sf_dir), budget=64)
+    return out.select(
+        "bucket", "seq_no", "n_tok", "n_segments",
+        F.concat_ws(" ", F.col("tokens").cast("array<string>"))
+        .alias("tokens_str"),
+        F.concat_ws(" ", F.col("segment_ids").cast("array<string>"))
+        .alias("seg_str"),
+        F.concat_ws(" ", F.col("position_ids").cast("array<string>"))
+        .alias("pos_str"))
+
+
 def _q_vocab_coverage(spark, sf_dir):
     """One-row corpus coverage summary for the pruned vocabulary —
     exact integer cells plus ONE IEEE division (the
@@ -3219,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_remap_docs": _q_vocab_remap,
         "vocab_coverage_docs": _q_vocab_coverage,
         "token_spans_docs": _q_token_spans,
+        "pack_segments_docs": _q_pack_segments,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5133,6 +5153,68 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             select doc_id, min(pos) as span_start, max(end_pos) as span_end,
                    max(end_pos) - min(pos) + 1 as span_words
             from grp group by doc_id, grp_id
+        """,
+        "pack_segments_docs": f"""
+            with {_SQL_TOK},
+            d as (
+                select doc_id, tokens,
+                       substr(md5(cast(doc_id as varchar)), 1, 2)
+                           as bucket,
+                       cast(len(tokens) as bigint) as n_tok
+                from tok
+            ), a as (
+                select *,
+                       sum(n_tok) over (partition by bucket
+                                        order by doc_id
+                                        rows between unbounded preceding
+                                        and current row) - n_tok as so
+                from d
+            ), b as (
+                select doc_id, tokens, bucket, n_tok,
+                       cast(so as bigint) as so,
+                       cast(so // 64 as bigint) as first_seq,
+                       cast((so + greatest(n_tok, 1) - 1) // 64
+                            as bigint) as last_seq
+                from a
+            ), frag as (
+                select bucket, seq_no,
+                       greatest(seq_no * 64, so) as pos,
+                       greatest(seq_no * 64, so) - so as loc,
+                       tokens[(greatest(seq_no * 64, so) - so + 1)
+                              : (least((seq_no + 1) * 64, so + n_tok)
+                                 - so)] as frag
+                from b, unnest(generate_series(first_seq, last_seq))
+                     as s(seq_no)
+            ), ord as (
+                select bucket, seq_no, pos, loc, frag,
+                       row_number() over (partition by bucket, seq_no
+                                          order by pos) as segid
+                from frag where len(frag) > 0
+            ), tokrow as (
+                select bucket, seq_no, pos, segid,
+                       loc + j - 1 as posid, frag[j] as t, j
+                from ord, unnest(generate_series(1, len(frag))) as u(j)
+            ), agg as (
+                select bucket, seq_no,
+                       cast(count(*) as bigint) as n_tok,
+                       cast(max(segid) as bigint) as n_segments,
+                       string_agg(cast(t as varchar), ' '
+                                  order by pos, j) as tokens_str,
+                       string_agg(cast(segid as varchar), ' '
+                                  order by pos, j) as seg_str,
+                       string_agg(cast(posid as varchar), ' '
+                                  order by pos, j) as pos_str
+                from tokrow group by 1, 2
+            ), winrows as (
+                select distinct bucket, seq_no from frag
+            )
+            select w.bucket, w.seq_no,
+                   coalesce(a.n_tok, 0) as n_tok,
+                   coalesce(a.n_segments, 0) as n_segments,
+                   coalesce(a.tokens_str, '') as tokens_str,
+                   coalesce(a.seg_str, '') as seg_str,
+                   coalesce(a.pos_str, '') as pos_str
+            from winrows w left join agg a using (bucket, seq_no)
         """,
         "vocab_coverage_docs": f"""
             with {_SQL_TOK},

@@ -184,3 +184,66 @@ def packing_stats(df: DataFrame, budget: int, id_col: str = "doc_id",
         F.when(F.col("n_docs") > 0,
                F.col("__kept_all").cast("double")
                / (nd * F.lit(float(budget)))).alias("naive_efficiency"))
+
+
+def pack_with_segments(df: DataFrame, budget: int, id_col: str = "doc_id",
+                       tokens_col: str = "tokens",
+                       len_col: str = "n_tok") -> DataFrame:
+    """:func:`pack_token_sequences` plus the two arrays a trainer needs
+    to keep cross-document attention OFF inside a packed window:
+
+    * ``segment_ids`` — for every packed token, the 1-based ordinal of
+      its source document WITHIN the window (block-diagonal attention
+      mask key);
+    * ``position_ids`` — its 0-based position within its source
+      document (rotary/absolute positions restart at every doc
+      boundary, including for fragments of a straddling doc, whose
+      continuation window resumes at the fragment's in-doc offset).
+
+    Output: ``(bucket, seq_no, tokens, segment_ids, position_ids,
+    n_tok, n_segments)`` — ``n_segments`` counts docs contributing >= 1
+    token (empty docs occupy layout space but get no segment ordinal).
+
+    Plan shape: identical to :func:`pack_token_sequences` — ONE shuffle
+    on the 256-lane layout bucket for the cumsum, one explode into
+    per-window fragments, one groupBy reassembly; the two extra arrays
+    are pure JVM higher-order expressions over the sorted fragment
+    structs (no Python, no extra Exchange).
+    """
+    asg = _with_assignments(df, budget, id_col, len_col) \
+        .withColumn("n_tok", F.col(len_col).cast("long"))
+    seqs = F.sequence(F.col("first_seq"), F.col("last_seq"))
+    frag = asg.select(
+        "bucket", F.col(id_col), "start_offset", "n_tok", tokens_col,
+        F.explode(seqs).alias("seq_no"))
+    frag_start = F.greatest(F.col("seq_no") * budget, F.col("start_offset"))
+    frag_end = F.least((F.col("seq_no") + 1) * F.lit(budget),
+                       F.col("start_offset") + F.col("n_tok"))
+    frag = frag.select(
+        "bucket", "seq_no",
+        frag_start.alias("pos"),
+        (frag_start - F.col("start_offset")).alias("loc"),
+        F.slice(tokens_col,
+                (frag_start - F.col("start_offset") + 1).cast("int"),
+                (frag_end - frag_start).cast("int")).alias("frag"))
+    out = (frag.groupBy("bucket", "seq_no")
+           .agg(F.array_sort(F.collect_list(
+               F.struct(F.col("pos"), F.col("loc"), F.col("frag"))))
+               .alias("__sorted")))
+    # fragments sort by global stream position (pos is unique within a
+    # window); zero-token fragments (empty docs) are layout-only
+    ne = F.filter(F.col("__sorted"), lambda s: F.size(s["frag"]) > 0)
+    return out.select(
+        "bucket", "seq_no",
+        F.flatten(F.transform(ne, lambda s: s["frag"])).alias("tokens"),
+        F.flatten(F.transform(
+            ne, lambda s, i: F.array_repeat((i + 1).cast("int"),
+                                            F.size(s["frag"]))))
+        .alias("segment_ids"),
+        F.flatten(F.transform(
+            ne, lambda s: F.transform(
+                s["frag"], lambda _t, j: (s["loc"] + j).cast("int"))))
+        .alias("position_ids"),
+        F.size(F.flatten(F.transform(ne, lambda s: s["frag"])))
+        .cast("long").alias("n_tok"),
+        F.size(ne).cast("long").alias("n_segments"))
