@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-188 queries, 188 with exact DuckDB oracles — relational SQL where expressible,
+189 queries, 189 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3097,6 +3097,23 @@ def _q_pack_segments(spark, sf_dir):
         .alias("pos_str"))
 
 
+def _q_preference_pairs(spark, sf_dir):
+    """DPO/reward-model preference-pair construction: per source, the 4
+    longest docs (by exact token count) paired against the 4 shortest
+    with margin >= 8 — bounded k² fan-out, all-integer contract."""
+    from msi_preprocessing_pipeline_spark.operators.ranking import (
+        preference_pairs)
+
+    tok = _tokenized_docs(spark, sf_dir)
+    out = preference_pairs(tok, "source", "doc_id", "n_tok", k=4,
+                           min_margin=8)
+    return out.select(
+        "source", "chosen_id", "rejected_id",
+        F.col("chosen_score").cast("long").alias("chosen_score"),
+        F.col("rejected_score").cast("long").alias("rejected_score"),
+        F.col("margin").cast("long").alias("margin"))
+
+
 def _q_vocab_coverage(spark, sf_dir):
     """One-row corpus coverage summary for the pruned vocabulary —
     exact integer cells plus ONE IEEE division (the
@@ -3239,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_docs": _q_vocab_coverage,
         "token_spans_docs": _q_token_spans,
         "pack_segments_docs": _q_pack_segments,
+        "preference_pairs_docs": _q_preference_pairs,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5215,6 +5233,30 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    coalesce(a.seg_str, '') as seg_str,
                    coalesce(a.pos_str, '') as pos_str
             from winrows w left join agg a using (bucket, seq_no)
+        """,
+        "preference_pairs_docs": f"""
+            with {_SQL_TOK},
+            d as (select doc_id, source,
+                         cast(len(tokens) as bigint) as n_tok
+                  from tok),
+            ranked as (
+                select source, doc_id, n_tok,
+                       row_number() over (partition by source
+                                          order by n_tok desc,
+                                                   doc_id asc) as rt,
+                       row_number() over (partition by source
+                                          order by n_tok asc,
+                                                   doc_id desc) as rb
+                from d
+            )
+            select t.source, t.doc_id as chosen_id,
+                   b.doc_id as rejected_id,
+                   t.n_tok as chosen_score, b.n_tok as rejected_score,
+                   t.n_tok - b.n_tok as margin
+            from ranked t join ranked b using (source)
+            where t.rt <= 4 and b.rb <= 4
+              and t.doc_id != b.doc_id
+              and t.n_tok - b.n_tok >= 8
         """,
         "vocab_coverage_docs": f"""
             with {_SQL_TOK},

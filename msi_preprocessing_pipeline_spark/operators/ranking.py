@@ -118,3 +118,58 @@ def bradley_terry(contests: DataFrame, winner_col: str = "winner",
                 and k + 1 < iters:
             s = s.localCheckpoint()
     return s
+
+
+def preference_pairs(df: DataFrame, group_col: str, id_col: str,
+                     score_col: str, k: int = 4,
+                     min_margin: int = 1) -> DataFrame:
+    """Construct (chosen, rejected) preference pairs — the DPO / reward-
+    model training shape — from scored items within each group: the
+    group's ``k`` best items paired against its ``k`` worst, keeping
+    pairs whose score margin is at least ``min_margin``.
+
+    Order is total and engine-exact: rank by ``(score desc, id asc)``
+    for the chosen side and ``(score asc, id desc)`` for the rejected
+    side, so an item can appear on both sides only when the group has
+    fewer than ``2k`` items — such degenerate self-or-crossing pairs
+    are removed by requiring ``chosen_rank + rejected_rank`` to address
+    DISTINCT items (chosen != rejected) plus the margin filter.
+
+    Output: ``(group, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin)`` with ``margin = chosen - rejected``.
+
+    Scale shape: two per-group window ranks (ONE shuffle on the group
+    key — both windows share it) cut the relation to <= k rows per
+    group per side, then one group-key equi-join fans out <= k² pairs
+    per group — bounded, no cross join, no skew beyond 2k rows per
+    group.  Scores should be exact integers (the repo-wide determinism
+    contract); margins then hash-pin across engines.
+    """
+    from pyspark.sql import Window
+
+    g, i, s = F.col(group_col), F.col(id_col), F.col(score_col)
+    base = df.where(s.isNotNull()).select(
+        g.alias("grp"), i.alias("item"), s.alias("score"))
+    w_top = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("item").asc())
+    w_bot = Window.partitionBy("grp").orderBy(
+        F.col("score").asc(), F.col("item").desc())
+    ranked = base.select(
+        "grp", "item", "score",
+        F.row_number().over(w_top).alias("__rt"),
+        F.row_number().over(w_bot).alias("__rb"))
+    top = ranked.where(F.col("__rt") <= k).select(
+        "grp", F.col("item").alias("chosen_id"),
+        F.col("score").alias("chosen_score"))
+    bot = ranked.where(F.col("__rb") <= k).select(
+        "grp", F.col("item").alias("rejected_id"),
+        F.col("score").alias("rejected_score"))
+    return (top.join(bot, "grp")
+            .where((F.col("chosen_id") != F.col("rejected_id"))
+                   & (F.col("chosen_score") - F.col("rejected_score")
+                      >= F.lit(min_margin)))
+            .select(F.col("grp").alias(group_col),
+                    "chosen_id", "rejected_id",
+                    "chosen_score", "rejected_score",
+                    (F.col("chosen_score") - F.col("rejected_score"))
+                    .alias("margin")))
