@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-189 queries, 189 with exact DuckDB oracles — relational SQL where expressible,
+190 queries, 190 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3114,6 +3114,19 @@ def _q_preference_pairs(spark, sf_dir):
         F.col("margin").cast("long").alias("margin"))
 
 
+def _q_curriculum_keys(spark, sf_dir):
+    """Curriculum sort keys over the tokenized corpus: exact-quantile
+    length buckets + md5 intra-bucket shuffle key (keys, not a global
+    ordinal — the zorder_key precedent; materialization is a
+    distributed range sort)."""
+    from msi_preprocessing_pipeline_spark.operators.curriculum import (
+        curriculum_keys)
+
+    tok = _tokenized_docs(spark, sf_dir)
+    out = curriculum_keys(tok, "n_tok", n_buckets=4)
+    return out.select("doc_id", "cur_bucket", "cur_key")
+
+
 def _q_vocab_coverage(spark, sf_dir):
     """One-row corpus coverage summary for the pruned vocabulary —
     exact integer cells plus ONE IEEE division (the
@@ -3257,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_spans_docs": _q_token_spans,
         "pack_segments_docs": _q_pack_segments,
         "preference_pairs_docs": _q_preference_pairs,
+        "curriculum_keys_docs": _q_curriculum_keys,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5257,6 +5271,25 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             where t.rt <= 4 and b.rb <= 4
               and t.doc_id != b.doc_id
               and t.n_tok - b.n_tok >= 8
+        """,
+        "curriculum_keys_docs": f"""
+            with {_SQL_TOK},
+            d as (select doc_id,
+                         cast(len(tokens) as bigint) as n_tok
+                  from tok),
+            e as (select quantile_cont(n_tok, 0.25) as q1,
+                         quantile_cont(n_tok, 0.50) as q2,
+                         quantile_cont(n_tok, 0.75) as q3
+                  from d)
+            select doc_id,
+                   cast((case when n_tok >= q1 then 1 else 0 end)
+                      + (case when n_tok >= q2 then 1 else 0 end)
+                      + (case when n_tok >= q3 then 1 else 0 end)
+                        as int) as cur_bucket,
+                   cast(cast(('0x' || substr(md5(
+                            cast(doc_id as varchar) || ':cur:7'), 1, 8))
+                        as bigint) % 1073741824 as bigint) as cur_key
+            from d, e
         """,
         "vocab_coverage_docs": f"""
             with {_SQL_TOK},
