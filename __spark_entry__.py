@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-190 queries, 190 with exact DuckDB oracles — relational SQL where expressible,
+191 queries, 191 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3127,6 +3127,19 @@ def _q_curriculum_keys(spark, sf_dir):
     return out.select("doc_id", "cur_bucket", "cur_key")
 
 
+def _q_loss_mask(spark, sf_dir):
+    """Instruction-tuning loss mask split at the first occurrence of
+    token 7 — map-only indexed transform, all-integer contract."""
+    from msi_preprocessing_pipeline_spark.operators.augment import (
+        loss_mask)
+
+    out = loss_mask(_tokenized_docs(spark, sf_dir), sep_id=7)
+    return out.select(
+        "doc_id", "n_prompt", "n_target",
+        F.concat_ws(" ", F.col("mask").cast("array<string>"))
+        .alias("mask_str"))
+
+
 def _q_vocab_coverage(spark, sf_dir):
     """One-row corpus coverage summary for the pruned vocabulary —
     exact integer cells plus ONE IEEE division (the
@@ -3271,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_segments_docs": _q_pack_segments,
         "preference_pairs_docs": _q_preference_pairs,
         "curriculum_keys_docs": _q_curriculum_keys,
+        "loss_mask_docs": _q_loss_mask,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5290,6 +5304,25 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                             cast(doc_id as varchar) || ':cur:7'), 1, 8))
                         as bigint) % 1073741824 as bigint) as cur_key
             from d, e
+        """,
+        "loss_mask_docs": f"""
+            with {_SQL_TOK},
+            p as (select doc_id, tokens,
+                         coalesce(list_position(tokens, 7), 0) as p
+                  from tok),
+            m as (select doc_id,
+                         case when i <= p then 0 else 1 end as b, i
+                  from p, unnest(generate_series(1, len(tokens)))
+                       as u(i)),
+            agg as (select doc_id,
+                           string_agg(cast(b as varchar), ' '
+                                      order by i) as mask_str
+                    from m group by doc_id)
+            select p.doc_id,
+                   cast(p.p as bigint) as n_prompt,
+                   cast(len(p.tokens) - p.p as bigint) as n_target,
+                   coalesce(a.mask_str, '') as mask_str
+            from p left join agg a using (doc_id)
         """,
         "vocab_coverage_docs": f"""
             with {_SQL_TOK},

@@ -286,3 +286,32 @@ def fim_sql(tok_cte: str, vocab_size: int = 4096, rate_pct: int = 50,
             from parts
         )
     """
+
+
+def loss_mask(df: DataFrame, sep_id: int, tokens_col: str = "tokens",
+              out_col: str = "mask") -> DataFrame:
+    """Instruction-tuning loss mask: tokens up to and INCLUDING the
+    first ``sep_id`` occurrence are prompt (mask 0 — no loss), the rest
+    are completion (mask 1).  Documents without the separator train on
+    every token (pure pretraining rows mix freely with instruction
+    rows), so ``n_prompt = 0`` there; null arrays stay null with zero
+    counts.
+
+    Appends ``(out_col array<int>, n_prompt long, n_target long)``.
+
+    Scale shape: pure map-only JVM — one ``array_position`` + one
+    indexed ``transform`` per row, no Exchange, no Python; Catalyst
+    pipelines it into the scan like the FIM/span-corruption transforms
+    above.
+    """
+    toks = F.col(tokens_col)
+    p = F.array_position(toks, F.lit(int(sep_id)))  # 0 when absent
+    mask = F.transform(
+        toks, lambda _t, i: F.when(i + 1 <= p, 0).otherwise(1)
+        .cast("int"))
+    return (df.withColumn(out_col, mask)
+            .withColumn("n_prompt",
+                        F.coalesce(p, F.lit(0)).cast("long"))
+            .withColumn(
+                "n_target",
+                F.coalesce(F.size(toks) - p, F.lit(0)).cast("long")))
