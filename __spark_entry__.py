@@ -3152,6 +3152,23 @@ def _q_vocab_coverage(spark, sf_dir):
                                            max_vocab=24))
 
 
+def _q_temperature_mixture(spark, sf_dir):
+    """Temperature (T=2) mixture weights + exact Hamilton document
+    allocation over the tokenized corpus — sqrt is correctly rounded
+    in every IEEE engine, so the quantized sampling mass is the same
+    exact int64 everywhere; budget 137 is not divisible by the source
+    masses so largest-remainder +1s occur (vacuity-checked)."""
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        temperature_mixture_plan)
+
+    tok = _tokenized_docs(spark, sf_dir)
+    out = temperature_mixture_plan(tok, budget_docs=137,
+                                   group_col="source",
+                                   tokens_col="n_tok")
+    return out.select("group", "n_docs", "n_tokens", "q_temp",
+                      _uq("weight").alias("weight_u"), "alloc_docs")
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3285,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs_docs": _q_preference_pairs,
         "curriculum_keys_docs": _q_curriculum_keys,
         "loss_mask_docs": _q_loss_mask,
+        "temperature_mixture_sources": _q_temperature_mixture,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5304,6 +5322,49 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                             cast(doc_id as varchar) || ':cur:7'), 1, 8))
                         as bigint) % 1073741824 as bigint) as cur_key
             from d, e
+        """,
+        "temperature_mixture_sources": f"""
+            with {_SQL_TOK},
+            g as (
+                select source as "group", count(*) as n_docs,
+                       cast(sum(len(tokens)) as bigint) as n_tokens
+                from tok group by 1
+            ), q as (
+                select *,
+                       cast(floor(sqrt(cast(n_tokens as double))
+                                  * 1000000.0 + 0.5) as bigint) as q_temp
+                from g
+            ), t as (
+                select *,
+                       cast(sum(cast(q_temp as hugeint)) over ()
+                            as hugeint) as qq
+                from q
+            ), b as (
+                select *,
+                       case when qq > 0 then cast(
+                            (cast(q_temp as hugeint) * 137) // qq
+                            as bigint) else 0 end as base,
+                       case when qq > 0 then
+                            (cast(q_temp as hugeint) * 137) % qq
+                            else cast(0 as hugeint) end as rem
+                from t
+            ), r as (
+                select *,
+                       cast(row_number() over (
+                            order by rem desc, "group" asc)
+                            as bigint) as rk,
+                       cast(sum(base) over () as bigint) as sum_base
+                from b
+            )
+            select "group", n_docs, n_tokens, q_temp,
+                   case when qq > 0 then cast(floor(
+                        cast(q_temp as double) / cast(qq as double)
+                        * 1000000.0 + 0.5) as bigint) end as weight_u,
+                   cast(case when qq > 0 then base
+                             + (case when rk <= 137 - sum_base
+                                then 1 else 0 end)
+                        else 0 end as bigint) as alloc_docs
+            from r
         """,
         "loss_mask_docs": f"""
             with {_SQL_TOK},

@@ -354,3 +354,78 @@ def unimax_plan(df: DataFrame, budget_tokens: int,
     return out.withColumn(
         "epochs_u",
         F.when(avail > 0, quantize(F.col("tokens_alloc") / avail, 6)))
+
+
+def temperature_mixture_plan(df: DataFrame, budget_docs: int,
+                             group_col: str = "source",
+                             tokens_col: str = "n_tok",
+                             scale: int = 1_000_000) -> DataFrame:
+    """Temperature-sampling mixture weights (T = 2) with an EXACT
+    integer document allocation: each source's sampling mass is
+    ``sqrt(n_tokens)`` — the standard temperature rebalance that lifts
+    low-resource sources (Conneau & Lample 2019 use ``p^(1/T)``; T = 2
+    is the square-root schedule) — and ``budget_docs`` is split across
+    sources by the Hamilton largest-remainder method, so the integer
+    allocations sum to the budget exactly.
+
+    Determinism contract: IEEE-754 ``sqrt`` is correctly rounded in
+    every engine, so ``q = floor(sqrt(n_tokens)·scale + 0.5)`` is the
+    same exact int64 everywhere (the zipf_fit quantization pattern;
+    general T would need ``pow``, whose 1-ulp engine drift is why this
+    operator pins T = 2).  Products ``budget·q`` run in decimal(38,0)
+    (they overflow int64 at corpus scale), quotas are integer
+    ``div``/``mod``, and remainder ties break by group asc —
+    partition- and engine-invariant end to end.  ``weight`` is one
+    IEEE division of the two exact ints ``q / Q``.
+
+    Output per source: ``(group, n_docs, n_tokens, q_temp, weight,
+    alloc_docs)`` with ``sum(alloc_docs) = budget_docs`` whenever any
+    source has tokens.
+
+    Scale shape: ONE map-side-combined corpus aggregation to a
+    |sources|-bounded relation; the quota math is a 1-row broadcast
+    crossJoin plus one window rank over |sources| rows.
+    """
+    from pyspark.sql import Window
+
+    if budget_docs < 0:
+        raise ValueError(f"budget_docs must be >= 0, got {budget_docs}")
+    dec = "decimal(38,0)"
+    g = (df.groupBy(F.col(group_col).alias("group"))
+         .agg(F.count("*").alias("n_docs"),
+              F.coalesce(F.sum(F.col(tokens_col).cast("long")),
+                         F.lit(0)).alias("n_tokens")))
+    q = F.floor(F.sqrt(F.col("n_tokens").cast("double"))
+                * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    g = g.withColumn("q_temp", q)
+    tot = g.agg(F.sum(F.col("q_temp").cast(dec)).alias("__Q"))
+    j = g.crossJoin(F.broadcast(tot))
+    # decimal `div`/`%`, never `/`: decimal division rounds, and the
+    # quota must be the exact floor for the remainders to sum right
+    base = F.when(F.col("__Q") > 0,
+                  F.expr(f"cast(cast(q_temp as {dec}) * "
+                         f"cast({int(budget_docs)} as {dec}) as {dec}) "
+                         f"div __Q")).otherwise(F.lit(0)).cast("long")
+    rem = F.when(F.col("__Q") > 0,
+                 F.expr(f"cast(cast(q_temp as {dec}) * "
+                        f"cast({int(budget_docs)} as {dec}) as {dec}) "
+                        f"% __Q").cast(dec)).otherwise(F.lit(0))
+    j = j.withColumn("__base", base).withColumn("__rem", rem)
+    sums = j.agg(F.sum("__base").alias("__sum_base"))
+    j = j.crossJoin(F.broadcast(sums))
+    w_rank = Window.orderBy(F.col("__rem").desc(), F.col("group").asc())
+    j = j.withColumn("__rk", F.row_number().over(w_rank))
+    leftover = F.lit(int(budget_docs)) - F.col("__sum_base")
+    # a zero-mass corpus allocates nothing — without the __Q guard the
+    # whole budget would leak out through the remainder ranks
+    alloc = F.when(
+        F.col("__Q") > 0,
+        F.col("__base")
+        + F.when(F.col("__rk") <= leftover, 1).otherwise(0)) \
+        .otherwise(F.lit(0))
+    weight = F.when(
+        F.col("__Q") > 0,
+        F.col("q_temp").cast("double") / F.col("__Q").cast("double"))
+    return j.select("group", "n_docs", "n_tokens", "q_temp",
+                    weight.alias("weight"),
+                    alloc.cast("long").alias("alloc_docs"))
