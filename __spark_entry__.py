@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-191 queries, 191 with exact DuckDB oracles — relational SQL where expressible,
+193 queries, 193 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3169,6 +3169,25 @@ def _q_temperature_mixture(spark, sf_dir):
                       _uq("weight").alias("weight_u"), "alloc_docs")
 
 
+def _q_mixture_draw(spark, sf_dir):
+    """Materialize the T=2 temperature mix: the Hamilton allocation
+    feeds take_per_group, which draws exactly alloc_docs[g] documents
+    per source by md5 rank — the full plan→draw composition is
+    engine- and partitioning-invariant, so it is exactly SQL-oracled
+    end to end."""
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        take_per_group, temperature_mixture_plan)
+
+    tok = _tokenized_docs(spark, sf_dir)
+    alloc = temperature_mixture_plan(tok, budget_docs=137,
+                                     group_col="source",
+                                     tokens_col="n_tok")
+    out = take_per_group(tok, alloc, key="doc_id", group_col="source",
+                         seed=0)
+    return out.select("doc_id", "source",
+                      F.col("n_tok").cast("long").alias("n_tok"))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3303,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_keys_docs": _q_curriculum_keys,
         "loss_mask_docs": _q_loss_mask,
         "temperature_mixture_sources": _q_temperature_mixture,
+        "mixture_draw_docs": _q_mixture_draw,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5365,6 +5385,58 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                                 then 1 else 0 end)
                         else 0 end as bigint) as alloc_docs
             from r
+        """,
+        "mixture_draw_docs": f"""
+            with {_SQL_TOK},
+            g as (
+                select source as "group", count(*) as n_docs,
+                       cast(sum(len(tokens)) as bigint) as n_tokens
+                from tok group by 1
+            ), q as (
+                select *,
+                       cast(floor(sqrt(cast(n_tokens as double))
+                                  * 1000000.0 + 0.5) as bigint) as q_temp
+                from g
+            ), t as (
+                select *,
+                       cast(sum(cast(q_temp as hugeint)) over ()
+                            as hugeint) as qq
+                from q
+            ), b as (
+                select *,
+                       case when qq > 0 then cast(
+                            (cast(q_temp as hugeint) * 137) // qq
+                            as bigint) else 0 end as base,
+                       case when qq > 0 then
+                            (cast(q_temp as hugeint) * 137) % qq
+                            else cast(0 as hugeint) end as rem
+                from t
+            ), r as (
+                select *,
+                       cast(row_number() over (
+                            order by rem desc, "group" asc)
+                            as bigint) as rk,
+                       cast(sum(base) over () as bigint) as sum_base
+                from b
+            ), a as (
+                select "group",
+                       cast(case when qq > 0 then base
+                                 + (case when rk <= 137 - sum_base
+                                    then 1 else 0 end)
+                            else 0 end as bigint) as alloc_docs
+                from r
+            ), d as (
+                select doc_id, source,
+                       cast(len(tokens) as bigint) as n_tok,
+                       row_number() over (
+                           partition by source
+                           order by md5(cast(doc_id as varchar) || ':0'),
+                                    doc_id) as drk
+                from tok
+            )
+            select d.doc_id, d.source, d.n_tok
+            from d join a on d.source = a."group"
+            where d.drk <= a.alloc_docs
         """,
         "loss_mask_docs": f"""
             with {_SQL_TOK},

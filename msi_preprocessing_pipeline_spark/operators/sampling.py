@@ -429,3 +429,47 @@ def temperature_mixture_plan(df: DataFrame, budget_docs: int,
     return j.select("group", "n_docs", "n_tokens", "q_temp",
                     weight.alias("weight"),
                     alloc.cast("long").alias("alloc_docs"))
+
+
+def take_per_group(df: DataFrame, alloc: DataFrame, key,
+                   group_col: str = "source",
+                   alloc_group_col: str = "group",
+                   n_col: str = "alloc_docs",
+                   seed: int = 0) -> DataFrame:
+    """Execute an allocation plan: keep exactly ``alloc[n_col]`` rows
+    from each group (fewer only if the group is smaller), drawn
+    deterministically by the md5 hex of ``(key, seed)`` — the
+    :func:`group_sample_k` draw with the constant ``k`` replaced by a
+    per-group quota relation, so e.g. :func:`temperature_mixture_plan`
+    output can be materialized into an actual training mix whose
+    composition is reproducible on any engine, partitioning, or
+    cluster size.
+
+    Groups absent from ``alloc`` contribute nothing (inner join);
+    a null/zero/negative quota likewise keeps no rows.
+
+    Scale shape: ``alloc`` is |groups|-bounded by construction (it is
+    an aggregation output), so the quota join is broadcast; the row
+    side costs ONE hash exchange on ``group_col`` + the per-group
+    rank window — identical to :func:`group_sample_k`, and a giant
+    group costs its sort, never memory.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.util import as_list
+
+    keys = as_list(key)
+    if len(keys) != 1:
+        raise ValueError(f"key must be a single column, got {keys}")
+    quota = F.broadcast(
+        alloc.select(F.col(alloc_group_col).alias("__g"),
+                     F.col(n_col).cast("long").alias("__n")))
+    h = F.md5(F.concat_ws(":", F.col(keys[0]).cast("string"),
+                          F.lit(str(seed))))
+    w = (Window.partitionBy(group_col)
+         .orderBy(h.asc_nulls_last(), F.col(keys[0]).asc_nulls_last()))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .join(quota, F.col(group_col).eqNullSafe(F.col("__g")),
+                  "inner")
+            .where(F.col("__rk") <= F.col("__n"))
+            .drop("__rk", "__g", "__n"))
