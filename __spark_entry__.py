@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-193 queries, 193 with exact DuckDB oracles — relational SQL where expressible,
+195 queries, 195 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3188,6 +3188,45 @@ def _q_mixture_draw(spark, sf_dir):
                       F.col("n_tok").cast("long").alias("n_tok"))
 
 
+def _fit_unigram_docs(spark, sf_dir):
+    """Shared unigram fit for the two unigram queries: hard-EM over the
+    documents word histogram (vocab 96 multi-char pieces + charset,
+    3 iterations, pieces ≤ 4 chars)."""
+    from msi_preprocessing_pipeline_spark.operators.bpe import (
+        word_frequencies)
+    from msi_preprocessing_pipeline_spark.operators.unigram import (
+        fit_unigram)
+
+    docs = _t(spark, sf_dir, "documents")
+    return fit_unigram(word_frequencies(docs), vocab_size=96,
+                       n_iters=3, max_piece_len=4, max_seed=1024)
+
+
+def _q_unigram_fit(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) vocabulary fit by distributed
+    hard EM — exact integer piece counts (partition-invariant,
+    pytest-pinned), numpy-quantized micro-log scores; iterative +
+    Viterbi → golden-pinned (the kmeans/dsir precedent)."""
+    pieces = _fit_unigram_docs(spark, sf_dir)
+    return spark.createDataFrame(
+        pieces, "piece string, piece_id int, count long, score_u long")
+
+
+def _q_unigram_tokenize(spark, sf_dir):
+    """Corpus tokenized with the fitted unigram vocabulary: ONE map-only
+    Arrow pass (zero exchanges on corpus rows), Viterbi per word,
+    unk id 0 for unseen characters."""
+    from msi_preprocessing_pipeline_spark.operators.unigram import (
+        unigram_tokenize)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_tokenize(docs, _fit_unigram_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"),
+        F.concat_ws(" ", F.col("tokens").cast("array<string>"))
+        .alias("tokens_str"))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3323,6 +3362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loss_mask_docs": _q_loss_mask,
         "temperature_mixture_sources": _q_temperature_mixture,
         "mixture_draw_docs": _q_mixture_draw,
+        "unigram_fit_docs": _q_unigram_fit,
+        "unigram_tokenize_docs": _q_unigram_tokenize,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,

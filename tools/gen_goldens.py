@@ -75,6 +75,12 @@ PIN = [
     # scores (pytest-pinned partition-invariant; pure-python mirror),
     # but the k-step greedy loop is iterative → golden, like kmeans
     ("mmr_rerank_vecs", True),
+    # unigram-LM tokenizer: hard-EM fit with exact integer piece counts
+    # and fixed tie orders is partitioning-invariant (pytest-pinned); the
+    # per-iteration numpy ln quantization has no ulp-stable SQL mirror
+    # (dsir precedent) and Viterbi DP is not SQL-expressible → golden
+    ("unigram_fit_docs", True),
+    ("unigram_tokenize_docs", True),
 ]
 
 DUCK_TYPES = {
