@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-195 queries, 195 with exact DuckDB oracles — relational SQL where expressible,
+197 queries, 197 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3227,6 +3227,32 @@ def _q_unigram_tokenize(spark, sf_dir):
         .alias("tokens_str"))
 
 
+def _q_shard_plan(spark, sf_dir):
+    """Snake/boustrophedon size-balanced shard assignment over the
+    tokenized corpus — distributed global rank (range sort + offset
+    join, never a single-partition window), exact SQL oracle."""
+    from msi_preprocessing_pipeline_spark.operators.layout import (
+        plan_shards)
+
+    tok = _tokenized_docs(spark, sf_dir)
+    out = plan_shards(tok, n_shards=7, size_col="n_tok",
+                      id_col="doc_id")
+    return out.select("doc_id", "source",
+                      F.col("n_tok").cast("long").alias("n_tok"),
+                      "rank", "shard")
+
+
+def _q_shard_stats(spark, sf_dir):
+    """Per-shard balance readout of the 7-shard snake plan: exact
+    integer token totals + ONE micro-quantized IEEE imbalance ratio."""
+    from msi_preprocessing_pipeline_spark.operators.layout import (
+        shard_stats)
+
+    tok = _tokenized_docs(spark, sf_dir)
+    return shard_stats(tok, n_shards=7, size_col="n_tok",
+                       id_col="doc_id")
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3364,6 +3390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_draw_docs": _q_mixture_draw,
         "unigram_fit_docs": _q_unigram_fit,
         "unigram_tokenize_docs": _q_unigram_tokenize,
+        "shard_plan_docs": _q_shard_plan,
+        "shard_stats_docs": _q_shard_stats,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5426,6 +5454,59 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                                 then 1 else 0 end)
                         else 0 end as bigint) as alloc_docs
             from r
+        """,
+        "shard_plan_docs": f"""
+            with {_SQL_TOK},
+            d as (
+                select doc_id, source,
+                       cast(len(tokens) as bigint) as n_tok
+                from tok
+            ), r as (
+                select *,
+                       cast(row_number() over (
+                            order by n_tok desc, doc_id asc) - 1
+                            as bigint) as rank
+                from d
+            )
+            select doc_id, source, n_tok, rank,
+                   cast(case when (rank // 7) % 2 = 0 then rank % 7
+                             else 6 - (rank % 7) end as int) as shard
+            from r
+        """,
+        "shard_stats_docs": f"""
+            with {_SQL_TOK},
+            d as (
+                select doc_id,
+                       cast(len(tokens) as bigint) as n_tok
+                from tok
+            ), r as (
+                select *,
+                       cast(row_number() over (
+                            order by n_tok desc, doc_id asc) - 1
+                            as bigint) as rank
+                from d
+            ), s as (
+                select *,
+                       cast(case when (rank // 7) % 2 = 0 then rank % 7
+                                 else 6 - (rank % 7) end as int) as shard
+                from r
+            ), per as (
+                select shard, count(*) as n_docs,
+                       cast(sum(n_tok) as bigint) as tokens,
+                       cast(min(n_tok) as bigint) as min_doc,
+                       cast(max(n_tok) as bigint) as max_doc
+                from s group by 1
+            ), ext as (
+                select cast(max(tokens) as bigint) as mx,
+                       cast(min(tokens) as bigint) as mn
+                from per
+            )
+            select per.shard, per.n_docs, per.tokens, per.min_doc,
+                   per.max_doc,
+                   case when ext.mn > 0 then cast(floor(
+                        cast(ext.mx as double) / cast(ext.mn as double)
+                        * 1000000.0 + 0.5) as bigint) end as imbalance_u
+            from per cross join ext
         """,
         "mixture_draw_docs": f"""
             with {_SQL_TOK},
