@@ -3253,6 +3253,34 @@ def _q_shard_stats(spark, sf_dir):
                        id_col="doc_id")
 
 
+def _q_dedup_lines(spark, sf_dir):
+    """WITHIN-doc duplicate-line removal (map-only, zero shuffle): the
+    synthetic corpus is single-line, so each doc is expanded in-query
+    with a repeated body line and a repeated marker (the boilerplate
+    injection precedent) — every non-null doc drops exactly its two
+    later repeats, pinned through a cleaned-text md5."""
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        dedup_lines_in_doc)
+
+    docs = _t(spark, sf_dir, "documents")
+    inj = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit("-- page break --"),
+        F.concat(F.lit("footer for "), F.col("source")),
+        F.col("text"),
+        F.lit("-- page break --"),
+        F.lit("ad"))
+    docs = docs.withColumn(
+        "text", F.when(F.col("text").isNotNull(), inj))
+    out = dedup_lines_in_doc(docs, min_chars=5)
+    return out.select(
+        "doc_id", "source",
+        F.when(F.col("text").isNotNull(), F.md5("text"))
+        .alias("clean_md5"),
+        "n_lines_removed")
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3392,6 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokenize_docs": _q_unigram_tokenize,
         "shard_plan_docs": _q_shard_plan,
         "shard_stats_docs": _q_shard_stats,
+        "dedup_lines_docs": _q_dedup_lines,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5507,6 +5536,49 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         cast(ext.mx as double) / cast(ext.mn as double)
                         * 1000000.0 + 0.5) as bigint) end as imbalance_u
             from per cross join ext
+        """,
+        "dedup_lines_docs": """
+            with d as (
+                select doc_id, source,
+                       case when text is not null then
+                            text || chr(10) ||
+                            '-- page break --' || chr(10) ||
+                            'footer for ' || source || chr(10) ||
+                            text || chr(10) ||
+                            '-- page break --' || chr(10) ||
+                            'ad'
+                       end as text
+                from documents
+            ), s as (
+                select doc_id, source, text,
+                       string_split(text, chr(10)) as lines
+                from d
+            ), l as (
+                select doc_id, i, lines[i] as line
+                from s, unnest(generate_series(1, len(lines))) as u(i)
+            ), k as (
+                select doc_id, i, line,
+                       (length(line) < 5 or
+                        row_number() over (
+                            partition by doc_id, line order by i) = 1)
+                       as keep
+                from l
+            ), agg as (
+                select doc_id,
+                       coalesce(string_agg(line, chr(10) order by i)
+                                filter (where keep), '') as clean,
+                       cast(count(*) - sum(case when keep then 1
+                                           else 0 end) as bigint)
+                           as n_removed
+                from k group by doc_id
+            )
+            select s.doc_id, s.source,
+                   case when s.text is not null then md5(agg.clean) end
+                       as clean_md5,
+                   cast(case when s.text is null then 0
+                        else agg.n_removed end as bigint)
+                       as n_lines_removed
+            from s left join agg using (doc_id)
         """,
         "mixture_draw_docs": f"""
             with {_SQL_TOK},

@@ -270,7 +270,20 @@ def main() -> None:
                  "kn_score_docs", "dedup_paragraphs_docs",
                  "c4_filter_docs", "similar_docs_tfidf",
                  "bt_ratings_events", "kappa_langid_docs",
-                 "gram_novelty_docs", "k_center_vecs"]:
+                 "gram_novelty_docs", "k_center_vecs",
+                 # round-5 sessions 7-8 operators
+                 "gopher_quality_docs", "nfc_normalize_docs",
+                 "perplexity_buckets_docs", "fertility_sources",
+                 "unimax_plan_sources", "hard_negatives_vecs",
+                 "logreg_quality_docs", "retrieval_metrics_vecs",
+                 "mmr_rerank_vecs", "fim_transform_docs",
+                 "span_corrupt_docs", "vocab_remap_docs",
+                 "vocab_coverage_docs", "token_spans_docs",
+                 "pack_segments_docs", "preference_pairs_docs",
+                 "curriculum_keys_docs", "loss_mask_docs",
+                 "temperature_mixture_sources", "mixture_draw_docs",
+                 "unigram_fit_docs", "unigram_tokenize_docs",
+                 "shard_plan_docs", "shard_stats_docs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -529,6 +529,41 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                     .cast("long").alias("n_paragraphs_removed")))
 
 
+def dedup_lines_in_doc(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       min_chars: int = 5) -> DataFrame:
+    """WITHIN-document duplicate-line removal (the Dolma in-doc cleanup
+    that runs when cross-doc dedup is handled by a separate pass): each
+    line of at least ``min_chars`` characters keeps only its first
+    occurrence inside its own document; shorter lines (blanks,
+    separators) are always kept.  Same output contract as
+    :func:`dedup_paragraphs` (text rewritten + ``n_lines_removed``),
+    but scoped per document.
+
+    Scale shape — the reason this exists beside the corpus-global pass:
+    it is ONE map-only JVM projection (a positional ``filter`` lambda
+    over the split array), zero shuffles, zero Python — a pure
+    scan→project→write at 100 TB, where :func:`dedup_paragraphs` pays a
+    line-granularity exchange.  The prefix-membership test is O(L²) in
+    LINES PER DOCUMENT (array_position over the line prefix), bounded
+    by document structure, never by corpus size.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(x) < min_chars)
+        | (F.array_position(F.slice(lines, F.lit(1), i), x) == 0))
+    out_cols = [c for c in df.columns if c != text_col]
+    return df.select(
+        *out_cols,
+        F.when(t.isNull(), F.lit(None))
+        .otherwise(F.array_join(kept, "\n")).alias(text_col),
+        F.when(t.isNull(), F.lit(0))
+        .otherwise(F.size(lines) - F.size(kept))
+        .cast("long").alias("n_lines_removed"))
+
+
 C4_TERMINAL = (".", "!", "?", '"')
 
 

@@ -675,3 +675,62 @@ def test_bradley_terry_iteration_state_is_model_sized(spark):
     # twice, sym, wtab), printed twice by formatted mode
     assert "LocalTableScan" not in plan
     assert plan.count("Scan ExistingRDD") <= 8
+
+
+def test_temperature_mixture_windows_bounded_to_sources(spark):
+    """The mixture plan's only windows run over the |sources|-bounded
+    aggregate relation: exactly ONE corpus-side exchange (the source
+    groupBy), and every Window input is post-aggregation."""
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        temperature_mixture_plan)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .withColumn("n_tok", F.length("text"))
+    plan = plan_of(temperature_mixture_plan(docs, 100), "simple")
+    # corpus rows shuffle once (partial+final source agg); the remaining
+    # exchanges are SinglePartition moves of the sources relation
+    corpus_exchanges = [ln for ln in plan.splitlines()
+                        if "Exchange hashpartitioning" in ln]
+    assert len(corpus_exchanges) <= 2  # partial+final pair prints once each
+    assert "HashAggregate" in plan
+
+
+def test_unigram_tokenize_is_single_arrow_pass(spark):
+    """unigram_tokenize: zero exchanges on corpus rows, ONE Python node."""
+    from msi_preprocessing_pipeline_spark.operators.unigram import (
+        Piece, unigram_tokenize)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pieces = [Piece("a", 1, 10, -100), Piece("b", 2, 5, -200)]
+    plan = plan_of(unigram_tokenize(docs, pieces))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2  # tree + detail section
+
+
+def test_plan_shards_no_single_partition_window_on_rows(spark):
+    """plan_shards must rank via the per-partition window (partitioned by
+    the frozen spark_partition_id), never a global single-partition
+    window over corpus rows."""
+    from msi_preprocessing_pipeline_spark.operators.layout import (
+        plan_shards)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .withColumn("n_tok", F.length("text"))
+    plan = plan_of(plan_shards(docs, 5), "simple")
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines, "expected a Window node"
+    for ln in win_lines:
+        assert "__pid" in ln  # partitioned window, not global
+    # the offsets side broadcasts
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dedup_lines_in_doc_is_map_only(spark):
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        dedup_lines_in_doc)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(dedup_lines_in_doc(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Scan parquet") == 2
