@@ -806,7 +806,9 @@ def k_center_select(corpus: DataFrame, k: int = 8,
 def hard_negatives(corpus: DataFrame, k: int = 1, id_col: str = "vec_id",
                    label_col: str = "label", vec_col: str = "embedding",
                    scale: int = 6,
-                   candidates: DataFrame | None = None) -> DataFrame:
+                   candidates: DataFrame | None = None,
+                   strategy: str = "auto",
+                   broadcast_limit: int = 4_000_000) -> DataFrame:
     """Hard-negative mining for contrastive / embedding training: for
     every vector, the ``k`` most-cosine-similar vectors carrying a
     DIFFERENT label — the canonical "closest wrong answer" pairs fed to
@@ -820,12 +822,21 @@ def hard_negatives(corpus: DataFrame, k: int = 1, id_col: str = "vec_id",
     numpy; ties break by neighbor id.  Zero-norm vectors are excluded
     from BOTH sides (cosine undefined).
 
-    Plan shape: brute-force is one broadcast-nested-loop self-join
-    (O(n²) scoring — exact, the re-rank baseline) + ONE shuffle for the
-    per-anchor top-k window.  At 10^9+ vectors pass ``candidates`` —
-    an (id, neighbor) pair relation from ``lsh_topk``'s bucketer or
-    ``ivf`` probes — and only those pairs are scored (two hash joins
-    to fetch vectors, same contract).
+    Plan shape: brute-force (``strategy='arrow'``, the ``'auto'``
+    default when the quantized matrix fits ``broadcast_limit`` cells —
+    same bound class as the nested-loop broadcast it replaces) is ONE
+    Arrow pass: the n×d int64 matrix + labels broadcast by closure,
+    per-batch exact matmul (float64 BLAS — products and partial sums
+    of micro-quantized ints stay under 2^53, so every dot is the exact
+    integer; int64 matmul fallback up to 2^63), same-label masking,
+    and a per-row (cos_q desc, id asc) top-k — NO pair relation ever
+    materializes.  ``strategy='join'`` keeps the pure-JVM
+    broadcast-nested-loop + window formulation (the cross-engine
+    reference path, ~10× slower per pair through interpreted HOFs).
+    At 10^9+ vectors pass ``candidates`` — an (id, neighbor) pair
+    relation from ``lsh_topk``'s bucketer or ``ivf`` probes — and only
+    those pairs are scored (two hash joins to fetch vectors, same
+    contract).  All strategies emit bit-identical rows (pytest-pinned).
     """
     qv = _quantize_vecs(corpus, vec_col, scale)
     n2 = F.aggregate(F.transform(F.col("__q"), lambda x: x * x),
@@ -838,6 +849,14 @@ def hard_negatives(corpus: DataFrame, k: int = 1, id_col: str = "vec_id",
                      F.col(label_col).alias("neighbor_label"),
                      F.col("__q").alias("__qb"),
                      F.col("__n2").alias("__n2b"))
+    if candidates is None and strategy in ("auto", "arrow"):
+        out = _hard_negatives_arrow(base, k, id_col, label_col,
+                                    broadcast_limit,
+                                    fail_hard=(strategy == "arrow"))
+        if out is not None:
+            return out
+        # auto over the broadcast budget: fall through to the JVM
+        # nested-loop (its Spark-side broadcast enforces its own caps)
     if candidates is None:
         pairs = (base.crossJoin(F.broadcast(nb))
                  .where(F.col(label_col) != F.col("neighbor_label")))
@@ -861,3 +880,92 @@ def hard_negatives(corpus: DataFrame, k: int = 1, id_col: str = "vec_id",
             .where(F.col("rank") <= F.lit(k))
             .select(id_col, label_col, "neighbor_id", "neighbor_label",
                     "cos_q", "rank"))
+
+
+def _hard_negatives_arrow(base: DataFrame, k: int, id_col: str,
+                          label_col: str, broadcast_limit: int,
+                          fail_hard: bool):
+    """Brute-force hard negatives as ONE Arrow pass (see
+    :func:`hard_negatives`): the quantized matrix broadcasts by
+    closure; each batch of anchors scores against it with an EXACT
+    matmul and ranks (cos_q desc, id asc) locally.  Returns None when
+    the matrix exceeds ``broadcast_limit`` cells and ``fail_hard`` is
+    False (the caller falls back to the JVM nested-loop)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = base.select(id_col, label_col, "__q", "__n2").collect()
+    n = len(rows)
+    d = len(rows[0]["__q"]) if n else 0
+    if n * d > broadcast_limit:
+        if fail_hard:
+            raise ValueError(
+                f"hard_negatives(strategy='arrow'): {n}x{d} quantized "
+                f"matrix exceeds broadcast_limit={broadcast_limit}; "
+                "pass candidates= (ANN buckets) or raise the limit")
+        return None
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    labels = np.array([r[label_col] for r in rows])
+    q = np.array([r["__q"] for r in rows], dtype=np.int64) \
+        if n else np.zeros((0, 0), dtype=np.int64)
+    n2 = np.array([r["__n2"] for r in rows], dtype=np.int64)
+    max_abs = int(np.abs(q).max()) if n else 0
+    # every |product| <= max_abs^2 and every |partial sum| <= d*max_abs^2:
+    # under 2^53 all intermediates are exactly representable doubles, so
+    # BLAS float64 matmul returns the exact integer dot
+    exact_f64 = d * max_abs * max_abs < (1 << 53)
+    if not exact_f64 and d * max_abs * max_abs >= (1 << 62):
+        raise ValueError(
+            "hard_negatives: quantized components too large for an "
+            f"exact matmul (d*max|q|^2 = {d * max_abs * max_abs}); "
+            "lower scale=")
+    qt = (q.astype(np.float64).T if exact_f64 else q.T)
+    rt_n2 = np.sqrt(n2.astype(np.float64))
+
+    # SQL `label != neighbor_label` is null-rejecting on BOTH sides
+    notnull = np.array([lb is not None for lb in labels], dtype=bool)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_lab = pdf[label_col].to_numpy()
+            a_isnull = pdf[label_col].isna().to_numpy()
+            a_q = np.array(list(pdf["__q"]),
+                           dtype=qt.dtype).reshape(len(pdf), -1)
+            a_n2 = pdf["__n2"].to_numpy(dtype=np.int64)
+            dots = a_q @ qt
+            # identical IEEE op order to the JVM expression:
+            # dot/(sqrt*sqrt) then *1e9 then +0.5 then floor
+            cos = np.floor(
+                dots.astype(np.float64)
+                / (np.sqrt(a_n2.astype(np.float64))[:, None]
+                   * rt_n2[None, :])
+                * 1e9 + 0.5).astype(np.int64)
+            out = {id_col: [], label_col: [], "neighbor_id": [],
+                   "neighbor_label": [], "cos_q": [], "rank": []}
+            for i in range(len(a_ids)):
+                if a_isnull[i]:
+                    continue
+                valid = np.flatnonzero((labels != a_lab[i]) & notnull)
+                if valid.size == 0:
+                    continue
+                row = cos[i, valid]
+                order = valid[np.lexsort((ids[valid], -row))][:k]
+                for r_i, j in enumerate(order, 1):
+                    out[id_col].append(a_ids[i])
+                    out[label_col].append(a_lab[i])
+                    out["neighbor_id"].append(ids[j])
+                    out["neighbor_label"].append(labels[j])
+                    out["cos_q"].append(cos[i, j])
+                    out["rank"].append(r_i)
+            yield pd.DataFrame(out)
+
+    id_t = base.schema[id_col].dataType.simpleString()
+    lab_t = base.schema[label_col].dataType.simpleString()
+    schema = (f"{id_col} {id_t}, {label_col} {lab_t}, "
+              f"neighbor_id {id_t}, neighbor_label {lab_t}, "
+              "cos_q long, rank long")
+    return base.select(id_col, label_col, "__q", "__n2") \
+        .mapInPandas(run, schema=schema)

@@ -350,3 +350,33 @@ def test_logreg_rejects_nulls_and_bad_shapes(spark):
                                  ["f1", "f2"]).collect()}
     assert out[1.0] == (None, None)
     assert out[0.5] == (1.5, 1)
+
+
+def test_hard_negatives_arrow_join_strategies_identical(spark):
+    """The Arrow matmul path and the JVM nested-loop path must emit
+    bit-identical rows (exact-int cos_q, same tie-breaks)."""
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        hard_negatives)
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet") \
+        .where(F.col("vec_id") < 120)
+    a = sorted(map(tuple,
+                   hard_negatives(emb, k=3, strategy="arrow").collect()))
+    b = sorted(map(tuple,
+                   hard_negatives(emb, k=3, strategy="join").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_hard_negatives_arrow_limit_falls_back_or_raises(spark):
+    import pytest
+
+    from msi_preprocessing_pipeline_spark.operators.similarity import (
+        hard_negatives)
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet") \
+        .where(F.col("vec_id") < 30)
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        hard_negatives(emb, k=1, strategy="arrow", broadcast_limit=10)
+    # auto falls back to the join plan silently and stays correct
+    out = hard_negatives(emb, k=1, strategy="auto", broadcast_limit=10)
+    assert out.count() > 0
