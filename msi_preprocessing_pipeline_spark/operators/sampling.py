@@ -382,9 +382,14 @@ def temperature_mixture_plan(df: DataFrame, budget_docs: int,
     alloc_docs)`` with ``sum(alloc_docs) = budget_docs`` whenever any
     source has tokens.
 
-    Scale shape: ONE map-side-combined corpus aggregation to a
-    |sources|-bounded relation; the quota math is a 1-row broadcast
-    crossJoin plus one window rank over |sources| rows.
+    Scale shape: ONE corpus scan (map-side-combined source aggregation)
+    to a |sources|-bounded relation; ALL quota math — the mass total,
+    the floor quotas, the remainder rank, the leftover count — runs in
+    unpartitioned windows over that bounded relation (the bpe_vocab
+    precedent: a SinglePartition exchange of |sources| rows, never of
+    corpus rows).  The 1-row-aggregate crossJoin formulation would
+    re-derive the group relation per aggregate and re-scan the corpus
+    4× (caught by the plan pin).
     """
     from pyspark.sql import Window
 
@@ -398,8 +403,8 @@ def temperature_mixture_plan(df: DataFrame, budget_docs: int,
     q = F.floor(F.sqrt(F.col("n_tokens").cast("double"))
                 * F.lit(float(scale)) + F.lit(0.5)).cast("long")
     g = g.withColumn("q_temp", q)
-    tot = g.agg(F.sum(F.col("q_temp").cast(dec)).alias("__Q"))
-    j = g.crossJoin(F.broadcast(tot))
+    w_all = Window.partitionBy()  # |sources|-bounded by construction
+    j = g.withColumn("__Q", F.sum(F.col("q_temp").cast(dec)).over(w_all))
     # decimal `div`/`%`, never `/`: decimal division rounds, and the
     # quota must be the exact floor for the remainders to sum right
     base = F.when(F.col("__Q") > 0,
@@ -411,8 +416,7 @@ def temperature_mixture_plan(df: DataFrame, budget_docs: int,
                         f"cast({int(budget_docs)} as {dec}) as {dec}) "
                         f"% __Q").cast(dec)).otherwise(F.lit(0))
     j = j.withColumn("__base", base).withColumn("__rem", rem)
-    sums = j.agg(F.sum("__base").alias("__sum_base"))
-    j = j.crossJoin(F.broadcast(sums))
+    j = j.withColumn("__sum_base", F.sum("__base").over(w_all))
     w_rank = Window.orderBy(F.col("__rem").desc(), F.col("group").asc())
     j = j.withColumn("__rk", F.row_number().over(w_rank))
     leftover = F.lit(int(budget_docs)) - F.col("__sum_base")

@@ -555,13 +555,19 @@ def dedup_lines_in_doc(df: DataFrame, id_col: str = "doc_id",
         lambda x, i: (F.length(x) < min_chars)
         | (F.array_position(F.slice(lines, F.lit(1), i), x) == 0))
     out_cols = [c for c in df.columns if c != text_col]
-    return df.select(
-        *out_cols,
+    # two-step select: aliasing the rewritten text as ``text_col`` in the
+    # SAME select would let Spark's lateral-column-alias resolution bind
+    # the lambda-captured ``lines`` inside ``kept`` to the cleaned sibling
+    # column instead of the input (observed: correct text, wrong count)
+    tmp = df.select(
+        "*",
         F.when(t.isNull(), F.lit(None))
-        .otherwise(F.array_join(kept, "\n")).alias(text_col),
+        .otherwise(F.array_join(kept, "\n")).alias("__clean"),
         F.when(t.isNull(), F.lit(0))
         .otherwise(F.size(lines) - F.size(kept))
         .cast("long").alias("n_lines_removed"))
+    return tmp.select(*out_cols, F.col("__clean").alias(text_col),
+                      "n_lines_removed")
 
 
 C4_TERMINAL = (".", "!", "?", '"')

@@ -687,11 +687,13 @@ def test_temperature_mixture_windows_bounded_to_sources(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
         .withColumn("n_tok", F.length("text"))
     plan = plan_of(temperature_mixture_plan(docs, 100), "simple")
-    # corpus rows shuffle once (partial+final source agg); the remaining
-    # exchanges are SinglePartition moves of the sources relation
+    # ONE corpus scan (the crossJoin formulation re-scanned it 4x) and
+    # one corpus exchange (the source agg); remaining exchanges are
+    # SinglePartition moves of the |sources| relation
+    assert plan.count("FileScan parquet") == 1
     corpus_exchanges = [ln for ln in plan.splitlines()
                         if "Exchange hashpartitioning" in ln]
-    assert len(corpus_exchanges) <= 2  # partial+final pair prints once each
+    assert len(corpus_exchanges) == 1
     assert "HashAggregate" in plan
 
 
