@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-197 queries, 197 with exact DuckDB oracles — relational SQL where expressible,
+199 queries, 199 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3281,6 +3281,18 @@ def _q_dedup_lines(spark, sf_dir):
         "n_lines_removed")
 
 
+def _q_length_buckets(spark, sf_dir):
+    """Dynamic-batching plan over the tokenized corpus: exact pow2
+    buckets (binary-string-length trick — no float log2), md5-shuffled
+    deterministic batch formation — fully integer, exact SQL oracle."""
+    from msi_preprocessing_pipeline_spark.operators.packing import (
+        length_bucket_batches)
+
+    tok = _tokenized_docs(spark, sf_dir)
+    return length_bucket_batches(tok, batch_tokens=2048, min_bucket=16,
+                                 max_bucket=1024, seed=0)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3421,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan_docs": _q_shard_plan,
         "shard_stats_docs": _q_shard_stats,
         "dedup_lines_docs": _q_dedup_lines,
+        "length_buckets_docs": _q_length_buckets,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5579,6 +5592,35 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         else agg.n_removed end as bigint)
                        as n_lines_removed
             from s left join agg using (doc_id)
+        """,
+        "length_buckets_docs": f"""
+            with {_SQL_TOK},
+            d as (
+                select doc_id,
+                       cast(len(tokens) as bigint) as n_tok
+                from tok
+            ), b as (
+                select doc_id, n_tok,
+                       least(greatest(
+                           1 << cast(length(bin(greatest(n_tok, 2) - 1))
+                                     as int),
+                           16), 1024) as bucket
+                from d
+            ), r as (
+                select *,
+                       cast(row_number() over (
+                            partition by bucket
+                            order by md5(cast(doc_id as varchar) || ':0'),
+                                     doc_id) - 1 as bigint) as rk,
+                       cast(2048 // bucket as bigint) as dpb
+                from b
+            )
+            select doc_id, n_tok, cast(bucket as bigint) as bucket,
+                   cast(rk // dpb as bigint) as batch_in_bucket,
+                   cast(rk % dpb as bigint) as pos_in_batch,
+                   cast(bucket - least(n_tok, bucket) as bigint) as pad,
+                   n_tok > bucket as truncated
+            from r
         """,
         "mixture_draw_docs": f"""
             with {_SQL_TOK},

@@ -283,7 +283,8 @@ def main() -> None:
                  "curriculum_keys_docs", "loss_mask_docs",
                  "temperature_mixture_sources", "mixture_draw_docs",
                  "unigram_fit_docs", "unigram_tokenize_docs",
-                 "shard_plan_docs", "shard_stats_docs"]:
+                 "shard_plan_docs", "shard_stats_docs",
+                 "dedup_lines_docs", "length_buckets_docs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

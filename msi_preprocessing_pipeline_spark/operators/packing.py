@@ -247,3 +247,68 @@ def pack_with_segments(df: DataFrame, budget: int, id_col: str = "doc_id",
         F.size(F.flatten(F.transform(ne, lambda s: s["frag"])))
         .cast("long").alias("n_tok"),
         F.size(ne).cast("long").alias("n_segments"))
+
+
+def length_bucket_batches(df: DataFrame, batch_tokens: int,
+                          min_bucket: int = 16, max_bucket: int = 4096,
+                          id_col: str = "doc_id",
+                          len_col: str = "n_tok",
+                          seed: int = 0) -> DataFrame:
+    """Dynamic-batching plan (the fairseq / HF ``group_by_length``
+    recipe): each document pads to the smallest power-of-two bucket ≥
+    its length (floored at ``min_bucket``, capped at ``max_bucket`` —
+    longer docs flag ``truncated``), and each bucket's docs form
+    batches of ``batch_tokens // bucket`` rows in a deterministic
+    md5-shuffled order (the ``curriculum_keys`` draw), so batch shapes
+    are fixed per bucket and pad waste is bounded by <2× instead of
+    pad-to-global-max.
+
+    Exactness: the bucket is ``1 << length(bin(n-1))`` — the binary-
+    string-length trick, exact integer arithmetic in both engines
+    (``log2``-based rounding can misround at exact powers of two) —
+    and every derived column is integer, so the whole plan carries an
+    exact SQL oracle.  Output per doc: ``(id, n_tok, bucket,
+    batch_in_bucket, pos_in_batch, pad, truncated)``.
+
+    Scale shape: ONE hash exchange on the bucket key + a per-bucket
+    rank window — a giant bucket costs its sort, never memory; the
+    md5 draw makes the batch composition partition-, engine-, and
+    rerun-invariant.
+    """
+    if batch_tokens < max_bucket:
+        raise ValueError(
+            f"batch_tokens={batch_tokens} must be >= max_bucket="
+            f"{max_bucket} (the top bucket must fit one doc per batch)")
+    for name, v in (("min_bucket", min_bucket),
+                    ("max_bucket", max_bucket)):
+        if v < 1 or v & (v - 1):
+            raise ValueError(f"{name} must be a power of two, got {v}")
+    from pyspark.sql import Window
+
+    n = F.coalesce(F.col(len_col).cast("long"), F.lit(0))
+    raw = F.expr(
+        "shiftleft(cast(1 as bigint), "
+        "cast(length(bin(greatest(n_tok, 2) - 1)) as int))")
+    bucket = F.least(F.greatest(raw, F.lit(min_bucket).cast("long")),
+                     F.lit(max_bucket).cast("long"))
+    d = (df.select(F.col(id_col), n.alias("n_tok"))
+         .withColumn("bucket", bucket)
+         .withColumn("truncated", (F.col("n_tok") > F.col("bucket"))))
+    dpb = F.expr(f"cast({int(batch_tokens)} as bigint) div bucket")
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          F.lit(str(seed))))
+    w = Window.partitionBy("bucket").orderBy(h.asc(),
+                                             F.col(id_col).asc())
+    rk = F.row_number().over(w) - 1
+    return (d.withColumn("__rk", rk.cast("long"))
+            .withColumn("__dpb", dpb)
+            .select(
+                id_col, "n_tok", "bucket",
+                F.expr("__rk div __dpb").cast("long")
+                .alias("batch_in_bucket"),
+                (F.col("__rk") % F.col("__dpb")).cast("long")
+                .alias("pos_in_batch"),
+                (F.col("bucket")
+                 - F.least(F.col("n_tok"), F.col("bucket")))
+                .cast("long").alias("pad"),
+                "truncated"))
