@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-199 queries, 199 with exact DuckDB oracles — relational SQL where expressible,
+200 queries, 200 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3293,6 +3293,28 @@ def _q_length_buckets(spark, sf_dir):
                                  max_bucket=1024, seed=0)
 
 
+def _q_merge_into(spark, sf_dir):
+    """Delta-style MERGE INTO as one full-outer join + case projection:
+    source = in-query deterministic updates (custkey % 7 == 0, acctbal
+    +1000) ∪ inserts (shifted keys) — update+insert snapshot, exact
+    SQL oracle (source ∪ untouched-target identity)."""
+    from msi_preprocessing_pipeline_spark.operators.changelog import (
+        merge_into)
+
+    cust = _t(spark, sf_dir, "customer")
+    upd = (cust.where(F.col("c_custkey") % 7 == 0)
+           .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+           .withColumn("c_mktsegment", F.lit("UPDATED")))
+    ins = (cust.where(F.col("c_custkey") % 11 == 0)
+           .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+           .withColumn("c_name", F.concat(F.lit("new_"),
+                                          F.col("c_name"))))
+    out = merge_into(cust, upd.unionByName(ins), "c_custkey")
+    return out.select("c_custkey", "c_name", "c_nationkey",
+                      _uq("c_acctbal").alias("acctbal_u"),
+                      "c_mktsegment")
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3434,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats_docs": _q_shard_stats,
         "dedup_lines_docs": _q_dedup_lines,
         "length_buckets_docs": _q_length_buckets,
+        "merge_into_customers": _q_merge_into,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5592,6 +5615,30 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         else agg.n_removed end as bigint)
                        as n_lines_removed
             from s left join agg using (doc_id)
+        """,
+        "merge_into_customers": """
+            with src as (
+                select c_custkey, c_name, c_nationkey,
+                       c_acctbal + 1000.0 as c_acctbal,
+                       'UPDATED' as c_mktsegment
+                from customer where c_custkey % 7 = 0
+                union all
+                select c_custkey + 1000000, 'new_' || c_name,
+                       c_nationkey, c_acctbal, c_mktsegment
+                from customer where c_custkey % 11 = 0
+            )
+            select c_custkey, c_name, c_nationkey,
+                   cast(floor(c_acctbal * 1000000.0 + 0.5) as bigint)
+                       as acctbal_u,
+                   c_mktsegment
+            from src
+            union all
+            select c_custkey, c_name, c_nationkey,
+                   cast(floor(c_acctbal * 1000000.0 + 0.5) as bigint)
+                       as acctbal_u,
+                   c_mktsegment
+            from customer
+            where c_custkey not in (select c_custkey from src)
         """,
         "length_buckets_docs": f"""
             with {_SQL_TOK},

@@ -120,3 +120,70 @@ def scd2_intervals(df: DataFrame, key_cols, ts_col: str,
                     F.col(ts_col).alias("eff_from"),
                     F.lead(ts_col).over(w).alias("eff_to"))
             .withColumn("is_current", F.col("eff_to").isNull()))
+
+
+def merge_into(target: DataFrame, source: DataFrame,
+               key: Sequence[str] | str,
+               when_matched: str = "update",
+               when_not_matched: str = "insert") -> DataFrame:
+    """ANSI / Delta-style MERGE as a plain relational plan: the new
+    snapshot of ``target`` after applying ``source`` rows by key —
+    matched keys ``'update'`` (take the source row), ``'delete'``, or
+    ``'keep'`` (ignore the source); unmatched source keys ``'insert'``
+    or ``'skip'``.  ``source`` must carry every target column (minus
+    nothing) and AT MOST ONE row per key — like Delta/Iceberg MERGE,
+    a multi-match fails the job (enforced IN-PLAN with a window count
+    + ``raise_error``, so the guard costs no extra action and runs
+    vectorized on the source side only).
+
+    Scale shape: ONE full outer hash join on the key (each side
+    shuffles once; AQE broadcasts a dimension-sized source) + a
+    map-only case projection — exactly the join a lakehouse MERGE
+    compiles to, minus the file rewrite.  Deterministic: pure
+    relational semantics, no ordering dependence anywhere — exact SQL
+    oracle.
+
+    Cites reference parity: the reference pipeline overwrites whole
+    matrix targets per stage (`pipeline/_base.py` atomic write); MERGE
+    is the keyed-refresh generalization this engine's incremental /
+    CDC story (``apply_changelog``, ``refresh_group_agg``) composes
+    with.
+    """
+    if when_matched not in ("update", "delete", "keep"):
+        raise ValueError(f"when_matched must be update/delete/keep, "
+                         f"got {when_matched!r}")
+    if when_not_matched not in ("insert", "skip"):
+        raise ValueError(f"when_not_matched must be insert/skip, "
+                         f"got {when_not_matched!r}")
+    keys = as_list(key)
+    cols = target.columns
+    missing = [c for c in cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing target columns {missing}")
+    wc = Window.partitionBy(*keys)
+    # the guard wraps the __s marker column itself — a dropped side
+    # column would be pruned by the optimizer and never evaluate
+    guard = F.when(
+        F.count("*").over(wc) > 1,
+        F.raise_error(F.concat(
+            F.lit("merge_into: multiple source rows for key "),
+            F.concat_ws("|", *[F.col(k).cast("string") for k in keys])))
+    ).otherwise(F.lit(1))
+    s = source.select(*cols).select(
+        *[F.col(c).alias(f"__s_{c}") for c in cols],
+        guard.alias("__s"))
+    t = target.select(*cols, F.lit(1).alias("__t"))
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__s_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = t.join(s, cond, "full_outer")
+    matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+    t_only = F.col("__s").isNull()
+    s_only = F.col("__t").isNull()
+    keep = t_only | (matched & F.lit(when_matched != "delete")) | \
+        (s_only & F.lit(when_not_matched == "insert"))
+    pick_source = (matched & F.lit(when_matched == "update")) | s_only
+    out = [F.when(pick_source, F.col(f"__s_{c}"))
+           .otherwise(F.col(c)).alias(c) for c in cols]
+    return j.where(keep).select(*out)
