@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-200 queries, 200 with exact DuckDB oracles — relational SQL where expressible,
+201 queries, 201 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3315,6 +3315,27 @@ def _q_merge_into(spark, sf_dir):
                       "c_mktsegment")
 
 
+def _q_script_census(spark, sf_dir):
+    """Unicode writing-system census with deterministically injected
+    multilingual suffixes (the synthetic corpus is ASCII — pii_scan
+    precedent): per-script letter counts, dominant script, share.
+    Java \\p{IsX} ↔ RE2 \\p{X} parity is the contract (pytest-pinned
+    across 9 scripts)."""
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        script_census)
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (F.when(F.col("doc_id") % 5 == 0, F.lit(" Привет мир"))
+              .when(F.col("doc_id") % 5 == 1, F.lit(" 你好世界"))
+              .when(F.col("doc_id") % 5 == 2, F.lit(" مرحبا بالعالم"))
+              .when(F.col("doc_id") % 5 == 3, F.lit(" γειά σου"))
+              .otherwise(F.lit("")))
+    docs = docs.withColumn(
+        "text", F.when(F.col("text").isNotNull(),
+                       F.concat(F.col("text"), suffix)))
+    return script_census(docs)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3457,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_docs": _q_dedup_lines,
         "length_buckets_docs": _q_length_buckets,
         "merge_into_customers": _q_merge_into,
+        "script_census_docs": _q_script_census,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5615,6 +5637,88 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         else agg.n_removed end as bigint)
                        as n_lines_removed
             from s left join agg using (doc_id)
+        """,
+        "script_census_docs": """
+            with d as (
+                select doc_id,
+                       case when text is not null then text ||
+                            case cast(doc_id % 5 as int)
+                                 when 0 then ' Привет мир'
+                                 when 1 then ' 你好世界'
+                                 when 2 then ' مرحبا بالعالم'
+                                 when 3 then ' γειά σου'
+                                 else '' end
+                       end as text
+                from documents
+            ), c as (
+                select doc_id, text,
+                       cast(case when text is null then 0 else
+                            length(regexp_replace(text, '[^\\p{L}]',
+                                                  '', 'g')) end
+                            as bigint) as n_letters,
+                       cast(case when text is null then 0 else
+                            length(regexp_replace(text, '[^\\p{Latin}]',
+                                                  '', 'g')) end
+                            as bigint) as n_latin,
+                       cast(case when text is null then 0 else
+                            length(regexp_replace(text,
+                                   '[^\\p{Cyrillic}]', '', 'g')) end
+                            as bigint) as n_cyrillic,
+                       cast(case when text is null then 0 else
+                            length(regexp_replace(text, '[^\\p{Han}]',
+                                                  '', 'g')) end
+                            as bigint) as n_han,
+                       cast(case when text is null then 0 else
+                            length(regexp_replace(text, '[^\\p{Arabic}]',
+                                                  '', 'g')) end
+                            as bigint) as n_arabic,
+                       cast(case when text is null then 0 else
+                            length(regexp_replace(text, '[^\\p{Greek}]',
+                                                  '', 'g')) end
+                            as bigint) as n_greek,
+                       cast(case when text is null then 0 else
+                            length(regexp_replace(text, '[^\\p{Hangul}]',
+                                                  '', 'g')) end
+                            as bigint) as n_hangul,
+                       cast(case when text is null then 0 else
+                            length(regexp_replace(text,
+                                   '[^\\p{Devanagari}]', '', 'g')) end
+                            as bigint) as n_devanagari,
+                       cast(case when text is null then 0 else
+                            length(regexp_replace(text, '[^\\p{Hebrew}]',
+                                                  '', 'g')) end
+                            as bigint) as n_hebrew,
+                       cast(case when text is null then 0 else
+                            length(regexp_replace(text, '[^\\p{Thai}]',
+                                                  '', 'g')) end
+                            as bigint) as n_thai
+                from d
+            ), b as (
+                select *,
+                       list_min(list_value(
+                           {'n': -n_latin, 's': 'Latin'},
+                           {'n': -n_cyrillic, 's': 'Cyrillic'},
+                           {'n': -n_han, 's': 'Han'},
+                           {'n': -n_arabic, 's': 'Arabic'},
+                           {'n': -n_greek, 's': 'Greek'},
+                           {'n': -n_hangul, 's': 'Hangul'},
+                           {'n': -n_devanagari, 's': 'Devanagari'},
+                           {'n': -n_hebrew, 's': 'Hebrew'},
+                           {'n': -n_thai, 's': 'Thai'})) as best
+                from c
+            )
+            select doc_id, n_letters, n_latin, n_cyrillic, n_han,
+                   n_arabic, n_greek, n_hangul, n_devanagari, n_hebrew,
+                   n_thai,
+                   case when text is not null and best.n < 0
+                        then best.s end as dominant_script,
+                   case when text is not null and best.n < 0
+                             and n_letters > 0
+                        then cast(floor(cast(-best.n as double)
+                             / cast(n_letters as double)
+                             * 1000000.0 + 0.5) as bigint)
+                   end as dominant_frac_u
+            from b
         """,
         "merge_into_customers": """
             with src as (

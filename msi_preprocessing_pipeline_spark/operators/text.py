@@ -836,3 +836,46 @@ def tokenizer_fertility(df: DataFrame, text_col: str = "text",
         zl(token_count(text_col)).alias("n_words"),
         zl(bpe_ish_token_count(text_col)).alias("n_pieces"),
         zl(F.length(t)).alias("n_chars"))
+
+
+SCRIPTS_DEFAULT = ("Latin", "Cyrillic", "Han", "Arabic", "Greek",
+                   "Hangul", "Devanagari", "Hebrew", "Thai")
+
+
+def script_census(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  scripts=SCRIPTS_DEFAULT) -> DataFrame:
+    """Per-document writing-system census — the language-ID prior for
+    multilingual corpus routing: per-script letter counts (Unicode
+    script classes, identical in Java regex ``\\p{IsX}`` and DuckDB's
+    RE2 ``\\p{X}`` — parity pinned in tests), total letters ``\\p{L}``,
+    the dominant script (max count; ties take the lexicographically
+    smallest name), and its micro-quantized share of letters.
+
+    ONE map-only JVM projection — zero exchanges, zero Python; each
+    script costs one vectorized regexp pass over the row.  Null text
+    → zero counts, null dominant.  Exact SQL oracle.
+    """
+    t = F.col(text_col)
+    cnt = {s: F.when(t.isNull(), F.lit(0)).otherwise(F.length(
+        F.regexp_replace(t, f"[^\\p{{Is{s}}}]", ""))).cast("long")
+        for s in scripts}
+    letters = F.when(t.isNull(), F.lit(0)).otherwise(
+        F.length(F.regexp_replace(t, r"[^\p{L}]", ""))).cast("long")
+    # dominant = min over (-count, name): largest count, then smallest
+    # name — a pure JVM array_min over |scripts| structs
+    pairs = F.array(*[F.struct((-cnt[s]).alias("n"),
+                               F.lit(s).alias("s")) for s in scripts])
+    best = F.array_min(pairs)
+    dominant = F.when(t.isNull() | (best["n"] == 0), F.lit(None)) \
+        .otherwise(best["s"])
+    from ..functions.util import quantize
+    frac = F.when(
+        dominant.isNotNull() & (letters > 0),
+        quantize((-best["n"]).cast("double") / letters.cast("double"),
+                 6))
+    return df.select(
+        F.col(id_col), letters.alias("n_letters"),
+        *[cnt[s].alias(f"n_{s.lower()}") for s in scripts],
+        dominant.alias("dominant_script"),
+        frac.alias("dominant_frac_u"))
