@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-201 queries, 201 with exact DuckDB oracles — relational SQL where expressible,
+202 queries, 202 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3336,6 +3336,32 @@ def _q_script_census(spark, sf_dir):
     return script_census(docs)
 
 
+def _q_to_changelog(spark, sf_dir):
+    """CDC round-trip source: the minimal changelog that turns the
+    customer snapshot into its merged+pruned successor (updates %7,
+    inserts %11, deletes %13) — upserts carry new rows, deletes carry
+    old rows, ts stamped. Exact SQL oracle (full-outer diff mirror);
+    the replay identity is pytest-pinned."""
+    from msi_preprocessing_pipeline_spark.operators.changelog import (
+        merge_into, to_changelog)
+
+    cust = _t(spark, sf_dir, "customer")
+    upd = (cust.where(F.col("c_custkey") % 7 == 0)
+           .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+           .withColumn("c_mktsegment", F.lit("UPDATED")))
+    ins = (cust.where(F.col("c_custkey") % 11 == 0)
+           .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+           .withColumn("c_name", F.concat(F.lit("new_"),
+                                          F.col("c_name"))))
+    new = merge_into(cust, upd.unionByName(ins), "c_custkey") \
+        .where(F.col("c_custkey") % 13 != 0)
+    out = to_changelog(cust, new, "c_custkey", "change_ts", 12345)
+    return out.select("c_custkey", "c_name", "c_nationkey",
+                      _uq("c_acctbal").alias("acctbal_u"),
+                      "c_mktsegment", "op",
+                      F.col("change_ts").cast("long"))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3479,6 +3505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets_docs": _q_length_buckets,
         "merge_into_customers": _q_merge_into,
         "script_census_docs": _q_script_census,
+        "changelog_from_snapshots": _q_to_changelog,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5637,6 +5664,55 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         else agg.n_removed end as bigint)
                        as n_lines_removed
             from s left join agg using (doc_id)
+        """,
+        "changelog_from_snapshots": """
+            with src as (
+                select c_custkey, c_name, c_nationkey,
+                       c_acctbal + 1000.0 as c_acctbal,
+                       'UPDATED' as c_mktsegment
+                from customer where c_custkey % 7 = 0
+                union all
+                select c_custkey + 1000000, 'new_' || c_name,
+                       c_nationkey, c_acctbal, c_mktsegment
+                from customer where c_custkey % 11 = 0
+            ), merged as (
+                select * from src
+                union all
+                select c_custkey, c_name, c_nationkey, c_acctbal,
+                       c_mktsegment
+                from customer
+                where c_custkey not in (select c_custkey from src)
+            ), newt as (
+                select * from merged where c_custkey % 13 <> 0
+            ), j as (
+                select coalesce(o.c_custkey, n.c_custkey) as c_custkey,
+                       o.c_custkey is not null as in_old,
+                       n.c_custkey is not null as in_new,
+                       o.c_name as o_name, o.c_nationkey as o_nk,
+                       o.c_acctbal as o_bal, o.c_mktsegment as o_seg,
+                       n.c_name as n_name, n.c_nationkey as n_nk,
+                       n.c_acctbal as n_bal, n.c_mktsegment as n_seg
+                from customer o full outer join newt n
+                     on o.c_custkey = n.c_custkey
+            )
+            select c_custkey,
+                   case when not in_new then o_name else n_name end
+                       as c_name,
+                   case when not in_new then o_nk else n_nk end
+                       as c_nationkey,
+                   cast(floor(case when not in_new then o_bal
+                              else n_bal end * 1000000.0 + 0.5)
+                        as bigint) as acctbal_u,
+                   case when not in_new then o_seg else n_seg end
+                       as c_mktsegment,
+                   case when not in_new then 'd' else 'u' end as op,
+                   cast(12345 as bigint) as change_ts
+            from j
+            where (not in_old) or (not in_new)
+               or (o_name is distinct from n_name)
+               or (o_nk is distinct from n_nk)
+               or (o_bal is distinct from n_bal)
+               or (o_seg is distinct from n_seg)
         """,
         "script_census_docs": """
             with d as (

@@ -285,7 +285,8 @@ def main() -> None:
                  "unigram_fit_docs", "unigram_tokenize_docs",
                  "shard_plan_docs", "shard_stats_docs",
                  "dedup_lines_docs", "length_buckets_docs",
-                 "merge_into_customers", "script_census_docs"]:
+                 "merge_into_customers", "script_census_docs",
+                 "changelog_from_snapshots"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

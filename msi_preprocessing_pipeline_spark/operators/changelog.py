@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.util import as_list
@@ -187,3 +187,55 @@ def merge_into(target: DataFrame, source: DataFrame,
     out = [F.when(pick_source, F.col(f"__s_{c}"))
            .otherwise(F.col(c)).alias(c) for c in cols]
     return j.where(keep).select(*out)
+
+
+def to_changelog(old: DataFrame, new: DataFrame,
+                 key: Sequence[str] | str, ts_col: str,
+                 ts_value) -> DataFrame:
+    """The inverse of :func:`apply_changelog`: derive the minimal
+    changelog that transforms snapshot ``old`` into snapshot ``new`` —
+    upserts (``op='u'``) carrying the NEW row for added/changed keys,
+    deletes (``op='d'``) carrying the OLD row for removed keys, and
+    nothing for unchanged keys.  ``ts_value`` (a Column or literal)
+    stamps ``ts_col`` on every emitted change, so the round trip
+
+        apply_changelog(old, to_changelog(old, new, k, ts, t), k, ts)
+            ≡ new        (pytest-pinned identity, for any t newer than
+                          every base timestamp)
+
+    holds exactly — the CDC story closes: snapshots → changelog →
+    replay.  Scale shape: ONE full outer join (the ``diff_snapshots``
+    plan) + a map-only projection; emitted rows are |changed keys|-
+    bounded, the delta shape downstream incremental refresh consumes.
+    """
+    keys = as_list(key)
+    cols = [c for c in new.columns]
+    missing = [c for c in cols if c not in old.columns]
+    if missing:
+        raise ValueError(f"old snapshot is missing columns {missing}")
+    o = old.select(*keys,
+                   *[F.col(c).alias(f"__o_{c}") for c in cols
+                     if c not in keys],
+                   F.lit(1).alias("__in_old"))
+    n = new.select(*keys,
+                   *[F.col(c).alias(f"__n_{c}") for c in cols
+                     if c not in keys],
+                   F.lit(1).alias("__in_new"))
+    j = o.join(n, keys, "full_outer")
+    vals = [c for c in cols if c not in keys]
+    same = None
+    for c in vals:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    if same is None:
+        same = F.lit(True)
+    added = F.col("__in_old").isNull()
+    removed = F.col("__in_new").isNull()
+    keep = added | removed | ~same
+    op = F.when(removed, F.lit("d")).otherwise(F.lit("u"))
+    out_vals = [F.when(removed, F.col(f"__o_{c}"))
+                .otherwise(F.col(f"__n_{c}")).alias(c) for c in vals]
+    ts = ts_value if isinstance(ts_value, Column) else F.lit(ts_value)
+    return (j.where(keep)
+            .select(*keys, *out_vals, op.alias("op"))
+            .withColumn(ts_col, ts))
