@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-202 queries, 202 with exact DuckDB oracles — relational SQL where expressible,
+203 queries, 203 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3362,6 +3362,27 @@ def _q_to_changelog(spark, sf_dir):
                       F.col("change_ts").cast("long"))
 
 
+def _q_isotonic(spark, sf_dir):
+    """Isotonic (PAV) calibration of event value → P(purchase): exact
+    rational pooling over the |distinct centi-quantized scores| relation
+    — no floating point until the output division. Iterative fixpoint →
+    golden-pinned (kmeans precedent); naive-PAV-equality, monotonicity
+    and mass-preservation pinned in pytest."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        isotonic_calibration)
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_purchase",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    out = isotonic_calibration(ev, "value", "is_purchase", scale=2)
+    # the exact rational (cal_num, cal_den) IS the contract; the raw
+    # double is micro-quantized because a pinned double literal can
+    # re-parse 1 ulp off in DuckDB (observed on 104/537)
+    return out.select("score_lo_q", "score_hi_q", "n", "n_pos",
+                      "cal_num", "cal_den",
+                      _uq("cal_prob").alias("cal_prob_u"))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3506,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_into_customers": _q_merge_into,
         "script_census_docs": _q_script_census,
         "changelog_from_snapshots": _q_to_changelog,
+        "isotonic_value_purchase": _q_isotonic,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,

@@ -235,3 +235,67 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
                     F.when(den != F.lit(0).cast(DEC38),
                            num.cast("double") / den.cast("double"))
                     .alias("kappa")))
+
+
+def isotonic_calibration(df: DataFrame, score_col: str, label_col: str,
+                         scale: int = 6,
+                         max_distinct: int = 100_000) -> DataFrame:
+    """Isotonic (PAV) probability calibration: the maximum-likelihood
+    MONOTONE mapping score → P(label=1), the non-parametric upgrade of
+    the fixed-bin reliability table (`drift.calibration_bins`) used to
+    calibrate quality-classifier scores before thresholding.
+
+    Plan: ONE partial+final aggregation reduces the corpus to its
+    |distinct quantized scores|-bounded (score_q, n, n_pos) relation
+    (guard: raises above ``max_distinct`` rows — quantize coarser);
+    pool-adjacent-violators then runs driver-side over that bounded
+    relation in EXACT RATIONAL arithmetic — pools merge while
+    ``pos_l/n_l >= pos_r/n_r``, compared as the cross-product integers
+    ``pos_l·n_r >= pos_r·n_l`` — so the fit has no floating point at
+    all until the single output division, making it partition-,
+    engine-, and iteration-order-invariant (PAV's fixpoint is unique;
+    left-to-right pooling reaches it deterministically).
+
+    Output: one row per pooled block — ``(score_lo_q, score_hi_q, n,
+    n_pos, cal_num, cal_den, cal_prob)`` with ``cal_prob`` the one IEEE
+    division and the exact rational carried alongside (the oracle pins
+    the integers, immune to rounding).  Null scores are dropped; null
+    labels count as negatives (the `calibration_bins` convention).
+    """
+    from ..functions.util import quantize
+
+    sq = quantize(F.col(score_col), scale)
+    agg = (df.where(F.col(score_col).isNotNull())
+           .groupBy(sq.alias("score_q"))
+           .agg(F.count("*").alias("n"),
+                F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
+                .cast("long").alias("n_pos")))
+    rows = (agg.orderBy("score_q")
+            .limit(max_distinct + 1).collect())
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"isotonic_calibration: > {max_distinct} distinct quantized "
+            f"scores; lower scale= or raise max_distinct")
+    # PAV with exact integer pools: (lo, hi, n, pos)
+    stack: list[list[int]] = []
+    for r in rows:
+        cur = [int(r["score_q"]), int(r["score_q"]),
+               int(r["n"]), int(r["n_pos"])]
+        stack.append(cur)
+        while len(stack) > 1:
+            l, rgt = stack[-2], stack[-1]
+            # violation: rate(l) >= rate(r)  ⇔  pos_l·n_r >= pos_r·n_l
+            if l[3] * rgt[2] >= rgt[3] * l[2]:
+                l[1] = rgt[1]
+                l[2] += rgt[2]
+                l[3] += rgt[3]
+                stack.pop()
+            else:
+                break
+    spark = df.sparkSession
+    out = [(lo, hi, n, pos, pos, n,
+            (pos / n) if n else None)
+           for lo, hi, n, pos in stack]
+    return spark.createDataFrame(
+        out, "score_lo_q long, score_hi_q long, n long, n_pos long, "
+             "cal_num long, cal_den long, cal_prob double")

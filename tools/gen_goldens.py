@@ -81,6 +81,10 @@ PIN = [
     # (dsir precedent) and Viterbi DP is not SQL-expressible → golden
     ("unigram_fit_docs", True),
     ("unigram_tokenize_docs", True),
+    # isotonic/PAV calibration: exact-rational pooling is partition-
+    # invariant (pytest-pinned) but the pooling fixpoint is iterative
+    # and data-dependent — not expressible in non-recursive SQL → golden
+    ("isotonic_value_purchase", True),
 ]
 
 DUCK_TYPES = {
