@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-203 queries, 203 with exact DuckDB oracles — relational SQL where expressible,
+204 queries, 204 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3383,6 +3383,19 @@ def _q_isotonic(spark, sf_dir):
                       _uq("cal_prob").alias("cal_prob_u"))
 
 
+def _q_roc_auc(spark, sf_dir):
+    """Exact ROC AUC (Mann–Whitney with tie correction) of event value
+    as a purchase score — doubled-integer rank sums, one corpus agg +
+    one bounded window, ONE IEEE division. Exact SQL oracle."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        roc_auc)
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_purchase",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    return roc_auc(ev, "value", "is_purchase", scale=6)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3528,6 +3541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_census_docs": _q_script_census,
         "changelog_from_snapshots": _q_to_changelog,
         "isotonic_value_purchase": _q_isotonic,
+        "roc_auc_value_purchase": _q_roc_auc,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5686,6 +5700,43 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         else agg.n_removed end as bigint)
                        as n_lines_removed
             from s left join agg using (doc_id)
+        """,
+        "roc_auc_value_purchase": """
+            with e as (
+                select cast(floor(value * 1000000.0 + 0.5) as bigint)
+                           as score_q,
+                       case when event_type = 'purchase' then 1
+                            else 0 end as y
+                from events where value is not null
+            ), a as (
+                select score_q, count(*) as n,
+                       cast(sum(y) as bigint) as n_pos
+                from e group by 1
+            ), r as (
+                select *,
+                       cast(coalesce(sum(n) over (
+                            order by score_q
+                            rows between unbounded preceding
+                            and 1 preceding), 0) as bigint) as cum
+                from a
+            ), t as (
+                select cast(sum(n) as hugeint) as nt,
+                       cast(sum(n_pos) as hugeint) as p,
+                       cast(sum(cast(n_pos as hugeint)
+                                * (2 * cast(cum as hugeint) + n + 1))
+                            as hugeint) as rs2
+                from r
+            )
+            select cast(nt as bigint) as n,
+                   cast(p as bigint) as n_pos,
+                   cast(nt - p as bigint) as n_neg,
+                   cast(rs2 - p * (p + 1) as bigint) as auc_num2,
+                   cast(2 * p * (nt - p) as bigint) as auc_den2,
+                   case when 2 * p * (nt - p) > 0 then
+                        cast(rs2 - p * (p + 1) as double)
+                        / cast(2 * p * (nt - p) as double)
+                   end as auc
+            from t
         """,
         "changelog_from_snapshots": """
             with src as (

@@ -286,7 +286,8 @@ def main() -> None:
                  "shard_plan_docs", "shard_stats_docs",
                  "dedup_lines_docs", "length_buckets_docs",
                  "merge_into_customers", "script_census_docs",
-                 "changelog_from_snapshots", "isotonic_value_purchase"]:
+                 "changelog_from_snapshots", "isotonic_value_purchase",
+                 "roc_auc_value_purchase"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -299,3 +299,65 @@ def isotonic_calibration(df: DataFrame, score_col: str, label_col: str,
     return spark.createDataFrame(
         out, "score_lo_q long, score_hi_q long, n long, n_pos long, "
              "cal_num long, cal_den long, cal_prob double")
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str,
+            scale: int = 6) -> DataFrame:
+    """Exact ROC AUC (Mann–Whitney U with the standard tie correction —
+    what sklearn's ``roc_auc_score`` computes) for a scored binary
+    label, as ONE aggregation + ONE bounded window:
+
+        AUC = (Σ_pos avgrank − n_pos·(n_pos+1)/2) / (n_pos·n_neg)
+
+    The corpus reduces to its |distinct quantized scores| relation
+    (score_q, n, n_pos); average ranks come from a running sum over
+    THAT bounded relation, carried as DOUBLED integers (``2·avgrank =
+    2·cum_before + n + 1``) so ties never produce half-ranks — the
+    whole numerator is an exact decimal integer and AUC is ONE IEEE
+    division (engine/partition bit-identical, the ``ks_stat``
+    discipline).  Null scores are dropped; null labels count as
+    negatives (the `calibration_bins` convention).  Output one row:
+    ``(n, n_pos, n_neg, auc_num2, auc_den2, auc)`` where
+    ``auc = auc_num2 / auc_den2`` and the exact integers ride along
+    (as int64 — faithful while ``2·n_pos·n_neg < 2^63`` ≈ 3·10^9
+    balanced rows; ``auc`` itself divides the DECIMAL values before
+    the cast, so it stays correct beyond that).
+
+    Scale shape: one partial+final agg (corpus → distinct scores), one
+    running-sum window over the distinct-score relation (bounded by
+    score resolution, never corpus size), one 1-row reduce.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.util import DEC38, quantize
+
+    sq = quantize(F.col(score_col), scale)
+    agg = (df.where(F.col(score_col).isNotNull())
+           .groupBy(sq.alias("score_q"))
+           .agg(F.count("*").alias("n"),
+                F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
+                .cast("long").alias("n_pos")))
+    w = Window.orderBy("score_q").rowsBetween(
+        Window.unboundedPreceding, -1)
+    ranked = agg.withColumn(
+        "__cum", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    # Σ over distinct scores: pos_cnt · (2·cum_before + n + 1), exact
+    contrib = (F.col("n_pos").cast(DEC38)
+               * (F.lit(2).cast(DEC38) * F.col("__cum") + F.col("n")
+                  + F.lit(1)))
+    tot = ranked.agg(
+        F.sum("n").alias("n_total"),
+        F.sum("n_pos").alias("p"),
+        F.sum(contrib).cast(DEC38).alias("ranksum2"))
+    np_ = F.col("p").cast(DEC38)
+    nn = (F.col("n_total") - F.col("p")).cast(DEC38)
+    num2 = (F.col("ranksum2") - np_ * (np_ + 1)).cast(DEC38)
+    den2 = (F.lit(2).cast(DEC38) * np_ * nn).cast(DEC38)
+    return tot.select(
+        F.col("n_total").cast("long").alias("n"),
+        F.col("p").cast("long").alias("n_pos"),
+        (F.col("n_total") - F.col("p")).cast("long").alias("n_neg"),
+        num2.cast("long").alias("auc_num2"),
+        den2.cast("long").alias("auc_den2"),
+        F.when(den2 > 0,
+               num2.cast("double") / den2.cast("double")).alias("auc"))
