@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-204 queries, 204 with exact DuckDB oracles — relational SQL where expressible,
+205 queries, 205 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3396,6 +3396,19 @@ def _q_roc_auc(spark, sf_dir):
     return roc_auc(ev, "value", "is_purchase", scale=6)
 
 
+def _q_average_precision(spark, sf_dir):
+    """Average precision (PR-AUC, sklearn step formulation) of event
+    value → purchase: per-threshold fixed-order IEEE terms quantized to
+    1e-12 units then exact-int summed. Exact SQL oracle."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        average_precision)
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_purchase",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    return average_precision(ev, "value", "is_purchase", scale=6)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3542,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_from_snapshots": _q_to_changelog,
         "isotonic_value_purchase": _q_isotonic,
         "roc_auc_value_purchase": _q_roc_auc,
+        "average_precision_value_purchase": _q_average_precision,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -5700,6 +5714,47 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         else agg.n_removed end as bigint)
                        as n_lines_removed
             from s left join agg using (doc_id)
+        """,
+        "average_precision_value_purchase": """
+            with e as (
+                select cast(floor(value * 1000000.0 + 0.5) as bigint)
+                           as score_q,
+                       case when event_type = 'purchase' then 1
+                            else 0 end as y
+                from events where value is not null
+            ), a as (
+                select score_q, count(*) as n,
+                       cast(sum(y) as bigint) as n_pos
+                from e group by 1
+            ), r as (
+                select *,
+                       cast(sum(n_pos) over (
+                            order by score_q desc
+                            rows between unbounded preceding
+                            and current row) as bigint) as tp,
+                       cast(sum(n) over (
+                            order by score_q desc
+                            rows between unbounded preceding
+                            and current row) as bigint) as cum_n,
+                       cast(sum(n_pos) over () as bigint) as p
+                from a
+            )
+            select cast(sum(n) as bigint) as n,
+                   cast(max(p) as bigint) as n_pos,
+                   cast(sum(n) - max(p) as bigint) as n_neg,
+                   cast(sum(case when p > 0 then cast(floor(
+                        (cast(n_pos as double) * cast(tp as double))
+                        / (cast(p as double) * cast(cum_n as double))
+                        * 1000000000000.0 + 0.5) as hugeint)
+                        else 0 end) as bigint) as ap_u,
+                   case when max(p) > 0 then
+                        cast(sum(case when p > 0 then cast(floor(
+                             (cast(n_pos as double) * cast(tp as double))
+                             / (cast(p as double) * cast(cum_n as double))
+                             * 1000000000000.0 + 0.5) as hugeint)
+                             else 0 end) as double) / 1e12
+                   end as ap
+            from r
         """,
         "roc_auc_value_purchase": """
             with e as (

@@ -361,3 +361,60 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str,
         den2.cast("long").alias("auc_den2"),
         F.when(den2 > 0,
                num2.cast("double") / den2.cast("double")).alias("auc"))
+
+
+def average_precision(df: DataFrame, score_col: str, label_col: str,
+                      scale: int = 6) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    step-wise sum sklearn's ``average_precision_score`` computes):
+    ``AP = Σ_t (R_t − R_{t−1}) · P_t`` over distinct score thresholds
+    descending, with tie groups as blocks.
+
+    Exactness contract: each term is the rational
+    ``pos_t · TP_t / (n_pos · cum_n_t)``; terms are evaluated as ONE
+    fixed-order IEEE expression each, micro-quantized to 1e-12 int64
+    units, and summed as exact integers (the ``kn_score``
+    quantize-then-sum idiom — a raw double sum over the threshold
+    relation would be partition-order-sensitive).  ``ap`` is the one
+    final division by 1e12.  Null scores dropped; null labels count as
+    negatives.  Output one row: ``(n, n_pos, n_neg, ap_u, ap)``.
+
+    Scale shape: identical to :func:`roc_auc` — one corpus agg to the
+    |distinct scores| relation, one running-sum window over it, one
+    1-row reduce.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.util import DEC38, quantize
+
+    sq = quantize(F.col(score_col), scale)
+    agg = (df.where(F.col(score_col).isNotNull())
+           .groupBy(sq.alias("score_q"))
+           .agg(F.count("*").alias("n"),
+                F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
+                .cast("long").alias("n_pos")))
+    w = Window.orderBy(F.col("score_q").desc()).rowsBetween(
+        Window.unboundedPreceding, 0)
+    ranked = (agg.withColumn("tp", F.sum("n_pos").over(w))
+              .withColumn("cum_n", F.sum("n").over(w)))
+    # total positives via an unpartitioned window over the BOUNDED
+    # distinct-score relation — a 1-row-aggregate crossJoin would
+    # re-derive the corpus aggregation and scan the input twice (the
+    # temperature_mixture_plan lesson, pinned there)
+    r = ranked.withColumn(
+        "__p", F.sum("n_pos").over(Window.partitionBy()))
+    # one fixed-order IEEE expression per threshold, then exact int sum
+    term = (F.col("n_pos").cast("double") * F.col("tp").cast("double")
+            / (F.col("__p").cast("double")
+               * F.col("cum_n").cast("double")))
+    term_u = F.when(F.col("__p") > 0,
+                    quantize(term, 12)).otherwise(F.lit(0))
+    out = r.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.max("__p").cast("long").alias("n_pos"),
+        (F.sum("n") - F.max("__p")).cast("long").alias("n_neg"),
+        F.sum(term_u.cast(DEC38)).cast("long").alias("ap_u"))
+    return out.select(
+        "n", "n_pos", "n_neg", "ap_u",
+        F.when(F.col("n_pos") > 0,
+               F.col("ap_u").cast("double") / F.lit(1e12)).alias("ap"))
