@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-205 queries, 205 with exact DuckDB oracles — relational SQL where expressible,
+206 queries, 206 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3409,6 +3409,17 @@ def _q_average_precision(spark, sf_dir):
     return average_precision(ev, "value", "is_purchase", scale=6)
 
 
+def _q_containment(spark, sf_dir):
+    """Asymmetric shingle containment pairs (near-superset detection —
+    the duplication Jaccard misses); exact-int counts, micro-quantized
+    one-division ratios. Exact SQL oracle."""
+    from msi_preprocessing_pipeline_spark.operators.dedup import (
+        containment_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, k=5, threshold=0.3, max_df=100)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3556,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_value_purchase": _q_isotonic,
         "roc_auc_value_purchase": _q_roc_auc,
         "average_precision_value_purchase": _q_average_precision,
+        "containment_pairs_docs": _q_containment,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -4226,6 +4238,49 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             join sizes sa on sa.doc_id = doc_a
             join sizes sb on sb.doc_id = doc_b
             where n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        "containment_pairs_docs": """
+            with w as (
+                select doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') as words
+                from documents
+            ), sh0 as (
+                select distinct doc_id,
+                       array_to_string(words[i : i + 4], ' ') as shingle
+                from w, unnest(generate_series(
+                    1, greatest(length(words) - 4, 1))) as t(i)
+            ), sh as (
+                select * from sh0 where shingle in (
+                    select shingle from sh0
+                    group by shingle having count(distinct doc_id) <= 100)
+            ), sizes as (
+                select doc_id, count(*) as n_sh from sh group by 1
+            ), common as (
+                select a.doc_id as doc_a, b.doc_id as doc_b,
+                       count(*) as n_common
+                from sh a join sh b
+                  on a.shingle = b.shingle and a.doc_id < b.doc_id
+                group by 1, 2
+            )
+            select doc_a, doc_b, n_common,
+                   cast(sa.n_sh as bigint) as n_a,
+                   cast(sb.n_sh as bigint) as n_b,
+                   cast(floor(cast(n_common as double)
+                        / cast(sa.n_sh as double) * 1000000.0 + 0.5)
+                        as bigint) as contain_ab_u,
+                   cast(floor(cast(n_common as double)
+                        / cast(sb.n_sh as double) * 1000000.0 + 0.5)
+                        as bigint) as contain_ba_u
+            from common
+            join sizes sa on sa.doc_id = doc_a
+            join sizes sb on sb.doc_id = doc_b
+            where greatest(
+                cast(floor(cast(n_common as double)
+                     / cast(sa.n_sh as double) * 1000000.0 + 0.5)
+                     as bigint),
+                cast(floor(cast(n_common as double)
+                     / cast(sb.n_sh as double) * 1000000.0 + 0.5)
+                     as bigint)) >= 300000
         """,
         "topk_orders_per_customer": """
             select o_custkey, o_orderkey, price, rank from (

@@ -287,7 +287,8 @@ def main() -> None:
                  "dedup_lines_docs", "length_buckets_docs",
                  "merge_into_customers", "script_census_docs",
                  "changelog_from_snapshots", "isotonic_value_purchase",
-                 "roc_auc_value_purchase", "average_precision_value_purchase"]:
+                 "roc_auc_value_purchase", "average_precision_value_purchase",
+                 "containment_pairs_docs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

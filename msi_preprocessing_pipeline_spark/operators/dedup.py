@@ -917,3 +917,54 @@ def contamination_report(docs: DataFrame, benchmark: DataFrame,
                     (F.col("n_contaminated").cast("double")
                      / F.col("n_shingles").cast("double"))
                     .alias("contamination_frac")))
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 5,
+                      threshold: float = 0.5,
+                      max_df: int | None = None) -> DataFrame:
+    """Exact word-k-gram CONTAINMENT for every pair sharing ≥1 shingle:
+    ``C(a→b) = |A∩B| / |A|`` — the asymmetric complement of
+    :func:`ngram_jaccard_pairs` that catches near-SUPERSET duplication
+    (a quoted post inside a longer page, an aggregator wrapping an
+    article): a short doc fully contained in a long one has tiny
+    Jaccard but containment ≈ 1.
+
+    Pairs emit when ``max(C(a→b), C(b→a)) ≥ threshold``, with both
+    directions micro-quantized (each is ONE IEEE division of exact
+    int64 shingle counts — engine-deterministic).  Same plan skeleton,
+    persist discipline, and ``max_df`` hot-shingle cap as the Jaccard
+    op; the sizes joins stay unhinted (corpus-cardinality — AQE
+    decides).
+    """
+    from ..functions.util import quantize
+
+    sh0 = word_shingles(df, text_col, id_col, k).persist()
+    sh = drop_hot_keys(sh0, "shingle", max_df, id_col=id_col)
+    if max_df is not None:
+        sh = sh.persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (l.join(r, (F.col("l.shingle") == F.col("r.shingle"))
+                     & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+              .groupBy(F.col(f"l.{id_col}").alias("doc_a"),
+                       F.col(f"r.{id_col}").alias("doc_b"))
+              .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    c_ab = quantize(F.col("n_common").cast("double")
+                    / F.col("n_a").cast("double"), 6)
+    c_ba = quantize(F.col("n_common").cast("double")
+                    / F.col("n_b").cast("double"), 6)
+    thr_u = int(threshold * 1_000_000 + 0.5)
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("contain_ab_u", c_ab)
+            .withColumn("contain_ba_u", c_ba)
+            .where(F.greatest(F.col("contain_ab_u"),
+                              F.col("contain_ba_u")) >= F.lit(thr_u))
+            .select("doc_a", "doc_b", "n_common",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    "contain_ab_u", "contain_ba_u"))
