@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-206 queries, 206 with exact DuckDB oracles — relational SQL where expressible,
+207 queries, 207 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3420,6 +3420,20 @@ def _q_containment(spark, sf_dir):
     return containment_pairs(docs, k=5, threshold=0.3, max_df=100)
 
 
+def _q_rank_gauss(spark, sf_dir):
+    """Rank-Gauss normalization of event value: distributed global rank
+    → Φ⁻¹((rank+0.5)/n) in one Arrow pass; total order (value, id) →
+    partition-invariant; Φ⁻¹ is the scipy-free kernel → golden-pinned,
+    output micro-quantized (pinned double literals can re-parse 1 ulp
+    off — the isotonic lesson)."""
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        rank_gauss)
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    out = rank_gauss(ev, "value", "event_id")
+    return out.select("event_id", _uq("value_rg").alias("rg_u"))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3568,6 +3582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_value_purchase": _q_roc_auc,
         "average_precision_value_purchase": _q_average_precision,
         "containment_pairs_docs": _q_containment,
+        "rank_gauss_events": _q_rank_gauss,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,

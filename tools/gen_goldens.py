@@ -85,6 +85,9 @@ PIN = [
     # invariant (pytest-pinned) but the pooling fixpoint is iterative
     # and data-dependent — not expressible in non-recursive SQL → golden
     ("isotonic_value_purchase", True),
+    # rank-gauss: Φ⁻¹ is the repo's numpy kernel (no SQL mirror); ranks
+    # are a total order so the transform is partition-invariant → golden
+    ("rank_gauss_events", True),
 ]
 
 DUCK_TYPES = {
