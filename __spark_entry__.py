@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-207 queries, 207 with exact DuckDB oracles — relational SQL where expressible,
+208 queries, 208 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3434,6 +3434,22 @@ def _q_rank_gauss(spark, sf_dir):
     return out.select("event_id", _uq("value_rg").alias("rg_u"))
 
 
+def _q_histogram_match(spark, sf_dir):
+    """Distribution-matching subsample: thin ALL events so value's
+    histogram matches the purchase-only slice's shape — per-bin exact
+    integer rationals, 60-bit md5 keep test. Exact SQL oracle (best
+    bin via dominance anti-join)."""
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        histogram_match_sample)
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_type") == "purchase")
+    out = histogram_match_sample(ev, ref, "value", "event_id",
+                                 lo=0.0, hi=500.0, n_bins=20, seed=0)
+    return out.select("event_id", "event_type",
+                      _uq("value").alias("value_u"))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3583,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_precision_value_purchase": _q_average_precision,
         "containment_pairs_docs": _q_containment,
         "rank_gauss_events": _q_rank_gauss,
+        "histogram_match_events": _q_histogram_match,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -4253,6 +4270,45 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             join sizes sa on sa.doc_id = doc_a
             join sizes sb on sb.doc_id = doc_b
             where n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        "histogram_match_events": """
+            with b as (
+                select event_id, event_type, value,
+                       cast(least(greatest(
+                            floor((cast(value as double) - 0.0) / 25.0),
+                            0), 19) as int) as bin
+                from events where value is not null
+            ), rc as (
+                select bin, count(*) as n_ref from b
+                where event_type = 'purchase' group by 1
+            ), sc as (
+                select bin, count(*) as n_src from b group by 1
+            ), j as (
+                select sc.bin, coalesce(rc.n_ref, 0) as n_ref, sc.n_src
+                from sc left join rc using (bin)
+            ), best as (
+                select j1.bin as bb, j1.n_ref as rb, j1.n_src as sb
+                from j j1
+                where j1.n_ref > 0 and not exists (
+                    select 1 from j j2 where j2.n_ref > 0 and (
+                        cast(j2.n_ref as hugeint) * j1.n_src
+                            > cast(j1.n_ref as hugeint) * j2.n_src
+                        or (cast(j2.n_ref as hugeint) * j1.n_src
+                            = cast(j1.n_ref as hugeint) * j2.n_src
+                            and j2.bin < j1.bin)))
+            )
+            select e.event_id, e.event_type,
+                   cast(floor(cast(e.value as double) * 1000000.0 + 0.5)
+                        as bigint) as value_u
+            from b e
+            join j on e.bin = j.bin
+            cross join best
+            where cast(cast(('0x' || substr(md5(
+                        cast(e.event_id as varchar) || ':0'), 1, 15))
+                        as bigint) as hugeint)
+                  * (cast(j.n_src as hugeint) * best.rb)
+                < cast(j.n_ref as hugeint) * best.sb
+                  * cast(1152921504606846976 as hugeint)
         """,
         "containment_pairs_docs": """
             with w as (

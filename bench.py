@@ -288,7 +288,8 @@ def main() -> None:
                  "merge_into_customers", "script_census_docs",
                  "changelog_from_snapshots", "isotonic_value_purchase",
                  "roc_auc_value_purchase", "average_precision_value_purchase",
-                 "containment_pairs_docs", "rank_gauss_events"]:
+                 "containment_pairs_docs", "rank_gauss_events",
+                 "histogram_match_events"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -477,3 +477,73 @@ def take_per_group(df: DataFrame, alloc: DataFrame, key,
                   "inner")
             .where(F.col("__rk") <= F.col("__n"))
             .drop("__rk", "__g", "__n"))
+
+
+def histogram_match_sample(src: DataFrame, ref: DataFrame, col: str,
+                           key, lo: float, hi: float,
+                           n_bins: int = 20, seed: int = 0) -> DataFrame:
+    """Distribution-matching subsample: thin ``src`` so ``col``'s
+    histogram matches ``ref``'s SHAPE over fixed equal-width bins on
+    ``[lo, hi)`` — the "make the web slice look like the curated slice
+    on this feature" data-mixing step (the histogram-level counterpart
+    of DSIR's importance weighting).
+
+    Per bin the keep fraction is ``f_b ∝ ref_b / src_b`` normalized so
+    the best-covered bin keeps everything: with ``B* = argmax_b
+    ref_b/src_b`` (exact cross-product comparison, ties to the lowest
+    bin), ``f_b = (ref_b·src_B*) / (src_b·ref_B*)`` — an exact integer
+    rational.  Each row keeps iff its 60-bit md5 draw satisfies
+    ``draw·den_b < num_b·2^60`` in decimal(38,0) — deterministic,
+    partition/engine-invariant, SQL-mirrorable, and consistent for a
+    given key across reruns (the ``hash_sample`` idiom with a per-bin
+    fraction).  Bins absent from ``ref`` drop entirely; null values
+    drop (no bin).
+
+    Scale shape: two partial+final bin histograms (collected —
+    ``n_bins``-bounded by construction) and ONE map-only filter over
+    ``src`` with the per-bin rationals as a literal when-chain: no
+    joins, no shuffle of source rows.
+    """
+    from .drift import _bin_counts, bin_expr
+    from ..functions.util import DEC38, as_list
+
+    keys = as_list(key)
+    if len(keys) != 1:
+        raise ValueError(f"key must be a single column, got {keys}")
+    rc = {r["bin"]: int(r["n_ref"])
+          for r in _bin_counts(ref, col, lo, hi, n_bins, "n_ref")
+          .collect()}
+    sc = {r["bin"]: int(r["n_src"])
+          for r in _bin_counts(src, col, lo, hi, n_bins, "n_src")
+          .collect()}
+    best = None
+    for b in sorted(sc):
+        rb, sb = rc.get(b, 0), sc[b]
+        if rb == 0:
+            continue
+        # ref_b/src_b > ref_best/src_best ⇔ rb·s_best > r_best·sb
+        if best is None or rb * sc[best] > rc[best] * sb:
+            best = b
+    if best is None:  # no bin overlap: nothing can be kept
+        return src.where(F.lit(False))
+    bexpr = bin_expr(col, lo, hi, n_bins)
+    draw = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col(keys[0]).cast("string"),
+                          F.lit(str(seed)))), 1, 15), 16, 10) \
+        .cast("long")
+    num = F.lit(None).cast("long")
+    den = F.lit(None).cast("long")
+    num_chain, den_chain = None, None
+    for b in sorted(sc):
+        nb = rc.get(b, 0) * sc[best]
+        db = sc[b] * rc[best]
+        cond = bexpr == F.lit(b)
+        num_chain = (F.when(cond, F.lit(nb)) if num_chain is None
+                     else num_chain.when(cond, F.lit(nb)))
+        den_chain = (F.when(cond, F.lit(db)) if den_chain is None
+                     else den_chain.when(cond, F.lit(db)))
+    keep = (F.col(col).isNotNull()
+            & (draw.cast(DEC38) * den_chain.cast(DEC38)
+               < num_chain.cast(DEC38)
+               * F.lit(2 ** 60).cast(DEC38)))
+    return src.where(keep)
