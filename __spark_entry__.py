@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-208 queries, 208 with exact DuckDB oracles — relational SQL where expressible,
+209 queries, 209 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3450,6 +3450,38 @@ def _q_histogram_match(spark, sf_dir):
                       _uq("value").alias("value_u"))
 
 
+def _q_fertility_by_script(spark, sf_dir):
+    """Tokenizer-fairness readout: the fertility census grouped by each
+    document's DOMINANT SCRIPT (script_census ∘ tokenizer_fertility
+    composition over the multilingual-injected corpus) — the
+    bytes-per-token-parity-across-writing-systems table. Exact SQL
+    oracle end to end."""
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        script_census, tokenizer_fertility)
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (F.when(F.col("doc_id") % 5 == 0, F.lit(" Привет мир"))
+              .when(F.col("doc_id") % 5 == 1, F.lit(" 你好世界"))
+              .when(F.col("doc_id") % 5 == 2, F.lit(" مرحبا بالعالم"))
+              .when(F.col("doc_id") % 5 == 3, F.lit(" γειά σου"))
+              .otherwise(F.lit("")))
+    docs = docs.withColumn(
+        "text", F.when(F.col("text").isNotNull(),
+                       F.concat(F.col("text"), suffix)))
+    dom = script_census(docs).select("doc_id", "dominant_script")
+    out = tokenizer_fertility(docs.join(dom, "doc_id"),
+                              by="dominant_script")
+    return out.select(
+        "dominant_script", "n_docs", "n_null_text", "n_words",
+        "n_pieces", "n_chars",
+        F.when(F.col("n_words") > 0,
+               _uq(F.col("n_pieces") / F.col("n_words")))
+        .alias("fertility_u"),
+        F.when(F.col("n_pieces") > 0,
+               _uq(F.col("n_chars") / F.col("n_pieces")))
+        .alias("chars_per_piece_u"))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3600,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_docs": _q_containment,
         "rank_gauss_events": _q_rank_gauss,
         "histogram_match_events": _q_histogram_match,
+        "fertility_by_script": _q_fertility_by_script,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -4270,6 +4303,81 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             join sizes sa on sa.doc_id = doc_a
             join sizes sb on sb.doc_id = doc_b
             where n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        "fertility_by_script": """
+            with d as (
+                select doc_id,
+                       case when text is not null then text ||
+                            case cast(doc_id % 5 as int)
+                                 when 0 then ' Привет мир'
+                                 when 1 then ' 你好世界'
+                                 when 2 then ' مرحبا بالعالم'
+                                 when 3 then ' γειά σου'
+                                 else '' end
+                       end as text
+                from documents
+            ), dm as (
+                select doc_id, text,
+                       list_min(list_value(
+                           {'n': -length(regexp_replace(text,
+                                '[^\\p{Latin}]', '', 'g')),
+                            's': 'Latin'},
+                           {'n': -length(regexp_replace(text,
+                                '[^\\p{Cyrillic}]', '', 'g')),
+                            's': 'Cyrillic'},
+                           {'n': -length(regexp_replace(text,
+                                '[^\\p{Han}]', '', 'g')),
+                            's': 'Han'},
+                           {'n': -length(regexp_replace(text,
+                                '[^\\p{Arabic}]', '', 'g')),
+                            's': 'Arabic'},
+                           {'n': -length(regexp_replace(text,
+                                '[^\\p{Greek}]', '', 'g')),
+                            's': 'Greek'},
+                           {'n': -length(regexp_replace(text,
+                                '[^\\p{Hangul}]', '', 'g')),
+                            's': 'Hangul'},
+                           {'n': -length(regexp_replace(text,
+                                '[^\\p{Devanagari}]', '', 'g')),
+                            's': 'Devanagari'},
+                           {'n': -length(regexp_replace(text,
+                                '[^\\p{Hebrew}]', '', 'g')),
+                            's': 'Hebrew'},
+                           {'n': -length(regexp_replace(text,
+                                '[^\\p{Thai}]', '', 'g')),
+                            's': 'Thai'})) as best
+                from d
+            ), dom as (
+                select doc_id, text,
+                       case when text is not null and best.n < 0
+                            then best.s end as dominant_script
+                from dm
+            ), c as (
+                select dominant_script, count(*) as n_docs,
+                       cast(sum(case when text is null then 1 else 0
+                                end) as bigint) as n_null_text,
+                       cast(sum(coalesce(
+                            case when length(trim(text)) = 0 then 0
+                                 else length(string_split_regex(
+                                          trim(text), '\\s+')) end, 0))
+                            as bigint) as n_words,
+                       cast(sum(coalesce(length(regexp_extract_all(
+                                lower(text),
+                                '[a-z]+|[0-9]+|[^a-z0-9\\s]')), 0))
+                            as bigint) as n_pieces,
+                       cast(sum(coalesce(length(text), 0)) as bigint)
+                           as n_chars
+                from dom group by 1
+            )
+            select dominant_script, n_docs, n_null_text, n_words,
+                   n_pieces, n_chars,
+                   case when n_words > 0 then cast(floor(
+                        n_pieces / n_words * 1000000.0 + 0.5)
+                        as bigint) end as fertility_u,
+                   case when n_pieces > 0 then cast(floor(
+                        n_chars / n_pieces * 1000000.0 + 0.5)
+                        as bigint) end as chars_per_piece_u
+            from c
         """,
         "histogram_match_events": """
             with b as (
