@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-209 queries, 209 with exact DuckDB oracles — relational SQL where expressible,
+210 queries, 210 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3482,6 +3482,30 @@ def _q_fertility_by_script(spark, sf_dir):
         .alias("chars_per_piece_u"))
 
 
+def _q_rrf_fuse(spark, sf_dir):
+    """Reciprocal-rank fusion of two per-event-type user rankings
+    (total exact-int value vs event count) — quantize-summed 1/(k+r)
+    terms, doc-id tie-breaks, top-10 per type. Exact SQL oracle."""
+    from msi_preprocessing_pipeline_spark.operators.retrieval import (
+        rrf_fuse)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    val = (ev.groupBy("event_type", "user_id")
+           .agg(F.sum(_uq("value")).alias("m")))
+    cnt = (ev.groupBy("event_type", "user_id")
+           .agg(F.count("*").alias("m")))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("m").desc(), F.col("user_id").asc())
+    runs = (val.withColumn("rank", F.row_number().over(w))
+            .unionByName(cnt.withColumn("rank",
+                                        F.row_number().over(w)))
+            .select(F.col("event_type").alias("query_id"),
+                    F.col("user_id").alias("doc_id"),
+                    F.col("rank").cast("long").alias("rank")))
+    return rrf_fuse(runs, k=60, top_n=10)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3633,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_gauss_events": _q_rank_gauss,
         "histogram_match_events": _q_histogram_match,
         "fertility_by_script": _q_fertility_by_script,
+        "rrf_fuse_users": _q_rrf_fuse,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -4303,6 +4328,52 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             join sizes sa on sa.doc_id = doc_a
             join sizes sb on sb.doc_id = doc_b
             where n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        "rrf_fuse_users": """
+            with e as (
+                select event_type, user_id,
+                       cast(floor(value * 1000000.0 + 0.5) as bigint)
+                           as v_u
+                from events where value is not null
+            ), val as (
+                select event_type, user_id,
+                       cast(sum(v_u) as bigint) as m
+                from e group by 1, 2
+            ), cnt as (
+                select event_type, user_id,
+                       cast(count(*) as bigint) as m
+                from e group by 1, 2
+            ), runs as (
+                select event_type as query_id, user_id as doc_id,
+                       cast(row_number() over (
+                            partition by event_type
+                            order by m desc, user_id asc)
+                            as bigint) as rank
+                from val
+                union all
+                select event_type, user_id,
+                       cast(row_number() over (
+                            partition by event_type
+                            order by m desc, user_id asc)
+                            as bigint)
+                from cnt
+            ), fused as (
+                select query_id, doc_id,
+                       cast(sum(cast(floor(
+                            1.0 / (60.0 + cast(rank as double))
+                            * 1000000000000.0 + 0.5) as hugeint))
+                            as bigint) as rrf_score_u,
+                       cast(count(*) as bigint) as n_systems
+                from runs group by 1, 2
+            )
+            select * from (
+                select query_id, doc_id, rrf_score_u, n_systems,
+                       cast(row_number() over (
+                            partition by query_id
+                            order by rrf_score_u desc, doc_id asc)
+                            as bigint) as fused_rank
+                from fused
+            ) where fused_rank <= 10
         """,
         "fertility_by_script": """
             with d as (

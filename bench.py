@@ -289,7 +289,8 @@ def main() -> None:
                  "changelog_from_snapshots", "isotonic_value_purchase",
                  "roc_auc_value_purchase", "average_precision_value_purchase",
                  "containment_pairs_docs", "rank_gauss_events",
-                 "histogram_match_events", "fertility_by_script"]:
+                 "histogram_match_events", "fertility_by_script",
+                 "rrf_fuse_users"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

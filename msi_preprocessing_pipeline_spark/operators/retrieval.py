@@ -347,3 +347,52 @@ def retrieval_metrics_sql(run_cte: str, qrels_cte: str, k: int = 10) -> str:
         left join ideal i using (query_id)
         left join hagg h using (query_id)
     """
+
+
+def rrf_fuse(runs: DataFrame, k: int = 60,
+             query_col: str = "query_id", doc_col: str = "doc_id",
+             rank_col: str = "rank", top_n: int | None = None
+             ) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-search combiner (lexical + vector runs):
+    ``score(q, d) = Σ_systems 1 / (k + rank_s(q, d))`` over every run
+    row, re-ranked per query.
+
+    ``runs`` is the union of per-system rankings: one row per
+    (query, doc, system) with that system's 1-based ``rank_col`` — the
+    system identity itself is irrelevant to the formula, so no system
+    column is required and the SAME pair appearing in multiple runs
+    simply contributes multiple terms.
+
+    Determinism: ``1/(k + rank)`` is ONE IEEE division, micro-quantized
+    to 1e-12 int64 units and summed as exact integers (the
+    ``average_precision`` idiom — raw double sums are partition-order-
+    sensitive); the fused order breaks score ties by doc id asc.  Null
+    ranks are dropped (a system that did not rank the doc contributes
+    nothing — exactly RRF's semantics).
+
+    Scale shape: ONE map-side-combined (query, doc) aggregation + a
+    per-query rank window (with ``top_n``, state is the window's row
+    counter; the heavy lifting stays in the partial aggregation).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.util import DEC38, quantize
+
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    term = quantize(F.lit(1.0)
+                    / (F.lit(float(k)) + F.col(rank_col).cast("double")),
+                    12)
+    fused = (runs.where(F.col(rank_col).isNotNull())
+             .groupBy(query_col, doc_col)
+             .agg(F.sum(term.cast(DEC38)).cast("long")
+                  .alias("rrf_score_u"),
+                  F.count("*").cast("long").alias("n_systems")))
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score_u").desc(), F.col(doc_col).asc())
+    out = fused.withColumn("fused_rank",
+                           F.row_number().over(w).cast("long"))
+    if top_n is not None:
+        out = out.where(F.col("fused_rank") <= top_n)
+    return out
