@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-210 queries, 210 with exact DuckDB oracles — relational SQL where expressible,
+211 queries, 211 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3506,6 +3506,19 @@ def _q_rrf_fuse(spark, sf_dir):
     return rrf_fuse(runs, k=60, top_n=10)
 
 
+def _q_compression(spark, sf_dir):
+    """zlib compression-ratio quality proxy per document — map-only
+    Arrow pass; deterministic for a fixed level/zlib build →
+    golden-pinned (no SQL zlib)."""
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        compression_metrics)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = compression_metrics(docs)
+    return out.select("doc_id", "n_bytes", "n_compressed",
+                      "compression_ratio_u")
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3658,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_match_events": _q_histogram_match,
         "fertility_by_script": _q_fertility_by_script,
         "rrf_fuse_users": _q_rrf_fuse,
+        "compression_ratio_docs": _q_compression,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,

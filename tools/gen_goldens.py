@@ -88,6 +88,9 @@ PIN = [
     # rank-gauss: Φ⁻¹ is the repo's numpy kernel (no SQL mirror); ranks
     # are a total order so the transform is partition-invariant → golden
     ("rank_gauss_events", True),
+    # zlib compression ratio: deterministic for a fixed level + zlib
+    # build, but DuckDB has no zlib → golden
+    ("compression_ratio_docs", True),
 ]
 
 DUCK_TYPES = {
