@@ -200,20 +200,28 @@ def fit_unigram(word_freqs: DataFrame, vocab_size: int = 512,
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     if not 0 < prune_frac < 1:
         raise ValueError(f"prune_frac must be in (0,1), got {prune_frac}")
-    counts = _seed_pieces(word_freqs, max_piece_len, max_seed)
-    chars = {p for p in counts if len(p) == 1}
-    for it in range(n_iters):
-        scores = _scores_from_counts(counts)
-        observed = {r["piece"]: int(r["count"])
-                    for r in _estep_counts(word_freqs, scores,
-                                           max_piece_len).collect()}
-        # unobserved pieces drop to 0 (chars are kept at 0 for coverage)
-        counts = {p: observed.get(p, 0) for p in counts}
-        multi = sorted(((p, c) for p, c in counts.items() if p not in chars),
-                       key=lambda kv: (-kv[1], kv[0]))
-        keep = vocab_size if it == n_iters - 1 else \
-            max(vocab_size, int(len(multi) * (1 - prune_frac)))
-        counts = {p: counts[p] for p in chars} | dict(multi[:keep])
+    # persist the histogram: the seed census + every EM iteration scans
+    # it — without this each .collect() re-runs the corpus aggregation
+    # word_freqs was derived from (n_iters+1 corpus scans at 100 TB)
+    word_freqs = word_freqs.persist()
+    try:
+        counts = _seed_pieces(word_freqs, max_piece_len, max_seed)
+        chars = {p for p in counts if len(p) == 1}
+        for it in range(n_iters):
+            scores = _scores_from_counts(counts)
+            observed = {r["piece"]: int(r["count"])
+                        for r in _estep_counts(word_freqs, scores,
+                                               max_piece_len).collect()}
+            # unobserved pieces drop to 0 (chars kept at 0 for coverage)
+            counts = {p: observed.get(p, 0) for p in counts}
+            multi = sorted(((p, c) for p, c in counts.items()
+                            if p not in chars),
+                           key=lambda kv: (-kv[1], kv[0]))
+            keep = vocab_size if it == n_iters - 1 else \
+                max(vocab_size, int(len(multi) * (1 - prune_frac)))
+            counts = {p: counts[p] for p in chars} | dict(multi[:keep])
+    finally:
+        word_freqs.unpersist()
     scores = _scores_from_counts(counts)
     ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
     return [Piece(p, i + 1, c, scores[p])
