@@ -102,12 +102,14 @@ def shard_stats(df: DataFrame, n_shards: int, size_col: str = "n_tok",
                 F.min(size).alias("min_doc"),
                 F.max(size).alias("max_doc")))
     from ..functions.util import quantize
-    ext = per.agg(F.max("tokens").alias("__mx"),
-                  F.min("tokens").alias("__mn"))
-    return (per.crossJoin(F.broadcast(ext))
-            .withColumn(
-                "imbalance_u",
-                F.when(F.col("__mn") > 0,
-                       quantize(F.col("__mx").cast("double")
-                                / F.col("__mn").cast("double"), 6)))
-            .drop("__mx", "__mn"))
+    # extremes via an unpartitioned window over the |shards|-bounded
+    # relation — the crossJoin(agg) formulation re-evaluates the
+    # per-shard aggregation lineage twice (the temperature_mixture
+    # lesson)
+    w_all = Window.partitionBy()
+    mx = F.max("tokens").over(w_all)
+    mn = F.min("tokens").over(w_all)
+    return per.select(
+        "*",
+        F.when(mn > 0, quantize(mx.cast("double") / mn.cast("double"),
+                                6)).alias("imbalance_u"))
