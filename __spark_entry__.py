@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-211 queries, 211 with exact DuckDB oracles — relational SQL where expressible,
+214 queries, 214 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3519,6 +3519,65 @@ def _q_compression(spark, sf_dir):
                       "compression_ratio_u")
 
 
+def _q_bloom_semi(spark, sf_dir):
+    """Bloom runtime-filter semi-join: lineitem pruned by a bitmap of
+    urgent-order keys BEFORE the exact left-semi (map-only Arrow bit
+    test upstream of the join Exchange — the probe-side shuffle-
+    reduction shape Spark's own runtime bloom filter injects). Result
+    is row-identical to the plain semi-join at any fpp; aggregated with
+    exact-integer quantized sums. Exact SQL oracle (IN-subquery)."""
+    from msi_preprocessing_pipeline_spark.operators.runtime_filter import (
+        bloom_semi_join)
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT"))
+    out = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey",
+                          how="semi", fpp=0.002)
+    return (out.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_uq("l_quantity", 2)).alias("qty_u"),
+                 F.sum(_uq("l_extendedprice", 2)).alias("price_u")))
+
+
+def _q_bloom_anti(spark, sf_dir):
+    """Bloom-accelerated ANTI join (a shape vanilla Spark's runtime
+    filter never prunes): bloom-NEGATIVE probe rows are definitely
+    unmatched and bypass the join entirely; only the bloom-positive
+    sliver takes the exact left-anti. Same exact-integer aggregate
+    contract as the semi variant."""
+    from msi_preprocessing_pipeline_spark.operators.runtime_filter import (
+        bloom_semi_join)
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT"))
+    out = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey",
+                          how="anti", fpp=0.002)
+    return (out.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_uq("l_quantity", 2)).alias("qty_u"),
+                 F.sum(_uq("l_extendedprice", 2)).alias("price_u")))
+
+
+def _q_corr_matrix(spark, sf_dir):
+    """All-pairs Pearson correlation matrix over lineitem's numeric
+    features in ONE map-side-combined scan (exact decimal moments over
+    micro-quantized inputs; corr is a fixed IEEE tree over those exact
+    ints, in-plan 2^53 exactness guard). Scales chosen so every derived
+    moment stays under 2^53 through sf0.1 (price in k$, rates in %).
+    Exact SQL oracle."""
+    from msi_preprocessing_pipeline_spark.operators.featsel import (
+        corr_matrix)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        scales={"l_quantity": 0, "l_extendedprice": -3,
+                "l_discount": 2, "l_tax": 2},
+        out_scale=6)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3672,6 +3731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fertility_by_script": _q_fertility_by_script,
         "rrf_fuse_users": _q_rrf_fuse,
         "compression_ratio_docs": _q_compression,
+        "bloom_semi_lineitem": _q_bloom_semi,
+        "bloom_anti_lineitem": _q_bloom_anti,
+        "corr_matrix_lineitem": _q_corr_matrix,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -4502,6 +4564,85 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                   * (cast(j.n_src as hugeint) * best.rb)
                 < cast(j.n_ref as hugeint) * best.sb
                   * cast(1152921504606846976 as hugeint)
+        """,
+        "bloom_semi_lineitem": """
+            select l_returnflag, l_linestatus, count(*) as n,
+                   cast(sum(cast(floor(l_quantity * 100.0 + 0.5)
+                                 as bigint)) as bigint) as qty_u,
+                   cast(sum(cast(floor(l_extendedprice * 100.0 + 0.5)
+                                 as bigint)) as bigint) as price_u
+            from lineitem
+            where l_orderkey in (
+                select o_orderkey from orders
+                where o_orderpriority = '1-URGENT')
+            group by 1, 2
+        """,
+        "bloom_anti_lineitem": """
+            select l_returnflag, l_linestatus, count(*) as n,
+                   cast(sum(cast(floor(l_quantity * 100.0 + 0.5)
+                                 as bigint)) as bigint) as qty_u,
+                   cast(sum(cast(floor(l_extendedprice * 100.0 + 0.5)
+                                 as bigint)) as bigint) as price_u
+            from lineitem l
+            where not exists (
+                select 1 from orders o
+                where o.o_orderpriority = '1-URGENT'
+                  and o.o_orderkey = l.l_orderkey)
+            group by 1, 2
+        """,
+        "corr_matrix_lineitem": """
+            with q as (
+                select cast(floor(l_quantity * 1.0 + 0.5) as bigint) qx,
+                       cast(floor(l_extendedprice * 0.001 + 0.5)
+                            as bigint) px,
+                       cast(floor(l_discount * 100.0 + 0.5) as bigint) dx,
+                       cast(floor(l_tax * 100.0 + 0.5) as bigint) tx
+                from lineitem
+            ), m as (
+                select count(*) as n,
+                       sum(qx) s_q, sum(px) s_p, sum(dx) s_d, sum(tx) s_t,
+                       sum(qx*qx) s_qq, sum(px*px) s_pp,
+                       sum(dx*dx) s_dd, sum(tx*tx) s_tt,
+                       sum(qx*px) s_qp, sum(qx*dx) s_qd,
+                       sum(qx*tx) s_qt, sum(px*dx) s_pd,
+                       sum(px*tx) s_pt, sum(dx*tx) s_dt
+                from q
+            )
+            select 'l_quantity' as feat_a, 'l_extendedprice' as feat_b, n,
+                   cast(floor(cast(n*s_qp - s_q*s_p as double)
+                        / sqrt(cast(n*s_qq - s_q*s_q as double)
+                               * cast(n*s_pp - s_p*s_p as double))
+                        * 1000000.0 + 0.5) as bigint) as corr_u from m
+            union all
+            select 'l_quantity', 'l_discount', n,
+                   cast(floor(cast(n*s_qd - s_q*s_d as double)
+                        / sqrt(cast(n*s_qq - s_q*s_q as double)
+                               * cast(n*s_dd - s_d*s_d as double))
+                        * 1000000.0 + 0.5) as bigint) from m
+            union all
+            select 'l_quantity', 'l_tax', n,
+                   cast(floor(cast(n*s_qt - s_q*s_t as double)
+                        / sqrt(cast(n*s_qq - s_q*s_q as double)
+                               * cast(n*s_tt - s_t*s_t as double))
+                        * 1000000.0 + 0.5) as bigint) from m
+            union all
+            select 'l_extendedprice', 'l_discount', n,
+                   cast(floor(cast(n*s_pd - s_p*s_d as double)
+                        / sqrt(cast(n*s_pp - s_p*s_p as double)
+                               * cast(n*s_dd - s_d*s_d as double))
+                        * 1000000.0 + 0.5) as bigint) from m
+            union all
+            select 'l_extendedprice', 'l_tax', n,
+                   cast(floor(cast(n*s_pt - s_p*s_t as double)
+                        / sqrt(cast(n*s_pp - s_p*s_p as double)
+                               * cast(n*s_tt - s_t*s_t as double))
+                        * 1000000.0 + 0.5) as bigint) from m
+            union all
+            select 'l_discount', 'l_tax', n,
+                   cast(floor(cast(n*s_dt - s_d*s_t as double)
+                        / sqrt(cast(n*s_dd - s_d*s_d as double)
+                               * cast(n*s_tt - s_t*s_t as double))
+                        * 1000000.0 + 0.5) as bigint) from m
         """,
         "containment_pairs_docs": """
             with w as (

@@ -290,7 +290,9 @@ def main() -> None:
                  "roc_auc_value_purchase", "average_precision_value_purchase",
                  "containment_pairs_docs", "rank_gauss_events",
                  "histogram_match_events", "fertility_by_script",
-                 "rrf_fuse_users", "compression_ratio_docs"]:
+                 "rrf_fuse_users", "compression_ratio_docs",
+                 "bloom_semi_lineitem", "bloom_anti_lineitem",
+                 "corr_matrix_lineitem"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

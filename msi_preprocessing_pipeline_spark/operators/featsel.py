@@ -1,0 +1,144 @@
+"""Feature selection: exact pairwise Pearson correlation matrix and the
+correlation-redundancy filter.
+
+The classic pre-training screen — drop features that are near-copies of
+another feature — needs all d(d-1)/2 pairwise correlations.  ``df.stat
+.corr`` answers one pair per JOB (2 scans each) and its float sums are
+partition-order dependent; MLlib's ``Correlation.corr`` assembles a
+Vector column and densifies on the driver.  Here the whole matrix is ONE
+map-side-combined aggregation over the corpus:
+
+* inputs are micro-quantized to integers (``functions.util.quantize`` —
+  the shared cross-engine idiom), per-pair moments ``(n, Σx, Σy, Σxy,
+  Σx², Σy²)`` accumulate in DECIMAL(38,0) — exact, associative,
+  partition-order free;
+* each pair is pairwise-complete (only rows where BOTH columns are
+  non-null count — the pandas ``df.corr`` convention), so one scan still
+  serves columns with different null masks;
+* ``corr = (n·Σxy − ΣxΣy) / √((n·Σx² − Σx²)·(n·Σy² − Σy²))`` is a FIXED
+  IEEE tree evaluated over those exact integers, then micro-quantized —
+  bit-identical in Spark / DuckDB / numpy PROVIDED the three derived
+  components stay below 2^53 (above it a decimal→double cast may
+  double-round differently per engine); ``assert_exact`` enforces that
+  bound IN-PLAN with ``raise_error`` folded into the kept output column
+  (a standalone guard column would be pruned by the optimizer and never
+  evaluate — see PLANS.md `changelog.merge_into`).
+
+At 10^12 rows the plan is scan → partial aggregate → single final row
+(3·d² integer cells cross the wire) → d²-bounded pair explode: no
+shuffle of corpus rows, no driver matrix.  The d(d-1)/2 aggregate
+expressions bound d to O(10²) features per call — chunk wider frames.
+
+``redundant_features`` applies the deterministic drop rule: drop the
+LEXICOGRAPHICALLY LATER feature of any pair with |corr| ≥ threshold
+(non-recursive — b is dropped if ANY earlier a correlates, whether or
+not a itself was dropped; well-defined without iteration and exactly
+expressible in SQL as one EXISTS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.util import quantize
+
+_TWO53 = float(1 << 53)
+
+
+def _pair_aggs(cols, scales):
+    """Aggregate expressions for every i<j pair: pairwise-complete
+    exact-decimal moments."""
+    aggs, pairs = [], []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            qa = F.when(both, quantize(F.col(a), scales[a]))
+            qb = F.when(both, quantize(F.col(b), scales[b]))
+            d = "decimal(38,0)"
+            tag = f"{i}_{j}"
+            da, db = qa.cast(d), qb.cast(d)  # pre-cast: int64 q·q overflows
+            aggs += [
+                F.count(F.when(both, F.lit(1))).alias(f"n_{tag}"),
+                F.coalesce(F.sum(da), F.lit(0).cast(d))
+                .alias(f"sx_{tag}"),
+                F.coalesce(F.sum(db), F.lit(0).cast(d))
+                .alias(f"sy_{tag}"),
+                F.coalesce(F.sum(da * db), F.lit(0).cast(d))
+                .alias(f"sxy_{tag}"),
+                F.coalesce(F.sum(da * da), F.lit(0).cast(d))
+                .alias(f"sx2_{tag}"),
+                F.coalesce(F.sum(db * db), F.lit(0).cast(d))
+                .alias(f"sy2_{tag}"),
+            ]
+            pairs.append((i, j, tag))
+    return aggs, pairs
+
+
+def corr_matrix(df: DataFrame, cols, scales=None, out_scale: int = 6,
+                assert_exact: bool = True) -> DataFrame:
+    """All-pairs Pearson correlation over numeric ``cols`` in ONE scan.
+
+    ``scales``: int or {col: int} quantization scales (default 6).
+    Returns ``(feat_a, feat_b, n, corr_u)`` with ``corr_u`` the
+    correlation quantized at ``10^-out_scale`` (exact int64; null when a
+    side has zero variance or fewer than 2 complete rows).
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least 2 columns")
+    if scales is None:
+        scales = {c: 6 for c in cols}
+    elif isinstance(scales, int):
+        scales = {c: scales for c in cols}
+    missing = [c for c in cols if c not in scales]
+    if missing:
+        raise ValueError(f"no quantization scale for {missing}")
+
+    aggs, pairs = _pair_aggs(cols, scales)
+    one = df.agg(*aggs)
+
+    structs = []
+    for i, j, tag in pairs:
+        n = F.col(f"n_{tag}").cast("decimal(38,0)")
+        sx, sy = F.col(f"sx_{tag}"), F.col(f"sy_{tag}")
+        sxy = F.col(f"sxy_{tag}")
+        sx2, sy2 = F.col(f"sx2_{tag}"), F.col(f"sy2_{tag}")
+        num = (n * sxy - sx * sy).cast("double")
+        denx = (n * sx2 - sx * sx).cast("double")
+        deny = (n * sy2 - sy * sy).cast("double")
+        corr = num / F.sqrt(denx * deny)
+        corr_u = F.when((denx > 0) & (deny > 0),
+                        quantize(corr, out_scale))
+        if assert_exact:
+            worst = F.greatest(F.abs(num), F.abs(denx), F.abs(deny))
+            corr_u = F.when(
+                worst > F.lit(_TWO53),
+                F.raise_error(F.lit(
+                    f"corr_matrix({cols[i]},{cols[j]}): a derived moment "
+                    f"exceeds 2^53 — the decimal->double cast may "
+                    f"double-round differently per engine; lower the "
+                    f"quantization scale or pass assert_exact=False"))
+                .cast("bigint")).otherwise(corr_u)
+        structs.append(F.struct(
+            F.lit(cols[i]).alias("feat_a"), F.lit(cols[j]).alias("feat_b"),
+            F.col(f"n_{tag}").alias("n"), corr_u.alias("corr_u")))
+
+    return (one.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.feat_a", "p.feat_b", "p.n", "p.corr_u"))
+
+
+def redundant_features(corr: DataFrame, threshold: float = 0.95,
+                       out_scale: int = 6) -> DataFrame:
+    """Correlation-filter drop list over a :func:`corr_matrix` result:
+    feature ``b`` is dropped when ANY pair ``(a, b)`` with ``a`` sorted
+    before ``b`` has ``|corr| ≥ threshold`` (non-recursive rule —
+    deterministic, engine-order free, one semi-join on the d²-bounded
+    pair relation).  Returns ``(feature, because_of)`` with the earliest
+    witnessing partner."""
+    thr = int(round(abs(threshold) * 10 ** out_scale))
+    hits = corr.where(F.col("corr_u").isNotNull()
+                      & (F.abs(F.col("corr_u")) >= F.lit(thr)))
+    return (hits.groupBy(F.col("feat_b").alias("feature"))
+            .agg(F.min("feat_a").alias("because_of")))
