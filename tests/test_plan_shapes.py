@@ -736,3 +736,44 @@ def test_dedup_lines_in_doc_is_map_only(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("Scan parquet") == 2
+
+
+def test_corr_matrix_single_scan_partial_final_agg(spark):
+    """All d(d-1)/2 correlation pairs in ONE scan: a partial+final
+    aggregate pair around a single Exchange carrying 3·d² integer cells
+    — no corpus shuffle, no joins, no windows, no Python."""
+    from msi_preprocessing_pipeline_spark.operators.featsel import (
+        corr_matrix)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = plan_of(corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"],
+        scales={"l_quantity": 0, "l_extendedprice": -3,
+                "l_discount": 2}))
+    # formatted mode prints each node twice (tree outline + detail)
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Exchange") == 2  # ONE exchange: the 1-row gather
+    assert "SinglePartition" in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+
+
+def test_bloom_probe_prune_is_pre_shuffle(spark):
+    """The bloom semi-join's probe branch: scan -> JVM hash positions ->
+    Arrow bit test -> filter, all BEFORE the exact join's Exchange."""
+    from msi_preprocessing_pipeline_spark.operators.runtime_filter import (
+        bloom_semi_join)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    od = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+          .where(F.col("o_orderpriority") == "1-URGENT"))
+    plan = plan_of(bloom_semi_join(li, od, "l_orderkey", "o_orderkey",
+                                   how="semi"))
+    assert "LeftSemi" in plan
+    arrow_at = plan.find("MapInArrow")
+    assert arrow_at != -1
+    # the fragment below the Arrow stage (its input subtree: the probe
+    # scan) must be exchange-free — pruning happens upstream of any
+    # shuffle
+    assert "Exchange" not in plan[arrow_at:plan.find("Scan parquet",
+                                                    arrow_at)]
