@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-214 queries, 214 with exact DuckDB oracles — relational SQL where expressible,
+215 queries, 215 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3578,6 +3578,83 @@ def _q_corr_matrix(spark, sf_dir):
         out_scale=6)
 
 
+def _q_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap CI for the mean value per event type — the
+    no-resampling bootstrap (Chamandy et al. 2012): seeded md5 draws
+    against integer Poisson(1) thresholds give every row n_reps
+    deterministic pseudo-counts; all replicates reduce in ONE scan.
+    Exact SQL oracle (same md5 bits, same integer thresholds, same
+    fixed-order IEEE finale)."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        poisson_bootstrap_ci)
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(ev, "value", "event_id",
+                                group_by="event_type", n_reps=30,
+                                seed=42, scale=6, alpha=0.05)
+
+
+def _bootstrap_sql(n_reps=30, seed=42, scale=6, alpha=0.05,
+                   out_scale=6) -> str:
+    """DuckDB mirror of _q_bootstrap_ci: identical md5 draws, identical
+    integer thresholds, identical fixed-order IEEE final expressions."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        poisson1_thresholds)
+
+    ts = poisson1_thresholds()
+    mul = f"{float(10 ** scale)!r}"
+    omul = f"{float(10 ** out_scale)!r}"
+    lo_f = f"{alpha / 2.0!r}"
+    hi_f = f"{1.0 - alpha / 2.0!r}"
+    d_cols = ",\n".join(
+        f"cast(('0x' || substr(md5(cast(event_id as varchar) "
+        f"|| ':{seed}:{r}'), 1, 15)) as bigint) as d_{r}"
+        for r in range(n_reps))
+    w_cols = ",\n".join(
+        "(" + " + ".join(f"(case when d_{r} >= {t} then 1 else 0 end)"
+                         for t in ts) + f") as w_{r}"
+        for r in range(n_reps))
+    a_cols = ",\n".join(
+        f"sum(w_{r}) as ws_{r}, sum(cast(w_{r} as hugeint) * yq) as wy_{r}"
+        for r in range(n_reps))
+    mean_list = ", ".join(
+        f"case when ws_{r} > 0 then (cast(wy_{r} as double) "
+        f"/ cast(ws_{r} as double)) / {mul} end"
+        for r in range(n_reps))
+    return f"""
+        with raw as (
+            select event_type,
+                   cast(floor(value * {mul} + 0.5) as bigint) as yq,
+                   {d_cols}
+            from events where value is not null
+        ), w as (
+            select event_type, yq,
+                   {w_cols}
+            from raw
+        ), a as (
+            select event_type, count(*) as n, sum(yq) as sy,
+                   {a_cols}
+            from w group by 1
+        ), m as (
+            select event_type, n, sy,
+                   list_sort(list_filter([{mean_list}],
+                                         x -> x is not null)) as means
+            from a
+        )
+        select event_type, n,
+               cast(floor((cast(sy as double) / cast(n as double))
+                    / {mul} * {omul} + 0.5) as bigint) as mean_u,
+               cast(floor(means[cast(floor({lo_f}
+                    * cast(len(means) - 1 as double)) as int) + 1]
+                    * {omul} + 0.5) as bigint) as lo_u,
+               cast(floor(means[cast(ceil({hi_f}
+                    * cast(len(means) - 1 as double)) as int) + 1]
+                    * {omul} + 0.5) as bigint) as hi_u,
+               len(means) as n_reps_valid
+        from m
+    """
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3734,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_lineitem": _q_bloom_semi,
         "bloom_anti_lineitem": _q_bloom_anti,
         "corr_matrix_lineitem": _q_corr_matrix,
+        "bootstrap_ci_value": _q_bootstrap_ci,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -3890,6 +3968,8 @@ def oracle_sql() -> dict[str, str]:
     # non-SQL-expressible but seeded-deterministic operators (PIT pipeline,
     # sketch dedup) are hash-checked against pinned golden outputs
     # (regenerate with tools/gen_goldens.py after changing them)
+    out["bootstrap_ci_value"] = _bootstrap_sql(
+        n_reps=30, seed=42, scale=6, alpha=0.05)
     try:
         from _golden_oracles import GOLDEN_ORACLES
         out.update(GOLDEN_ORACLES)

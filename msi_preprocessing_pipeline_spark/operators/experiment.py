@@ -418,3 +418,87 @@ def average_precision(df: DataFrame, score_col: str, label_col: str,
         "n", "n_pos", "n_neg", "ap_u",
         F.when(F.col("n_pos") > 0,
                F.col("ap_u").cast("double") / F.lit(1e12)).alias("ap"))
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: uncertainty for massive data in ONE scan
+
+def poisson1_thresholds(k_max: int = 12) -> "list[int]":
+    """Inverse-CDF thresholds for Poisson(1) on the 60-bit uniform grid:
+    ``t_k = floor(CDF(k)·2^60)``.  A draw ``u ∈ [0, 2^60)`` maps to the
+    weight ``w = #{k : u ≥ t_k}`` = min(Poisson(1), k_max) exactly —
+    the truncation mass above ``k_max=12`` is ~1e-9.  The thresholds
+    are plain integer literals, so Spark and DuckDB make IDENTICAL
+    draws from identical md5 bits."""
+    import math
+    ts, cdf, term = [], 0.0, math.exp(-1.0)
+    for k in range(k_max):
+        cdf += term
+        ts.append(min(int(math.floor(cdf * (1 << 60))), (1 << 60) - 1))
+        term /= (k + 1)
+    return ts
+
+
+def poisson_bootstrap_ci(df: DataFrame, metric_col: str, id_col: str,
+                         group_by=None, n_reps: int = 50, seed: int = 42,
+                         scale: int = 6, alpha: float = 0.05,
+                         out_scale: int = 6) -> DataFrame:
+    """Percentile bootstrap CI for the mean of ``metric_col`` without
+    resampling: the Poisson bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012).  Classic
+    bootstrap resampling is impossible at 10^12 rows (each replicate is
+    a full shuffle of the corpus); instead each row gets ``n_reps``
+    independent Poisson(1) pseudo-counts — seeded md5 draws against
+    integer thresholds (:func:`poisson1_thresholds`), deterministic and
+    engine-portable — and every replicate reduces in the SAME map-side-
+    combined aggregation: ONE scan, ``2·n_reps`` integer cells per
+    group over the wire, zero extra shuffles.
+
+    Replicate means are exact-int divisions (``Σw·y_q / Σw``); the CI is
+    the [α/2, 1−α/2] order statistics of the non-degenerate replicate
+    means (a replicate whose total weight is 0 — probability ``e^-n`` —
+    reports null and is excluded in-plan).  Output per group:
+    ``(n, mean_u, lo_u, hi_u, n_reps_valid)`` quantized at
+    ``10^-out_scale``.
+    """
+    from ..functions.util import as_list
+    keys = [] if group_by is None else as_list(group_by)
+    ts = poisson1_thresholds()
+    src = df.where(F.col(metric_col).isNotNull())
+    y = _q(F.col(metric_col), scale).cast(_DEC)
+
+    aggs = [F.count("*").alias("__n"),
+            F.sum(y).alias("__sy")]
+    for r in range(n_reps):
+        draw = F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.lit(str(seed)),
+            F.lit(str(r)))), 1, 15), 16, 10).cast("long")
+        w = None
+        for t in ts:
+            c = (draw >= F.lit(t)).cast("long")
+            w = c if w is None else w + c
+        aggs += [F.sum(w).alias(f"__ws_{r}"),
+                 F.sum(w.cast(_DEC) * y).alias(f"__wy_{r}")]
+    agg = src.groupBy(*keys).agg(*aggs) if keys else src.agg(*aggs)
+
+    unscale = F.lit(float(10 ** scale))
+    means = F.array_sort(F.filter(F.array(*[
+        F.when(F.col(f"__ws_{r}") > 0,
+               F.col(f"__wy_{r}").cast("double")
+               / F.col(f"__ws_{r}").cast("double") / unscale)
+        for r in range(n_reps)]), lambda x: x.isNotNull()))
+    m = F.size(means)
+    lo_i = F.floor(F.lit(alpha / 2.0) * (m - 1).cast("double")) \
+        .cast("int") + 1
+    hi_i = F.ceil(F.lit(1.0 - alpha / 2.0) * (m - 1).cast("double")) \
+        .cast("int") + 1
+    return agg.select(
+        *keys,
+        F.col("__n").alias("n"),
+        _q(F.col("__sy").cast("double") / F.col("__n").cast("double")
+           / unscale, out_scale).alias("mean_u"),
+        F.when(m > 0, _q(F.element_at(means, lo_i), out_scale))
+        .alias("lo_u"),
+        F.when(m > 0, _q(F.element_at(means, hi_i), out_scale))
+        .alias("hi_u"),
+        m.cast("long").alias("n_reps_valid"))
