@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-215 queries, 215 with exact DuckDB oracles — relational SQL where expressible,
+216 queries, 216 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3655,6 +3655,24 @@ def _bootstrap_sql(n_reps=30, seed=42, scale=6, alpha=0.05,
     """
 
 
+def _q_mahalanobis(spark, sf_dir):
+    """Top-50 covariance-aware outliers by Mahalanobis distance — the
+    multivariate upgrade of the reference's per-feature +-k-sigma screens
+    (pipeline/outlier.py). Fit = one corpus scan to the d^2-bounded
+    moment relation + 12-dp-rounded driver inverse (pca_fit
+    determinism); scoring = one map-only Arrow pass. Iterative-free but
+    the matrix inverse has no SQL mirror -> golden-pinned like pca."""
+    from msi_preprocessing_pipeline_spark.operators.embeddings import (
+        mahalanobis_fit, mahalanobis_scores)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = mahalanobis_fit(emb, "embedding")
+    scored = mahalanobis_scores(emb, model, "embedding")
+    return (scored.select("vec_id", _uq("maha", 6).alias("maha_u"))
+            .orderBy(F.col("maha_u").desc(), F.col("vec_id").asc())
+            .limit(50))
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3812,6 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_anti_lineitem": _q_bloom_anti,
         "corr_matrix_lineitem": _q_corr_matrix,
         "bootstrap_ci_value": _q_bootstrap_ci,
+        "mahalanobis_vecs": _q_mahalanobis,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,

@@ -292,7 +292,8 @@ def main() -> None:
                  "histogram_match_events", "fertility_by_script",
                  "rrf_fuse_users", "compression_ratio_docs",
                  "bloom_semi_lineitem", "bloom_anti_lineitem",
-                 "corr_matrix_lineitem", "bootstrap_ci_value"]:
+                 "corr_matrix_lineitem", "bootstrap_ci_value",
+                 "mahalanobis_vecs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -616,3 +616,78 @@ def scalar_quantize(df: DataFrame, vec_col: str = "embedding",
         .otherwise(F.transform(F.col("__v"),
                                lambda x: F.lit(0).cast("int")))
     return base.select(id_col, "qscale", codes.alias("codes"))
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis anomaly scores (distributed moments -> bounded driver inverse)
+
+
+class MahalanobisModel(NamedTuple):
+    mean: np.ndarray      # (d,)
+    inv_cov: np.ndarray   # (d, d), symmetrized inverse of ridged cov
+    ridge: float
+
+
+def mahalanobis_fit(df: DataFrame, vec_col: str = "embedding",
+                    ridge: float = 1e-6) -> "MahalanobisModel":
+    """Fit the Mahalanobis anomaly model from the same DISTRIBUTED
+    covariance relation as :func:`pca_fit`: one corpus scan, only the
+    d²-bounded moment relation reaches the driver.
+
+    Determinism (golden-pin contract, the ``pca_fit`` discipline):
+    covariance/mean are rounded to 12 dp before inversion, the ridge
+    ``λ·tr(Σ)/d·I`` is a deterministic function of the rounded matrix
+    (scale-aware, so near-singular covariances stay invertible without
+    hand-tuning), and the inverse is symmetrized — the model is run- and
+    partition-order-invariant.
+    """
+    rel = _cov_agg(df, vec_col).collect()
+    if not rel:
+        raise ValueError("mahalanobis_fit: empty input")
+    d = max(r.j for r in rel)
+    ns = {r["_n"] for r in rel}
+    if len(ns) != 1:
+        raise ValueError(
+            "mahalanobis_fit: ragged embedding lengths across partitions "
+            f"(inconsistent counts {sorted(ns)})")
+    n = ns.pop()
+    if n < 2:
+        raise ValueError(f"mahalanobis_fit: need n >= 2 rows, got {int(n)}")
+    cov = np.zeros((d, d))
+    mean = np.zeros(d)
+    for r in rel:
+        c = round((r["_sxy"] - r["_sx"] * r["_sy"] / n) / (n - 1), 12)
+        cov[r.i - 1, r.j - 1] = c
+        cov[r.j - 1, r.i - 1] = c
+        if r.i == r.j:
+            mean[r.i - 1] = round(r["_sx"] / n, 12)
+    lam = float(ridge) * float(np.trace(cov)) / d
+    inv = np.linalg.inv(cov + lam * np.eye(d))
+    inv = (inv + inv.T) / 2.0
+    return MahalanobisModel(mean=mean, inv_cov=inv, ridge=lam)
+
+
+def mahalanobis_scores(df: DataFrame, model: "MahalanobisModel",
+                       vec_col: str = "embedding",
+                       out_col: str = "maha") -> DataFrame:
+    """Per-row Mahalanobis distance ``√((x−μ)ᵀ Σ⁻¹ (x−μ))`` — the
+    covariance-aware outlier score (the multivariate upgrade of the
+    reference's per-feature ±kσ screens, ``pipeline/outlier.py``).
+    ONE map-only Arrow pass; model broadcast by closure (d² floats);
+    per-row numpy einsum is independent of batching/partitioning, so
+    scores are bit-stable for a fixed model.  Null vectors score null.
+    """
+    mean, inv = model.mean, model.inv_cov
+
+    @F.pandas_udf("double")
+    def score(col: pd.Series) -> pd.Series:
+        mask = col.notna().to_numpy()
+        vals = np.full(len(col), np.nan)
+        if mask.any():
+            M = np.stack(col[mask].to_numpy()).astype(np.float64) - mean
+            q = np.einsum("ij,jk,ik->i", M, inv, M)
+            vals[mask] = np.sqrt(np.maximum(q, 0.0))
+        out = pd.Series(vals, index=col.index)
+        return out.where(pd.Series(mask, index=col.index))
+
+    return df.withColumn(out_col, score(F.col(vec_col)))

@@ -91,6 +91,10 @@ PIN = [
     # zlib compression ratio: deterministic for a fixed level + zlib
     # build, but DuckDB has no zlib → golden
     ("compression_ratio_docs", True),
+    # Mahalanobis: fit is partition-invariant (12-dp rounding before the
+    # driver inverse, pca_fit discipline) but the matrix inverse has no
+    # SQL mirror → golden
+    ("mahalanobis_vecs", True),
 ]
 
 DUCK_TYPES = {
