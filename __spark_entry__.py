@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-216 queries, 216 with exact DuckDB oracles — relational SQL where expressible,
+217 queries, 217 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3673,6 +3673,25 @@ def _q_mahalanobis(spark, sf_dir):
             .limit(50))
 
 
+def _q_conformal(spark, sf_dir):
+    """Split-conformal calibration + coverage audit: even event_ids
+    calibrate |value-250| nonconformity, odd event_ids audit the
+    distribution-free >=90% coverage of the ceil((n+1)(1-alpha))-rank
+    qhat. Exact SQL oracle (running-count window over the bounded
+    distinct-score relation; integer rank arithmetic)."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        conformal_coverage, conformal_qhat)
+
+    ev = _t(spark, sf_dir, "events")
+    score = F.abs(F.col("value") - F.lit(250.0))
+    cal = (ev.where(F.col("event_id") % 2 == 0)
+           .select(score.alias("score")))
+    test = (ev.where(F.col("event_id") % 2 == 1)
+            .select(score.alias("score")))
+    qh = conformal_qhat(cal, "score", alpha=0.1)
+    return conformal_coverage(test, "score", qh)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3831,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix_lineitem": _q_corr_matrix,
         "bootstrap_ci_value": _q_bootstrap_ci,
         "mahalanobis_vecs": _q_mahalanobis,
+        "conformal_value_events": _q_conformal,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -4688,6 +4708,41 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                 where o.o_orderpriority = '1-URGENT'
                   and o.o_orderkey = l.l_orderkey)
             group by 1, 2
+        """,
+        "conformal_value_events": """
+            with cal as (
+                select cast(floor(abs(value - 250.0) * 1000000.0 + 0.5)
+                            as bigint) as s_u
+                from events
+                where value is not null and event_id % 2 = 0
+            ), dist as (
+                select s_u, count(*) as c from cal group by 1
+            ), ann as (
+                select s_u,
+                       sum(c) over (order by s_u rows between unbounded
+                                    preceding and current row) as cum,
+                       sum(c) over () as n_all
+                from dist
+            ), one as (
+                select cast(coalesce(max(n_all), 0) as bigint) as n_cal,
+                       max(cast(ceil(cast(n_all + 1 as double) * 0.9)
+                                as bigint)) as rank_r,
+                       min(case when cum >= cast(ceil(cast(n_all + 1
+                                     as double) * 0.9) as bigint)
+                                then s_u end) as qhat_u
+                from ann
+            ), t as (
+                select cast(floor(abs(value - 250.0) * 1000000.0 + 0.5)
+                            as bigint) as s_u
+                from events
+                where value is not null and event_id % 2 = 1
+            )
+            select n_cal, rank_r, qhat_u, count(*) as n_test,
+                   cast(coalesce(sum(case when s_u <= qhat_u then 1
+                                          else 0 end), 0) as bigint)
+                       as n_covered
+            from t cross join one
+            group by 1, 2, 3
         """,
         "corr_matrix_lineitem": """
             with q as (

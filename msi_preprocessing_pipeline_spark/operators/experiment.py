@@ -502,3 +502,71 @@ def poisson_bootstrap_ci(df: DataFrame, metric_col: str, id_col: str,
         F.when(m > 0, _q(F.element_at(means, hi_i), out_scale))
         .alias("hi_u"),
         m.cast("long").alias("n_reps_valid"))
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction: distribution-free intervals from a
+# calibration slice
+
+def conformal_qhat(df: DataFrame, score_col: str, alpha: float = 0.1,
+                   scale: int = 6) -> DataFrame:
+    """Split-conformal calibration (Vovk et al.; Angelopoulos & Bates
+    2021 tutorial): given held-out nonconformity scores (e.g.
+    ``|y − ŷ|``), the quantile ``q̂`` = the ``⌈(n+1)(1−α)⌉``-th smallest
+    score gives distribution-free ≥(1−α) coverage for ``ŷ ± q̂`` on
+    exchangeable data.
+
+    Exact at any scale: scores are micro-quantized, the corpus reduces
+    ONCE to the |distinct scores|-bounded count relation, the rank
+    threshold is INTEGER arithmetic (``ceil`` of an exact product —
+    computed as ``(n+1)·(1−α)`` in IEEE then ceil; α is a shared
+    literal, so Spark/DuckDB agree bit-for-bit), and q̂ is the minimal
+    distinct score whose running count reaches the rank (the ``ks_stat``
+    running-sum-over-distinct-values shape — one window over the
+    bounded relation, never the corpus).  Returns one row
+    ``(n_cal, rank_r, qhat_u)``; if the rank exceeds n (tiny
+    calibration sets: ``(n+1)(1−α) > n``) q̂ is null — the honest
+    "cannot certify coverage" answer, not max(score).
+    """
+    from pyspark.sql import Window
+    q = _q(F.col(score_col), scale)
+    cal = df.where(F.col(score_col).isNotNull())
+    dist = cal.groupBy(q.alias("s_u")).agg(F.count("*").alias("c"))
+    # ONE lineage: running count AND the grand total ride the same
+    # window pass over the |distinct|-bounded relation (re-deriving the
+    # total as a second aggregate would rescan the corpus — the
+    # temperature_mixture lesson)
+    w_run = Window.orderBy("s_u").rowsBetween(
+        Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("s_u").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    ann = dist.select(
+        "s_u", F.sum("c").over(w_run).alias("cum"),
+        F.sum("c").over(w_all).alias("n_all"))
+    r = F.ceil((F.col("n_all") + 1).cast("double")
+               * F.lit(1.0 - alpha)).cast("long")
+    one = ann.agg(
+        F.coalesce(F.max("n_all"), F.lit(0)).cast("long").alias("n_cal"),
+        F.max(r).alias("rank_r"),
+        F.min(F.when(F.col("cum") >= r, F.col("s_u"))).alias("qhat_u"))
+    # rank unreachable ((n+1)(1-α) > n, tiny calibration sets) → null
+    # q̂: the honest "cannot certify coverage" answer, not max(score)
+    return one
+
+
+def conformal_coverage(test: DataFrame, score_col: str,
+                       qhat: DataFrame, scale: int = 6) -> DataFrame:
+    """Coverage audit of :func:`conformal_qhat` on a disjoint test
+    slice: one row ``(n_cal, rank_r, qhat_u, n_test, n_covered)`` where
+    ``n_covered`` counts test scores ≤ q̂ (exact integers; the marginal
+    coverage guarantee says ``n_covered/n_test ≳ 1−α``).  ONE scan of
+    the test slice against the broadcast 1-row q̂ relation."""
+    q = _q(F.col(score_col), scale)
+    t = test.where(F.col(score_col).isNotNull()).select(q.alias("s_u"))
+    return (t.crossJoin(F.broadcast(qhat))
+            .groupBy("n_cal", "rank_r", "qhat_u")
+            .agg(F.count("*").alias("n_test"),
+                 F.coalesce(F.sum(
+                     F.when(F.col("s_u") <= F.col("qhat_u"), 1)
+                     .otherwise(0)), F.lit(0)).cast("long")
+                 .alias("n_covered")))
