@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-217 queries, 217 with exact DuckDB oracles — relational SQL where expressible,
+218 queries, 218 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3692,6 +3692,95 @@ def _q_conformal(spark, sf_dir):
     return conformal_coverage(test, "score", qh)
 
 
+def _q_bootstrap_diff(spark, sf_dir):
+    """Poisson-bootstrap CI on the mean-value DIFFERENCE between click
+    and view events — the distribution-free complement to the Welch/
+    CUPED readout (ab_cuped_purchases). Same one-scan replicate
+    machinery as bootstrap_ci_value, pivoted per arm. Generated exact
+    SQL oracle."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        poisson_bootstrap_diff_ci)
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_diff_ci(
+        ev, "value", "event_id", "event_type", control="view",
+        treatment="click", n_reps=30, seed=42, scale=6, alpha=0.05)
+
+
+def _bootstrap_diff_sql(n_reps=30, seed=42, scale=6, alpha=0.05,
+                        out_scale=6, control="view",
+                        treatment="click") -> str:
+    """DuckDB mirror of _q_bootstrap_diff (lockstep with the operator)."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        poisson1_thresholds)
+
+    ts = poisson1_thresholds()
+    mul = f"{float(10 ** scale)!r}"
+    omul = f"{float(10 ** out_scale)!r}"
+    lo_f = f"{alpha / 2.0!r}"
+    hi_f = f"{1.0 - alpha / 2.0!r}"
+    d_cols = ",\n".join(
+        f"cast(('0x' || substr(md5(cast(event_id as varchar) "
+        f"|| ':{seed}:{r}'), 1, 15)) as bigint) as d_{r}"
+        for r in range(n_reps))
+    w_cols = ",\n".join(
+        "(" + " + ".join(f"(case when d_{r} >= {t} then 1 else 0 end)"
+                         for t in ts) + f") as w_{r}"
+        for r in range(n_reps))
+    a_cols = ",\n".join(
+        f"sum(w_{r}) as ws_{r}, sum(cast(w_{r} as hugeint) * yq) as wy_{r}"
+        for r in range(n_reps))
+    piv = [f"max(case when event_type = '{arm}' then {c} end) as {c}_{s}"
+           for arm, s in ((control, "c"), (treatment, "t"))
+           for c in (["n", "sy"] + [f"{p}_{r}" for r in range(n_reps)
+                                    for p in ("ws", "wy")])]
+    piv_cols = ",\n".join(piv)
+    diff_list = ", ".join(
+        f"case when ws_{r}_c > 0 and ws_{r}_t > 0 then "
+        f"(cast(wy_{r}_t as double) / cast(ws_{r}_t as double)) / {mul} "
+        f"- (cast(wy_{r}_c as double) / cast(ws_{r}_c as double)) "
+        f"/ {mul} end"
+        for r in range(n_reps))
+    return f"""
+        with raw as (
+            select event_type,
+                   cast(floor(value * {mul} + 0.5) as bigint) as yq,
+                   {d_cols}
+            from events
+            where value is not null
+              and event_type in ('{control}', '{treatment}')
+        ), w as (
+            select event_type, yq,
+                   {w_cols}
+            from raw
+        ), a as (
+            select event_type, count(*) as n, sum(yq) as sy,
+                   {a_cols}
+            from w group by 1
+        ), one as (
+            select
+                   {piv_cols}
+            from a
+        ), m as (
+            select *, list_sort(list_filter([{diff_list}],
+                                x -> x is not null)) as diffs
+            from one
+        )
+        select n_c, n_t,
+               cast(floor(((cast(sy_t as double) / cast(n_t as double))
+                    / {mul} - (cast(sy_c as double) / cast(n_c as double))
+                    / {mul}) * {omul} + 0.5) as bigint) as diff_u,
+               cast(floor(diffs[cast(floor({lo_f}
+                    * cast(len(diffs) - 1 as double)) as int) + 1]
+                    * {omul} + 0.5) as bigint) as lo_u,
+               cast(floor(diffs[cast(ceil({hi_f}
+                    * cast(len(diffs) - 1 as double)) as int) + 1]
+                    * {omul} + 0.5) as bigint) as hi_u,
+               len(diffs) as n_reps_valid
+        from m
+    """
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3851,6 +3940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci_value": _q_bootstrap_ci,
         "mahalanobis_vecs": _q_mahalanobis,
         "conformal_value_events": _q_conformal,
+        "bootstrap_diff_click_view": _q_bootstrap_diff,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -4008,6 +4098,8 @@ def oracle_sql() -> dict[str, str]:
     # sketch dedup) are hash-checked against pinned golden outputs
     # (regenerate with tools/gen_goldens.py after changing them)
     out["bootstrap_ci_value"] = _bootstrap_sql(
+        n_reps=30, seed=42, scale=6, alpha=0.05)
+    out["bootstrap_diff_click_view"] = _bootstrap_diff_sql(
         n_reps=30, seed=42, scale=6, alpha=0.05)
     try:
         from _golden_oracles import GOLDEN_ORACLES

@@ -293,7 +293,8 @@ def main() -> None:
                  "rrf_fuse_users", "compression_ratio_docs",
                  "bloom_semi_lineitem", "bloom_anti_lineitem",
                  "corr_matrix_lineitem", "bootstrap_ci_value",
-                 "mahalanobis_vecs", "conformal_value_events"]:
+                 "mahalanobis_vecs", "conformal_value_events",
+                 "bootstrap_diff_click_view"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

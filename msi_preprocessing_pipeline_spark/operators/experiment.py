@@ -570,3 +570,77 @@ def conformal_coverage(test: DataFrame, score_col: str,
                      F.when(F.col("s_u") <= F.col("qhat_u"), 1)
                      .otherwise(0)), F.lit(0)).cast("long")
                  .alias("n_covered")))
+
+
+def poisson_bootstrap_diff_ci(df: DataFrame, metric_col: str,
+                              id_col: str, group_col: str, control: str,
+                              treatment: str, n_reps: int = 50,
+                              seed: int = 42, scale: int = 6,
+                              alpha: float = 0.05,
+                              out_scale: int = 6) -> DataFrame:
+    """Percentile bootstrap CI for the A/B mean DIFFERENCE
+    (treatment − control) — the distribution-free complement to
+    :func:`ab_stats`'s Welch t (no normality assumption, correct for
+    skewed/heavy-tailed metrics).
+
+    Same machinery as :func:`poisson_bootstrap_ci`: per-row Poisson(1)
+    pseudo-counts from seeded md5 draws, every replicate reduced in ONE
+    map-side-combined aggregation — here per arm (a 2-row relation),
+    pivoted driver-free to one row, with per-replicate diffs
+    ``wy_t/ws_t − wy_c/ws_c`` (fixed-order IEEE over exact ints).  A
+    replicate degenerate in EITHER arm is excluded.  Output one row:
+    ``(n_c, n_t, diff_u, lo_u, hi_u, n_reps_valid)`` — a CI excluding 0
+    is the bootstrap's significance verdict.
+    """
+    ts = poisson1_thresholds()
+    src = df.where(F.col(metric_col).isNotNull()
+                   & F.col(group_col).isin([control, treatment]))
+    y = _q(F.col(metric_col), scale).cast(_DEC)
+
+    aggs = [F.count("*").alias("__n"), F.sum(y).alias("__sy")]
+    for r in range(n_reps):
+        draw = F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.lit(str(seed)),
+            F.lit(str(r)))), 1, 15), 16, 10).cast("long")
+        w = None
+        for t in ts:
+            c = (draw >= F.lit(t)).cast("long")
+            w = c if w is None else w + c
+        aggs += [F.sum(w).alias(f"__ws_{r}"),
+                 F.sum(w.cast(_DEC) * y).alias(f"__wy_{r}")]
+    arms = src.groupBy(F.col(group_col).alias("__g")).agg(*aggs)
+
+    is_t = F.col("__g") == F.lit(treatment)
+    picks = []
+    for c in (["__n", "__sy"]
+              + [f"__{p}_{r}" for r in range(n_reps)
+                 for p in ("ws", "wy")]):
+        picks += [F.max(F.when(~is_t, F.col(c))).alias(f"{c}_c"),
+                  F.max(F.when(is_t, F.col(c))).alias(f"{c}_t")]
+    one = arms.agg(*picks)
+
+    unscale = F.lit(float(10 ** scale))
+
+    def _mean(wy, ws):
+        return F.col(wy).cast("double") / F.col(ws).cast("double") \
+            / unscale
+
+    diffs = F.array_sort(F.filter(F.array(*[
+        F.when((F.col(f"__ws_{r}_c") > 0) & (F.col(f"__ws_{r}_t") > 0),
+               _mean(f"__wy_{r}_t", f"__ws_{r}_t")
+               - _mean(f"__wy_{r}_c", f"__ws_{r}_c"))
+        for r in range(n_reps)]), lambda x: x.isNotNull()))
+    m = F.size(diffs)
+    lo_i = F.floor(F.lit(alpha / 2.0) * (m - 1).cast("double")) \
+        .cast("int") + 1
+    hi_i = F.ceil(F.lit(1.0 - alpha / 2.0) * (m - 1).cast("double")) \
+        .cast("int") + 1
+    return one.select(
+        F.col("__n_c").alias("n_c"), F.col("__n_t").alias("n_t"),
+        _q(_mean("__sy_t", "__n_t") - _mean("__sy_c", "__n_c"),
+           out_scale).alias("diff_u"),
+        F.when(m > 0, _q(F.element_at(diffs, lo_i), out_scale))
+        .alias("lo_u"),
+        F.when(m > 0, _q(F.element_at(diffs, hi_i), out_scale))
+        .alias("hi_u"),
+        m.cast("long").alias("n_reps_valid"))

@@ -99,3 +99,41 @@ def test_grouped(spark):
     # group a's metric is ~1 higher than group b's
     assert out["a"].mean_u - out["b"].mean_u > 800_000
     assert out["a"].lo_u > out["b"].hi_u  # separated CIs
+
+
+def test_diff_ci_detects_real_effect_and_nulls_fake(spark):
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        poisson_bootstrap_diff_ci)
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(1500):
+        arm = "t" if i % 2 else "c"
+        lift = 1.0 if arm == "t" else 0.0
+        rows.append(Row(id=i, g=arm, v=float(rng.normal(10 + lift, 2.0))))
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    r = poisson_bootstrap_diff_ci(df, "v", "id", "g", "c", "t",
+                                  n_reps=40, seed=3).collect()[0]
+    assert r.n_c == 750 and r.n_t == 750 and r.n_reps_valid == 40
+    assert r.lo_u <= r.diff_u <= r.hi_u
+    assert r.lo_u > 0  # true lift=1: CI excludes 0
+    assert 500_000 < r.diff_u < 1_500_000
+    # no-effect arms: CI must straddle 0
+    rows0 = [Row(id=i, g="t" if i % 2 else "c",
+                 v=float(rng.normal(10, 2.0))) for i in range(1500)]
+    df0 = spark.createDataFrame(rows0, "id long, g string, v double")
+    r0 = poisson_bootstrap_diff_ci(df0, "v", "id", "g", "c", "t",
+                                   n_reps=40, seed=3).collect()[0]
+    assert r0.lo_u < 0 < r0.hi_u
+
+
+def test_diff_ci_partition_invariance(spark):
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        poisson_bootstrap_diff_ci)
+    rows = [Row(id=i, g="t" if i % 3 == 0 else "c", v=float(i % 23))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    a = poisson_bootstrap_diff_ci(df.repartition(1), "v", "id", "g",
+                                  "c", "t", n_reps=20).collect()
+    b = poisson_bootstrap_diff_ci(df.repartition(13), "v", "id", "g",
+                                  "c", "t", n_reps=20).collect()
+    assert a == b
