@@ -3814,13 +3814,18 @@ _R5_WINDOW = [
     "semdedup_vecs", "rp_embed_vecs", "dsir_weights_docs", "pq_topk_vecs",
     "group_kfold_events", "classification_report_events",
     "weighted_sample_docs", "scalar_quantize_vecs",
-    # (c) never-driver-recorded r4 queries, riskiest first
-    "pagerank_part_supplier", "triangles_supplier_coorder",
-    "clustering_coeff_suppliers", "kcore_suppliers", "er_resolve_part",
-    "boilerplate_census_docs", "remove_boilerplate_docs",
-    "incremental_refresh_users", "merge_additive_users",
-    "survivorship_users",
-    "funnel_view_click_purchase",
+    # (c) round-5 sessions 8-9: the least-evidenced queries — only
+    # CONTRACT_r05.json attests them (no prior driver row OR judge
+    # rerun); the r4 (c) block they displace (pagerank/triangles/
+    # clustering/kcore/er_resolve/boilerplate/incremental/survivorship/
+    # funnel) was judge-rerun 58/58 in the r4 session AND is contract-
+    # green this round
+    "bloom_semi_lineitem", "corr_matrix_lineitem",
+    "bootstrap_ci_value", "bootstrap_diff_click_view",
+    "mahalanobis_vecs", "conformal_value_events",
+    "merge_into_customers", "isotonic_value_purchase",
+    "roc_auc_value_purchase", "unigram_fit_docs",
+    "hard_negatives_vecs",
     # (d) round-5 continuation: Kneser-Ney LM scoring, corpus-global
     # paragraph dedup, C4 filter, all-pairs TF-IDF similarity,
     # Bradley-Terry ratings, Cohen's kappa, gram novelty, k-center
