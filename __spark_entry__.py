@@ -3594,21 +3594,20 @@ def _q_bootstrap_ci(spark, sf_dir):
                                 seed=42, scale=6, alpha=0.05)
 
 
-def _bootstrap_sql(n_reps=30, seed=42, scale=6, alpha=0.05,
-                   out_scale=6) -> str:
-    """DuckDB mirror of _q_bootstrap_ci: identical md5 draws, identical
-    integer thresholds, identical fixed-order IEEE final expressions."""
+def _bootstrap_sql_cols(n_reps: int, seed: int):
+    """Shared generators for the bootstrap oracles' draw/weight/agg
+    columns — ONE source of truth for the md5-draw contract. concat_ws
+    (not ||) so a NULL event_id hashes exactly like Spark's concat_ws
+    (both skip nulls -> the shared 'seed:r' draw), keeping the engines
+    in lockstep even on null ids."""
     from msi_preprocessing_pipeline_spark.operators.experiment import (
         poisson1_thresholds)
 
     ts = poisson1_thresholds()
-    mul = f"{float(10 ** scale)!r}"
-    omul = f"{float(10 ** out_scale)!r}"
-    lo_f = f"{alpha / 2.0!r}"
-    hi_f = f"{1.0 - alpha / 2.0!r}"
     d_cols = ",\n".join(
-        f"cast(('0x' || substr(md5(cast(event_id as varchar) "
-        f"|| ':{seed}:{r}'), 1, 15)) as bigint) as d_{r}"
+        f"cast(('0x' || substr(md5(concat_ws(':', "
+        f"cast(event_id as varchar), '{seed}', '{r}')), 1, 15)) "
+        f"as bigint) as d_{r}"
         for r in range(n_reps))
     w_cols = ",\n".join(
         "(" + " + ".join(f"(case when d_{r} >= {t} then 1 else 0 end)"
@@ -3617,6 +3616,18 @@ def _bootstrap_sql(n_reps=30, seed=42, scale=6, alpha=0.05,
     a_cols = ",\n".join(
         f"sum(w_{r}) as ws_{r}, sum(cast(w_{r} as hugeint) * yq) as wy_{r}"
         for r in range(n_reps))
+    return d_cols, w_cols, a_cols
+
+
+def _bootstrap_sql(n_reps=30, seed=42, scale=6, alpha=0.05,
+                   out_scale=6) -> str:
+    """DuckDB mirror of _q_bootstrap_ci: identical md5 draws, identical
+    integer thresholds, identical fixed-order IEEE final expressions."""
+    mul = f"{float(10 ** scale)!r}"
+    omul = f"{float(10 ** out_scale)!r}"
+    lo_f = f"{alpha / 2.0!r}"
+    hi_f = f"{1.0 - alpha / 2.0!r}"
+    d_cols, w_cols, a_cols = _bootstrap_sql_cols(n_reps, seed)
     mean_list = ", ".join(
         f"case when ws_{r} > 0 then (cast(wy_{r} as double) "
         f"/ cast(ws_{r} as double)) / {mul} end"
@@ -3711,25 +3722,11 @@ def _bootstrap_diff_sql(n_reps=30, seed=42, scale=6, alpha=0.05,
                         out_scale=6, control="view",
                         treatment="click") -> str:
     """DuckDB mirror of _q_bootstrap_diff (lockstep with the operator)."""
-    from msi_preprocessing_pipeline_spark.operators.experiment import (
-        poisson1_thresholds)
-
-    ts = poisson1_thresholds()
     mul = f"{float(10 ** scale)!r}"
     omul = f"{float(10 ** out_scale)!r}"
     lo_f = f"{alpha / 2.0!r}"
     hi_f = f"{1.0 - alpha / 2.0!r}"
-    d_cols = ",\n".join(
-        f"cast(('0x' || substr(md5(cast(event_id as varchar) "
-        f"|| ':{seed}:{r}'), 1, 15)) as bigint) as d_{r}"
-        for r in range(n_reps))
-    w_cols = ",\n".join(
-        "(" + " + ".join(f"(case when d_{r} >= {t} then 1 else 0 end)"
-                         for t in ts) + f") as w_{r}"
-        for r in range(n_reps))
-    a_cols = ",\n".join(
-        f"sum(w_{r}) as ws_{r}, sum(cast(w_{r} as hugeint) * yq) as wy_{r}"
-        for r in range(n_reps))
+    d_cols, w_cols, a_cols = _bootstrap_sql_cols(n_reps, seed)
     piv = [f"max(case when event_type = '{arm}' then {c} end) as {c}_{s}"
            for arm, s in ((control, "c"), (treatment, "t"))
            for c in (["n", "sy"] + [f"{p}_{r}" for r in range(n_reps)
@@ -3820,10 +3817,11 @@ _R5_WINDOW = [
     # clustering/kcore/er_resolve/boilerplate/incremental/survivorship/
     # funnel) was judge-rerun 58/58 in the r4 session AND is contract-
     # green this round
-    "bloom_semi_lineitem", "corr_matrix_lineitem",
+    "bloom_semi_lineitem", "bloom_anti_lineitem",
+    "corr_matrix_lineitem",
     "bootstrap_ci_value", "bootstrap_diff_click_view",
     "mahalanobis_vecs", "conformal_value_events",
-    "merge_into_customers", "isotonic_value_purchase",
+    "isotonic_value_purchase",
     "roc_auc_value_purchase", "unigram_fit_docs",
     "hard_negatives_vecs",
     # (d) round-5 continuation: Kneser-Ney LM scoring, corpus-global

@@ -324,6 +324,35 @@ class PCAModel(NamedTuple):
     explained_variance: np.ndarray  # (k,)
 
 
+def _collect_cov_mean(df: DataFrame, vec_col: str, op_name: str):
+    """Shared fit front-end for :func:`pca_fit` and
+    :func:`mahalanobis_fit`: collect the d²-bounded moment relation and
+    reconstruct the 12-dp-rounded sample covariance + mean (the
+    rounding makes the result run- and partition-order-invariant — see
+    the pca_fit docstring). Returns ``(cov, mean, n, d)``."""
+    rel = _cov_agg(df, vec_col).collect()
+    if not rel:
+        raise ValueError(f"{op_name}: empty input")
+    d = max(r.j for r in rel)
+    ns = {r["_n"] for r in rel}
+    if len(ns) != 1:
+        raise ValueError(
+            f"{op_name}: ragged embedding lengths across partitions "
+            f"(inconsistent counts {sorted(ns)})")
+    n = ns.pop()
+    if n < 2:
+        raise ValueError(f"{op_name}: need n >= 2 rows, got {int(n)}")
+    cov = np.zeros((d, d))
+    mean = np.zeros(d)
+    for r in rel:
+        c = round((r["_sxy"] - r["_sx"] * r["_sy"] / n) / (n - 1), 12)
+        cov[r.i - 1, r.j - 1] = c
+        cov[r.j - 1, r.i - 1] = c
+        if r.i == r.j:
+            mean[r.i - 1] = round(r["_sx"] / n, 12)
+    return cov, mean, n, d
+
+
 def pca_fit(df: DataFrame, k: int = 4,
             vec_col: str = "embedding") -> PCAModel:
     """Fit a k-component PCA from the DISTRIBUTED covariance relation:
@@ -341,31 +370,9 @@ def pca_fit(df: DataFrame, k: int = 4,
     here) makes the fit run- and partition-order-invariant, hence
     golden-pinnable (same discipline as ``ivf_fit_centroids``).
     """
-    rel = _cov_agg(df, vec_col).collect()
-    if not rel:
-        raise ValueError("pca_fit: empty input")
-    d = max(r.j for r in rel)
+    cov, mean, n, d = _collect_cov_mean(df, vec_col, "pca_fit")
     if k < 1 or k > d:
         raise ValueError(f"k must be in [1, {d}], got {k}")
-    ns = {r["_n"] for r in rel}
-    if len(ns) != 1:
-        raise ValueError(
-            "pca_fit: ragged embedding lengths across partitions "
-            f"(inconsistent counts {sorted(ns)})")
-    n = ns.pop()
-    if n < 2:
-        raise ValueError(f"pca_fit: need n >= 2 rows, got {int(n)}")
-    # ONE corpus scan: covariance AND mean both come from the same
-    # collected d²-bounded partial relation (the diagonal rows carry
-    # the per-position sums) — no second embedding_moments pass
-    cov = np.zeros((d, d))
-    mean = np.zeros(d)
-    for r in rel:
-        c = round((r["_sxy"] - r["_sx"] * r["_sy"] / n) / (n - 1), 12)
-        cov[r.i - 1, r.j - 1] = c
-        cov[r.j - 1, r.i - 1] = c
-        if r.i == r.j:
-            mean[r.i - 1] = round(r["_sx"] / n, 12)
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:k]
     comps = vecs[:, order].T.copy()
@@ -641,26 +648,7 @@ def mahalanobis_fit(df: DataFrame, vec_col: str = "embedding",
     hand-tuning), and the inverse is symmetrized — the model is run- and
     partition-order-invariant.
     """
-    rel = _cov_agg(df, vec_col).collect()
-    if not rel:
-        raise ValueError("mahalanobis_fit: empty input")
-    d = max(r.j for r in rel)
-    ns = {r["_n"] for r in rel}
-    if len(ns) != 1:
-        raise ValueError(
-            "mahalanobis_fit: ragged embedding lengths across partitions "
-            f"(inconsistent counts {sorted(ns)})")
-    n = ns.pop()
-    if n < 2:
-        raise ValueError(f"mahalanobis_fit: need n >= 2 rows, got {int(n)}")
-    cov = np.zeros((d, d))
-    mean = np.zeros(d)
-    for r in rel:
-        c = round((r["_sxy"] - r["_sx"] * r["_sy"] / n) / (n - 1), 12)
-        cov[r.i - 1, r.j - 1] = c
-        cov[r.j - 1, r.i - 1] = c
-        if r.i == r.j:
-            mean[r.i - 1] = round(r["_sx"] / n, 12)
+    cov, mean, _n, d = _collect_cov_mean(df, vec_col, "mahalanobis_fit")
     lam = float(ridge) * float(np.trace(cov)) / d
     inv = np.linalg.inv(cov + lam * np.eye(d))
     inv = (inv + inv.T) / 2.0

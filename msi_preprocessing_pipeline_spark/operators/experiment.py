@@ -439,6 +439,28 @@ def poisson1_thresholds(k_max: int = 12) -> "list[int]":
     return ts
 
 
+def _replicate_aggs(id_col: str, y, n_reps: int, seed: int):
+    """The shared Poisson-replicate aggregate builder: per replicate, a
+    seeded md5 draw against the integer thresholds yields the row's
+    pseudo-count ``w_r``; returns ``[count, sum(y), ws_0, wy_0, ...]``.
+    Null ids: ``concat_ws`` SKIPS nulls (all null-id rows share the
+    draw of "seed:r") — the generated DuckDB oracles use ``concat_ws``
+    too, so the engines agree even on null ids."""
+    ts = poisson1_thresholds()
+    aggs = [F.count("*").alias("__n"), F.sum(y).alias("__sy")]
+    for r in range(n_reps):
+        draw = F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.lit(str(seed)),
+            F.lit(str(r)))), 1, 15), 16, 10).cast("long")
+        w = None
+        for t in ts:
+            c = (draw >= F.lit(t)).cast("long")
+            w = c if w is None else w + c
+        aggs += [F.sum(w).alias(f"__ws_{r}"),
+                 F.sum(w.cast(_DEC) * y).alias(f"__wy_{r}")]
+    return aggs
+
+
 def poisson_bootstrap_ci(df: DataFrame, metric_col: str, id_col: str,
                          group_by=None, n_reps: int = 50, seed: int = 42,
                          scale: int = 6, alpha: float = 0.05,
@@ -463,22 +485,9 @@ def poisson_bootstrap_ci(df: DataFrame, metric_col: str, id_col: str,
     """
     from ..functions.util import as_list
     keys = [] if group_by is None else as_list(group_by)
-    ts = poisson1_thresholds()
     src = df.where(F.col(metric_col).isNotNull())
     y = _q(F.col(metric_col), scale).cast(_DEC)
-
-    aggs = [F.count("*").alias("__n"),
-            F.sum(y).alias("__sy")]
-    for r in range(n_reps):
-        draw = F.conv(F.substring(F.md5(F.concat_ws(
-            ":", F.col(id_col).cast("string"), F.lit(str(seed)),
-            F.lit(str(r)))), 1, 15), 16, 10).cast("long")
-        w = None
-        for t in ts:
-            c = (draw >= F.lit(t)).cast("long")
-            w = c if w is None else w + c
-        aggs += [F.sum(w).alias(f"__ws_{r}"),
-                 F.sum(w.cast(_DEC) * y).alias(f"__wy_{r}")]
+    aggs = _replicate_aggs(id_col, y, n_reps, seed)
     agg = src.groupBy(*keys).agg(*aggs) if keys else src.agg(*aggs)
 
     unscale = F.lit(float(10 ** scale))
@@ -592,23 +601,11 @@ def poisson_bootstrap_diff_ci(df: DataFrame, metric_col: str,
     ``(n_c, n_t, diff_u, lo_u, hi_u, n_reps_valid)`` — a CI excluding 0
     is the bootstrap's significance verdict.
     """
-    ts = poisson1_thresholds()
     src = df.where(F.col(metric_col).isNotNull()
                    & F.col(group_col).isin([control, treatment]))
     y = _q(F.col(metric_col), scale).cast(_DEC)
-
-    aggs = [F.count("*").alias("__n"), F.sum(y).alias("__sy")]
-    for r in range(n_reps):
-        draw = F.conv(F.substring(F.md5(F.concat_ws(
-            ":", F.col(id_col).cast("string"), F.lit(str(seed)),
-            F.lit(str(r)))), 1, 15), 16, 10).cast("long")
-        w = None
-        for t in ts:
-            c = (draw >= F.lit(t)).cast("long")
-            w = c if w is None else w + c
-        aggs += [F.sum(w).alias(f"__ws_{r}"),
-                 F.sum(w.cast(_DEC) * y).alias(f"__wy_{r}")]
-    arms = src.groupBy(F.col(group_col).alias("__g")).agg(*aggs)
+    arms = src.groupBy(F.col(group_col).alias("__g")).agg(
+        *_replicate_aggs(id_col, y, n_reps, seed))
 
     is_t = F.col("__g") == F.lit(treatment)
     picks = []

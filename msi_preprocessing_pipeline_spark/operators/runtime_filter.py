@@ -88,15 +88,28 @@ class BloomFilter:
     seed: int
     words: np.ndarray  # uint64[n_bits // 64]
     n_keys: int        # build-side distinct-key count the sizing used
+    _bc_cache: dict = None  # {sc applicationId+id: Broadcast} — see below
+
+    def _broadcast(self, spark):
+        """One ``sc.broadcast`` per SparkContext per filter, cached —
+        a fresh broadcast per probe would leak a bitmap-sized copy on
+        driver and executors for every reuse of a prebuilt filter."""
+        sc = spark.sparkContext
+        key = (sc.applicationId, id(sc))
+        if self._bc_cache is None:
+            object.__setattr__(self, "_bc_cache", {})
+        if key not in self._bc_cache:
+            self._bc_cache[key] = sc.broadcast(self.words)
+        return self._bc_cache[key]
 
     def might_contain(self, df: DataFrame, key: str,
                       out_col: str = _MAYBE) -> DataFrame:
         """Append boolean ``out_col``: False ⇒ key is DEFINITELY not in
         the build set; True ⇒ probably is (false-positive rate ``fpp``).
         One map-only Arrow pass; the bitmap ships once per executor via
-        ``sc.broadcast``."""
+        a cached ``sc.broadcast``."""
         spark = df.sparkSession
-        bc = spark.sparkContext.broadcast(self.words)
+        bc = self._broadcast(spark)
         k, n_bits = self.k, self.n_bits
         with_pos = df.withColumn(
             _POS, F.array(*_position_exprs(F.col(key), k, n_bits,
@@ -182,7 +195,19 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
     if how not in ("semi", "anti"):
         raise ValueError(f"how must be semi|anti, got {how}")
     probe_type = probe.schema[probe_key].dataType
-    keys = (build.select(F.col(build_key).cast(probe_type).alias(_KEY))
+    build_type = build.schema[build_key].dataType
+    if probe_type != build_type:
+        # a silent cast would wrap/narrow wide build keys (e.g. long →
+        # int) and break the row-identical-to-plain-join guarantee; and
+        # xxhash64 is type-sensitive, so the two sides MUST hash the
+        # same type — make the caller align them explicitly
+        raise ValueError(
+            f"bloom_semi_join: key types differ — probe {probe_key}:"
+            f"{probe_type.simpleString()} vs build {build_key}:"
+            f"{build_type.simpleString()}; cast them to a common type "
+            f"before joining (a widening cast on the narrower side is "
+            f"always safe)")
+    keys = (build.select(F.col(build_key).alias(_KEY))
             .where(F.col(_KEY).isNotNull()).distinct())
     bf = bloom if bloom is not None else bloom_build(
         keys, _KEY, fpp=fpp, expected_n=expected_n, seed=seed)

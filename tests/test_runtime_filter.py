@@ -125,3 +125,20 @@ def test_probe_filter_runs_before_join_exchange(spark):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan
     assert "Exchange" not in plan  # scan → hash → bit test → filter
+
+
+def test_mismatched_key_types_fail_fast(spark):
+    probe = spark.createDataFrame([Row(pid=1, key=5)],
+                                  "pid long, key int")
+    build = spark.createDataFrame([Row(bk=5)], "bk long")
+    with pytest.raises(ValueError, match="key types differ"):
+        bloom_semi_join(probe, build, "key", "bk", how="semi")
+
+
+def test_broadcast_cached_across_probes(spark):
+    keys = spark.range(50).select(F.col("id").alias("k"))
+    bf = bloom_build(keys, "k", fpp=0.01)
+    probe = spark.range(100).select(F.col("id").alias("key"))
+    bf.might_contain(probe, "key", "m1").count()
+    bf.might_contain(probe, "key", "m2").count()
+    assert len(bf._bc_cache) == 1  # one broadcast per SparkContext
