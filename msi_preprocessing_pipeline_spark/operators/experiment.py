@@ -537,14 +537,24 @@ def conformal_qhat(df: DataFrame, score_col: str, alpha: float = 0.1,
     calibration sets: ``(n+1)(1−α) > n``) q̂ is null — the honest
     "cannot certify coverage" answer, not max(score).
     """
-    from pyspark.sql import Window
     q = _q(F.col(score_col), scale)
     cal = df.where(F.col(score_col).isNotNull())
     dist = cal.groupBy(q.alias("s_u")).agg(F.count("*").alias("c"))
-    # ONE lineage: running count AND the grand total ride the same
-    # window pass over the |distinct|-bounded relation (re-deriving the
-    # total as a second aggregate would rescan the corpus — the
-    # temperature_mixture lesson)
+    return qhat_from_counts(dist, alpha)
+
+
+def qhat_from_counts(dist: DataFrame, alpha: float = 0.1) -> DataFrame:
+    """The conformal rank selection over a ``(s_u, c)`` quantized-score
+    count relation — shared by :func:`conformal_qhat` (batch) and the
+    streaming histogram-store landing (``streaming.conformal``).
+
+    ONE lineage: running count AND the grand total ride the same window
+    pass over the |distinct|-bounded relation (re-deriving the total as
+    a second aggregate would rescan the source — the
+    temperature_mixture lesson); q̂ falls out of one final aggregate.
+    Rank unreachable ((n+1)(1−α) > n, tiny calibration sets) → null q̂:
+    the honest "cannot certify coverage" answer, not max(score)."""
+    from pyspark.sql import Window
     w_run = Window.orderBy("s_u").rowsBetween(
         Window.unboundedPreceding, 0)
     w_all = Window.orderBy("s_u").rowsBetween(
@@ -554,13 +564,10 @@ def conformal_qhat(df: DataFrame, score_col: str, alpha: float = 0.1,
         F.sum("c").over(w_all).alias("n_all"))
     r = F.ceil((F.col("n_all") + 1).cast("double")
                * F.lit(1.0 - alpha)).cast("long")
-    one = ann.agg(
+    return ann.agg(
         F.coalesce(F.max("n_all"), F.lit(0)).cast("long").alias("n_cal"),
         F.max(r).alias("rank_r"),
         F.min(F.when(F.col("cum") >= r, F.col("s_u"))).alias("qhat_u"))
-    # rank unreachable ((n+1)(1-α) > n, tiny calibration sets) → null
-    # q̂: the honest "cannot certify coverage" answer, not max(score)
-    return one
 
 
 def conformal_coverage(test: DataFrame, score_col: str,
