@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-218 queries, 218 with exact DuckDB oracles — relational SQL where expressible,
+219 queries, 219 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3778,6 +3778,19 @@ def _bootstrap_diff_sql(n_reps=30, seed=42, scale=6, alpha=0.05,
     """
 
 
+def _q_conformal_by(spark, sf_dir):
+    """Mondrian (per-event-type) conformal calibration — one qhat per
+    group so coverage holds WITHIN each slice, not just marginally.
+    Exact SQL oracle (group-partitioned running-count windows)."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        conformal_qhat_by)
+
+    ev = _t(spark, sf_dir, "events")
+    cal = ev.select("event_type",
+                    F.abs(F.col("value") - F.lit(250.0)).alias("score"))
+    return conformal_qhat_by(cal, "score", "event_type", alpha=0.1)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3943,6 +3956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci_value": _q_bootstrap_ci,
         "mahalanobis_vecs": _q_mahalanobis,
         "conformal_value_events": _q_conformal,
+        "conformal_by_type_events": _q_conformal_by,
         "bootstrap_diff_click_view": _q_bootstrap_diff,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4838,6 +4852,32 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                        as n_covered
             from t cross join one
             group by 1, 2, 3
+        """,
+        "conformal_by_type_events": """
+            with cal as (
+                select event_type,
+                       cast(floor(abs(value - 250.0) * 1000000.0 + 0.5)
+                            as bigint) as s_u
+                from events where value is not null
+            ), dist as (
+                select event_type, s_u, count(*) as c
+                from cal group by 1, 2
+            ), ann as (
+                select event_type, s_u,
+                       sum(c) over (partition by event_type order by s_u
+                                    rows between unbounded preceding
+                                    and current row) as cum,
+                       sum(c) over (partition by event_type) as n_all
+                from dist
+            )
+            select event_type,
+                   cast(max(n_all) as bigint) as n_cal,
+                   max(cast(ceil(cast(n_all + 1 as double) * 0.9)
+                            as bigint)) as rank_r,
+                   min(case when cum >= cast(ceil(cast(n_all + 1
+                                 as double) * 0.9) as bigint)
+                            then s_u end) as qhat_u
+            from ann group by 1
         """,
         "corr_matrix_lineitem": """
             with q as (

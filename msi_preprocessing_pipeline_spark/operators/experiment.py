@@ -648,3 +648,38 @@ def poisson_bootstrap_diff_ci(df: DataFrame, metric_col: str,
         F.when(m > 0, _q(F.element_at(diffs, hi_i), out_scale))
         .alias("hi_u"),
         m.cast("long").alias("n_reps_valid"))
+
+
+def conformal_qhat_by(df: DataFrame, score_col: str, group_by,
+                      alpha: float = 0.1, scale: int = 6) -> DataFrame:
+    """Mondrian (group-conditional) split-conformal calibration: one q̂
+    PER GROUP, giving the coverage guarantee within each group rather
+    than only marginally (the fairness-relevant variant — a global q̂
+    can under-cover a minority slice while over-covering the rest).
+
+    Same shape as :func:`qhat_from_counts` with the windows partitioned
+    by the group keys: the corpus reduces once to the per-group
+    |distinct scores|-bounded relation, running count + group total
+    ride one window pass, q̂ per group falls out of one aggregation.
+    Groups too small to certify ((n_g+1)(1−α) > n_g) report null.
+    """
+    from pyspark.sql import Window
+    from ..functions.util import as_list
+    keys = as_list(group_by)
+    q = _q(F.col(score_col), scale)
+    dist = (df.where(F.col(score_col).isNotNull())
+            .groupBy(*keys, q.alias("s_u"))
+            .agg(F.count("*").alias("c")))
+    w_run = Window.partitionBy(*keys).orderBy("s_u").rowsBetween(
+        Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(*keys).orderBy("s_u").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    ann = dist.select(
+        *keys, "s_u", F.sum("c").over(w_run).alias("cum"),
+        F.sum("c").over(w_all).alias("n_all"))
+    r = F.ceil((F.col("n_all") + 1).cast("double")
+               * F.lit(1.0 - alpha)).cast("long")
+    return ann.groupBy(*keys).agg(
+        F.max("n_all").cast("long").alias("n_cal"),
+        F.max(r).alias("rank_r"),
+        F.min(F.when(F.col("cum") >= r, F.col("s_u"))).alias("qhat_u"))

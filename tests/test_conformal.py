@@ -129,3 +129,39 @@ def test_streaming_qhat_retry_replay_safe(spark, tmp_path):
     assert len(again) == 2 and again[0] == again[1] == first[0]
     hist = spark.read.parquet(f"{store}/v1")
     assert hist.agg(F.sum("c")).collect()[0][0] == 200  # no double count
+
+
+def test_mondrian_per_group_matches_global_on_each_slice(spark):
+    import numpy as np
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        conformal_qhat_by)
+
+    rng = np.random.RandomState(8)
+    rows = [Row(g="a", s=float(v))
+            for v in np.abs(rng.normal(0, 1, 300))]
+    rows += [Row(g="b", s=float(v))
+             for v in np.abs(rng.normal(0, 5, 200))]  # wider slice
+    df = spark.createDataFrame(rows, "g string, s double")
+    per = {r.g: r for r in
+           conformal_qhat_by(df, "s", "g", alpha=0.1).collect()}
+    for g in ("a", "b"):
+        solo = conformal_qhat(df.where(F.col("g") == g), "s",
+                              alpha=0.1).collect()[0]
+        assert (per[g].n_cal, per[g].rank_r, per[g].qhat_u) == \
+            (solo.n_cal, solo.rank_r, solo.qhat_u), g
+    # the wide slice needs a much larger qhat: the group-conditional
+    # guarantee a single global qhat cannot give
+    assert per["b"].qhat_u > 2 * per["a"].qhat_u
+
+
+def test_mondrian_tiny_group_null(spark):
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        conformal_qhat_by)
+    df = spark.createDataFrame(
+        [Row(g="big", s=float(i)) for i in range(100)]
+        + [Row(g="tiny", s=1.0), Row(g="tiny", s=2.0)],
+        "g string, s double")
+    per = {r.g: r for r in
+           conformal_qhat_by(df, "s", "g", alpha=0.1).collect()}
+    assert per["big"].qhat_u is not None
+    assert per["tiny"].qhat_u is None  # rank 3 > n=2: cannot certify
