@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-219 queries, 219 with exact DuckDB oracles — relational SQL where expressible,
+220 queries, 220 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3791,6 +3791,22 @@ def _q_conformal_by(spark, sf_dir):
     return conformal_qhat_by(cal, "score", "event_type", alpha=0.1)
 
 
+def _q_selectivity(spark, sf_dir):
+    """GMM-based range-selectivity estimates over events.value next to
+    the exact counts (EDBT'22 GMM selectivity recast onto the engine's
+    own BIC-selected EM kernel — the reference's model core). One
+    histogram scan; driver-side fit; deterministic EM -> golden-pinned
+    (the EM has no SQL mirror; actual_rows alone would be SQL)."""
+    from msi_preprocessing_pipeline_spark.operators.profile import (
+        selectivity_profile)
+
+    ev = _t(spark, sf_dir, "events")
+    return selectivity_profile(
+        ev, "value",
+        [(0.0, 50.0), (0.0, 100.0), (100.0, 250.0), (250.0, 500.0),
+         (450.0, 500.0)], scale=3)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3957,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mahalanobis_vecs": _q_mahalanobis,
         "conformal_value_events": _q_conformal,
         "conformal_by_type_events": _q_conformal_by,
+        "selectivity_events_value": _q_selectivity,
         "bootstrap_diff_click_view": _q_bootstrap_diff,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,

@@ -294,7 +294,8 @@ def main() -> None:
                  "bloom_semi_lineitem", "bloom_anti_lineitem",
                  "corr_matrix_lineitem", "bootstrap_ci_value",
                  "mahalanobis_vecs", "conformal_value_events",
-                 "bootstrap_diff_click_view", "conformal_by_type_events"]:
+                 "bootstrap_diff_click_view", "conformal_by_type_events",
+                 "selectivity_events_value"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -95,6 +95,9 @@ PIN = [
     # driver inverse, pca_fit discipline) but the matrix inverse has no
     # SQL mirror → golden
     ("mahalanobis_vecs", True),
+    # GMM selectivity: exact-int histogram + deterministic EM init →
+    # partition-invariant, but EM has no SQL mirror → golden
+    ("selectivity_events_value", True),
 ]
 
 DUCK_TYPES = {
