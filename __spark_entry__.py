@@ -3807,6 +3807,53 @@ def _q_selectivity(spark, sf_dir):
          (450.0, 500.0)], scale=3)
 
 
+def _q_survival_km(spark, sf_dir):
+    """Kaplan-Meier time-to-first-purchase per user cohort: per-user
+    durations from first event to first purchase (last-seen censoring
+    for never-purchasers), KM product-limit curve per ``user_id % 3``
+    cohort.  Survival is the exact integer recurrence
+    ``S_i = S_{i-1}(n_i-d_i) // n_i`` at 1e-9 resolution (no float
+    product, no exp/ln libm drift — see ``operators/survival.py``);
+    DuckDB mirrors it with a recursive CTE over the identical
+    ``(d_i, n_i)`` relation."""
+    from msi_preprocessing_pipeline_spark.operators.survival import (
+        km_curve, time_to_event)
+
+    ev = _t(spark, sf_dir, "events")
+    tte = time_to_event(ev, "user_id", "ts",
+                        F.col("event_type") == "purchase")
+    tte = tte.withColumn("cohort", (F.col("entity") % 3).cast("int"))
+    return km_curve(tte, "duration_ms", "event", ["cohort"], scale=9)
+
+
+def _q_ate_stratified(spark, sf_dir):
+    """Subclassification ATE of a deterministic md5-coin "treatment" on
+    per-user total purchase value, stratified by activity magnitude
+    (floor(log2(event count))).  Outcomes quantize to exact cents
+    BEFORE any sum (the covariance_embeddings lesson: never round a
+    distributed float sum), every downstream step is integer, and the
+    signed ratios use truncation-toward-zero division — DuckDB ``//``
+    semantics (``experiment.ate_stratified``)."""
+    from msi_preprocessing_pipeline_spark.functions.util import md5_bucket
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        ate_stratified)
+
+    ev = _t(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.coalesce(F.sum(F.when(is_p, _uq("value", 2))), F.lit(0))
+        .cast("long").alias("yu"))
+    unit = per_user.select(
+        md5_bucket(F.col("user_id").cast("string"), 2).cast("int")
+        .alias("treat"),
+        F.floor(F.log2(F.col("n_ev").cast("double"))).cast("int")
+        .alias("stratum"),
+        "yu")
+    return ate_stratified(unit, "treat", "yu", "stratum",
+                          scale=0, diff_scale=6)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3826,8 +3873,13 @@ def _q_selectivity(spark, sf_dir):
 _R5_WINDOW = [
     # (a) changed contracts — previously recorded (stale green rows)
     "covariance_embeddings", "label_centroids_vecs",
-    "centroid_distance_vecs", "lm_score_docs", "pivot_event_values",
-    "rolling_avg_value",
+    "centroid_distance_vecs", "lm_score_docs",
+    # session-10 brand-new families (never recorded anywhere): survival
+    # analysis + causal subclassification — they take the two slots of
+    # pivot_event_values / rolling_avg_value, whose requantized contracts
+    # are the lowest-risk of block (a) (simple single-window sums,
+    # attested by CONTRACT_r05.json + pytest)
+    "survival_km_purchase", "ate_stratified_purchases",
     # (a) changed contracts — never recorded
     "rolling_time_features", "pit_agg_features",
     "multi_source_agg_features", "label_window_conversions",
@@ -3974,6 +4026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_value_events": _q_conformal,
         "conformal_by_type_events": _q_conformal_by,
         "selectivity_events_value": _q_selectivity,
+        "survival_km_purchase": _q_survival_km,
+        "ate_stratified_purchases": _q_ate_stratified,
         "bootstrap_diff_click_view": _q_bootstrap_diff,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4869,6 +4923,102 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                        as n_covered
             from t cross join one
             group by 1, 2, 3
+        """,
+        "survival_km_purchase": """
+            with recursive tte as (
+                select user_id as entity,
+                       min(epoch_ms(ts)) as origin_ms,
+                       min(case when event_type = 'purchase'
+                                then epoch_ms(ts) end) as event_ms,
+                       max(epoch_ms(ts)) as last_ms
+                from events
+                group by user_id
+            ), subj as (
+                select cast(entity % 3 as integer) as cohort,
+                       coalesce(event_ms, last_ms) - origin_ms as dur,
+                       case when event_ms is not null
+                            then 1 else 0 end as ev
+                from tte
+                where origin_ms is not null
+                  and coalesce(event_ms, last_ms) - origin_ms >= 0
+            ), counts as (
+                select cohort, dur, sum(ev) as d, count(*) as c
+                from subj group by 1, 2
+            ), risk as (
+                select cohort, dur, d,
+                       sum(c) over (partition by cohort)
+                         - sum(c) over (partition by cohort order by dur
+                                        rows between unbounded preceding
+                                        and current row)
+                         + c as n_at_risk
+                from counts
+            ), evr as (
+                select cohort, dur, d, n_at_risk,
+                       row_number() over (partition by cohort
+                                          order by dur) as rn
+                from risk where d > 0
+            ), km as (
+                select cohort, rn, dur, d, n_at_risk,
+                       (1000000000 * (n_at_risk - d)) // n_at_risk as s
+                from evr where rn = 1
+                union all
+                select e.cohort, e.rn, e.dur, e.d, e.n_at_risk,
+                       (km.s * (e.n_at_risk - e.d)) // e.n_at_risk
+                from km join evr e
+                  on e.cohort = km.cohort and e.rn = km.rn + 1
+            )
+            select cohort, cast(dur as bigint) as dur,
+                   cast(d as bigint) as d_events,
+                   cast(n_at_risk as bigint) as n_at_risk,
+                   cast(s as bigint) as surv_q9
+            from km order by cohort, dur
+        """,
+        "ate_stratified_purchases": """
+            with per_user as (
+                select user_id, count(*) as n_ev,
+                       coalesce(sum(case when event_type = 'purchase'
+                                    then cast(floor(value * 100.0 + 0.5)
+                                              as bigint) end), 0) as yu
+                from events group by user_id
+            ), unit as (
+                select cast(cast(('0x' || substr(md5(
+                           cast(user_id as varchar)), 1, 8)) as bigint)
+                           % 2 as integer) as treat,
+                       cast(floor(log2(cast(n_ev as double)))
+                           as integer) as stratum,
+                       yu
+                from per_user
+            ), per as (
+                select stratum,
+                       sum(case when treat = 1 then 1 else 0 end) as n_t,
+                       sum(case when treat = 0 then 1 else 0 end) as n_c,
+                       sum(case when treat = 1
+                                then cast(yu as hugeint)
+                                else 0 end) as sy_t,
+                       sum(case when treat = 0
+                                then cast(yu as hugeint)
+                                else 0 end) as sy_c
+                from unit
+                group by stratum
+                having n_t > 0 and n_c > 0
+            ), ann as (
+                select stratum, n_t, n_c, sy_t, sy_c,
+                       (1000000 * (sy_t * n_c - sy_c * n_t))
+                           // (n_t * n_c) as diff_q,
+                       n_t + n_c as n_s
+                from per
+            ), pooled as (
+                select sum(n_s * diff_q) // sum(n_s) as ate from ann
+            )
+            select stratum,
+                   cast(n_t as bigint) as n_t,
+                   cast(n_c as bigint) as n_c,
+                   cast(sy_t as bigint) as sy_t_u,
+                   cast(sy_c as bigint) as sy_c_u,
+                   cast(diff_q as bigint) as diff_q6,
+                   cast(pooled.ate as bigint) as ate_q6
+            from ann cross join pooled
+            order by stratum
         """,
         "conformal_by_type_events": """
             with cal as (

@@ -683,3 +683,85 @@ def conformal_qhat_by(df: DataFrame, score_col: str, group_by,
         F.max("n_all").cast("long").alias("n_cal"),
         F.max(r).alias("rank_r"),
         F.min(F.when(F.col("cum") >= r, F.col("s_u"))).alias("qhat_u"))
+
+
+def _trunc_div(num, den):
+    """Truncation-toward-zero integer division on exact decimal columns:
+    ``(num - num % den) / den``.  Spark's ``%`` keeps the dividend's
+    sign, so the quotient truncates — matching DuckDB's ``//`` on
+    bigint/hugeint exactly (both give ``-7 // 2 = -3``), which is the
+    cross-engine contract for every signed quantized ratio here (the
+    unsigned ``floor``-division contracts use ``functions.util.quantize``
+    instead; for non-negative operands the two coincide)."""
+    return ((num - num % den) / den).cast(_DEC)
+
+
+def ate_stratified(df: DataFrame, treat_col: str, outcome_col: str,
+                   stratum_col: str, scale: int = 2,
+                   diff_scale: int = 6) -> DataFrame:
+    """Stratified average-treatment-effect readout (exact-integer
+    contract): per-stratum treated/control counts, quantized outcome
+    sums, the within-stratum mean difference, and the
+    stratification-weighted pooled ATE (Imbens & Rubin, ch. 9 —
+    subclassification on a pre-treatment covariate removes the
+    confounding the covariate carries; with a randomized treatment it
+    is a pure variance-reduction readout, the nonparametric cousin of
+    :func:`ab_stats`' CUPED).
+
+    ``df`` holds one row per unit: a 0/1 ``treat_col``, a numeric
+    ``outcome_col`` (quantized at ``10^scale``), and a categorical/int
+    ``stratum_col``.  Strata missing either arm drop (no within-stratum
+    contrast exists); the pooled ATE weights the surviving strata by
+    their unit counts.
+
+    Determinism: outcome sums accumulate as exact decimal integers;
+    the per-stratum difference is *defined* as the truncated integer
+
+        ``diff_q = trunc(10^diff_scale · (sy_t·n_c − sy_c·n_t)
+                          / (n_t·n_c·10^scale))``
+
+    and the pooled estimate as ``trunc(Σ_s n_s·diff_q_s / N)`` — every
+    step an integer op both engines execute identically (DuckDB ``//``),
+    no float in any aggregate.  Scale shape: ONE map-side-combined
+    aggregation to a |strata|-bounded relation; the pooled number rides
+    a window over that tiny relation — no second scan, no collect.
+
+    Output (one row per kept stratum, ordered): ``(stratum, n_t, n_c,
+    sy_t_u, sy_c_u, diff_q<diff_scale>, ate_q<diff_scale>)``, sums in
+    ``10^-scale`` micro-units as bigint.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(treat_col).cast("int")
+    y = _q(F.col(outcome_col), scale)
+    per = (df.where(F.col(outcome_col).isNotNull() & t.isNotNull())
+           .groupBy(F.col(stratum_col).alias("stratum"))
+           .agg(F.sum(F.when(t == 1, 1).otherwise(0)).alias("n_t"),
+                F.sum(F.when(t == 0, 1).otherwise(0)).alias("n_c"),
+                F.sum(F.when(t == 1, y).otherwise(0).cast(_DEC))
+                .alias("sy_t"),
+                F.sum(F.when(t == 0, y).otherwise(0).cast(_DEC))
+                .alias("sy_c"))
+           .where((F.col("n_t") > 0) & (F.col("n_c") > 0)))
+
+    dmul = F.lit(10 ** int(diff_scale)).cast(_DEC)
+    smul = F.lit(10 ** int(scale)).cast(_DEC)
+    num = dmul * (F.col("sy_t") * F.col("n_c")
+                  - F.col("sy_c") * F.col("n_t"))
+    den = (F.col("n_t") * F.col("n_c")).cast(_DEC) * smul
+    ann = per.withColumn("diff_q", _trunc_div(num, den)) \
+             .withColumn("n_s", (F.col("n_t") + F.col("n_c")).cast(_DEC))
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    pooled = _trunc_div(F.sum(F.col("n_s") * F.col("diff_q")).over(w),
+                        F.sum("n_s").over(w))
+    dq = f"diff_q{int(diff_scale)}"
+    return (ann.select(
+        "stratum",
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("sy_t").cast("long").alias("sy_t_u"),
+        F.col("sy_c").cast("long").alias("sy_c_u"),
+        F.col("diff_q").cast("long").alias(dq),
+        pooled.cast("long").alias(f"ate_q{int(diff_scale)}"))
+        .orderBy("stratum"))

@@ -1,0 +1,146 @@
+"""Kaplan-Meier survival curves (operators/survival.py) and stratified
+ATE (operators/experiment.ate_stratified): hand-computed goldens via the
+exact integer recurrences, censoring semantics, and partition
+invariance (the covariance_embeddings lesson: every contract must be
+identical under any partitioning)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from msi_preprocessing_pipeline_spark.operators.experiment import (
+    ate_stratified)
+from msi_preprocessing_pipeline_spark.operators.survival import (
+    km_curve, time_to_event)
+
+
+def _km_ref(pairs, scale=9):
+    """Big-int reference of the product-limit recurrence over
+    (duration, event) subject pairs -> [(dur, d, n_at_risk, surv_q)]."""
+    from collections import Counter
+    d = Counter()
+    c = Counter()
+    for dur, ev in pairs:
+        c[dur] += 1
+        d[dur] += int(ev)
+    out = []
+    s = 10 ** scale
+    n = len(pairs)
+    for t in sorted(c):
+        n_at_risk = n
+        n -= c[t]
+        if d[t] > 0:
+            s = (s * (n_at_risk - d[t])) // n_at_risk
+            out.append((t, d[t], n_at_risk, s))
+    return out
+
+
+def test_km_curve_textbook_golden(spark):
+    # classic 10-subject example: events at 1,2,2,5, censored at
+    # 3,4,4,6,8,9 -> S drops only at event times, censored shrink risk
+    pairs = [(1, 1), (2, 1), (2, 1), (3, 0), (4, 0),
+             (4, 0), (5, 1), (6, 0), (8, 0), (9, 0)]
+    df = spark.createDataFrame(pairs, "dur long, ev int")
+    got = km_curve(df, "dur", "ev", scale=9).collect()
+    ref = _km_ref(pairs)
+    assert [(r.dur, r.d_events, r.n_at_risk, r.surv_q9) for r in got] \
+        == ref
+    # spot-check the first two steps by hand: 10^9*9//10 = 9e8,
+    # then *7//9 of the risk set of 9 (two deaths at t=2)
+    assert ref[0][3] == 900_000_000
+    assert ref[1][3] == (900_000_000 * 7) // 9
+
+
+def test_km_curve_groups_grid_and_partitioning(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i % 4, rng.randrange(0, 5000), rng.random() < 0.6)
+            for i in range(800)]
+    df = spark.createDataFrame(
+        [(g, d, int(e)) for g, d, e in rows],
+        "grp int, dur long, ev int")
+    a = km_curve(df.repartition(2), "dur", "ev", ["grp"],
+                 scale=9, grid_ms=250).collect()
+    b = km_curve(df.repartition(13), "dur", "ev", ["grp"],
+                 scale=9, grid_ms=250).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # per-group parity with the big-int reference on the gridded durs
+    for g in range(4):
+        pairs = [((d // 250) * 250, e) for gg, d, e in rows if gg == g]
+        ref = _km_ref(pairs)
+        got = [(r.dur, r.d_events, r.n_at_risk, r.surv_q9)
+               for r in a if r.grp == g]
+        assert got == ref
+    # survival is monotone non-increasing within each group
+    for g in range(4):
+        s = [r.surv_q9 for r in a if r.grp == g]
+        assert all(x >= y for x, y in zip(s, s[1:]))
+
+
+def test_time_to_event_censoring_semantics(spark):
+    rows = [
+        # u1: origin t=100, purchase at t=400 -> (300, 1)
+        (1, 100, "view"), (1, 400, "purchase"), (1, 900, "view"),
+        # u2: never purchases, last seen 700 -> censored (600, 0)
+        (2, 100, "view"), (2, 700, "click"),
+        # u3: purchase IS the first event -> (0, 1)
+        (3, 50, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ms long, t string") \
+        .select("u", F.timestamp_millis(F.col("ms")).alias("ts"), "t")
+    out = {r.entity: (r.duration_ms, r.event)
+           for r in time_to_event(df, "u", "ts",
+                                  F.col("t") == "purchase").collect()}
+    assert out == {1: (300, 1), 2: (600, 0), 3: (0, 1)}
+    # origin_pred: measure from first CLICK; u1/u3 have none -> dropped
+    out2 = {r.entity: (r.duration_ms, r.event)
+            for r in time_to_event(
+                df, "u", "ts", F.col("t") == "purchase",
+                origin_pred=F.col("t") == "click").collect()}
+    assert out2 == {2: (0, 0)}
+
+
+def test_ate_stratified_hand_computed(spark):
+    # stratum 0: treated outcomes {10, 20}, control {4}; stratum 1:
+    # treated {3}, control {5, 9}; stratum 2: control-only -> dropped
+    rows = [(1, 10, 0), (1, 20, 0), (0, 4, 0),
+            (1, 3, 1), (0, 5, 1), (0, 9, 1),
+            (0, 100, 2)]
+    df = spark.createDataFrame(rows, "treat int, y long, s int")
+    got = {r.stratum: r for r in
+           ate_stratified(df, "treat", "y", "s",
+                          scale=0, diff_scale=6).collect()}
+    assert set(got) == {0, 1}
+    r0, r1 = got[0], got[1]
+    assert (r0.n_t, r0.n_c, r0.sy_t_u, r0.sy_c_u) == (2, 1, 30, 4)
+    # diff_0 = (30*1 - 4*2) * 1e6 // (2*1) = 11e6; diff_1 =
+    # (3*2 - 14*1) * 1e6 // 2 = -4e6 exactly (no truncation ambiguity)
+    assert r0.diff_q6 == 11_000_000
+    assert r1.diff_q6 == -4_000_000
+    # pooled = trunc((3*11e6 + 3*(-4e6)) / 6) = 3.5e6
+    assert r0.ate_q6 == r1.ate_q6 == 3_500_000
+
+
+def test_ate_stratified_truncation_toward_zero(spark):
+    # negative diff with a non-exact quotient: treated mean 1, control
+    # mean 8/3 -> diff = -5/3; trunc(-5e6/3) = -1666666 (NOT floor's
+    # -1666667) -- pins the DuckDB `//` contract
+    rows = [(1, 1, 0), (0, 2, 0), (0, 3, 0), (0, 3, 0)]
+    df = spark.createDataFrame(rows, "treat int, y long, s int")
+    r = ate_stratified(df, "treat", "y", "s",
+                       scale=0, diff_scale=6).collect()[0]
+    assert r.diff_q6 == -1_666_666
+    assert r.ate_q6 == -1_666_666
+
+
+def test_ate_stratified_partitioning_invariant(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select((F.col("user_id") % 2).cast("int").alias("treat"),
+                (F.col("event_id") % 5).cast("int").alias("s"),
+                "value")
+    a = ate_stratified(ev.repartition(2), "treat", "value", "s",
+                       scale=2).collect()
+    b = ate_stratified(ev.repartition(11), "treat", "value", "s",
+                       scale=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 5
