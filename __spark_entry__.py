@@ -3854,6 +3854,39 @@ def _q_ate_stratified(spark, sf_dir):
                           scale=0, diff_scale=6)
 
 
+def _q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard of time-to-first-purchase per
+    user cohort — the additive sibling of ``survival_km_purchase``:
+    increments are exact integer floor divisions ``(1e9·d_i)//n_i``
+    summed by a window, so (unlike KM's product recurrence) the whole
+    estimator AND its oracle are plain non-recursive relational ops
+    (``operators/survival.py::na_curve``)."""
+    from msi_preprocessing_pipeline_spark.operators.survival import (
+        na_curve, time_to_event)
+
+    ev = _t(spark, sf_dir, "events")
+    tte = time_to_event(ev, "user_id", "ts",
+                        F.col("event_type") == "purchase")
+    tte = tte.withColumn("cohort", (F.col("entity") % 3).cast("int"))
+    return na_curve(tte, "duration_ms", "event", ["cohort"], scale=9)
+
+
+def _q_logrank(spark, sf_dir):
+    """Two-sample log-rank test: do even- and odd-id users convert at
+    different hazards?  Pooled-time risk sets via suffix-sum windows,
+    e/v terms quantized by exact modulo-division (1e-9 / 1e-12), and
+    ``chi2_q6 = (O·1e9 − E_q9)² // V_q12`` — all integer, DuckDB
+    mirrors each step (``operators/survival.py::logrank_test``)."""
+    from msi_preprocessing_pipeline_spark.operators.survival import (
+        logrank_test, time_to_event)
+
+    ev = _t(spark, sf_dir, "events")
+    tte = time_to_event(ev, "user_id", "ts",
+                        F.col("event_type") == "purchase")
+    tte = tte.withColumn("grp", (F.col("entity") % 2).cast("int"))
+    return logrank_test(tte, "duration_ms", "event", "grp")
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3871,15 +3904,20 @@ def _q_ate_stratified(spark, sf_dir):
 # top_paths_events, pattern_vcp_users, scd2_purchase_values) stay
 # covered by CONTRACT_r05.json + pytest and rotate into r6's window.
 _R5_WINDOW = [
-    # (a) changed contracts — previously recorded (stale green rows)
-    "covariance_embeddings", "label_centroids_vecs",
-    "centroid_distance_vecs", "lm_score_docs",
+    # (a) changed contracts — previously recorded (stale green rows).
+    # label_centroids/centroid_distance rotate out for the session-10
+    # survival siblings: they were driver-green in r4 and their r5
+    # requantization is the proven quantize-before-sum idiom
+    # (CONTRACT_r05.json + pytest attest the changed contracts).
+    "covariance_embeddings", "lm_score_docs",
     # session-10 brand-new families (never recorded anywhere): survival
-    # analysis + causal subclassification — they take the two slots of
-    # pivot_event_values / rolling_avg_value, whose requantized contracts
-    # are the lowest-risk of block (a) (simple single-window sums,
-    # attested by CONTRACT_r05.json + pytest)
+    # analysis (KM + Nelson-Aalen + log-rank) + causal
+    # subclassification — they take the slots of pivot_event_values /
+    # rolling_avg_value / label_centroids_vecs / centroid_distance_vecs,
+    # whose requantized contracts are the lowest-risk of block (a)
+    # (attested by CONTRACT_r05.json + pytest)
     "survival_km_purchase", "ate_stratified_purchases",
+    "nelson_aalen_purchase", "logrank_purchase_cohorts",
     # (a) changed contracts — never recorded
     "rolling_time_features", "pit_agg_features",
     "multi_source_agg_features", "label_window_conversions",
@@ -4028,6 +4066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selectivity_events_value": _q_selectivity,
         "survival_km_purchase": _q_survival_km,
         "ate_stratified_purchases": _q_ate_stratified,
+        "nelson_aalen_purchase": _q_nelson_aalen,
+        "logrank_purchase_cohorts": _q_logrank,
         "bootstrap_diff_click_view": _q_bootstrap_diff,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4972,6 +5012,109 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    cast(n_at_risk as bigint) as n_at_risk,
                    cast(s as bigint) as surv_q9
             from km order by cohort, dur
+        """,
+        "nelson_aalen_purchase": """
+            with tte as (
+                select user_id as entity,
+                       min(epoch_ms(ts)) as origin_ms,
+                       min(case when event_type = 'purchase'
+                                then epoch_ms(ts) end) as event_ms,
+                       max(epoch_ms(ts)) as last_ms
+                from events
+                group by user_id
+            ), subj as (
+                select cast(entity % 3 as integer) as cohort,
+                       coalesce(event_ms, last_ms) - origin_ms as dur,
+                       case when event_ms is not null
+                            then 1 else 0 end as ev
+                from tte
+                where origin_ms is not null
+                  and coalesce(event_ms, last_ms) - origin_ms >= 0
+            ), counts as (
+                select cohort, dur, sum(ev) as d, count(*) as c
+                from subj group by 1, 2
+            ), risk as (
+                select cohort, dur, d,
+                       sum(c) over (partition by cohort)
+                         - sum(c) over (partition by cohort order by dur
+                                        rows between unbounded preceding
+                                        and current row)
+                         + c as n_at_risk
+                from counts
+            ), cum as (
+                select cohort, dur, d, n_at_risk,
+                       sum((1000000000 * d) // n_at_risk)
+                           over (partition by cohort order by dur
+                                 rows between unbounded preceding
+                                 and current row) as ch
+                from risk
+            )
+            select cohort, cast(dur as bigint) as dur,
+                   cast(d as bigint) as d_events,
+                   cast(n_at_risk as bigint) as n_at_risk,
+                   cast(ch as bigint) as cumhaz_q9
+            from cum where d > 0 order by cohort, dur
+        """,
+        "logrank_purchase_cohorts": """
+            with tte as (
+                select user_id as entity,
+                       min(epoch_ms(ts)) as origin_ms,
+                       min(case when event_type = 'purchase'
+                                then epoch_ms(ts) end) as event_ms,
+                       max(epoch_ms(ts)) as last_ms
+                from events
+                group by user_id
+            ), subj as (
+                select cast(entity % 2 as integer) as grp,
+                       coalesce(event_ms, last_ms) - origin_ms as dur,
+                       case when event_ms is not null
+                            then 1 else 0 end as ev
+                from tte
+                where origin_ms is not null
+                  and coalesce(event_ms, last_ms) - origin_ms >= 0
+            ), per as (
+                select dur,
+                       sum(case when grp = 1 then ev else 0 end) as d1g,
+                       sum(case when grp = 0 then ev else 0 end) as d0g,
+                       sum(case when grp = 1 then 1 else 0 end) as c1,
+                       sum(case when grp = 0 then 1 else 0 end) as c0
+                from subj group by dur
+            ), risk as (
+                select dur, d1g, d0g,
+                       sum(c1) over ()
+                         - sum(c1) over (order by dur
+                                         rows between unbounded preceding
+                                         and current row) + c1 as n1,
+                       sum(c0) over ()
+                         - sum(c0) over (order by dur
+                                         rows between unbounded preceding
+                                         and current row) + c0 as n0
+                from per
+            ), t as (
+                select cast(d1g + d0g as hugeint) as d_all,
+                       cast(d1g as hugeint) as d1,
+                       cast(n1 + n0 as hugeint) as n_all,
+                       cast(n1 as hugeint) as n1
+                from risk where d1g + d0g > 0
+            ), agg as (
+                select count(*) as n_times,
+                       sum(d1) as o1,
+                       sum((1000000000 * d_all * n1) // n_all) as e1,
+                       sum(case when n_all > 1 then
+                           (1000000000000 * d_all * n1 * (n_all - n1)
+                            * (n_all - d_all))
+                           // (n_all * n_all * (n_all - 1))
+                           else 0 end) as v
+                from t
+            )
+            select cast(n_times as bigint) as n_times,
+                   cast(o1 as bigint) as o1,
+                   cast(e1 as bigint) as e1_q9,
+                   cast(v as bigint) as v_q12,
+                   cast(case when v > 0 then
+                        ((o1 * 1000000000 - e1) * (o1 * 1000000000 - e1))
+                        // v end as bigint) as chi2_q6
+            from agg
         """,
         "ate_stratified_purchases": """
             with per_user as (

@@ -295,7 +295,10 @@ def main() -> None:
                  "corr_matrix_lineitem", "bootstrap_ci_value",
                  "mahalanobis_vecs", "conformal_value_events",
                  "bootstrap_diff_click_view", "conformal_by_type_events",
-                 "selectivity_events_value"]:
+                 "selectivity_events_value",
+                 # round-5 session-10 operators
+                 "survival_km_purchase", "ate_stratified_purchases",
+                 "nelson_aalen_purchase", "logrank_purchase_cohorts"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

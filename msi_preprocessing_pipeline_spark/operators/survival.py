@@ -49,6 +49,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _risk_table(df: DataFrame, duration_col: str, event_col: str,
+                grp: list[str], grid_ms: int | None) -> DataFrame:
+    """Shared reduction for every estimator here: corpus → the
+    ``|distinct (gridded) durations|``-bounded per-time relation
+    ``(…grp, dur, d, c, n_at_risk)`` where ``d`` = events at ``dur``,
+    ``c`` = subjects leaving the risk set at ``dur`` (events and
+    censored alike), ``n_at_risk`` = subjects with duration ≥ ``dur``."""
+    dur = F.col(duration_col).cast("long")
+    if grid_ms is not None and grid_ms > 1:
+        dur = (dur - (dur % F.lit(int(grid_ms)))).cast("long")
+    ev = F.col(event_col).cast("long")
+
+    counts = (df.where(F.col(duration_col).isNotNull())
+              .groupBy(*grp, dur.alias("dur"))
+              .agg(F.sum(ev).alias("d"), F.count("*").alias("c")))
+
+    w_all = Window.partitionBy(*grp) if grp else \
+        Window.partitionBy(F.lit(1))
+    w_cum = (w_all.orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return counts.select(
+        *grp, "dur", "d", "c",
+        (F.sum("c").over(w_all) - F.sum("c").over(w_cum)
+         + F.col("c")).alias("n_at_risk"))
+
+
 def km_curve(df: DataFrame, duration_col: str, event_col: str,
              group_cols: list[str] | None = None,
              scale: int = 9,
@@ -67,25 +93,8 @@ def km_curve(df: DataFrame, duration_col: str, event_col: str,
     ordered by group then time.
     """
     grp = list(group_cols or [])
-    dur = F.col(duration_col).cast("long")
-    if grid_ms is not None and grid_ms > 1:
-        dur = (dur - (dur % F.lit(int(grid_ms)))).cast("long")
-    ev = F.col(event_col).cast("long")
-
-    counts = (df.where(F.col(duration_col).isNotNull())
-              .groupBy(*grp, dur.alias("dur"))
-              .agg(F.sum(ev).alias("d"), F.count("*").alias("c")))
-
-    w_all = Window.partitionBy(*grp) if grp else \
-        Window.partitionBy(F.lit(1))
-    w_cum = (w_all.orderBy("dur")
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    # n_at_risk = subjects with duration >= this row's time
-    risk = counts.select(
-        *grp, "dur", "d",
-        (F.sum("c").over(w_all) - F.sum("c").over(w_cum)
-         + F.col("c")).alias("n_at_risk"),
-    ).where(F.col("d") > 0)
+    risk = (_risk_table(df, duration_col, event_col, grp, grid_ms)
+            .drop("c").where(F.col("d") > 0))
 
     base = 10 ** int(scale)
     surv_name = f"surv_q{int(scale)}"
@@ -116,6 +125,135 @@ def km_curve(df: DataFrame, duration_col: str, event_col: str,
              risk.withColumn("__g", F.lit(1)).groupBy("__g")
              .applyInPandas(_prodlimit, out_schema))
     return curve.orderBy(*grp, "dur")
+
+
+def _floordiv(num, den):
+    """Exact integer floor division on non-negative decimal(38,0)
+    columns: ``(num - num % den) / den``.  NEVER ``floor(num / den)`` —
+    Spark rounds the decimal quotient to a finite scale before floor,
+    which can flip the integer when the true quotient sits within an
+    ulp of it (the covariance_embeddings midpoint class); the modulo
+    form is exact because the adjusted numerator is divisible."""
+    d38 = "decimal(38,0)"
+    return ((num - num % den) / den).cast(d38)
+
+
+def na_curve(df: DataFrame, duration_col: str, event_col: str,
+             group_cols: list[str] | None = None,
+             scale: int = 9,
+             grid_ms: int | None = None) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve per group:
+    ``H(t) = Σ_{t_i ≤ t} d_i / n_i`` (Nelson 1972, Aalen 1978) — the
+    additive sibling of :func:`km_curve`, preferred when hazards are
+    the modeling target (and the log of KM's continuous analogue).
+
+    Determinism contract: each hazard increment is *defined* as the
+    integer ``(10^scale · d_i) // n_i`` (operands non-negative, so
+    floor ≡ truncation ≡ DuckDB ``//``), and the curve is the running
+    integer sum — unlike KM's product there is no recurrence, so the
+    WHOLE estimator is plain DataFrame ops (two windows over the
+    |distinct durations|-bounded relation, zero Python) and the oracle
+    is non-recursive SQL.  Per-step quantization error ≤ 10^-scale,
+    additive — part of the contract, identical in every engine.
+
+    Output per (group, event time): ``(…group, dur, d_events,
+    n_at_risk, cumhaz_q<scale>)``, ordered.
+    """
+    grp = list(group_cols or [])
+    risk = _risk_table(df, duration_col, event_col, grp, grid_ms)
+    base = F.lit(10 ** int(scale)).cast("decimal(38,0)")
+    term = _floordiv(base * F.col("d").cast("decimal(38,0)"),
+                     F.col("n_at_risk").cast("decimal(38,0)"))
+    w_cum = (Window.partitionBy(*(grp or [F.lit(1)])).orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (risk.withColumn("__h", term)
+            .withColumn("__cum", F.sum("__h").over(w_cum))
+            .where(F.col("d") > 0)
+            .select(*grp, "dur", F.col("d").alias("d_events"),
+                    "n_at_risk",
+                    F.col("__cum").cast("long")
+                    .alias(f"cumhaz_q{int(scale)}"))
+            .orderBy(*grp, "dur"))
+
+
+def logrank_test(df: DataFrame, duration_col: str, event_col: str,
+                 group_col: str, grid_ms: int | None = None) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966): does group 1's survival
+    differ from group 0's?  ``group_col`` must be 0/1.
+
+    At each pooled event time ``t``: observed group-1 events ``d_1t``,
+    expectation under H0 ``e_1t = d_t · n_1t / n_t``, hypergeometric
+    variance ``v_t = d_t n_1t (n_t − n_1t)(n_t − d_t) /
+    (n_t² (n_t − 1))``.  The statistic ``(O_1 − E_1)² / V ~ χ²(1)``.
+
+    Exact-integer contract: ``e`` terms quantize at 1e-9 and ``v``
+    terms at 1e-12 via floor division on exact decimals (every operand
+    non-negative), and ``chi2_q6 = (O_1·10^9 − E_q9)² // V_q12`` —
+    algebraically chi² at 1e-6 resolution, every step an integer op
+    both engines execute identically.  Worst-case magnitude: the
+    squared numerator is ≤ (n·10^9)² and the v numerator ≤ n⁴·10^12 —
+    inside decimal(38,0)/hugeint up to n ≈ 3·10^9 subjects.
+
+    Scale shape: ONE grouped aggregation to the per-(time, group)
+    relation, a pivot to per-time columns, then a single global
+    aggregate over |distinct event times| rows.  Output one row:
+    ``(n_times, o1, e1_q9, v_q12, chi2_q6)``.
+    """
+    _DEC = "decimal(38,0)"
+    g = F.col(group_col).cast("long")
+    dur = F.col(duration_col).cast("long")
+    if grid_ms is not None and grid_ms > 1:
+        dur = (dur - (dur % F.lit(int(grid_ms)))).cast("long")
+    ev = F.col(event_col).cast("long")
+    # both groups interleaved on ONE pooled time axis (a per-group risk
+    # table would lack rows at the other group's event times, skewing
+    # the risk sets): per-dur event + leaver counts for each arm, then
+    # suffix sums give each arm's risk set at every pooled time.
+    per = (df.where(g.isin(0, 1) & F.col(duration_col).isNotNull())
+           .groupBy(dur.alias("dur"))
+           .agg(F.sum(F.when(g == 1, ev).otherwise(0)).alias("d1g"),
+                F.sum(F.when(g == 0, ev).otherwise(0)).alias("d0g"),
+                F.sum(F.when(g == 1, 1).otherwise(0)).alias("c1"),
+                F.sum(F.when(g == 0, 1).otherwise(0)).alias("c0")))
+    w_all = Window.partitionBy(F.lit(1))
+    w_cum = (w_all.orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    def _risk(c):
+        return (F.sum(c).over(w_all) - F.sum(c).over(w_cum) + F.col(c))
+
+    per = (per.withColumn("n1", _risk("c1").cast(_DEC))
+           .withColumn("n0x", _risk("c0").cast(_DEC))
+           .select("dur",
+                   (F.col("d1g") + F.col("d0g")).cast(_DEC)
+                   .alias("d_all"),
+                   F.col("d1g").cast(_DEC).alias("d1"),
+                   (F.col("n1") + F.col("n0x")).alias("n_all"), "n1")
+           .where(F.col("d_all") > 0))
+    b9 = F.lit(10 ** 9).cast(_DEC)
+    b12 = F.lit(10 ** 12).cast(_DEC)
+    e_t = _floordiv(b9 * F.col("d_all") * F.col("n1"), F.col("n_all"))
+    n0 = F.col("n_all") - F.col("n1")
+    v_num = (F.col("d_all") * F.col("n1") * n0
+             * (F.col("n_all") - F.col("d_all")))
+    v_den = (F.col("n_all") * F.col("n_all")
+             * (F.col("n_all") - F.lit(1).cast(_DEC)))
+    v_t = F.when(F.col("n_all") > 1,
+                 _floordiv(b12 * v_num, v_den)).otherwise(
+        F.lit(0)).cast(_DEC)
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_times"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(e_t).cast(_DEC).alias("e1_q9"),
+        F.sum(v_t).cast(_DEC).alias("v_q12"))
+    diff = F.col("o1").cast(_DEC) * b9 - F.col("e1_q9")
+    chi2 = F.when(F.col("v_q12") > 0,
+                  _floordiv(diff * diff, F.col("v_q12"))).otherwise(None)
+    return agg.select(
+        "n_times", "o1",
+        F.col("e1_q9").cast("long").alias("e1_q9"),
+        F.col("v_q12").cast("long").alias("v_q12"),
+        chi2.cast("long").alias("chi2_q6"))
 
 
 def time_to_event(events: DataFrame, entity_col: str, ts_col: str,

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from msi_preprocessing_pipeline_spark.operators.experiment import (
     ate_stratified)
 from msi_preprocessing_pipeline_spark.operators.survival import (
-    km_curve, time_to_event)
+    km_curve, logrank_test, na_curve, time_to_event)
 
 
 def _km_ref(pairs, scale=9):
@@ -75,6 +75,105 @@ def test_km_curve_groups_grid_and_partitioning(spark):
     for g in range(4):
         s = [r.surv_q9 for r in a if r.grp == g]
         assert all(x >= y for x, y in zip(s, s[1:]))
+
+
+def _na_ref(pairs, scale=9):
+    """Big-int Nelson-Aalen reference -> [(dur, d, n_at_risk, cumhaz)]."""
+    from collections import Counter
+    c, d = Counter(), Counter()
+    for t, e in pairs:
+        c[t] += 1
+        d[t] += int(e)
+    n, cum, out = len(pairs), 0, []
+    for t in sorted(c):
+        n_at = n
+        n -= c[t]
+        cum += (10 ** scale * d[t]) // n_at
+        if d[t] > 0:
+            out.append((t, d[t], n_at, cum))
+    return out
+
+
+def test_na_curve_matches_bigint_reference(spark):
+    import random
+    rng = random.Random(3)
+    pairs = [(rng.randrange(0, 200), int(rng.random() < 0.7))
+             for _ in range(600)]
+    df = spark.createDataFrame(pairs, "dur long, ev int")
+    got = [(r.dur, r.d_events, r.n_at_risk, r.cumhaz_q9)
+           for r in na_curve(df.repartition(5), "dur", "ev",
+                             scale=9).collect()]
+    assert got == _na_ref(pairs)
+    # cumhaz is monotone non-decreasing; first row = (1e9*d)//n exactly
+    assert all(a[3] <= b[3] for a, b in zip(got, got[1:]))
+    t0 = min(t for t, _ in pairs)
+    d0 = sum(e for t, e in pairs if t == t0)
+    if d0 > 0:
+        assert got[0] == (t0, d0, 600, (10 ** 9 * d0) // 600)
+
+
+def _logrank_ref(rows):
+    """Big-int two-sample log-rank reference over (grp, dur, ev)."""
+    from collections import Counter
+    cg = {0: Counter(), 1: Counter()}
+    dg = {0: Counter(), 1: Counter()}
+    for g, t, e in rows:
+        cg[g][t] += 1
+        dg[g][t] += int(e)
+    total = {g: sum(cg[g].values()) for g in (0, 1)}
+    left = {0: 0, 1: 0}
+    o1 = e1 = v = ntimes = 0
+    for t in sorted(set(cg[0]) | set(cg[1])):
+        n1 = total[1] - left[1]
+        n0 = total[0] - left[0]
+        na, da = n1 + n0, dg[0][t] + dg[1][t]
+        left[0] += cg[0][t]
+        left[1] += cg[1][t]
+        if da == 0:
+            continue
+        ntimes += 1
+        o1 += dg[1][t]
+        e1 += (10 ** 9 * da * n1) // na
+        if na > 1:
+            v += (10 ** 12 * da * n1 * n0 * (na - da)) \
+                // (na * na * (na - 1))
+    chi2 = ((o1 * 10 ** 9 - e1) ** 2) // v if v > 0 else None
+    return ntimes, o1, e1, v, chi2
+
+
+def test_logrank_matches_reference_and_discriminates(spark):
+    import random
+    rng = random.Random(11)
+    same = [(rng.randrange(0, 2), rng.randrange(0, 150),
+             int(rng.random() < 0.6)) for _ in range(500)]
+    df = spark.createDataFrame(same, "grp int, dur long, ev int")
+    r = logrank_test(df, "dur", "ev", "grp").collect()[0]
+    assert tuple(r) == _logrank_ref(same)
+    # under H0 chi2 should be modest; under a hard shift, huge
+    shift = [(0, rng.randrange(100, 300), 1) for _ in range(250)] + \
+            [(1, rng.randrange(0, 100), 1) for _ in range(250)]
+    df2 = spark.createDataFrame(shift, "grp int, dur long, ev int")
+    r2 = logrank_test(df2, "dur", "ev", "grp").collect()[0]
+    assert tuple(r2) == _logrank_ref(shift)
+    assert r2.chi2_q6 > 100 * 10 ** 6 > r.chi2_q6
+    # partition invariance (exact-integer contract)
+    a = logrank_test(df.repartition(2), "dur", "ev", "grp").collect()[0]
+    b = logrank_test(df.repartition(13), "dur", "ev", "grp").collect()[0]
+    assert tuple(a) == tuple(b) == tuple(r)
+
+
+def test_logrank_risk_sets_use_pooled_times(spark):
+    # group 0 has an event at t=5 where group 1 has NO row with that
+    # duration; n1 at t=5 must still count group-1 subjects with
+    # duration > 5 (a per-group risk table would miss this)
+    rows = [(0, 5, 1), (0, 10, 1), (1, 8, 1), (1, 12, 0)]
+    r = logrank_test(spark.createDataFrame(
+        rows, "grp int, dur long, ev int"), "dur", "ev", "grp") \
+        .collect()[0]
+    assert tuple(r) == _logrank_ref(rows)
+    # at t=5: n1=2, n=4, d=1 -> e1 term = 1e9*1*2//4 = 5e8
+    ref = _logrank_ref(rows)
+    assert ref[2] >= 5 * 10 ** 8
 
 
 def test_time_to_event_censoring_semantics(spark):
