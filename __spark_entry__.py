@@ -3887,6 +3887,33 @@ def _q_logrank(spark, sf_dir):
     return logrank_test(tte, "duration_ms", "event", "grp")
 
 
+def _q_uplift_qini(spark, sf_dir):
+    """Qini / uplift decile table of the md5-coin "treatment" on
+    per-user purchase value, ranked by activity (event count) as the
+    targeting score.  Exact bucketing via the distributed global rank
+    (layout.global_rank — never a single-partition window) under the
+    total order (score desc, user_id); all sums exact decimal ints;
+    signed ratios truncation-toward-zero ≡ DuckDB ``//``
+    (``experiment.uplift_curve``)."""
+    from msi_preprocessing_pipeline_spark.functions.util import md5_bucket
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        uplift_curve)
+
+    ev = _t(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.coalesce(F.sum(F.when(is_p, _uq("value", 2))), F.lit(0))
+        .cast("long").alias("yu"))
+    unit = per_user.select(
+        F.col("user_id").alias("uid"),
+        md5_bucket(F.col("user_id").cast("string"), 2).cast("int")
+        .alias("treat"),
+        F.col("n_ev").alias("score"), "yu")
+    return uplift_curve(unit, "treat", "yu", "score", "uid",
+                        n_buckets=10, scale=0, q_scale=6)
+
+
 # 50 queries() entries.  _R5_WINDOW lists this round's 50, in priority order:
 # (a) every contract whose SEMANTICS changed this round — the quantized
 # embedding/LM family (covariance_embeddings was r4's one red row) and the
@@ -3918,6 +3945,10 @@ _R5_WINDOW = [
     # (attested by CONTRACT_r05.json + pytest)
     "survival_km_purchase", "ate_stratified_purchases",
     "nelson_aalen_purchase", "logrank_purchase_cohorts",
+    # uplift/Qini takes k_center_vecs' slot (block d): k_center has the
+    # strongest non-driver evidence there (numpy-greedy parity +
+    # coverage-radius pytest pins on top of the contract artifact)
+    "uplift_qini_purchases",
     # (a) changed contracts — never recorded
     "rolling_time_features", "pit_agg_features",
     "multi_source_agg_features", "label_window_conversions",
@@ -3951,7 +3982,7 @@ _R5_WINDOW = [
     # contract-green, and CONTRACT_r05.json re-attests them this round)
     "kn_score_docs", "dedup_paragraphs_docs", "c4_filter_docs",
     "similar_docs_tfidf", "bt_ratings_events", "kappa_langid_docs",
-    "gram_novelty_docs", "k_center_vecs",
+    "gram_novelty_docs",
 ]
 
 
@@ -4068,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ate_stratified_purchases": _q_ate_stratified,
         "nelson_aalen_purchase": _q_nelson_aalen,
         "logrank_purchase_cohorts": _q_logrank,
+        "uplift_qini_purchases": _q_uplift_qini,
         "bootstrap_diff_click_view": _q_bootstrap_diff,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -5115,6 +5147,60 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         ((o1 * 1000000000 - e1) * (o1 * 1000000000 - e1))
                         // v end as bigint) as chi2_q6
             from agg
+        """,
+        "uplift_qini_purchases": """
+            with per_user as (
+                select user_id, count(*) as n_ev,
+                       coalesce(sum(case when event_type = 'purchase'
+                                    then cast(floor(value * 100.0 + 0.5)
+                                              as bigint) end), 0) as yu
+                from events group by user_id
+            ), unit as (
+                select user_id as uid,
+                       cast(cast(('0x' || substr(md5(
+                           cast(user_id as varchar)), 1, 8)) as bigint)
+                           % 2 as integer) as treat,
+                       n_ev as score, yu
+                from per_user
+            ), ranked as (
+                select treat, yu,
+                       row_number() over (order by score desc, uid)
+                           - 1 as rk,
+                       count(*) over () as n
+                from unit
+            ), per as (
+                select (rk * 10) // n as bucket,
+                       sum(case when treat = 1 then 1 else 0 end) as n_t,
+                       sum(case when treat = 0 then 1 else 0 end) as n_c,
+                       sum(case when treat = 1
+                                then cast(yu as hugeint)
+                                else 0 end) as sy_t,
+                       sum(case when treat = 0
+                                then cast(yu as hugeint)
+                                else 0 end) as sy_c
+                from ranked group by 1
+            ), cum as (
+                select *,
+                       sum(n_t) over w as cn_t, sum(n_c) over w as cn_c,
+                       sum(sy_t) over w as cy_t, sum(sy_c) over w as cy_c
+                from per
+                window w as (order by bucket rows between unbounded
+                             preceding and current row)
+            )
+            select cast(bucket as bigint) as bucket,
+                   cast(n_t as bigint) as n_t,
+                   cast(n_c as bigint) as n_c,
+                   cast(sy_t as bigint) as sy_t_u,
+                   cast(sy_c as bigint) as sy_c_u,
+                   cast(case when n_t > 0 and n_c > 0 then
+                        (1000000 * (sy_t * n_c - sy_c * n_t))
+                        // (n_t * n_c) end as bigint) as uplift_q6,
+                   cast(cn_t as bigint) as cum_n_t,
+                   cast(cn_c as bigint) as cum_n_c,
+                   cast(case when cn_c > 0 then
+                        (1000000 * (cy_t * cn_c - cy_c * cn_t))
+                        // cn_c end as bigint) as qini_q6
+            from cum order by bucket
         """,
         "ate_stratified_purchases": """
             with per_user as (

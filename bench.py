@@ -298,7 +298,8 @@ def main() -> None:
                  "selectivity_events_value",
                  # round-5 session-10 operators
                  "survival_km_purchase", "ate_stratified_purchases",
-                 "nelson_aalen_purchase", "logrank_purchase_cohorts"]:
+                 "nelson_aalen_purchase", "logrank_purchase_cohorts",
+                 "uplift_qini_purchases"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -765,3 +765,97 @@ def ate_stratified(df: DataFrame, treat_col: str, outcome_col: str,
         F.col("diff_q").cast("long").alias(dq),
         pooled.cast("long").alias(f"ate_q{int(diff_scale)}"))
         .orderBy("stratum"))
+
+
+def uplift_curve(df: DataFrame, treat_col: str, outcome_col: str,
+                 score_col: str, id_col: str, n_buckets: int = 10,
+                 scale: int = 2, q_scale: int = 6) -> DataFrame:
+    """Uplift / Qini decile table (Radcliffe 2007): rank units by a
+    model score descending, cut into ``n_buckets`` equal-count buckets,
+    and report per-bucket and cumulative treated/control outcomes plus
+    the Qini curve value — the standard offline evaluation of an
+    uplift / targeting model (which users should we treat?).
+
+    Bucketing is EXACT and deterministic: 0-based global rank under the
+    total order ``(score desc, id asc)`` via :func:`layout.global_rank`
+    (range-sort + broadcast offsets — never a single-partition window),
+    then ``bucket = rank · B // n``.  Per-bucket sums are exact decimal
+    integers over ``10^scale``-quantized outcomes.
+
+    Per bucket ``k`` (cumulative ≤ k):
+
+    * ``uplift_q = trunc(10^q_scale (sy_t n_c − sy_c n_t)/(n_t n_c 10^scale))``
+      — the within-bucket mean difference (null if an arm is empty);
+    * ``qini_q = trunc(10^q_scale (cy_t cn_c − cy_c cn_t)/(cn_c 10^scale))``
+      — ``cy_t − cy_c·cn_t/cn_c``, incremental outcome vs the scaled
+      control, in outcome units (null while the control arm is empty).
+
+    Every step is integer (truncation-toward-zero ≡ DuckDB ``//`` on
+    the signed numerators); worst case ``cy·cn·10^6 ≈ 10^27`` is inside
+    decimal(38,0)/hugeint.  Scale shape: one global range-sort (the
+    rank), ONE aggregation to the B-row relation, windows over B rows.
+
+    Output (one row per non-empty bucket, ordered): ``(bucket, n_t,
+    n_c, sy_t_u, sy_c_u, uplift_q<q>, cum_n_t, cum_n_c, qini_q<q>)``.
+    """
+    from .layout import global_rank
+
+    t = F.col(treat_col).cast("int")
+    y = _q(F.col(outcome_col), scale)
+    base = (df.where(F.col(score_col).isNotNull() & t.isNotNull()
+                     & F.col(outcome_col).isNotNull())
+            .select(t.alias("__t"), y.alias("__y"),
+                    F.col(score_col).alias("__s"),
+                    F.col(id_col).alias("__id")))
+    n = base.count()  # scalar job; the rank sort below reuses the scan
+    if n == 0:
+        raise ValueError("uplift_curve: empty input after null filter")
+    ranked = global_rank(base, [F.col("__s").desc(), F.col("__id")],
+                         "__rk")
+    b = F.lit(int(n_buckets)).cast("long")
+    rkb = F.col("__rk") * b
+    nn = F.lit(int(n)).cast("long")
+    per = (ranked
+           # exact floor: subtract the remainder first — a bare long/long
+           # is DOUBLE division in Spark, whose rounding could cross a
+           # bucket edge; the adjusted numerator divides exactly
+           .withColumn("bucket", ((rkb - rkb % nn) / nn).cast("long"))
+           .groupBy("bucket")
+           .agg(F.sum(F.when(F.col("__t") == 1, 1).otherwise(0))
+                .alias("n_t"),
+                F.sum(F.when(F.col("__t") == 0, 1).otherwise(0))
+                .alias("n_c"),
+                F.sum(F.when(F.col("__t") == 1, F.col("__y"))
+                      .otherwise(0).cast(_DEC)).alias("sy_t"),
+                F.sum(F.when(F.col("__t") == 0, F.col("__y"))
+                      .otherwise(0).cast(_DEC)).alias("sy_c")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.lit(1)).orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    qmul = F.lit(10 ** int(q_scale)).cast(_DEC)
+    smul = F.lit(10 ** int(scale)).cast(_DEC)
+    cum = (per
+           .withColumn("cn_t", F.sum("n_t").over(w).cast(_DEC))
+           .withColumn("cn_c", F.sum("n_c").over(w).cast(_DEC))
+           .withColumn("cy_t", F.sum("sy_t").over(w).cast(_DEC))
+           .withColumn("cy_c", F.sum("sy_c").over(w).cast(_DEC)))
+    up_num = qmul * (F.col("sy_t") * F.col("n_c")
+                     - F.col("sy_c") * F.col("n_t"))
+    up_den = (F.col("n_t") * F.col("n_c")).cast(_DEC) * smul
+    qi_num = qmul * (F.col("cy_t") * F.col("cn_c")
+                     - F.col("cy_c") * F.col("cn_t"))
+    qi_den = F.col("cn_c") * smul
+    uq, qq = f"uplift_q{int(q_scale)}", f"qini_q{int(q_scale)}"
+    return (cum.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("sy_t").cast("long").alias("sy_t_u"),
+        F.col("sy_c").cast("long").alias("sy_c_u"),
+        F.when((F.col("n_t") > 0) & (F.col("n_c") > 0),
+               _trunc_div(up_num, up_den)).cast("long").alias(uq),
+        F.col("cn_t").cast("long").alias("cum_n_t"),
+        F.col("cn_c").cast("long").alias("cum_n_c"),
+        F.when(F.col("cn_c") > 0,
+               _trunc_div(qi_num, qi_den)).cast("long").alias(qq))
+        .orderBy("bucket"))
