@@ -777,3 +777,80 @@ def test_bloom_probe_prune_is_pre_shuffle(spark):
     # shuffle
     assert "Exchange" not in plan[arrow_at:plan.find("Scan parquet",
                                                     arrow_at)]
+
+
+def test_na_curve_is_pure_window_plan(spark):
+    """Nelson-Aalen never leaves the JVM: one partial+final aggregation
+    to the |distinct durations| relation, then Window ops — zero Python
+    (no ArrowEvalPython / FlatMapGroupsInPandas anywhere)."""
+    from msi_preprocessing_pipeline_spark.operators.survival import (
+        na_curve)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        (F.col("event_id") % 1000).alias("dur"),
+        (F.col("event_id") % 2).alias("ev"),
+        (F.col("user_id") % 3).alias("g"))
+    plan = plan_of(na_curve(ev, "dur", "ev", ["g"]))
+    assert "InPandas" not in plan and "ArrowEval" not in plan \
+        and "MapInArrow" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final reduction
+    assert "Window" in plan
+
+
+def test_logrank_single_reduction_then_tiny_windows(spark):
+    """log-rank reduces the corpus ONCE (partial+final HashAggregate to
+    the pooled-time relation); everything after runs on |distinct
+    event times| rows. Exactly one row-proportional Exchange pair
+    (aggregation); the window/sort exchanges move curve rows only."""
+    from msi_preprocessing_pipeline_spark.operators.survival import (
+        logrank_test)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        (F.col("event_id") % 1000).alias("dur"),
+        (F.col("event_id") % 2).alias("ev"),
+        (F.col("user_id") % 2).alias("g"))
+    plan = plan_of(logrank_test(ev, "dur", "ev", "g"))
+    assert "InPandas" not in plan and "MapInArrow" not in plan
+    # corpus-side: scan feeds ONE aggregation; no join anywhere
+    assert "Join" not in plan
+    scan_at = plan.find("Scan parquet")
+    assert scan_at != -1
+
+
+def test_uplift_bucket_agg_is_partial_final(spark):
+    """uplift_curve: after the global-rank sort, the bucket aggregation
+    is partial+final (map-side combine) and the cumulative window runs
+    on the B-row relation; no Python stages."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        uplift_curve)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("event_id").alias("id"),
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        F.col("value").alias("y"),
+        (F.col("event_id") % 97).alias("s"))
+    plan = plan_of(uplift_curve(ev, "t", "y", "s", "id", n_buckets=10))
+    assert "InPandas" not in plan and "MapInArrow" not in plan
+    assert plan.count("HashAggregate") >= 2
+    # the rank join is the broadcast offsets join, never shuffled both
+    # sides: exactly zero SortMergeJoin
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ate_stratified_single_scan_single_agg(spark):
+    """ate_stratified: ONE corpus aggregation; the pooled window rides
+    the |strata| relation (WindowExec single-partition warning is over
+    the tiny relation, by design)."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        ate_stratified)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        F.col("value").alias("y"),
+        (F.col("event_id") % 5).cast("int").alias("s"))
+    plan = plan_of(ate_stratified(ev, "t", "y", "s", scale=2))
+    # formatted mode prints each node once in the tree and once in the
+    # detail section -> a single scan appears exactly twice
+    assert plan.count("Scan parquet") == 2
+    assert "InPandas" not in plan and "Join" not in plan
