@@ -3887,6 +3887,23 @@ def _q_logrank(spark, sf_dir):
     return logrank_test(tte, "duration_ms", "event", "grp")
 
 
+def _q_rmst(spark, sf_dir):
+    """Restricted mean time-to-first-purchase (τ = 2 days) per user
+    cohort: step-function integration of the KM curve — every term
+    integer×integer on the curve relation, inheriting the product-limit
+    recurrence's determinism (``operators/survival.py::rmst``); DuckDB
+    mirrors the recursion then the same lag/arg_max integration."""
+    from msi_preprocessing_pipeline_spark.operators.survival import (
+        rmst, time_to_event)
+
+    ev = _t(spark, sf_dir, "events")
+    tte = time_to_event(ev, "user_id", "ts",
+                        F.col("event_type") == "purchase")
+    tte = tte.withColumn("cohort", (F.col("entity") % 3).cast("int"))
+    return rmst(tte, "duration_ms", "event", tau=172_800_000,
+                group_cols=["cohort"], scale=9)
+
+
 def _q_uplift_qini(spark, sf_dir):
     """Qini / uplift decile table of the md5-coin "treatment" on
     per-user purchase value, ranked by activity (event count) as the
@@ -4100,6 +4117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen_purchase": _q_nelson_aalen,
         "logrank_purchase_cohorts": _q_logrank,
         "uplift_qini_purchases": _q_uplift_qini,
+        "rmst_purchase_cohorts": _q_rmst,
         "bootstrap_diff_click_view": _q_bootstrap_diff,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -5147,6 +5165,71 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         ((o1 * 1000000000 - e1) * (o1 * 1000000000 - e1))
                         // v end as bigint) as chi2_q6
             from agg
+        """,
+        "rmst_purchase_cohorts": """
+            with recursive tte as (
+                select user_id as entity,
+                       min(epoch_ms(ts)) as origin_ms,
+                       min(case when event_type = 'purchase'
+                                then epoch_ms(ts) end) as event_ms,
+                       max(epoch_ms(ts)) as last_ms
+                from events
+                group by user_id
+            ), subj as (
+                select cast(entity % 3 as integer) as cohort,
+                       coalesce(event_ms, last_ms) - origin_ms as dur,
+                       case when event_ms is not null
+                            then 1 else 0 end as ev
+                from tte
+                where origin_ms is not null
+                  and coalesce(event_ms, last_ms) - origin_ms >= 0
+            ), counts as (
+                select cohort, dur, sum(ev) as d, count(*) as c
+                from subj group by 1, 2
+            ), risk as (
+                select cohort, dur, d,
+                       sum(c) over (partition by cohort)
+                         - sum(c) over (partition by cohort order by dur
+                                        rows between unbounded preceding
+                                        and current row)
+                         + c as n_at_risk
+                from counts
+            ), evr as (
+                select cohort, dur, d, n_at_risk,
+                       row_number() over (partition by cohort
+                                          order by dur) as rn
+                from risk where d > 0
+            ), km as (
+                select cohort, rn, dur,
+                       (1000000000 * (n_at_risk - d)) // n_at_risk as s
+                from evr where rn = 1
+                union all
+                select e.cohort, e.rn, e.dur,
+                       (km.s * (e.n_at_risk - e.d)) // e.n_at_risk
+                from km join evr e
+                  on e.cohort = km.cohort and e.rn = km.rn + 1
+            ), seg as (
+                select cohort, dur, s,
+                       least(dur, 172800000) as tc,
+                       lag(least(dur, 172800000), 1, 0)
+                           over (partition by cohort order by dur)
+                           as t_prev,
+                       lag(s, 1, 1000000000)
+                           over (partition by cohort order by dur)
+                           as s_prev
+                from km
+            )
+            select cohort,
+                   cast(172800000 as bigint) as tau_ms,
+                   cast(count(*) as bigint) as n_event_times,
+                   cast(sum(cast(s_prev as hugeint)
+                            * (tc - t_prev))
+                        + cast(arg_max(s, dur) as hugeint)
+                          * (172800000 - max(tc)) as bigint)
+                       as rmst_q9ms
+            from seg
+            group by cohort
+            order by cohort
         """,
         "uplift_qini_purchases": """
             with per_user as (

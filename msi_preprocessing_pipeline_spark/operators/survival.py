@@ -282,3 +282,59 @@ def time_to_event(events: DataFrame, entity_col: str, ts_col: str,
          - F.col("origin_ms")).alias("duration_ms"),
         F.col("event_ms").isNotNull().cast("int").alias("event"),
     ).where(F.col("duration_ms") >= 0)
+
+
+def rmst(df: DataFrame, duration_col: str, event_col: str,
+         tau: int, group_cols: list[str] | None = None,
+         scale: int = 9, grid_ms: int | None = None) -> DataFrame:
+    """Restricted mean survival time per group: ``∫₀^τ S(t) dt`` — the
+    standard scalar summary of a KM curve ("expected event-free time
+    inside the first τ ms"), robust where the unrestricted mean is
+    undefined under censoring (Royston & Parmar 2013).
+
+    Pure step-function integration over the :func:`km_curve` output —
+    S is constant between event times, so
+
+        ``RMST = Σ_i S_{i-1}·(t'_i − t'_{i-1}) + S_N·(τ − t'_N)``
+
+    with ``t'_i = min(t_i, τ)``, ``S_0 = 10^scale``, ``t'_0 = 0``.
+    Every term is integer×integer on the CURVE relation (one lag
+    window + one aggregation per group — zero extra corpus scans), so
+    the result inherits km_curve's engine/partition determinism
+    exactly.  Output units are ``10^-scale · ms``: callers at
+    realistic τ (years) should keep the decimal column or rescale —
+    the long cast here is exact while ``τ·10^scale < 2^63``
+    (τ ≤ ~106 days at scale=9; pass ``scale=6`` for multi-year τ).
+
+    Output one row per group: ``(…group, tau_ms, n_event_times,
+    rmst_q<scale>ms)``, ordered by group.
+    """
+    grp = list(group_cols or [])
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    curve = km_curve(df, duration_col, event_col, grp or None,
+                     scale=scale, grid_ms=grid_ms)
+    base = 10 ** int(scale)
+    dec = "decimal(38,0)"
+    w = Window.partitionBy(*(grp or [F.lit(1)])).orderBy("dur")
+    tcl = F.least(F.col("dur"), F.lit(int(tau))).cast("long")
+    surv = F.col(f"surv_q{int(scale)}").cast(dec)
+    seg = (curve
+           .withColumn("__t", tcl)
+           .withColumn("__t_prev",
+                       F.lag("__t", 1, 0).over(w).cast("long"))
+           .withColumn("__s_prev",
+                       F.lag(surv, 1, base).over(w).cast(dec))
+           .withColumn("__contrib",
+                       F.col("__s_prev")
+                       * (F.col("__t") - F.col("__t_prev")).cast(dec)))
+    name = f"rmst_q{int(scale)}ms"
+    out = (seg.groupBy(*grp)
+           .agg(F.count("*").cast("long").alias("n_event_times"),
+                (F.sum("__contrib")
+                 + F.max_by(surv, F.col("dur"))
+                 * (F.lit(int(tau)).cast(dec)
+                    - F.max("__t").cast(dec))).cast("long").alias(name))
+           .select(*grp, F.lit(int(tau)).cast("long").alias("tau_ms"),
+                   "n_event_times", name))
+    return out.orderBy(*grp) if grp else out

@@ -320,3 +320,42 @@ def test_uplift_curve_empty_arm_nulls(spark):
                        n_buckets=2, scale=0, q_scale=6).collect()
     assert got[0].uplift_q6 is None and got[0].qini_q6 is None
     assert got[1].qini_q6 is not None
+
+
+def test_rmst_step_integration_and_clamp(spark):
+    from msi_preprocessing_pipeline_spark.operators.survival import rmst
+
+    # hand case: 4 subjects, events at 10 (n=4) and 30 (n=2), censor 20
+    # S(10)=0.75, S(30)=0.375; tau=25 clamps the last segment
+    rows = [(10, 1), (20, 0), (30, 1), (40, 0)]
+    df = spark.createDataFrame(rows, "dur long, ev int")
+    r = rmst(df, "dur", "ev", tau=25).collect()[0]
+    # integral: 1.0*10 + 0.75*(25-10) = 21.25 (the t=30 event is
+    # beyond tau; its curve row contributes a zero-length segment and
+    # the final term uses S at the LAST event time, clamped)
+    b = 10 ** 9
+    s10 = (b * 3) // 4
+    s30 = (s10 * 1) // 2
+    expect = b * 10 + s10 * (25 - 10) + s30 * (25 - 25)
+    assert r.rmst_q9ms == expect and r.tau_ms == 25
+    assert r.n_event_times == 2
+
+    # tau beyond all data: integral extends at the final S level
+    r2 = rmst(df, "dur", "ev", tau=100).collect()[0]
+    expect2 = b * 10 + s10 * (30 - 10) + s30 * (100 - 30)
+    assert r2.rmst_q9ms == expect2
+
+
+def test_rmst_groups_partition_invariant(spark):
+    import random
+    from msi_preprocessing_pipeline_spark.operators.survival import rmst
+
+    rng = random.Random(21)
+    rows = [(i % 3, rng.randrange(0, 1000), int(rng.random() < 0.55))
+            for i in range(900)]
+    df = spark.createDataFrame(rows, "g int, dur long, ev int")
+    a = rmst(df.repartition(2), "dur", "ev", 600, ["g"]).collect()
+    b = rmst(df.repartition(11), "dur", "ev", 600, ["g"]).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # RMST <= tau * 1e9 always (S <= 1)
+    assert all(r.rmst_q9ms <= 600 * 10 ** 9 for r in a)
