@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-220 queries, 220 with exact DuckDB oracles — relational SQL where expressible,
+227 queries, 227 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3718,6 +3718,85 @@ def _q_bootstrap_diff(spark, sf_dir):
         treatment="click", n_reps=30, seed=42, scale=6, alpha=0.05)
 
 
+def _sequential_ab_sql(alpha: float = 0.05) -> str:
+    """DuckDB mirror of ``_q_sequential_ab``: identical exact-integer
+    cumulative moments, identical fixed-order double expression tree
+    for z and the OBF boundary, and the SAME z_{α/2} literal the Spark
+    side evaluates via ``kernels.special.norm_ppf`` (generated here in
+    lockstep, the bootstrap-oracle pattern)."""
+    from msi_preprocessing_pipeline_spark.kernels.special import norm_ppf
+
+    z_a = repr(float(norm_ppf(1.0 - alpha / 2.0)))
+    return f"""
+        with base as (
+            select cast(cast(('0x' || substr(md5(
+                       cast(event_id as varchar)), 1, 8)) as bigint)
+                       % 2 as integer) as treat,
+                   cast(floor(value * 1000000.0 + 0.5) as bigint) as yq,
+                   (epoch_ms(ts) - epoch_ms(ts) % 86400000)
+                       // 86400000 as look
+            from events
+            where value is not null and ts is not null
+        ), per as (
+            select look,
+                   sum(case when treat = 1 then 1 else 0 end) as n_t,
+                   sum(case when treat = 0 then 1 else 0 end) as n_c,
+                   sum(case when treat = 1
+                            then cast(yq as hugeint) else 0 end) as sy_t,
+                   sum(case when treat = 0
+                            then cast(yq as hugeint) else 0 end) as sy_c,
+                   sum(case when treat = 1
+                            then cast(yq as hugeint)
+                                 * cast(yq as hugeint)
+                            else 0 end) as syy_t,
+                   sum(case when treat = 0
+                            then cast(yq as hugeint)
+                                 * cast(yq as hugeint)
+                            else 0 end) as syy_c
+            from base group by look
+        ), cum as (
+            select look,
+                   cast(row_number() over (order by look) as bigint)
+                       as k,
+                   cast(count(*) over () as bigint) as n_looks,
+                   cast(sum(n_t) over w as bigint) as cn_t,
+                   cast(sum(n_c) over w as bigint) as cn_c,
+                   cast(sum(sy_t) over w as double) as cy_t,
+                   cast(sum(sy_c) over w as double) as cy_c,
+                   cast(sum(syy_t) over w as double) as cyy_t,
+                   cast(sum(syy_c) over w as double) as cyy_c
+            from per
+            window w as (order by look rows between unbounded preceding
+                         and current row)
+        ), stats as (
+            select *,
+                   cast(cn_t as double) as nt, cast(cn_c as double) as nc
+            from cum
+        ), z as (
+            select look, k, n_looks, cn_t, cn_c,
+                   (cy_t / nt - cy_c / nc)
+                     / sqrt(((cyy_t - cy_t * cy_t / nt) / (nt - 1.0)) / nt
+                            + ((cyy_c - cy_c * cy_c / nc) / (nc - 1.0))
+                              / nc) as zval,
+                   {z_a} * sqrt(cast(n_looks as double)
+                                / cast(k as double)) as bnd,
+                   (cn_t > 1 and cn_c > 1 and
+                    sqrt(((cyy_t - cy_t * cy_t / nt) / (nt - 1.0)) / nt
+                         + ((cyy_c - cy_c * cy_c / nc) / (nc - 1.0)) / nc)
+                    > 0) as ok
+            from stats
+        )
+        select look, k, n_looks,
+               cn_t as cum_n_t, cn_c as cum_n_c,
+               cast(case when ok then floor(zval * 1000000.0 + 0.5) end
+                    as bigint) as z_q6,
+               cast(floor(bnd * 1000000.0 + 0.5) as bigint) as bound_q6,
+               case when ok then abs(zval) > bnd else false end
+                   as crossed
+        from z order by look
+    """
+
+
 def _bootstrap_diff_sql(n_reps=30, seed=42, scale=6, alpha=0.05,
                         out_scale=6, control="view",
                         treatment="click") -> str:
@@ -3902,6 +3981,29 @@ def _q_rmst(spark, sf_dir):
     tte = tte.withColumn("cohort", (F.col("entity") % 3).cast("int"))
     return rmst(tte, "duration_ms", "event", tau=172_800_000,
                 group_cols=["cohort"], scale=9)
+
+
+def _q_sequential_ab(spark, sf_dir):
+    """Peeking-safe sequential A/B readout: md5-coin treatment on event
+    value, one look per UTC day, O'Brien-Fleming boundary
+    ``z_{.025}·sqrt(K/k)``.  Exact decimal moment sums cumulate over
+    the |looks| relation; z/boundary are fixed-order IEEE expressions
+    of those exact ints (div/mul/sqrt are correctly rounded, so both
+    engines emit bit-identical doubles — the ab_stats discipline;
+    ``experiment.sequential_ab``)."""
+    from msi_preprocessing_pipeline_spark.functions.util import md5_bucket
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        sequential_ab)
+
+    ev = _t(spark, sf_dir, "events").select(
+        md5_bucket(F.col("event_id").cast("string"), 2).cast("int")
+        .alias("treat"),
+        "value",
+        # exact epoch-day: integer floor division on the ms clock
+        ((_ms("ts") - (_ms("ts") % F.lit(86_400_000)))
+         / F.lit(86_400_000)).cast("long").alias("day"))
+    return sequential_ab(ev, "treat", "value", "day",
+                         alpha=0.05, scale=6)
 
 
 def _q_uplift_qini(spark, sf_dir):
@@ -4118,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_purchase_cohorts": _q_logrank,
         "uplift_qini_purchases": _q_uplift_qini,
         "rmst_purchase_cohorts": _q_rmst,
+        "sequential_ab_value": _q_sequential_ab,
         "bootstrap_diff_click_view": _q_bootstrap_diff,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -4279,6 +4382,7 @@ def oracle_sql() -> dict[str, str]:
         n_reps=30, seed=42, scale=6, alpha=0.05)
     out["bootstrap_diff_click_view"] = _bootstrap_diff_sql(
         n_reps=30, seed=42, scale=6, alpha=0.05)
+    out["sequential_ab_value"] = _sequential_ab_sql(alpha=0.05)
     try:
         from _golden_oracles import GOLDEN_ORACLES
         out.update(GOLDEN_ORACLES)

@@ -859,3 +859,86 @@ def uplift_curve(df: DataFrame, treat_col: str, outcome_col: str,
         F.when(F.col("cn_c") > 0,
                _trunc_div(qi_num, qi_den)).cast("long").alias(qq))
         .orderBy("bucket"))
+
+
+def sequential_ab(df: DataFrame, treat_col: str, outcome_col: str,
+                  look_col: str, alpha: float = 0.05,
+                  scale: int = 6) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien–Fleming-style
+    boundaries: one Welch z per *look* (an ordered interim-analysis
+    index, e.g. experiment day), compared against the spending
+    boundary ``b_k = z_{α/2}·√(K/k)`` — very conservative early, the
+    fixed-sample bound at the final look — so the experimenter can
+    peek K times without inflating false-positive rate (O'Brien &
+    Fleming 1979; Pocock 1977 for the framework).
+
+    Determinism: moment sums (n, Σy, Σy²) accumulate per look as exact
+    decimal integers over ``floor(y·10^scale+0.5)`` micro-units and
+    cumulate by windows over the |looks| relation; z and the boundary
+    are FIXED-ORDER IEEE expressions over those exact ints (division /
+    multiply / sqrt are all correctly-rounded ops, so both engines
+    produce bit-identical doubles — the ab_stats/corr_matrix
+    discipline; no exp/ln anywhere).  ``z_{α/2}`` is evaluated once in
+    Python (``kernels.special.norm_ppf``) and embedded as a literal,
+    exactly like the bootstrap oracles embed their thresholds.
+
+    Scale shape: ONE map-side-combined corpus aggregation to the
+    |looks|×2-cell relation; windows ride |looks| rows.
+
+    Output one row per look (ordered): ``(look, k, n_looks, cum_n_t,
+    cum_n_c, z_q6, bound_q6, crossed)`` — ``z_q6`` null while either
+    arm has <2 cumulative units or the pooled SE is 0.
+    """
+    from ..kernels.special import norm_ppf
+    from pyspark.sql import Window
+
+    z_a = float(norm_ppf(1.0 - alpha / 2.0))
+    t = F.col(treat_col).cast("int")
+    y = _q(F.col(outcome_col), scale)
+    per = (df.where(F.col(outcome_col).isNotNull() & t.isNotNull()
+                    & F.col(look_col).isNotNull())
+           .groupBy(F.col(look_col).alias("look"))
+           .agg(F.sum(F.when(t == 1, 1).otherwise(0)).alias("n_t"),
+                F.sum(F.when(t == 0, 1).otherwise(0)).alias("n_c"),
+                F.sum(F.when(t == 1, y).otherwise(0).cast(_DEC))
+                .alias("sy_t"),
+                F.sum(F.when(t == 0, y).otherwise(0).cast(_DEC))
+                .alias("sy_c"),
+                F.sum(F.when(t == 1, y * y).otherwise(0).cast(_DEC))
+                .alias("syy_t"),
+                F.sum(F.when(t == 0, y * y).otherwise(0).cast(_DEC))
+                .alias("syy_c")))
+    w_ord = Window.partitionBy(F.lit(1)).orderBy("look")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+    w_all = Window.partitionBy(F.lit(1))
+    cum = per.select(
+        "look",
+        F.row_number().over(w_ord).cast("long").alias("k"),
+        F.count("*").over(w_all).cast("long").alias("n_looks"),
+        F.sum("n_t").over(w_cum).cast("long").alias("cn_t"),
+        F.sum("n_c").over(w_cum).cast("long").alias("cn_c"),
+        F.sum("sy_t").over(w_cum).cast("double").alias("cy_t"),
+        F.sum("sy_c").over(w_cum).cast("double").alias("cy_c"),
+        F.sum("syy_t").over(w_cum).cast("double").alias("cyy_t"),
+        F.sum("syy_c").over(w_cum).cast("double").alias("cyy_c"))
+    nt = F.col("cn_t").cast("double")
+    nc = F.col("cn_c").cast("double")
+    var_t = (F.col("cyy_t") - F.col("cy_t") * F.col("cy_t") / nt) \
+        / (nt - F.lit(1.0))
+    var_c = (F.col("cyy_c") - F.col("cy_c") * F.col("cy_c") / nc) \
+        / (nc - F.lit(1.0))
+    se = F.sqrt(var_t / nt + var_c / nc)
+    z = (F.col("cy_t") / nt - F.col("cy_c") / nc) / se
+    bound = F.lit(z_a) * F.sqrt(
+        F.col("n_looks").cast("double") / F.col("k").cast("double"))
+    ok = (F.col("cn_t") > 1) & (F.col("cn_c") > 1) & (se > 0)
+    zq = F.when(ok, F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long"))
+    bq = F.floor(bound * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (cum.select(
+        "look", "k", "n_looks", F.col("cn_t").alias("cum_n_t"),
+        F.col("cn_c").alias("cum_n_c"),
+        zq.alias("z_q6"), bq.alias("bound_q6"),
+        F.when(ok, F.abs(z) > bound).otherwise(F.lit(False))
+        .alias("crossed"))
+        .orderBy("look"))

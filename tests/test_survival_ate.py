@@ -359,3 +359,53 @@ def test_rmst_groups_partition_invariant(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     # RMST <= tau * 1e9 always (S <= 1)
     assert all(r.rmst_q9ms <= 600 * 10 ** 9 for r in a)
+
+
+def test_sequential_ab_boundaries_and_crossing(spark):
+    import random
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        sequential_ab)
+
+    rng = random.Random(5)
+    # planted effect: treatment mean 1.0 higher; 6 daily looks
+    rows = [(rng.randrange(0, 2), d, 0.0) for d in range(6)
+            for _ in range(200)]
+    rows = [(t, d, round(rng.gauss(5.0 + t, 1.0), 3)) for t, d, _ in rows]
+    df = spark.createDataFrame(rows, "t int, day int, y double")
+    out = sequential_ab(df, "t", "y", "day", alpha=0.05).collect()
+    assert len(out) == 6 and [r.k for r in out] == list(range(1, 7))
+    # OBF boundary: monotone decreasing, final look = z_{alpha/2}
+    bounds = [r.bound_q6 for r in out]
+    assert bounds == sorted(bounds, reverse=True)
+    assert abs(bounds[-1] - 1_959_964) <= 1
+    # a 1-sigma effect at n~600/arm crosses well before the last look
+    assert any(r.crossed for r in out)
+    assert out[-1].crossed
+    # cumulative counts are monotone and consistent
+    assert all(a.cum_n_t <= b.cum_n_t for a, b in zip(out, out[1:]))
+
+    # null effect: no crossing (conservative early boundaries)
+    rows0 = [(rng.randrange(0, 2), d, round(rng.gauss(5.0, 1.0), 3))
+             for d in range(6) for _ in range(200)]
+    df0 = spark.createDataFrame(rows0, "t int, day int, y double")
+    out0 = sequential_ab(df0, "t", "y", "day").collect()
+    assert not any(r.crossed for r in out0)
+    # partition invariance of the full row set
+    a = sequential_ab(df.repartition(2), "t", "y", "day").collect()
+    b = sequential_ab(df.repartition(13), "t", "y", "day").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] \
+        == [tuple(r) for r in out]
+
+
+def test_sequential_ab_degenerate_looks(spark):
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        sequential_ab)
+
+    # look 0 has a single treated unit -> z null, crossed False; by
+    # look 1 both arms have >=2 and a constant metric -> se=0 -> null
+    rows = [(1, 0, 1.0), (1, 1, 1.0), (0, 1, 1.0),
+            (0, 1, 1.0), (1, 1, 1.0)]
+    df = spark.createDataFrame(rows, "t int, day int, y double")
+    out = sequential_ab(df, "t", "y", "day").collect()
+    assert out[0].z_q6 is None and not out[0].crossed
+    assert out[1].z_q6 is None and not out[1].crossed
