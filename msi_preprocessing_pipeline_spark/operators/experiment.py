@@ -889,25 +889,43 @@ def sequential_ab(df: DataFrame, treat_col: str, outcome_col: str,
     cum_n_c, z_q6, bound_q6, crossed)`` — ``z_q6`` null while either
     arm has <2 cumulative units or the pooled SE is 0.
     """
+    per = seq_ab_moments(df, treat_col, outcome_col, look_col,
+                         scale=scale)
+    return seq_ab_decisions(per, alpha=alpha)
+
+
+def seq_ab_moments(df: DataFrame, treat_col: str, outcome_col: str,
+                   look_col: str, scale: int = 6) -> DataFrame:
+    """The per-look exact moment relation feeding
+    :func:`seq_ab_decisions`: ``(look, n_t, n_c, sy_t, sy_c, syy_t,
+    syy_c)`` with decimal(38,0) sums over 10^scale micro-units.
+    Additive and commutative per look — the streaming landing merges
+    micro-batch moment relations by summation (``streaming.seqtest``)
+    and gets the identical table."""
+    t = F.col(treat_col).cast("int")
+    y = _q(F.col(outcome_col), scale)
+    return (df.where(F.col(outcome_col).isNotNull() & t.isNotNull()
+                     & F.col(look_col).isNotNull())
+            .groupBy(F.col(look_col).alias("look"))
+            .agg(F.sum(F.when(t == 1, 1).otherwise(0)).alias("n_t"),
+                 F.sum(F.when(t == 0, 1).otherwise(0)).alias("n_c"),
+                 F.sum(F.when(t == 1, y).otherwise(0).cast(_DEC))
+                 .alias("sy_t"),
+                 F.sum(F.when(t == 0, y).otherwise(0).cast(_DEC))
+                 .alias("sy_c"),
+                 F.sum(F.when(t == 1, y * y).otherwise(0).cast(_DEC))
+                 .alias("syy_t"),
+                 F.sum(F.when(t == 0, y * y).otherwise(0).cast(_DEC))
+                 .alias("syy_c")))
+
+
+def seq_ab_decisions(per: DataFrame, alpha: float = 0.05) -> DataFrame:
+    """Decision table from a per-look moment relation (see
+    :func:`seq_ab_moments`) — windows over |looks| rows only."""
     from ..kernels.special import norm_ppf
     from pyspark.sql import Window
 
     z_a = float(norm_ppf(1.0 - alpha / 2.0))
-    t = F.col(treat_col).cast("int")
-    y = _q(F.col(outcome_col), scale)
-    per = (df.where(F.col(outcome_col).isNotNull() & t.isNotNull()
-                    & F.col(look_col).isNotNull())
-           .groupBy(F.col(look_col).alias("look"))
-           .agg(F.sum(F.when(t == 1, 1).otherwise(0)).alias("n_t"),
-                F.sum(F.when(t == 0, 1).otherwise(0)).alias("n_c"),
-                F.sum(F.when(t == 1, y).otherwise(0).cast(_DEC))
-                .alias("sy_t"),
-                F.sum(F.when(t == 0, y).otherwise(0).cast(_DEC))
-                .alias("sy_c"),
-                F.sum(F.when(t == 1, y * y).otherwise(0).cast(_DEC))
-                .alias("syy_t"),
-                F.sum(F.when(t == 0, y * y).otherwise(0).cast(_DEC))
-                .alias("syy_c")))
     w_ord = Window.partitionBy(F.lit(1)).orderBy("look")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding,
                               Window.currentRow)
