@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-227 queries, 227 with exact DuckDB oracles — relational SQL where expressible,
+228 queries, 228 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3983,6 +3983,26 @@ def _q_rmst(spark, sf_dir):
                 group_cols=["cohort"], scale=9)
 
 
+def _q_cif(spark, sf_dir):
+    """Aalen-Johansen cumulative incidence under competing risks:
+    first purchase (cause 1) vs first error (cause 2), censored at
+    last activity, per user cohort.  All-cause KM and both CIFs run
+    through ONE exact big-int recurrence (lockstep recursive CTE in
+    DuckDB); ties break to the lower cause index
+    (``operators/survival.py::cif_curves``)."""
+    from msi_preprocessing_pipeline_spark.operators.survival import (
+        cif_curves, time_to_competing_event)
+
+    ev = _t(spark, sf_dir, "events")
+    tte = time_to_competing_event(
+        ev, "user_id", "ts",
+        [F.col("event_type") == "purchase",
+         F.col("event_type") == "error"])
+    tte = tte.withColumn("cohort", (F.col("entity") % 3).cast("int"))
+    return cif_curves(tte, "duration_ms", "cause", 2, ["cohort"],
+                      scale=9)
+
+
 def _q_sequential_ab(spark, sf_dir):
     """Peeking-safe sequential A/B readout: md5-coin treatment on event
     value, one look per UTC day, O'Brien-Fleming boundary
@@ -4221,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uplift_qini_purchases": _q_uplift_qini,
         "rmst_purchase_cohorts": _q_rmst,
         "sequential_ab_value": _q_sequential_ab,
+        "cif_purchase_error": _q_cif,
         "bootstrap_diff_click_view": _q_bootstrap_diff,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
@@ -5165,6 +5186,72 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    cast(d as bigint) as d_events,
                    cast(n_at_risk as bigint) as n_at_risk,
                    cast(s as bigint) as surv_q9
+            from km order by cohort, dur
+        """,
+        "cif_purchase_error": """
+            with recursive tte as (
+                select user_id as entity,
+                       min(epoch_ms(ts)) as origin_ms,
+                       max(epoch_ms(ts)) as last_ms,
+                       min(case when event_type = 'purchase'
+                                then epoch_ms(ts) end) as t1,
+                       min(case when event_type = 'error'
+                                then epoch_ms(ts) end) as t2
+                from events
+                group by user_id
+            ), subj as (
+                select cast(entity % 3 as integer) as cohort,
+                       coalesce(least(t1, t2), last_ms) - origin_ms
+                           as dur,
+                       case when t1 is not null
+                                 and t1 = least(t1, t2) then 1
+                            when t2 is not null
+                                 and t2 = least(t1, t2) then 2
+                            else 0 end as cause
+                from tte
+                where origin_ms is not null
+                  and coalesce(least(t1, t2), last_ms)
+                      - origin_ms >= 0
+            ), counts as (
+                select cohort, dur,
+                       sum(case when cause > 0 then 1 else 0 end) as d,
+                       count(*) as c,
+                       sum(case when cause = 1 then 1 else 0 end) as d1,
+                       sum(case when cause = 2 then 1 else 0 end) as d2
+                from subj group by 1, 2
+            ), risk as (
+                select cohort, dur, d, d1, d2,
+                       sum(c) over (partition by cohort)
+                         - sum(c) over (partition by cohort order by dur
+                                        rows between unbounded preceding
+                                        and current row)
+                         + c as n_at_risk
+                from counts
+            ), evr as (
+                select cohort, dur, d, d1, d2, n_at_risk,
+                       row_number() over (partition by cohort
+                                          order by dur) as rn
+                from risk where d > 0
+            ), km as (
+                select cohort, rn, dur, d, n_at_risk,
+                       (1000000000 * d1) // n_at_risk as c1,
+                       (1000000000 * d2) // n_at_risk as c2,
+                       (1000000000 * (n_at_risk - d)) // n_at_risk as s
+                from evr where rn = 1
+                union all
+                select e.cohort, e.rn, e.dur, e.d, e.n_at_risk,
+                       km.c1 + (km.s * e.d1) // e.n_at_risk,
+                       km.c2 + (km.s * e.d2) // e.n_at_risk,
+                       (km.s * (e.n_at_risk - e.d)) // e.n_at_risk
+                from km join evr e
+                  on e.cohort = km.cohort and e.rn = km.rn + 1
+            )
+            select cohort, cast(dur as bigint) as dur,
+                   cast(d as bigint) as d_all,
+                   cast(n_at_risk as bigint) as n_at_risk,
+                   cast(s as bigint) as surv_q9,
+                   cast(c1 as bigint) as cif1_q9,
+                   cast(c2 as bigint) as cif2_q9
             from km order by cohort, dur
         """,
         "nelson_aalen_purchase": """

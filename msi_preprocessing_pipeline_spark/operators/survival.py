@@ -338,3 +338,119 @@ def rmst(df: DataFrame, duration_col: str, event_col: str,
            .select(*grp, F.lit(int(tau)).cast("long").alias("tau_ms"),
                    "n_event_times", name))
     return out.orderBy(*grp) if grp else out
+
+
+def time_to_competing_event(events: DataFrame, entity_col: str,
+                            ts_col: str, cause_preds: list) -> DataFrame:
+    """Per-entity ``(duration_ms, cause)`` for COMPETING risks: cause
+    ``j+1`` fires if ``cause_preds[j]``'s first occurrence is the
+    earliest among all causes (ties break to the LOWER cause index —
+    deterministic, documented); entities where no cause ever fires are
+    censored (``cause = 0``) at their last observed activity.  Origin =
+    first event of any kind.  One aggregation, |entities|-bounded."""
+    e = F.col(entity_col)
+    ts = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    aggs = [F.min(ts).alias("origin_ms"), F.max(ts).alias("last_ms")]
+    for j, pred in enumerate(cause_preds):
+        aggs.append(F.min(F.when(pred, ts)).alias(f"t{j}"))
+    agg = (events.groupBy(e.alias("entity")).agg(*aggs)
+           .where(F.col("origin_ms").isNotNull()))
+    # earliest cause wins; ties -> lowest index (least() skips nulls)
+    tcols = [F.col(f"t{j}") for j in range(len(cause_preds))]
+    t_min = F.least(*tcols) if len(tcols) > 1 else tcols[0]
+    cause = F.lit(0)
+    for j in reversed(range(len(cause_preds))):
+        cause = F.when(tcols[j].isNotNull() & (tcols[j] == t_min),
+                       F.lit(j + 1)).otherwise(cause)
+    return (agg.select(
+        "entity",
+        (F.coalesce(t_min, F.col("last_ms"))
+         - F.col("origin_ms")).alias("duration_ms"),
+        cause.cast("int").alias("cause"))
+        .where(F.col("duration_ms") >= 0))
+
+
+def cif_curves(df: DataFrame, duration_col: str, cause_col: str,
+               n_causes: int = 2,
+               group_cols: list[str] | None = None,
+               scale: int = 9,
+               grid_ms: int | None = None) -> DataFrame:
+    """Aalen–Johansen cumulative incidence functions under competing
+    risks: ``CIF_j(t) = Σ_{t_i ≤ t} S(t_{i-1}) · d_{ij} / n_i`` with
+    ``S`` the ALL-CAUSE Kaplan–Meier — the correct "probability cause
+    j has happened by t" (1 − KM-per-cause overstates it by treating
+    competitors as censoring; Aalen & Johansen 1978).
+
+    ``cause_col``: 0 = censored, 1..n_causes = event cause.
+
+    Determinism: the KM recurrence and each CIF increment
+    ``(S_prev · d_j) // n`` are exact big-int floor steps at
+    ``10^-scale`` (same contract as :func:`km_curve`; the oracle
+    carries S and every CIF through one recursive CTE in lockstep).
+    By construction ``S + Σ_j CIF_j ≤ 10^scale`` with deficit bounded
+    by one ulp per event time (each of the J+1 floors loses < 1).
+
+    Scale shape identical to km_curve: ONE corpus reduction to the
+    |distinct (gridded) durations| relation; the recurrence runs over
+    CURVE rows per group.  Output per (group, event time): ``(…group,
+    dur, d_all, n_at_risk, surv_q<s>, cif1_q<s>, …, cifJ_q<s>)``.
+    """
+    grp = list(group_cols or [])
+    causes = list(range(1, int(n_causes) + 1))
+    dur = F.col(duration_col).cast("long")
+    if grid_ms is not None and grid_ms > 1:
+        dur = (dur - (dur % F.lit(int(grid_ms)))).cast("long")
+    cz = F.col(cause_col).cast("int")
+
+    counts = (df.where(F.col(duration_col).isNotNull()
+                       & cz.isNotNull())
+              .groupBy(*grp, dur.alias("dur"))
+              .agg(F.sum(F.when(cz > 0, 1).otherwise(0)).alias("d"),
+                   F.count("*").alias("c"),
+                   *[F.sum(F.when(cz == j, 1).otherwise(0))
+                     .alias(f"d{j}") for j in causes]))
+    w_all = Window.partitionBy(*grp) if grp else \
+        Window.partitionBy(F.lit(1))
+    w_cum = (w_all.orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = counts.select(
+        *grp, "dur", "d", *[f"d{j}" for j in causes],
+        (F.sum("c").over(w_all) - F.sum("c").over(w_cum)
+         + F.col("c")).alias("n_at_risk"),
+    ).where(F.col("d") > 0)
+
+    base = 10 ** int(scale)
+    cif_names = [f"cif{j}_q{int(scale)}" for j in causes]
+    surv_name = f"surv_q{int(scale)}"
+    out_schema = ", ".join(
+        [f"`{c}` {risk.schema[c].dataType.simpleString()}" for c in grp]
+        + ["dur long", "d_all long", "n_at_risk long",
+           f"{surv_name} long"] + [f"{n} long" for n in cif_names])
+
+    def _aj(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dur", kind="mergesort")
+        s = base
+        cif = [0] * len(causes)
+        s_out, cif_out = [], [[] for _ in causes]
+        d_cols = [pdf[f"d{j}"].tolist() for j in causes]
+        for i, (n, d) in enumerate(zip(pdf["n_at_risk"].tolist(),
+                                       pdf["d"].tolist())):
+            for jx in range(len(causes)):
+                cif[jx] += (s * int(d_cols[jx][i])) // int(n)
+                cif_out[jx].append(cif[jx])
+            s = (s * (int(n) - int(d))) // int(n)
+            s_out.append(s)
+        res = pdf[grp + ["dur"]].copy()
+        res["d_all"] = pdf["d"].astype("int64").values
+        res["n_at_risk"] = pdf["n_at_risk"].astype("int64").values
+        res[surv_name] = pd.array(s_out, dtype="int64")
+        for jx, nme in enumerate(cif_names):
+            res[nme] = pd.array(cif_out[jx], dtype="int64")
+        return res
+
+    keys = grp if grp else [F.lit(1).alias("__g")]
+    curve = (risk.groupBy(*keys).applyInPandas(_aj, out_schema)
+             if grp else
+             risk.withColumn("__g", F.lit(1)).groupBy("__g")
+             .applyInPandas(_aj, out_schema))
+    return curve.orderBy(*grp, "dur")

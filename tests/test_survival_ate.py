@@ -409,3 +409,82 @@ def test_sequential_ab_degenerate_looks(spark):
     out = sequential_ab(df, "t", "y", "day").collect()
     assert out[0].z_q6 is None and not out[0].crossed
     assert out[1].z_q6 is None and not out[1].crossed
+
+
+def _cif_ref(pairs, scale=9):
+    """Big-int Aalen-Johansen reference over (dur, cause) pairs."""
+    from collections import Counter
+    c, d, d1, d2 = Counter(), Counter(), Counter(), Counter()
+    for t, cz in pairs:
+        c[t] += 1
+        if cz > 0:
+            d[t] += 1
+        if cz == 1:
+            d1[t] += 1
+        if cz == 2:
+            d2[t] += 1
+    n, s, c1, c2, out = len(pairs), 10 ** scale, 0, 0, []
+    for t in sorted(c):
+        n_at = n
+        n -= c[t]
+        if d[t] > 0:
+            c1 += (s * d1[t]) // n_at
+            c2 += (s * d2[t]) // n_at
+            s = (s * (n_at - d[t])) // n_at
+            out.append((t, d[t], n_at, s, c1, c2))
+    return out
+
+
+def test_cif_curves_match_bigint_reference(spark):
+    import random
+    from msi_preprocessing_pipeline_spark.operators.survival import (
+        cif_curves)
+
+    rng = random.Random(13)
+    pairs = [(rng.randrange(0, 300), rng.choice([0, 0, 1, 1, 2]))
+             for _ in range(800)]
+    df = spark.createDataFrame(pairs, "dur long, cause int")
+    got = [(r.dur, r.d_all, r.n_at_risk, r.surv_q9, r.cif1_q9,
+            r.cif2_q9)
+           for r in cif_curves(df.repartition(5), "dur", "cause",
+                               2).collect()]
+    assert got == _cif_ref(pairs)
+    # conservation: S + CIF1 + CIF2 = 1 minus a bounded floor deficit
+    for g in got:
+        deficit = 10 ** 9 - (g[3] + g[4] + g[5])
+        assert 0 <= deficit < 3 * len(got)
+    # CIFs monotone non-decreasing
+    for i in (4, 5):
+        seq = [g[i] for g in got]
+        assert seq == sorted(seq)
+    # partition invariance (grouped)
+    df2 = df.withColumn("g", (F.col("dur") % 2).cast("int"))
+    a = [tuple(r) for r in
+         cif_curves(df2.repartition(2), "dur", "cause", 2,
+                    ["g"]).collect()]
+    b = [tuple(r) for r in
+         cif_curves(df2.repartition(11), "dur", "cause", 2,
+                    ["g"]).collect()]
+    assert a == b
+
+
+def test_time_to_competing_event_semantics(spark):
+    from msi_preprocessing_pipeline_spark.operators.survival import (
+        time_to_competing_event)
+
+    evs = [
+        (1, 100, "view"), (1, 200, "purchase"), (1, 300, "error"),
+        (2, 50, "view"), (2, 80, "error"),
+        (3, 10, "view"), (3, 40, "click"),
+        (4, 10, "purchase"),
+    ]
+    edf = spark.createDataFrame(evs, "u long, ms long, t string") \
+        .select("u", F.timestamp_millis(F.col("ms")).alias("ts"), "t")
+    out = {r.entity: (r.duration_ms, r.cause)
+           for r in time_to_competing_event(
+               edf, "u", "ts",
+               [F.col("t") == "purchase",
+                F.col("t") == "error"]).collect()}
+    # u1: purchase first (cause 1 @ 100ms); u2: error (cause 2 @ 30);
+    # u3: censored @ last-seen; u4: purchase at origin
+    assert out == {1: (100, 1), 2: (30, 2), 3: (30, 0), 4: (0, 1)}
