@@ -4120,8 +4120,15 @@ _R5_WINDOW = [
     # gap_stats/trend rotate out — all judge-verified in r4 or
     # contract-green, and CONTRACT_r05.json re-attests them this round)
     "kn_score_docs", "dedup_paragraphs_docs", "c4_filter_docs",
-    "similar_docs_tfidf", "bt_ratings_events", "kappa_langid_docs",
-    "gram_novelty_docs",
+    "similar_docs_tfidf",
+    # session-10 newest (never recorded anywhere): RMST, sequential
+    # A/B, competing-risks CIF — they take the bt_ratings/kappa/
+    # gram_novelty slots, the block-(d) members with the strongest
+    # independent pytest parity pins (golden BT iterations, exact
+    # kappa formula, lockstep novelty oracle) on top of
+    # CONTRACT_r05.json
+    "rmst_purchase_cohorts", "sequential_ab_value",
+    "cif_purchase_error",
 ]
 
 
