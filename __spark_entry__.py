@@ -3772,19 +3772,22 @@ def _sequential_ab_sql(alpha: float = 0.05) -> str:
             select *,
                    cast(cn_t as double) as nt, cast(cn_c as double) as nc
             from cum
+        ), sev as (
+            -- se2 BEFORE sqrt, mirroring the Spark guard: DuckDB
+            -- raises on sqrt(negative), Spark orders NaN > 0
+            select *,
+                   ((cyy_t - cy_t * cy_t / nt) / (nt - 1.0)) / nt
+                     + ((cyy_c - cy_c * cy_c / nc) / (nc - 1.0)) / nc
+                       as se2
+            from stats
         ), z as (
             select look, k, n_looks, cn_t, cn_c,
-                   (cy_t / nt - cy_c / nc)
-                     / sqrt(((cyy_t - cy_t * cy_t / nt) / (nt - 1.0)) / nt
-                            + ((cyy_c - cy_c * cy_c / nc) / (nc - 1.0))
-                              / nc) as zval,
+                   case when se2 > 0 then
+                        (cy_t / nt - cy_c / nc) / sqrt(se2) end as zval,
                    {z_a} * sqrt(cast(n_looks as double)
                                 / cast(k as double)) as bnd,
-                   (cn_t > 1 and cn_c > 1 and
-                    sqrt(((cyy_t - cy_t * cy_t / nt) / (nt - 1.0)) / nt
-                         + ((cyy_c - cy_c * cy_c / nc) / (nc - 1.0)) / nc)
-                    > 0) as ok
-            from stats
+                   (cn_t > 1 and cn_c > 1 and se2 > 0) as ok
+            from sev
         )
         select look, k, n_looks,
                cn_t as cum_n_t, cn_c as cum_n_c,
@@ -5349,9 +5352,9 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                        sum(d1) as o1,
                        sum((1000000000 * d_all * n1) // n_all) as e1,
                        sum(case when n_all > 1 then
-                           (1000000000000 * d_all * n1 * (n_all - n1)
-                            * (n_all - d_all))
-                           // (n_all * n_all * (n_all - 1))
+                           ((((1000000 * d_all * n1) // n_all)
+                             * 1000000 * (n_all - n1)) // n_all
+                            * (n_all - d_all)) // (n_all - 1)
                            else 0 end) as v
                 from t
             )
@@ -6130,21 +6133,21 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                   cast(sum(case when grp='treatment' then metric end)
                        as double) as sy_t,
                   cast(sum(case when grp='control'
-                                then metric*metric end) as double) as syy_c,
+                                then cast(metric as hugeint)*metric end) as double) as syy_c,
                   cast(sum(case when grp='treatment'
-                                then metric*metric end) as double) as syy_t,
+                                then cast(metric as hugeint)*metric end) as double) as syy_t,
                   cast(sum(case when grp='control' then cov end)
                        as double) as sx_c,
                   cast(sum(case when grp='treatment' then cov end)
                        as double) as sx_t,
                   cast(sum(case when grp='control'
-                                then cov*cov end) as double) as sxx_c,
+                                then cast(cov as hugeint)*cov end) as double) as sxx_c,
                   cast(sum(case when grp='treatment'
-                                then cov*cov end) as double) as sxx_t,
+                                then cast(cov as hugeint)*cov end) as double) as sxx_t,
                   cast(sum(case when grp='control'
-                                then cov*metric end) as double) as sxy_c,
+                                then cast(cov as hugeint)*metric end) as double) as sxy_c,
                   cast(sum(case when grp='treatment'
-                                then cov*metric end) as double) as sxy_t
+                                then cast(cov as hugeint)*metric end) as double) as sxy_t
                 from g
             ), s as (
                 select *,

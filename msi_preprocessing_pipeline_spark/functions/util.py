@@ -21,6 +21,25 @@ def quantize(col, scale: int):
                    + F.lit(0.5))
 
 
+def trunc_div(num, den):
+    """Exact integer division on decimal(38,0) columns:
+    ``(num - num % den) / den`` — the adjusted numerator divides
+    exactly, so no quotient rounding can occur.  NEVER
+    ``floor(num / den)``: Spark rounds the decimal quotient to a
+    finite scale BEFORE floor, which can flip the integer when the
+    true quotient sits within an ulp of it (the covariance_embeddings
+    midpoint class).
+
+    Semantics: Spark ``%`` keeps the dividend's sign, so the quotient
+    TRUNCATES toward zero — matching DuckDB ``//`` on bigint/hugeint
+    (both give ``-7 // 2 = -3``) and Python ``//`` only for
+    non-negative operands (where truncation ≡ floor).  Every signed
+    quantized-ratio contract in the repo uses this single helper."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return ((num - num % den) / den).cast(DEC38)
+
+
 def as_list(x) -> list:
     """Normalize a column-name argument: string -> [string], any sequence
     -> list. ``None`` raises TypeError (matching ``list(None)``) — callers

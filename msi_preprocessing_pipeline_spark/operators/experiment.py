@@ -46,18 +46,20 @@ def ab_stats(df: DataFrame, group_col: str, metric_col: str,
     relation, pivoted driver-free to one row. Moment-sum bound:
     ``n·(|v|·10^s)² < 10³⁸`` — astronomically safe at decimal(38).
     """
-    y = _q(F.col(metric_col), scale)
+    # square/cross-multiply IN DECIMAL: the micro-unit longs wrap int64
+    # silently at |v| >= ~3037 (scale 6) if multiplied before the cast
+    y = _q(F.col(metric_col), scale).cast(_DEC)
     cond = F.col(group_col).isin([control, treatment]) \
         & F.col(metric_col).isNotNull()
     aggs = [F.count("*").alias("n"),
-            F.sum(y.cast(_DEC)).alias("sy"),
-            F.sum((y * y).cast(_DEC)).alias("syy")]
+            F.sum(y).alias("sy"),
+            F.sum(y * y).alias("syy")]
     if covariate_col is not None:
         cond = cond & F.col(covariate_col).isNotNull()
-        x = _q(F.col(covariate_col), scale)
-        aggs += [F.sum(x.cast(_DEC)).alias("sx"),
-                 F.sum((x * x).cast(_DEC)).alias("sxx"),
-                 F.sum((x * y).cast(_DEC)).alias("sxy")]
+        x = _q(F.col(covariate_col), scale).cast(_DEC)
+        aggs += [F.sum(x).alias("sx"),
+                 F.sum(x * x).alias("sxx"),
+                 F.sum(x * y).alias("sxy")]
     g = (df.where(cond)
          .groupBy(F.col(group_col).alias("__g")).agg(*aggs))
     is_t = F.col("__g") == F.lit(treatment)
@@ -685,15 +687,7 @@ def conformal_qhat_by(df: DataFrame, score_col: str, group_by,
         F.min(F.when(F.col("cum") >= r, F.col("s_u"))).alias("qhat_u"))
 
 
-def _trunc_div(num, den):
-    """Truncation-toward-zero integer division on exact decimal columns:
-    ``(num - num % den) / den``.  Spark's ``%`` keeps the dividend's
-    sign, so the quotient truncates — matching DuckDB's ``//`` on
-    bigint/hugeint exactly (both give ``-7 // 2 = -3``), which is the
-    cross-engine contract for every signed quantized ratio here (the
-    unsigned ``floor``-division contracts use ``functions.util.quantize``
-    instead; for non-negative operands the two coincide)."""
-    return ((num - num % den) / den).cast(_DEC)
+from ..functions.util import trunc_div as _trunc_div  # noqa: E402
 
 
 def ate_stratified(df: DataFrame, treat_col: str, outcome_col: str,
@@ -807,11 +801,12 @@ def uplift_curve(df: DataFrame, treat_col: str, outcome_col: str,
             .select(t.alias("__t"), y.alias("__y"),
                     F.col(score_col).alias("__s"),
                     F.col(id_col).alias("__id")))
-    n = base.count()  # scalar job; the rank sort below reuses the scan
+    # global_rank already collects per-partition counts for the offsets,
+    # so the total comes for free — no second corpus scan for n
+    ranked, n = global_rank(base, [F.col("__s").desc(), F.col("__id")],
+                            "__rk", with_total=True)
     if n == 0:
         raise ValueError("uplift_curve: empty input after null filter")
-    ranked = global_rank(base, [F.col("__s").desc(), F.col("__id")],
-                         "__rk")
     b = F.lit(int(n_buckets)).cast("long")
     rkb = F.col("__rk") * b
     nn = F.lit(int(n)).cast("long")
@@ -903,19 +898,20 @@ def seq_ab_moments(df: DataFrame, treat_col: str, outcome_col: str,
     micro-batch moment relations by summation (``streaming.seqtest``)
     and gets the identical table."""
     t = F.col(treat_col).cast("int")
-    y = _q(F.col(outcome_col), scale)
+    # square IN DECIMAL (int64 wraps at |v| >= ~3037 at scale 6); the
+    # oracle squares in hugeint — this keeps the engines in lockstep
+    y = _q(F.col(outcome_col), scale).cast(_DEC)
+    zero = F.lit(0).cast(_DEC)
     return (df.where(F.col(outcome_col).isNotNull() & t.isNotNull()
                      & F.col(look_col).isNotNull())
             .groupBy(F.col(look_col).alias("look"))
             .agg(F.sum(F.when(t == 1, 1).otherwise(0)).alias("n_t"),
                  F.sum(F.when(t == 0, 1).otherwise(0)).alias("n_c"),
-                 F.sum(F.when(t == 1, y).otherwise(0).cast(_DEC))
-                 .alias("sy_t"),
-                 F.sum(F.when(t == 0, y).otherwise(0).cast(_DEC))
-                 .alias("sy_c"),
-                 F.sum(F.when(t == 1, y * y).otherwise(0).cast(_DEC))
+                 F.sum(F.when(t == 1, y).otherwise(zero)).alias("sy_t"),
+                 F.sum(F.when(t == 0, y).otherwise(zero)).alias("sy_c"),
+                 F.sum(F.when(t == 1, y * y).otherwise(zero))
                  .alias("syy_t"),
-                 F.sum(F.when(t == 0, y * y).otherwise(0).cast(_DEC))
+                 F.sum(F.when(t == 0, y * y).otherwise(zero))
                  .alias("syy_c")))
 
 
@@ -946,11 +942,15 @@ def seq_ab_decisions(per: DataFrame, alpha: float = 0.05) -> DataFrame:
         / (nt - F.lit(1.0))
     var_c = (F.col("cyy_c") - F.col("cy_c") * F.col("cy_c") / nc) \
         / (nc - F.lit(1.0))
-    se = F.sqrt(var_t / nt + var_c / nc)
-    z = (F.col("cy_t") / nt - F.col("cy_c") / nc) / se
+    # guard on se2 BEFORE sqrt (the ab_stats discipline): a float-
+    # cancellation-negative variance would make sqrt() NaN, and Spark
+    # orders NaN > 0 — an unguarded `se > 0` would pass, emitting a
+    # spurious crossed=true, while DuckDB raises on sqrt(negative)
+    se2 = var_t / nt + var_c / nc
+    z = (F.col("cy_t") / nt - F.col("cy_c") / nc) / F.sqrt(se2)
     bound = F.lit(z_a) * F.sqrt(
         F.col("n_looks").cast("double") / F.col("k").cast("double"))
-    ok = (F.col("cn_t") > 1) & (F.col("cn_c") > 1) & (se > 0)
+    ok = (F.col("cn_t") > 1) & (F.col("cn_c") > 1) & (se2 > 0)
     zq = F.when(ok, F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long"))
     bq = F.floor(bound * F.lit(1e6) + F.lit(0.5)).cast("long")
     return (cum.select(

@@ -29,12 +29,17 @@ from pyspark.sql import functions as F
 
 
 def global_rank(df: DataFrame, order_by: list[Column],
-                out_col: str = "rank") -> DataFrame:
+                out_col: str = "rank",
+                with_total: bool = False):
     """Exact 0-based global rank of every row under ``order_by`` (must be
     a total order for determinism), computed without a single-partition
     window: range-sort → per-sorted-partition counts (|partitions| rows,
     collected) → broadcast offset join → per-partition ``row_number``.
-    Adds ``out_col``; preserves all input columns."""
+    Adds ``out_col``; preserves all input columns.  With
+    ``with_total=True`` returns ``(df, n_rows)`` — the total is already
+    known from the offsets collect, so callers that need it (e.g.
+    ``experiment.uplift_curve``'s bucket edges) avoid a second corpus
+    scan."""
     # localCheckpoint freezes the range partitioning: the offsets job and
     # the returned plan MUST see identical spark_partition_id values (a
     # re-run of the sort could repartition under AQE), and the checkpoint
@@ -53,10 +58,11 @@ def global_rank(df: DataFrame, order_by: list[Column],
     off = F.broadcast(spark.createDataFrame(
         offsets or [(0, 0)], schema="__pid int, __off long"))
     w = Window.partitionBy("__pid").orderBy(*order_by)
-    return (sorted_df.join(off, "__pid")
-            .withColumn(out_col,
-                        F.col("__off") + F.row_number().over(w) - 1)
-            .drop("__pid", "__off"))
+    out = (sorted_df.join(off, "__pid")
+           .withColumn(out_col,
+                       F.col("__off") + F.row_number().over(w) - 1)
+           .drop("__pid", "__off"))
+    return (out, acc) if with_total else out
 
 
 def snake_shard(rank: Column, n_shards: int) -> Column:

@@ -127,15 +127,9 @@ def km_curve(df: DataFrame, duration_col: str, event_col: str,
     return curve.orderBy(*grp, "dur")
 
 
-def _floordiv(num, den):
-    """Exact integer floor division on non-negative decimal(38,0)
-    columns: ``(num - num % den) / den``.  NEVER ``floor(num / den)`` —
-    Spark rounds the decimal quotient to a finite scale before floor,
-    which can flip the integer when the true quotient sits within an
-    ulp of it (the covariance_embeddings midpoint class); the modulo
-    form is exact because the adjusted numerator is divisible."""
-    d38 = "decimal(38,0)"
-    return ((num - num % den) / den).cast(d38)
+# exact integer division (all operands here are non-negative, so
+# truncation ≡ floor): the single shared cross-engine idiom
+from ..functions.util import trunc_div as _floordiv  # noqa: E402
 
 
 def na_curve(df: DataFrame, duration_col: str, event_col: str,
@@ -186,13 +180,17 @@ def logrank_test(df: DataFrame, duration_col: str, event_col: str,
     variance ``v_t = d_t n_1t (n_t − n_1t)(n_t − d_t) /
     (n_t² (n_t − 1))``.  The statistic ``(O_1 − E_1)² / V ~ χ²(1)``.
 
-    Exact-integer contract: ``e`` terms quantize at 1e-9 and ``v``
-    terms at 1e-12 via floor division on exact decimals (every operand
-    non-negative), and ``chi2_q6 = (O_1·10^9 − E_q9)² // V_q12`` —
-    algebraically chi² at 1e-6 resolution, every step an integer op
-    both engines execute identically.  Worst-case magnitude: the
-    squared numerator is ≤ (n·10^9)² and the v numerator ≤ n⁴·10^12 —
-    inside decimal(38,0)/hugeint up to n ≈ 3·10^9 subjects.
+    Exact-integer contract: ``e`` terms quantize at 1e-9 via exact
+    floor division; ``v`` terms are DEFINED by the three-stage exact
+    recurrence ``t1 = (10⁶·d·n₁)//n``, ``t2 = (10⁶·t1·n₀)//n``,
+    ``v = (t2·(n−d))//(n−1)`` (each a floor at 10⁻⁶ relative steps,
+    cumulative defect ≤ ~10⁻⁶ per event time — part of the contract);
+    ``chi2_q6 = (O_1·10^9 − E_q9)² // V_q12``.  Every step is an
+    integer op both engines execute identically.  Worst-case
+    magnitudes: squared numerator ≤ (n·10^9)², e-numerator ≤ n²·10^9,
+    v-intermediates ≤ 10⁶·t1·n ≤ 10¹²·n²/4 — all inside
+    decimal(38,0)/hugeint up to n ≈ 3·10^9 subjects (a SINGLE-stage
+    ``10¹²·d·n₁·n₀·(n−d)`` would overflow past n ≈ 6·10⁶).
 
     Scale shape: ONE grouped aggregation to the per-(time, group)
     relation, a pivot to per-time columns, then a single global
@@ -231,16 +229,17 @@ def logrank_test(df: DataFrame, duration_col: str, event_col: str,
                    (F.col("n1") + F.col("n0x")).alias("n_all"), "n1")
            .where(F.col("d_all") > 0))
     b9 = F.lit(10 ** 9).cast(_DEC)
-    b12 = F.lit(10 ** 12).cast(_DEC)
+    b6 = F.lit(10 ** 6).cast(_DEC)
     e_t = _floordiv(b9 * F.col("d_all") * F.col("n1"), F.col("n_all"))
     n0 = F.col("n_all") - F.col("n1")
-    v_num = (F.col("d_all") * F.col("n1") * n0
-             * (F.col("n_all") - F.col("d_all")))
-    v_den = (F.col("n_all") * F.col("n_all")
-             * (F.col("n_all") - F.lit(1).cast(_DEC)))
+    # three-stage exact division (see docstring): a single-stage
+    # 10^12*d*n1*n0*(n-d) product overflows decimal(38,0) past n~6e6
+    t1 = _floordiv(b6 * F.col("d_all") * F.col("n1"), F.col("n_all"))
+    t2 = _floordiv(b6 * t1 * n0, F.col("n_all"))
     v_t = F.when(F.col("n_all") > 1,
-                 _floordiv(b12 * v_num, v_den)).otherwise(
-        F.lit(0)).cast(_DEC)
+                 _floordiv(t2 * (F.col("n_all") - F.col("d_all")),
+                           F.col("n_all") - F.lit(1).cast(_DEC))
+                 ).otherwise(F.lit(0)).cast(_DEC)
     agg = per.agg(
         F.count("*").cast("long").alias("n_times"),
         F.sum("d1").cast("long").alias("o1"),

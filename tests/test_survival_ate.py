@@ -135,8 +135,9 @@ def _logrank_ref(rows):
         o1 += dg[1][t]
         e1 += (10 ** 9 * da * n1) // na
         if na > 1:
-            v += (10 ** 12 * da * n1 * n0 * (na - da)) \
-                // (na * na * (na - 1))
+            t1 = (10 ** 6 * da * n1) // na
+            t2 = (10 ** 6 * t1 * n0) // na
+            v += (t2 * (na - da)) // (na - 1)
     chi2 = ((o1 * 10 ** 9 - e1) ** 2) // v if v > 0 else None
     return ntimes, o1, e1, v, chi2
 
@@ -488,3 +489,49 @@ def test_time_to_competing_event_semantics(spark):
     # u1: purchase first (cause 1 @ 100ms); u2: error (cause 2 @ 30);
     # u3: censored @ last-seen; u4: purchase at origin
     assert out == {1: (100, 1), 2: (30, 2), 3: (30, 0), 4: (0, 1)}
+
+
+def test_moment_sums_survive_large_outcomes(spark):
+    """Regression: micro-unit squares must multiply IN DECIMAL — at
+    scale=6 a value of 4000.0 squares to 1.6e19 > int64, which wrapped
+    silently before the fix (review finding, session 10)."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        ab_stats, sequential_ab)
+
+    rows = [("control", 4000.0, 4000.0), ("control", 4002.0, 4001.0),
+            ("treatment", 4003.0, 4000.5), ("treatment", 4001.0, 4002.0)]
+    df = spark.createDataFrame(rows, "grp string, y double, x double")
+    r = ab_stats(df, "grp", "y", "control", "treatment",
+                 covariate_col="x", scale=6).collect()[0]
+    assert abs(r.mean_c - 4001.0) < 1e-9 and abs(r.mean_t - 4002.0) < 1e-9
+    assert r.welch_t is not None and abs(r.diff - 1.0) < 1e-9
+
+    rows2 = [(1, 0, 4000.0), (1, 0, 4002.0), (0, 0, 4001.0),
+             (0, 0, 4003.0), (1, 1, 4004.0), (0, 1, 4000.0)]
+    df2 = spark.createDataFrame(rows2, "t int, day int, y double")
+    out = sequential_ab(df2, "t", "y", "day", scale=6).collect()
+    # python reference for the final look's z over ALL rows
+    import math
+    yt = [4000.0, 4002.0, 4004.0]
+    yc = [4001.0, 4003.0, 4000.0]
+    q = lambda v: math.floor(v * 1e6 + 0.5)  # noqa: E731
+    syt, syyt = sum(map(q, yt)), sum(q(v) ** 2 for v in yt)
+    syc, syyc = sum(map(q, yc)), sum(q(v) ** 2 for v in yc)
+    nt = nc = 3.0
+    vt = (syyt - syt * syt / nt) / (nt - 1.0)
+    vc = (syyc - syc * syc / nc) / (nc - 1.0)
+    z = (syt / nt - syc / nc) / math.sqrt(vt / nt + vc / nc)
+    assert out[-1].z_q6 == math.floor(z * 1e6 + 0.5)
+
+
+def test_seq_ab_constant_metric_no_spurious_crossing(spark):
+    """Regression: a zero (or cancellation-negative) pooled variance
+    must yield z_q6 null and crossed False — never NaN>bound=True."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        sequential_ab)
+
+    rows = [(t, d, 7.0) for t in (0, 1) for d in range(3)
+            for _ in range(10)]
+    df = spark.createDataFrame(rows, "t int, day int, y double")
+    out = sequential_ab(df, "t", "y", "day").collect()
+    assert all(r.z_q6 is None and r.crossed is False for r in out)
