@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-228 queries, 228 with exact DuckDB oracles — relational SQL where expressible,
+229 queries, 229 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3718,6 +3718,100 @@ def _q_bootstrap_diff(spark, sf_dir):
         treatment="click", n_reps=30, seed=42, scale=6, alpha=0.05)
 
 
+def _tte_sql(modulus: int, grp: str = "cohort") -> str:
+    """Shared DuckDB fragment for every survival oracle: per-user
+    time-to-first-purchase with last-seen censoring (the exact mirror
+    of ``survival.time_to_event``), cohorted by ``user_id %% modulus``.
+    One definition — a change to the origin/censoring rule cannot
+    drift between the five oracles that embed it."""
+    return f"""tte as (
+                select user_id as entity,
+                       min(epoch_ms(ts)) as origin_ms,
+                       min(case when event_type = 'purchase'
+                                then epoch_ms(ts) end) as event_ms,
+                       max(epoch_ms(ts)) as last_ms
+                from events
+                group by user_id
+            ), subj as (
+                select cast(entity % {modulus} as integer) as {grp},
+                       coalesce(event_ms, last_ms) - origin_ms as dur,
+                       case when event_ms is not null
+                            then 1 else 0 end as ev
+                from tte
+                where origin_ms is not null
+                  and coalesce(event_ms, last_ms) - origin_ms >= 0
+            )"""
+
+
+def _mde_ab_sql(alpha: float = 0.05, power: float = 0.8) -> str:
+    """DuckDB mirror of ``_q_mde``: identical exact moments and the
+    identical fixed-order double tree with the SAME z constants."""
+    from msi_preprocessing_pipeline_spark.kernels.special import norm_ppf
+
+    zf = float(norm_ppf(1.0 - alpha / 2.0)) + float(norm_ppf(power))
+    z, zz = repr(zf), repr(zf * zf)  # zz precomputed like Spark's lit(z*z)
+    return f"""
+        with base as (
+            select cast(cast(('0x' || substr(md5(
+                       cast(event_id as varchar)), 1, 8)) as bigint)
+                       % 2 as integer) as treat,
+                   cast(floor(value * 1000000.0 + 0.5) as bigint) as yq
+            from events where value is not null
+        ), m as (
+            select sum(case when treat = 1 then 1 else 0 end) as n_t,
+                   sum(case when treat = 0 then 1 else 0 end) as n_c,
+                   -- varchar round-trip: DuckDB's hugeint->double cast
+                   -- is NOT correctly rounded past 2^53 (Spark's
+                   -- decimal->double is); the string parse is exact
+                   cast(cast(sum(case when treat = 1
+                            then cast(yq as hugeint) else 0 end)
+                        as varchar) as double) as sy_t,
+                   cast(cast(sum(case when treat = 0
+                            then cast(yq as hugeint) else 0 end)
+                        as varchar) as double) as sy_c,
+                   cast(cast(sum(case when treat = 1
+                            then cast(yq as hugeint) * yq else 0 end)
+                        as varchar) as double) as syy_t,
+                   cast(cast(sum(case when treat = 0
+                            then cast(yq as hugeint) * yq else 0 end)
+                        as varchar) as double) as syy_c
+            from base
+        ), v as (
+            select *, cast(n_t as double) as nt, cast(n_c as double) as nc
+            from m
+        ), st as (
+            select *,
+                   (syy_t - sy_t * sy_t / nt) / (nt - 1.0) as var_t,
+                   (syy_c - sy_c * sy_c / nc) / (nc - 1.0) as var_c
+            from v
+        ), fin as (
+            select *,
+                   var_t / nt + var_c / nc as se2,
+                   (var_t + var_c) / 2.0 as var_p,
+                   sy_c / nc / 1000000.0 as mean_c,
+                   (n_t > 1 and n_c > 1
+                    and var_t / nt + var_c / nc > 0) as ok
+            from st
+        )
+        select cast(n_t as bigint) as n_t,
+               cast(n_c as bigint) as n_c,
+               mean_c,
+               case when ok then sqrt(var_p) / 1000000.0 end
+                   as sd_pooled,
+               case when ok then {z} * sqrt(se2) / 1000000.0 end
+                   as mde_abs,
+               case when ok and mean_c > 0 then
+                    ({z} * sqrt(se2) / 1000000.0) / mean_c end
+                   as mde_rel,
+               case when ok and 0.05 * mean_c * 1000000.0 > 0 then
+                    cast(ceil(2.0 * {zz} * var_p
+                              / ((0.05 * mean_c * 1000000.0)
+                                 * (0.05 * mean_c * 1000000.0)))
+                         as bigint) end as n_per_arm_for_5pct
+        from fin
+    """
+
+
 def _sequential_ab_sql(alpha: float = 0.05) -> str:
     """DuckDB mirror of ``_q_sequential_ab``: identical exact-integer
     cumulative moments, identical fixed-order double expression tree
@@ -3761,10 +3855,14 @@ def _sequential_ab_sql(alpha: float = 0.05) -> str:
                    cast(count(*) over () as bigint) as n_looks,
                    cast(sum(n_t) over w as bigint) as cn_t,
                    cast(sum(n_c) over w as bigint) as cn_c,
-                   cast(sum(sy_t) over w as double) as cy_t,
-                   cast(sum(sy_c) over w as double) as cy_c,
-                   cast(sum(syy_t) over w as double) as cyy_t,
-                   cast(sum(syy_c) over w as double) as cyy_c
+                   cast(cast(sum(sy_t) over w as varchar)
+                        as double) as cy_t,
+                   cast(cast(sum(sy_c) over w as varchar)
+                        as double) as cy_c,
+                   cast(cast(sum(syy_t) over w as varchar)
+                        as double) as cyy_t,
+                   cast(cast(sum(syy_c) over w as varchar)
+                        as double) as cyy_c
             from per
             window w as (order by look rows between unbounded preceding
                          and current row)
@@ -4004,6 +4102,22 @@ def _q_cif(spark, sf_dir):
     tte = tte.withColumn("cohort", (F.col("entity") % 3).cast("int"))
     return cif_curves(tte, "duration_ms", "cause", 2, ["cohort"],
                       scale=9)
+
+
+def _q_mde(spark, sf_dir):
+    """MDE / power readout of the md5-coin split on event value: one
+    exact-moment aggregation; MDE and n-required are fixed-order IEEE
+    expressions with z constants from the engine's own scipy-free
+    norm_ppf, generated into the oracle in lockstep
+    (``experiment.mde_ab``)."""
+    from msi_preprocessing_pipeline_spark.functions.util import md5_bucket
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        mde_ab)
+
+    ev = _t(spark, sf_dir, "events").select(
+        md5_bucket(F.col("event_id").cast("string"), 2).cast("int")
+        .alias("treat"), "value")
+    return mde_ab(ev, "treat", "value", alpha=0.05, power=0.8, scale=6)
 
 
 def _q_sequential_ab(spark, sf_dir):
@@ -4251,6 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uplift_qini_purchases": _q_uplift_qini,
         "rmst_purchase_cohorts": _q_rmst,
         "sequential_ab_value": _q_sequential_ab,
+        "mde_ab_value": _q_mde,
         "cif_purchase_error": _q_cif,
         "bootstrap_diff_click_view": _q_bootstrap_diff,
         # --- new in round 4, session 3: embedding linear algebra ---
@@ -4414,6 +4529,7 @@ def oracle_sql() -> dict[str, str]:
     out["bootstrap_diff_click_view"] = _bootstrap_diff_sql(
         n_reps=30, seed=42, scale=6, alpha=0.05)
     out["sequential_ab_value"] = _sequential_ab_sql(alpha=0.05)
+    out["mde_ab_value"] = _mde_ab_sql(alpha=0.05, power=0.8)
     try:
         from _golden_oracles import GOLDEN_ORACLES
         out.update(GOLDEN_ORACLES)
@@ -5149,24 +5265,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             from t cross join one
             group by 1, 2, 3
         """,
-        "survival_km_purchase": """
-            with recursive tte as (
-                select user_id as entity,
-                       min(epoch_ms(ts)) as origin_ms,
-                       min(case when event_type = 'purchase'
-                                then epoch_ms(ts) end) as event_ms,
-                       max(epoch_ms(ts)) as last_ms
-                from events
-                group by user_id
-            ), subj as (
-                select cast(entity % 3 as integer) as cohort,
-                       coalesce(event_ms, last_ms) - origin_ms as dur,
-                       case when event_ms is not null
-                            then 1 else 0 end as ev
-                from tte
-                where origin_ms is not null
-                  and coalesce(event_ms, last_ms) - origin_ms >= 0
-            ), counts as (
+        "survival_km_purchase": "with recursive " + _tte_sql(3, "cohort") + """, counts as (
                 select cohort, dur, sum(ev) as d, count(*) as c
                 from subj group by 1, 2
             ), risk as (
@@ -5264,24 +5363,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    cast(c2 as bigint) as cif2_q9
             from km order by cohort, dur
         """,
-        "nelson_aalen_purchase": """
-            with tte as (
-                select user_id as entity,
-                       min(epoch_ms(ts)) as origin_ms,
-                       min(case when event_type = 'purchase'
-                                then epoch_ms(ts) end) as event_ms,
-                       max(epoch_ms(ts)) as last_ms
-                from events
-                group by user_id
-            ), subj as (
-                select cast(entity % 3 as integer) as cohort,
-                       coalesce(event_ms, last_ms) - origin_ms as dur,
-                       case when event_ms is not null
-                            then 1 else 0 end as ev
-                from tte
-                where origin_ms is not null
-                  and coalesce(event_ms, last_ms) - origin_ms >= 0
-            ), counts as (
+        "nelson_aalen_purchase": "with " + _tte_sql(3, "cohort") + """, counts as (
                 select cohort, dur, sum(ev) as d, count(*) as c
                 from subj group by 1, 2
             ), risk as (
@@ -5306,24 +5388,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    cast(ch as bigint) as cumhaz_q9
             from cum where d > 0 order by cohort, dur
         """,
-        "logrank_purchase_cohorts": """
-            with tte as (
-                select user_id as entity,
-                       min(epoch_ms(ts)) as origin_ms,
-                       min(case when event_type = 'purchase'
-                                then epoch_ms(ts) end) as event_ms,
-                       max(epoch_ms(ts)) as last_ms
-                from events
-                group by user_id
-            ), subj as (
-                select cast(entity % 2 as integer) as grp,
-                       coalesce(event_ms, last_ms) - origin_ms as dur,
-                       case when event_ms is not null
-                            then 1 else 0 end as ev
-                from tte
-                where origin_ms is not null
-                  and coalesce(event_ms, last_ms) - origin_ms >= 0
-            ), per as (
+        "logrank_purchase_cohorts": "with " + _tte_sql(2, "grp") + """, per as (
                 select dur,
                        sum(case when grp = 1 then ev else 0 end) as d1g,
                        sum(case when grp = 0 then ev else 0 end) as d0g,
@@ -5367,24 +5432,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                         // v end as bigint) as chi2_q6
             from agg
         """,
-        "rmst_purchase_cohorts": """
-            with recursive tte as (
-                select user_id as entity,
-                       min(epoch_ms(ts)) as origin_ms,
-                       min(case when event_type = 'purchase'
-                                then epoch_ms(ts) end) as event_ms,
-                       max(epoch_ms(ts)) as last_ms
-                from events
-                group by user_id
-            ), subj as (
-                select cast(entity % 3 as integer) as cohort,
-                       coalesce(event_ms, last_ms) - origin_ms as dur,
-                       case when event_ms is not null
-                            then 1 else 0 end as ev
-                from tte
-                where origin_ms is not null
-                  and coalesce(event_ms, last_ms) - origin_ms >= 0
-            ), counts as (
+        "rmst_purchase_cohorts": "with recursive " + _tte_sql(3, "cohort") + """, counts as (
                 select cohort, dur, sum(ev) as d, count(*) as c
                 from subj group by 1, 2
             ), risk as (
@@ -6128,26 +6176,32 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                 select
                   sum(case when grp='control' then 1 else 0 end) as n_c,
                   sum(case when grp='treatment' then 1 else 0 end) as n_t,
-                  cast(sum(case when grp='control' then metric end)
+                  cast(cast(sum(case when grp='control' then metric end) as varchar)
                        as double) as sy_c,
-                  cast(sum(case when grp='treatment' then metric end)
+                  cast(cast(sum(case when grp='treatment' then metric end) as varchar)
                        as double) as sy_t,
-                  cast(sum(case when grp='control'
-                                then cast(metric as hugeint)*metric end) as double) as syy_c,
-                  cast(sum(case when grp='treatment'
-                                then cast(metric as hugeint)*metric end) as double) as syy_t,
-                  cast(sum(case when grp='control' then cov end)
+                  cast(cast(sum(case when grp='control'
+                                then cast(metric as hugeint)*metric end) as varchar)
+                       as double) as syy_c,
+                  cast(cast(sum(case when grp='treatment'
+                                then cast(metric as hugeint)*metric end) as varchar)
+                       as double) as syy_t,
+                  cast(cast(sum(case when grp='control' then cov end) as varchar)
                        as double) as sx_c,
-                  cast(sum(case when grp='treatment' then cov end)
+                  cast(cast(sum(case when grp='treatment' then cov end) as varchar)
                        as double) as sx_t,
-                  cast(sum(case when grp='control'
-                                then cast(cov as hugeint)*cov end) as double) as sxx_c,
-                  cast(sum(case when grp='treatment'
-                                then cast(cov as hugeint)*cov end) as double) as sxx_t,
-                  cast(sum(case when grp='control'
-                                then cast(cov as hugeint)*metric end) as double) as sxy_c,
-                  cast(sum(case when grp='treatment'
-                                then cast(cov as hugeint)*metric end) as double) as sxy_t
+                  cast(cast(sum(case when grp='control'
+                                then cast(cov as hugeint)*cov end) as varchar)
+                       as double) as sxx_c,
+                  cast(cast(sum(case when grp='treatment'
+                                then cast(cov as hugeint)*cov end) as varchar)
+                       as double) as sxx_t,
+                  cast(cast(sum(case when grp='control'
+                                then cast(cov as hugeint)*metric end) as varchar)
+                       as double) as sxy_c,
+                  cast(cast(sum(case when grp='treatment'
+                                then cast(cov as hugeint)*metric end) as varchar)
+                       as double) as sxy_t
                 from g
             ), s as (
                 select *,

@@ -300,7 +300,8 @@ def main() -> None:
                  "survival_km_purchase", "ate_stratified_purchases",
                  "nelson_aalen_purchase", "logrank_purchase_cohorts",
                  "uplift_qini_purchases", "rmst_purchase_cohorts",
-                 "sequential_ab_value", "cif_purchase_error"]:
+                 "sequential_ab_value", "cif_purchase_error",
+                 "mde_ab_value"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -960,3 +960,69 @@ def seq_ab_decisions(per: DataFrame, alpha: float = 0.05) -> DataFrame:
         F.when(ok, F.abs(z) > bound).otherwise(F.lit(False))
         .alias("crossed"))
         .orderBy("look"))
+
+
+def mde_ab(df: DataFrame, treat_col: str, outcome_col: str,
+           alpha: float = 0.05, power: float = 0.8,
+           scale: int = 6) -> DataFrame:
+    """Minimum detectable effect of the CURRENT experiment allocation —
+    the pre-registration sanity readout ("with this traffic split and
+    outcome variance, what lift could we even see?"):
+
+        ``MDE = (z_{α/2} + z_{power}) · √(s²_t/n_t + s²_c/n_c)``
+
+    (two-sided α, Welch-style pooled SE; Lehr/van Belle).  Also reports
+    the per-arm n required for a target relative lift of the control
+    mean at the same α/power — the other direction of the same formula.
+
+    Determinism: ONE map-side-combined aggregation to exact decimal
+    moments; MDE and n-required are fixed-order IEEE expressions of
+    those ints with the z constants evaluated once in Python
+    (``kernels.special.norm_ppf``) — the sequential_ab discipline
+    (div/mul/sqrt correctly rounded ⇒ bit-identical doubles; no
+    exp/ln).  Output one row: ``(n_t, n_c, mean_c, sd_pooled, mde_abs,
+    mde_rel, n_per_arm_for_5pct)`` — float columns null when either
+    arm has <2 units or variance is 0.
+    """
+    from ..kernels.special import norm_ppf
+
+    z = float(norm_ppf(1.0 - alpha / 2.0)) + float(norm_ppf(power))
+    t = F.col(treat_col).cast("int")
+    y = _q(F.col(outcome_col), scale).cast(_DEC)
+    zero = F.lit(0).cast(_DEC)
+    one = (df.where(F.col(outcome_col).isNotNull() & t.isNotNull())
+           .agg(F.sum(F.when(t == 1, 1).otherwise(0)).alias("n_t"),
+                F.sum(F.when(t == 0, 1).otherwise(0)).alias("n_c"),
+                F.sum(F.when(t == 1, y).otherwise(zero)).alias("sy_t"),
+                F.sum(F.when(t == 0, y).otherwise(zero)).alias("sy_c"),
+                F.sum(F.when(t == 1, y * y).otherwise(zero))
+                .alias("syy_t"),
+                F.sum(F.when(t == 0, y * y).otherwise(zero))
+                .alias("syy_c")))
+    mul = float(10 ** scale)
+    nt = F.col("n_t").cast("double")
+    nc = F.col("n_c").cast("double")
+    var_t = (F.col("syy_t").cast("double")
+             - F.col("sy_t").cast("double")
+             * F.col("sy_t").cast("double") / nt) / (nt - F.lit(1.0))
+    var_c = (F.col("syy_c").cast("double")
+             - F.col("sy_c").cast("double")
+             * F.col("sy_c").cast("double") / nc) / (nc - F.lit(1.0))
+    se2 = var_t / nt + var_c / nc
+    mean_c = F.col("sy_c").cast("double") / nc / F.lit(mul)
+    ok = (F.col("n_t") > 1) & (F.col("n_c") > 1) & (se2 > 0)
+    mde_abs = F.when(ok, F.lit(z) * F.sqrt(se2) / F.lit(mul))
+    # pooled (equal-weight) variance for the n-required direction
+    var_p = (var_t + var_c) / F.lit(2.0)
+    target = F.lit(0.05) * mean_c * F.lit(mul)  # 5% lift in micro-units
+    n_req = F.when(ok & (target > 0),
+                   F.ceil(F.lit(2.0) * F.lit(z * z) * var_p
+                          / (target * target)).cast("long"))
+    return one.select(
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        mean_c.alias("mean_c"),
+        F.when(ok, F.sqrt(var_p) / F.lit(mul)).alias("sd_pooled"),
+        mde_abs.alias("mde_abs"),
+        F.when(ok & (mean_c > 0), mde_abs / mean_c).alias("mde_rel"),
+        n_req.alias("n_per_arm_for_5pct"))

@@ -535,3 +535,35 @@ def test_seq_ab_constant_metric_no_spurious_crossing(spark):
     df = spark.createDataFrame(rows, "t int, day int, y double")
     out = sequential_ab(df, "t", "y", "day").collect()
     assert all(r.z_q6 is None and r.crossed is False for r in out)
+
+
+def test_mde_ab_matches_numpy(spark):
+    import math
+    import numpy as np
+    from msi_preprocessing_pipeline_spark.kernels.special import norm_ppf
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        mde_ab)
+
+    rng = np.random.RandomState(2)
+    rows = [(int(i % 2), round(float(rng.normal(50, 10)), 4))
+            for i in range(800)]
+    df = spark.createDataFrame(rows, "t int, y double")
+    r = mde_ab(df, "t", "y", alpha=0.05, power=0.8, scale=6).collect()[0]
+    q = lambda v: math.floor(v * 1e6 + 0.5)  # noqa: E731
+    yt = np.array([q(y) for t, y in rows if t == 1], dtype=object)
+    yc = np.array([q(y) for t, y in rows if t == 0], dtype=object)
+    nt, nc = float(len(yt)), float(len(yc))
+    var_t = (float(sum(yt * yt)) - float(sum(yt)) ** 2 / nt) / (nt - 1)
+    var_c = (float(sum(yc * yc)) - float(sum(yc)) ** 2 / nc) / (nc - 1)
+    z = float(norm_ppf(0.975)) + float(norm_ppf(0.8))
+    mde = z * math.sqrt(var_t / nt + var_c / nc) / 1e6
+    assert math.isclose(r.mde_abs, mde, rel_tol=1e-12)
+    assert math.isclose(r.mean_c, float(sum(yc)) / nc / 1e6,
+                        rel_tol=1e-12)
+    # ~10-unit sd at n=400/arm -> MDE around 2 units, rel ~4%
+    assert 1.0 < r.mde_abs < 3.0 and r.n_per_arm_for_5pct > 100
+    # degenerate: constant metric -> nulls
+    dfc = spark.createDataFrame([(0, 5.0), (0, 5.0), (1, 5.0),
+                                 (1, 5.0)], "t int, y double")
+    rc = mde_ab(dfc, "t", "y").collect()[0]
+    assert rc.mde_abs is None and rc.n_per_arm_for_5pct is None
