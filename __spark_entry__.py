@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-229 queries, 229 with exact DuckDB oracles — relational SQL where expressible,
+230 queries, 230 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -3743,6 +3743,58 @@ def _tte_sql(modulus: int, grp: str = "cohort") -> str:
             )"""
 
 
+def _raking_sql(row_targets: dict, col_targets: dict,
+                iters: int = 3, scale: int = 9) -> str:
+    """DuckDB mirror of ``_q_raking``: identical cell relation, the
+    identical two-stage exact divisions, unrolled one CTE pair per
+    iteration (every op hugeint truncating division)."""
+    u_r, u_c = sum(row_targets.values()), sum(col_targets.values())
+    rt_vals = ", ".join(f"('{k}', {v})" for k, v in row_targets.items())
+    ct_vals = ", ".join(f"('{k}', {v})" for k, v in col_targets.items())
+    base = 10 ** scale
+    body = [f"""
+        with rt(r, tr) as (values {rt_vals}),
+        ct(c, tc) as (values {ct_vals}),
+        cells as (
+            select event_type as r,
+                   cast(user_id % 4 as varchar) as c,
+                   count(*) as n
+            from events
+            where event_type is not null and user_id is not null
+            group by 1, 2
+        ), w0 as (
+            select cells.r, cells.c, n, tr, tc,
+                   cast(n as hugeint) * {base} as w
+            from cells join rt on cells.r = rt.r
+                       join ct on cells.c = ct.c
+        )"""]
+    prev = "w0"
+    for i in range(iters):
+        body.append(f""", r{i} as (
+            select r, c, n, tr, tc,
+                   (w * ((cast(tr as hugeint) * (sum(w) over ()))
+                         // {u_r}))
+                       // (sum(w) over (partition by r)) as w
+            from {prev}
+        ), c{i} as (
+            select r, c, n, tr, tc,
+                   (w * ((cast(tc as hugeint) * (sum(w) over ()))
+                         // {u_c}))
+                       // (sum(w) over (partition by c)) as w
+            from r{i}
+        )""")
+        prev = f"c{i}"
+    body.append(f"""
+        select r as event_type, c as segment,
+               cast(n as bigint) as n,
+               cast(w as bigint) as w_q{scale},
+               cast(w // cast(n as hugeint) as bigint)
+                   as unit_w_q{scale}
+        from {prev} order by event_type, segment
+    """)
+    return "".join(body)
+
+
 def _mde_ab_sql(alpha: float = 0.05, power: float = 0.8) -> str:
     """DuckDB mirror of ``_q_mde``: identical exact moments and the
     identical fixed-order double tree with the SAME z constants."""
@@ -4104,6 +4156,27 @@ def _q_cif(spark, sf_dir):
                       scale=9)
 
 
+def _q_raking(spark, sf_dir):
+    """IPF raking of the event stream to target (event_type x
+    user-segment) marginals — the 2-D mixture-reweighting op.  Cell
+    weights are q9 integers; every half-iteration is two exact
+    truncating divisions (the logrank overflow staging), so the
+    unrolled DuckDB oracle reproduces each weight bit-exactly
+    (``operators/sampling.py::raking_weights``)."""
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        raking_weights)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 4).cast("string").alias("segment"))
+    return raking_weights(
+        ev, "event_type", "segment",
+        row_targets={"view": 3, "click": 3, "purchase": 2,
+                     "signup": 1, "error": 1},
+        col_targets={"0": 4, "1": 3, "2": 2, "3": 1},
+        iters=3, scale=9)
+
+
 def _q_mde(spark, sf_dir):
     """MDE / power readout of the md5-coin split on event value: one
     exact-moment aggregation; MDE and n-required are fixed-order IEEE
@@ -4366,6 +4439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmst_purchase_cohorts": _q_rmst,
         "sequential_ab_value": _q_sequential_ab,
         "mde_ab_value": _q_mde,
+        "raking_weights_events": _q_raking,
         "cif_purchase_error": _q_cif,
         "bootstrap_diff_click_view": _q_bootstrap_diff,
         # --- new in round 4, session 3: embedding linear algebra ---
@@ -4530,6 +4604,9 @@ def oracle_sql() -> dict[str, str]:
         n_reps=30, seed=42, scale=6, alpha=0.05)
     out["sequential_ab_value"] = _sequential_ab_sql(alpha=0.05)
     out["mde_ab_value"] = _mde_ab_sql(alpha=0.05, power=0.8)
+    out["raking_weights_events"] = _raking_sql(
+        {"view": 3, "click": 3, "purchase": 2, "signup": 1, "error": 1},
+        {"0": 4, "1": 3, "2": 2, "3": 1}, iters=3, scale=9)
     try:
         from _golden_oracles import GOLDEN_ORACLES
         out.update(GOLDEN_ORACLES)

@@ -547,3 +547,87 @@ def histogram_match_sample(src: DataFrame, ref: DataFrame, col: str,
                < num_chain.cast(DEC38)
                * F.lit(2 ** 60).cast(DEC38)))
     return src.where(keep)
+
+
+def raking_weights(df: DataFrame, row_col: str, col_col: str,
+                   row_targets: dict, col_targets: dict,
+                   iters: int = 3, scale: int = 9) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming & Stephan 1940):
+    per-(row, col) cell weights that match BOTH target marginals —
+    the 2-D generalization of ``token_budget_plan``-style mixture
+    reweighting ("make the training mix match target language × source
+    proportions simultaneously").
+
+    ``row_targets`` / ``col_targets`` map category → target count in
+    arbitrary units (only proportions matter).  Cells absent from the
+    data get no weight; categories absent from a target dict drop.
+
+    Determinism contract: cell weights live as q<scale> integers
+    (init ``n_cell · 10^scale``); each half-iteration rescales every
+    cell by exact integer ``w ← (w · T_m · U) // (S_m · U_m)`` where
+    ``S_m`` is the current marginal sum, ``T_m`` the target, and
+    ``U = Σ targets`` normalizes units — all truncation-toward-zero on
+    decimals (DuckDB ``//``), so Spark/DuckDB/Python agree exactly;
+    the ≤1-ulp-per-cell truncation defect IS the contract (raking is
+    itself iterative-approximate).  ``iters`` full (row+col) passes,
+    unrolled — the oracle mirrors with one CTE pair per pass.
+
+    Scale shape: ONE corpus aggregation to the |rows|×|cols| cell
+    relation; every iteration is two windows over that tiny relation.
+    Output per cell, ordered: ``(row, col, n, w_q<scale>,
+    unit_w_q<scale>)`` — ``unit_w`` = cell weight per underlying unit.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.util import DEC38, trunc_div
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    rt = {k: int(v) for k, v in row_targets.items()}
+    ct = {k: int(v) for k, v in col_targets.items()}
+    if min(rt.values(), default=0) <= 0 or \
+            min(ct.values(), default=0) <= 0:
+        raise ValueError("targets must be positive")
+    u_r, u_c = sum(rt.values()), sum(ct.values())
+
+    spark = df.sparkSession
+    rtd = F.broadcast(spark.createDataFrame(
+        list(rt.items()), schema=f"{row_col} string, __tr long"))
+    ctd = F.broadcast(spark.createDataFrame(
+        list(ct.items()), schema=f"{col_col} string, __tc long"))
+    cells = (df.where(F.col(row_col).isNotNull()
+                      & F.col(col_col).isNotNull())
+             .groupBy(F.col(row_col).cast("string").alias(row_col),
+                      F.col(col_col).cast("string").alias(col_col))
+             .agg(F.count("*").alias("n"))
+             .join(rtd, row_col).join(ctd, col_col))
+    base = F.lit(10 ** int(scale)).cast(DEC38)
+    cur = cells.withColumn(
+        "w", (F.col("n").cast(DEC38) * base).cast(DEC38))
+    w_row = Window.partitionBy(row_col)
+    w_col = Window.partitionBy(col_col)
+    w_all = Window.partitionBy(F.lit(1))
+    for _ in range(int(iters)):
+        # two-stage exact division (the logrank overflow lesson): the
+        # single product w*T*W would need ~2 grand-total magnitudes
+        # PLUS a target magnitude inside 38 digits; staging as
+        # R_m = (T_m*W)//U_m then w' = (w*R_m)//S_m bounds every
+        # intermediate by W^2 < 10^38 (N <= 10^10 at scale 9,
+        # 10^13 at scale 6)
+        s_r = F.sum("w").over(w_row).cast(DEC38)
+        w_tot = F.sum("w").over(w_all).cast(DEC38)
+        r_tgt = trunc_div(F.col("__tr").cast(DEC38) * w_tot,
+                          F.lit(u_r).cast(DEC38))
+        cur = cur.withColumn("w", trunc_div(F.col("w") * r_tgt, s_r))
+        # column pass
+        s_c = F.sum("w").over(w_col).cast(DEC38)
+        w_tot = F.sum("w").over(w_all).cast(DEC38)
+        c_tgt = trunc_div(F.col("__tc").cast(DEC38) * w_tot,
+                          F.lit(u_c).cast(DEC38))
+        cur = cur.withColumn("w", trunc_div(F.col("w") * c_tgt, s_c))
+    return (cur.select(
+        row_col, col_col, F.col("n").cast("long").alias("n"),
+        F.col("w").cast("long").alias(f"w_q{int(scale)}"),
+        trunc_div(F.col("w"), F.col("n").cast(DEC38)).cast("long")
+        .alias(f"unit_w_q{int(scale)}"))
+        .orderBy(row_col, col_col))

@@ -567,3 +567,46 @@ def test_mde_ab_matches_numpy(spark):
                                  (1, 5.0)], "t int, y double")
     rc = mde_ab(dfc, "t", "y").collect()[0]
     assert rc.mde_abs is None and rc.n_per_arm_for_5pct is None
+
+
+def test_raking_weights_ipf(spark):
+    import random
+    from collections import Counter
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        raking_weights)
+
+    rng = random.Random(17)
+    rows = [(rng.choice("abc"), rng.choice("xy")) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "r string, c string")
+    rt, ct, it, sc = {"a": 5, "b": 3, "c": 2}, {"x": 1, "y": 1}, 3, 9
+
+    # big-int IPF reference with the same two-stage divisions
+    cells = Counter(rows)
+    w = {k: v * 10 ** sc for k, v in cells.items()}
+    u_r, u_c = sum(rt.values()), sum(ct.values())
+    for _ in range(it):
+        for dim, tgt, u in ((0, rt, u_r), (1, ct, u_c)):
+            tot = sum(w.values())
+            marg = Counter()
+            for k, v in w.items():
+                marg[k[dim]] += v
+            t_abs = {m: (tgt[m] * tot) // u for m in tgt}
+            w = {k: (v * t_abs[k[dim]]) // marg[k[dim]]
+                 for k, v in w.items()}
+    got = {(x.r, x.c): (x.n, x.w_q9, x.unit_w_q9)
+           for x in raking_weights(df, "r", "c", rt, ct,
+                                   iters=it, scale=sc).collect()}
+    assert got == {k: (cells[k], w[k], w[k] // cells[k])
+                   for k in cells}
+    # both marginals converge to their targets within 2%
+    tot = sum(v for _, v, _ in got.values())
+    for r in rt:
+        sr = sum(v for (rr, _), (_, v, _) in got.items() if rr == r)
+        assert abs(sr / tot - rt[r] / u_r) < 0.02
+    for c in ct:
+        sc_ = sum(v for (_, cc), (_, v, _) in got.items() if cc == c)
+        assert abs(sc_ / tot - ct[c] / u_c) < 0.02
+    # partition invariance
+    a = raking_weights(df.repartition(2), "r", "c", rt, ct).collect()
+    b = raking_weights(df.repartition(13), "r", "c", rt, ct).collect()
+    assert [tuple(x) for x in a] == [tuple(x) for x in b]
