@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-230 queries, 230 with exact DuckDB oracles — relational SQL where expressible,
+231 queries, 231 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -4156,6 +4156,20 @@ def _q_cif(spark, sf_dir):
                       scale=9)
 
 
+def _q_srm(spark, sf_dir):
+    """Sample-ratio-mismatch guard on the md5-coin split: one
+    count-only aggregation; chi2 is a fixed-order IEEE expression of
+    two exact counts (``experiment.srm_check``)."""
+    from msi_preprocessing_pipeline_spark.functions.util import md5_bucket
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        srm_check)
+
+    ev = _t(spark, sf_dir, "events").select(
+        md5_bucket(F.col("event_id").cast("string"), 2).cast("int")
+        .alias("treat"))
+    return srm_check(ev, "treat", ratio_t=1, ratio_c=1)
+
+
 def _q_raking(spark, sf_dir):
     """IPF raking of the event stream to target (event_type x
     user-segment) marginals — the 2-D mixture-reweighting op.  Cell
@@ -4440,6 +4454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequential_ab_value": _q_sequential_ab,
         "mde_ab_value": _q_mde,
         "raking_weights_events": _q_raking,
+        "srm_check_events": _q_srm,
         "cif_purchase_error": _q_cif,
         "bootstrap_diff_click_view": _q_bootstrap_diff,
         # --- new in round 4, session 3: embedding linear algebra ---
@@ -5439,6 +5454,41 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    cast(c1 as bigint) as cif1_q9,
                    cast(c2 as bigint) as cif2_q9
             from km order by cohort, dur
+        """,
+        "srm_check_events": """
+            with m as (
+                select sum(case when cast(cast(('0x' || substr(md5(
+                           cast(event_id as varchar)), 1, 8)) as bigint)
+                           % 2 as integer) = 1
+                           then 1 else 0 end) as n_t,
+                       sum(case when cast(cast(('0x' || substr(md5(
+                           cast(event_id as varchar)), 1, 8)) as bigint)
+                           % 2 as integer) = 0
+                           then 1 else 0 end) as n_c
+                from events
+            ), s as (
+                select cast(n_t as bigint) as n_t,
+                       cast(n_c as bigint) as n_c,
+                       cast(n_t + n_c as double) * 1.0 / 2.0 as e_t,
+                       cast(n_t + n_c as double) * 1.0 / 2.0 as e_c
+                from m
+            )
+            select n_t, n_c,
+                   case when n_t + n_c > 0 then e_t end as expected_t,
+                   case when n_t + n_c > 0 then
+                        cast(floor(((cast(n_t as double) - e_t)
+                                    * (cast(n_t as double) - e_t) / e_t
+                                    + (cast(n_c as double) - e_c)
+                                    * (cast(n_c as double) - e_c) / e_c)
+                                   * 1000000.0 + 0.5) as bigint)
+                       end as chi2_q6,
+                   case when n_t + n_c > 0 then
+                        ((cast(n_t as double) - e_t)
+                         * (cast(n_t as double) - e_t) / e_t
+                         + (cast(n_c as double) - e_c)
+                         * (cast(n_c as double) - e_c) / e_c)
+                        > 3.841458820694124 else false end as srm_flag
+            from s
         """,
         "nelson_aalen_purchase": "with " + _tte_sql(3, "cohort") + """, counts as (
                 select cohort, dur, sum(ev) as d, count(*) as c

@@ -301,7 +301,8 @@ def main() -> None:
                  "nelson_aalen_purchase", "logrank_purchase_cohorts",
                  "uplift_qini_purchases", "rmst_purchase_cohorts",
                  "sequential_ab_value", "cif_purchase_error",
-                 "mde_ab_value", "raking_weights_events"]:
+                 "mde_ab_value", "raking_weights_events",
+                 "srm_check_events"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -1026,3 +1026,43 @@ def mde_ab(df: DataFrame, treat_col: str, outcome_col: str,
         mde_abs.alias("mde_abs"),
         F.when(ok & (mean_c > 0), mde_abs / mean_c).alias("mde_rel"),
         n_req.alias("n_per_arm_for_5pct"))
+
+
+def srm_check(df: DataFrame, treat_col: str,
+              ratio_t: int = 1, ratio_c: int = 1) -> DataFrame:
+    """Sample-ratio-mismatch guard — the first thing an experiment
+    platform checks before ANY readout: do the realized arm counts
+    match the intended allocation?  A biased splitter invalidates
+    every downstream statistic (Fabijan et al., KDD'19 diagnoses).
+
+    Chi-square with 1 dof against the intended ``ratio_t : ratio_c``:
+    ``E_t = N·r_t/(r_t+r_c)``, ``chi2 = (n_t−E_t)²/E_t + (n_c−E_c)²/E_c``.
+    ONE count-only aggregation; chi2 is a fixed-order IEEE expression
+    of two exact int64 counts (bit-identical across engines).  The
+    boundary column flags chi2 > 3.841 (χ²₁ at α=0.05, literal).
+
+    Output one row: ``(n_t, n_c, expected_t, chi2_q6, srm_flag)``.
+    """
+    if ratio_t <= 0 or ratio_c <= 0:
+        raise ValueError("ratios must be positive")
+    t = F.col(treat_col).cast("int")
+    one = (df.where(t.isNotNull())
+           .agg(F.sum(F.when(t == 1, 1).otherwise(0)).cast("long")
+                .alias("n_t"),
+                F.sum(F.when(t == 0, 1).otherwise(0)).cast("long")
+                .alias("n_c")))
+    rt, rc = float(ratio_t), float(ratio_c)
+    n = (F.col("n_t") + F.col("n_c")).cast("double")
+    e_t = n * F.lit(rt) / F.lit(rt + rc)
+    e_c = n * F.lit(rc) / F.lit(rt + rc)
+    dt = F.col("n_t").cast("double") - e_t
+    dc = F.col("n_c").cast("double") - e_c
+    chi2 = dt * dt / e_t + dc * dc / e_c
+    ok = (F.col("n_t") + F.col("n_c")) > 0
+    return one.select(
+        "n_t", "n_c",
+        F.when(ok, e_t).alias("expected_t"),
+        F.when(ok, F.floor(chi2 * F.lit(1e6) + F.lit(0.5))
+               .cast("long")).alias("chi2_q6"),
+        F.when(ok, chi2 > F.lit(3.841458820694124)).otherwise(False)
+        .alias("srm_flag"))

@@ -610,3 +610,24 @@ def test_raking_weights_ipf(spark):
     a = raking_weights(df.repartition(2), "r", "c", rt, ct).collect()
     b = raking_weights(df.repartition(13), "r", "c", rt, ct).collect()
     assert [tuple(x) for x in a] == [tuple(x) for x in b]
+
+
+def test_srm_check_flags_biased_split(spark):
+    import math
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        srm_check)
+
+    # intended 1:1, realized 600:400 -> chi2 = 2*(100^2/500) = 40
+    rows = [(1,)] * 600 + [(0,)] * 400
+    df = spark.createDataFrame(rows, "t int")
+    r = srm_check(df, "t").collect()[0]
+    assert (r.n_t, r.n_c) == (600, 400)
+    assert r.chi2_q6 == math.floor(40.0 * 1e6 + 0.5) and r.srm_flag
+    # balanced split under a 3:2 intent -> no flag
+    r2 = srm_check(spark.createDataFrame(
+        [(1,)] * 599 + [(0,)] * 401, "t int"), "t",
+        ratio_t=3, ratio_c=2).collect()[0]
+    assert not r2.srm_flag
+    # empty input -> nulls, no flag
+    r3 = srm_check(df.where("t > 5"), "t").collect()[0]
+    assert r3.chi2_q6 is None and r3.srm_flag is False
