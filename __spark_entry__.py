@@ -2080,6 +2080,65 @@ def _q_search_topk(spark, sf_dir):
     return search_topk(tok, [1571, 1650, 199, 2776, 1571], k=20)
 
 
+def _q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 retrieval for the same fixed hashed query as
+    search_topk_docs (k1 = 6/5, b = 3/4).  The tf-saturation fraction
+    is an exact integer ratio (denominators cleared by the corpus token
+    total T and doc count N), micro-quantized by truncating division,
+    so per-(term, doc) contributions are exact int64 — partition-order
+    immune, engine bit-identical."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        bm25_topk, hash_tokenize)
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hash_tokenize(docs, vocab_size=4096, seed=7)
+    return bm25_topk(tok, [1571, 1650, 199, 2776, 1571], k=20)
+
+
+_DICT_LEX = ["data", "spark", "fast sort", "merge batch", "slow"]
+
+
+def _q_dict_tag(spark, sf_dir):
+    """Dictionary tagging over a fixed 5-term lexicon (two multi-word
+    phrases exercise substring, not word, matching), aggregated to a
+    per-keyword census.  Counts come from the exact replace-length
+    idiom — engine bit-identical integers."""
+    from msi_preprocessing_pipeline_spark.operators.text import dict_tag
+
+    docs = _t(spark, sf_dir, "documents")
+    return (dict_tag(docs, _DICT_LEX)
+            .groupBy("keyword")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_hits").alias("n_hits"),
+                 F.max("n_hits").alias("max_hits")))
+
+
+def _q_blocklist_filter(spark, sf_dir):
+    """C4-style blocklist filter (total hits <= 1 keeps the doc),
+    reported as per-source keep census with the surviving hit mass."""
+    from msi_preprocessing_pipeline_spark.operators.text import (
+        blocklist_filter)
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = blocklist_filter(docs, ["slow query", "big vector"], max_hits=1)
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("blocklist_hits").alias("sum_hits")))
+
+
+def _q_chi2_features(spark, sf_dir):
+    """Chi-square screen of two categorical features (source, and a
+    derived n_chars//100 length bucket) against the lang label —
+    staged-truncating-division micro units, exact int64."""
+    from msi_preprocessing_pipeline_spark.operators.featsel import (
+        chi2_scores)
+
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("len_bucket",
+                        F.floor(F.col("n_chars") / 100).cast("string")))
+    return chi2_scores(docs, ["source", "len_bucket"], "lang")
+
+
 def _q_pit_audit(spark, sf_dir):
     """Runtime temporal-leakage audit of the engine's own as-of output
     (purchase labels ⟵ latest click): one fused scan-aggregate;
@@ -4457,6 +4516,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srm_check_events": _q_srm,
         "cif_purchase_error": _q_cif,
         "bootstrap_diff_click_view": _q_bootstrap_diff,
+        # --- new in round 5, session 11 ---
+        "bm25_topk_docs": _q_bm25_topk,
+        "dict_tag_docs": _q_dict_tag,
+        "blocklist_filter_docs": _q_blocklist_filter,
+        "chi2_features_docs": _q_chi2_features,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -9561,6 +9625,127 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             group by 1
             order by score_nano desc, doc_id
             limit 20
+        """,
+        # BM25 with k1 = 6/5, b = 3/4: the saturation fraction clears
+        # denominators via T (corpus tokens) and N (docs) —
+        # num = (k1n+k1d)*bd*T*tf = 44*T*tf, den = k1d*bd*T*tf +
+        # k1n*(bd-bn)*T + k1n*bn*len*N = 20*T*tf + 6*T + 18*len*N —
+        # then micro-quantizes with hugeint // (truncating, all terms
+        # non-negative), mirroring trunc_div in operators.lm.bm25_topk.
+        "bm25_topk_docs": f"""
+            with {_SQL_TOK},
+            q(t, qtf) as (values (1571, 2), (1650, 1), (199, 1),
+                                 (2776, 1)),
+            tot as (select cast(count(*) as hugeint) as nd,
+                           cast(coalesce(sum(len(tokens)), 0) as hugeint)
+                           as tt
+                    from tok),
+            pos as (
+                select doc_id, len(tokens) as dl, tokens[i] as t
+                from tok, unnest(generate_series(1, len(tokens))) as u(i)
+                where tokens[i] in (select t from q)
+            ), pl as (
+                select t, doc_id, cast(count(*) as hugeint) as tf,
+                       cast(max(dl) as hugeint) as dl
+                from pos group by 1, 2
+            ), dfq as (
+                select t, cast(count(*) as bigint) as df from pl group by 1
+            )
+            select pl.doc_id,
+                   cast(sum(cast(q.qtf as hugeint)
+                            * cast(floor(ln(cast(tot.nd + 1 as double)
+                                            / cast(dfq.df + 1 as double)
+                                            + 1.0) * 1000000000.0 + 0.5)
+                                   as hugeint)
+                            * ((44 * tot.tt * pl.tf * 1000000)
+                               // (20 * tot.tt * pl.tf + 6 * tot.tt
+                                   + 18 * pl.dl * tot.nd)))
+                        as bigint) as score_q
+            from pl join dfq using (t) join q using (t) cross join tot
+            group by 1
+            order by score_q desc, doc_id
+            limit 20
+        """,
+        # replace-length substring counting: identical non-overlapping
+        # left-to-right semantics in Spark and DuckDB; // exact since
+        # the length delta is always a multiple of len(keyword)
+        "dict_tag_docs": """
+            with kw(keyword) as (values ('data'), ('fast sort'),
+                                 ('merge batch'), ('slow'), ('spark')),
+            h as (
+                select d.doc_id, kw.keyword,
+                       cast((length(d.hay)
+                             - length(replace(d.hay, kw.keyword, '')))
+                            // length(kw.keyword) as bigint) as n_hits
+                from (select doc_id, lower(coalesce(text, '')) as hay
+                      from documents) d
+                cross join kw
+            )
+            select keyword, cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_hits) as bigint) as n_hits,
+                   cast(max(n_hits) as bigint) as max_hits
+            from h where n_hits > 0
+            group by 1
+        """,
+        "blocklist_filter_docs": """
+            with f as (
+                select source,
+                       cast((length(hay)
+                             - length(replace(hay, 'big vector', '')))
+                            // length('big vector') as bigint)
+                       + cast((length(hay)
+                               - length(replace(hay, 'slow query', '')))
+                              // length('slow query') as bigint) as hits
+                from (select source, lower(coalesce(text, '')) as hay
+                      from documents) d
+            )
+            select source, cast(count(*) as bigint) as n_kept,
+                   cast(coalesce(sum(hits), 0) as bigint) as sum_hits
+            from f where hits <= 1
+            group by 1
+        """,
+        # zero-cell-free expansion chi2 = sum_observed O^2*N/(r*c) - N,
+        # staged truncating division (t1 = 1e6*O^2 // r, term = t1*N // c)
+        # mirroring functions.util.trunc_div; null categories kept via
+        # IS NOT DISTINCT FROM marginal joins
+        "chi2_features_docs": """
+            with s as (
+                select 'source' as feature, cast(source as varchar) as v,
+                       cast(lang as varchar) as y
+                from documents
+                union all
+                select 'len_bucket',
+                       cast(n_chars // 100 as varchar), cast(lang as varchar)
+                from documents
+            ), cells as (
+                select feature, v, y, cast(count(*) as hugeint) as o
+                from s group by 1, 2, 3
+            ), r as (
+                select feature, v, sum(o) as r from cells group by 1, 2
+            ), c as (
+                select feature, y, sum(o) as c from cells group by 1, 2
+            ), nn as (
+                select feature, sum(o) as n,
+                       count(distinct v)
+                       + max(case when v is null then 1 else 0 end) as nv,
+                       count(distinct y)
+                       + max(case when y is null then 1 else 0 end) as ny
+                from cells group by 1
+            ), terms as (
+                select cells.feature,
+                       (((1000000 * o * o) // r.r) * nn.n) // c.c as t
+                from cells
+                join r on cells.feature = r.feature
+                      and cells.v is not distinct from r.v
+                join c on cells.feature = c.feature
+                      and cells.y is not distinct from c.y
+                join nn on cells.feature = nn.feature
+            )
+            select terms.feature, cast(nn.n as bigint) as n,
+                   cast((nn.nv - 1) * (nn.ny - 1) as bigint) as dof,
+                   cast(sum(t) - nn.n * 1000000 as bigint) as chi2_micro
+            from terms join nn on terms.feature = nn.feature
+            group by terms.feature, nn.n, nn.nv, nn.ny
         """,
         "pit_audit_training_set": """
             with j as (

@@ -302,7 +302,9 @@ def main() -> None:
                  "uplift_qini_purchases", "rmst_purchase_cohorts",
                  "sequential_ab_value", "cif_purchase_error",
                  "mde_ab_value", "raking_weights_events",
-                 "srm_check_events"]:
+                 "srm_check_events",
+                 # round-5 session-11 operators
+                 "bm25_topk_docs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -146,3 +146,76 @@ def redundant_features(corr: DataFrame, threshold: float = 0.95,
                       & (F.abs(F.col("corr_u")) >= F.lit(thr)))
     return (hits.groupBy(F.col("feat_b").alias("feature"))
             .agg(F.min("feat_a").alias("because_of")))
+
+
+def chi2_scores(df: DataFrame, feature_cols, label_col: str) -> DataFrame:
+    """Chi-square independence score of each categorical feature column
+    against a categorical label — the classic sklearn-``chi2``-style
+    filter screen, computed distributively with EXACT integer
+    arithmetic.
+
+    Uses the zero-cell-free expansion ``χ² = Σ_observed O²·N/(r·c) − N``
+    (unobserved cells contribute 0 to ``Σ O²/E``), so only the observed
+    contingency cells — bounded by |values|·|labels|, never corpus rows
+    — flow through the plan.  Each term is micro-quantized by staged
+    truncating division (``t1 = (10⁶·O²) // r``; ``term = (t1·N) // c``
+    — every intermediate ≤ ~10³⁰ at N = 10¹², inside decimal(38,0) /
+    hugeint; the log-rank three-stage idiom, PLANS.md session 10), so
+    the score is associative and engine-bit-identical; the staging
+    defect is ≤ |cells|·1e-6 in χ² units.  Null feature values and null
+    labels group as their own category (both engines keep null groups).
+
+    Returns one row per feature: ``(feature, n, dof, chi2_micro)`` with
+    ``dof = (|values|−1)·(|labels|−1)`` counting the null category.
+
+    Plan shape: ONE Expand scan (``stack``) over the |features| columns
+    → map-side-combined cell counts → cell-bounded marginal joins →
+    per-feature aggregate.  Nothing corpus-sized shuffles except the
+    first cell aggregation.
+    """
+    from ..functions.util import DEC38, trunc_div
+
+    feats = list(feature_cols)
+    if not feats or label_col in feats:
+        raise ValueError("feature_cols must be non-empty and exclude "
+                         "the label")
+    stacked = df.select(
+        F.col(label_col).cast("string").alias("__y"),
+        F.stack(F.lit(len(feats)),
+                *[c for f in feats
+                  for c in (F.lit(f), F.col(f).cast("string"))])
+        .alias("feature", "__v"))
+    cells = (stacked.groupBy("feature", "__v", "__y")
+             .agg(F.count("*").cast(DEC38).alias("o")))
+    rmarg = cells.groupBy("feature", "__v").agg(F.sum("o").alias("r"))
+    cmarg = cells.groupBy("feature", "__y").agg(F.sum("o").alias("c"))
+    ntot = cells.groupBy("feature").agg(
+        F.sum("o").alias("n"),
+        (F.count_distinct("__v")
+         + F.max(F.when(F.col("__v").isNull(), 1).otherwise(0)))
+        .alias("__nv"),
+        (F.count_distinct("__y")
+         + F.max(F.when(F.col("__y").isNull(), 1).otherwise(0)))
+        .alias("__ny"))
+    t1 = trunc_div(F.lit(1_000_000).cast(DEC38) * F.col("o") * F.col("o"),
+                   F.col("r"))
+    # null categories are real groups: the marginal joins must be
+    # null-safe or null-valued cells silently vanish (the r4 null-safe
+    # join bug class; oracle mirrors with IS NOT DISTINCT FROM)
+    rmarg = rmarg.withColumnsRenamed({"feature": "__rf", "__v": "__rv"})
+    cmarg = cmarg.withColumnsRenamed({"feature": "__cf", "__y": "__cy"})
+    joined = (cells
+              .join(rmarg, (F.col("feature") == F.col("__rf"))
+                    & F.col("__v").eqNullSafe(F.col("__rv")))
+              .join(cmarg, (F.col("feature") == F.col("__cf"))
+                    & F.col("__y").eqNullSafe(F.col("__cy")))
+              .join(ntot, ["feature"])
+              .select("feature", "n", "__nv", "__ny",
+                      trunc_div(t1 * F.col("n"), F.col("c")).alias("__t")))
+    return (joined.groupBy("feature", "n", "__nv", "__ny")
+            .agg(F.sum("__t").alias("__s"))
+            .select("feature", F.col("n").cast("long").alias("n"),
+                    ((F.col("__nv") - 1) * (F.col("__ny") - 1))
+                    .cast("long").alias("dof"),
+                    (F.col("__s") - F.col("n") * F.lit(1_000_000))
+                    .cast("long").alias("chi2_micro")))

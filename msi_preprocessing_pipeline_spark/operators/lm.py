@@ -535,6 +535,94 @@ def search_topk(df: DataFrame, query_tokens, k: int = 10,
             .limit(k))
 
 
+def bm25_topk(df: DataFrame, query_tokens, k: int = 10,
+              k1=(6, 5), b=(3, 4),
+              tokens_col: str = "tokens",
+              id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 retrieval over the inverted index: the top ``k``
+    documents for a tokenized query, scored
+
+        score(d) = Σ_t qtf(t) · idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len_d/avgdl))
+
+    (Robertson & Walker 1994), with the same smoothed
+    ``idf_nano = floor(ln((N+1)/(df_t+1) + 1)·1e9 + 0.5)`` contract as
+    :func:`search_topk`.  ``k1`` and ``b`` are RATIONALS
+    ``(num, den)`` — default 6/5 and 3/4 — so the tf-saturation
+    fraction clears its denominators exactly: with ``T`` the corpus
+    token total and ``N`` the document count (``avgdl = T/N``),
+
+        frac = (k1n+k1d)·bd·T·tf / (k1d·bd·T·tf + k1n·(bd−bn)·T + k1n·bn·len·N)
+
+    is a ratio of exact integers, quantized to micro units by
+    truncating division (``trunc_div``, never float) — so the
+    per-(term, doc) contribution ``qtf · idf_nano · frac_micro`` is an
+    exact integer and the score SUM is associative: immune to
+    partition / aggregation order, identical in Spark, DuckDB
+    (hugeint ``//``) and Python.  Ties break on ascending id.
+
+    Returns ``(id, score_q)`` with ``score_q`` in nano·micro (1e-15)
+    score units as int64 (bounded: idf_nano ≤ 28e9 at N = 1e12,
+    frac_micro ≤ (k1+1)·1e6, so ≤ ~6.2e16 per term — int64-safe for
+    queries under ~100 terms), score-descending, at most ``k`` rows.
+
+    Plan shape: ONE corpus scan carries ``size(tokens)`` alongside the
+    exploded stream so candidate doc lengths need no second join; the
+    explode is filtered to the |query|-sized token set before any
+    aggregation; (N, T) come from a 1-row column-pruned aggregate
+    (broadcast cross join); the final top-k is a
+    ``TakeOrderedAndProject``.  Nothing but the token-match scan
+    scales with corpus size.
+    """
+    from ..functions.util import DEC38, trunc_div
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    k1n, k1d = int(k1[0]), int(k1[1])
+    bn, bd = int(b[0]), int(b[1])
+    if k1d < 1 or bd < 1 or k1n < 0 or bn < 0 or bn > bd:
+        raise ValueError(f"k1={k1} and b={b} must be non-negative "
+                         "rationals with b <= 1")
+    qtf: dict = {}
+    for t in query_tokens:
+        qtf[int(t)] = qtf.get(int(t), 0) + 1
+    if not qtf:
+        raise ValueError("query_tokens must be non-empty")
+    terms = sorted(qtf)
+    totals = df.select(
+        F.count("*").cast(DEC38).alias("__n"),
+        F.coalesce(F.sum(F.size(tokens_col).cast("long")), F.lit(0))
+        .cast(DEC38).alias("__tt"))
+    pos = (df.select(F.col(id_col),
+                     F.size(tokens_col).cast(DEC38).alias("__len"),
+                     F.explode(tokens_col).alias("t"))
+           .where(F.col("t").isin(terms)))
+    plist = (pos.groupBy("t", id_col)
+             .agg(F.count("*").cast(DEC38).alias("tf"),
+                  F.max("__len").alias("__len")))
+    dfreq = plist.groupBy("t").agg(F.count("*").alias("df"))
+    qtf_map = F.create_map(
+        *[F.lit(v) for t in terms for v in (t, qtf[t])])
+    idf_nano = F.floor(
+        F.log((F.col("__n") + 1).cast("double")
+              / (F.col("df") + 1).cast("double") + F.lit(1.0))
+        * F.lit(1e9) + F.lit(0.5)).cast(DEC38)
+    num = (F.lit(k1n + k1d).cast(DEC38) * F.lit(bd) * F.col("__tt")
+           * F.col("tf") * F.lit(1_000_000))
+    den = (F.lit(k1d).cast(DEC38) * F.lit(bd) * F.col("__tt")
+           * F.col("tf")
+           + F.lit(k1n).cast(DEC38) * F.lit(bd - bn) * F.col("__tt")
+           + F.lit(k1n).cast(DEC38) * F.lit(bn) * F.col("__len")
+           * F.col("__n"))
+    scored = (plist.join(dfreq, ["t"]).crossJoin(totals)
+              .select(F.col(id_col),
+                      (qtf_map[F.col("t")].cast(DEC38) * idf_nano
+                       * trunc_div(num, den)).alias("__c"))
+              .groupBy(id_col)
+              .agg(F.sum("__c").cast("long").alias("score_q")))
+    return (scored.orderBy(F.col("score_q").desc(), F.col(id_col))
+            .limit(k))
+
+
 def similar_doc_pairs(df: DataFrame, threshold: float = 0.8,
                       max_df: int = 1 << 20,
                       tokens_col: str = "tokens",

@@ -929,3 +929,85 @@ def compression_metrics(df: DataFrame, text_col: str = "text",
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema) + \
         ", n_bytes long, n_compressed long, compression_ratio_u long"
     return df.select(*cols).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# dictionary / blocklist tagging
+
+
+def dict_tag(df: DataFrame, keywords, text_col: str = "text",
+             id_col: str = "doc_id",
+             case_insensitive: bool = True) -> DataFrame:
+    """Per-document dictionary tagging: for every keyword in a bounded
+    lexicon, the number of (non-overlapping, left-to-right) substring
+    occurrences in the document — the primitive behind blocklist
+    filters (C4's "bad words" pass, Raffel et al. 2020 §2.2) and
+    topic-lexicon tagging.
+
+    Counting idiom: ``(len(hay) − len(replace(hay, kw, ''))) / len(kw)``
+    — exact integers, the same non-overlapping replace semantics in
+    Spark and DuckDB, so counts are engine-bit-identical.  The lexicon
+    is a LITERAL array evaluated inside one projection: per row the
+    transform emits only matching (keyword, n_hits) structs, so the
+    explode's output is bounded by actual hits, not |docs|·|lexicon|.
+
+    Returns ``(id, keyword, n_hits)`` with ``n_hits >= 1`` — documents
+    with no hits (and null documents) produce no rows.
+
+    Plan shape: map-only (Project → Generate), zero shuffles, zero
+    Python; at 10^12 docs this is a pure scan pass whose cost is the
+    |lexicon| replace scans per document.
+    """
+    kws = [str(k) for k in keywords]
+    if not kws or any(len(k) == 0 for k in kws):
+        raise ValueError("keywords must be non-empty strings")
+    if len(set(kws)) != len(kws):
+        raise ValueError("duplicate keywords")
+    hay = F.coalesce(F.col(text_col), F.lit(""))
+    if case_insensitive:
+        hay = F.lower(hay)
+        kws = [k.lower() for k in kws]
+        if len(set(kws)) != len(kws):
+            raise ValueError("keywords collide after lower()")
+    lex = F.array(*[F.lit(k) for k in sorted(set(kws))])
+    hits = F.filter(
+        F.transform(
+            lex,
+            lambda k: F.struct(
+                k.alias("keyword"),
+                ((F.length(hay) - F.length(F.replace(hay, k, F.lit(""))))
+                 / F.length(k)).cast("long").alias("n_hits"))),
+        lambda s: s["n_hits"] > 0)
+    return (df.select(F.col(id_col), F.explode(hits).alias("__h"))
+            .select(id_col, F.col("__h.keyword").alias("keyword"),
+                    F.col("__h.n_hits").alias("n_hits")))
+
+
+def blocklist_filter(df: DataFrame, keywords, max_hits: int = 0,
+                     text_col: str = "text",
+                     case_insensitive: bool = True) -> DataFrame:
+    """Drop documents whose TOTAL blocklist-keyword occurrence count
+    exceeds ``max_hits`` (default 0 — any hit drops, the C4 rule).
+    Null documents carry zero hits and are kept.
+
+    Same exact counting idiom as :func:`dict_tag`, but summed with
+    ``F.aggregate`` inside the projection — the filter is a map-only
+    predicate; no explode, no shuffle, column-pruning friendly.
+    Returns the input rows that survive, all columns, plus
+    ``blocklist_hits``.
+    """
+    kws = [str(k) for k in keywords]
+    if not kws or any(len(k) == 0 for k in kws):
+        raise ValueError("keywords must be non-empty strings")
+    hay = F.coalesce(F.col(text_col), F.lit(""))
+    if case_insensitive:
+        hay = F.lower(hay)
+        kws = [k.lower() for k in kws]
+    lex = F.array(*[F.lit(k) for k in sorted(set(kws))])
+    total = F.aggregate(
+        lex, F.lit(0).cast("long"),
+        lambda acc, k: acc + ((F.length(hay)
+                               - F.length(F.replace(hay, k, F.lit(""))))
+                              / F.length(k)).cast("long"))
+    return (df.withColumn("blocklist_hits", total)
+            .where(F.col("blocklist_hits") <= int(max_hits)))

@@ -65,6 +65,91 @@ def test_search_topk_uses_partial_topk_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def _bm25_py(docs, query, k1=(6, 5), b=(3, 4)):
+    """Exact-integer reference: Fraction-free because the saturation
+    numerator/denominator are cleared integers and // truncates."""
+    n = len(docs)
+    tt = sum(len(t) for t in docs.values())
+    qtf = {}
+    for t in query:
+        qtf[t] = qtf.get(t, 0) + 1
+    dfreq = {}
+    for toks in docs.values():
+        for t in set(toks) & set(qtf):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    k1n, k1d = k1
+    bn, bd = b
+    out = {}
+    for i, toks in docs.items():
+        s = 0
+        for t, q in qtf.items():
+            tf = toks.count(t)
+            if tf and t in dfreq:
+                idf = math.floor(
+                    math.log((n + 1) / (dfreq[t] + 1) + 1.0) * 1e9 + 0.5)
+                num = (k1n + k1d) * bd * tt * tf * 1_000_000
+                den = (k1d * bd * tt * tf + k1n * (bd - bn) * tt
+                       + k1n * bn * len(toks) * n)
+                s += q * idf * (num // den)
+        if s:
+            out[i] = s
+    return out
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    from msi_preprocessing_pipeline_spark.operators.lm import bm25_topk
+
+    docs = {1: [5, 5, 7], 2: [5], 3: [7, 7, 7, 9], 4: [9], 5: [1, 2],
+            6: [5] * 12 + [3] * 20}  # long doc: length norm bites
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, tokens array<int>")
+    query = [5, 7, 7, 100]  # 100 absent from the corpus
+    exp = _bm25_py(docs, query)
+    exp_order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [(r["doc_id"], r["score_q"])
+           for r in bm25_topk(df, query, k=10).collect()]
+    assert got == exp_order
+    # partition-layout invariance: exact integers are associative
+    got7 = [(r["doc_id"], r["score_q"])
+            for r in bm25_topk(df.repartition(7), query, k=10).collect()]
+    assert got7 == exp_order
+    # k truncates deterministically
+    got2 = [(r["doc_id"], r["score_q"])
+            for r in bm25_topk(df, query, k=2).collect()]
+    assert got2 == exp_order[:2]
+
+
+def test_bm25_saturation_bounds_repeat_tf(spark):
+    """tf saturation: 12 copies of the term score < (k1+1)x one copy
+    at equal lengths, unlike the linear tf of search_topk."""
+    from msi_preprocessing_pipeline_spark.operators.lm import bm25_topk
+
+    docs = {1: [5] + [0] * 11, 2: [5] * 12}
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, tokens array<int>")
+    got = {r["doc_id"]: r["score_q"]
+           for r in bm25_topk(df, [5], k=10).collect()}
+    assert got[2] > got[1]                      # more tf still helps
+    assert got[2] < got[1] * (1 + 6 / 5) + 1    # but saturates under k1+1
+    exp = _bm25_py(docs, [5])
+    assert got == exp
+
+
+def test_bm25_validates_args_and_plan(spark):
+    from msi_preprocessing_pipeline_spark.operators.lm import bm25_topk
+
+    df = spark.createDataFrame([(1, [1, 2])], "doc_id long, tokens array<int>")
+    with pytest.raises(ValueError):
+        bm25_topk(df, [1], k=0)
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+    with pytest.raises(ValueError):
+        bm25_topk(df, [1], b=(5, 4))  # b > 1
+    plan = (bm25_topk(df, [1, 2], k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_check_pit_counts_violations_and_lags(spark):
     rows = [
         # (label_ts, f1, f2): f1 leaks on row 2; f2 never matched on row 3
