@@ -947,6 +947,34 @@ def _q_attribution(spark, sf_dir):
                        horizon_ms=3_600_000)
 
 
+def _q_attribution_decay(spark, sf_dir):
+    """Time-decay multi-touch attribution of purchases to clicks within
+    1h (halflife 10 min): power-of-two exact weights, Hamilton-split
+    micro credits that sum to exactly 1e6 per conversion."""
+    from msi_preprocessing_pipeline_spark.operators.behavior import (
+        attribution_shares)
+
+    ev = _t(spark, sf_dir, "events")
+    conv = (ev.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", _ms("ts").alias("ms")))
+    tch = (ev.where(F.col("event_type") == "click")
+           .select("event_id", "user_id", _ms("ts").alias("ms")))
+    return attribution_shares(conv, tch, model="time_decay",
+                              horizon_ms=3_600_000,
+                              halflife_ms=600_000)
+
+
+def _q_concentration(spark, sf_dir):
+    """Training-mix concentration of character mass across sources:
+    HHI + Gini + top-share as exact micro integers (decimal sums,
+    truncating divisions)."""
+    from msi_preprocessing_pipeline_spark.operators.profile import (
+        concentration)
+
+    docs = _t(spark, sf_dir, "documents")
+    return concentration(docs, "source", "n_chars")
+
+
 def _q_fs_weights(spark, sf_dir):
     """Fellegi-Sunter record-linkage weights over labeled same-user event
     pairs (label: within the same hour). Counts exact; the ln weights are
@@ -2819,6 +2847,17 @@ def _q_clustering_coeff(spark, sf_dir):
     return clustering_coeff(edges, "s1", "s2")
 
 
+def _q_label_prop(spark, sf_dir):
+    """3-round deterministic label propagation communities over the
+    supplier co-order slice — most-frequent neighbor label, min-label
+    tie break; exact integer labels, oracle = 3 unrolled SQL rounds."""
+    from msi_preprocessing_pipeline_spark.operators.graph import (
+        label_prop)
+
+    edges = _supplier_coorder_edges(spark, sf_dir)
+    return label_prop(edges, "s1", "s2", iters=3)
+
+
 def _q_er_resolve(spark, sf_dir):
     """Full entity resolution over one brand's part names: blocked
     levenshtein match graph → connected components → canonical
@@ -4521,6 +4560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_tag_docs": _q_dict_tag,
         "blocklist_filter_docs": _q_blocklist_filter,
         "chi2_features_docs": _q_chi2_features,
+        "attribution_decay_events": _q_attribution_decay,
+        "concentration_sources": _q_concentration,
+        "label_prop_suppliers": _q_label_prop,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -6517,6 +6559,135 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    l.tid as last_touch_id, l.ms as last_touch_ms,
                    n_touches
             from w0 where side = 1
+        """,
+        # time-decay multi-touch: integer halflife buckets make the
+        # weights exact powers of two; Hamilton largest-remainder split
+        # (quota // + % + remainder rank) mirrors attribution_shares
+        # sorted-rank Gini + HHI over the |sources|-bounded relation;
+        # hugeint exact sums, truncating // mirrors trunc_div
+        "concentration_sources": """
+            with g as (
+                select source,
+                       cast(coalesce(sum(coalesce(n_chars, 0)), 0)
+                            as hugeint) as w
+                from documents group by 1
+            ), r as (
+                select w,
+                       cast(row_number() over
+                            (order by w asc, source asc) as hugeint) as i
+                from g
+            ), a as (
+                select cast(count(*) as hugeint) as n, sum(w) as tw,
+                       sum(w * w) as s2, sum(i * w) as si, max(w) as top
+                from r
+            )
+            select cast(n as bigint) as n_groups,
+                   cast(tw as bigint) as total_weight,
+                   case when tw > 0 then
+                        cast((1000000 * s2) // (tw * tw) as bigint)
+                   end as hhi_micro,
+                   case when tw > 0 then
+                        cast((1000000 * (2 * si - (n + 1) * tw))
+                             // (n * tw) as bigint)
+                   end as gini_micro,
+                   case when tw > 0 then
+                        cast((1000000 * top) // tw as bigint)
+                   end as top_share_micro
+            from a
+        """,
+        # 3 unrolled synchronous LPA rounds; min-label tie break via
+        # (count desc, label asc) rank — mirrors graph.label_prop
+        "label_prop_suppliers": """
+            with su as (
+                select distinct l_orderkey as o, l_suppkey as s
+                from lineitem
+                where l_orderkey is not null and l_suppkey is not null
+                  and l_shipdate >= date '1995-02-01'
+                  and l_shipdate < date '1995-08-01'
+            ), e0 as (
+                select distinct a.s as x, b.s as y
+                from su a join su b on a.o = b.o and a.s < b.s
+            ), eu as (
+                select x, y from e0 union select y, x from e0
+            ), l0 as (
+                select distinct x as node, x as label from eu
+            ), c1 as (
+                select e.y as node, l.label, count(*) as c
+                from eu e join l0 l on e.x = l.node
+                group by 1, 2
+            ), l1 as (
+                select node, label from (
+                    select node, label,
+                           row_number() over (partition by node
+                               order by c desc, label asc) as rn
+                    from c1) where rn = 1
+            ), c2 as (
+                select e.y as node, l.label, count(*) as c
+                from eu e join l1 l on e.x = l.node
+                group by 1, 2
+            ), l2 as (
+                select node, label from (
+                    select node, label,
+                           row_number() over (partition by node
+                               order by c desc, label asc) as rn
+                    from c2) where rn = 1
+            ), c3 as (
+                select e.y as node, l.label, count(*) as c
+                from eu e join l2 l on e.x = l.node
+                group by 1, 2
+            ), l3 as (
+                select node, label from (
+                    select node, label,
+                           row_number() over (partition by node
+                               order by c desc, label asc) as rn
+                    from c3) where rn = 1
+            )
+            select node, label from l3
+        """,
+        "attribution_decay_events": """
+            with c as (
+                select event_id as cid, user_id, epoch_ms(ts) as cms
+                from events where event_type = 'purchase'
+            ), t as (
+                select event_id as tid, user_id, epoch_ms(ts) as tms
+                from events where event_type = 'click'
+            ), p as (
+                select c.cid, t.tid, t.tms,
+                       (c.cms - t.tms) // 600000 as k
+                from c join t on c.user_id = t.user_id
+                 and t.tms >= c.cms - 3600000 and t.tms < c.cms
+            ), rk as (
+                select cid, tid, k,
+                       row_number() over
+                           (partition by cid order by tms, tid) as r,
+                       count(*) over (partition by cid) as n,
+                       max(k) over (partition by cid) as kmax
+                from p
+            ), sh as (
+                select cid, tid, r, n,
+                       cast(1::bigint << cast(kmax - k as integer)
+                            as hugeint) as w,
+                       sum(cast(1::bigint << cast(kmax - k as integer)
+                                as hugeint))
+                           over (partition by cid) as tw
+                from rk
+            ), base as (
+                select cid, tid, r, n,
+                       (1000000 * w) // tw as b,
+                       (1000000 * w) % tw as rem
+                from sh
+            ), fin as (
+                select *, sum(b) over (partition by cid) as sb,
+                       row_number() over
+                           (partition by cid order by rem desc, r) as hrk
+                from base
+            )
+            select cid as conv_id, tid as touch_id,
+                   cast(r as int) as touch_rank,
+                   cast(n as bigint) as n_touches,
+                   cast(b + case when hrk <= 1000000 - sb
+                                 then 1 else 0 end as bigint) as credit
+            from fin
         """,
         "fs_weights_events": """
             with ev as (

@@ -304,7 +304,10 @@ def main() -> None:
                  "mde_ab_value", "raking_weights_events",
                  "srm_check_events",
                  # round-5 session-11 operators
-                 "bm25_topk_docs"]:
+                 "bm25_topk_docs", "dict_tag_docs",
+                 "blocklist_filter_docs", "chi2_features_docs",
+                 "attribution_decay_events", "concentration_sources",
+                 "label_prop_suppliers"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

@@ -376,3 +376,113 @@ def attribution(conversions: DataFrame, touches: DataFrame,
                     F.col("__l.tid").alias("last_touch_id"),
                     F.col("__l.ms").alias("last_touch_ms"),
                     "n_touches"))
+
+
+def attribution_shares(conversions: DataFrame, touches: DataFrame,
+                       model: str = "linear",
+                       entity_col: str = "user_id",
+                       conv_ts: str = "ms", touch_ts: str = "ms",
+                       touch_id: str = "event_id",
+                       conv_id: str = "event_id",
+                       horizon_ms: int = 86_400_000,
+                       halflife_ms: int = 3_600_000,
+                       position_split=(40, 20, 40),
+                       scale: int = 1_000_000) -> DataFrame:
+    """Multi-touch conversion attribution: EXACT integer credit shares
+    of each conversion across its lookback-horizon touches under one of
+    the three standard models —
+
+    * ``linear``      — equal credit per touch,
+    * ``position``    — U-shaped: ``position_split = (first%, middle%,
+      last%)``; with one touch it takes everything, with two the
+      first/last split renormalizes (40/40 → 50/50),
+    * ``time_decay``  — credit ∝ 2^(−age/halflife) with the age
+      bucketed to integer halflives, so weights are exact powers of two
+      (``pow`` with fractional exponents drifts by 1 ulp across
+      engines — the temperature_mixture_plan T = 2 rationale).
+
+    All three models produce integer weights, and each conversion's
+    ``scale`` credit units are split by the Hamilton largest-remainder
+    method (the ``temperature_mixture_plan`` idiom): quotas are exact
+    decimal ``div``/``%``, remainder ties break by touch rank — so
+    ``sum(credit) = scale`` EXACTLY per conversion, partition-order
+    immune and engine-bit-identical.  Touches strictly before the
+    conversion instant only (zero leakage).  Conversions with no touch
+    in the horizon emit no rows.
+
+    Timestamps are integer epoch-millis columns.  Returns
+    ``(conv_id, touch_id, touch_rank, n_touches, credit)`` with
+    ``touch_rank`` 1-based oldest-first (ties by touch id).
+
+    Scale shape: one equi-join on the entity plus the horizon range
+    predicate (AQE broadcasts whichever side is small; per-entity skew
+    is bounded by touches-per-horizon, not corpus size), then three
+    windows PARTITIONED BY CONVERSION — group state is one
+    conversion's touch list, never an entity's history.  No collect,
+    no Python.
+    """
+    from ..functions.util import DEC38, trunc_div
+
+    if model not in ("linear", "position", "time_decay"):
+        raise ValueError(f"unknown model {model!r}")
+    pf, pm, pl = (int(x) for x in position_split)
+    if model == "position" and (min(pf, pm, pl) < 0 or pf + pm + pl <= 0):
+        raise ValueError(f"bad position_split {position_split}")
+    if model == "time_decay":
+        if halflife_ms < 1:
+            raise ValueError("halflife_ms must be >= 1")
+        if horizon_ms // halflife_ms > 62:
+            raise ValueError("horizon/halflife > 62 overflows the "
+                             "power-of-two weight; raise halflife_ms")
+    c = conversions.select(
+        F.col(entity_col).alias("__e"),
+        F.col(conv_ts).cast("long").alias("__cms"),
+        F.col(conv_id).alias("__cid"))
+    t = touches.select(
+        F.col(entity_col).alias("__te"),
+        F.col(touch_ts).cast("long").alias("__tms"),
+        F.col(touch_id).alias("__tid"))
+    pairs = c.join(
+        t, (F.col("__e") == F.col("__te"))
+        & (F.col("__tms") >= F.col("__cms") - F.lit(int(horizon_ms)))
+        & (F.col("__tms") < F.col("__cms")))
+    wc = Window.partitionBy("__cid")
+    wr = wc.orderBy(F.col("__tms").asc(), F.col("__tid").asc())
+    pairs = (pairs.withColumn("__r", F.row_number().over(wr))
+             .withColumn("__n", F.count("*").over(wc)))
+    if model == "linear":
+        w = F.lit(1).cast("long")
+    elif model == "position":
+        mid = F.greatest(F.col("__n") - 2, F.lit(1)).cast("long")
+        w = (F.when(F.col("__n") == 1, F.lit(1))
+             .when(F.col("__r") == 1, F.lit(pf) * mid)
+             .when(F.col("__r") == F.col("__n"), F.lit(pl) * mid)
+             .otherwise(F.lit(pm))).cast("long")
+    else:
+        k = F.expr(f"(__cms - __tms) div {int(halflife_ms)}")
+        pairs = pairs.withColumn("__k", k)
+        # newest touch (smallest k) carries the LARGEST weight: scale
+        # every 2^(-k) by 2^(max k) so weights are exact integers
+        # (shiftleft needs the bit count as a column -> expr form)
+        pairs = pairs.withColumn(
+            "__ksh", (F.max("__k").over(wc) - F.col("__k")).cast("int"))
+        w = F.expr("shiftleft(cast(1 as bigint), __ksh)")
+    pairs = pairs.withColumn("__w", w.cast(DEC38))
+    tot = F.sum("__w").over(wc)
+    num = F.lit(int(scale)).cast(DEC38) * F.col("__w")
+    pairs = (pairs.withColumn("__base", trunc_div(num, tot))
+             .withColumn("__rem", num % tot))
+    r_sum = F.sum("__base").over(wc)
+    w_ham = wc.orderBy(F.col("__rem").desc(), F.col("__r").asc())
+    pairs = (pairs.withColumn("__left",
+                              F.lit(int(scale)).cast(DEC38) - r_sum)
+             .withColumn("__hrk", F.row_number().over(w_ham)))
+    credit = (F.col("__base")
+              + F.when(F.col("__hrk") <= F.col("__left"), 1)
+              .otherwise(0)).cast("long")
+    return pairs.select(
+        F.col("__cid").alias("conv_id"),
+        F.col("__tid").alias("touch_id"),
+        F.col("__r").alias("touch_rank"),
+        F.col("__n").alias("n_touches"),
+        credit.alias("credit"))

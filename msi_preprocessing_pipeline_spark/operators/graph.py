@@ -290,3 +290,56 @@ def kcore(edges: DataFrame, src_col: str, dst_col: str, k: int,
     raise RuntimeError(
         f"kcore did not converge within max_iter={max_iter} peeling "
         f"rounds — adversarially chain-shaped graph; raise max_iter")
+
+
+def label_prop(edges: DataFrame, src_col: str, dst_col: str,
+               iters: int = 3, checkpoint_every: int = 2) -> DataFrame:
+    """Community detection by DETERMINISTIC synchronous label
+    propagation (Raghavan et al. 2007, made reproducible): every node
+    starts labeled with its own id; each round it adopts the label
+    held by the MOST of its neighbors, ties broken by the SMALLEST
+    label.  Classic LPA breaks ties randomly and updates
+    asynchronously in visit order — neither survives a distributed
+    re-run, so this variant pins both choices (the same
+    determinism-over-folklore trade as integer :func:`pagerank`); the
+    cost is possible label oscillation on bipartite structures, which
+    the fixed ``iters`` budget bounds by construction.
+
+    Node ids must be numeric (the min-tie-break rides a
+    ``max(struct(count, −label))`` aggregate — no per-node window, so
+    a celebrity node costs one map-side-combined aggregation, not a
+    single-reducer sort).  Self-loops and null endpoints are dropped;
+    the edge list is symmetrized + deduplicated internally.
+
+    Returns ``(node, label)`` — nodes sharing a label after ``iters``
+    rounds are one community.
+
+    Scale shape per iteration: one hash join (labels ⋈ edges, both
+    keyed on the node — AQE reuses the exchange) + two
+    map-side-combined aggregations on (node, label) / node; group
+    state is one counter, skew-immune.  ``localCheckpoint`` every
+    ``checkpoint_every`` rounds truncates the iterative lineage (the
+    pagerank/kcore lesson).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b"))))
+    und = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .distinct().persist())
+    labels = (und.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for i in range(iters):
+        nb = (und.join(labels.withColumnRenamed("node", "a"), ["a"])
+              .select(F.col("b").alias("node"), "label"))
+        cnt = nb.groupBy("node", "label").agg(F.count("*").alias("__c"))
+        best = cnt.groupBy("node").agg(
+            F.max(F.struct(F.col("__c"),
+                           (-F.col("label")).alias("__nl"))).alias("__m"))
+        labels = best.select("node", (-F.col("__m.__nl")).alias("label"))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint()
+    out = labels
+    und.unpersist()
+    return out

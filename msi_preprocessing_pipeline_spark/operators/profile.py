@@ -310,3 +310,64 @@ def selectivity_profile(df: DataFrame, col: str, predicates,
     return df.sparkSession.createDataFrame(
         rows, "pred_id int, lo double, hi double, "
               "est_rows bigint, actual_rows bigint")
+
+
+def concentration(df: DataFrame, group_col: str = "source",
+                  weight_col: str | None = None,
+                  scale: int = 1_000_000) -> DataFrame:
+    """Concentration profile of a weight (row count, token count, byte
+    count, ...) across groups — the training-mix diagnostic that says
+    whether a corpus is dominated by a few sources before any
+    reweighting (:func:`..sampling.temperature_mixture_plan`, IPF
+    raking) is attempted.
+
+    One output row with EXACT micro-quantized integers:
+
+    * ``hhi_micro``  — Herfindahl–Hirschman index ``Σ sᵢ²`` =
+      ``(10⁶·Σwᵢ²) // W²`` (1e6 = monopoly),
+    * ``gini_micro`` — Gini coefficient from the sorted-rank identity
+      ``G = (2·Σ i·w₍ᵢ₎ − (n+1)·W) / (n·W)`` over ascending weights
+      (tie order irrelevant: equal weights contribute the same sum),
+    * ``top_share_micro`` — the largest single group's share.
+
+    All sums run in decimal(38,0) (``Σwᵢ²`` reaches ~10³⁰ at a 10¹⁵
+    token corpus) and every ratio is a truncating exact division
+    (``trunc_div``) — associative, partition-order immune,
+    engine-bit-identical.  Null group values form their own group; a
+    null/absent weight counts 0; all-zero total yields null ratios.
+
+    Scale shape: ONE corpus scan (map-side-combined group agg) to a
+    |groups|-bounded relation; the rank + final reduction are windows
+    over that bounded relation (the temperature_mixture_plan
+    SinglePartition precedent) — corpus rows never shuffle twice.
+    """
+    from ..functions.util import DEC38, trunc_div
+
+    w = (F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+         if weight_col else F.lit(1).cast("long"))
+    g = (df.groupBy(F.col(group_col).alias("__g"))
+         .agg(F.sum(w).cast(DEC38).alias("__w")))
+    ranked = g.withColumn(
+        "__i", F.row_number().over(
+            Window.orderBy(F.col("__w").asc(), F.col("__g").asc()))
+        .cast(DEC38))
+    a = ranked.agg(
+        F.count("*").cast(DEC38).alias("__n"),
+        F.sum("__w").alias("__W"),
+        F.sum(F.col("__w") * F.col("__w")).alias("__S2"),
+        F.sum(F.col("__i") * F.col("__w")).alias("__SI"),
+        F.max("__w").alias("__top"))
+    sc = F.lit(int(scale)).cast(DEC38)
+    nz = F.col("__W") > 0
+    return a.select(
+        F.col("__n").cast("long").alias("n_groups"),
+        F.col("__W").cast("long").alias("total_weight"),
+        F.when(nz, trunc_div(sc * F.col("__S2"),
+                             F.col("__W") * F.col("__W"))
+               .cast("long")).alias("hhi_micro"),
+        F.when(nz, trunc_div(
+            sc * (F.lit(2).cast(DEC38) * F.col("__SI")
+                  - (F.col("__n") + 1) * F.col("__W")),
+            F.col("__n") * F.col("__W")).cast("long")).alias("gini_micro"),
+        F.when(nz, trunc_div(sc * F.col("__top"), F.col("__W"))
+               .cast("long")).alias("top_share_micro"))
