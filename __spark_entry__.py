@@ -964,6 +964,28 @@ def _q_attribution_decay(spark, sf_dir):
                               halflife_ms=600_000)
 
 
+def _q_rfm(spark, sf_dir):
+    """Classic RFM (recency / frequency / monetary) user features:
+    exact per-user aggregates (monetary micro-quantized before the
+    sum), then 5-bin exact-quantile-edge discretization of each axis
+    via encoding.quantile_bin — fully composed from existing
+    operators."""
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        quantile_bin)
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(_ms("ts")).alias("r_ms"),
+        F.count("*").alias("f"),
+        F.coalesce(F.sum(F.floor(F.col("value") * 1e6 + 0.5)
+                         .cast("long")), F.lit(0)).alias("m_micro"))
+    out = quantile_bin(u, "r_ms", 5, out_col="r_bin")
+    out = quantile_bin(out, "f", 5, out_col="f_bin")
+    out = quantile_bin(out, "m_micro", 5, out_col="m_bin")
+    return out.select("user_id", "r_ms", "f", "m_micro",
+                      "r_bin", "f_bin", "m_bin")
+
+
 def _q_concentration(spark, sf_dir):
     """Training-mix concentration of character mass across sources:
     HHI + Gini + top-share as exact micro integers (decimal sums,
@@ -4393,8 +4415,13 @@ _R5_WINDOW = [
     # (a) changed contracts — never recorded
     "rolling_time_features", "pit_agg_features",
     "multi_source_agg_features", "label_window_conversions",
-    "word_entropy_docs", "mutual_info_docs", "embedding_norms_vecs",
-    "embedding_moments_vecs",
+    # session-11 brand-new operators (never recorded anywhere) take the
+    # slots of word_entropy/mutual_info/embedding_norms/
+    # embedding_moments: those four carry the proven exact-decimal
+    # requantization idiom + lockstep pytest oracles + r4 judge-rerun
+    # green algorithms, the strongest non-driver evidence in block (a)
+    "bm25_topk_docs", "chi2_features_docs",
+    "attribution_decay_events", "label_prop_suppliers",
     # (b) new round-5 operators
     "incremental_minhash_pairs", "phash_near_dup", "passage_windows_docs",
     "attribution_last_touch", "fs_weights_events", "kmeans_vecs",
@@ -4563,6 +4590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_decay_events": _q_attribution_decay,
         "concentration_sources": _q_concentration,
         "label_prop_suppliers": _q_label_prop,
+        "rfm_features_users": _q_rfm,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -6643,6 +6671,33 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                     from c3) where rn = 1
             )
             select node, label from l3
+        """,
+        # composed RFM: exact per-user aggregates + the quantile_bin
+        # edge idiom (quantile_cont edges, searchsorted-right count)
+        "rfm_features_users": """
+            with u as (
+                select user_id, max(epoch_ms(ts)) as r_ms,
+                       cast(count(*) as bigint) as f,
+                       cast(coalesce(sum(cast(floor(value * 1e6 + 0.5)
+                                              as bigint)), 0)
+                            as bigint) as m_micro
+                from events group by 1
+            ), e as (
+                select quantile_cont(r_ms, [0.2, 0.4, 0.6, 0.8]) as re,
+                       quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) as fe,
+                       quantile_cont(m_micro,
+                                     [0.2, 0.4, 0.6, 0.8]) as me
+                from u
+            )
+            select user_id, r_ms, f, m_micro,
+                   cast(case when r_ms is null then null
+                        else length(list_filter(re, x -> r_ms >= x))
+                        end as int) as r_bin,
+                   cast(length(list_filter(fe, x -> f >= x)) as int)
+                       as f_bin,
+                   cast(length(list_filter(me, x -> m_micro >= x)) as int)
+                       as m_bin
+            from u, e
         """,
         "attribution_decay_events": """
             with c as (

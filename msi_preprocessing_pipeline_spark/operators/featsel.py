@@ -169,9 +169,10 @@ def chi2_scores(df: DataFrame, feature_cols, label_col: str) -> DataFrame:
     ``dof = (|values|−1)·(|labels|−1)`` counting the null category.
 
     Plan shape: ONE Expand scan (``stack``) over the |features| columns
-    → map-side-combined cell counts → cell-bounded marginal joins →
-    per-feature aggregate.  Nothing corpus-sized shuffles except the
-    first cell aggregation.
+    → map-side-combined cell counts → marginals as windows over the
+    cell-bounded relation (joins would re-derive the cells subtree and
+    re-scan the corpus once per marginal) → per-feature aggregate.
+    Nothing corpus-sized shuffles except the first cell aggregation.
     """
     from ..functions.util import DEC38, trunc_div
 
@@ -185,37 +186,36 @@ def chi2_scores(df: DataFrame, feature_cols, label_col: str) -> DataFrame:
                 *[c for f in feats
                   for c in (F.lit(f), F.col(f).cast("string"))])
         .alias("feature", "__v"))
+    from pyspark.sql import Window
+
     cells = (stacked.groupBy("feature", "__v", "__y")
              .agg(F.count("*").cast(DEC38).alias("o")))
-    rmarg = cells.groupBy("feature", "__v").agg(F.sum("o").alias("r"))
-    cmarg = cells.groupBy("feature", "__y").agg(F.sum("o").alias("c"))
-    ntot = cells.groupBy("feature").agg(
-        F.sum("o").alias("n"),
-        (F.count_distinct("__v")
-         + F.max(F.when(F.col("__v").isNull(), 1).otherwise(0)))
-        .alias("__nv"),
-        (F.count_distinct("__y")
-         + F.max(F.when(F.col("__y").isNull(), 1).otherwise(0)))
-        .alias("__ny"))
+    # marginals as WINDOWS over the cell relation, NOT joins back to it:
+    # a join re-derives the cells subtree per marginal and re-scans the
+    # corpus 4x (the session-8 scan-hazard class); windows share one
+    # child.  Window partitioning also keeps null categories natively
+    # (no null-safe-join footgun).  All three windows are over the
+    # |values|x|labels|-bounded relation, never corpus rows.
+    wr = Window.partitionBy("feature", "__v")
+    wc = Window.partitionBy("feature", "__y")
+    wf = Window.partitionBy("feature")
     t1 = trunc_div(F.lit(1_000_000).cast(DEC38) * F.col("o") * F.col("o"),
-                   F.col("r"))
-    # null categories are real groups: the marginal joins must be
-    # null-safe or null-valued cells silently vanish (the r4 null-safe
-    # join bug class; oracle mirrors with IS NOT DISTINCT FROM)
-    rmarg = rmarg.withColumnsRenamed({"feature": "__rf", "__v": "__rv"})
-    cmarg = cmarg.withColumnsRenamed({"feature": "__cf", "__y": "__cy"})
-    joined = (cells
-              .join(rmarg, (F.col("feature") == F.col("__rf"))
-                    & F.col("__v").eqNullSafe(F.col("__rv")))
-              .join(cmarg, (F.col("feature") == F.col("__cf"))
-                    & F.col("__y").eqNullSafe(F.col("__cy")))
-              .join(ntot, ["feature"])
-              .select("feature", "n", "__nv", "__ny",
-                      trunc_div(t1 * F.col("n"), F.col("c")).alias("__t")))
-    return (joined.groupBy("feature", "n", "__nv", "__ny")
-            .agg(F.sum("__t").alias("__s"))
-            .select("feature", F.col("n").cast("long").alias("n"),
+                   F.sum("o").over(wr))
+    marked = cells.select(
+        "feature", "__v", "__y", "o",
+        trunc_div(t1 * F.sum("o").over(wf),
+                  F.sum("o").over(wc)).alias("__t"))
+    return (marked.groupBy("feature")
+            .agg(F.sum("o").alias("__n"),
+                 F.sum("__t").alias("__s"),
+                 (F.count_distinct("__v")
+                  + F.max(F.when(F.col("__v").isNull(), 1).otherwise(0)))
+                 .alias("__nv"),
+                 (F.count_distinct("__y")
+                  + F.max(F.when(F.col("__y").isNull(), 1).otherwise(0)))
+                 .alias("__ny"))
+            .select("feature", F.col("__n").cast("long").alias("n"),
                     ((F.col("__nv") - 1) * (F.col("__ny") - 1))
                     .cast("long").alias("dof"),
-                    (F.col("__s") - F.col("n") * F.lit(1_000_000))
+                    (F.col("__s") - F.col("__n") * F.lit(1_000_000))
                     .cast("long").alias("chi2_micro")))

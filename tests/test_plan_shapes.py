@@ -854,3 +854,47 @@ def test_ate_stratified_single_scan_single_agg(spark):
     # detail section -> a single scan appears exactly twice
     assert plan.count("Scan parquet") == 2
     assert "InPandas" not in plan and "Join" not in plan
+
+
+def test_chi2_single_expand_scan(spark):
+    """chi2_scores: multi-feature screening is ONE corpus scan (Expand),
+    all joins are over cell-bounded relations, no Python."""
+    from msi_preprocessing_pipeline_spark.operators.featsel import (
+        chi2_scores)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(chi2_scores(docs.withColumn(
+        "lb", (F.col("n_chars") % 7).cast("string")),
+        ["source", "lb"], "lang"))
+    assert plan.count("Scan parquet") == 2  # tree + detail sections
+    assert "Expand" in plan
+    assert "InPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_concentration_single_scan_bounded_window(spark):
+    """concentration: one corpus scan to the |groups| relation; the
+    rank window rides that bounded relation only."""
+    from msi_preprocessing_pipeline_spark.operators.profile import (
+        concentration)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(concentration(docs, "source", "n_chars"))
+    assert plan.count("Scan parquet") == 2
+    assert "InPandas" not in plan
+
+
+def test_attribution_shares_no_entity_window(spark):
+    """attribution_shares: every window partitions by the conversion
+    id, never by the entity — hot entities cost only the equi-join."""
+    from msi_preprocessing_pipeline_spark.operators.behavior import (
+        attribution_shares)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"))
+    plan = plan_of(attribution_shares(
+        ev.limit(50), ev, model="time_decay", horizon_ms=3_600_000,
+        halflife_ms=600_000))
+    import re
+    parts = re.findall(r"windowspecdefinition\((\w+)#", plan.lower())
+    assert parts and all(p.startswith("__cid") for p in parts)
