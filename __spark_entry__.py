@@ -986,6 +986,17 @@ def _q_rfm(spark, sf_dir):
                       "r_bin", "f_bin", "m_bin")
 
 
+def _q_weighted_jaccard(spark, sf_dir):
+    """Exact weighted (multiset) Jaccard near-dup pairs over word
+    3-gram tf vectors, hot-shingle capped at df 100 — all-integer
+    Σmin/Σmax contract, no float division anywhere."""
+    from msi_preprocessing_pipeline_spark.operators.dedup import (
+        weighted_jaccard_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_jaccard_pairs(docs, k=3, threshold=0.3, max_df=100)
+
+
 def _q_concentration(spark, sf_dir):
     """Training-mix concentration of character mass across sources:
     HHI + Gini + top-share as exact micro integers (decimal sums,
@@ -4591,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration_sources": _q_concentration,
         "label_prop_suppliers": _q_label_prop,
         "rfm_features_users": _q_rfm,
+        "weighted_jaccard_pairs": _q_weighted_jaccard,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -6698,6 +6710,44 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    cast(length(list_filter(me, x -> m_micro >= x)) as int)
                        as m_bin
             from u, e
+        """,
+        # multiset Jaccard: sum-min over shared shingles, identity
+        # sum-max = wa + wb - m; hugeint // mirrors trunc_div
+        "weighted_jaccard_pairs": """
+            with w as (
+                select doc_id,
+                       string_split_regex(trim(lower(text)),
+                                          '\\s+') as words
+                from documents where text is not null
+            ), g as (
+                select doc_id,
+                       array_to_string(words[i : i + 2], ' ') as shingle
+                from w, unnest(generate_series(
+                    1, greatest(length(words) - 2, 1))) as t(i)
+            ), tf0 as (
+                select doc_id, shingle, cast(count(*) as hugeint) as tf
+                from g group by 1, 2
+            ), tf as (
+                select * from tf0 where shingle in (
+                    select shingle from tf0
+                    group by shingle
+                    having count(distinct doc_id) <= 100)
+            ), sizes as (
+                select doc_id, sum(tf) as w from tf group by 1
+            ), common as (
+                select a.doc_id as doc_a, b.doc_id as doc_b,
+                       sum(least(a.tf, b.tf)) as m
+                from tf a join tf b
+                  on a.shingle = b.shingle and a.doc_id < b.doc_id
+                group by 1, 2
+            )
+            select doc_a, doc_b,
+                   cast((1000000 * m) // (sa.w + sb.w - m) as bigint)
+                       as jw_micro
+            from common
+            join sizes sa on sa.doc_id = doc_a
+            join sizes sb on sb.doc_id = doc_b
+            where (1000000 * m) // (sa.w + sb.w - m) >= 300000
         """,
         "attribution_decay_events": """
             with c as (

@@ -307,7 +307,8 @@ def main() -> None:
                  "bm25_topk_docs", "dict_tag_docs",
                  "blocklist_filter_docs", "chi2_features_docs",
                  "attribution_decay_events", "concentration_sources",
-                 "label_prop_suppliers", "rfm_features_users"]:
+                 "label_prop_suppliers", "rfm_features_users",
+                 "weighted_jaccard_pairs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

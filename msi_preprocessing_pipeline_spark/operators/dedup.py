@@ -968,3 +968,67 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                     F.col("n_a").cast("long").alias("n_a"),
                     F.col("n_b").cast("long").alias("n_b"),
                     "contain_ab_u", "contain_ba_u"))
+
+
+def weighted_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3,
+                           threshold: float = 0.2,
+                           max_df: int | None = None) -> DataFrame:
+    """Exact WEIGHTED (multiset) Jaccard for every doc pair sharing at
+    least one word-k-gram:
+
+        J_w(a, b) = Σ_s min(tf_a(s), tf_b(s)) / Σ_s max(tf_a(s), tf_b(s))
+
+    — the similarity the set-Jaccard of :func:`ngram_jaccard_pairs`
+    understates for repetitive documents (a doc repeating one paragraph
+    10× and the single-paragraph original are weighted-similar ~0.1,
+    set-similar 1.0).  Uses the identity ``Σ max = W_a + W_b − Σ min``
+    (non-shared shingles contribute their own tf to max), so only
+    SHARED shingles flow through the self-join; W are the per-doc
+    capped-vocabulary shingle totals.
+
+    The score is ``jw_micro = (10⁶·M) trunc_div (W_a + W_b − M)`` — an
+    exact int64 of exact integer counts: engine-bit-identical, no float
+    division to round.  ``threshold`` is applied in micro units
+    (``floor(threshold·10⁶ + 0.5)``).
+
+    ``max_df``: the hot-shingle guard (:func:`drop_hot_keys`, distinct
+    doc count) — sizes are computed on the capped relation, so the
+    score is consistently "over non-ubiquitous shingles" (the
+    ngram_jaccard_pairs contract).
+
+    Plan shape: the tf relation (one groupBy over the shingle
+    generator) is persisted and feeds sizes + both self-join branches
+    (the ngram_jaccard recompute lesson); the self-join fan-out is
+    df-bounded by the cap.  Sizes joins carry NO broadcast hint —
+    per-doc cardinality is corpus cardinality (AQE broadcasts at small
+    scale; shuffle join on ids is the right 100-TB plan).
+    """
+    from ..functions.util import DEC38, trunc_div
+    from .text import word_grams
+
+    thr = int(threshold * 1_000_000 + 0.5)
+    g = word_grams(df, k, text_col, id_col, out_col="shingle",
+                   distinct=False)
+    tf0 = (g.groupBy(id_col, "shingle")
+           .agg(F.count("*").alias("tf")).persist())
+    tf = drop_hot_keys(tf0, "shingle", max_df, id_col=id_col)
+    if max_df is not None:
+        tf = tf.persist()
+    sizes = tf.groupBy(id_col).agg(F.sum("tf").alias("w"))
+    l, r = tf.alias("l"), tf.alias("r")
+    common = (l.join(r, (F.col("l.shingle") == F.col("r.shingle"))
+                     & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+              .groupBy(F.col(f"l.{id_col}").alias("doc_a"),
+                       F.col(f"r.{id_col}").alias("doc_b"))
+              .agg(F.sum(F.least(F.col("l.tf"), F.col("r.tf")))
+                   .alias("m")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("w").alias("wa"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("w").alias("wb"))
+    jw = trunc_div(
+        F.lit(1_000_000).cast(DEC38) * F.col("m"),
+        (F.col("wa") + F.col("wb") - F.col("m")).cast(DEC38)).cast("long")
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jw_micro", jw)
+            .where(F.col("jw_micro") >= F.lit(thr))
+            .select("doc_a", "doc_b", "jw_micro"))
