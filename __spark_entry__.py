@@ -997,6 +997,27 @@ def _q_weighted_jaccard(spark, sf_dir):
     return weighted_jaccard_pairs(docs, k=3, threshold=0.3, max_df=100)
 
 
+def _q_dup_census(spark, sf_dir):
+    """Per-source exact-duplicate census: how much of each source is
+    verbatim-repeated text (the pre-dedup corpus-health readout).
+    Rates are exact micro integers via trunc_div."""
+    from msi_preprocessing_pipeline_spark.functions.util import (
+        DEC38, trunc_div)
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("text").alias("n_texts"),
+        F.count_distinct("text").alias("n_unique"))
+    dup = (F.col("n_texts") - F.col("n_unique")).cast(DEC38)
+    return g.select(
+        "source", "n_docs", "n_texts", "n_unique",
+        F.when(F.col("n_texts") > 0,
+               trunc_div(F.lit(1_000_000).cast(DEC38) * dup,
+                         F.col("n_texts").cast(DEC38)).cast("long"))
+        .alias("dup_rate_micro"))
+
+
 def _q_concentration(spark, sf_dir):
     """Training-mix concentration of character mass across sources:
     HHI + Gini + top-share as exact micro integers (decimal sums,
@@ -4603,6 +4624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop_suppliers": _q_label_prop,
         "rfm_features_users": _q_rfm,
         "weighted_jaccard_pairs": _q_weighted_jaccard,
+        "dup_census_sources": _q_dup_census,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -6748,6 +6770,17 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             join sizes sa on sa.doc_id = doc_a
             join sizes sb on sb.doc_id = doc_b
             where (1000000 * m) // (sa.w + sb.w - m) >= 300000
+        """,
+        "dup_census_sources": """
+            select source, cast(count(*) as bigint) as n_docs,
+                   cast(count(text) as bigint) as n_texts,
+                   cast(count(distinct text) as bigint) as n_unique,
+                   case when count(text) > 0 then
+                        cast((1000000 * (cast(count(text) as hugeint)
+                                         - count(distinct text)))
+                             // count(text) as bigint)
+                   end as dup_rate_micro
+            from documents group by 1
         """,
         "attribution_decay_events": """
             with c as (
