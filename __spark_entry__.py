@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-241 queries, 241 with exact DuckDB oracles — relational SQL where expressible,
+242 queries, 242 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1016,6 +1016,19 @@ def _q_dup_census(spark, sf_dir):
                trunc_div(F.lit(1_000_000).cast(DEC38) * dup,
                          F.col("n_texts").cast(DEC38)).cast("long"))
         .alias("dup_rate_micro"))
+
+
+def _q_cond_entropy(spark, sf_dir):
+    """Per-source bigram conditional entropy H(next|current) of the
+    hash-tokenized stream — nano-quantized c*ln(c) terms summed as
+    exact decimals, trunc_div final ratio."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        conditional_entropy, hash_tokenize)
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hash_tokenize(docs, vocab_size=4096, seed=7,
+                        keep_cols=("source",))
+    return conditional_entropy(tok, "source")
 
 
 def _q_concentration(spark, sf_dir):
@@ -4625,6 +4638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_features_users": _q_rfm,
         "weighted_jaccard_pairs": _q_weighted_jaccard,
         "dup_census_sources": _q_dup_census,
+        "cond_entropy_sources": _q_cond_entropy,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -6781,6 +6795,38 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                              // count(text) as bigint)
                    end as dup_rate_micro
             from documents group by 1
+        """,
+        # H(Y|X) = (sum_x cx ln cx - sum_xy cxy ln cxy)/N; nano-quantized
+        # terms (floor(t*1e9+0.5)) summed in hugeint, // final ratio —
+        # mirrors lm.conditional_entropy; marginals from the same relation
+        "cond_entropy_sources": f"""
+            with {_SQL_TOK},
+            bg as (
+                select source as g, tokens[i] as a, tokens[i + 1] as b
+                from tok, unnest(generate_series(1, len(tokens) - 1))
+                     as u(i)
+            ), cxy as (
+                select g, a, b, cast(count(*) as hugeint) as c
+                from bg group by 1, 2, 3
+            ), cx as (
+                select g, a, sum(c) as cx from cxy group by 1, 2
+            ), sx as (
+                select g, sum(cast(floor(cast(cx as double)
+                                         * ln(cast(cx as double))
+                                         * 1000000000.0 + 0.5)
+                                   as hugeint)) as sx
+                from cx group by 1
+            ), sxy as (
+                select g, sum(cast(floor(cast(c as double)
+                                         * ln(cast(c as double))
+                                         * 1000000000.0 + 0.5)
+                                   as hugeint)) as sxy,
+                       sum(c) as n
+                from cxy group by 1
+            )
+            select sxy.g as source, cast(n as bigint) as n_bigrams,
+                   cast((sx.sx - sxy.sxy) // n as bigint) as h_cond_nano
+            from sxy join sx on sxy.g is not distinct from sx.g
         """,
         "attribution_decay_events": """
             with c as (

@@ -308,7 +308,8 @@ def main() -> None:
                  "blocklist_filter_docs", "chi2_features_docs",
                  "attribution_decay_events", "concentration_sources",
                  "label_prop_suppliers", "rfm_features_users",
-                 "weighted_jaccard_pairs", "dup_census_sources"]:
+                 "weighted_jaccard_pairs", "dup_census_sources",
+                 "cond_entropy_sources"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

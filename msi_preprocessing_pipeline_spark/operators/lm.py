@@ -808,3 +808,55 @@ def perplexity_buckets(df: DataFrame, by: str = "source",
     else:
         label = F.concat(F.lit("b"), idx.cast("string"))
     return df.withColumns({"bucket_idx": idx, "ppl_bucket": label})
+
+
+def conditional_entropy(df: DataFrame, group_col: str = "source",
+                        tokens_col: str = "tokens") -> DataFrame:
+    """Per-group bigram conditional entropy H(next | current) of the
+    token stream — the predictability census that separates natural
+    text (H ≈ 2–4 nats under a word tokenizer) from boilerplate /
+    templated sources (H → 0) and random noise (H → ln |V|), one level
+    deeper than the per-doc unigram :func:`..text.word_entropy`.
+
+    Uses ``H(Y|X) = (Σ_x c_x·ln c_x − Σ_xy c_xy·ln c_xy) / N`` over the
+    group's bigram histogram (marginals from the SAME relation, the
+    :func:`pmi_bigrams` convention).  Each ``c·ln c`` term — a
+    deterministic scalar of an exact integer count — is nano-quantized
+    (``floor(t·10⁹ + 0.5)``, the word_entropy idiom) and summed as
+    exact decimals, and the final division is ``trunc_div`` — so
+    ``h_cond_nano`` is an exact integer, partition-order immune and
+    engine-bit-identical.  Term bound: ``c·ln c·10⁹`` must fit the
+    decimal sum — never a concern below ~10²⁵ bigrams per group.
+
+    Returns ``(group, n_bigrams, h_cond_nano)``; groups with zero
+    bigrams (all docs shorter than 2 tokens) emit no rows.
+
+    Plan shape: one bigram explode → map-side-combined (group, a, b)
+    histogram → context marginal + two group reductions over
+    histogram-bounded relations.  Corpus rows shuffle once.
+    """
+    from ..functions.util import DEC38, trunc_div
+
+    pairs = _bigram_structs(tokens_col)
+    cxy = (df.select(F.col(group_col).alias("g"),
+                     F.explode(pairs).alias("bg"))
+           .groupBy("g", F.col("bg.a").alias("a"),
+                    F.col("bg.b").alias("b"))
+           .agg(F.count("*").alias("c")))
+
+    def q(c):
+        cd = c.cast("double")
+        return F.floor(cd * F.log(cd) * F.lit(1e9) + F.lit(0.5)).cast(DEC38)
+
+    cx = cxy.groupBy("g", "a").agg(F.sum("c").alias("cx"))
+    sx = (cx.groupBy("g").agg(F.sum(q(F.col("cx"))).alias("__sx"))
+          .withColumnRenamed("g", "__g2"))
+    sxy = cxy.groupBy("g").agg(F.sum(q(F.col("c"))).alias("__sxy"),
+                               F.sum("c").cast(DEC38).alias("__n"))
+    # null-safe: a null group value is a real group (the r4 join class)
+    return (sxy.join(sx, F.col("g").eqNullSafe(F.col("__g2")))
+            .select(F.col("g").alias(group_col),
+                    F.col("__n").cast("long").alias("n_bigrams"),
+                    trunc_div(F.col("__sx") - F.col("__sxy"),
+                              F.col("__n")).cast("long")
+                    .alias("h_cond_nano")))
