@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-242 queries, 242 with exact DuckDB oracles — relational SQL where expressible,
+243 queries, 243 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -1029,6 +1029,18 @@ def _q_cond_entropy(spark, sf_dir):
     tok = hash_tokenize(docs, vocab_size=4096, seed=7,
                         keep_cols=("source",))
     return conditional_entropy(tok, "source")
+
+
+def _q_worst_span(spark, sf_dir):
+    """Span-level quality localization: each doc's worst 16-bigram
+    window under the corpus add-k bigram LM — nano-quantized ln p
+    window sums, min-struct argmin, earliest-span tie break."""
+    from msi_preprocessing_pipeline_spark.operators.lm import (
+        hash_tokenize, worst_span)
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hash_tokenize(docs, vocab_size=4096, seed=7)
+    return worst_span(tok, w=16, k=0.5, vocab_size=4096)
 
 
 def _q_concentration(spark, sf_dir):
@@ -4639,6 +4651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard_pairs": _q_weighted_jaccard,
         "dup_census_sources": _q_dup_census,
         "cond_entropy_sources": _q_cond_entropy,
+        "worst_span_docs": _q_worst_span,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -6827,6 +6840,38 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             select sxy.g as source, cast(n as bigint) as n_bigrams,
                    cast((sx.sx - sxy.sxy) // n as bigint) as h_cond_nano
             from sxy join sx on sxy.g is not distinct from sx.g
+        """,
+        # worst w=16 sliding bigram-LM window per doc; same quantized
+        # ln p terms as lm_score_docs, exact int64 window sums
+        "worst_span_docs": f"""
+            with {_SQL_TOK}, {_SQL_BG},
+            cab as (select a, b, count(*) as c from bg group by 1, 2),
+            ca as (select a, cast(sum(c) as bigint) as c_a
+                   from cab group by 1),
+            scored as (
+                select bg.doc_id, bg.pos,
+                       cast(floor(ln((cast(cab.c as double) + 0.5)
+                                     / (cast(ca.c_a as double)
+                                        + 0.5 * 4096))
+                                  * 1000000000.0 + 0.5) as bigint) as q
+                from bg join cab using (a, b) join ca using (a)
+            ), sp as (
+                select doc_id, pos,
+                       sum(q) over w as ssum, count(*) over w as sn,
+                       max(pos) over (partition by doc_id) as nb
+                from scored
+                window w as (partition by doc_id order by pos
+                             rows between 15 preceding and current row)
+            ), best as (
+                select doc_id, nb, pos, ssum,
+                       row_number() over (partition by doc_id
+                           order by ssum asc, pos asc) as rn
+                from sp where sn = 16
+            )
+            select doc_id, cast(nb as int) as n_bigrams,
+                   cast(pos as int) as span_end_pos,
+                   cast(ssum as bigint) as span_sum_q9
+            from best where rn = 1
         """,
         "attribution_decay_events": """
             with c as (

@@ -309,7 +309,7 @@ def main() -> None:
                  "attribution_decay_events", "concentration_sources",
                  "label_prop_suppliers", "rfm_features_users",
                  "weighted_jaccard_pairs", "dup_census_sources",
-                 "cond_entropy_sources"]:
+                 "cond_entropy_sources", "worst_span_docs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

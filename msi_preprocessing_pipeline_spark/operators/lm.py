@@ -860,3 +860,59 @@ def conditional_entropy(df: DataFrame, group_col: str = "source",
                     trunc_div(F.col("__sx") - F.col("__sxy"),
                               F.col("__n")).cast("long")
                     .alias("h_cond_nano")))
+
+
+def worst_span(df: DataFrame, w: int = 16, k: float = 0.5,
+               vocab_size: int = 1 << 16, tokens_col: str = "tokens",
+               id_col: str = "doc_id",
+               counts: DataFrame | None = None) -> DataFrame:
+    """Span-level quality localization: for every document with at
+    least ``w`` bigrams, the ``w``-bigram sliding window with the WORST
+    (lowest) add-k bigram log-likelihood — where inside a document the
+    CCNet-style perplexity filter (:func:`lm_score`) would fire, so a
+    pipeline can cut the bad span instead of dropping the whole doc
+    (the :func:`..dedup.cut_spans` companion for quality).
+
+    Per-bigram ``ln P(b|a) = ln((c(a,b)+k)/(c(a,·)+k·V))`` is
+    nano-quantized per the lm_score ``scale`` idiom — a deterministic
+    scalar of exact counts — so window sums are exact int64 and the
+    argmin is partition-order immune; ties break on the earliest span.
+
+    Returns ``(id, n_bigrams, span_end_pos, span_sum_q9)`` where
+    ``span_end_pos`` is the 1-based position of the window's LAST
+    bigram and ``span_sum_q9`` the window's Σ ln p in 1e-9 units
+    (more negative = less fluent).
+
+    Plan shape: doc-bigram explode → hash joins against the
+    observed-bigram-bounded count relations (AQE broadcasts) → ONE
+    per-doc ordered window (ROWS frame, state = w running values) →
+    per-doc min-struct aggregate.  Window partitions are single
+    documents — bounded by max doc length, skew-free.
+    """
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    big = doc_bigrams(df, tokens_col, id_col)
+    cnt_ab = (counts if counts is not None
+              else bigram_counts(df, tokens_col))
+    cnt_a = cnt_ab.groupBy("a").agg(F.sum("c").alias("c_a"))
+    lnp = F.log((F.col("c").cast("double") + F.lit(float(k)))
+                / (F.col("c_a").cast("double")
+                   + F.lit(float(k) * vocab_size)))
+    q9 = F.floor(lnp * F.lit(1e9) + F.lit(0.5)).cast("long")
+    scored = (big.join(cnt_ab, ["a", "b"]).join(cnt_a, ["a"])
+              .select(F.col(id_col), "pos", q9.alias("__q")))
+    ww = (Window.partitionBy(id_col).orderBy("pos")
+          .rowsBetween(-(w - 1), 0))
+    sp = (scored.select(F.col(id_col), "pos",
+                        F.sum("__q").over(ww).alias("__ssum"),
+                        F.count("*").over(ww).alias("__sn"),
+                        F.max("pos").over(
+                            Window.partitionBy(id_col)).alias("__nb"))
+          .where(F.col("__sn") == w))
+    return (sp.groupBy(id_col)
+            .agg(F.max("__nb").alias("n_bigrams"),
+                 F.min(F.struct(F.col("__ssum"),
+                                F.col("pos"))).alias("__m"))
+            .select(id_col, "n_bigrams",
+                    F.col("__m.pos").alias("span_end_pos"),
+                    F.col("__m.__ssum").alias("span_sum_q9")))
