@@ -1043,6 +1043,34 @@ def _q_worst_span(spark, sf_dir):
     return worst_span(tok, w=16, k=0.5, vocab_size=4096)
 
 
+def _q_cusum_changepoint(spark, sf_dir):
+    """Per-user CUSUM changepoint over the event-value stream: the row
+    where |n*prefix - i*S| peaks — all exact decimal integers, so the
+    located break is engine/partition bit-identical."""
+    from msi_preprocessing_pipeline_spark.operators.drift import (
+        cusum_changepoint)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value")
+    return cusum_changepoint(ev, "user_id", "ts", "value", scale=6,
+                             tiebreak=["event_id"])
+
+
+def _q_best_splits(spark, sf_dir):
+    """CART-style best variance-reduction split per lineitem feature
+    against the extendedprice label — candidate gains as exact integers
+    (BSS·n in 10^6 price² units), rank-1 per feature, ties to the
+    smallest threshold."""
+    from msi_preprocessing_pipeline_spark.operators.featsel import (
+        best_splits, split_candidates)
+
+    li = _t(spark, sf_dir, "lineitem")
+    cand = split_candidates(
+        li, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice",
+        x_scales=2, y_scale=0, out_scale=-6)
+    return best_splits(cand)
+
+
 def _q_concentration(spark, sf_dir):
     """Training-mix concentration of character mass across sources:
     HHI + Gini + top-share as exact micro integers (decimal sums,
@@ -4652,6 +4680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_census_sources": _q_dup_census,
         "cond_entropy_sources": _q_cond_entropy,
         "worst_span_docs": _q_worst_span,
+        "cusum_value_by_user": _q_cusum_changepoint,
+        "best_splits_lineitem": _q_best_splits,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -6872,6 +6902,97 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    cast(pos as int) as span_end_pos,
                    cast(ssum as bigint) as span_sum_q9
             from best where rn = 1
+        """,
+        "cusum_value_by_user": """
+            with obs as (
+                select user_id, event_id, epoch_ms(ts) as ms,
+                       cast(floor(value * 1000000 + 0.5) as hugeint) as q
+                from events where ts is not null and value is not null
+            ), run as (
+                select user_id, ms,
+                       cast(row_number() over w as hugeint) as i,
+                       sum(q) over (w rows between unbounded preceding
+                                    and current row) as pre,
+                       cast(count(*) over (partition by user_id)
+                            as hugeint) as n,
+                       sum(q) over (partition by user_id) as s
+                from obs
+                window w as (partition by user_id order by ms, event_id)
+            ), stat as (
+                select user_id, ms, i, n,
+                       abs(n * pre - i * s) as st
+                from run
+            ), best as (
+                select user_id, i, ms, n, st,
+                       row_number() over (partition by user_id
+                           order by st desc, i asc) as rk
+                from stat where i < n
+            ), totals as (
+                select user_id, cast(count(*) as bigint) as n_obs
+                from obs group by 1
+            )
+            select t.user_id, t.n_obs,
+                   cast(b.i as bigint) as cp_index,
+                   b.ms as cp_ms,
+                   cast(b.st // b.n as bigint) as max_dev_u
+            from totals t
+            left join (select * from best where rk = 1) b
+              using (user_id)
+        """,
+        "best_splits_lineitem": """
+            with stacked as (
+                select 'l_quantity' as feature,
+                       cast(floor(l_quantity * 100 + 0.5) as hugeint)
+                           as xq,
+                       cast(floor(l_extendedprice + 0.5) as hugeint)
+                           as yq
+                from lineitem
+                where l_quantity is not null
+                  and l_extendedprice is not null
+                union all
+                select 'l_discount',
+                       cast(floor(l_discount * 100 + 0.5) as hugeint),
+                       cast(floor(l_extendedprice + 0.5) as hugeint)
+                from lineitem
+                where l_discount is not null
+                  and l_extendedprice is not null
+                union all
+                select 'l_tax',
+                       cast(floor(l_tax * 100 + 0.5) as hugeint),
+                       cast(floor(l_extendedprice + 0.5) as hugeint)
+                from lineitem
+                where l_tax is not null and l_extendedprice is not null
+            ), per_x as (
+                select feature, xq, cast(count(*) as hugeint) as c,
+                       sum(yq) as sy
+                from stacked group by 1, 2
+            ), run as (
+                select feature, xq,
+                       sum(c) over (w rows between unbounded preceding
+                                    and current row) as nl,
+                       sum(sy) over (w rows between unbounded preceding
+                                     and current row) as sl,
+                       sum(c) over (partition by feature) as n,
+                       sum(sy) over (partition by feature) as s
+                from per_x
+                window w as (partition by feature order by xq)
+            ), cand as (
+                select feature, xq, nl, n - nl as nr, sl, s - sl as sr
+                from run where nl < n
+            ), scored as (
+                select feature, cast(xq as bigint) as threshold_u,
+                       cast(nl as bigint) as n_left,
+                       cast(nr as bigint) as n_right,
+                       cast((sl * nr - sr * nl) * (sl * nr - sr * nl)
+                            // (nl * nr * 1000000) as bigint) as gain_n_u
+                from cand
+            ), rk as (
+                select *, row_number() over (partition by feature
+                    order by gain_n_u desc, threshold_u asc) as r
+                from scored
+            )
+            select feature, threshold_u, n_left, n_right, gain_n_u
+            from rk where r = 1
         """,
         "attribution_decay_events": """
             with c as (

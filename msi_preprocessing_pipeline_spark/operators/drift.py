@@ -262,3 +262,87 @@ def ks_stat(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
                            F.col("__dmax").cast("double")
                            / (dec("n_ref") * dec("n_cur")).cast("double"))
                     .alias("d")))
+
+
+def cusum_changepoint(df: DataFrame, group_cols, order_col: str,
+                      value_col: str, scale: int = 6,
+                      tiebreak=None) -> DataFrame:
+    """Offline CUSUM changepoint per group: the index (and order-key)
+    where the cumulative deviation from the group mean peaks — the
+    classic single-changepoint locator (Page 1954's statistic evaluated
+    retrospectively; the max-|CUSUM| estimator in Basseville &
+    Nikiforov, *Detection of Abrupt Changes*, 1993, §2.6).
+
+    The drift family's third leg: :func:`psi_drift` and :func:`ks_stat`
+    say *whether* two snapshots differ; this says *when* a single
+    ordered stream broke.
+
+    Exactness (the repo-wide integer discipline): with ``q_i =
+    floor(v·10^scale + 0.5)``, ``S = Σq``, ``n = count``, the scaled
+    CUSUM at row i is ``stat_i = n·prefix_i − i·S`` — ``n·(prefix_i −
+    i·μ)`` with the rational mean cleared of its denominator.  Every
+    term is an exact decimal(38,0) integer, so the argmax is
+    partition-order and engine bit-identical.  The emitted magnitude is
+    ``max_dev_u = trunc_div(max|stat_i|, n)`` — ``max_i |prefix_i −
+    i·μ|`` truncated to quantized-value units (int64-safe: bounded by
+    ``Σ|q|``).
+
+    Returns one row per group: ``(group…, n_obs, cp_index, cp_ms,
+    max_dev_u)`` where ``cp_index`` is the 1-based last row of the
+    left segment (the break is AFTER it) and ``cp_ms`` its order key in
+    epoch millis (or the raw long).  Ties in ``|stat|`` break to the
+    SMALLEST index.  The interior argmax excludes i = n (stat ≡ 0
+    there); groups with < 2 rows yield null cp columns.  Null
+    order/value rows are dropped (no place on the time axis).
+
+    Plan shape at 10^12 rows: one projection → per-group ordered window
+    (prefix sum + row_number) → group aggregate + rank-1 filter.  The
+    window partitions by entity, so no global sort; skewed entities are
+    the caller's salting problem only if a single entity's history
+    outgrows one task (the ``windows.rolling`` caveat).
+    """
+    from ..functions.util import as_list, trunc_div
+
+    parts = as_list(group_cols)
+    tiebreak = as_list(tiebreak) if tiebreak is not None else []
+    is_ts = dict(df.dtypes).get(order_col, "").startswith("timestamp")
+    ms = (F.unix_millis(F.col(order_col).cast("timestamp")) if is_ts
+          else F.col(order_col).cast("long"))
+    from ..functions.util import quantize
+
+    dec = "decimal(38,0)"
+    obs = (df.where(F.col(order_col).isNotNull()
+                    & F.col(value_col).isNotNull())
+           .select(*parts, ms.alias("__ms"),
+                   quantize(F.col(value_col), scale).cast(dec)
+                   .alias("__q"),
+                   *[F.col(c) for c in tiebreak]))
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("__ms"), *[F.col(c) for c in tiebreak])
+    wall = Window.partitionBy(*parts)
+    run = obs.select(
+        *parts, "__ms",
+        F.row_number().over(w).cast(dec).alias("__i"),
+        F.sum("__q").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("__pre"),
+        F.count("*").over(wall).cast(dec).alias("__n"),
+        F.sum("__q").over(wall).alias("__s"))
+    stat = run.select(
+        *parts, "__ms", "__i", "__n",
+        F.abs(F.col("__n") * F.col("__pre")
+              - F.col("__i") * F.col("__s")).alias("__stat"))
+    interior = stat.where(F.col("__i") < F.col("__n"))
+    rk = Window.partitionBy(*parts).orderBy(
+        F.col("__stat").desc(), F.col("__i").asc())
+    best = (interior
+            .withColumn("__rk", F.row_number().over(rk))
+            .where(F.col("__rk") == 1)
+            .select(*parts,
+                    F.col("__i").cast("bigint").alias("cp_index"),
+                    F.col("__ms").alias("cp_ms"),
+                    trunc_div(F.col("__stat"), F.col("__n"))
+                    .cast("bigint").alias("max_dev_u")))
+    totals = stat.groupBy(*parts).agg(
+        F.max(F.col("__n")).cast("bigint").alias("n_obs"))
+    return totals.join(best, parts, "left").select(
+        *parts, "n_obs", "cp_index", "cp_ms", "max_dev_u")

@@ -219,3 +219,129 @@ def chi2_scores(df: DataFrame, feature_cols, label_col: str) -> DataFrame:
                     .cast("long").alias("dof"),
                     (F.col("__s") - F.col("__n") * F.lit(1_000_000))
                     .cast("long").alias("chi2_micro")))
+
+
+def split_candidates(df: DataFrame, feature_cols, label_col: str,
+                     x_scales=2, y_scale: int = 0, out_scale: int = 4,
+                     assert_exact: bool = True) -> DataFrame:
+    """Decision-stump split search: for every feature and every candidate
+    threshold, the variance-reduction gain of the binary split ``x <= t``
+    against a numeric label — the CART regression-split primitive
+    (Breiman et al. 1984, §8.3) and the standard univariate screen for
+    "does this feature carry signal about the target at any cutpoint".
+
+    Exact-integer contract (the repo discipline): with quantized label
+    ``q = floor(y·10^ys + 0.5)`` and per-feature totals ``n, S``, a
+    candidate split at threshold t has left moments ``(nL, SL)`` (prefix
+    sums over the |distinct x|-bounded relation) and
+
+        ``gain_n = BSS·n = (SL·nR − SR·nL)² / (nL·nR)``
+
+    — the between-group sum of squares scaled by the per-feature constant
+    n, so its argmax over thresholds is the argmax of BSS (equivalently
+    the within-SSE minimizer).  Emitted as ``gain_n_u = trunc_div(diff²·
+    10^out, nL·nR·10^(2·ys))`` — label² units at ``10^-out`` — every term
+    an exact decimal(38,0) integer, bit-identical across engines and
+    partitionings.
+
+    Overflow guard (in-plan, corr_matrix-style): ``diff²·10^max(out,0)``
+    must stay inside decimal(38,0), i.e. ``|diff| ≤
+    isqrt(10^(38−max(out,0)))`` with ``diff ≤ Σ|q|·n`` — the
+    ``raise_error`` fires (rather than silently nulling) beyond.
+    ``out_scale`` may be NEGATIVE: the emitted gain is then in
+    ``10^|out|`` label² units, which keeps n²·Var-magnitude gains inside
+    int64 for large × high-magnitude labels.  For 10^12-row corpora drop
+    ``y_scale`` (coarser label quanta) and use a negative ``out_scale``;
+    the candidate relation itself is |features|·|distinct x_q| rows —
+    pre-bin continuous features (``encoding.quantile_bin``) to bound it.
+
+    Plan shape: one map-only explode (feature stack) → ONE shuffle
+    (groupBy feature,xq) → per-feature ordered window over the distinct-
+    value relation → arithmetic.  Corpus rows never shuffle twice; at
+    10^12 rows the window partition is |distinct x| per feature, not n.
+
+    Rows with a null feature value or null label are excluded per
+    feature (pairwise-complete — the :func:`corr_matrix` convention).
+    Returns ``(feature, threshold_u, n_left, n_right, gain_n_u)`` —
+    threshold in quantized-x units; the split is ``x_q <= threshold_u``;
+    the max-x candidate (empty right side) is omitted.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.util import as_list, trunc_div
+
+    cols = as_list(feature_cols)
+    if not cols:
+        raise ValueError("split_candidates needs at least one feature")
+    if isinstance(x_scales, int):
+        x_scales = {c: x_scales for c in cols}
+    missing = [c for c in cols if c not in x_scales]
+    if missing:
+        raise ValueError(f"no quantization scale for {missing}")
+
+    dec = "decimal(38,0)"
+    stacked = (df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("feature"),
+                 quantize(F.col(c), x_scales[c]).alias("xq"),
+                 quantize(F.col(label_col), y_scale).alias("yq"))
+        for c in cols])).alias("s"))
+        .select("s.feature", "s.xq", "s.yq")
+        .where(F.col("xq").isNotNull() & F.col("yq").isNotNull()))
+    per_x = stacked.groupBy("feature", "xq").agg(
+        F.count("*").cast(dec).alias("c"),
+        F.sum(F.col("yq").cast(dec)).alias("sy"))
+    wp = (Window.partitionBy("feature").orderBy("xq")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("feature")
+    run = per_x.select(
+        "feature", "xq",
+        F.sum("c").over(wp).alias("nl"),
+        F.sum("sy").over(wp).alias("sl"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum("sy").over(wall).alias("s"))
+    cand = run.where(F.col("nl") < F.col("n"))
+    nr = (F.col("n") - F.col("nl")).alias("nr")
+    sr = F.col("s") - F.col("sl")
+    diff = F.col("sl") * nr - sr * F.col("nl")
+    # out_scale may be NEGATIVE (gain in 10^|out| label^2 units) so that
+    # n^2·Var-magnitude gains still fit int64 — the factor then belongs
+    # in the denominator (still one exact trunc_div)
+    num_exp, den_exp = max(out_scale, 0), max(-out_scale, 0)
+    num = diff * diff * F.lit(10 ** num_exp).cast(dec)
+    den = (F.col("nl") * nr
+           * F.lit(10 ** (2 * y_scale + den_exp)).cast(dec))
+    gain = trunc_div(num, den).cast("bigint")
+    if assert_exact:
+        # only the numerator can overflow decimal(38,0): diff²·10^num_exp
+        # (bound can exceed int64 — ship it as a string-typed literal)
+        bound = _isqrt_pow10(38 - num_exp)
+        gain = F.when(
+            F.abs(diff) > F.lit(str(bound)).cast(dec),
+            F.raise_error(F.lit(
+                "split_candidates: |SL*nR - SR*nL| exceeds the "
+                "decimal(38,0) headroom for this out_scale/y_scale - "
+                "coarsen y_scale or lower out_scale"))
+            .cast("bigint")).otherwise(gain)
+    return cand.select(
+        "feature", F.col("xq").cast("bigint").alias("threshold_u"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        gain.alias("gain_n_u"))
+
+
+def _isqrt_pow10(exp: int) -> int:
+    import math
+    return math.isqrt(10 ** exp)
+
+
+def best_splits(cand: DataFrame) -> DataFrame:
+    """Rank-1 selection over a :func:`split_candidates` relation: the
+    highest-gain threshold per feature, ties to the SMALLEST threshold
+    (deterministic, engine-order free).  One window over the candidate
+    relation (|features|·|distinct x| rows, never the corpus)."""
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("feature").orderBy(
+        F.col("gain_n_u").desc(), F.col("threshold_u").asc())
+    return (cand.withColumn("__rk", F.row_number().over(rk))
+            .where(F.col("__rk") == 1).drop("__rk"))

@@ -1,0 +1,78 @@
+"""CUSUM changepoint: hand-computed break location, single-row/null
+edge handling, and partition-count invariance of the exact-integer
+argmax contract."""
+
+import numpy as np
+
+from msi_preprocessing_pipeline_spark.operators.drift import (
+    cusum_changepoint)
+
+
+def _rows(level_a, level_b, n_a, n_b):
+    rows, t = [], 0
+    for _ in range(n_a):
+        rows.append(("u1", t, t, float(level_a)))
+        t += 1
+    for _ in range(n_b):
+        rows.append(("u1", t, t, float(level_b)))
+        t += 1
+    return rows
+
+
+def _np_cusum(vals, scale=6):
+    q = np.floor(np.asarray(vals, dtype=np.float64) * 10.0 ** scale
+                 + 0.5).astype(object)  # python ints: exact
+    n, s = len(q), sum(q)
+    pre, best_i, best_st = 0, None, -1
+    for i in range(1, n):  # interior points only (i < n)
+        pre = pre + q[i - 1]
+        st = abs(n * pre - i * s)
+        if st > best_st:
+            best_st, best_i = st, i
+    return best_i, best_st // n
+
+
+def test_cusum_locates_level_shift(spark):
+    rows = _rows(10.0, 20.0, 6, 4)
+    df = spark.createDataFrame(rows, "user_id string, event_id long, "
+                                     "ms long, value double")
+    out = cusum_changepoint(df, "user_id", "ms", "value",
+                            tiebreak=["event_id"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    vals = [v for (_, _, _, v) in rows]
+    exp_i, exp_dev = _np_cusum(vals)
+    assert r.n_obs == 10
+    assert r.cp_index == exp_i == 6  # break right after the last 10.0
+    assert r.cp_ms == 5
+    assert r.max_dev_u == exp_dev
+
+
+def test_cusum_edge_rows(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1, 5.0),               # single row: no interior point
+         ("b", 1, 1, 1.0), ("b", 2, 2, None),   # null value dropped
+         ("b", 3, None, 9.0),                   # null ts dropped
+         ("b", 4, 3, 2.0)],
+        "user_id string, event_id long, ms long, value double")
+    out = {r.user_id: r for r in cusum_changepoint(
+        df, "user_id", "ms", "value", tiebreak=["event_id"]).collect()}
+    assert out["a"].n_obs == 1 and out["a"].cp_index is None
+    assert out["a"].max_dev_u is None
+    assert out["b"].n_obs == 2 and out["b"].cp_index == 1
+
+
+def test_cusum_partition_invariant(spark):
+    rng = np.random.default_rng(7)
+    rows = [(f"u{i % 5}", i, int(rng.integers(0, 10_000)),
+             float(rng.normal(100 if i % 5 else 50, 3)))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, "
+                                     "ms long, value double")
+    a = sorted(map(tuple, cusum_changepoint(
+        df.repartition(1), "user_id", "ms", "value",
+        tiebreak=["event_id"]).collect()))
+    b = sorted(map(tuple, cusum_changepoint(
+        df.repartition(13), "user_id", "ms", "value",
+        tiebreak=["event_id"]).collect()))
+    assert a == b
