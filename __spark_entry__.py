@@ -2944,6 +2944,19 @@ def _q_kcore(spark, sf_dir):
     return kcore(edges, "s1", "s2", k=8)
 
 
+def _q_bfs_hops(spark, sf_dir):
+    """Multi-source BFS over the sparse co-order slice: exact hop
+    distance from the 5 lowest-keyed suppliers, 4-hop horizon —
+    integer-only contract, recursive-CTE oracle."""
+    from msi_preprocessing_pipeline_spark.operators.graph import bfs_hops
+
+    edges = _supplier_coorder_edges(spark, sf_dir)
+    nodes = (edges.select(F.col("s1").alias("node"))
+             .union(edges.select("s2")).distinct())
+    seeds = nodes.orderBy("node").limit(5)
+    return bfs_hops(edges, "s1", "s2", seeds, max_hops=4)
+
+
 def _q_clustering_coeff(spark, sf_dir):
     """Per-supplier local clustering coefficient of the co-order
     graph — same sparse slice as the triangle census."""
@@ -4682,6 +4695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "worst_span_docs": _q_worst_span,
         "cusum_value_by_user": _q_cusum_changepoint,
         "best_splits_lineitem": _q_best_splits,
+        "bfs_hops_suppliers": _q_bfs_hops,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -6938,6 +6952,34 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             from totals t
             left join (select * from best where rk = 1) b
               using (user_id)
+        """,
+        "bfs_hops_suppliers": """
+            with recursive su as (
+                select distinct l_orderkey as o, l_suppkey as s
+                from lineitem
+                where l_orderkey is not null and l_suppkey is not null
+                  and l_shipdate >= date '1995-02-01'
+                  and l_shipdate < date '1995-08-01'
+            ), e as (
+                select distinct a.s as x, b.s as y
+                from su a join su b on a.o = b.o and a.s < b.s
+            ), adj as (
+                select x as u, y as v from e
+                union all
+                select y, x from e
+            ), seeds as (
+                select v as node from
+                    (select x as v from e union select y from e)
+                order by node limit 5
+            ), r(node, d) as (
+                select node, 0 from seeds
+                union
+                select a.v, r.d + 1
+                from r join adj a on a.u = r.node
+                where r.d < 4
+            )
+            select node, cast(min(d) as int) as hops
+            from r group by node
         """,
         "best_splits_lineitem": """
             with stacked as (

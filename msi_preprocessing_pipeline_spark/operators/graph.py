@@ -343,3 +343,63 @@ def label_prop(edges: DataFrame, src_col: str, dst_col: str,
     out = labels
     und.unpersist()
     return out
+
+
+def bfs_hops(edges: DataFrame, src_col: str, dst_col: str,
+             seeds: DataFrame, seed_col: str | None = None,
+             max_hops: int = 6, directed: bool = False,
+             checkpoint_every: int = 2) -> DataFrame:
+    """Multi-source BFS: the exact hop distance from the nearest seed
+    for every node within ``max_hops`` — the graph family's reachability
+    leg (PageRank ranks, k-core prunes, label_prop clusters; this
+    MEASURES distance, e.g. "how far is every supplier from a trusted
+    seed set", the contamination-radius / influence-horizon shape).
+
+    Returns ``(node, hops)`` — seeds at 0 (isolated seeds included),
+    unreachable-within-``max_hops`` nodes absent.  Deterministic: the
+    min-hop function of a graph is unique, integer, and
+    partition-order free; no floats anywhere.
+
+    Per round: one frontier ⋈ adjacency equi-join + one distinct + one
+    anti-join against the visited relation — all map-side-combinable
+    key shuffles, no row-proportional driver state; ``limit(1).count()``
+    probes the empty frontier (the :func:`kcore` idiom) and
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
+    iterative lineage.  At 10^12 edges each round's cost is the true
+    frontier size — BFS's native complexity — and ``max_hops`` bounds
+    the plan depth a priori.
+
+    ``directed=False`` (default) walks edges both ways; duplicates,
+    loops and null endpoints are dropped either way.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    scol = seed_col or seeds.columns[0]
+    node_t = edges.schema[src_col].dataType.simpleString()
+
+    e = (edges.where(F.col(src_col).isNotNull()
+                     & F.col(dst_col).isNotNull())
+         .select(F.col(src_col).cast(node_t).alias("__u"),
+                 F.col(dst_col).cast(node_t).alias("__v"))
+         .where(F.col("__u") != F.col("__v")))
+    adj = e if directed else e.union(
+        e.select(F.col("__v").alias("__u"), F.col("__u").alias("__v")))
+    adj = adj.distinct()
+
+    dist = (seeds.where(F.col(scol).isNotNull())
+            .select(F.col(scol).cast(node_t).alias("node"))
+            .distinct()
+            .withColumn("hops", F.lit(0)).localCheckpoint())
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        new = (frontier.join(adj, frontier["node"] == adj["__u"])
+               .select(F.col("__v").alias("node")).distinct()
+               .join(dist.select("node"), ["node"], "left_anti")
+               .withColumn("hops", F.lit(h)))
+        if new.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(new)
+        if h % checkpoint_every == 0 or h == max_hops:
+            dist = dist.localCheckpoint()
+        frontier = new.select("node")
+    return dist

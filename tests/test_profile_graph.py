@@ -262,3 +262,63 @@ def test_kcore_empty_and_validation(spark):
         kcore(spark.createDataFrame([(i, i + 1) for i in range(30)],
                                     "s long, d long"), "s", "d", 2,
               max_iter=2)
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+
+
+def _np_bfs(edges, seeds, max_hops, directed):
+    adj = {}
+    for u, v in edges:
+        if u is None or v is None or u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        if not directed:
+            adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = {v for u in frontier for v in adj.get(u, ())
+               if v not in dist}
+        if not nxt:
+            break
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_matches_bruteforce(spark):
+    from msi_preprocessing_pipeline_spark.operators.graph import bfs_hops
+
+    rng = __import__("numpy").random.default_rng(23)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 60, size=(300, 2))]
+    edges.append((999, None))  # null endpoint dropped
+    seeds = [0, 1, 2, 777]     # 777: isolated seed, still hop 0
+    edf = spark.createDataFrame(edges, "s long, d long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    for directed in (False, True):
+        got = {r.node: r.hops
+               for r in bfs_hops(edf, "s", "d", sdf, max_hops=3,
+                                 directed=directed).collect()}
+        exp = _np_bfs(edges, seeds, 3, directed)
+        assert got == exp, f"directed={directed}"
+    assert got[777] == 0
+
+
+def test_bfs_hops_horizon_and_invariance(spark):
+    from msi_preprocessing_pipeline_spark.operators.graph import bfs_hops
+
+    chain = [(i, i + 1) for i in range(10)]
+    edf = spark.createDataFrame(chain, "s long, d long")
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hops
+           for r in bfs_hops(edf, "s", "d", sdf, max_hops=4).collect()}
+    assert got == {i: i for i in range(5)}  # nodes past the horizon absent
+    a = sorted(map(tuple, bfs_hops(edf.repartition(1), "s", "d", sdf,
+                                   max_hops=4).collect()))
+    b = sorted(map(tuple, bfs_hops(edf.repartition(5), "s", "d", sdf,
+                                   max_hops=4).collect()))
+    assert a == b
