@@ -1071,6 +1071,17 @@ def _q_best_splits(spark, sf_dir):
     return best_splits(cand)
 
 
+def _q_benford(spark, sf_dir):
+    """Benford first-significant-digit audit of lineitem prices —
+    digit from the micro-quantized integer's decimal rendering (no
+    log10 anywhere), expected shares as frozen micro literals."""
+    from msi_preprocessing_pipeline_spark.operators.profile import (
+        benford_profile)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_profile(li, "l_extendedprice", scale=6)
+
+
 def _q_concentration(spark, sf_dir):
     """Training-mix concentration of character mass across sources:
     HHI + Gini + top-share as exact micro integers (decimal sums,
@@ -4696,6 +4707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_value_by_user": _q_cusum_changepoint,
         "best_splits_lineitem": _q_best_splits,
         "bfs_hops_suppliers": _q_bfs_hops,
+        "benford_prices": _q_benford,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -4867,6 +4879,45 @@ def oracle_sql() -> dict[str, str]:
     except ImportError:
         pass
     return out
+
+
+# Benford oracle: the frozen micro literals come from the SAME constant
+# the operator uses (operators.profile.BENFORD_MICRO) — one source.
+def _benford_sql() -> str:
+    from msi_preprocessing_pipeline_spark.operators.profile import (
+        BENFORD_MICRO)
+
+    exp_rows = ", ".join(f"({d}, {v})"
+                         for d, v in enumerate(BENFORD_MICRO, start=1))
+    return f"""
+        with census as (
+            select cast(substr(cast(cast(floor(abs(l_extendedprice)
+                           * 1000000 + 0.5) as hugeint) as varchar),
+                           1, 1) as int) as digit,
+                   cast(count(*) as hugeint) as c
+            from lineitem
+            where l_extendedprice is not null
+              and floor(abs(l_extendedprice) * 1000000 + 0.5) > 0
+            group by 1
+        ), total as (
+            select coalesce(sum(c), 0) as n from census
+        ), expect(digit, p_exp_u) as (values {exp_rows})
+        select e.digit,
+               cast(coalesce(c.c, 0) as bigint) as n_obs,
+               case when t.n > 0 then
+                   cast(coalesce(c.c, 0) * 1000000 // t.n as bigint)
+               end as p_obs_u,
+               e.p_exp_u,
+               case when t.n > 0 then
+                   cast(coalesce(c.c, 0) * 1000000 // t.n
+                        - e.p_exp_u as bigint)
+               end as dev_u
+        from expect e cross join total t
+        left join census c on c.digit = e.digit
+    """
+
+
+_BENFORD_SQL = _benford_sql()
 
 
 # Canonical hash-tokenized documents (DuckDB mirror of _tokenized_docs:
@@ -6953,6 +7004,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             left join (select * from best where rk = 1) b
               using (user_id)
         """,
+        "benford_prices": _BENFORD_SQL,
         "bfs_hops_suppliers": """
             with recursive su as (
                 select distinct l_orderkey as o, l_suppkey as s

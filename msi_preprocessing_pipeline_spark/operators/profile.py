@@ -371,3 +371,63 @@ def concentration(df: DataFrame, group_col: str = "source",
             F.col("__n") * F.col("__W")).cast("long")).alias("gini_micro"),
         F.when(nz, trunc_div(sc * F.col("__top"), F.col("__W"))
                .cast("long")).alias("top_share_micro"))
+
+
+# Benford first-digit expectations, micro-quantized: floor(log10(1+1/d)
+# ·1e6 + 0.5) for d = 1..9.  Frozen LITERALS (they sum to exactly 1e6),
+# shared by the operator and every SQL oracle — the lockstep-constant
+# idiom (experiment.mde_ab), so no engine evaluates log10 at all.
+BENFORD_MICRO = [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                 51153, 45757]
+
+
+def benford_profile(df: DataFrame, col: str, scale: int = 6) -> DataFrame:
+    """Benford's-law first-significant-digit audit of a numeric column —
+    the classic fabricated-/truncated-data screen (Benford 1938; Nigrini,
+    *Forensic Analytics*): organically-grown magnitudes follow
+    ``P(d) = log10(1+1/d)``; flat or spiked digit profiles flag synthetic
+    fills, unit clamps, or price-point artifacts.
+
+    Cross-engine exactness: the value is first micro-quantized
+    (``q = floor(|x|·10^scale + 0.5)``, the shared idiom), and the first
+    digit is the first character of the INTEGER's decimal rendering —
+    string-of-int is identical across engines, so no log10/pow edge can
+    flip a digit at powers of ten.  Zero-q and null rows are excluded
+    (they have no leading significant digit).
+
+    Returns exactly 9 rows: ``(digit, n_obs, p_obs_u, p_exp_u, dev_u)``
+    — observed share micro-truncated (``trunc_div(n_d·10^6, n)``),
+    expected share the frozen literal, ``dev_u`` their signed difference.
+    All-integer; zero-count digits present with ``p_obs_u = 0`` (null
+    when the column is empty).
+
+    Plan shape: one scan → 9-row census → 1-row total broadcast-joined
+    onto the digit frame.  Nothing row-proportional leaves the scan.
+    """
+    from ..functions.util import quantize, trunc_div
+
+    dec = "decimal(38,0)"
+    q = quantize(F.abs(F.col(col)), scale)
+    census = (df.where(F.col(col).isNotNull())
+              .select(q.alias("__q")).where(F.col("__q") > 0)
+              .groupBy(F.substring(F.col("__q").cast("string"), 1, 1)
+                       .cast("int").alias("digit"))
+              .agg(F.count("*").alias("__c")))
+    total = census.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast(dec).alias("__n"))
+    frame = total.select(
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"), "__n")
+    exp_map = F.element_at(
+        F.array(*[F.lit(v) for v in BENFORD_MICRO]), F.col("digit"))
+    joined = (frame.join(census, ["digit"], "left")
+              .select("digit",
+                      F.coalesce(F.col("__c"), F.lit(0)).alias("n_obs"),
+                      "__n", exp_map.alias("p_exp_u")))
+    p_obs = F.when(
+        F.col("__n") > 0,
+        trunc_div(F.col("n_obs").cast(dec) * F.lit(1_000_000).cast(dec),
+                  F.col("__n")).cast("bigint"))
+    return joined.select(
+        "digit", F.col("n_obs").cast("bigint").alias("n_obs"),
+        p_obs.alias("p_obs_u"), "p_exp_u",
+        (p_obs - F.col("p_exp_u")).cast("bigint").alias("dev_u"))

@@ -322,3 +322,38 @@ def test_bfs_hops_horizon_and_invariance(spark):
     b = sorted(map(tuple, bfs_hops(edf.repartition(5), "s", "d", sdf,
                                    max_hops=4).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# benford_profile
+
+
+def test_benford_profile_exact_and_edges(spark):
+    from msi_preprocessing_pipeline_spark.operators.profile import (
+        BENFORD_MICRO, benford_profile)
+
+    vals = [1.0, 12.5, 19.0, 2e-4, 0.0, None, -300.0, 9.5e8, 123.456]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r.digit: r for r in benford_profile(df, "x").collect()}
+    assert sorted(rows) == list(range(1, 10))
+    # quantized-at-1e6 leading digits: 1,1,1,2,(0 dropped),(null),3,9,1
+    n = 7
+    counts = {1: 4, 2: 1, 3: 1, 9: 1}
+    for d in range(1, 10):
+        r = rows[d]
+        assert r.n_obs == counts.get(d, 0)
+        assert r.p_obs_u == counts.get(d, 0) * 1_000_000 // n
+        assert r.p_exp_u == BENFORD_MICRO[d - 1]
+        assert r.dev_u == r.p_obs_u - r.p_exp_u
+    assert sum(BENFORD_MICRO) == 1_000_000
+
+
+def test_benford_profile_empty(spark):
+    from msi_preprocessing_pipeline_spark.operators.profile import (
+        benford_profile)
+
+    df = spark.createDataFrame([(None,), (0.0,)], "x double")
+    rows = benford_profile(df, "x").collect()
+    assert len(rows) == 9
+    assert all(r.n_obs == 0 and r.p_obs_u is None and r.dev_u is None
+               for r in rows)
