@@ -1071,6 +1071,19 @@ def _q_best_splits(spark, sf_dir):
     return best_splits(cand)
 
 
+def _q_time_weighted_mean(spark, sf_dir):
+    """Per-user duration-weighted (sample-and-hold) mean of event
+    values — holding-interval integer weights x micro-quantized values,
+    one truncating division at the end."""
+    from msi_preprocessing_pipeline_spark.operators.windows import (
+        time_weighted_mean)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value")
+    return time_weighted_mean(ev, "value", "user_id", "ts",
+                              tiebreak=["event_id"])
+
+
 def _q_benford(spark, sf_dir):
     """Benford first-significant-digit audit of lineitem prices —
     digit from the micro-quantized integer's decimal rendering (no
@@ -4708,6 +4721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_splits_lineitem": _q_best_splits,
         "bfs_hops_suppliers": _q_bfs_hops,
         "benford_prices": _q_benford,
+        "twa_value_by_user": _q_time_weighted_mean,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -7005,6 +7019,29 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
               using (user_id)
         """,
         "benford_prices": _BENFORD_SQL,
+        "twa_value_by_user": """
+            with obs as (
+                select user_id, event_id, epoch_ms(ts) as ms,
+                       cast(floor(value * 1000000 + 0.5) as hugeint) as q
+                from events where ts is not null and value is not null
+            ), held as (
+                select user_id, ms, q,
+                       lead(ms) over (partition by user_id
+                                      order by ms, event_id) - ms as w
+                from obs
+            ), agg as (
+                select user_id, cast(count(*) as bigint) as n_obs,
+                       cast(max(ms) - min(ms) as bigint) as span_ms,
+                       sum(cast(w as hugeint)) as sw,
+                       sum(q * cast(w as hugeint)) as sqw
+                from held group by 1
+            )
+            select user_id, n_obs, span_ms,
+                   case when sw > 0 then
+                       cast((sqw * 1000000) // (sw * 1000000) as bigint)
+                   end as twa_u
+            from agg
+        """,
         "bfs_hops_suppliers": """
             with recursive su as (
                 select distinct l_orderkey as o, l_suppkey as s

@@ -290,3 +290,58 @@ def sliding_distinct(labels: DataFrame, events: DataFrame,
                         how="left")
     return (joined.groupBy(*labels.columns)
             .agg(F.count("__lo").cast("long").alias(out_col)))
+
+
+def time_weighted_mean(df: DataFrame, value_col: str, partition_by,
+                       order_by: str = "ts", scale: int = 6,
+                       out_scale: int = 6, tiebreak=None) -> DataFrame:
+    """Duration-weighted mean per entity over an irregularly-sampled
+    stream — the TWAP / sample-and-hold average: each observation's
+    value holds until the NEXT observation, so its weight is that
+    holding interval in millis.  The standard correction when plain
+    ``avg(value)`` over-represents bursty periods (sensor readings,
+    price ticks, state snapshots).
+
+    Exact contract: quantized values × integer interval weights
+    accumulate in decimal(38,0); the emitted mean is ONE truncating
+    division ``trunc_div(Σ(q·w)·10^out, Σw·10^scale)`` — micro units,
+    engine/partition bit-identical.  The LAST observation of each
+    entity has no holding interval and carries zero weight (it bounds
+    the window, contributing its timestamp, not its value — the
+    standard left-closed convention); entities with a single
+    observation therefore emit a null mean but a real span.
+
+    Returns ``(entity…, n_obs, span_ms, twa_u)``.  Null value/ts rows
+    are dropped.  Plan: one per-entity ordered window (lead) + one
+    group aggregate — two exchanges on the entity key, nothing global.
+    """
+    from ..functions.util import as_list, quantize, trunc_div
+
+    parts = as_list(partition_by)
+    tiebreak = as_list(tiebreak) if tiebreak is not None else []
+    is_ts = dict(df.dtypes).get(order_by, "").startswith("timestamp")
+    ms = (F.unix_millis(F.col(order_by).cast("timestamp")) if is_ts
+          else F.col(order_by).cast("long"))
+    dec = "decimal(38,0)"
+    obs = (df.where(F.col(order_by).isNotNull()
+                    & F.col(value_col).isNotNull())
+           .select(*parts, ms.alias("__ms"),
+                   quantize(F.col(value_col), scale).alias("__q"),
+                   *[F.col(c) for c in tiebreak]))
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("__ms"), *[F.col(c) for c in tiebreak])
+    held = obs.select(
+        *parts, "__ms", "__q",
+        (F.lead("__ms").over(w) - F.col("__ms")).alias("__w"))
+    agg = held.groupBy(*parts).agg(
+        F.count("*").alias("n_obs"),
+        (F.max("__ms") - F.min("__ms")).alias("span_ms"),
+        F.sum(F.col("__w").cast(dec)).alias("__sw"),
+        F.sum(F.col("__q").cast(dec) * F.col("__w").cast(dec))
+        .alias("__sqw"))
+    twa = F.when(
+        F.col("__sw") > 0,
+        trunc_div(F.col("__sqw") * F.lit(10 ** out_scale).cast(dec),
+                  F.col("__sw") * F.lit(10 ** scale).cast(dec))
+        .cast("bigint"))
+    return agg.select(*parts, "n_obs", "span_ms", twa.alias("twa_u"))

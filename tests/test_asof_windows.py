@@ -214,3 +214,62 @@ def test_matlab_quantiles_match_kernel(spark):
     got = quantiles.matlab_quantiles(df, "v", [0.25, 0.5, 0.75])
     np.testing.assert_allclose(got, mquantile(vals, [0.25, 0.5, 0.75]),
                                rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_mean
+
+
+def test_time_weighted_mean_hand_case(spark):
+    from msi_preprocessing_pipeline_spark.operators.windows import (
+        time_weighted_mean)
+
+    rows = [
+        # u1: 10.0 held 2ms, 20.0 held 8ms, last obs weightless
+        ("u1", 1, 0, 10.0), ("u1", 2, 2, 20.0), ("u1", 3, 10, 99.0),
+        ("u2", 1, 5, 7.5),            # single obs: null mean, span 0
+        ("u3", 1, 0, -4.0), ("u3", 2, 3, None), ("u3", 3, 7, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, "
+                                     "ms long, value double")
+    out = {r.user_id: r for r in time_weighted_mean(
+        df, "value", "user_id", "ms", tiebreak=["event_id"]).collect()}
+    r1 = out["u1"]
+    assert (r1.n_obs, r1.span_ms) == (3, 10)
+    assert r1.twa_u == (10_000_000 * 2 + 20_000_000 * 8) // 10
+    r2 = out["u2"]
+    assert (r2.n_obs, r2.span_ms, r2.twa_u) == (1, 0, None)
+    # u3: null value dropped, -4.0 held 7ms; trunc toward zero:
+    # (-28e6) fits exactly / 7 = -4e6
+    r3 = out["u3"]
+    assert (r3.n_obs, r3.span_ms, r3.twa_u) == (2, 7, -4_000_000)
+
+
+def test_time_weighted_mean_trunc_negative(spark):
+    from msi_preprocessing_pipeline_spark.operators.windows import (
+        time_weighted_mean)
+
+    # sum q·w = -1e6·1 + -2e6·2  = -5e6 over w=3 → -5e6*1e6 // 3e6
+    # truncates toward zero: -1666666 (floor would be -1666667)
+    rows = [("u", 1, 0, -1.0), ("u", 2, 1, -2.0), ("u", 3, 3, 0.0)]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, "
+                                     "ms long, value double")
+    r = time_weighted_mean(df, "value", "user_id", "ms",
+                           tiebreak=["event_id"]).collect()[0]
+    assert r.twa_u == -1_666_666
+
+
+def test_time_weighted_mean_partition_invariant(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.windows import (
+        time_weighted_mean)
+
+    rng = np.random.default_rng(31)
+    rows = [(f"u{i % 7}", i, int(rng.integers(0, 10_000)),
+             float(rng.normal(0, 50))) for i in range(500)]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, "
+                                     "ms long, value double")
+    run = lambda d: sorted(map(tuple, time_weighted_mean(  # noqa: E731
+        d, "value", "user_id", "ms", tiebreak=["event_id"]).collect()))
+    assert run(df.repartition(1)) == run(df.repartition(11))
