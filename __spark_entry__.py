@@ -1084,6 +1084,19 @@ def _q_time_weighted_mean(spark, sf_dir):
                               tiebreak=["event_id"])
 
 
+def _q_oof_target_encode(spark, sf_dir):
+    """Cross-fitted (out-of-fold) target-encoding table for event_type
+    against value, folds group-stable on user_id — each cell's mean
+    comes only from the OTHER folds (the self-label leak blocked)."""
+    from msi_preprocessing_pipeline_spark.operators.cv import group_kfold
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        oof_target_stats)
+
+    ev = group_kfold(_t(spark, sf_dir, "events"), "user_id",
+                     n_folds=5, seed=7)
+    return oof_target_stats(ev, "event_type", "value", "fold")
+
+
 def _q_benford(spark, sf_dir):
     """Benford first-significant-digit audit of lineitem prices —
     digit from the micro-quantized integer's decimal rendering (no
@@ -4722,6 +4735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops_suppliers": _q_bfs_hops,
         "benford_prices": _q_benford,
         "twa_value_by_user": _q_time_weighted_mean,
+        "oof_target_encode_events": _q_oof_target_encode,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -7019,6 +7033,38 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
               using (user_id)
         """,
         "benford_prices": _BENFORD_SQL,
+        "oof_target_encode_events": """
+            with base as (
+                select event_type,
+                       cast(cast(('0x' || substr(md5(
+                                concat(cast(user_id as varchar),
+                                       ':gkf:7')), 1, 8)) as bigint)
+                            % 5 as int) as fold,
+                       cast(floor(value * 1000000 + 0.5) as hugeint) as q
+                from events
+                where event_type is not null and user_id is not null
+                  and value is not null
+            ), cf as (
+                select event_type, fold,
+                       cast(count(*) as hugeint) as n_cf,
+                       sum(q) as s_cf
+                from base group by 1, 2
+            ), oof as (
+                select event_type, fold,
+                       sum(n_cf) over (partition by event_type) - n_cf
+                           as n_oof,
+                       sum(s_cf) over (partition by event_type) - s_cf
+                           as s_oof
+                from cf
+            )
+            select event_type, fold,
+                   cast(n_oof as bigint) as n_oof,
+                   case when n_oof > 0 then
+                       cast((s_oof * 1000000)
+                            // (n_oof * 1000000) as bigint)
+                   end as te_oof_u
+            from oof
+        """,
         "twa_value_by_user": """
             with obs as (
                 select user_id, event_id, epoch_ms(ts) as ms,

@@ -620,3 +620,70 @@ def count_encode_pit(df: DataFrame, category_col: str,
     return _expanding_prior_sums(
         df, category_col, ts_col, tiebreak,
         {out: F.count("*")}, bucket_width)
+
+
+def oof_target_stats(df: DataFrame, category_col: str, target_col: str,
+                     fold_col: str = "fold", scale: int = 6,
+                     out_scale: int = 6) -> DataFrame:
+    """Out-of-fold target-encoding table: for every (category, fold)
+    cell, the mean target over the SAME category in ALL OTHER folds —
+    the cross-fitting complement of :func:`target_encode_pit` (PIT
+    blocks temporal leakage; OOF blocks the self-label leak for
+    temporally-unstructured tabular features, the standard
+    cross-validated target-encoder: a row's own fold never contributes
+    to its encoding).
+
+    Exact contract: quantized-target decimal sums per (category, fold);
+    the out-of-fold complement is the per-category total minus the own
+    cell (one window over the |categories×folds|-bounded relation, never
+    the corpus); the mean is one ``trunc_div`` — micro units,
+    engine/partition bit-identical.
+
+    Returns ``(category, fold, n_oof, te_oof_u)``; ``te_oof_u`` null
+    when no other fold has the category (no out-of-fold signal).  Rows
+    with a null category, fold, or target contribute nothing.
+
+    Plan shape at 10^12 rows: ONE map-side-combined aggregation on
+    (category, fold) → k·|categories| rows → window + arithmetic.  Join
+    the result back broadcast (:func:`target_encode_oof`).
+    """
+    from ..functions.util import quantize, trunc_div
+
+    dec = "decimal(38,0)"
+    cat, fold = F.col(category_col), F.col(fold_col)
+    base = df.where(cat.isNotNull() & fold.isNotNull()
+                    & F.col(target_col).isNotNull())
+    cf = base.groupBy(category_col, fold_col).agg(
+        F.count("*").cast(dec).alias("__n_cf"),
+        F.sum(quantize(F.col(target_col), scale).cast(dec))
+        .alias("__s_cf"))
+    wall = Window.partitionBy(category_col)
+    oof = cf.select(
+        category_col, fold_col,
+        (F.sum("__n_cf").over(wall) - F.col("__n_cf")).alias("__n_oof"),
+        (F.sum("__s_cf").over(wall) - F.col("__s_cf")).alias("__s_oof"))
+    te = F.when(
+        F.col("__n_oof") > 0,
+        trunc_div(F.col("__s_oof") * F.lit(10 ** out_scale).cast(dec),
+                  F.col("__n_oof") * F.lit(10 ** scale).cast(dec))
+        .cast("bigint"))
+    return oof.select(category_col, fold_col,
+                      F.col("__n_oof").cast("bigint").alias("n_oof"),
+                      te.alias("te_oof_u"))
+
+
+def target_encode_oof(df: DataFrame, category_col: str, target_col: str,
+                      fold_col: str = "fold", scale: int = 6,
+                      out_scale: int = 6,
+                      out_col: str | None = None) -> DataFrame:
+    """Row-level out-of-fold target encoding: broadcast-join the
+    :func:`oof_target_stats` table back onto the corpus.  Rows whose
+    (category, fold) has no out-of-fold signal — and rows with null
+    category/fold — keep a null encoding.  One broadcast hash join, no
+    corpus shuffle."""
+    out = out_col or f"te_oof_{target_col}"
+    table = oof_target_stats(df, category_col, target_col, fold_col,
+                             scale, out_scale)
+    enc = F.broadcast(table.select(
+        category_col, fold_col, F.col("te_oof_u").alias(out)))
+    return df.join(enc, [category_col, fold_col], "left")

@@ -619,3 +619,73 @@ def test_pit_window_agg_multi_duplicate_prefix_raises(spark):
                              sources=[EventSource(ev, "ets", "v", "x_"),
                                       EventSource(ev, "ets", "v", "x_")],
                              window=10)
+
+
+# ---------------------------------------------------------------------------
+# out-of-fold target encoding
+
+
+def test_oof_target_stats_hand_case(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        oof_target_stats, target_encode_oof)
+
+    rows = [
+        ("A", 0, 10.0), ("A", 0, 20.0), ("A", 1, 40.0),
+        ("B", 0, 5.0),                      # B only in fold 0: no OOF
+        ("A", None, 99.0), (None, 1, 7.0),  # null fold/cat excluded
+        ("A", 1, None),                     # null target excluded
+    ]
+    df = spark.createDataFrame(rows, "cat string, fold int, y double")
+    tab = {(r.cat, r.fold): r for r in
+           oof_target_stats(df, "cat", "y", "fold").collect()}
+    assert set(tab) == {("A", 0), ("A", 1), ("B", 0)}
+    # A fold 0 encodes from fold 1 only: mean 40
+    assert tab[("A", 0)].n_oof == 1
+    assert tab[("A", 0)].te_oof_u == 40_000_000
+    # A fold 1 encodes from fold 0: mean 15
+    assert tab[("A", 1)].n_oof == 2
+    assert tab[("A", 1)].te_oof_u == 15_000_000
+    assert tab[("B", 0)].n_oof == 0 and tab[("B", 0)].te_oof_u is None
+
+    enc = target_encode_oof(df, "cat", "y", "fold").collect()
+    by = {(r.cat, r.fold, r.y): r.te_oof_y for r in enc}
+    assert by[("A", 0, 10.0)] == 40_000_000
+    assert by[("A", 1, 40.0)] == 15_000_000
+    assert by[("A", None, 99.0)] is None
+    assert by[(None, 1, 7.0)] is None
+    # a row with a null target still RECEIVES its cell's encoding
+    assert by[("A", 1, None)] == 15_000_000
+
+
+def test_oof_target_stats_no_self_leak_and_invariance(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        oof_target_stats)
+
+    rng = np.random.default_rng(13)
+    rows = [(f"c{i % 4}", int(rng.integers(0, 5)),
+             float(rng.normal(0, 10))) for i in range(600)]
+    df = spark.createDataFrame(rows, "cat string, fold int, y double")
+    got = {(r.cat, r.fold): (r.n_oof, r.te_oof_u) for r in
+           oof_target_stats(df, "cat", "y", "fold").collect()}
+    q = lambda v: int(np.floor(v * 1e6 + 0.5))  # noqa: E731
+    for (cat, fold), (n_oof, te) in got.items():
+        oth = [q(y) for c, f, y in rows if c == cat and f != fold]
+        assert n_oof == len(oth)
+        exp = (sum(oth) * 1_000_000) // (len(oth) * 1_000_000) \
+            if oth and sum(oth) >= 0 else None
+        if oth:
+            s = sum(oth)
+            num, den = s * 1_000_000, len(oth) * 1_000_000
+            exp = (num - (num % den if num >= 0 else num % den - den
+                          if num % den else 0)) // den \
+                if num >= 0 else -((-num) // den)
+            assert te == exp
+        else:
+            assert te is None
+    a = sorted(map(tuple, oof_target_stats(
+        df.repartition(1), "cat", "y", "fold").collect()))
+    b = sorted(map(tuple, oof_target_stats(
+        df.repartition(9), "cat", "y", "fold").collect()))
+    assert a == b
