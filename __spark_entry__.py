@@ -1097,6 +1097,73 @@ def _q_oof_target_encode(spark, sf_dir):
     return oof_target_stats(ev, "event_type", "value", "fold")
 
 
+def _q_sax(spark, sf_dir):
+    """SAX shape tokens per user value-series: 8-segment PAA,
+    4-letter Gaussian alphabet — exact decimal moments, one fixed
+    IEEE z tree, frozen breakpoint literals."""
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        sax_symbols)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value")
+    return sax_symbols(ev, "value", "user_id", "ts", n_segments=8,
+                       alphabet_size=4, scale=3, tiebreak=["event_id"])
+
+
+def _sax_sql() -> str:
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        sax_breakpoints)
+
+    b1, b2, b3 = (repr(b) for b in sax_breakpoints(4))
+    return f"""
+        with obs as (
+            select user_id, event_id, epoch_ms(ts) as ms,
+                   cast(floor(value * 1000 + 0.5) as hugeint) as q
+            from events where ts is not null and value is not null
+        ), pos as (
+            select user_id, q,
+                   row_number() over (partition by user_id
+                                      order by ms, event_id) - 1 as i,
+                   count(*) over (partition by user_id) as L
+            from obs
+        ), seg as (
+            select user_id, q,
+                   cast((i * 8) // L as int) as segment
+            from pos
+        ), per_seg as (
+            select user_id, segment,
+                   cast(count(*) as bigint) as n_in_seg,
+                   sum(q) as s, sum(q * q) as ss
+            from seg group by 1, 2
+        ), tot as (
+            select user_id, segment, n_in_seg, s,
+                   sum(cast(n_in_seg as hugeint))
+                       over (partition by user_id) as ld,
+                   sum(s) over (partition by user_id) as sg,
+                   sum(ss) over (partition by user_id) as ssg
+            from per_seg
+        ), zc as (
+            select user_id, segment, n_in_seg,
+                   case when ld * ssg - sg * sg > 0 then
+                       cast(s * ld - sg * cast(n_in_seg as hugeint)
+                            as double)
+                       / (cast(n_in_seg as double)
+                          * sqrt(cast(ld * ssg - sg * sg as double)))
+                   end as z
+            from tot
+        )
+        select user_id, segment, n_in_seg,
+               case when z is not null then
+                   cast(floor(z * 1000000 + 0.5) as bigint) end as z_u,
+               case when z is not null then
+                   cast((case when z > {b1} then 1 else 0 end)
+                        + (case when z > {b2} then 1 else 0 end)
+                        + (case when z > {b3} then 1 else 0 end)
+                        as int) end as symbol
+        from zc
+    """
+
+
 def _q_benford(spark, sf_dir):
     """Benford first-significant-digit audit of lineitem prices —
     digit from the micro-quantized integer's decimal rendering (no
@@ -4736,6 +4803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_prices": _q_benford,
         "twa_value_by_user": _q_time_weighted_mean,
         "oof_target_encode_events": _q_oof_target_encode,
+        "sax_value_by_user": _q_sax,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -7033,6 +7101,7 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
               using (user_id)
         """,
         "benford_prices": _BENFORD_SQL,
+        "sax_value_by_user": _sax_sql(),
         "oof_target_encode_events": """
             with base as (
                 select event_type,

@@ -411,3 +411,123 @@ def gap_stats(df: DataFrame, partition_by, order_by: str = "ts",
                  F.coalesce(F.sum(F.when(F.col("__gap")
                                          > F.lit(threshold_ms), 1)),
                             F.lit(0)).cast("long").alias("n_gaps_over")))
+
+
+def sax_breakpoints(alphabet_size: int) -> list[float]:
+    """The k−1 standard-normal quantile breakpoints of classic SAX (Lin
+    et al. 2003, "A Symbolic Representation of Time Series"):
+    ``Φ⁻¹(j/k)`` for j = 1..k−1, from the repo's scipy-free
+    ``kernels.special.norm_ppf``.  Frozen at plan-build time into BOTH
+    the Spark plan and any SQL oracle (the lockstep-literal idiom), so
+    no engine evaluates the inverse CDF."""
+    from ..kernels.special import norm_ppf
+
+    if alphabet_size < 2:
+        raise ValueError(
+            f"alphabet_size must be >= 2, got {alphabet_size}")
+    return [float(norm_ppf(j / alphabet_size))
+            for j in range(1, alphabet_size)]
+
+
+def sax_symbols(df: DataFrame, value_col: str, partition_by,
+                order_by: str = "ts", n_segments: int = 8,
+                alphabet_size: int = 4, scale: int = 3,
+                tiebreak=None, assert_exact: bool = True) -> DataFrame:
+    """SAX symbolization per entity series: PAA-reduce each ordered
+    series to ``n_segments`` means, z-normalize against the SERIES'
+    own mean/σ, and map each segment to its Gaussian-breakpoint symbol
+    — the classic shape-token featurization for time-series indexing /
+    motif mining (Lin et al. 2003).
+
+    Cross-engine determinism: all moments are exact decimal integers
+    over the quantized series (the repo discipline); the z-score is ONE
+    fixed IEEE tree over them —
+
+        ``z = (s·L − S·c) / (c · √(L·SS − S²))``
+
+    — each operand cast exactly (an in-plan ``raise_error`` guards the
+    2^53 cast bound, corr_matrix-style: a decimal→double cast beyond it
+    may double-round differently per engine), and /, ·, √ are all
+    correctly-rounded IEEE ops, so the double — and its micro-quantized
+    ``z_u`` and breakpoint symbol — are bit-identical across engines
+    and partitionings.  Constant series (σ = 0) emit null z/symbol.
+
+    Row i (1-based per entity, ordered by ``order_by`` + ``tiebreak``)
+    lands in segment ``((i−1)·w) div L`` — the standard balanced PAA
+    split when w ∤ L; series shorter than ``n_segments`` simply skip
+    the empty segments.  Null value/ts rows are dropped first (their
+    positions do not exist on the series).
+
+    Returns ``(entity…, segment, n_in_seg, z_u, symbol)`` with
+    ``symbol ∈ [0, k)`` counting breakpoints strictly below z.
+
+    Plan shape: one per-entity ordered window (row_number) → one
+    (entity, segment) aggregation → one |entities|-bounded window for
+    the series moments → arithmetic.  Corpus rows shuffle once on the
+    entity key; everything after is segment-relation sized.
+    """
+    from ..functions.util import as_list, quantize
+
+    parts = as_list(partition_by)
+    tiebreak = as_list(tiebreak) if tiebreak is not None else []
+    bps = sax_breakpoints(alphabet_size)
+    is_ts = dict(df.dtypes).get(order_by, "").startswith("timestamp")
+    ms = (F.unix_millis(F.col(order_by).cast("timestamp")) if is_ts
+          else F.col(order_by).cast("long"))
+    dec = "decimal(38,0)"
+    obs = (df.where(F.col(order_by).isNotNull()
+                    & F.col(value_col).isNotNull())
+           .select(*parts, ms.alias("__ms"),
+                   quantize(F.col(value_col), scale).alias("__q"),
+                   *[F.col(c) for c in tiebreak]))
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("__ms"), *[F.col(c) for c in tiebreak])
+    wall = Window.partitionBy(*parts)
+    pos = obs.select(
+        *parts, "__q",
+        (F.row_number().over(w) - 1).alias("__i"),
+        F.count("*").over(wall).alias("__L"))
+    seg = pos.select(
+        *parts, "__q", "__L",
+        ((F.col("__i") * n_segments) - (F.col("__i") * n_segments)
+         % F.col("__L")).alias("__sw"))
+    seg = seg.withColumn(
+        "segment", (F.col("__sw") / F.col("__L")).cast("int")).drop("__sw")
+    per_seg = seg.groupBy(*parts, "segment").agg(
+        F.count("*").alias("n_in_seg"),
+        F.sum(F.col("__q").cast(dec)).alias("__s"),
+        F.sum(F.col("__q").cast(dec) * F.col("__q").cast(dec))
+        .alias("__ss"))
+    went = Window.partitionBy(*parts)
+    # NB: Spark resolution is case-insensitive — totals get distinct
+    # names, not case variants of __s/__ss
+    tot = per_seg.select(
+        *parts, "segment", "n_in_seg", "__s",
+        F.sum(F.col("n_in_seg").cast(dec)).over(went).alias("__len"),
+        F.sum("__s").over(went).alias("__sum"),
+        F.sum("__ss").over(went).alias("__sumsq"))
+    num = (F.col("__s") * F.col("__len")
+           - F.col("__sum") * F.col("n_in_seg").cast(dec))
+    varnum = (F.col("__len") * F.col("__sumsq")
+              - F.col("__sum") * F.col("__sum"))
+    two53 = F.lit(str(1 << 53))
+    z = (num.cast("double")
+         / (F.col("n_in_seg").cast("double")
+            * F.sqrt(varnum.cast("double"))))
+    z_u = F.when(varnum > 0, quantize(z, 6))
+    if assert_exact:
+        z_u = F.when(
+            F.greatest(F.abs(num), F.abs(varnum))
+            > two53.cast("decimal(38,0)"),
+            F.raise_error(F.lit(
+                "sax_symbols: a moment exceeds 2^53 - the "
+                "decimal->double cast may double-round differently "
+                "per engine; lower the quantization scale"))
+            .cast("bigint")).otherwise(z_u)
+    sym = None
+    for bp in bps:
+        c = F.when(z > F.lit(bp), 1).otherwise(0)
+        sym = c if sym is None else sym + c
+    symbol = F.when(z_u.isNotNull(), sym).cast("int")
+    return tot.select(*parts, "segment", "n_in_seg",
+                      z_u.alias("z_u"), symbol.alias("symbol"))

@@ -427,3 +427,68 @@ def test_kn_score_external_counts_unseen_pair_of_seen_words(spark):
     # c(2,3)=0; c_a(2)=1, n1a(2)=1; n1b(3)=1; n1t=3
     p = (0.0 + (0.5 * 1) * (1 / 3)) / 1
     assert r.sum_lnp == pytest.approx(math.log(p), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization
+
+
+def test_sax_symbols_hand_case(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        sax_breakpoints, sax_symbols)
+
+    # 8 points, 4 segments of 2: means 1.5, 3.5, 5.5, 7.5
+    rows = [("u", i, i, float(i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, "
+                                     "ms long, value double")
+    out = {r.segment: r for r in sax_symbols(
+        df, "value", "user_id", "ms", n_segments=4, alphabet_size=4,
+        scale=3, tiebreak=["event_id"]).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    vals = np.arange(1, 9, dtype=float)
+    mu, sd = vals.mean(), vals.std()  # population sigma
+    bps = sax_breakpoints(4)
+    for seg, r in out.items():
+        paa = vals[2 * seg:2 * seg + 2].mean()
+        z = (paa - mu) / sd
+        assert r.n_in_seg == 2
+        assert r.z_u == int(np.floor(z * 1e6 + 0.5))
+        assert r.symbol == sum(z > b for b in bps)
+    # monotone series → monotone symbols, extremes in the outer letters
+    assert out[0].symbol == 0 and out[3].symbol == 3
+
+
+def test_sax_symbols_constant_and_short(spark):
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        sax_symbols)
+
+    rows = [("c", i, i, 5.0) for i in range(4)] + [("s", 0, 0, 1.0)]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, "
+                                     "ms long, value double")
+    out = sax_symbols(df, "value", "user_id", "ms", n_segments=8,
+                      alphabet_size=4, tiebreak=["event_id"]).collect()
+    by = {(r.user_id, r.segment): r for r in out}
+    # constant series: sigma 0 → null z/symbol, segments still present
+    assert all(by[("c", s)].z_u is None and by[("c", s)].symbol is None
+               for s in {seg for u, seg in by if u == "c"})
+    # single-point series: one segment (0), sigma 0 → null
+    s_rows = [(u, s) for u, s in by if u == "s"]
+    assert s_rows == [("s", 0)]
+
+
+def test_sax_symbols_partition_invariant(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        sax_symbols)
+
+    rng = np.random.default_rng(41)
+    rows = [(f"u{i % 6}", i, int(rng.integers(0, 9999)),
+             float(rng.normal(50, 20))) for i in range(500)]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, "
+                                     "ms long, value double")
+    run = lambda d: sorted(map(tuple, sax_symbols(  # noqa: E731
+        d, "value", "user_id", "ms", tiebreak=["event_id"]).collect()))
+    assert run(df.repartition(1)) == run(df.repartition(13))
