@@ -1164,6 +1164,21 @@ def _sax_sql() -> str:
     """
 
 
+def _q_ps_match(spark, sf_dir):
+    """Propensity-style 1-NN matching with replacement: every purchase
+    event matched to the view event of nearest value (caliper 0.25) —
+    nearest resolved on the distinct-score axis, all-integer ties."""
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        ps_match)
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("purchase", "view"))
+          .select("event_id",
+                  (F.col("event_type") == "purchase").alias("treat"),
+                  "value"))
+    return ps_match(ev, "treat", "value", "event_id", caliper=0.25)
+
+
 def _q_benford(spark, sf_dir):
     """Benford first-significant-digit audit of lineitem prices —
     digit from the micro-quantized integer's decimal rendering (no
@@ -4804,6 +4819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_value_by_user": _q_time_weighted_mean,
         "oof_target_encode_events": _q_oof_target_encode,
         "sax_value_by_user": _q_sax,
+        "ps_match_purchase_view": _q_ps_match,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -7102,6 +7118,52 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
         """,
         "benford_prices": _BENFORD_SQL,
         "sax_value_by_user": _sax_sql(),
+        "ps_match_purchase_view": """
+            with base as (
+                select event_id as id,
+                       event_type = 'purchase' as t,
+                       cast(floor(value * 1000000 + 0.5) as bigint) as s
+                from events
+                where value is not null
+                  and event_type in ('purchase', 'view')
+            ), ctrl as (
+                select s, min(id) as cid from base where not t group by 1
+            ), taxis as (
+                select distinct s from base where t
+            ), axis as (
+                select coalesce(ta.s, c.s) as s, c.cid,
+                       case when c.cid is not null then c.s end as cs
+                from taxis ta full outer join ctrl c on ta.s = c.s
+            ), swept as (
+                select s,
+                       max(cs) over (order by s rows between unbounded
+                           preceding and current row) as before_s,
+                       min(cs) over (order by s rows between current row
+                           and unbounded following) as after_s
+                from axis
+            ), mapped0 as (
+                select s,
+                       case when before_s is null then after_s
+                            when after_s is null then before_s
+                            when s - before_s <= after_s - s
+                                then before_s
+                            else after_s end as cs
+                from swept
+            ), mapped1 as (
+                select s, case when abs(cs - s) <= 250000 then cs end
+                           as cs
+                from mapped0
+            ), mapped as (
+                select m.s, m.cs, c.cid
+                from mapped1 m left join ctrl c on c.s = m.cs
+            )
+            select b.id, b.s as score_u, m.cid as ctrl_id,
+                   m.cs as ctrl_score_u,
+                   case when m.cs is not null then abs(m.cs - b.s) end
+                       as dist_u
+            from base b join mapped m on b.s = m.s
+            where b.t
+        """,
         "oof_target_encode_events": """
             with base as (
                 select event_type,

@@ -1066,3 +1066,81 @@ def srm_check(df: DataFrame, treat_col: str,
                .cast("long")).alias("chi2_q6"),
         F.when(ok, chi2 > F.lit(3.841458820694124)).otherwise(False)
         .alias("srm_flag"))
+
+
+def ps_match(df: DataFrame, treat_col: str, score_col: str,
+             id_col: str, caliper: float | None = None,
+             scale: int = 6) -> DataFrame:
+    """Propensity-score 1-nearest-neighbor matching WITH replacement
+    (Rosenbaum & Rubin 1983's matching estimator in its greedy-NN form):
+    each treated unit is paired with the control whose score is closest;
+    pairs farther than ``caliper`` (in score units) are left unmatched.
+    The causal family's third leg — :func:`ate_stratified`
+    subclassifies, ``uplift_curve`` ranks, this MATCHES.
+
+    Deterministic cross-engine contract: scores are micro-quantized, and
+    the nearest control is resolved on the |distinct score|-bounded AXIS
+    relation (the ``drift.ks_stat`` discipline — corpus rows never enter
+    a global window): one ordered sweep carries the nearest control
+    score at-or-below each score (a running max of control scores) and
+    the reverse sweep the nearest at-or-above; the winner is the smaller
+    absolute gap, ties to the LOWER control score, and within the chosen
+    score the control with the SMALLEST id.  All comparisons are int64.
+
+    Returns one row per treated unit: ``(id, score_u, ctrl_id,
+    ctrl_score_u, dist_u)`` — null ctrl columns when no control exists
+    within the caliper.  Null score/treat rows are dropped.
+
+    Plan shape at 10^12 rows: two corpus aggregations (distinct treated
+    scores; controls grouped by score) → ordered windows over the
+    distinct-score axis → one equi-join of treated rows to the axis map
+    on score (broadcastable while |distinct scores| is bounded — for a
+    continuous score coarsen ``scale``, exactly the ks_stat guidance).
+    """
+    cal_u = (None if caliper is None
+             else int(round(abs(caliper) * 10 ** scale)))
+    from pyspark.sql import Window
+
+    base = (df.where(F.col(score_col).isNotNull()
+                     & F.col(treat_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.col(treat_col).cast("boolean").alias("__t"),
+                    _q(F.col(score_col), scale).alias("__s")))
+    ctrl = (base.where(~F.col("__t"))
+            .groupBy("__s").agg(F.min("id").alias("__cid")))
+    taxis = base.where(F.col("__t")).select("__s").distinct()
+    axis = (taxis.join(ctrl, ["__s"], "full_outer")
+            .select("__s", F.col("__cid"),
+                    F.when(F.col("__cid").isNotNull(), F.col("__s"))
+                    .alias("__cs")))
+    wb = (Window.orderBy("__s")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wa = (Window.orderBy("__s")
+          .rowsBetween(0, Window.unboundedFollowing))
+    swept = axis.select(
+        "__s",
+        F.max("__cs").over(wb).alias("__before"),
+        F.min("__cs").over(wa).alias("__after"))
+    db = F.col("__s") - F.col("__before")
+    da = F.col("__after") - F.col("__s")
+    chosen = (F.when(F.col("__before").isNull(), F.col("__after"))
+              .when(F.col("__after").isNull(), F.col("__before"))
+              .when(db <= da, F.col("__before"))
+              .otherwise(F.col("__after")))
+    mapped = swept.select("__s", chosen.alias("__cs"))
+    if cal_u is not None:
+        mapped = mapped.select(
+            "__s",
+            F.when(F.abs(F.col("__cs") - F.col("__s")) <= F.lit(cal_u),
+                   F.col("__cs")).alias("__cs"))
+    mapped = mapped.join(
+        ctrl.select(F.col("__s").alias("__cs"), "__cid"),
+        ["__cs"], "left")
+    treated = base.where(F.col("__t")).select("id", "__s")
+    out = treated.join(mapped, ["__s"], "left")
+    return out.select(
+        "id", F.col("__s").alias("score_u"),
+        F.col("__cid").alias("ctrl_id"),
+        F.col("__cs").alias("ctrl_score_u"),
+        F.when(F.col("__cs").isNotNull(),
+               F.abs(F.col("__cs") - F.col("__s"))).alias("dist_u"))

@@ -173,3 +173,80 @@ def test_zipf_fit_matches_numpy(spark):
     assert math.isclose(r.slope, cov / varx, rel_tol=1e-9)
     assert -1.5 < r.slope < -0.1          # Zipf-ish negative slope
     assert math.isclose(r.r2, cov * cov / (varx * vary), rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# ps_match
+
+
+def _brute_ps_match(rows, caliper_u, scale=6):
+    import numpy as np
+
+    q = lambda v: int(np.floor(v * 10.0 ** scale + 0.5))  # noqa: E731
+    ctrl = {}
+    for rid, t, v in rows:
+        if v is None or t is None or t:
+            continue
+        s = q(v)
+        ctrl[s] = min(ctrl.get(s, rid), rid)
+    out = {}
+    for rid, t, v in rows:
+        if v is None or t is None or not t:
+            continue
+        s = q(v)
+        best = None
+        for cs in ctrl:
+            d = abs(cs - s)
+            if caliper_u is not None and d > caliper_u:
+                continue
+            # smaller gap wins; ties to the LOWER control score
+            key = (d, cs)
+            if best is None or key < best:
+                best = key
+        if best is None:
+            out[rid] = (s, None, None, None)
+        else:
+            d, cs = best
+            out[rid] = (s, ctrl[cs], cs, d)
+    return out
+
+
+def test_ps_match_matches_bruteforce(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        ps_match)
+
+    rng = np.random.default_rng(3)
+    rows = [(i, bool(rng.integers(0, 2)),
+             None if i % 29 == 0 else float(rng.normal(0, 1)))
+            for i in range(400)]
+    # duplicate-score controls to exercise the min-id rule
+    rows += [(1000, False, 0.5), (1001, False, 0.5), (1002, True, 0.5)]
+    df = spark.createDataFrame(rows, "id long, treat boolean, s double")
+    got = {r.id: (r.score_u, r.ctrl_id, r.ctrl_score_u, r.dist_u)
+           for r in ps_match(df, "treat", "s", "id",
+                             caliper=0.3).collect()}
+    exp = _brute_ps_match(rows, 300_000)
+    assert got == exp
+    assert got[1002] == (500_000, 1000, 500_000, 0)  # exact + min id
+
+
+def test_ps_match_no_controls_and_invariance(spark):
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        ps_match)
+
+    df = spark.createDataFrame(
+        [(1, True, 1.0), (2, True, 9.0)], "id long, t boolean, s double")
+    out = {r.id: r for r in ps_match(df, "t", "s", "id").collect()}
+    assert all(out[i].ctrl_id is None and out[i].dist_u is None
+               for i in (1, 2))
+
+    import numpy as np
+    rng = np.random.default_rng(9)
+    rows = [(i, bool(rng.integers(0, 2)), float(rng.normal(0, 2)))
+            for i in range(500)]
+    big = spark.createDataFrame(rows, "id long, t boolean, s double")
+    run = lambda d: sorted(map(tuple, ps_match(  # noqa: E731
+        d, "t", "s", "id", caliper=0.5).collect()))
+    assert run(big.repartition(1)) == run(big.repartition(8))
