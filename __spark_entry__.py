@@ -2423,6 +2423,19 @@ def _q_ks_drift(spark, sf_dir):
     return ks_stat(ref, cur, "value")
 
 
+def _q_cvm_drift(spark, sf_dir):
+    """Exact two-sample Cramér–von Mises distance between click and
+    purchase value distributions — every CDF gap accumulated (the
+    diffuse-drift complement of the KS supremum), one truncating
+    division."""
+    from msi_preprocessing_pipeline_spark.operators.drift import cvm_stat
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_type") == "click").select("value")
+    cur = ev.where(F.col("event_type") == "purchase").select("value")
+    return cvm_stat(ref, cur, "value")
+
+
 def _q_k_anonymity(spark, sf_dir):
     """Table-level re-identification risk: k-anonymity report over
     customer quasi-identifiers (nation × market segment), k=5."""
@@ -4820,6 +4833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oof_target_encode_events": _q_oof_target_encode,
         "sax_value_by_user": _q_sax,
         "ps_match_purchase_view": _q_ps_match,
+        "cvm_value_drift": _q_cvm_drift,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -10391,6 +10405,46 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    max(epoch_ms(ts)) as max_ms
             from events where ts is not null
             group by user_id
+        """,
+        "cvm_value_drift": """
+            with r as (
+                select value as v, count(*) as cr from events
+                where event_type = 'click' and value is not null
+                group by 1
+            ), c as (
+                select value as v, count(*) as cc from events
+                where event_type = 'purchase' and value is not null
+                group by 1
+            ), m as (
+                select coalesce(r.v, c.v) as v,
+                       cast(coalesce(cr, 0) as hugeint) as cr,
+                       cast(coalesce(cc, 0) as hugeint) as cc
+                from r full outer join c on r.v = c.v
+            ), tot as (
+                select coalesce(sum(cr), 0) as n,
+                       coalesce(sum(cc), 0) as m
+                from m
+            ), run as (
+                select cr, cc,
+                       sum(cr) over w as fr, sum(cc) over w as fc
+                from m
+                window w as (order by v
+                             rows between unbounded preceding
+                                      and current row)
+            ), num as (
+                select coalesce(sum((cr + cc)
+                           * (fr * tot.m - fc * tot.n)
+                           * (fr * tot.m - fc * tot.n)), 0) as s
+                from run cross join tot
+            )
+            select cast(tot.n as bigint) as n_ref,
+                   cast(tot.m as bigint) as n_cur,
+                   case when tot.n > 0 and tot.m > 0 then
+                       cast((num.s * 1000000000)
+                            // (tot.n * tot.m * (tot.n + tot.m)
+                                * (tot.n + tot.m)) as bigint)
+                   end as t_q9
+            from tot cross join num
         """,
         "ks_value_drift": """
             with r as (

@@ -346,3 +346,67 @@ def cusum_changepoint(df: DataFrame, group_cols, order_col: str,
         F.max(F.col("__n")).cast("bigint").alias("n_obs"))
     return totals.join(best, parts, "left").select(
         *parts, "n_obs", "cp_index", "cp_ms", "max_dev_u")
+
+
+def cvm_stat(ref: DataFrame, cur: DataFrame, col: str,
+             out_scale: int = 9) -> DataFrame:
+    """Exact two-sample Cramér–von Mises statistic — the INTEGRAL
+    companion of :func:`ks_stat`'s supremum: KS sees the worst single
+    gap between the two empirical CDFs; CvM accumulates every gap, so
+    diffuse drift that never spikes (many small shifts across the whole
+    range) still registers (Anderson 1962, "On the distribution of the
+    two-sample Cramér–von Mises criterion").
+
+        ``T = (n·m / N²) · Σ_pooled (F_ref(x) − F_cur(x))²``
+
+    summed over all N = n+m pooled sample points.  Exactness: with
+    per-value censuses ``(c_ref, c_cur)`` and running sums ``(fr, fc)``,
+    each pooled point at value x contributes ``(fr·m − fc·n)²`` with
+    multiplicity ``c_ref+c_cur``, all in decimal(38,0), and
+
+        ``t_u = trunc_div(Σ w·D² · 10^out, n·m·N²)``
+
+    is ONE truncating division — engine/partition bit-identical (the
+    whole ks_stat discipline, squared).  Null values are ignored; an
+    empty side yields a null statistic.
+
+    Plan shape: two map-side-combined per-side censuses → full-outer
+    merge on value → ONE ordered window over the |distinct|-bounded
+    relation → 1-row aggregate.  For a continuous column at corpus
+    scale, pre-quantize to bound the distinct relation (ks_stat's
+    guidance); counts stay exact for the quantized variable.
+    """
+    from ..functions.util import trunc_div
+
+    dec = "decimal(38,0)"
+    r = (ref.where(F.col(col).isNotNull())
+         .groupBy(F.col(col).alias("v"))
+         .agg(F.count("*").alias("cr")))
+    c = (cur.where(F.col(col).isNotNull())
+         .groupBy(F.col(col).alias("v"))
+         .agg(F.count("*").alias("cc")))
+    merged = r.join(c, ["v"], "full_outer").select(
+        "v", F.coalesce("cr", F.lit(0)).cast(dec).alias("cr"),
+        F.coalesce("cc", F.lit(0)).cast(dec).alias("cc"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    run = merged.select(
+        "cr", "cc",
+        F.sum("cr").over(w).alias("fr"),
+        F.sum("cc").over(w).alias("fc"))
+    tot = merged.agg(
+        F.coalesce(F.sum("cr"), F.lit(0).cast(dec)).alias("n"),
+        F.coalesce(F.sum("cc"), F.lit(0).cast(dec)).alias("m"))
+    d = (F.col("fr") * F.col("m") - F.col("fc") * F.col("n"))
+    num = (run.crossJoin(tot)
+           .agg(F.coalesce(F.sum((F.col("cr") + F.col("cc")) * d * d),
+                           F.lit(0).cast(dec)).alias("__num")))
+    nn, mm = F.col("n"), F.col("m")
+    den = nn * mm * (nn + mm) * (nn + mm)
+    t = F.when((nn > 0) & (mm > 0),
+               trunc_div(F.col("__num")
+                         * F.lit(10 ** out_scale).cast(dec), den)
+               .cast("bigint"))
+    return (tot.crossJoin(num)
+            .select(nn.cast("bigint").alias("n_ref"),
+                    mm.cast("bigint").alias("n_cur"),
+                    t.alias(f"t_q{out_scale}")))

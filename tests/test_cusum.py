@@ -76,3 +76,48 @@ def test_cusum_partition_invariant(spark):
         df.repartition(13), "user_id", "ms", "value",
         tiebreak=["event_id"]).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# cvm_stat
+
+
+def _np_cvm(a, b, out_scale=9):
+    import numpy as np
+
+    pooled = np.sort(np.concatenate([a, b]))
+    n, m = len(a), len(b)
+    sa, sb = np.sort(a), np.sort(b)
+    num = 0
+    for x in pooled:
+        fr = int(np.searchsorted(sa, x, side="right"))
+        fc = int(np.searchsorted(sb, x, side="right"))
+        num += (fr * m - fc * n) ** 2
+    den = n * m * (n + m) ** 2
+    return (num * 10 ** out_scale) // den
+
+
+def test_cvm_matches_bruteforce_and_zero_on_identical(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.drift import cvm_stat
+
+    rng = np.random.default_rng(17)
+    a = rng.normal(0, 1, 300).round(3)
+    b = rng.normal(0.4, 1.2, 200).round(3)
+    ra = spark.createDataFrame([(float(v),) for v in a], "v double")
+    rb = spark.createDataFrame([(float(v),) for v in b], "v double")
+    r = cvm_stat(ra, rb, "v").collect()[0]
+    assert (r.n_ref, r.n_cur) == (300, 200)
+    assert r.t_q9 == _np_cvm(a, b)
+    same = cvm_stat(ra, ra, "v").collect()[0]
+    assert same.t_q9 == 0  # identical samples: every gap is zero
+
+
+def test_cvm_empty_side_null(spark):
+    from msi_preprocessing_pipeline_spark.operators.drift import cvm_stat
+
+    ra = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    rb = spark.createDataFrame([(None,)], "v double")
+    r = cvm_stat(ra, rb, "v").collect()[0]
+    assert (r.n_ref, r.n_cur, r.t_q9) == (2, 0, None)
