@@ -4665,13 +4665,19 @@ _R5_WINDOW = [
     # clustering/kcore/er_resolve/boilerplate/incremental/survivorship/
     # funnel) was judge-rerun 58/58 in the r4 session AND is contract-
     # green this round
-    "bloom_semi_lineitem", "bloom_anti_lineitem",
-    "corr_matrix_lineitem",
-    "bootstrap_ci_value", "bootstrap_diff_click_view",
-    "mahalanobis_vecs", "conformal_value_events",
-    "isotonic_value_purchase",
-    "roc_auc_value_purchase", "unigram_fit_docs",
+    "unigram_fit_docs",
     "hard_negatives_vecs",
+    # (e) session-12 brand-new operators (never recorded anywhere) take
+    # the slots of bloom_semi/bloom_anti/corr_matrix/bootstrap_ci/
+    # bootstrap_diff/mahalanobis/conformal_value/isotonic/roc_auc: of
+    # block (c), those nine carry the strongest independent evidence
+    # (bloom membership pytest + plan pins, corr/mahalanobis numpy
+    # parity, generated-lockstep bootstrap oracles, PAVA golden, exact
+    # ROC formula pins) and none has a changed contract this round —
+    # CONTRACT_r05.json re-attests all nine
+    "cusum_value_by_user", "best_splits_lineitem", "bfs_hops_suppliers",
+    "benford_prices", "twa_value_by_user", "oof_target_encode_events",
+    "sax_value_by_user", "ps_match_purchase_view", "cvm_value_drift",
     # (d) round-5 continuation: Kneser-Ney LM scoring, corpus-global
     # paragraph dedup, C4 filter, all-pairs TF-IDF similarity,
     # Bradley-Terry ratings, Cohen's kappa, gram novelty, k-center
