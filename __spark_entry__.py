@@ -1179,6 +1179,18 @@ def _q_ps_match(spark, sf_dir):
     return ps_match(ev, "treat", "value", "event_id", caliper=0.25)
 
 
+def _q_quantile_normalize(spark, sf_dir):
+    """Cross-source quantile normalization of document lengths: each
+    doc's n_chars rank-mapped onto the pooled length distribution —
+    integer target ranks against the distinct-value census axis."""
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        quantile_normalize)
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_normalize(docs, "source", "n_chars", "doc_id",
+                              scale=0)
+
+
 def _q_benford(spark, sf_dir):
     """Benford first-significant-digit audit of lineitem prices —
     digit from the micro-quantized integer's decimal rendering (no
@@ -4665,7 +4677,6 @@ _R5_WINDOW = [
     # clustering/kcore/er_resolve/boilerplate/incremental/survivorship/
     # funnel) was judge-rerun 58/58 in the r4 session AND is contract-
     # green this round
-    "unigram_fit_docs",
     "hard_negatives_vecs",
     # (e) session-12 brand-new operators (never recorded anywhere) take
     # the slots of bloom_semi/bloom_anti/corr_matrix/bootstrap_ci/
@@ -4675,9 +4686,12 @@ _R5_WINDOW = [
     # parity, generated-lockstep bootstrap oracles, PAVA golden, exact
     # ROC formula pins) and none has a changed contract this round —
     # CONTRACT_r05.json re-attests all nine
+    # (unigram_fit_docs also rotates out for quantile_normalize_docs:
+    # its iterative fit is golden-pinned in pytest independently)
     "cusum_value_by_user", "best_splits_lineitem", "bfs_hops_suppliers",
     "benford_prices", "twa_value_by_user", "oof_target_encode_events",
     "sax_value_by_user", "ps_match_purchase_view", "cvm_value_drift",
+    "quantile_normalize_docs",
     # (d) round-5 continuation: Kneser-Ney LM scoring, corpus-global
     # paragraph dedup, C4 filter, all-pairs TF-IDF similarity,
     # Bradley-Terry ratings, Cohen's kappa, gram novelty, k-center
@@ -4840,6 +4854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_value_by_user": _q_sax,
         "ps_match_purchase_view": _q_ps_match,
         "cvm_value_drift": _q_cvm_drift,
+        "quantile_normalize_docs": _q_quantile_normalize,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -10411,6 +10426,36 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
                    max(epoch_ms(ts)) as max_ms
             from events where ts is not null
             group by user_id
+        """,
+        "quantile_normalize_docs": """
+            with base as (
+                select doc_id as id, source,
+                       cast(floor(n_chars * 1 + 0.5) as bigint) as q_u
+                from documents
+                where source is not null and n_chars is not null
+            ), ranked as (
+                select id, source, q_u,
+                       row_number() over (partition by source
+                                          order by q_u, id) as r,
+                       count(*) over (partition by source) as ns
+                from base
+            ), census as (
+                select q_u, count(*) as c from base group by 1
+            ), axis as (
+                select q_u as qn_u,
+                       sum(c) over w - c as lo,
+                       sum(c) over w as hi
+                from census
+                window w as (order by q_u rows between unbounded
+                             preceding and current row)
+            ), tot as (
+                select count(*) as n from base
+            )
+            select rk.id, rk.source, rk.q_u, a.qn_u
+            from ranked rk cross join tot
+            join axis a
+              on ((rk.r * tot.n + rk.ns - 1) // rk.ns) > a.lo
+             and ((rk.r * tot.n + rk.ns - 1) // rk.ns) <= a.hi
         """,
         "cvm_value_drift": """
             with r as (

@@ -364,3 +364,68 @@ def rank_gauss(df: DataFrame, col: str, id_col: str,
     nulls = df.where(F.col(col).isNull()) \
         .withColumn(out_col, F.lit(None).cast("double"))
     return transformed.unionByName(nulls)
+
+
+def quantile_normalize(df: DataFrame, source_col: str, value_col: str,
+                       id_col: str, scale: int = 6) -> DataFrame:
+    """Cross-source quantile normalization: each row's value is replaced
+    by the POOLED distribution's order statistic at the row's
+    source-relative rank — after it, every source has (as nearly as
+    integer ranks allow) the same marginal distribution.  The standard
+    harmonization when sources disagree in scale/shape for reasons that
+    are batch artifacts, not signal (Bolstad 2003's microarray method in
+    its rank-map form) — for training data: make per-source quality
+    scores comparable before a global threshold.
+
+    Exact contract: within each source, rank ``r`` by ``(q, id)``
+    (quantized value, id tiebreak — total order); the pooled target rank
+    is ``R = ceil(r·N / n_s) = (r·N + n_s − 1) div n_s`` (exact int64);
+    the mapped value is the pooled order statistic at rank R — resolved
+    against the |distinct value|-bounded cumulative census where each
+    distinct value owns the rank interval ``(cum − c, cum]``.  These
+    intervals partition 1..N, so the range join matches each row exactly
+    once; everything is integer comparisons — engine/partition
+    bit-identical.
+
+    Returns ``(id, source, q_u, qn_u)`` — original and normalized values
+    in quantized units.  Null source/value rows are dropped.
+
+    Plan shape: one per-source ordered window (rank) + one broadcast
+    range join against the census axis.  NOTE the per-source window
+    serializes each source onto one task — with few giant sources at
+    10^12 rows, compute ranks with the ``quantiles.grouped`` range-
+    partition machinery instead (same contract, documented trade).
+    """
+    from ..functions.util import quantize
+
+    base = (df.where(F.col(source_col).isNotNull()
+                     & F.col(value_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.col(source_col).alias("source"),
+                    quantize(F.col(value_col), scale).alias("q_u")))
+    w = Window.partitionBy("source").orderBy("q_u", "id")
+    ws = Window.partitionBy("source")
+    ranked = base.select(
+        "id", "source", "q_u",
+        F.row_number().over(w).alias("__r"),
+        F.count("*").over(ws).alias("__ns"))
+    n_total = base.groupBy("q_u").agg(F.count("*").alias("__c"))
+    wax = Window.orderBy("q_u").rowsBetween(
+        Window.unboundedPreceding, 0)
+    axis = n_total.select(
+        F.col("q_u").alias("qn_u"),
+        (F.sum("__c").over(wax) - F.col("__c")).alias("__lo"),
+        F.sum("__c").over(wax).alias("__hi"))
+    one = base.agg(F.count("*").alias("__n"))
+    tgt = ranked.crossJoin(F.broadcast(one)).select(
+        "id", "source", "q_u",
+        ((F.col("__r") * F.col("__n") + F.col("__ns") - 1)
+         - (F.col("__r") * F.col("__n") + F.col("__ns") - 1)
+         % F.col("__ns")).alias("__rnum"), F.col("__ns"))
+    tgt = tgt.select(
+        "id", "source", "q_u",
+        (F.col("__rnum") / F.col("__ns")).cast("long").alias("__R"))
+    out = tgt.join(
+        F.broadcast(axis),
+        (F.col("__R") > F.col("__lo")) & (F.col("__R") <= F.col("__hi")))
+    return out.select("id", "source", "q_u", "qn_u")

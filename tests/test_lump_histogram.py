@@ -154,3 +154,65 @@ def test_ecdf_transform_global_and_row_count(spark):
     out = ecdf_transform(df, "v").collect()
     assert len(out) == 10
     assert {r["v_ecdf"] for r in out} == {(i + 1) / 10 for i in range(10)}
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+
+
+def test_quantile_normalize_equalizes_marginals(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        quantile_normalize)
+
+    rng = np.random.default_rng(7)
+    rows = ([(i, "a", float(rng.normal(100, 5)))
+             for i in range(200)]
+            + [(1000 + i, "b", float(rng.normal(500, 50)))
+               for i in range(200)])
+    df = spark.createDataFrame(rows, "id long, src string, v double")
+    out = quantile_normalize(df, "src", "v", "id", scale=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.qn_u)
+    # equal-sized sources: identical normalized marginals
+    assert sorted(by_src["a"]) == sorted(by_src["b"])
+    # the pooled multiset of target values is drawn from pooled q_u
+    pooled = sorted(r.q_u for r in out)
+    assert set(r.qn_u for r in out) <= set(pooled)
+    # rank order within a source is preserved
+    a_rows = sorted((r.q_u, r.id, r.qn_u) for r in out
+                    if r.source == "a")
+    assert [x[2] for x in a_rows] == sorted(x[2] for x in a_rows)
+
+
+def test_quantile_normalize_bruteforce_and_invariance(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        quantile_normalize)
+
+    rng = np.random.default_rng(23)
+    rows = [(i, f"s{i % 3}",
+             None if i % 31 == 0 else float(rng.integers(0, 40)))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, src string, v double")
+    got = {r.id: (r.q_u, r.qn_u) for r in quantile_normalize(
+        df, "src", "v", "id", scale=0).collect()}
+
+    q = lambda v: int(np.floor(v + 0.5))  # noqa: E731
+    base = [(i, s, q(v)) for i, s, v in rows if v is not None]
+    pooled = sorted(x for _, _, x in base)
+    n = len(pooled)
+    exp = {}
+    for src in {s for _, s, _ in base}:
+        mine = sorted((x, i) for i, s, x in base if s == src)
+        ns = len(mine)
+        for r, (x, i) in enumerate(mine, start=1):
+            big = (r * n + ns - 1) // ns
+            exp[i] = (x, pooled[big - 1])
+    assert got == exp
+    run = lambda d: sorted(map(tuple, quantile_normalize(  # noqa: E731
+        d, "src", "v", "id", scale=0).collect()))
+    assert run(df.repartition(1)) == run(df.repartition(7))
