@@ -898,3 +898,69 @@ def test_attribution_shares_no_entity_window(spark):
     import re
     parts = re.findall(r"windowspecdefinition\((\w+)#", plan.lower())
     assert parts and all(p.startswith("__cid") for p in parts)
+
+
+# ---------------------------------------------------------------------------
+# session-12 operators
+
+
+def test_split_candidates_single_corpus_shuffle(spark):
+    from msi_preprocessing_pipeline_spark.operators.featsel import (
+        split_candidates)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cand = split_candidates(li, ["l_quantity", "l_discount"],
+                            "l_extendedprice", x_scales=2, y_scale=0,
+                            out_scale=-6)
+    plan = plan_of(cand, "simple")
+    # corpus rows shuffle exactly once — on (feature, xq) for the census;
+    # the prefix/total windows ride that same partitioning (no second
+    # corpus exchange; Window sort is within partitions)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) <= 2, exchanges  # census partial+final pair max
+    assert "HashAggregate" in plan  # map-side combine before the shuffle
+
+
+def test_time_weighted_mean_two_entity_exchanges(spark):
+    from msi_preprocessing_pipeline_spark.operators.windows import (
+        time_weighted_mean)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = time_weighted_mean(ev, "value", "user_id", "ts",
+                             tiebreak=["event_id"])
+    plan = plan_of(out, "simple")
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange hashpartitioning" in ln]
+    # lead-window partitioning + group aggregate — both on user_id only
+    assert all("user_id" in ln for ln in exchanges)
+    assert len(exchanges) <= 2, exchanges
+
+
+def test_ps_match_axis_broadcast_back(spark):
+    from msi_preprocessing_pipeline_spark.operators.experiment import (
+        ps_match)
+
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .where(F.col("event_type").isin("purchase", "view"))
+          .select("event_id",
+                  (F.col("event_type") == "purchase").alias("treat"),
+                  "value"))
+    out = ps_match(ev, "treat", "value", "event_id", caliper=0.25)
+    plan = plan_of(out, "simple")
+    # treated rows join the score->control map WITHOUT shuffling the
+    # corpus on score: the axis side is small, AQE/stats broadcast it
+    assert "BroadcastHashJoin" in plan or "Exchange" in plan
+    # the global sweep windows run on the distinct-score axis only: no
+    # corpus-wide single-partition exchange of the raw event rows
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_oof_target_encode_broadcast_join(spark):
+    from msi_preprocessing_pipeline_spark.operators.training import (
+        target_encode_oof)
+
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .withColumn("fold", (F.col("event_id") % 5).cast("int")))
+    out = target_encode_oof(ev, "event_type", "value", "fold")
+    plan = plan_of(out, "simple")
+    assert "BroadcastHashJoin" in plan  # encode table broadcasts back
