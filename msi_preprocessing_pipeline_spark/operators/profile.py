@@ -401,9 +401,13 @@ def benford_profile(df: DataFrame, col: str, scale: int = 6) -> DataFrame:
     All-integer; zero-count digits present with ``p_obs_u = 0`` (null
     when the column is empty).
 
-    Plan shape: one scan → 9-row census → 1-row total broadcast-joined
-    onto the digit frame.  Nothing row-proportional leaves the scan.
+    Plan shape: ONE scan → 9-row census, left-joined onto a static
+    9-digit frame; the total is a window sum over that 9-row relation
+    (a second aggregate branch would scan the parquet twice — Catalyst
+    has no cross-branch subplan dedup, pinned in test_plan_shapes).
     """
+    from pyspark.sql import Window
+
     from ..functions.util import quantize, trunc_div
 
     dec = "decimal(38,0)"
@@ -413,16 +417,16 @@ def benford_profile(df: DataFrame, col: str, scale: int = 6) -> DataFrame:
               .groupBy(F.substring(F.col("__q").cast("string"), 1, 1)
                        .cast("int").alias("digit"))
               .agg(F.count("*").alias("__c")))
-    total = census.agg(
-        F.coalesce(F.sum("__c"), F.lit(0)).cast(dec).alias("__n"))
-    frame = total.select(
-        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"), "__n")
+    frame = (df.sparkSession.range(1, 10)
+             .select(F.col("id").cast("int").alias("digit")))
     exp_map = F.element_at(
         F.array(*[F.lit(v) for v in BENFORD_MICRO]), F.col("digit"))
+    wall = Window.partitionBy(F.lit(1))
     joined = (frame.join(census, ["digit"], "left")
               .select("digit",
                       F.coalesce(F.col("__c"), F.lit(0)).alias("n_obs"),
-                      "__n", exp_map.alias("p_exp_u")))
+                      exp_map.alias("p_exp_u"))
+              .withColumn("__n", F.sum("n_obs").over(wall).cast(dec)))
     p_obs = F.when(
         F.col("__n") > 0,
         trunc_div(F.col("n_obs").cast(dec) * F.lit(1_000_000).cast(dec),

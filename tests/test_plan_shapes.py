@@ -964,3 +964,43 @@ def test_oof_target_encode_broadcast_join(spark):
     out = target_encode_oof(ev, "event_type", "value", "fold")
     plan = plan_of(out, "simple")
     assert "BroadcastHashJoin" in plan  # encode table broadcasts back
+
+
+def test_cusum_changepoint_single_entity_partitioning(spark):
+    from msi_preprocessing_pipeline_spark.operators.drift import (
+        cusum_changepoint)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = cusum_changepoint(ev, "user_id", "ts", "value",
+                            tiebreak=["event_id"])
+    plan = plan_of(out, "simple")
+    # every exchange is on the entity key — no global sort, no single
+    # partition collapse of corpus rows
+    assert "Exchange SinglePartition" not in plan, plan
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange hashpartitioning" in ln]
+    assert exchanges and all("user_id" in ln for ln in exchanges)
+
+
+def test_benford_profile_single_scan_census(spark):
+    from msi_preprocessing_pipeline_spark.operators.profile import (
+        benford_profile)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = plan_of(benford_profile(li, "l_extendedprice"), "simple")
+    # ONE parquet scan: census + total + frame all derive from it
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "HashAggregate" in plan  # map-side combined census
+
+
+def test_quantile_normalize_broadcast_axis(spark):
+    from msi_preprocessing_pipeline_spark.operators.encoding import (
+        quantile_normalize)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(quantile_normalize(docs, "source", "n_chars",
+                                      "doc_id", scale=0), "simple")
+    # the census axis joins back as a broadcast range join — corpus rows
+    # are never range-shuffled
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" \
+        in plan, plan
