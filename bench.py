@@ -309,7 +309,13 @@ def main() -> None:
                  "attribution_decay_events", "concentration_sources",
                  "label_prop_suppliers", "rfm_features_users",
                  "weighted_jaccard_pairs", "dup_census_sources",
-                 "cond_entropy_sources", "worst_span_docs"]:
+                 "cond_entropy_sources", "worst_span_docs",
+                 # round-5 session-12 operators
+                 "cusum_value_by_user", "best_splits_lineitem",
+                 "bfs_hops_suppliers", "benford_prices",
+                 "twa_value_by_user", "oof_target_encode_events",
+                 "sax_value_by_user", "ps_match_purchase_view",
+                 "cvm_value_drift", "quantile_normalize_docs"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays
