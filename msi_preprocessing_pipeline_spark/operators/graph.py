@@ -347,8 +347,7 @@ def label_prop(edges: DataFrame, src_col: str, dst_col: str,
 
 def bfs_hops(edges: DataFrame, src_col: str, dst_col: str,
              seeds: DataFrame, seed_col: str | None = None,
-             max_hops: int = 6, directed: bool = False,
-             checkpoint_every: int = 2) -> DataFrame:
+             max_hops: int = 6, directed: bool = False) -> DataFrame:
     """Multi-source BFS: the exact hop distance from the nearest seed
     for every node within ``max_hops`` — the graph family's reachability
     leg (PageRank ranks, k-core prunes, label_prop clusters; this
@@ -362,12 +361,14 @@ def bfs_hops(edges: DataFrame, src_col: str, dst_col: str,
 
     Per round: one frontier ⋈ adjacency equi-join + one distinct + one
     anti-join against the visited relation — all map-side-combinable
-    key shuffles, no row-proportional driver state; ``limit(1).count()``
-    probes the empty frontier (the :func:`kcore` idiom) and
-    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
-    iterative lineage.  At 10^12 edges each round's cost is the true
-    frontier size — BFS's native complexity — and ``max_hops`` bounds
-    the plan depth a priori.
+    key shuffles, no row-proportional driver state.  Each round's new
+    frontier is materialized ONCE with an eager ``localCheckpoint``;
+    the emptiness probe and the running union both read the
+    checkpointed rows, so nothing recomputes and iterative lineage
+    never deepens (``dist`` is a union of checkpointed frames).  At
+    10^12 edges each round's cost is the true frontier size — BFS's
+    native complexity — and ``max_hops`` bounds the plan depth a
+    priori.
 
     ``directed=False`` (default) walks edges both ways; duplicates,
     loops and null endpoints are dropped either way.
@@ -392,14 +393,17 @@ def bfs_hops(edges: DataFrame, src_col: str, dst_col: str,
             .withColumn("hops", F.lit(0)).localCheckpoint())
     frontier = dist.select("node")
     for h in range(1, max_hops + 1):
+        # materialize the frontier ONCE (eager localCheckpoint), then
+        # both the emptiness probe and the union read the checkpointed
+        # rows — a lazy frontier would recompute the join per consumer
+        # (measured 3x the per-round cost on small graphs); `dist` needs
+        # no checkpoint of its own: it is a union of checkpointed frames
         new = (frontier.join(adj, frontier["node"] == adj["__u"])
                .select(F.col("__v").alias("node")).distinct()
                .join(dist.select("node"), ["node"], "left_anti")
-               .withColumn("hops", F.lit(h)))
-        if new.limit(1).count() == 0:
+               .withColumn("hops", F.lit(h))).localCheckpoint()
+        if not new.take(1):
             break
         dist = dist.unionByName(new)
-        if h % checkpoint_every == 0 or h == max_hops:
-            dist = dist.localCheckpoint()
         frontier = new.select("node")
     return dist
