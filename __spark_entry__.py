@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-253 queries, 253 with exact DuckDB oracles — relational SQL where expressible,
+254 queries, 254 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -2448,6 +2448,18 @@ def _q_cvm_drift(spark, sf_dir):
     return cvm_stat(ref, cur, "value")
 
 
+def _q_mwu_drift(spark, sf_dir):
+    """Exact Mann–Whitney U between click and purchase values — doubled
+    midranks keep ties on integers; tie-corrected z via one truncated
+    variance and one fixed IEEE tree."""
+    from msi_preprocessing_pipeline_spark.operators.drift import mwu_stat
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_type") == "click").select("value")
+    cur = ev.where(F.col("event_type") == "purchase").select("value")
+    return mwu_stat(ref, cur, "value")
+
+
 def _q_k_anonymity(spark, sf_dir):
     """Table-level re-identification risk: k-anonymity report over
     customer quasi-identifiers (nation × market segment), k=5."""
@@ -4677,7 +4689,9 @@ _R5_WINDOW = [
     # clustering/kcore/er_resolve/boilerplate/incremental/survivorship/
     # funnel) was judge-rerun 58/58 in the r4 session AND is contract-
     # green this round
-    "hard_negatives_vecs",
+    # (hard_negatives_vecs also rotates out — its margin/recall
+    # semantics carry dedicated pytest pins — for mwu_value_drift,
+    # completing the drift trio (ks driver-green r4, cvm + mwu new))
     # (e) session-12 brand-new operators (never recorded anywhere) take
     # the slots of bloom_semi/bloom_anti/corr_matrix/bootstrap_ci/
     # bootstrap_diff/mahalanobis/conformal_value/isotonic/roc_auc: of
@@ -4691,7 +4705,7 @@ _R5_WINDOW = [
     "cusum_value_by_user", "best_splits_lineitem", "bfs_hops_suppliers",
     "benford_prices", "twa_value_by_user", "oof_target_encode_events",
     "sax_value_by_user", "ps_match_purchase_view", "cvm_value_drift",
-    "quantile_normalize_docs",
+    "quantile_normalize_docs", "mwu_value_drift",
     # (d) round-5 continuation: Kneser-Ney LM scoring, corpus-global
     # paragraph dedup, C4 filter, all-pairs TF-IDF similarity,
     # Bradley-Terry ratings, Cohen's kappa, gram novelty, k-center
@@ -4855,6 +4869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ps_match_purchase_view": _q_ps_match,
         "cvm_value_drift": _q_cvm_drift,
         "quantile_normalize_docs": _q_quantile_normalize,
+        "mwu_value_drift": _q_mwu_drift,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -10456,6 +10471,51 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             join axis a
               on ((rk.r * tot.n + rk.ns - 1) // rk.ns) > a.lo
              and ((rk.r * tot.n + rk.ns - 1) // rk.ns) <= a.hi
+        """,
+        "mwu_value_drift": """
+            with r as (
+                select value as v, count(*) as cr from events
+                where event_type = 'click' and value is not null
+                group by 1
+            ), c as (
+                select value as v, count(*) as cc from events
+                where event_type = 'purchase' and value is not null
+                group by 1
+            ), m0 as (
+                select coalesce(r.v, c.v) as v,
+                       cast(coalesce(cr, 0) as hugeint) as cr,
+                       cast(coalesce(cc, 0) as hugeint) as cc
+                from r full outer join c on r.v = c.v
+            ), run as (
+                select cr, cc, cr + cc as w,
+                       sum(cr + cc) over (order by v rows between
+                           unbounded preceding and current row)
+                           - (cr + cc) as cum
+                from m0
+            ), agg as (
+                select coalesce(sum(cr), 0) as n,
+                       coalesce(sum(cc), 0) as m,
+                       coalesce(sum(cr * (2 * cum + w + 1)), 0) as r2x,
+                       coalesce(sum(w * w * w - w), 0) as ties
+                from run
+            ), parts as (
+                select n, m, r2x - n * (n + 1) as u_x2,
+                       case when n + m >= 2 then
+                           (n * m * ((n + m + 1) * (n + m) * (n + m - 1)
+                                     - ties))
+                           // (12 * (n + m) * (n + m - 1)) end as var_q
+                from agg
+            )
+            select cast(n as bigint) as n_ref,
+                   cast(m as bigint) as n_cur,
+                   case when n > 0 and m > 0 then
+                       cast(u_x2 as bigint) end as u_x2,
+                   case when n > 0 and m > 0 and var_q > 0 then
+                       cast(floor(cast(u_x2 - n * m as double)
+                                  / (2.0 * sqrt(cast(var_q as double)))
+                                  * 1000000 + 0.5) as bigint)
+                   end as z_q6
+            from parts
         """,
         "cvm_value_drift": """
             with r as (

@@ -410,3 +410,86 @@ def cvm_stat(ref: DataFrame, cur: DataFrame, col: str,
             .select(nn.cast("bigint").alias("n_ref"),
                     mm.cast("bigint").alias("n_cur"),
                     t.alias(f"t_q{out_scale}")))
+
+
+def mwu_stat(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Exact two-sample Mann–Whitney U (Wilcoxon rank-sum) — the
+    LOCATION leg of the drift suite: KS sees the worst CDF gap, CvM the
+    accumulated gap; U asks the directional question "did the
+    distribution shift UP or DOWN", robust to any monotone transform of
+    the value (Mann & Whitney 1947).
+
+    Exactness: midranks live on half-integers, so the contract carries
+    DOUBLED ranks — at a pooled distinct value with prior cumulative
+    count ``cum`` and pooled multiplicity ``w``, ``2·midrank = 2·cum +
+    w + 1`` (exact int64); the doubled rank sum over the ref side and
+
+        ``u_x2 = 2·U = Σ cr·(2·cum + w + 1) − n·(n+1)``
+
+    are exact decimal integers.  The tie-corrected normal approximation
+
+        ``z = (2U − n·m) / (2·√Var(U))``,
+        ``Var(U) = n·m·((N+1)·N·(N−1) − Σ(w³−w)) / (12·N·(N−1))``
+
+    is emitted as ``z_q6``: the variance is first truncated to an exact
+    integer (one ``trunc_div``) — in-range for √'s exact cast as long as
+    ``Var(U) < 2^53`` (an in-plan ``raise_error`` guards it, the
+    corr_matrix discipline) — then ONE fixed IEEE tree.  Null values
+    ignored; an empty side yields null u/z.
+
+    Plan shape: identical to :func:`ks_stat`/:func:`cvm_stat` — two
+    censuses → merge → one window over the |distinct|-bounded relation
+    → 1-row aggregate.
+    """
+    from ..functions.util import trunc_div
+
+    dec = "decimal(38,0)"
+    r = (ref.where(F.col(col).isNotNull())
+         .groupBy(F.col(col).alias("v"))
+         .agg(F.count("*").alias("cr")))
+    c = (cur.where(F.col(col).isNotNull())
+         .groupBy(F.col(col).alias("v"))
+         .agg(F.count("*").alias("cc")))
+    merged = r.join(c, ["v"], "full_outer").select(
+        "v", F.coalesce("cr", F.lit(0)).cast(dec).alias("cr"),
+        F.coalesce("cc", F.lit(0)).cast(dec).alias("cc"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    run = merged.select(
+        "cr", "cc", (F.col("cr") + F.col("cc")).alias("w"),
+        (F.sum(F.col("cr") + F.col("cc")).over(w)
+         - (F.col("cr") + F.col("cc"))).alias("cum"))
+    agg = run.agg(
+        F.coalesce(F.sum("cr"), F.lit(0).cast(dec)).alias("n"),
+        F.coalesce(F.sum("cc"), F.lit(0).cast(dec)).alias("m"),
+        F.coalesce(F.sum(F.col("cr")
+                         * (F.lit(2).cast(dec) * F.col("cum")
+                            + F.col("w") + 1)),
+                   F.lit(0).cast(dec)).alias("r2x"),
+        F.coalesce(F.sum(F.col("w") * F.col("w") * F.col("w")
+                         - F.col("w")), F.lit(0).cast(dec))
+        .alias("ties"))
+    n, m = F.col("n"), F.col("m")
+    big_n = n + m
+    u_x2 = F.col("r2x") - n * (n + 1)
+    var_num = n * m * ((big_n + 1) * big_n * (big_n - 1) - F.col("ties"))
+    # CASE WHEN evaluates lazily per row — N < 2 must not reach the
+    # modulo inside trunc_div (division by zero)
+    var_q = F.when(
+        big_n >= 2,
+        trunc_div(var_num, F.lit(12).cast(dec) * big_n * (big_n - 1)))
+    two53 = F.lit(str(1 << 53)).cast(dec)
+    z = ((u_x2 - n * m).cast("double")
+         / (F.lit(2.0) * F.sqrt(var_q.cast("double"))))
+    z_q6 = F.when((n > 0) & (m > 0) & (var_q > 0),
+                  F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("bigint"))
+    z_q6 = F.when(
+        var_q > two53,
+        F.raise_error(F.lit(
+            "mwu_stat: Var(U) exceeds 2^53 - its decimal->double cast "
+            "may double-round differently per engine; pre-quantize the "
+            "column coarser or subsample"))
+        .cast("bigint")).otherwise(z_q6)
+    return agg.select(
+        n.cast("bigint").alias("n_ref"), m.cast("bigint").alias("n_cur"),
+        F.when((n > 0) & (m > 0), u_x2).cast("bigint").alias("u_x2"),
+        z_q6.alias("z_q6"))

@@ -121,3 +121,59 @@ def test_cvm_empty_side_null(spark):
     rb = spark.createDataFrame([(None,)], "v double")
     r = cvm_stat(ra, rb, "v").collect()[0]
     assert (r.n_ref, r.n_cur, r.t_q9) == (2, 0, None)
+
+
+# ---------------------------------------------------------------------------
+# mwu_stat
+
+
+def _np_mwu(a, b):
+    import numpy as np
+
+    pooled = np.concatenate([a, b])
+    vals, counts = np.unique(pooled, return_counts=True)
+    cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n, m = len(a), len(b)
+    av, ac = np.unique(a, return_counts=True)
+    r2x = 0
+    for v, cr in zip(av, ac):
+        i = int(np.searchsorted(vals, v))
+        r2x += int(cr) * (2 * int(cum[i]) + int(counts[i]) + 1)
+    u_x2 = r2x - n * (n + 1)
+    ties = int(sum(int(w) ** 3 - int(w) for w in counts))
+    N = n + m
+    var_q = (n * m * ((N + 1) * N * (N - 1) - ties)) \
+        // (12 * N * (N - 1))
+    z = (u_x2 - n * m) / (2.0 * var_q ** 0.5)
+    import math
+    return u_x2, int(math.floor(z * 1e6 + 0.5))
+
+
+def test_mwu_matches_bruteforce_and_scipy_free_sanity(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.drift import mwu_stat
+
+    rng = np.random.default_rng(29)
+    a = rng.normal(0, 1, 250).round(2)
+    b = rng.normal(0.5, 1, 180).round(2)  # shifted up → U above nm/2
+    ra = spark.createDataFrame([(float(v),) for v in a], "v double")
+    rb = spark.createDataFrame([(float(v),) for v in b], "v double")
+    r = mwu_stat(ra, rb, "v").collect()[0]
+    exp_u, exp_z = _np_mwu(a, b)
+    assert (r.n_ref, r.n_cur) == (250, 180)
+    assert r.u_x2 == exp_u and r.z_q6 == exp_z
+    assert r.z_q6 < -3_000_000  # ref below cur → strongly negative z
+    # identical samples: U = nm exactly (2U = 2nm → u_x2 == 2·U…)
+    same = mwu_stat(ra, ra, "v").collect()[0]
+    assert same.u_x2 == 250 * 250  # 2U = n·m ⇒ U = nm/2: no shift
+    assert same.z_q6 == 0
+
+
+def test_mwu_empty_side(spark):
+    from msi_preprocessing_pipeline_spark.operators.drift import mwu_stat
+
+    ra = spark.createDataFrame([(1.0,)], "v double")
+    rb = spark.createDataFrame([(None,)], "v double")
+    r = mwu_stat(ra, rb, "v").collect()[0]
+    assert (r.n_ref, r.n_cur, r.u_x2, r.z_q6) == (1, 0, None, None)
