@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-254 queries, 254 with exact DuckDB oracles — relational SQL where expressible,
+255 queries, 255 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -2460,6 +2460,17 @@ def _q_mwu_drift(spark, sf_dir):
     return mwu_stat(ref, cur, "value")
 
 
+def _q_ess(spark, sf_dir):
+    """Kish effective sample size of value-as-weight per event type —
+    the importance-weighting diagnostic; (Σq)²/Σq² with one truncating
+    division."""
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        effective_sample_size)
+
+    ev = _t(spark, sf_dir, "events")
+    return effective_sample_size(ev, "value", "event_type")
+
+
 def _q_k_anonymity(spark, sf_dir):
     """Table-level re-identification risk: k-anonymity report over
     customer quasi-identifiers (nation × market segment), k=5."""
@@ -4870,6 +4881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvm_value_drift": _q_cvm_drift,
         "quantile_normalize_docs": _q_quantile_normalize,
         "mwu_value_drift": _q_mwu_drift,
+        "ess_value_by_type": _q_ess,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -10471,6 +10483,29 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             join axis a
               on ((rk.r * tot.n + rk.ns - 1) // rk.ns) > a.lo
              and ((rk.r * tot.n + rk.ns - 1) // rk.ns) <= a.hi
+        """,
+        "ess_value_by_type": """
+            with base as (
+                select event_type,
+                       cast(floor(value * 1000000 + 0.5) as hugeint)
+                           as q
+                from events where value is not null
+            ), agg as (
+                select event_type,
+                       cast(count(*) as bigint) as n_obs,
+                       coalesce(sum(q), 0) as sw,
+                       coalesce(sum(q * q), 0) as sww
+                from base group by 1
+            )
+            select event_type, n_obs,
+                   case when sww > 0 then
+                       cast((sw * sw * 1000000) // sww as bigint)
+                   end as ess_u,
+                   case when sww > 0 then
+                       cast(((sw * sw * 1000000) // sww)
+                            // cast(n_obs as hugeint) as bigint)
+                   end as ess_ratio_u
+            from agg
         """,
         "mwu_value_drift": """
             with r as (

@@ -631,3 +631,57 @@ def raking_weights(df: DataFrame, row_col: str, col_col: str,
         trunc_div(F.col("w"), F.col("n").cast(DEC38)).cast("long")
         .alias(f"unit_w_q{int(scale)}"))
         .orderBy(row_col, col_col))
+
+
+def effective_sample_size(df: DataFrame, weight_col: str,
+                          group_cols=None, scale: int = 6,
+                          out_scale: int = 6) -> DataFrame:
+    """Kish effective sample size of a weight column, per group:
+    ``ESS = (Σw)² / Σw²`` — THE diagnostic for importance-weighted
+    training mixtures (DSIR weights, raking weights, temperature
+    mixtures): n rows with wildly uneven weights train like ESS ≪ n
+    rows, and a collapsed ESS means the weighting, not the data, drives
+    the gradient (Kish 1965, §8.2).
+
+    Exact contract: weights quantize once; Σq and Σq² accumulate in
+    decimal(38,0); ``ess_u = trunc_div((Σq)²·10^out, Σq²)`` is ONE
+    truncating division (the 10^scale quantization factor cancels in
+    the ratio) — engine/partition bit-identical.  Negative
+    weights are rejected in-plan (``raise_error`` — a signed weight
+    makes ESS meaningless); zero/null weights contribute nothing.
+
+    Returns per group: ``(group…, n_obs, ess_u, ess_ratio_u)`` with
+    ``ess_ratio_u = trunc_div(ess_u, n_obs)`` — the utilization share
+    in 10^-out units (1e6 = perfectly uniform weights).  ONE
+    map-side-combined aggregation; nothing row-proportional leaves the
+    scan.  Headroom: ``(Σq)²·10^out`` must stay inside decimal(38,0) —
+    at 10^12 rows of 10^3-magnitude weights drop ``scale`` to 0–2.
+    """
+    from ..functions.util import as_list, quantize, trunc_div
+
+    parts = as_list(group_cols) if group_cols is not None else []
+    dec = "decimal(38,0)"
+    w = quantize(F.col(weight_col), scale)
+    w = F.when(
+        w < 0,
+        F.raise_error(F.lit(
+            "effective_sample_size: negative weight — ESS is defined "
+            "for non-negative weights only")).cast("long")
+    ).otherwise(w).cast(dec)
+    base = df.where(F.col(weight_col).isNotNull())
+    agg = base.groupBy(*parts).agg(
+        F.count("*").alias("n_obs"),
+        F.coalesce(F.sum(w), F.lit(0).cast(dec)).alias("__sw"),
+        F.coalesce(F.sum(w * w), F.lit(0).cast(dec)).alias("__sww"))
+    ess = F.when(
+        F.col("__sww") > 0,
+        trunc_div(F.col("__sw") * F.col("__sw")
+                  * F.lit(10 ** out_scale).cast(dec),
+                  F.col("__sww")).cast("bigint"))
+    out = agg.select(*parts, "n_obs", ess.alias("ess_u"), "__sww")
+    ratio = F.when(
+        F.col("__sww") > 0,
+        trunc_div(F.col("ess_u").cast(dec),
+                  F.col("n_obs").cast(dec)).cast("bigint"))
+    return out.select(*parts, "n_obs", "ess_u",
+                      ratio.alias("ess_ratio_u"))

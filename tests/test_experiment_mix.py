@@ -250,3 +250,54 @@ def test_ps_match_no_controls_and_invariance(spark):
     run = lambda d: sorted(map(tuple, ps_match(  # noqa: E731
         d, "t", "s", "id", caliper=0.5).collect()))
     assert run(big.repartition(1)) == run(big.repartition(8))
+
+
+# ---------------------------------------------------------------------------
+# effective_sample_size
+
+
+def test_ess_hand_cases(spark):
+    import pytest as _pytest
+
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        effective_sample_size)
+
+    rows = [("u", 1.0), ("u", 1.0), ("u", 1.0),      # uniform: ESS = n
+            ("s", 1.0), ("s", 0.0), ("s", 0.0),      # one live weight
+            ("z", 0.0), ("n", None)]
+    df = spark.createDataFrame(rows, "g string, w double")
+    out = {r.g: r for r in effective_sample_size(
+        df, "w", "g").collect()}
+    assert out["u"].ess_u == 3_000_000          # exactly n
+    assert out["u"].ess_ratio_u == 1_000_000    # perfectly uniform
+    assert out["s"].ess_u == 1_000_000          # concentrated: ESS = 1
+    assert out["s"].ess_ratio_u == 333_333
+    assert out["z"].ess_u is None               # all-zero weights
+    assert "n" not in out                       # null weights drop rows
+
+    neg = spark.createDataFrame([("g", -1.0)], "g string, w double")
+    with _pytest.raises(Exception, match="negative weight"):
+        effective_sample_size(neg, "w", "g").collect()
+
+
+def test_ess_matches_numpy_and_invariance(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.sampling import (
+        effective_sample_size)
+
+    rng = np.random.default_rng(37)
+    rows = [(f"g{i % 3}", float(rng.gamma(2.0, 1.0))) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, w double")
+    got = {r.g: (r.n_obs, r.ess_u, r.ess_ratio_u) for r in
+           effective_sample_size(df, "w", "g").collect()}
+    for g in ("g0", "g1", "g2"):
+        q = [int(np.floor(w * 1e6 + 0.5)) for gg, w in rows if gg == g]
+        sw, sww, n = sum(q), sum(x * x for x in q), len(q)
+        ess = (sw * sw * 1_000_000) // sww
+        assert got[g] == (n, ess, ess // n)
+    a = sorted(map(tuple, effective_sample_size(
+        df.repartition(1), "w", "g").collect()))
+    b = sorted(map(tuple, effective_sample_size(
+        df.repartition(9), "w", "g").collect()))
+    assert a == b
