@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-255 queries, 255 with exact DuckDB oracles — relational SQL where expressible,
+256 queries, 256 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -2460,6 +2460,18 @@ def _q_mwu_drift(spark, sf_dir):
     return mwu_stat(ref, cur, "value")
 
 
+def _q_spearman(spark, sf_dir):
+    """Spearman rank correlation of lineitem quantity vs extendedprice
+    — doubled midranks normalized to [0, 1e6], exact decimal moments,
+    10^8 staged shrink under the 2^53 guard, one IEEE tree."""
+    from msi_preprocessing_pipeline_spark.operators.featsel import (
+        spearman_corr)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice",
+                         scales=6, shrink_pow=8)
+
+
 def _q_ess(spark, sf_dir):
     """Kish effective sample size of value-as-weight per event type —
     the importance-weighting diagnostic; (Σq)²/Σq² with one truncating
@@ -4882,6 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize_docs": _q_quantile_normalize,
         "mwu_value_drift": _q_mwu_drift,
         "ess_value_by_type": _q_ess,
+        "spearman_qty_price": _q_spearman,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -10483,6 +10496,66 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             join axis a
               on ((rk.r * tot.n + rk.ns - 1) // rk.ns) > a.lo
              and ((rk.r * tot.n + rk.ns - 1) // rk.ns) <= a.hi
+        """,
+        "spearman_qty_price": """
+            with base as (
+                select cast(floor(l_quantity * 1000000 + 0.5)
+                            as hugeint) as qa,
+                       cast(floor(l_extendedprice * 1000000 + 0.5)
+                            as hugeint) as qb
+                from lineitem
+                where l_quantity is not null
+                  and l_extendedprice is not null
+            ), cena as (
+                select qa, cast(count(*) as hugeint) as w
+                from base group by 1
+            ), axa as (
+                select qa,
+                       2 * (sum(w) over wax - w) + w + 1 as r2,
+                       sum(w) over () as n2x
+                from cena
+                window wax as (order by qa rows between unbounded
+                               preceding and current row)
+            ), axa2 as (
+                select qa, (r2 * 1000000) // (2 * n2x) as ra from axa
+            ), cenb as (
+                select qb, cast(count(*) as hugeint) as w
+                from base group by 1
+            ), axb as (
+                select qb,
+                       2 * (sum(w) over wbx - w) + w + 1 as r2,
+                       sum(w) over () as n2x
+                from cenb
+                window wbx as (order by qb rows between unbounded
+                               preceding and current row)
+            ), axb2 as (
+                select qb, (r2 * 1000000) // (2 * n2x) as rb from axb
+            ), joined as (
+                select ra, rb
+                from base join axa2 using (qa) join axb2 using (qb)
+            ), agg as (
+                select cast(count(*) as hugeint) as n,
+                       coalesce(sum(ra), 0) as sa,
+                       coalesce(sum(rb), 0) as sb,
+                       coalesce(sum(ra * rb), 0) as sab,
+                       coalesce(sum(ra * ra), 0) as saa,
+                       coalesce(sum(rb * rb), 0) as sbb
+                from joined
+            ), parts as (
+                select n,
+                       (n * sab - sa * sb) // 100000000 as nx,
+                       (n * saa - sa * sa) // 100000000 as dx,
+                       (n * sbb - sb * sb) // 100000000 as dy
+                from agg
+            )
+            select cast(n as bigint) as n_pairs,
+                   case when dx > 0 and dy > 0 then
+                       cast(floor(cast(nx as double)
+                                  / sqrt(cast(dx as double)
+                                         * cast(dy as double))
+                                  * 1000000 + 0.5) as bigint)
+                   end as rho_u
+            from parts
         """,
         "ess_value_by_type": """
             with base as (

@@ -345,3 +345,98 @@ def best_splits(cand: DataFrame) -> DataFrame:
         F.col("gain_n_u").desc(), F.col("threshold_u").asc())
     return (cand.withColumn("__rk", F.row_number().over(rk))
             .where(F.col("__rk") == 1).drop("__rk"))
+
+
+def spearman_corr(df: DataFrame, col_a: str, col_b: str,
+                  scales=6, out_scale: int = 6,
+                  shrink_pow: int = 0) -> DataFrame:
+    """Exact-contract Spearman rank correlation between two numeric
+    columns — the robust (monotone-invariant) twin of
+    :func:`corr_matrix`'s Pearson: outlier-heavy features correlate on
+    RANKS, not magnitudes (Spearman 1904).
+
+    Determinism pipeline (every step integer-exact, then ONE IEEE
+    tree):
+
+    1. pairwise-complete rows, both columns quantized;
+    2. per-column midranks from the |distinct value|-bounded census
+       (DOUBLED to stay integer under ties: ``2·mid = 2·cum + w + 1``,
+       the ``drift.mwu_stat`` idiom), broadcast-joined back;
+    3. doubled midranks normalized to [0, 10^6] by one ``trunc_div``
+       (bounds every moment independently of n's magnitude);
+    4. exact decimal Pearson moments over the normalized integer
+       ranks;
+    5. ``num/denx/deny`` each truncated by ``10^shrink_pow`` (exact,
+       identical in both engines) to fit the 2^53 double-cast bound —
+       an in-plan ``raise_error`` fires if they still exceed it;
+       relative truncation error ≤ 10^(shrink_pow)/|moment|, i.e.
+       negligible when the guard passes;
+    6. one fixed IEEE tree ``corr = num/√(denx·deny)``, micro-quantized.
+
+    Sizing: the derived moments grow ~n²·10^12, so pick
+    ``shrink_pow ≥ 2·log10(n) − 3.9`` — 0 holds to n ≈ 90, 3 to
+    n ≈ 3·10^3, 8 to n ≈ 10^6, 21 through n ≈ 10^12 (truncation
+    error stays ≤ ~10^-15 relative because the guard keeps ~16
+    significant digits).
+    Returns one row: ``(n_pairs, rho_u)`` (null when either side is
+    constant or n < 2).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.util import trunc_div
+
+    dec = "decimal(38,0)"
+    if isinstance(scales, int):
+        scales = {col_a: scales, col_b: scales}
+    base = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+            .select(quantize(F.col(col_a), scales[col_a]).alias("qa"),
+                    quantize(F.col(col_b), scales[col_b]).alias("qb")))
+
+    def ranked(rel, col, out):
+        cen = rel.groupBy(col).agg(F.count("*").alias("__w"))
+        wax = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0)
+        axis = cen.select(
+            col,
+            (F.lit(2).cast(dec)
+             * (F.sum("__w").over(wax) - F.col("__w")).cast(dec)
+             + F.col("__w") + 1).alias("__r2"),
+            F.sum("__w").over(Window.partitionBy(F.lit(1)))
+            .cast(dec).alias("__n2x"))
+        # normalized rank in [0, 1e6]: trunc_div(r2·1e6, 2N)
+        axis = axis.select(col, trunc_div(
+            F.col("__r2") * F.lit(1_000_000).cast(dec),
+            F.lit(2).cast(dec) * F.col("__n2x")).alias(out))
+        return rel.join(F.broadcast(axis), [col])
+
+    rr = ranked(ranked(base, "qa", "ra"), "qb", "rb")
+    agg = rr.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.coalesce(F.sum("ra"), F.lit(0).cast(dec)).alias("sa"),
+        F.coalesce(F.sum("rb"), F.lit(0).cast(dec)).alias("sb"),
+        F.coalesce(F.sum(F.col("ra") * F.col("rb")),
+                   F.lit(0).cast(dec)).alias("sab"),
+        F.coalesce(F.sum(F.col("ra") * F.col("ra")),
+                   F.lit(0).cast(dec)).alias("saa"),
+        F.coalesce(F.sum(F.col("rb") * F.col("rb")),
+                   F.lit(0).cast(dec)).alias("sbb"))
+    n = F.col("n")
+    num = n * F.col("sab") - F.col("sa") * F.col("sb")
+    denx = n * F.col("saa") - F.col("sa") * F.col("sa")
+    deny = n * F.col("sbb") - F.col("sb") * F.col("sb")
+    g = F.lit(10 ** shrink_pow).cast(dec)
+    nx, dx, dy = (trunc_div(num, g), trunc_div(denx, g),
+                  trunc_div(deny, g))
+    two53 = F.lit(str(1 << 53)).cast(dec)
+    rho = (nx.cast("double")
+           / F.sqrt(dx.cast("double") * dy.cast("double")))
+    rho_u = F.when((dx > 0) & (dy > 0),
+                   F.floor(rho * F.lit(1e6) + F.lit(0.5))
+                   .cast("bigint"))
+    rho_u = F.when(
+        F.greatest(F.abs(nx), dx, dy) > two53,
+        F.raise_error(F.lit(
+            "spearman_corr: a shrunk moment still exceeds 2^53 - "
+            "raise shrink_pow")).cast("bigint")).otherwise(rho_u)
+    return agg.select(n.cast("bigint").alias("n_pairs"),
+                      rho_u.alias("rho_u"))

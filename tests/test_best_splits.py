@@ -77,3 +77,89 @@ def test_split_candidates_guard_fires(spark):
     with pytest.raises(Exception, match="headroom"):
         split_candidates(df, ["x"], "y", x_scales=0, y_scale=6,
                          out_scale=6).collect()
+
+
+# ---------------------------------------------------------------------------
+# spearman_corr
+
+
+def _py_spearman(pairs, shrink_pow=0):
+    """Lockstep python-int mirror of the operator's exact pipeline."""
+    import numpy as np
+
+    q = lambda v: int(np.floor(v * 1e6 + 0.5))  # noqa: E731
+    rows = [(q(a), q(b)) for a, b in pairs
+            if a is not None and b is not None]
+
+    def norm_ranks(vals):
+        from collections import Counter
+        cnt = Counter(vals)
+        uniq = sorted(cnt)
+        n2x = 2 * len(vals)
+        cum, r = 0, {}
+        for v in uniq:
+            w = cnt[v]
+            r2 = 2 * cum + w + 1
+            r[v] = (r2 * 1_000_000) // n2x
+            cum += w
+        return r
+
+    ra = norm_ranks([a for a, _ in rows])
+    rb = norm_ranks([b for _, b in rows])
+    xs = [(ra[a], rb[b]) for a, b in rows]
+    n = len(xs)
+    sa, sb = sum(x for x, _ in xs), sum(y for _, y in xs)
+    sab = sum(x * y for x, y in xs)
+    saa = sum(x * x for x, _ in xs)
+    sbb = sum(y * y for _, y in xs)
+    g = 10 ** shrink_pow
+    tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)  # noqa: E731
+    nx, dx, dy = (tdiv(n * sab - sa * sb, g),
+                  tdiv(n * saa - sa * sa, g),
+                  tdiv(n * sbb - sb * sb, g))
+    if dx <= 0 or dy <= 0:
+        return n, None
+    import math
+    rho = nx / math.sqrt(dx * dy)
+    return n, int(math.floor(rho * 1e6 + 0.5))
+
+
+def test_spearman_matches_lockstep_mirror(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.featsel import (
+        spearman_corr)
+
+    rng = np.random.default_rng(19)
+    x = rng.normal(0, 1, 400)
+    y = x ** 3 + rng.normal(0, 0.1, 400)  # monotone-ish, nonlinear
+    pairs = list(zip(np.round(x, 2), np.round(y, 2)))
+    pairs += [(None, 1.0), (2.0, None)]
+    df = spark.createDataFrame(
+        [(float(a) if a is not None else None,
+          float(b) if b is not None else None) for a, b in pairs],
+        "a double, b double")
+    r = spearman_corr(df, "a", "b", scales=6, shrink_pow=3).collect()[0]
+    n, rho = _py_spearman(pairs, 3)
+    assert (r.n_pairs, r.rho_u) == (n, rho)
+    assert r.rho_u > 950_000  # strongly monotone relationship
+
+
+def test_spearman_constant_and_invariance(spark):
+    import numpy as np
+
+    from msi_preprocessing_pipeline_spark.operators.featsel import (
+        spearman_corr)
+
+    const = spark.createDataFrame([(1.0, float(i)) for i in range(5)],
+                                  "a double, b double")
+    r = spearman_corr(const, "a", "b").collect()[0]
+    assert (r.n_pairs, r.rho_u) == (5, None)
+
+    rng = np.random.default_rng(5)
+    rows = [(float(rng.integers(0, 20)), float(rng.normal(0, 1)))
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    run = lambda d: spearman_corr(  # noqa: E731
+        d, "a", "b", shrink_pow=2).collect()[0]
+    assert tuple(run(df.repartition(1))) == tuple(run(df.repartition(7)))
