@@ -316,7 +316,8 @@ def main() -> None:
                  "twa_value_by_user", "oof_target_encode_events",
                  "sax_value_by_user", "ps_match_purchase_view",
                  "cvm_value_drift", "quantile_normalize_docs",
-                 "mwu_value_drift", "ess_value_by_type"]:
+                 "mwu_value_drift", "ess_value_by_type",
+                 "spearman_qty_price"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays
