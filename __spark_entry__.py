@@ -4662,14 +4662,16 @@ def _q_uplift_qini(spark, sf_dir):
 # SEVENTEEN brand-new round-5 queries (nine from the first session +
 # semdedup / random projection / DSIR / PQ / group-kfold /
 # classification-report / weighted-sample / scalar-quantize from the
-# second); (c) the 19 riskiest never-driver-recorded r4 queries
-# (graph / ER / boilerplate / incremental-refresh class).  The never-
-# recorded queries that no longer fit (key_profile, winsorize, lump_rare,
-# calendar, column_profile, ..., plus the eight evicted for the second-
-# session queries: event_time_disorder, join_size_orders_lineitem,
-# json_key_profile_events, ecdf_value_by_type, audience_overlap_types,
-# top_paths_events, pattern_vcp_users, scd2_purchase_values) stay
-# covered by CONTRACT_r05.json + pytest and rotate into r6's window.
+# second); (c) the riskiest never-driver-recorded r4 queries
+# (graph / ER / boilerplate / incremental-refresh class); (e) the
+# TWELVE session-12 brand-new queries (cusum / best-splits / bfs /
+# benford / twa / oof-encode / sax / ps-match / cvm / quantile-
+# normalize / mwu), which displaced the block-(c)/(d) members with
+# the strongest independent pytest evidence (bloom membership pins,
+# corr/mahalanobis numpy parity, lockstep bootstrap oracles, PAVA
+# golden, exact ROC formula, unigram golden fit, hard-negative recall
+# pins).  Everything evicted stays covered by CONTRACT_r05.json
+# (256/256 at sf0.01) + pytest.
 _R5_WINDOW = [
     # (a) changed contracts — previously recorded (stale green rows).
     # label_centroids/centroid_distance rotate out for the session-10
