@@ -6,7 +6,7 @@ GMM featurization over the synthesized tokenized-sequence table — the
 data). ``queries()``/``oracle_sql()`` cover the operator inventory from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup + clustering,
 similarity, text analysis, decontamination, sampling/splits, packing):
-256 queries, 256 with exact DuckDB oracles — relational SQL where expressible,
+257 queries, 257 with exact DuckDB oracles — relational SQL where expressible,
 pinned VALUES goldens (``_golden_oracles.py``) for the seeded-deterministic
 pipeline/sketch/ANN operators (the ANN queries additionally have recall
 asserted in pytest against exact cosine top-k).
@@ -2460,6 +2460,19 @@ def _q_mwu_drift(spark, sf_dir):
     return mwu_stat(ref, cur, "value")
 
 
+def _q_markov_score(spark, sf_dir):
+    """Per-user Markov sequence anomaly score: the add-k log-likelihood
+    of each user's event-type stream under the corpus transition model
+    — nano-quantized ln terms, exact decimal sums, one trunc_div."""
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        markov_score)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type")
+    return markov_score(ev, "event_type", "user_id", "ts",
+                        k=0.5, tiebreak=["event_id"])
+
+
 def _q_spearman(spark, sf_dir):
     """Spearman rank correlation of lineitem quantity vs extendedprice
     — doubled midranks normalized to [0, 1e6], exact decimal moments,
@@ -4897,6 +4910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_value_drift": _q_mwu_drift,
         "ess_value_by_type": _q_ess,
         "spearman_qty_price": _q_spearman,
+        "markov_score_users": _q_markov_score,
         # --- new in round 4, session 3: embedding linear algebra ---
         "label_centroids_vecs": _q_label_centroids,
         "covariance_embeddings": _q_covariance_embeddings,
@@ -10498,6 +10512,42 @@ def _relational_oracles(n_words: str, n_nospace: str) -> dict[str, str]:
             join axis a
               on ((rk.r * tot.n + rk.ns - 1) // rk.ns) > a.lo
              and ((rk.r * tot.n + rk.ns - 1) // rk.ns) <= a.hi
+        """,
+        "markov_score_users": """
+            with obs as (
+                select user_id, event_id, epoch_ms(ts) as ms,
+                       event_type as a
+                from events
+                where ts is not null and event_type is not null
+            ), big as (
+                select user_id, a,
+                       lead(a) over (partition by user_id
+                                     order by ms, event_id) as b
+                from obs
+            ), big2 as (
+                select user_id, a, b from big where b is not null
+            ), cab as (
+                select a, b, cast(count(*) as bigint) as c
+                from big2 group by 1, 2
+            ), ca as (
+                select a, cast(sum(c) as bigint) as ca
+                from cab group by 1
+            ), v as (
+                select cast(count(distinct a) as double) as v from obs
+            ), scored as (
+                select g.user_id,
+                       cast(floor(ln((cast(c as double) + 0.5)
+                                     / (cast(ca as double) + 0.5 * v.v))
+                                  * 1000000000 + 0.5) as hugeint) as q
+                from big2 g
+                join cab using (a, b) join ca using (a) cross join v
+            )
+            select user_id,
+                   cast(count(*) as bigint) as n_trans,
+                   cast(sum(q) as bigint) as sum_q9,
+                   cast(sum(q) // cast(count(*) as hugeint) as bigint)
+                       as mean_q9
+            from scored group by 1
         """,
         "spearman_qty_price": """
             with base as (

@@ -317,7 +317,7 @@ def main() -> None:
                  "sax_value_by_user", "ps_match_purchase_view",
                  "cvm_value_drift", "quantile_normalize_docs",
                  "mwu_value_drift", "ess_value_by_type",
-                 "spearman_qty_price"]:
+                 "spearman_qty_price", "markov_score_users"]:
         fn = entrymod.queries()[name]
         try:
             # min of 2 runs: the first run of a query in a session pays

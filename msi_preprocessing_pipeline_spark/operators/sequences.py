@@ -531,3 +531,72 @@ def sax_symbols(df: DataFrame, value_col: str, partition_by,
     symbol = F.when(z_u.isNotNull(), sym).cast("int")
     return tot.select(*parts, "segment", "n_in_seg",
                       z_u.alias("z_u"), symbol.alias("symbol"))
+
+
+def markov_score(df: DataFrame, type_col: str, partition_by,
+                 order_by: str = "ts", k: float = 0.5,
+                 n_symbols: int | None = None,
+                 tiebreak=None) -> DataFrame:
+    """Behavioral-anomaly score per entity: the add-k log-likelihood of
+    the entity's categorical event stream under the CORPUS first-order
+    Markov transition model — the event-stream analog of the CCNet
+    perplexity filter (``lm.lm_score``): bots/fraud/broken
+    instrumentation walk the event graph in improbable orders even when
+    every individual event type is common.
+
+    Per transition ``ln P(b|a) = ln((c(a,b)+k)/(c(a,·)+k·V))`` is
+    nano-quantized (the ``lm.worst_span`` idiom — a deterministic
+    scalar of exact counts), so the per-entity sum is exact int64 and
+    the mean is one ``trunc_div`` — engine/partition bit-identical.
+    ``V`` defaults to the in-plan distinct symbol count (1-row
+    broadcast).
+
+    Returns ``(entity…, n_trans, sum_q9, mean_q9)`` — more negative =
+    less typical; entities with < 2 ordered events have no transitions
+    and are absent.  Null order/type rows are dropped.
+
+    Plan shape: one per-entity lead window → ONE (a, b) count shuffle
+    (|symbols|²-bounded relation) → AQE-broadcast joins back → one
+    group aggregate.  Corpus rows shuffle twice on the entity key
+    (window + final group), both map-side-combinable.
+    """
+    from ..functions.util import as_list, trunc_div
+
+    parts = as_list(partition_by)
+    tiebreak = as_list(tiebreak) if tiebreak is not None else []
+    is_ts = dict(df.dtypes).get(order_by, "").startswith("timestamp")
+    ms = (F.unix_millis(F.col(order_by).cast("timestamp")) if is_ts
+          else F.col(order_by).cast("long"))
+    obs = (df.where(F.col(order_by).isNotNull()
+                    & F.col(type_col).isNotNull())
+           .select(*parts, ms.alias("__ms"),
+                   F.col(type_col).alias("__a"),
+                   *[F.col(c) for c in tiebreak]))
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("__ms"), *[F.col(c) for c in tiebreak])
+    big = (obs.select(*parts, "__a",
+                      F.lead("__a").over(w).alias("__b"))
+           .where(F.col("__b").isNotNull()))
+    cab = big.groupBy("__a", "__b").agg(F.count("*").alias("__c"))
+    ca = cab.groupBy("__a").agg(F.sum("__c").alias("__ca"))
+    if n_symbols is None:
+        vrel = obs.agg(
+            F.countDistinct("__a").cast("double").alias("__v"))
+        scored = big.join(cab, ["__a", "__b"]).join(ca, ["__a"]) \
+            .crossJoin(F.broadcast(vrel))
+        v = F.col("__v")
+    else:
+        scored = big.join(cab, ["__a", "__b"]).join(ca, ["__a"])
+        v = F.lit(float(n_symbols))
+    lnp = F.log((F.col("__c").cast("double") + F.lit(float(k)))
+                / (F.col("__ca").cast("double") + F.lit(float(k)) * v))
+    q9 = F.floor(lnp * F.lit(1e9) + F.lit(0.5)).cast("long")
+    dec = "decimal(38,0)"
+    agg = scored.groupBy(*parts).agg(
+        F.count("*").alias("n_trans"),
+        F.sum(q9.cast(dec)).alias("__s"))
+    return agg.select(
+        *parts, "n_trans",
+        F.col("__s").cast("bigint").alias("sum_q9"),
+        trunc_div(F.col("__s"), F.col("n_trans").cast(dec))
+        .cast("bigint").alias("mean_q9"))

@@ -492,3 +492,69 @@ def test_sax_symbols_partition_invariant(spark):
     run = lambda d: sorted(map(tuple, sax_symbols(  # noqa: E731
         d, "value", "user_id", "ms", tiebreak=["event_id"]).collect()))
     assert run(df.repartition(1)) == run(df.repartition(13))
+
+
+# ---------------------------------------------------------------------------
+# markov_score
+
+
+def test_markov_score_lockstep_mirror_and_anomaly(spark):
+    import math
+
+    from collections import Counter
+
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        markov_score)
+
+    # 8 "normal" users walk A->B->C->A…; 1 bot walks C->B->A->C…
+    rows = []
+    for u in range(8):
+        for i, t in enumerate("ABC" * 4):
+            rows.append((f"u{u}", i, i, t))
+    for i, t in enumerate("CBA" * 4):
+        rows.append(("bot", i, i, t))
+    df = spark.createDataFrame(rows, "user_id string, event_id long, "
+                                     "ms long, event_type string")
+    got = {r.user_id: (r.n_trans, r.sum_q9, r.mean_q9)
+           for r in markov_score(df, "event_type", "user_id", "ms",
+                                 tiebreak=["event_id"]).collect()}
+
+    seqs = {}
+    for u, _, ms, t in rows:
+        seqs.setdefault(u, []).append((ms, t))
+    bigs = []
+    for u, evs in seqs.items():
+        ts = [t for _, t in sorted(evs)]
+        bigs += [(u, a, b) for a, b in zip(ts, ts[1:])]
+    cab = Counter((a, b) for _, a, b in bigs)
+    ca = Counter()
+    for (a, _), c in cab.items():
+        ca[a] += c
+    V = 3.0
+    exp = {}
+    for u in seqs:
+        qs = [int(math.floor(
+            math.log((cab[(a, b)] + 0.5) / (ca[a] + 0.5 * V))
+            * 1e9 + 0.5)) for uu, a, b in bigs if uu == u]
+        s = sum(qs)
+        mean = abs(s) // len(qs) * (1 if s >= 0 else -1)
+        exp[u] = (len(qs), s, mean)
+    assert got == exp
+    # the bot's walk is rarer than the normal walk
+    assert got["bot"][2] < got["u0"][2]
+
+
+def test_markov_score_edges(spark):
+    from msi_preprocessing_pipeline_spark.operators.sequences import (
+        markov_score)
+
+    rows = [("a", 1, 1, "X"),                 # single event: no row
+            ("b", 1, 1, "X"), ("b", 2, 2, None),  # null type dropped
+            ("b", 3, 3, "Y"),
+            ("c", 1, None, "X"), ("c", 2, 2, "Y")]  # null ts dropped
+    df = spark.createDataFrame(rows, "user_id string, event_id long, "
+                                     "ms long, event_type string")
+    got = {r.user_id: r.n_trans for r in markov_score(
+        df, "event_type", "user_id", "ms",
+        tiebreak=["event_id"]).collect()}
+    assert got == {"b": 1}  # only b has an ordered pair left
