@@ -19,6 +19,8 @@ oracle (SURVEY.md §2.9, §7 Phase 4):
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import NamedTuple
 
 import numpy as np
@@ -26,6 +28,21 @@ import numpy as np
 _SQRT_2PI = np.sqrt(2.0 * np.pi)
 _EM_MAX_ITER = 300
 _EM_TOL = 1e-10
+
+# Driver-side EM is single-threaded numpy; the BIC loop fits k = 1..k_cap
+# INDEPENDENT candidates, so they run concurrently on driver cores (numpy
+# ufuncs release the GIL).  Each candidate's float ops are untouched —
+# results stay bit-identical, only wall time changes.
+_EM_POOL: ThreadPoolExecutor | None = None
+
+
+def _em_pool() -> ThreadPoolExecutor:
+    global _EM_POOL
+    if _EM_POOL is None:
+        _EM_POOL = ThreadPoolExecutor(
+            max_workers=min(16, os.cpu_count() or 4),
+            thread_name_prefix="gmm-em")
+    return _EM_POOL
 
 
 class GmmModel(NamedTuple):
@@ -55,18 +72,35 @@ def _em_weighted(x: np.ndarray, weights: np.ndarray, k: int,
     sig = np.full(k, max(spread / max(k, 1), sigma_floor))
     mix = np.full(k, 1.0 / k)
     prev_ll = -np.inf
+    # two reusable (n, k) buffers instead of ~8 fresh temporaries per
+    # iteration; every arithmetic op keeps the ORIGINAL operand order
+    # (e.g. ``(-0.5 * z) * z``), so values are bit-identical
+    n = x.size
+    xc = x[:, None]
+    wc = weights[:, None]
+    A = np.empty((n, k))
+    B = np.empty((n, k))
     for _ in range(_EM_MAX_ITER):
         # E-step in log space for stability
-        z = (x[:, None] - mu[None, :]) / sig[None, :]
-        log_pdf = -0.5 * z * z - np.log(sig[None, :] * _SQRT_2PI)
-        log_joint = log_pdf + np.log(mix[None, :])
-        log_norm = np.logaddexp.reduce(log_joint, axis=1)
+        np.subtract(xc, mu[None, :], out=A)
+        np.divide(A, sig[None, :], out=A)            # A = z
+        np.multiply(A, -0.5, out=B)
+        np.multiply(B, A, out=B)                     # B = -0.5*z*z
+        np.subtract(B, np.log(sig[None, :] * _SQRT_2PI), out=B)
+        np.add(B, np.log(mix[None, :]), out=B)       # B = log_joint
+        log_norm = np.logaddexp.reduce(B, axis=1)
         ll = float(np.sum(weights * log_norm))
-        resp = np.exp(log_joint - log_norm[:, None]) * weights[:, None]
-        nk = resp.sum(axis=0)
+        np.subtract(B, log_norm[:, None], out=B)
+        np.exp(B, out=B)
+        np.multiply(B, wc, out=B)                    # B = resp
+        nk = B.sum(axis=0)
         nk = np.maximum(nk, 1e-300)
-        mu = (resp * x[:, None]).sum(axis=0) / nk
-        var = (resp * (x[:, None] - mu[None, :]) ** 2).sum(axis=0) / nk
+        np.multiply(B, xc, out=A)
+        mu = A.sum(axis=0) / nk
+        np.subtract(xc, mu[None, :], out=A)
+        np.multiply(A, A, out=A)
+        np.multiply(B, A, out=A)                     # A = resp*(x-mu)^2
+        var = A.sum(axis=0) / nk
         sig = np.maximum(np.sqrt(var), sigma_floor)
         mix = nk / total
         if abs(ll - prev_ll) <= _EM_TOL * max(1.0, abs(ll)):
@@ -100,8 +134,16 @@ def fit_gmm_1d(x: np.ndarray, weights: np.ndarray | None = None,
     k_cap = int(min(max_components, n_distinct))
     best = None
     n_eff = float(np.sum(weights))
-    for k in range(1, max(k_cap, 1) + 1):
-        mu, sig, mix, ll = _em_weighted(x, weights, k, sigma_floor)
+    ks = list(range(1, max(k_cap, 1) + 1))
+    if len(ks) > 1 and x.size >= 256:
+        # independent candidates run concurrently (bit-identical per
+        # candidate); selection still scans in ascending-k order
+        futs = [_em_pool().submit(_em_weighted, x, weights, k, sigma_floor)
+                for k in ks]
+        fits = [f.result() for f in futs]
+    else:
+        fits = [_em_weighted(x, weights, k, sigma_floor) for k in ks]
+    for k, (mu, sig, mix, ll) in zip(ks, fits):
         score = _bic(ll, k, n_eff)
         if best is None or score < best[0] - 1e-9:
             best = (score, mu, sig, mix)
