@@ -2597,18 +2597,37 @@ def _q_disorder(spark, sf_dir):
 def _q_pagerank(spark, sf_dir):
     """Supplier/part centrality: 4 rounds of integer-arithmetic
     PageRank over the undirected part<->supplier bipartite graph —
-    bit-identical across engines because every step is exact int64."""
+    bit-identical across engines because every step is exact int64.
+
+    r6 shape: the rank recurrence depends only on graph STRUCTURE, so
+    the iterations run over narrow long node keys (partkey·2 /
+    suppkey·2+1 — guide §2.3 narrower shuffle types) built from a
+    pre-distinct int key-pair projection (dedup happens on 2 ints per
+    lineitem row, not on built-up strings, and the operator's own edge
+    distinct is skipped via ``assume_distinct``); the string node
+    labels are reconstructed exactly at the end. Output identical to
+    the string-keyed formulation (oracle unchanged)."""
     from msi_preprocessing_pipeline_spark.operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
-        .alias("s"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-        .alias("d"))
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    fwd = pairs.select(
+        (F.col("l_partkey").cast("long") * 2).alias("s"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("d"))
+    # fwd rows are distinct (distinct pairs, injective key maps) and
+    # even->odd while rev is odd->even, so the union is duplicate-free
     edges = fwd.union(fwd.select(F.col("d").alias("s"),
                                  F.col("s").alias("d")))
-    return pagerank(edges, "s", "d", iters=4, scale=10**9)
+    ranks = pagerank(edges, "s", "d", iters=4, scale=10**9,
+                     assume_distinct=True)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0,
+               F.concat(F.lit("p"), (F.col("node") / F.lit(2))
+                        .cast("long").cast("string")))
+        .otherwise(
+            F.concat(F.lit("s"), ((F.col("node") - 1) / F.lit(2))
+                     .cast("long").cast("string"))).alias("node"),
+        "rank")
 
 
 def _pagerank_oracle(iters: int = 4, scale: int = 10**9,

@@ -88,7 +88,12 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
     the union of verified stars connects the same component the clique
     would.
     """
-    banded = minhash_bands(signatures, id_col, bands)
+    # materialize the banded relation ONCE: both self-join sides (and the
+    # star guard's window) reference it, and without truncation the whole
+    # shingle-explode + 64-min-aggregate signature subtree is planned —
+    # and executed — once PER REFERENCE (no exchange reuse fires across
+    # the differing projections)
+    banded = minhash_bands(signatures, id_col, bands).localCheckpoint()
     left = _star_left_side(banded, ["band_key"], id_col,
                            star_over).alias("l")
     right = banded.alias("r")
@@ -164,9 +169,13 @@ def incremental_minhash_pairs(new_docs: DataFrame, prior_sigs: DataFrame,
     id (present in both inputs) is re-signed and its prior store row
     dropped, so the store keeps one signature per id.
     """
+    # the new batch's signatures feed THREE branches (store anti-join,
+    # store union, new-side bands): materialize once so the raw-text
+    # shingle+sign pass over the batch runs once, not three times
     new_sigs = minhash_signatures(new_docs, text_col, id_col,
                                   n_hashes=n_hashes,
-                                  shingle_words=shingle_words, seed=seed)
+                                  shingle_words=shingle_words,
+                                  seed=seed).localCheckpoint()
     prior_kept = prior_sigs.join(new_sigs.select(id_col), [id_col],
                                  "left_anti")
     all_sigs = prior_kept.unionByName(new_sigs)

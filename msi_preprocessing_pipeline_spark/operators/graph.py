@@ -49,7 +49,8 @@ from pyspark.sql import functions as F
 def pagerank(edges: DataFrame, src_col: str, dst_col: str,
              iters: int = 5, scale: int = 10**12,
              damp_num: int = 85, damp_den: int = 100,
-             checkpoint_every: int = 5) -> DataFrame:
+             checkpoint_every: int = 5,
+             assume_distinct: bool = False) -> DataFrame:
     """``(node, rank)`` after ``iters`` integer-damped-PageRank rounds
     over the DIRECTED edge list (duplicate edges count once; union the
     reversed edges first for undirected semantics).  ``rank`` is in
@@ -66,6 +67,13 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
     and bounds plan depth for long ones; the final round is always
     checkpointed so the returned relation is materialized and the
     caches this function holds can be released.
+
+    ``assume_distinct=True`` skips the defensive edge ``distinct()``
+    (one full shuffle of the edge list) when the caller proves the
+    edge relation is already duplicate-free — e.g. built from a
+    distinct key-pair projection.  Duplicate edges WOULD change
+    degrees and contributions, so only set it when that invariant
+    truly holds.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -80,8 +88,9 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
     e = (edges.where(F.col(src_col).isNotNull()
                      & F.col(dst_col).isNotNull())
          .select(F.col(src_col).alias("__s"),
-                 F.col(dst_col).alias("__d"))
-         .distinct())
+                 F.col(dst_col).alias("__d")))
+    if not assume_distinct:
+        e = e.distinct()
     nodes = (e.select(F.col("__s").alias("node"))
              .union(e.select("__d")).distinct().persist())
     deg = e.groupBy("__s").agg(F.count("*").alias("__dg"))

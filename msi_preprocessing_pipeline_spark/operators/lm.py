@@ -684,6 +684,11 @@ def similar_doc_pairs(df: DataFrame, threshold: float = 0.8,
         wp = wp.crossJoin(F.broadcast(n_rel))
     wp = wp.select("t", F.col(id_col),
                    (F.col("tf") * idf_milli).alias("w"))
+    # the weighted-postings relation feeds FOUR plan branches (norms +
+    # both self-join sides); materialize it once — otherwise the whole
+    # tokenize→explode→postings→df-join subtree is re-executed per
+    # branch (observed 60-Exchange plan with four parquet re-scans)
+    wp = wp.localCheckpoint()
     norms = (wp.groupBy(id_col)
              .agg(F.sum((F.col("w") * F.col("w")).cast(DEC38))
                   .alias("n2")))
