@@ -3886,7 +3886,7 @@ def _q_fertility_by_script(spark, sf_dir):
     bytes-per-token-parity-across-writing-systems table. Exact SQL
     oracle end to end."""
     from msi_preprocessing_pipeline_spark.operators.text import (
-        script_census, tokenizer_fertility)
+        dominant_script_col, tokenizer_fertility)
 
     docs = _t(spark, sf_dir, "documents")
     suffix = (F.when(F.col("doc_id") % 5 == 0, F.lit(" Привет мир"))
@@ -3897,9 +3897,13 @@ def _q_fertility_by_script(spark, sf_dir):
     docs = docs.withColumn(
         "text", F.when(F.col("text").isNotNull(),
                        F.concat(F.col("text"), suffix)))
-    dom = script_census(docs).select("doc_id", "dominant_script")
-    out = tokenizer_fertility(docs.join(dom, "doc_id"),
-                              by="dominant_script")
+    # r6: the script decision folds into the fertility scan as a column
+    # (shared dominant_script_col) — the census+join formulation scanned
+    # the corpus twice and shuffled both sides on doc_id for identical
+    # output (guide §2.4: remove shuffles outright)
+    out = tokenizer_fertility(
+        docs.withColumn("dominant_script", dominant_script_col("text")),
+        by="dominant_script")
     return out.select(
         "dominant_script", "n_docs", "n_null_text", "n_words",
         "n_pieces", "n_chars",

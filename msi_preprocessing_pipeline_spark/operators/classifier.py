@@ -61,15 +61,20 @@ def logreg_fit(df: DataFrame, feature_cols: list[str], label_col: str,
     for c in list(feature_cols) + [label_col]:
         cond = F.col(c).isNull()
         nullcheck = cond if nullcheck is None else (nullcheck | cond)
-    if df.where(nullcheck).limit(1).count() > 0:
-        raise ValueError("logreg_fit requires non-null features/label "
-                         "(impute first)")
     base = df.select(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
-        F.col(label_col).cast("int").alias("__y"))
+        F.col(label_col).cast("int").alias("__y"),
+        nullcheck.alias("__anynull"))
     xq = {f"__xq{j}": quantize(F.col(c), scale)
           for j, c in enumerate(feature_cols)}
-    base = base.withColumns(xq)
+    # materialize the narrow training relation ONCE: each GD round is a
+    # single scalar aggregation over it, instead of re-executing the
+    # caller's feature subtree (raw scan + string ops) once per round
+    # (+ once for the null probe, evaluated on the same pass here)
+    base = base.withColumns(xq).localCheckpoint()
+    if base.where("__anynull").limit(1).count() > 0:
+        raise ValueError("logreg_fit requires non-null features/label "
+                         "(impute first)")
 
     w = np.zeros(len(feature_cols) + 1, dtype=np.float64)
     n = None

@@ -441,23 +441,46 @@ def poisson1_thresholds(k_max: int = 12) -> "list[int]":
     return ts
 
 
-def _replicate_aggs(id_col: str, y, n_reps: int, seed: int):
-    """The shared Poisson-replicate aggregate builder: per replicate, a
-    seeded md5 draw against the integer thresholds yields the row's
-    pseudo-count ``w_r``; returns ``[count, sum(y), ws_0, wy_0, ...]``.
+def _with_replicate_weights(df: DataFrame, id_col: str, n_reps: int,
+                            seed: int) -> DataFrame:
+    """Adds the per-row Poisson(1) pseudo-count columns ``__w_r``: a
+    seeded md5 draw per replicate against the integer thresholds.
     Null ids: ``concat_ws`` SKIPS nulls (all null-id rows share the
     draw of "seed:r") — the generated DuckDB oracles use ``concat_ws``
-    too, so the engines agree even on null ids."""
+    too, so the engines agree even on null ids.
+
+    Two explicit projection layers (draws, then threshold counts): the
+    threshold sum references its draw 12 times, and inlining the
+    ``conv(md5(..))`` subtree into every comparison — what happens when
+    the whole thing is one aggregate expression — evaluated the md5
+    TWELVE times per (row, replicate) in the observed plan.  Catalyst's
+    CollapseProject keeps the layers separate (non-cheap expression,
+    multiple consumers), so each draw is computed exactly once."""
     ts = poisson1_thresholds()
-    aggs = [F.count("*").alias("__n"), F.sum(y).alias("__sy")]
+    draws = {f"__d_{r}": F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(seed)),
+        F.lit(str(r)))), 1, 15), 16, 10).cast("long")
+        for r in range(n_reps)}
+    out = df.withColumns(draws)
+    ws = {}
     for r in range(n_reps):
-        draw = F.conv(F.substring(F.md5(F.concat_ws(
-            ":", F.col(id_col).cast("string"), F.lit(str(seed)),
-            F.lit(str(r)))), 1, 15), 16, 10).cast("long")
+        draw = F.col(f"__d_{r}")
         w = None
         for t in ts:
             c = (draw >= F.lit(t)).cast("long")
             w = c if w is None else w + c
+        ws[f"__w_{r}"] = w
+    return out.withColumns(ws)
+
+
+def _replicate_aggs(y, n_reps: int):
+    """The shared Poisson-replicate aggregate list over the ``__w_r``
+    columns of :func:`_with_replicate_weights`:
+    ``[count, sum(y), ws_0, wy_0, ...]`` — map-side combined, exact
+    decimal sums."""
+    aggs = [F.count("*").alias("__n"), F.sum(y).alias("__sy")]
+    for r in range(n_reps):
+        w = F.col(f"__w_{r}")
         aggs += [F.sum(w).alias(f"__ws_{r}"),
                  F.sum(w.cast(_DEC) * y).alias(f"__wy_{r}")]
     return aggs
@@ -487,9 +510,10 @@ def poisson_bootstrap_ci(df: DataFrame, metric_col: str, id_col: str,
     """
     from ..functions.util import as_list
     keys = [] if group_by is None else as_list(group_by)
-    src = df.where(F.col(metric_col).isNotNull())
+    src = _with_replicate_weights(df.where(F.col(metric_col).isNotNull()),
+                                  id_col, n_reps, seed)
     y = _q(F.col(metric_col), scale).cast(_DEC)
-    aggs = _replicate_aggs(id_col, y, n_reps, seed)
+    aggs = _replicate_aggs(y, n_reps)
     agg = src.groupBy(*keys).agg(*aggs) if keys else src.agg(*aggs)
 
     unscale = F.lit(float(10 ** scale))
@@ -610,11 +634,13 @@ def poisson_bootstrap_diff_ci(df: DataFrame, metric_col: str,
     ``(n_c, n_t, diff_u, lo_u, hi_u, n_reps_valid)`` — a CI excluding 0
     is the bootstrap's significance verdict.
     """
-    src = df.where(F.col(metric_col).isNotNull()
-                   & F.col(group_col).isin([control, treatment]))
+    src = _with_replicate_weights(
+        df.where(F.col(metric_col).isNotNull()
+                 & F.col(group_col).isin([control, treatment])),
+        id_col, n_reps, seed)
     y = _q(F.col(metric_col), scale).cast(_DEC)
     arms = src.groupBy(F.col(group_col).alias("__g")).agg(
-        *_replicate_aggs(id_col, y, n_reps, seed))
+        *_replicate_aggs(y, n_reps))
 
     is_t = F.col("__g") == F.lit(treatment)
     picks = []

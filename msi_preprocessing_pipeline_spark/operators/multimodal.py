@@ -244,11 +244,14 @@ def synth_media_from_ids(ids: DataFrame, id_col: str = "doc_id",
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yy, xx = np.mgrid[0:height, 0:width]
-        for pdf in batches:
-            payloads, widths, heights = [], [], []
-            for sid in pdf[id_col].astype(str):
-                gid = int(hashlib.md5(sid.encode()).hexdigest()[:8], 16) \
-                    % n_groups
+        base_cache: dict[int, np.ndarray] = {}  # gid -> group base image
+
+        def group_base(gid: int) -> np.ndarray:
+            # deterministic per gid, so memoizing per task changes
+            # nothing — every member of a group otherwise re-generates
+            # the identical base image (the per-row hot spot here)
+            img = base_cache.get(gid)
+            if img is None:
                 grng = np.random.RandomState(1000 + gid)
                 img = ((xx * grng.randint(1, 5) + yy * grng.randint(1, 5))
                        % 256).astype(np.float64)
@@ -256,6 +259,15 @@ def synth_media_from_ids(ids: DataFrame, id_col: str = "doc_id",
                     y0 = grng.randint(0, height - 8)
                     x0 = grng.randint(0, width - 8)
                     img[y0:y0 + 8, x0:x0 + 8] = grng.randint(0, 256)
+                base_cache[gid] = img
+            return img
+
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for sid in pdf[id_col].astype(str):
+                gid = int(hashlib.md5(sid.encode()).hexdigest()[:8], 16) \
+                    % n_groups
+                img = group_base(gid).copy()
                 # per-id perturbation: one small dim rectangle
                 irng = np.random.RandomState(
                     int(hashlib.md5((sid + "#p").encode()).hexdigest()[:8],

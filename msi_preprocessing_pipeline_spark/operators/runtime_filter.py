@@ -209,6 +209,11 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
             f"always safe)")
     keys = (build.select(F.col(build_key).alias(_KEY))
             .where(F.col(_KEY).isNotNull()).distinct())
+    if bloom is None:
+        # the distinct-key relation feeds THREE jobs (sizing count,
+        # bitmap build, exact verify join): materialize it once so the
+        # build side is scanned+deduped once, not three times
+        keys = keys.localCheckpoint()
     bf = bloom if bloom is not None else bloom_build(
         keys, _KEY, fpp=fpp, expected_n=expected_n, seed=seed)
     flagged = bf.might_contain(probe, probe_key, _MAYBE)

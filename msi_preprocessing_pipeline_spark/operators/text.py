@@ -842,6 +842,26 @@ SCRIPTS_DEFAULT = ("Latin", "Cyrillic", "Han", "Arabic", "Greek",
                    "Hangul", "Devanagari", "Hebrew", "Thai")
 
 
+def dominant_script_col(text_col: str = "text",
+                        scripts=SCRIPTS_DEFAULT):
+    """The :func:`script_census` ``dominant_script`` rule as a single
+    map-only Column (largest per-script letter count, ties to the
+    lexicographically smallest name, null text / zero letters → null).
+    Lets per-script GROUPING queries fold the script decision into the
+    grouping scan instead of joining the full census back on doc id —
+    one pass, zero exchanges added.  Shares the census expressions, so
+    the rule cannot drift between the two."""
+    t = F.col(text_col)
+    cnt = {s: F.when(t.isNull(), F.lit(0)).otherwise(F.length(
+        F.regexp_replace(t, f"[^\\p{{Is{s}}}]", ""))).cast("long")
+        for s in scripts}
+    pairs = F.array(*[F.struct((-cnt[s]).alias("n"),
+                               F.lit(s).alias("s")) for s in scripts])
+    best = F.array_min(pairs)
+    return F.when(t.isNull() | (best["n"] == 0), F.lit(None)) \
+        .otherwise(best["s"])
+
+
 def script_census(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   scripts=SCRIPTS_DEFAULT) -> DataFrame:
