@@ -173,16 +173,21 @@ def triangles(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
 
 def _undirected(edges: DataFrame, src_col: str, dst_col: str):
     """Canonical undirected edge set (min, max), deduped, no loops or
-    nulls — plus per-node degrees over it."""
+    nulls — plus per-node degrees over it.  Both relations are
+    materialized: the triangle/coefficient consumers reference ``e``
+    (orient + edge totals) and ``deg`` (both orient sides + node
+    totals) several times each, and the lazy forms re-ran the caller's
+    edge construction and the degree aggregation per reference."""
     e = (edges.where(F.col(src_col).isNotNull()
                      & F.col(dst_col).isNotNull())
          .select(F.least(src_col, dst_col).alias("__a"),
                  F.greatest(src_col, dst_col).alias("__b"))
          .where(F.col("__a") != F.col("__b"))
-         .distinct())
+         .distinct().localCheckpoint())
     deg = (e.select(F.col("__a").alias("node"))
            .union(e.select("__b"))
-           .groupBy("node").agg(F.count("*").alias("__dg")))
+           .groupBy("node").agg(F.count("*").alias("__dg"))
+           .localCheckpoint())
     return e, deg
 
 
@@ -282,11 +287,15 @@ def kcore(edges: DataFrame, src_col: str, dst_col: str, k: int,
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     e, _ = _undirected(edges, src_col, dst_col)
-    cur = e.localCheckpoint()
+    cur = e  # _undirected already materialized it
     for _ in range(max_iter):
+        # one degree aggregation per round: the convergence probe AND
+        # the keep-set semi-joins both read it (materialized — the lazy
+        # form re-ran the aggregation for each)
         deg = (cur.select(F.col("__a").alias("node"))
                .union(cur.select("__b"))
-               .groupBy("node").agg(F.count("*").alias("__dg")))
+               .groupBy("node").agg(F.count("*").alias("__dg"))
+               .localCheckpoint())
         if deg.where(F.col("__dg") < k).limit(1).count() == 0:
             return deg.select("node",
                               F.col("__dg").alias("core_degree"))
@@ -394,7 +403,10 @@ def bfs_hops(edges: DataFrame, src_col: str, dst_col: str,
          .where(F.col("__u") != F.col("__v")))
     adj = e if directed else e.union(
         e.select(F.col("__v").alias("__u"), F.col("__u").alias("__v")))
-    adj = adj.distinct()
+    # materialize the adjacency once: every BFS round joins against it,
+    # and a lazy adj re-runs the caller's edge construction (here often
+    # itself a join) + the distinct per round
+    adj = adj.distinct().localCheckpoint()
 
     dist = (seeds.where(F.col(scol).isNotNull())
             .select(F.col(scol).cast(node_t).alias("node"))

@@ -529,9 +529,13 @@ def pq_fit(corpus: DataFrame, m: int = 8, k: int = 16,
     lowest-id argmin ties, hash-ordered init rows, empty clusters keep
     their centroid — bit-reproducible under any partitioning.
     """
+    # materialize the quantized relation ONCE: the init probe plus every
+    # Lloyd iteration otherwise re-scans the corpus and re-runs the
+    # per-element quantize transform (iters+1 interpreted HOF passes)
     qdf = (corpus.select(id_col,
                          _quantize_vecs(corpus, vec_col, scale).alias("q"))
-           .where(F.col("q").isNotNull()))
+           .where(F.col("q").isNotNull())
+           .localCheckpoint())
     init_rows = (qdf.select(
         "q", F.xxhash64(F.col(id_col), F.lit(int(seed))).alias("h"))
         .orderBy("h", "q").limit(k).collect())
