@@ -794,6 +794,10 @@ def duplicate_spans(df: DataFrame, n: int = 8, text_col: str = "text",
     grams = positional_word_grams(df, n, text_col, id_col)
     if hash_grams:
         grams = grams.withColumn("gram", F.xxhash64("gram"))
+    # the gram relation feeds the frequency aggregation AND the semi-join
+    # probe side: materialize once so gram generation (split + NGram +
+    # explode over the corpus) runs one pass, not two
+    grams = grams.localCheckpoint()
     freq = grams.groupBy("gram").agg(
         F.countDistinct(id_col).alias("_df"))
     dup = freq.where(F.col("_df") >= F.lit(int(min_docs)))

@@ -406,6 +406,21 @@ def cvm_stat(ref: DataFrame, cur: DataFrame, col: str,
                trunc_div(F.col("__num")
                          * F.lit(10 ** out_scale).cast(dec), den)
                .cast("bigint"))
+    # decimal(38,0) headroom guard (the mwu_stat/corr_matrix
+    # discipline): __num·10^out_scale is bounded by
+    # (n+m)·(n·m)²·10^out_scale — past 10^38 Spark silently NULLs the
+    # decimal product, so fail fast instead.  The bound check runs in
+    # double on the 1-row totals (no decimal overflow in the guard
+    # itself; the ~1e-16 relative slack is inside the safety margin).
+    nd, md = nn.cast("double"), mm.cast("double")
+    bound = (nd + md) * (nd * md) * (nd * md) \
+        * F.lit(float(10 ** out_scale))
+    t = F.when(
+        bound > F.lit(0.9e38),
+        F.raise_error(F.lit(
+            "cvm_stat: statistic numerator may exceed decimal(38,0) - "
+            "pre-quantize the column coarser or subsample the sides"))
+        .cast("bigint")).otherwise(t)
     return (tot.crossJoin(num)
             .select(nn.cast("bigint").alias("n_ref"),
                     mm.cast("bigint").alias("n_cur"),

@@ -417,14 +417,21 @@ def quantile_normalize(df: DataFrame, source_col: str, value_col: str,
         (F.sum("__c").over(wax) - F.col("__c")).alias("__lo"),
         F.sum("__c").over(wax).alias("__hi"))
     one = base.agg(F.count("*").alias("__n"))
+    # exact decimal(38,0) arithmetic throughout: r·N overflows int64
+    # past ~3e9 rows, and a bigint `/` is DOUBLE division (silent
+    # off-by-one once r·N exceeds 2^53) — the repo-wide trunc_div
+    # discipline, mirroring the oracle's integer `//`
+    from ..functions.util import DEC38, trunc_div
+    rn = (F.col("__r").cast(DEC38) * F.col("__n")
+          + F.col("__ns") - 1)
     tgt = ranked.crossJoin(F.broadcast(one)).select(
         "id", "source", "q_u",
-        ((F.col("__r") * F.col("__n") + F.col("__ns") - 1)
-         - (F.col("__r") * F.col("__n") + F.col("__ns") - 1)
-         % F.col("__ns")).alias("__rnum"), F.col("__ns"))
+        (rn - rn % F.col("__ns")).alias("__rnum"),
+        F.col("__ns"))
     tgt = tgt.select(
         "id", "source", "q_u",
-        (F.col("__rnum") / F.col("__ns")).cast("long").alias("__R"))
+        trunc_div(F.col("__rnum"),
+                  F.col("__ns").cast(DEC38)).cast("long").alias("__R"))
     out = tgt.join(
         F.broadcast(axis),
         (F.col("__R") > F.col("__lo")) & (F.col("__R") <= F.col("__hi")))

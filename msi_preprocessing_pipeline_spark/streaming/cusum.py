@@ -51,7 +51,9 @@ def fold_cusum(rows, state, mu_u: int, k_u: int, h_u: int, scale: int):
     new_state); emitted rows are (event_id, ms, s_pos, s_neg, alarm).
     """
     valid = [(eid, int(t), float(v)) for eid, t, v in rows
-             if t is not None and t == t and v is not None and v == v]
+             if eid is not None  # a null id TypeErrors the (ms, id)
+             # sort on a ts tie — skip, matching null-ms/value semantics
+             and t is not None and t == t and v is not None and v == v]
     s_pos, s_neg, n = state or (0, 0, 0)
     out = []
     for eid, t, v in sorted(valid, key=lambda r: (r[1], r[0])):

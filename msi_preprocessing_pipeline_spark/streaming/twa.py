@@ -62,7 +62,9 @@ def fold_twa(rows, state, scale):
     sqw, n) or None.  Rows with a null ms or value are SKIPPED (they
     have no place on the hold timeline).  Returns the new state."""
     valid = [(eid, int(t), float(v)) for eid, t, v in rows
-             if t is not None and t == t and v is not None and v == v]
+             if eid is not None  # a null id TypeErrors the (ms, id)
+             # sort on a ts tie — skip, matching null-ms/value semantics
+             and t is not None and t == t and v is not None and v == v]
     first_ms, last_ms, last_q, sw, sqw, n = state or (
         None, None, None, 0, 0, 0)
     for eid, t, v in sorted(valid, key=lambda r: (r[1], r[0])):
