@@ -101,7 +101,11 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
     1-row basket count; the |items|-bounded support relation joins
     back unhinted (AQE broadcasts).
     """
-    baskets = _baskets(df, basket_col, item_col, max_basket)
+    # the basket relation feeds THREE branches (supports, basket count,
+    # pair expansion): materialize once so the corpus groupBy
+    # collect_set shuffle runs one pass, not three
+    baskets = _baskets(df, basket_col, item_col, max_basket) \
+        .localCheckpoint()
     supports = (baskets.select(F.explode("__items").alias(item_col))
                 .groupBy(item_col)
                 .agg(F.count("*").alias("n_item")))
