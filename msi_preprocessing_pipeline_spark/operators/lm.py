@@ -160,9 +160,13 @@ def lm_score(df: DataFrame, tokens_col: str = "tokens",
     the float-sum combine-order hazard; ``sum_lnp`` is then within
     ``n_bigrams·10^-s`` of the raw value.
     """
-    big = doc_bigrams(df, tokens_col, id_col)
+    # ONE bigram explode: the positional relation is materialized and the
+    # self-scored histogram derives from it (bigram_counts(df) is the same
+    # groupBy over the same exploded pairs — re-running the tokenize +
+    # explode subtree for it doubled the corpus passes)
+    big = doc_bigrams(df, tokens_col, id_col).localCheckpoint()
     cnt_ab = (counts if counts is not None
-              else bigram_counts(df, tokens_col))
+              else big.groupBy("a", "b").agg(F.count("*").alias("c")))
     # conditioning counts from the SAME relation so the model normalizes
     cnt_a = cnt_ab.groupBy("a").agg(F.sum("c").alias("c_a"))
     lnp = F.log((F.coalesce(F.col("c"), F.lit(0)).cast("double")
@@ -247,9 +251,11 @@ def kn_score(df: DataFrame, tokens_col: str = "tokens",
     corpus) and the pair join is a LEFT join so unseen pairs survive to
     the oov accounting.
     """
-    big = doc_bigrams(df, tokens_col, id_col)
+    big = doc_bigrams(df, tokens_col, id_col).localCheckpoint()
     if counts is None:
-        cnt_ab = bigram_counts(df, tokens_col)
+        # histogram from the materialized positional relation — one
+        # tokenize+explode pass for scoring AND model (lm_score rule)
+        cnt_ab = big.groupBy("a", "b").agg(F.count("*").alias("c"))
         w_a = Window.partitionBy("a")
         w_b = Window.partitionBy("b")
         enriched = cnt_ab.select(
@@ -328,7 +334,10 @@ def pmi_bigrams(df: DataFrame, tokens_col: str = "tokens",
     aggregate entering via broadcast cross join (composition stays lazy —
     no eager count job, cf. ``text.tfidf_top_terms``).
     """
-    cnt = bigram_counts(df, tokens_col)
+    # the histogram feeds FOUR branches (both marginals, the total, the
+    # join probe): materialize once — each lazy reference re-ran the
+    # corpus explode+aggregate
+    cnt = bigram_counts(df, tokens_col).localCheckpoint()
     left = cnt.groupBy("a").agg(F.sum("c").alias("c_a"))
     right = cnt.groupBy("b").agg(F.sum("c").alias("c_b"))
     total = cnt.agg(F.sum("c").alias("_n_big"))
@@ -896,9 +905,11 @@ def worst_span(df: DataFrame, w: int = 16, k: float = 0.5,
     """
     if w < 1:
         raise ValueError(f"w must be >= 1, got {w}")
-    big = doc_bigrams(df, tokens_col, id_col)
+    # one bigram explode for both the positional relation and the
+    # self-scored histogram (the lm_score discipline)
+    big = doc_bigrams(df, tokens_col, id_col).localCheckpoint()
     cnt_ab = (counts if counts is not None
-              else bigram_counts(df, tokens_col))
+              else big.groupBy("a", "b").agg(F.count("*").alias("c")))
     cnt_a = cnt_ab.groupBy("a").agg(F.sum("c").alias("c_a"))
     lnp = F.log((F.col("c").cast("double") + F.lit(float(k)))
                 / (F.col("c_a").cast("double")
