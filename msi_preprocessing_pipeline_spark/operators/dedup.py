@@ -403,6 +403,11 @@ def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id",
 
     Exact ``bit_count(xor)`` verification after bucketing in both paths.
     """
+    # materialize the (id, hash) relation ONCE: both self-join sides (and
+    # the star guard) reference it, and the upstream hash computation is
+    # often an expensive Python pass (pHash decode+DCT) that would
+    # otherwise execute per reference — 16 bytes/row, corpus-linear
+    hashes = hashes.select(id_col, hash_col).localCheckpoint()
     if max_hamming <= 3:
         specs = _simhash_chunks(max_hamming + 1)
         chunks = hashes.select(
