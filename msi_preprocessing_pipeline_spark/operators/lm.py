@@ -160,13 +160,15 @@ def lm_score(df: DataFrame, tokens_col: str = "tokens",
     the float-sum combine-order hazard; ``sum_lnp`` is then within
     ``n_bigrams·10^-s`` of the raw value.
     """
-    # ONE bigram explode: the positional relation is materialized and the
-    # self-scored histogram derives from it (bigram_counts(df) is the same
-    # groupBy over the same exploded pairs — re-running the tokenize +
-    # explode subtree for it doubled the corpus passes)
-    big = doc_bigrams(df, tokens_col, id_col).localCheckpoint()
+    # NOTE (r6): materializing `big` and deriving the self-scored
+    # histogram from it (one explode pass instead of two) was tried and
+    # REVERTED: the eager checkpoint forces full evaluation, defeating
+    # the count-time column pruning lazy consumers get, and measured a
+    # net loss on the count-driven bench (0.33 -> 0.9 s) — the lazy
+    # double explode is the better trade for partial consumers
+    big = doc_bigrams(df, tokens_col, id_col)
     cnt_ab = (counts if counts is not None
-              else big.groupBy("a", "b").agg(F.count("*").alias("c")))
+              else bigram_counts(df, tokens_col))
     # conditioning counts from the SAME relation so the model normalizes
     cnt_a = cnt_ab.groupBy("a").agg(F.sum("c").alias("c_a"))
     lnp = F.log((F.coalesce(F.col("c"), F.lit(0)).cast("double")
@@ -251,11 +253,11 @@ def kn_score(df: DataFrame, tokens_col: str = "tokens",
     corpus) and the pair join is a LEFT join so unseen pairs survive to
     the oov accounting.
     """
-    big = doc_bigrams(df, tokens_col, id_col).localCheckpoint()
+    # same lazy-shape note as lm_score (r6): the materialized-once
+    # variant measured a count-bench loss; keep the lazy explodes
+    big = doc_bigrams(df, tokens_col, id_col)
     if counts is None:
-        # histogram from the materialized positional relation — one
-        # tokenize+explode pass for scoring AND model (lm_score rule)
-        cnt_ab = big.groupBy("a", "b").agg(F.count("*").alias("c"))
+        cnt_ab = bigram_counts(df, tokens_col)
         w_a = Window.partitionBy("a")
         w_b = Window.partitionBy("b")
         enriched = cnt_ab.select(

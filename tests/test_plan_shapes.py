@@ -623,13 +623,13 @@ def test_c4_filter_is_map_only(spark):
 
 
 def test_kn_score_single_histogram_lineage(spark):
-    """The positional bigram relation is materialized ONCE and every
-    model marginal derives from it: the executed plan reads the corpus
-    parquet exactly 1x — the keep-all-docs left join (the explode +
-    histogram branches read the checkpointed RDD).  History: the
-    branchy groupBy formulation measured 6 scans, the r5 shared-window
-    one 4; r6 collapses the scoring/histogram explodes into one
-    materialized pass."""
+    """All model marginals must ride ONE bigram-histogram lineage: the
+    executed plan reads the corpus exactly 4x (scoring explode,
+    histogram, 1-row N1+(..) branch, keep-all-docs left join) — the
+    branchy groupBy formulation measured 6 scans.  (The r6
+    materialize-once variant hit 1 scan but lost on the count-driven
+    bench — see the lm_score note — so 4 lazy scans is the pinned
+    trade.)"""
     from msi_preprocessing_pipeline_spark.operators.lm import (
         hash_tokenize, kn_score)
 
@@ -637,8 +637,7 @@ def test_kn_score_single_histogram_lineage(spark):
     out = kn_score(hash_tokenize(docs, vocab_size=512), scale=9)
     out.count()
     executed = out._jdf.queryExecution().executedPlan().toString()
-    assert executed.count("Scan parquet") == 1
-    assert executed.count("Scan ExistingRDD") >= 2  # checkpointed bigrams
+    assert executed.count("Scan parquet") == 4
 
 
 def test_similar_doc_pairs_no_cartesian_and_pair_filter_in_join(spark):
